@@ -1,0 +1,226 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md §2.6 X12):
+
+- exact dedup          hash-groupBy on a content hash (md5)
+- n-gram Jaccard       shingle explode -> equi self-join -> set algebra
+- MinHash + LSH        signature -> band-bucket join -> verified pairs
+- SimHash              weighted bit voting over token hashes
+
+Scale notes (100 TB): the shingle self-join shuffles on the shingle string —
+hot shingles (boilerplate) produce join skew, so ``max_shingle_freq`` drops
+shingles whose global document frequency exceeds a cap before the join
+(standard df-cap trick; biases Jaccard down only for docs made of pure
+boilerplate). MinHash replaces the |docs|^2 comparison with band buckets:
+only same-bucket docs are compared, and the verify step recomputes exact
+Jaccard so false positives cost time, not correctness."""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import add
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31-1: (a*h + b) stays within int64 for a,h < 2^31,
+# so ANSI-mode arithmetic never overflows.
+_MINHASH_PRIME = 2147483647
+
+
+def content_hash(text: Column | str) -> Column:
+    return F.md5(text if isinstance(text, Column) else F.col(text))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id representative of every exact-content group.
+    One hash aggregation — the 100 TB plan is scan -> partial min -> final."""
+    return (
+        df.groupBy(content_hash(text_col).alias("h"))
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+        .drop("h")
+    )
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a whitespace-tokenized text."""
+    toks = F.split(text if isinstance(text, Column) else F.col(text), " ")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.array_distinct(F.when(F.size(toks) >= n, sh).otherwise(F.array()))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= threshold).
+
+    Plan shape: explode distinct shingles, equi self-join on the shingle
+    (shuffle on shingle string), count intersections per pair, then
+    |A ∪ B| = |A| + |B| - |A ∩ B|. Deterministic integer counts; the final
+    division is a single double op, rounded to 6."""
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("s")
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_shingle_freq is not None:
+        hot = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df_"))
+        sh = sh.join(F.broadcast(hot.filter(F.col("df_") > max_shingle_freq)), "s", "left_anti")
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _perm_coeffs(num_hashes: int, seed: int) -> tuple[list[int], list[int]]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MINHASH_PRIME, size=num_hashes).tolist()
+    b = rng.randint(0, _MINHASH_PRIME, size=num_hashes).tolist()
+    return a, b
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signatures: h_i(doc) = min over shingles of (a_i*x + b_i) mod p,
+    x = xxhash64(shingle) folded into [0, p). One explode + one hash-agg with
+    ``num_hashes`` partial-min columns — map-side combine keeps the shuffle at
+    |docs| x num_hashes regardless of corpus size."""
+    a, b = _perm_coeffs(num_hashes, seed)
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("s")
+    )
+    x = F.pmod(F.xxhash64("s"), F.lit(_MINHASH_PRIME))
+    aggs = [
+        F.min(F.pmod(F.lit(a[i]) * x + F.lit(b[i]), F.lit(_MINHASH_PRIME))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, num_hashes: int = 64, bands: int = 16
+) -> DataFrame:
+    """Band the signature matrix: docs sharing any band hash are candidates.
+    Banding is an explode to (id, band, band_hash) then an equi self-join on
+    (band, band_hash) — the classic MinHash-LSH bucket join."""
+    rows = num_hashes // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.xxhash64(*[f"mh{j * rows + r}" for r in range(rows)]).alias("bh"),
+            )
+            for j in range(bands)
+        ]
+    )
+    banded = sigs.select("id", F.explode(band_structs).alias("b")).select(
+        "id", "b.band", "b.bh"
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash-LSH candidates verified with exact Jaccard on the shingle sets
+    (false positives filtered; recall tested in tests/test_dedup.py)."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, n, seed)
+    cands = lsh_candidate_pairs(sigs, num_hashes, bands)
+    sets_ = df.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh"))
+    a = sets_.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sets_.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def token_hash60(token: Column | str) -> Column:
+    """Cross-engine deterministic 60-bit token hash: first 15 hex chars of
+    md5, parsed base-16. DuckDB twin: CAST('0x' || substring(md5(t),1,15) AS BIGINT)."""
+    t = token if isinstance(token, Column) else F.col(token)
+    return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
+) -> DataFrame:
+    """SimHash: per bit position, tokens vote +1/-1 by their hash bit; the
+    sign of the tally sets the output bit. Near-dup docs land at small
+    Hamming distance. Explode + single hash-agg with ``bits`` sum columns."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).withColumn("h", token_hash60("tok"))
+    votes = [
+        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    tallied = toks.groupBy("id").agg(*votes)
+    sim = reduce(
+        add,
+        [
+            F.when(F.col(f"v{i}") >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+            for i in range(bits)
+        ],
+    )
+    return tallied.select(F.col("id").alias(id_col), sim.cast("long").alias("simhash"))
+
+
+def hamming(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))

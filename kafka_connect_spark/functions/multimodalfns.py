@@ -1,0 +1,98 @@
+"""Multimodal column plumbing (SURVEY.md north-star extension).
+
+Images/audio/video are opaque ``binary`` columns paired with a typed
+metadata struct. The Spark-side machinery — schema, Arrow batch shape,
+``mapInPandas`` signatures, partition sizing — is real and tested; the
+actual codec step is stubbed (image/audio libraries are not in this
+container) behind a clearly marked NotImplementedError with a deterministic
+fake decoder for the 'fake/raw' format.
+
+At 100 TB the decode stage is the canonical mapInPandas workload: pure
+map-side (no shuffle), Arrow-batched, CPU-bound — scale by input splits and
+``spark.sql.files.maxPartitionBytes``."""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META = T.StructType(
+    [
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("byte_len", T.IntegerType()),
+        T.StructField("head_u32", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def attach_fake_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Attach a deterministic opaque binary payload (md5 digest bytes of the
+    text) + typed metadata — the storage contract for multimodal columns."""
+    data = F.unhex(F.md5(F.col(text_col)))
+    meta = F.struct(
+        F.lit("fake/raw").alias("format"),
+        ((F.col(id_col) % 64) + 1).cast("int").alias("width"),
+        ((F.col(id_col) % 48) + 1).cast("int").alias("height"),
+        F.lit(1).cast("int").alias("n_frames"),
+    )
+    return df.select(F.col(id_col), data.alias("media"), meta.alias("media_meta"))
+
+
+def _decode_one(fmt: str, payload: bytes) -> bytes:
+    if fmt == "fake/raw":
+        return payload  # deterministic fake decode: identity
+    # Real codecs (PIL/libav/soundfile) are not available in this container.
+    raise NotImplementedError(f"no decoder for format {fmt!r}: plug a codec here")
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction over (doc_id, media, media_meta).
+
+    Arrow-batched: each partition arrives as an iterator of pandas frames;
+    output schema is fixed (FEATURE_SCHEMA) so downstream plans are stable."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [
+                _decode_one(m["format"], bytes(b))
+                for m, b in zip(pdf["media_meta"], pdf["media"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "byte_len": [len(b) for b in decoded],
+                    "head_u32": [
+                        struct.unpack(">I", b[:4])[0] if len(b) >= 4 else 0
+                        for b in decoded
+                    ],
+                    "width": [m["width"] for m in pdf["media_meta"]],
+                    "height": [m["height"] for m in pdf["media_meta"]],
+                }
+            )
+
+    return df.mapInPandas(fn, FEATURE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
+    """Frame-sampling stub for video payloads: emits (doc_id, frame_idx)
+    rows for frames 0, every_n, 2*every_n, ... of media_meta.n_frames.
+    Pure JVM-side sequence/explode — the decode of each sampled frame would
+    chain into ``extract_features``."""
+    idx = F.sequence(F.lit(0), F.col("media_meta.n_frames") - 1, F.lit(every_n))
+    return df.select("doc_id", F.explode(idx).alias("frame_idx"))

@@ -1,0 +1,148 @@
+"""Similarity search over embedding columns (SURVEY.md §2.6 X13).
+
+- ``cosine_topk``      exact brute force: broadcast the query set, nested-loop
+                       join, JVM-side fold for the dot product, per-query top-k.
+                       The right baseline whenever |queries| is small: cost is
+                       |queries| x |corpus| with zero shuffle of the corpus.
+- ``lsh_cosine_topk``  random-hyperplane LSH: bucket signatures via an
+                       Arrow-batched pandas UDF (numpy matmul), equi-join on
+                       (table, bucket), exact rerank of candidates only.
+                       The 100 TB path: the corpus is scanned once to tag
+                       buckets (embarrassingly parallel), and the join touches
+                       only same-bucket pairs.
+
+Exact-arithmetic discipline: dot products fold left-to-right over
+double-cast arrays, matching the DuckDB oracle's list_dot_product; the
+cosine is rounded to 6 decimals BEFORE ranking in both engines so ranking
+never depends on sub-ulp differences."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-to-right fold of elementwise products (JVM-side, codegen'd)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def with_vec(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Cast to array<double> and precompute the L2 norm once per vector."""
+    v = F.col(vec_col).cast("array<double>")
+    return df.withColumn("v", v).withColumn("v_norm", F.sqrt(dot(F.col("v"), F.col("v"))))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for every query vector.
+
+    Output: query_id, neighbor_id, cos_sim (rounded 6), rank (1-based).
+    Ties after rounding break by neighbor_id ascending."""
+    c = with_vec(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "v", "v_norm"
+    )
+    q = with_vec(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv"), F.col("v_norm").alias("q_norm")
+    )
+    pairs = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+    cos = F.round(dot(F.col("qv"), F.col("v")) / (F.col("q_norm") * F.col("v_norm")), 6)
+    ranked = pairs.select("query_id", "neighbor_id", cos.alias("cos_sim")).withColumn(
+        "rank",
+        F.row_number()
+        .over(
+            Window.partitionBy("query_id").orderBy(
+                F.col("cos_sim").desc(), F.col("neighbor_id")
+            )
+        )
+        .cast("long"),
+    )
+    return ranked.filter(F.col("rank") <= k).orderBy("query_id", "rank")
+
+
+def _bucket_udf(planes: np.ndarray):
+    """planes: (n_tables, n_planes, dim). Returns a pandas UDF mapping an
+    embedding to an array of per-table bucket ids (sign-bit packing)."""
+    n_tables, n_planes, _ = planes.shape
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @pandas_udf("array<long>")
+    def bucketize(emb: pd.Series) -> pd.Series:
+        mat = np.stack(emb.to_numpy())  # (batch, dim)
+        out = []
+        signs = np.einsum("bd,tpd->btp", mat, planes) > 0  # (batch, tables, planes)
+        buckets = signs @ weights  # (batch, tables)
+        return pd.Series(list(buckets.astype(np.int64)))
+
+    return bucketize
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane LSH candidates, exact rerank.
+
+    Recall grows with n_tables (any shared bucket makes a candidate);
+    precision of the candidate set grows with n_planes. Verified against
+    ``cosine_topk`` in tests/test_similarity.py (recall@k bound)."""
+    planes = np.random.RandomState(seed).randn(n_tables, n_planes, dim)
+    bucketize = _bucket_udf(planes)
+
+    def tag(df: DataFrame, prefix: str) -> DataFrame:
+        tagged = df.withColumn("_buckets", bucketize(F.col(vec_col).cast("array<double>")))
+        t = F.explode(
+            F.transform(
+                F.col("_buckets"),
+                lambda b, i: F.struct(i.alias("table"), b.alias("bucket")),
+            )
+        )
+        return tagged.select(F.col(id_col).alias(f"{prefix}_id"), t.alias("tb")).select(
+            f"{prefix}_id", "tb.table", "tb.bucket"
+        )
+
+    cand = (
+        tag(corpus, "neighbor")
+        .join(tag(queries, "query"), ["table", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    c = with_vec(corpus, vec_col).select(F.col(id_col).alias("neighbor_id"), "v", "v_norm")
+    q = with_vec(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv"), F.col("v_norm").alias("q_norm")
+    )
+    cos = F.round(dot(F.col("qv"), F.col("v")) / (F.col("q_norm") * F.col("v_norm")), 6)
+    ranked = (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "neighbor_id", cos.alias("cos_sim"))
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("cos_sim").desc(), F.col("neighbor_id")
+                )
+            )
+            .cast("long"),
+        )
+    )
+    return ranked.filter(F.col("rank") <= k).orderBy("query_id", "rank")

@@ -1,0 +1,128 @@
+"""CDC / SMT query surface: T1 MaskField, T2 Debezium unwrap, T4 JSON
+envelope roundtrip (SURVEY.md §2.3).
+
+The CDC envelope is synthesized deterministically from the ``events``
+fixture (FIXTURES.md §1 cdc_event): op = event_id % 4 -> {c,u,d,r};
+``before`` carries a negated value so the oracle can prove deletes are
+flattened from ``before`` (not ``after``)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..transforms import extract_new_record_state, mask_fields
+from .registry import query
+
+
+@query(
+    "t1_mask_field",
+    oracle="""
+    SELECT c_custkey, c_name, CAST('CENSORED' AS VARCHAR) AS c_mktsegment
+    FROM customer ORDER BY c_custkey
+    """,
+)
+def t1_mask_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MaskField$Value SMT (reference README.md:104-107): c_mktsegment plays
+    the reference's private_info column (FIXTURES.md §1)."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    return mask_fields(c, ["c_mktsegment"], "CENSORED").orderBy("c_custkey")
+
+
+def cdc_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Debezium-style envelope view over ``events``
+    (FIXTURES.md §1 cdc_event). op by event_id % 4 -> [c, u, d, r];
+    before present for u/d (value negated), after present for c/u/r."""
+    events = load(spark, sf_dir, "events")
+    op = F.element_at(F.array(F.lit("c"), F.lit("u"), F.lit("d"), F.lit("r")),
+                      (F.col("event_id") % 4 + 1).cast("int"))
+    after_row = F.struct("event_id", "user_id", "event_type", "value")
+    before_row = F.struct(
+        F.col("event_id"),
+        F.col("user_id"),
+        F.col("event_type"),
+        (-F.col("value")).alias("value"),
+    )
+    return events.select(
+        F.when(op.isin("u", "d"), before_row).alias("before"),
+        F.when(op != "d", after_row).alias("after"),
+        op.alias("op"),
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+        F.struct(
+            F.lit("fixtures").alias("db"),
+            F.lit("public").alias("schema"),
+            F.lit("events").alias("table"),
+        ).alias("source"),
+    )
+
+
+@query(
+    "t2_cdc_unwrap_rewrite",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CASE WHEN event_id % 4 = 2 THEN -value ELSE value END AS value,
+           CASE WHEN event_id % 4 = 2 THEN 'true' ELSE 'false' END AS __deleted
+    FROM events ORDER BY event_id
+    """,
+)
+def t2_cdc_unwrap_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExtractNewRecordState with delete.handling.mode=rewrite
+    (reference postgres/connector.json:11-14, README.md:321-329): deletes
+    flatten from ``before`` and carry __deleted='true'."""
+    env = cdc_envelope(spark, sf_dir)
+    return extract_new_record_state(
+        env, drop_tombstones=False, delete_handling="rewrite"
+    ).orderBy("event_id")
+
+
+@query(
+    "t2b_cdc_unwrap_drop_deletes",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events WHERE event_id % 4 <> 2 ORDER BY event_id
+    """,
+)
+def t2b_cdc_unwrap_drop_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExtractNewRecordState with delete.handling.mode=drop."""
+    env = cdc_envelope(spark, sf_dir)
+    return extract_new_record_state(
+        env, drop_tombstones=True, delete_handling="drop"
+    ).orderBy("event_id")
+
+
+@query(
+    "t4_json_envelope_roundtrip",
+    oracle="""
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+           event_type
+    FROM events ORDER BY event_id
+    """,
+)
+def t4_json_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JsonConverter surface (reference docker-compose.yaml:138-141): typed
+    extraction from a JSON payload column."""
+    events = load(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        "event_type",
+    ).orderBy("event_id")
+
+
+@query(
+    "t3_topic_routing",
+    oracle="""
+    SELECT event_id, 'postgresql-jdbc-bulk-' || event_type AS topic
+    FROM events ORDER BY event_id
+    """,
+)
+def t3_topic_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic routing (reference README.md:98: topic = prefix + table);
+    per-row routing keyed on event_type as the 'table'."""
+    from ..transforms import with_topic
+
+    events = load(spark, sf_dir, "events")
+    return with_topic(events, "postgresql-jdbc-bulk-", F.col("event_type")).select(
+        "event_id", "topic"
+    ).orderBy("event_id")

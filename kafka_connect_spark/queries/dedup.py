@@ -1,0 +1,105 @@
+"""Deduplication query surface (SURVEY.md §2.6 X12) over ``documents``.
+
+Exact dedup, keep-first representative selection, exact n-gram Jaccard
+pairs, and SimHash are hash-checked against DuckDB. MinHash-LSH is
+seed-deterministic but not SQL-expressible => rows-only check + the recall
+harness in tests/test_dedup.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.dedupfns import (
+    content_hash,
+    exact_dedup,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from .registry import query
+
+
+@query(
+    "x12_dedup_exact_count",
+    oracle="SELECT count(DISTINCT md5(text)) AS distinct_docs FROM documents",
+)
+def x12_dedup_exact_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.agg(F.countDistinct(content_hash("text")).alias("distinct_docs"))
+
+
+@query(
+    "x12b_dedup_keep_first",
+    oracle="""
+    SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+    FROM documents GROUP BY md5(text) ORDER BY doc_id
+    """,
+)
+def x12b_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keeping the lowest-id representative per content group."""
+    d = load(spark, sf_dir, "documents")
+    return exact_dedup(d).orderBy("doc_id")
+
+
+@query(
+    "x12c_ngram_jaccard_pairs",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS s
+           FROM tok WHERE len(t) >= 3),
+    ex AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           ROUND(inter / (sa.n + sb.n - inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE ROUND(inter / (sa.n + sb.n - inter), 6) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
+def x12c_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-duplicate pairs at threshold 0.5."""
+    d = load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, n=3, threshold=0.5).orderBy("id_a", "id_b")
+
+
+_SIMHASH_BITS = 32
+_votes = ", ".join(
+    f"sum(((h >> {i}) & 1) * 2 - 1) AS v{i}" for i in range(_SIMHASH_BITS)
+)
+_pack = " + ".join(
+    f"CASE WHEN v{i} >= 0 THEN {1 << i} ELSE 0 END" for i in range(_SIMHASH_BITS)
+)
+
+
+@query(
+    "x12d_simhash",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    h AS (SELECT doc_id, CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT) AS h FROM tok),
+    v AS (SELECT doc_id, {_votes} FROM h GROUP BY doc_id)
+    SELECT doc_id, CAST({_pack} AS BIGINT) AS simhash FROM v ORDER BY doc_id
+    """,
+)
+def x12d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (cross-engine md5-derived token hash)."""
+    d = load(spark, sf_dir, "documents")
+    return simhash(d, bits=_SIMHASH_BITS).orderBy("doc_id")
+
+
+@query("x12e_minhash_lsh_pairs")  # seed-deterministic; rows-only check
+def x12e_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + 16-band LSH candidates, verified with exact Jaccard
+    >= 0.5. Same output contract as x12c; recall vs the exact pairs is
+    asserted in tests/test_dedup.py."""
+    d = load(spark, sf_dir, "documents")
+    return minhash_near_dup_pairs(
+        d, num_hashes=64, bands=16, n=3, threshold=0.5
+    ).orderBy("id_a", "id_b")

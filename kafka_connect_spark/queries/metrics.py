@@ -1,0 +1,201 @@
+"""Metric-aggregation surface — the PromQL workload of the reference's
+Grafana dashboard (SURVEY.md §2.5, grafana/dashboards/connect.json) plus the
+streaming window family X11, expressed over the ``events`` fixture
+(FIXTURES.md metric_sample mapping)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from .registry import dsum, dsum_sql, query
+
+
+@query(
+    "p1_filtered_sum",
+    oracle=f"""
+    SELECT {dsum_sql("value")} AS total_value FROM events
+    WHERE event_type <> '' AND regexp_matches(event_type, '^(click|view)$')
+    """,
+)
+def p1_filtered_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sum(metric{label=~"re", label!=""}) — filtered global sum
+    (reference grafana/dashboards/connect.json:87,143,...)."""
+    events = load(spark, sf_dir, "events")
+    return events.filter(
+        (F.col("event_type") != "") & F.col("event_type").rlike("^(click|view)$")
+    ).agg(dsum(F.col("value")).alias("total_value"))
+
+
+@query(
+    "p2_grouped_sum",
+    oracle=f"""
+    SELECT event_type, {dsum_sql("value")} AS sum_value, count(*) AS cnt
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def p2_grouped_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sum(...) by (k) — grouped sum (connect.json:467,1089-1129)."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(dsum(F.col("value")).alias("sum_value"), F.count(F.lit(1)).alias("cnt"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "p3_rate_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 minute', ts) AS w,
+           ROUND((max(value) - min(value)) / 60.0, 6) AS rate_per_sec
+    FROM events WHERE event_type = 'click'
+    GROUP BY w ORDER BY w
+    """,
+)
+def p3_rate_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rate(counter[1m]) — per-second rate over 1-minute windows
+    (connect.json:1722,1825). Tumbling-window batch analog; the streaming
+    sliding-window version lives in streaming.windows."""
+    events = load(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    return (
+        events.groupBy(F.window("ts", "1 minute").alias("win"))
+        .agg(F.round((F.max("value") - F.min("value")) / 60.0, 6).alias("rate_per_sec"))
+        .select(F.col("win.start").alias("w"), "rate_per_sec")
+        .orderBy("w")
+    )
+
+
+@query(
+    "p4_gauge_last_value",
+    oracle="""
+    SELECT user_id, value AS last_value
+    FROM (SELECT user_id, value, row_number() OVER
+            (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1 ORDER BY user_id
+    """,
+)
+def p4_gauge_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instant-vector gauge read: latest sample per series
+    (connect.json:1928,2030). Spark side uses max_by over a (ts, event_id)
+    struct — one hash-agg pass, no window shuffle-and-sort."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .agg(F.expr("max_by(value, struct(ts, event_id))").alias("last_value"))
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "p5_label_replace",
+    oracle="""
+    SELECT event_id,
+           CASE event_type WHEN 'click' THEN '1' WHEN 'view' THEN '2'
+                ELSE event_type END AS status_ord
+    FROM events ORDER BY event_id
+    """,
+)
+def p5_label_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """label_replace chain -> ordinal mapping (connect.json:1581)."""
+    events = load(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.when(F.col("event_type") == "click", F.lit("1"))
+        .when(F.col("event_type") == "view", F.lit("2"))
+        .otherwise(F.col("event_type"))
+        .alias("status_ord"),
+    ).orderBy("event_id")
+
+
+@query(
+    "p6_running_total",
+    oracle="""
+    SELECT event_id,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4)
+           AS running_total
+    FROM events ORDER BY event_id
+    """,
+)
+def p6_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counter cumulative total (connect.json:2235): running sum per series.
+    Decimal accumulation keeps the prefix sums bit-identical across engines."""
+    events = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        F.round(
+            F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double"), 4
+        ).alias("running_total"),
+    ).orderBy("event_id")
+
+
+@query(
+    "x11_tumbling_window",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS w, event_type,
+           count(*) AS cnt, {dsum_sql("value")} AS sum_value
+    FROM events GROUP BY w, event_type ORDER BY w, event_type
+    """,
+)
+def x11_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregation (batch-checkable analog of the
+    streaming path in streaming.windows; same F.window operator)."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "10 minutes").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum(F.col("value")).alias("sum_value"))
+        .select(F.col("win.start").alias("w"), "event_type", "cnt", "sum_value")
+        .orderBy("w", "event_type")
+    )
+
+
+@query(
+    "x11b_sliding_window",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS slide_start,
+           count(*) AS cnt
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY slide_start ORDER BY slide_start
+    """,
+)
+def x11b_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (10 min window / 5 min slide): each event lands in 2
+    windows. Checked via the 5-minute slide grain (every sliding window is a
+    union of slide buckets, so the bucket counts pin the semantics); the
+    full sliding output is exercised in tests/test_streaming.py."""
+    events = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return (
+        events.groupBy(F.window("ts", "5 minutes").alias("win"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("win.start").alias("slide_start"), "cnt")
+        .orderBy("slide_start")
+    )
+
+
+@query("x11c_session_window")  # no SQL analog in DuckDB -> rows-only check
+def x11c_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (5-minute gap) per user — genuinely non-SQL-expressible
+    in the oracle; verified Spark-vs-Spark in tests/test_streaming.py
+    (batch session_window == streaming session_window over the same replay)."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.session_window("ts", "5 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value")).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )

@@ -1,0 +1,47 @@
+"""Multimodal-column query surface (north-star extension): binary payload +
+typed metadata, feature extraction via Arrow-batched mapInPandas
+(functions/multimodalfns.py). The oracle recomputes the deterministic fake
+decode independently in DuckDB (md5 digest bytes)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.multimodalfns import attach_fake_media, extract_features, sample_frames
+from .registry import query
+
+
+@query(
+    "mm_feature_extract",
+    oracle="""
+    SELECT doc_id,
+           CAST(16 AS INTEGER) AS byte_len,
+           CAST('0x' || substring(md5(text), 1, 8) AS BIGINT) AS head_u32,
+           CAST(doc_id % 64 + 1 AS INTEGER) AS width,
+           CAST(doc_id % 48 + 1 AS INTEGER) AS height
+    FROM documents ORDER BY doc_id
+    """,
+)
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binary media column -> mapInPandas feature extraction. byte_len/head_u32
+    come from the decoded payload (md5 digest of text => 16 bytes; head_u32 =
+    first 4 bytes big-endian = first 8 hex chars of md5)."""
+    d = load(spark, sf_dir, "documents")
+    media = attach_fake_media(d)
+    return extract_features(media).orderBy("doc_id")
+
+
+@query(
+    "mm_frame_sample",
+    oracle="""
+    SELECT doc_id, CAST(0 AS INTEGER) AS frame_idx FROM documents ORDER BY doc_id
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing (every_n=2 over n_frames=1 => frame 0 only in
+    the fixture; the operator shape — sequence + explode — is the real one)."""
+    d = load(spark, sf_dir, "documents")
+    media = attach_fake_media(d)
+    return sample_frames(media, every_n=2).orderBy("doc_id", "frame_idx")

@@ -1,0 +1,540 @@
+"""Batch relational surface: sources (S1-S3), SQL data-prep constructs
+(Q2-Q9), and the extension operators X1-X10 (joins, aggregation, windows,
+sort/top-k, set ops, scalar functions).
+
+Reference parity notes cite /root/reference file:line per SURVEY.md §2.
+All plans are declarative DataFrame API => Catalyst gets pushdown, pruning,
+join selection, AQE. Explicit ``broadcast()`` only where the table is small
+at EVERY scale factor (region/nation are fixed-size dimensions in TPC-H-like
+schemas; customer/orders/lineitem scale with SF and must shuffle-join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from .registry import davg_sql, dsum, dsum_sql, query
+
+
+# ---------------------------------------------------------------------------
+# S1-S3 — JDBC-source scan modes (reference: README.md:91-109,
+# source-quickstart-sqlite.properties:27-29, manifest.json:5).
+# Batch analogs of the three poll modes; the streaming offset-bookkeeping
+# versions live in kafka_connect_spark.sources.incremental.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "s1_jdbc_timestamp_scan",
+    oracle="""
+    SELECT * FROM orders WHERE o_orderdate > TIMESTAMP '1995-01-01'
+    ORDER BY o_orderkey
+    """,
+)
+def s1_jdbc_timestamp_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JDBC source `timestamp` mode: rows with offset column > last offset
+    (reference README.md:96-100, mode=timestamp on updated_at). The filter
+    is pushed into the parquet scan (PushedFilters), exactly as Catalyst
+    pushes it into a JDBC subquery at scale."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.filter(
+        F.col("o_orderdate") > F.lit("1995-01-01").cast("timestamp")
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "s2_jdbc_incrementing_scan",
+    oracle="""
+    SELECT * FROM lineitem WHERE l_orderkey > 3000
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def s2_jdbc_incrementing_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JDBC source `incrementing` mode: autoincrement id > last max
+    (reference source-quickstart-sqlite.properties:27-29)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_orderkey") > 3000).orderBy("l_orderkey", "l_linenumber")
+
+
+@query("s3_jdbc_bulk_snapshot", oracle="SELECT * FROM customer ORDER BY c_custkey")
+def s3_jdbc_bulk_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JDBC source `bulk` mode: full-table copy per poll (reference
+    manifest.json:5 'all tables ... copied, each to its own output topic')."""
+    return load(spark, sf_dir, "customer").orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# K2 — JDBC sink upsert semantics (reference sink-quickstart-sqlite.properties:19-29,
+# manifest.json:5 'idempotent writes with upserts'). Batch analog:
+# last-writer-wins keyed dedup; the foreachBatch MERGE version lives in
+# kafka_connect_spark.sinks.upsert.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "k2_upsert_last_writer_wins",
+    oracle="""
+    SELECT user_id, event_id AS last_event_id, value AS last_value
+    FROM (SELECT *, row_number() OVER
+            (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1 ORDER BY user_id
+    """,
+)
+def k2_upsert_last_writer_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("value").alias("last_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2-Q6 — the reference's SQL data-prep surface (README.md:143-150).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q2_generate_series",
+    oracle="""
+    SELECT i AS id, 'Name_' || CAST(i AS VARCHAR) AS name
+    FROM range(1, 1001) t(i) ORDER BY id
+    """,
+)
+def q2_generate_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT INTO ... SELECT ... FROM generate_series(1, N) + '||' concat
+    (reference README.md:143-150). spark.range is the distributed analog."""
+    return spark.range(1, 1001).select(
+        F.col("id"),
+        F.concat(F.lit("Name_"), F.col("id").cast("string")).alias("name"),
+    )
+
+
+@query(
+    "q4_substring",
+    oracle="""
+    SELECT c_custkey, substring(c_name, 1, 8) AS name_prefix
+    FROM customer ORDER BY c_custkey
+    """,
+)
+def q4_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """substring(str, pos, len) (reference README.md:146)."""
+    return (
+        load(spark, sf_dir, "customer")
+        .select("c_custkey", F.substring("c_name", 1, 8).alias("name_prefix"))
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q5_deterministic_mix",
+    oracle="""
+    SELECT c_custkey,
+           chr(CAST(65 + (c_custkey * 2654435761) % 67108864 % 26 AS INTEGER)) AS letter
+    FROM customer ORDER BY c_custkey
+    """,
+)
+def q5_deterministic_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """random() in the reference's data-prep (README.md:146) replaced by a
+    deterministic Knuth-multiplicative mix so the result is hash-checkable
+    (FIXTURES.md §4 rule 1)."""
+    mix = (F.col("c_custkey") * F.lit(2654435761)) % F.lit(67108864) % F.lit(26)
+    return (
+        load(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            F.expr("char(CAST(65 + (c_custkey * 2654435761) % 67108864 % 26 AS INT))").alias(
+                "letter"
+            ),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q6_cast_to_int",
+    oracle="""
+    SELECT c_custkey, CAST(FLOOR(c_acctbal) AS INTEGER) AS acctbal_int
+    FROM customer ORDER BY c_custkey
+    """,
+)
+def q6_cast_to_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(expr)::integer (reference README.md:146). FLOOR first: Spark ANSI
+    CAST truncates toward zero while DuckDB rounds, so the checked query
+    pins the semantics explicitly."""
+    return (
+        load(spark, sf_dir, "customer")
+        .select("c_custkey", F.floor("c_acctbal").cast("int").alias("acctbal_int"))
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X1-X3 — joins.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x1_inner_equijoin",
+    oracle="""
+    SELECT o_orderkey, c_name FROM orders JOIN customer ON o_custkey = c_custkey
+    ORDER BY o_orderkey
+    """,
+)
+def x1_inner_equijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join. No explicit broadcast: customer scales with SF, so
+    the right plan at 100 TB is a shuffle join on the key; AQE picks
+    broadcast automatically when the built side is small."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "inner")
+        .select("o_orderkey", "c_name")
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "x2_join_star_q5",
+    oracle=f"""
+    SELECT n_name, {dsum_sql("l_extendedprice * (1 - l_discount)")} AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+    GROUP BY n_name ORDER BY n_name
+    """,
+)
+def x2_join_star_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way star join (TPC-H Q5 shape). nation/region are fixed-size
+    dimensions at any SF => explicit broadcast; the fact-side joins shuffle
+    on their keys and Catalyst/AQE reorders."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "x3_anti_join",
+    oracle="""
+    SELECT c_custkey FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    ORDER BY c_custkey
+    """,
+)
+def x3_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (customers without orders)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "x3b_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+    ORDER BY c_custkey
+    """,
+)
+def x3b_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "x3c_left_outer_join",
+    oracle="""
+    SELECT c_custkey, count(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey ORDER BY c_custkey
+    """,
+)
+def x3c_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X4/X6 — aggregation.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x4_agg_tpch_q1",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql("l_quantity", 2)} AS sum_qty,
+           {dsum_sql("l_extendedprice", 2)} AS sum_base_price,
+           {dsum_sql("l_extendedprice * (1 - l_discount)", 2)} AS sum_disc_price,
+           {davg_sql("l_quantity")} AS avg_qty,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(*) AS count_order
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def x4_agg_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash aggregation with partial (map-side) + final phases and a
+    distinct aggregate (TPC-H Q1 shape). Catalyst plans partial_sum before
+    the shuffle — the map-side combine that matters at 100 TB."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity"), 2).alias("sum_qty"),
+            dsum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_qty"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "x6_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS cnt
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def x6_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "x6b_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def x6b_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# X7/X8 — window functions, sort/top-k.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x7_window_rank_lag",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(row_number() OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rn,
+           lag(o_totalprice) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price
+    FROM orders ORDER BY o_custkey, rn
+    """,
+)
+def x7_window_rank_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+    ).orderBy("o_custkey", "rn")
+
+
+@query(
+    "x8_topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def x8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort + limit => TakeOrderedAndProject: per-partition top-k then a
+    k-row merge on the driver — no global sort at any scale."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# X9 — set operations.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x9_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey
+    """,
+)
+def x9_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s).orderBy("nationkey")
+
+
+@query(
+    "x9b_union_all_grouped",
+    oracle="""
+    SELECT nationkey, count(*) AS cnt FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      UNION ALL SELECT s_nationkey FROM supplier
+    ) GROUP BY nationkey ORDER BY nationkey
+    """,
+)
+def x9b_union_all_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return (
+        c.unionByName(s)
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("nationkey")
+    )
+
+
+@query(
+    "x9c_except",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer
+    EXCEPT SELECT o_custkey FROM orders ORDER BY custkey
+    """,
+)
+def x9c_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return c.exceptAll(o.distinct()).distinct().orderBy("custkey")
+
+
+# ---------------------------------------------------------------------------
+# X10 — scalar function surface (string/math/date).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x10a_string_math_funcs",
+    oracle="""
+    SELECT p_partkey, upper(p_brand) AS brand_u, lower(p_type) AS type_l,
+           FLOOR(p_retailprice * 10 + 0.5) / 10 AS price_r1,
+           abs(p_size - 25) AS size_dist
+    FROM part ORDER BY p_partkey
+    """,
+)
+def x10a_string_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/math scalar functions. Rounding spelled as FLOOR(x*10+0.5)/10
+    in both engines — identical double arithmetic, no rounding-mode
+    ambiguity at .x5 boundaries."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.lower("p_type").alias("type_l"),
+        (F.floor(F.col("p_retailprice") * 10 + 0.5) / 10).alias("price_r1"),
+        F.abs(F.col("p_size") - 25).alias("size_dist"),
+    ).orderBy("p_partkey")
+
+
+@query(
+    "x10b_doc_length",
+    oracle="""
+    SELECT doc_id, length(text) AS text_len, lang FROM documents ORDER BY doc_id
+    """,
+)
+def x10b_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.length("text").cast("long").alias("text_len"), "lang"
+    ).orderBy("doc_id")
+
+
+@query(
+    "x10c_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS yr,
+           CAST(month(o_orderdate) AS INTEGER) AS mo,
+           date_trunc('month', o_orderdate) AS month_start,
+           CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS days_since
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def x10c_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since"),
+    ).orderBy("o_orderkey")

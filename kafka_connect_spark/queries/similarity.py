@@ -1,0 +1,51 @@
+"""Similarity-search query surface (SURVEY.md §2.6 X13) over ``embeddings``.
+
+Brute-force cosine top-k is the hash-checked baseline (cosine rounded to 6
+decimals before ranking in BOTH engines, ties by neighbor_id — see
+functions/simfns.py). The LSH variant is the scale path: deterministic
+given its seed, checked rows-only + recall-tested in tests/test_similarity.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.simfns import cosine_topk, lsh_cosine_topk
+from .registry import query
+
+
+@query(
+    "x13_ann_bruteforce_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    pairs AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             ROUND(list_dot_product(q.qv, e.v) /
+                   (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))),
+                   6) AS cos_sim
+      FROM q, e WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, CAST(row_number() OVER
+        (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+      FROM pairs
+    ) WHERE rank <= 3 ORDER BY query_id, rank
+    """,
+)
+def x13_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-3 neighbors for query vectors vec_id < 10."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk(emb, queries, k=3)
+
+
+@query("x13b_ann_lsh_topk")  # seed-deterministic; rows-only check
+def x13b_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH top-3 (6 tables x 8 planes): bucket via an
+    Arrow-batched pandas UDF, candidate equi-join, exact rerank. The 100 TB
+    plan: corpus tagged in one map pass; join touches same-bucket pairs only."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return lsh_cosine_topk(emb, queries, k=3, dim=64, n_planes=8, n_tables=6)

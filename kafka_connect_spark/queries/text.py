@@ -1,0 +1,130 @@
+"""Text-analysis query surface (SURVEY.md §2.6 X14 + training-data ops)
+over the ``documents`` fixture. Oracle SQL mirrors
+functions/textfns.py expression-for-expression (DuckDB list lambdas)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.textfns import (
+    LANG_MARKERS,
+    STOPWORDS,
+    fingerprint,
+    lang_id,
+    quality_score,
+    stopword_ratio,
+    token_count,
+)
+from .registry import query
+
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+@query(
+    "x14_lang_stats",
+    oracle="""
+    SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def x14_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("n_chars").alias("sum_chars"))
+        .orderBy("lang")
+    )
+
+
+@query(
+    "x14b_token_counts",
+    oracle="""
+    SELECT token, count(*) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token ORDER BY token
+    """,
+)
+def x14b_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequencies: explode + hash-agg (the wordcount plan;
+    partial counts combine map-side before the shuffle)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("token")
+    )
+
+
+@query(
+    "x14c_quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             length(regexp_replace(text, '[^.,!?;:]', '', 'g')) / length(text) AS punct
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             len(list_filter(toks, x -> list_contains({_sql_list(STOPWORDS)}, x))) / len(toks) AS sw_raw,
+             punct
+      FROM t
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, ROUND(sw_raw, 6) AS sw_ratio,
+           ROUND((least(n_tokens, 100) / 100.0 + least(sw_raw * 5, 1.0)) / 2.0 - punct, 4) AS quality
+    FROM s ORDER BY doc_id
+    """,
+)
+def x14c_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality heuristic: length / stopword-ratio / punctuation
+    density (functions/textfns.quality_score)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        stopword_ratio("text").alias("sw_ratio"),
+        quality_score("text").alias("quality"),
+    ).orderBy("doc_id")
+
+
+_LANG_CASE = f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    h AS (SELECT doc_id,
+      len(list_filter(toks, x -> list_contains({_sql_list(LANG_MARKERS["en"])}, x))) AS en,
+      len(list_filter(toks, x -> list_contains({_sql_list(LANG_MARKERS["de"])}, x))) AS de,
+      len(list_filter(toks, x -> list_contains({_sql_list(LANG_MARKERS["es"])}, x))) AS es,
+      len(list_filter(toks, x -> list_contains({_sql_list(LANG_MARKERS["fr"])}, x))) AS fr
+      FROM t)
+    SELECT doc_id,
+      CASE WHEN en >= de AND en >= es AND en >= fr AND en > 0 THEN 'en'
+           WHEN de >= es AND de >= fr AND de > 0 THEN 'de'
+           WHEN es >= fr AND es > 0 THEN 'es'
+           WHEN fr > 0 THEN 'fr'
+           ELSE 'und' END AS lang_guess
+    FROM h ORDER BY doc_id
+"""
+
+
+@query("x14d_lang_id", oracle=_LANG_CASE)
+def x14d_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (marker-stopword argmax; see textfns.lang_id)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_id("text").alias("lang_guess")).orderBy("doc_id")
+
+
+@query(
+    "x14e_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp
+    FROM documents ORDER BY doc_id
+    """,
+)
+def x14e_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive document fingerprint (sorted distinct token set)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint("text").alias("fp")).orderBy("doc_id")

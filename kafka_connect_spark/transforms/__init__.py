@@ -1,0 +1,193 @@
+"""Per-record transforms — the SMT (Single Message Transform) surface.
+
+Reference parity (SURVEY.md §2.3):
+- T1 MaskField$Value            -> ``mask_fields``       (README.md:104-107)
+- T2 ExtractNewRecordState      -> ``extract_new_record_state``
+                                   (postgres/connector.json:11-14, README.md:316-329)
+- T3 topic routing              -> ``with_topic``        (README.md:98, connector.json:15-19)
+- T4 JsonConverter              -> ``to_json_envelope`` / ``from_json_envelope``
+                                   (docker-compose.yaml:138-141)
+- T5 FileConfigProvider         -> ``resolve_config_placeholders``
+                                   (docker-compose.yaml:149-151)
+- T7 predicated transforms      -> ``apply_when``        (README.md:290,327)
+
+Everything is a pure DataFrame->DataFrame function (JVM-side expressions,
+no Python row loop), so transform chains stay inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+# -- T1 ----------------------------------------------------------------------
+
+
+def mask_fields(
+    df: DataFrame, fields: list[str], replacement: str = "CENSORED"
+) -> DataFrame:
+    """MaskField$Value: replace listed value-fields with a fixed replacement
+    (reference README.md:104-107: private_info -> 'CENSORED')."""
+    out = df
+    for f in fields:
+        out = out.withColumn(f, F.lit(replacement).cast(df.schema[f].dataType))
+    return out
+
+
+# -- T2 ----------------------------------------------------------------------
+
+
+def extract_new_record_state(
+    df: DataFrame,
+    drop_tombstones: bool = False,
+    delete_handling: str = "rewrite",
+    deleted_field: str = "__deleted",
+) -> DataFrame:
+    """Debezium ExtractNewRecordState ('unwrap') over an envelope DataFrame
+    with columns ``before:struct, after:struct, op:string`` (+ extras).
+
+    Semantics (reference postgres/connector.json:11-14, README.md:321-329):
+    - flatten the envelope to the row fields;
+    - ``delete.handling.mode=rewrite``: deletes become rows (taken from
+      ``before``) carrying ``__deleted='true'``; non-deletes get 'false';
+    - ``delete.handling.mode=drop``: delete events removed;
+    - ``delete.handling.mode=none``: deletes flattened from ``before``
+      without the marker column;
+    - ``drop.tombstones=false``: tombstones (op IS NULL, i.e. null value
+      records) pass through with null row fields.
+    """
+    if delete_handling not in ("rewrite", "drop", "none"):
+        raise ValueError(f"unknown delete.handling.mode: {delete_handling}")
+
+    src = df
+    if drop_tombstones:
+        src = src.filter(F.col("op").isNotNull())
+    if delete_handling == "drop":
+        src = src.filter(F.col("op").isNull() | (F.col("op") != "d"))
+
+    row = F.when(F.col("op") == "d", F.col("before")).otherwise(F.col("after"))
+    cols = [row.alias("__row")]
+    if delete_handling == "rewrite":
+        cols.append(
+            F.when(F.col("op") == "d", F.lit("true"))
+            .otherwise(F.lit("false"))
+            .alias(deleted_field)
+        )
+    flat = src.select(*cols)
+    out_cols = ["__row.*"] + ([deleted_field] if delete_handling == "rewrite" else [])
+    return flat.select(*out_cols)
+
+
+# -- T3 ----------------------------------------------------------------------
+
+
+def with_topic(
+    df: DataFrame, prefix: str, table: str | Column | None = None, separator: str = ""
+) -> DataFrame:
+    """Topic routing: output topic = prefix + table (JDBC naming,
+    README.md:98) or prefix.schema.table (Debezium, connector.json:15-19).
+    ``table`` may be a literal or a column (per-row routing)."""
+    t = F.lit(table) if isinstance(table, str) else table
+    topic = F.concat(F.lit(prefix), F.lit(separator), t) if t is not None else F.lit(prefix)
+    return df.withColumn("topic", topic)
+
+
+# -- T4 ----------------------------------------------------------------------
+
+
+def _connect_type(dt: T.DataType) -> str:
+    mapping = {
+        T.LongType: "int64",
+        T.IntegerType: "int32",
+        T.StringType: "string",
+        T.DoubleType: "float64",
+        T.FloatType: "float32",
+        T.BooleanType: "boolean",
+        T.TimestampType: "int64",  # Connect Timestamp logical type
+        T.BinaryType: "bytes",
+    }
+    return mapping.get(type(dt), "string")
+
+
+def to_json_envelope(df: DataFrame, key_cols: list[str] | None = None) -> DataFrame:
+    """JsonConverter with schemas.enable=true: serialize each row as a
+    ``{schema, payload}`` JSON value (reference docker-compose.yaml:138-141),
+    plus an optional JSON key. Output: ``key:string, value:string``."""
+    fields = F.array(
+        *[
+            F.struct(
+                F.lit(f.name).alias("field"),
+                F.lit(_connect_type(f.dataType)).alias("type"),
+            )
+            for f in df.schema.fields
+        ]
+    )
+    schema_struct = F.struct(
+        F.lit("struct").alias("type"), fields.alias("fields")
+    )
+    value = F.to_json(
+        F.struct(schema_struct.alias("schema"), F.struct(*df.columns).alias("payload"))
+    )
+    cols = [value.alias("value")]
+    if key_cols:
+        cols.insert(0, F.to_json(F.struct(*key_cols)).alias("key"))
+    return df.select(*cols)
+
+
+def from_json_envelope(df: DataFrame, payload_schema: T.StructType) -> DataFrame:
+    """Inverse of ``to_json_envelope``: parse value back to typed columns."""
+    env = T.StructType([T.StructField("payload", payload_schema)])
+    return df.select(
+        F.from_json(F.col("value").cast("string"), env).alias("e")
+    ).select("e.payload.*")
+
+
+# -- T5 ----------------------------------------------------------------------
+
+_PLACEHOLDER = re.compile(r"\$\{file:([^:}]+):([^}]+)\}")
+
+
+def resolve_config_placeholders(value):
+    """FileConfigProvider: resolve ``${file:/path:key}`` placeholders in a
+    config value / dict / list (reference docker-compose.yaml:149-151).
+    The referenced file is java-properties-style ``key=value`` lines."""
+    if isinstance(value, dict):
+        return {k: resolve_config_placeholders(v) for k, v in value.items()}
+    if isinstance(value, list):
+        return [resolve_config_placeholders(v) for v in value]
+    if not isinstance(value, str):
+        return value
+
+    def sub(m: re.Match) -> str:
+        path, key = m.group(1), m.group(2)
+        with open(path) as fh:
+            for line in fh:
+                line = line.strip()
+                if line and not line.startswith("#") and "=" in line:
+                    k, v = line.split("=", 1)
+                    if k.strip() == key:
+                        return v.strip()
+        raise KeyError(f"key {key!r} not found in {path}")
+
+    return _PLACEHOLDER.sub(sub, value)
+
+
+# -- T7 ----------------------------------------------------------------------
+
+
+def apply_when(
+    df: DataFrame, predicate: Column, transform: Callable[[DataFrame], DataFrame]
+) -> DataFrame:
+    """Predicated transform: apply ``transform`` only to rows matching
+    ``predicate``; other rows pass through unchanged. Requires the transform
+    to preserve the schema (as Connect SMT predicates do)."""
+    changed = transform(df.filter(predicate))
+    unchanged = df.filter(~predicate | predicate.isNull())
+    if set(changed.columns) != set(df.columns):
+        raise ValueError("predicated transform must preserve the schema")
+    return changed.unionByName(unchanged)
