@@ -1,0 +1,98 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes to completion via the noop sink (no driver collect).
+``pipeline_mask_envelope`` is the reference-workload analog (incremental
+read -> MaskField -> JSON envelope -> sink; BASELINE.md's 3-4K rows/s
+experiment) — its rows/sec lands in "pipeline_rows_per_sec"."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kafka_connect_spark.catalog import load
+from kafka_connect_spark.queries import QUERIES
+from kafka_connect_spark.session import get_spark
+from kafka_connect_spark.transforms import mask_fields, to_json_envelope, with_topic
+
+HEADLINE = [
+    "x2_join_star_q5",
+    "x4_agg_tpch_q1",
+    "x1_inner_equijoin",
+    "x7_window_rank_lag",
+    "k2_upsert_last_writer_wins",
+    "p2_grouped_sum",
+    "p6_running_total",
+    "x11_tumbling_window",
+    "t2_cdc_unwrap_rewrite",
+    "t4_json_envelope_roundtrip",
+    "x12b_dedup_keep_first",
+    "x12c_ngram_jaccard_pairs",
+    "x12d_simhash",
+    "x12e_minhash_lsh_pairs",
+    "x13_ann_bruteforce_topk",
+    "x13b_ann_lsh_topk",
+    "x14b_token_counts",
+    "x14c_quality_score",
+    "x14e_fingerprint",
+    "mm_feature_extract",
+]
+
+
+def run_noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers so timings measure the queries
+    load(spark, sf_dir, "lineitem").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        run_noop(QUERIES[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    # reference-workload analog: scan -> mask -> topic routing -> JSON envelope
+    li = load(spark, sf_dir, "lineitem")
+    n_rows = li.count()
+    t0 = time.time()
+    pipe = to_json_envelope(
+        with_topic(mask_fields(li, ["l_comment"] if "l_comment" in li.columns else ["l_returnflag"]),
+                   "postgresql-jdbc-bulk-", "lineitem"),
+        key_cols=["l_orderkey"] if "l_orderkey" in li.columns else None,
+    )
+    run_noop(pipe)
+    pipe_sec = time.time() - t0
+    timings["pipeline_mask_envelope"] = round(pipe_sec, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "pipeline_rows_per_sec": round(n_rows / pipe_sec, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -94,8 +94,8 @@ def lsh_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    n_planes: int = 8,
-    n_tables: int = 6,
+    n_planes: int = 4,
+    n_tables: int = 12,
     seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane LSH candidates, exact rerank.

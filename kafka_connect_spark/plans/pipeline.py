@@ -1,0 +1,192 @@
+"""Pipeline-spec -> DataFrame-plan compiler — the engine's 'herder'.
+
+The reference configures pipelines as connector JSON (e.g.
+postgres/connector.json: connector.class + transforms chain + routing) PUT
+to the Connect REST API, validated and persisted by the DistributedHerder
+(SURVEY.md §3.1). Our analog: a JSON/dict spec naming a source, a
+transform chain, and a sink from pluggable registries — the Connect plugin
+API (SourceConnector/SinkConnector/Transformation discovered via
+plugin.path) maps to these registries (SURVEY.md §2.6 'Connect plugin API
+≙ our extension API').
+
+Error handling (T6, reference README.md:280-284): ``errors.tolerance=none``
+is fail-fast (any exception propagates); ``errors.tolerance=all`` routes
+rows failing a declared validation predicate to a dead-letter sink and
+continues — at scale both paths stay declarative (a filter + two writes),
+no row-at-a-time guard."""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sinks.upsert import UpsertParquetSink
+from ..sources.incremental import IncrementalTableSource
+from ..transforms import (
+    extract_new_record_state,
+    mask_fields,
+    resolve_config_placeholders,
+    to_json_envelope,
+    with_topic,
+)
+
+# -- registries (name -> factory), the plugin.path analog --------------------
+
+SOURCES: dict[str, Callable] = {}
+TRANSFORMS: dict[str, Callable] = {}
+SINKS: dict[str, Callable] = {}
+
+
+def register_source(name):
+    def deco(fn):
+        SOURCES[name] = fn
+        return fn
+    return deco
+
+
+def register_transform(name):
+    def deco(fn):
+        TRANSFORMS[name] = fn
+        return fn
+    return deco
+
+
+def register_sink(name):
+    def deco(fn):
+        SINKS[name] = fn
+        return fn
+    return deco
+
+
+# -- built-in plugins ---------------------------------------------------------
+
+
+@register_source("parquet")
+def _src_parquet(spec: dict) -> Callable[[SparkSession], DataFrame]:
+    return lambda spark: spark.read.parquet(spec["path"])
+
+
+@register_source("incremental")
+def _src_incremental(spec: dict) -> Callable[[SparkSession], DataFrame]:
+    src = IncrementalTableSource(
+        path=spec["path"],
+        offset_column=spec["offset.column"],
+        mode=spec.get("mode", "incrementing"),
+        state_dir=spec.get("state.dir"),
+        batch_max_rows=spec.get("batch.max.rows"),
+    )
+    def read(spark: SparkSession) -> DataFrame:
+        df = src.read_increment(spark)
+        read.source = src  # expose for offset commit by the runner
+        return df
+    read.source = src
+    return read
+
+
+@register_transform("mask_field")
+def _t_mask(spec: dict):
+    return lambda df: mask_fields(df, spec["fields"], spec.get("replacement", "CENSORED"))
+
+
+@register_transform("unwrap")
+def _t_unwrap(spec: dict):
+    return lambda df: extract_new_record_state(
+        df,
+        drop_tombstones=spec.get("drop.tombstones", "false") == "true",
+        delete_handling=spec.get("delete.handling.mode", "rewrite"),
+    )
+
+
+@register_transform("route_topic")
+def _t_route(spec: dict):
+    col = spec.get("table.column")
+    table = F.col(col) if col else spec.get("table")
+    return lambda df: with_topic(df, spec["topic.prefix"], table)
+
+
+@register_transform("json_envelope")
+def _t_envelope(spec: dict):
+    return lambda df: to_json_envelope(df, spec.get("key.fields"))
+
+
+@register_transform("filter")
+def _t_filter(spec: dict):
+    return lambda df: df.filter(spec["condition"])
+
+
+@register_sink("parquet")
+def _k_parquet(spec: dict):
+    return lambda df: df.write.mode(spec.get("mode", "append")).parquet(spec["path"])
+
+
+@register_sink("json")
+def _k_json(spec: dict):
+    return lambda df: df.write.mode(spec.get("mode", "append")).json(spec["path"])
+
+
+@register_sink("upsert_parquet")
+def _k_upsert(spec: dict):
+    sink = UpsertParquetSink(spec["path"], spec["key.fields"], spec["order.column"])
+    return lambda df: sink.apply_batch(df)
+
+
+@register_sink("noop")
+def _k_noop(spec: dict):
+    return lambda df: df.write.format("noop").mode("overwrite").save()
+
+
+# -- the pipeline itself ------------------------------------------------------
+
+
+class Pipeline:
+    """Compiled pipeline: source -> transform chain -> sink (+ optional DLQ)."""
+
+    def __init__(self, spec: dict) -> None:
+        spec = resolve_config_placeholders(spec)
+        self.spec = spec
+        self.name = spec.get("name", "pipeline")
+        self._read = SOURCES[spec["source"]["type"]](spec["source"])
+        self._transforms = [
+            TRANSFORMS[t["type"]](t) for t in spec.get("transforms", [])
+        ]
+        self._sink = SINKS[spec["sink"]["type"]](spec["sink"])
+        err = spec.get("errors", {})
+        self.tolerance = err.get("tolerance", "none")
+        self.validate_condition = err.get("validate.condition")
+        self._dlq = SINKS[err["dlq"]["type"]](err["dlq"]) if "dlq" in err else None
+
+    @classmethod
+    def from_json(cls, text: str) -> "Pipeline":
+        return cls(json.loads(text))
+
+    def _apply(self, df: DataFrame) -> DataFrame:
+        if self.tolerance == "all" and self.validate_condition:
+            bad = df.filter(~F.expr(self.validate_condition))
+            if self._dlq is not None:
+                self._dlq(bad)
+            df = df.filter(F.expr(self.validate_condition))
+        for t in self._transforms:
+            df = t(df)
+        return df
+
+    def dataframe(self, spark: SparkSession) -> DataFrame:
+        """The logical plan: lazily composed, fully visible to Catalyst."""
+        return self._apply(self._read(spark))
+
+    def run(self, spark: SparkSession) -> int:
+        """Execute once (one poll for incremental sources). Returns rows sunk."""
+        base = self._read(spark)
+        src = getattr(self._read, "source", None)
+        # Snapshot the increment's high-water mark BEFORE transforms (the
+        # chain may drop or mask the offset column).
+        off = src.max_offset_of(base) if src is not None else None
+        df = self._apply(base)
+        n = df.count()
+        self._sink(df)
+        if src is not None and off is not None:
+            # commit AFTER the sink write => at-least-once, like the reference
+            src.commit(off)
+        return n

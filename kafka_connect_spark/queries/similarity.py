@@ -43,9 +43,9 @@ def x13_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("x13b_ann_lsh_topk")  # seed-deterministic; rows-only check
 def x13b_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH top-3 (6 tables x 8 planes): bucket via an
+    """Random-hyperplane LSH top-3 (12 tables x 4 planes): bucket via an
     Arrow-batched pandas UDF, candidate equi-join, exact rerank. The 100 TB
     plan: corpus tagged in one map pass; join touches same-bucket pairs only."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return lsh_cosine_topk(emb, queries, k=3, dim=64, n_planes=8, n_tables=6)
+    return lsh_cosine_topk(emb, queries, k=3, dim=64, n_planes=4, n_tables=12)

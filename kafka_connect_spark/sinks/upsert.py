@@ -1,0 +1,71 @@
+"""K2 — idempotent keyed upsert sink (JdbcSinkConnector analog).
+
+The reference's JDBC sink does idempotent upserts with auto.create
+(sink-quickstart-sqlite.properties:19-29; manifest.json:5 'idempotent
+writes with upserts'). Spark-side realization: a ``foreachBatch`` MERGE —
+each microbatch is first deduped last-writer-wins WITHIN the batch, then
+merged into the base table keyed on the primary key.
+
+This implementation merges into a parquet directory by rewriting the union
+(read base -> anti-join replaced keys -> union new -> overwrite), which is
+the format-agnostic fallback. On a transactional table format (Delta/
+Iceberg) the same ``apply_batch`` body becomes a real ``MERGE INTO`` and
+the rewrite cost drops to touched files — the class isolates exactly that
+swap point. Combined with at-least-once replay (sources.incremental /
+streaming checkpoints), idempotent MERGE gives effective exactly-once —
+verified by the kill-and-restart test in tests/test_streaming.py."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+class UpsertParquetSink:
+    def __init__(self, path: str, key_cols: list[str], order_col: str, auto_create: bool = True) -> None:
+        self.path = path
+        self.key_cols = key_cols
+        self.order_col = order_col
+        self.auto_create = auto_create
+
+    def _dedup_batch(self, batch: DataFrame) -> DataFrame:
+        """Last-writer-wins within the batch (PK uniqueness — the failure the
+        reference hits manually at README.md:151-158 becomes a dedup here)."""
+        w = Window.partitionBy(*self.key_cols).orderBy(F.col(self.order_col).desc())
+        return (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    def apply_batch(self, batch: DataFrame, batch_id: int | None = None) -> None:
+        """MERGE semantics: delete keys present in the batch, insert the
+        batch's last-writer rows. Safe to re-apply the same batch (idempotent)."""
+        spark = batch.sparkSession
+        incoming = self._dedup_batch(batch)
+        exists = os.path.isdir(self.path) and any(
+            f.endswith(".parquet") for f in os.listdir(self.path)
+        )
+        if not exists:
+            if not self.auto_create:
+                raise FileNotFoundError(self.path)
+            incoming.write.mode("overwrite").parquet(self.path)
+            return
+        base = spark.read.parquet(self.path)
+        keep = base.join(incoming.select(*self.key_cols), self.key_cols, "left_anti")
+        merged = keep.unionByName(incoming)
+        # Rewrite via a staging dir: parquet has no transactions, and
+        # overwrite-while-reading-self breaks. Delta/Iceberg MERGE removes this.
+        staging = self.path.rstrip("/") + ".staging"
+        merged.write.mode("overwrite").parquet(staging)
+        final = spark.read.parquet(staging)
+        final.write.mode("overwrite").parquet(self.path)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.path)
+
+    def foreach_batch(self):
+        """Adapter for ``writeStream.foreachBatch``."""
+        return lambda df, batch_id: self.apply_batch(df, batch_id)

@@ -1,0 +1,115 @@
+"""S1/S2 — incremental polled source with durable offset bookkeeping.
+
+The reference's JDBC source polls a table every ``poll.interval.ms``,
+emitting rows whose offset column (``timestamp`` mode: updated_at;
+``incrementing`` mode: id) exceeds the last committed offset, at most
+``batch.max.rows`` per poll (reference README.md:91-109,
+source-quickstart-sqlite.properties:27-29). Spark has no streaming JDBC
+source, so this is the one genuinely custom source (SURVEY.md §4): a
+microbatch driver loop around ``spark.read`` with the predicate pushed
+into the scan, offsets persisted via atomic file rename.
+
+Delivery semantics: the offset is committed AFTER the sink write returns
+=> at-least-once (exactly the reference's contract, README.md:285); pair
+with an idempotent sink (sinks.upsert) for effective exactly-once.
+
+Scale: each poll is one pushed-down range scan (``offset > last``), so
+cost tracks the increment, not the table. ``batch_max_rows`` bounds a poll
+via an ascending TakeOrdered (per-partition top-k, k-row driver merge) —
+no global sort."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class IncrementalTableSource:
+    def __init__(
+        self,
+        path: str,
+        offset_column: str,
+        mode: str = "incrementing",
+        state_dir: str | None = None,
+        batch_max_rows: int | None = None,
+        fmt: str = "parquet",
+    ) -> None:
+        if mode not in ("incrementing", "timestamp"):
+            raise ValueError(f"unknown mode: {mode}")
+        self.path = path
+        self.offset_column = offset_column
+        self.mode = mode
+        self.batch_max_rows = batch_max_rows
+        self.fmt = fmt
+        self.state_dir = state_dir or tempfile.mkdtemp(prefix="inc-source-")
+        os.makedirs(self.state_dir, exist_ok=True)
+        self._state_file = os.path.join(self.state_dir, "offset.json")
+
+    # -- offset store (atomic write-then-rename, survives restart) ---------
+
+    def last_offset(self):
+        if not os.path.exists(self._state_file):
+            return None
+        with open(self._state_file) as fh:
+            return json.load(fh)["offset"]
+
+    def commit(self, offset) -> None:
+        tmp = self._state_file + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"offset": offset, "column": self.offset_column}, fh)
+        os.replace(tmp, self._state_file)
+
+    # -- polling ------------------------------------------------------------
+
+    def read_increment(self, spark: SparkSession) -> DataFrame:
+        """One poll: rows with offset column > last committed offset,
+        ascending-limited to batch_max_rows. The filter lands in the scan
+        (PushedFilters) — for a JDBC backend Catalyst pushes the same
+        predicate into the remote query."""
+        df = spark.read.format(self.fmt).load(self.path)
+        last = self.last_offset()
+        if last is not None:
+            bound = (
+                F.lit(last).cast("timestamp")
+                if self.mode == "timestamp"
+                else F.lit(last)
+            )
+            df = df.filter(F.col(self.offset_column) > bound)
+        if self.batch_max_rows is not None:
+            df = df.orderBy(self.offset_column).limit(self.batch_max_rows)
+        return df
+
+    def max_offset_of(self, batch: DataFrame):
+        row = batch.agg(F.max(self.offset_column).alias("m")).collect()[0]
+        m = row["m"]
+        if m is None:
+            return None
+        return m.isoformat(sep=" ") if hasattr(m, "isoformat") else m
+
+    def run_once(
+        self,
+        spark: SparkSession,
+        sink: Callable[[DataFrame], None],
+        transform: Callable[[DataFrame], DataFrame] | None = None,
+    ) -> int:
+        """poll -> transform chain -> sink -> commit offset. Returns rows
+        emitted (0 = caught up)."""
+        batch = self.read_increment(spark)
+        if self.batch_max_rows is not None:
+            # Bounded poll: materialize once so offset + sink see one snapshot.
+            batch = batch.cache()
+        new_offset = self.max_offset_of(batch)
+        if new_offset is None:
+            return 0
+        out = transform(batch) if transform is not None else batch
+        n = out.count()
+        sink(out)
+        self.commit(new_offset)  # commit AFTER sink => at-least-once
+        if self.batch_max_rows is not None:
+            batch.unpersist()
+        return n

@@ -1,0 +1,78 @@
+"""X11 — event-time windowed aggregation with watermarks.
+
+Works on both batch and streaming DataFrames (same F.window/session_window
+operators); tests/test_streaming.py asserts streaming-over-replay equals
+the batch run, and that watermarks drop late data.
+
+Watermark semantics: state for a window closes once the watermark (max
+event time seen minus the delay) passes the window end; later events for
+that window are dropped. At 100 TB-scale streaming this bounds state size —
+without it, windowed state grows with the key x window cross product
+forever."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _aggs(value_col: str) -> list[Column]:
+    return [
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum(F.col(value_col).cast("decimal(38,6)")).cast("double"), 4).alias(
+            "sum_value"
+        ),
+    ]
+
+
+def tumbling_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str | None = "event_type",
+    window: str = "10 minutes",
+    value_col: str = "value",
+    watermark: str | None = None,
+) -> DataFrame:
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    keys = [F.window(ts_col, window).alias("win")] + ([key_col] if key_col else [])
+    out = df.groupBy(*keys).agg(*_aggs(value_col))
+    return out.select(
+        F.col("win.start").alias("w"), *([key_col] if key_col else []), "cnt", "sum_value"
+    )
+
+
+def sliding_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    value_col: str = "value",
+    watermark: str | None = None,
+) -> DataFrame:
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    out = df.groupBy(F.window(ts_col, window, slide).alias("win")).agg(*_aggs(value_col))
+    return out.select(F.col("win.start").alias("w"), "cnt", "sum_value")
+
+
+def session_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "5 minutes",
+    value_col: str = "value",
+    watermark: str | None = None,
+) -> DataFrame:
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    out = df.groupBy(F.session_window(ts_col, gap).alias("sw"), key_col).agg(
+        *_aggs(value_col)
+    )
+    return out.select(
+        key_col,
+        F.col("sw.start").alias("session_start"),
+        F.col("sw.end").alias("session_end"),
+        "cnt",
+        "sum_value",
+    )

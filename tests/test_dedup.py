@@ -1,0 +1,57 @@
+"""Dedup family: MinHash-LSH recall against exact n-gram Jaccard, SimHash
+locality, hot-shingle cap behavior."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_connect_spark.catalog import load
+from kafka_connect_spark.functions.dedupfns import (
+    hamming,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+
+
+def test_minhash_recall_vs_exact(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    mh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_dup_pairs(docs, threshold=0.5).collect()
+    }
+    assert exact, "fixture should contain near-dup pairs at threshold 0.5"
+    # verify step guarantees precision == 1.0 (no false positives)
+    assert mh <= exact
+    # banding (64 hashes / 16 bands) must catch nearly all true pairs
+    recall = len(mh & exact) / len(exact)
+    assert recall >= 0.9, f"recall {recall:.2f} ({len(mh)}/{len(exact)})"
+
+
+def test_simhash_locality(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "the quick brown fox jumps over the lazy dog near the river shore"),
+        (3, "completely different words about spark query engines and shuffles"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    d = df.sparkSession.createDataFrame(
+        [(sh[1], sh[2], sh[3])], ["a", "b", "c"]
+    ).select(
+        hamming(F.col("a"), F.col("b")).alias("near"),
+        hamming(F.col("a"), F.col("c")).alias("far"),
+    ).collect()[0]
+    assert d["near"] < d["far"]
+
+
+def test_hot_shingle_cap_prunes_join(spark):
+    rows = [(i, "common words everywhere " + f"unique{i} tail{i} end{i}") for i in range(6)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    uncapped = ngram_jaccard_pairs(df, threshold=0.01).count()
+    capped = ngram_jaccard_pairs(df, threshold=0.01, max_shingle_freq=2).count()
+    assert capped <= uncapped

@@ -1,0 +1,84 @@
+"""Pipeline-spec compiler e2e (SURVEY.md §3.1): config in -> data out,
+mirroring the reference's task-1 pipeline (incremental source -> MaskField
+-> sink), plus error tolerance/DLQ (T6)."""
+
+from __future__ import annotations
+
+import pytest
+
+from kafka_connect_spark.plans import Pipeline
+
+
+def test_task1_analog_pipeline(spark, tmp_path, sf_dir):
+    """The reference's JDBC-bulk + MaskField + sink exercise as a spec."""
+    out = str(tmp_path / "out")
+    spec = {
+        "name": "jdbc-bulk-users-analog",
+        "source": {"type": "parquet", "path": f"{sf_dir}/customer.parquet"},
+        "transforms": [
+            {"type": "mask_field", "fields": ["c_mktsegment"], "replacement": "CENSORED"}
+        ],
+        "sink": {"type": "parquet", "path": out, "mode": "overwrite"},
+    }
+    n = Pipeline(spec).run(spark)
+    got = spark.read.parquet(out)
+    assert got.count() == n > 0
+    assert got.select("c_mktsegment").distinct().collect()[0][0] == "CENSORED"
+
+
+def test_incremental_pipeline_commits_after_sink(spark, tmp_path):
+    data = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    spark.createDataFrame([(1, "x"), (2, "y")], ["id", "v"]).write.parquet(data)
+    spec = {
+        "source": {
+            "type": "incremental",
+            "path": data,
+            "offset.column": "id",
+            "state.dir": str(tmp_path / "state"),
+        },
+        "sink": {"type": "parquet", "path": out},
+    }
+    p = Pipeline(spec)
+    assert p.run(spark) == 2
+    assert p.run(spark) == 0  # second poll: caught up
+    # backfill arrives
+    spark.createDataFrame([(3, "z")], ["id", "v"]).write.mode("append").parquet(data)
+    assert Pipeline(spec).run(spark) == 1  # fresh compile resumes from state
+    assert spark.read.parquet(out).count() == 3
+
+
+def test_error_tolerance_all_routes_to_dlq(spark, tmp_path):
+    data = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    dlq = str(tmp_path / "dlq")
+    spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0)], ["id", "amount"]
+    ).write.parquet(data)
+    spec = {
+        "source": {"type": "parquet", "path": data},
+        "sink": {"type": "parquet", "path": out},
+        "errors": {
+            "tolerance": "all",
+            "validate.condition": "amount IS NOT NULL",
+            "dlq": {"type": "parquet", "path": dlq},
+        },
+    }
+    assert Pipeline(spec).run(spark) == 2
+    assert {r["id"] for r in spark.read.parquet(out).collect()} == {1, 3}
+    assert {r["id"] for r in spark.read.parquet(dlq).collect()} == {2}
+
+
+def test_unknown_plugin_fails_fast():
+    with pytest.raises(KeyError):
+        Pipeline({"source": {"type": "nope"}, "sink": {"type": "noop"}})
+
+
+def test_config_placeholder_in_spec(spark, tmp_path, sf_dir):
+    creds = tmp_path / "c.properties"
+    creds.write_text(f"path={sf_dir}/region.parquet\n")
+    spec = {
+        "source": {"type": "parquet", "path": f"${{file:{creds}:path}}"},
+        "sink": {"type": "noop"},
+    }
+    assert Pipeline(spec).run(spark) == 5  # region has 5 rows at every SF

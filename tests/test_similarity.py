@@ -1,0 +1,38 @@
+"""Similarity search: LSH recall vs brute force; brute-force sanity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_connect_spark.catalog import load
+from kafka_connect_spark.functions.simfns import cosine_topk, lsh_cosine_topk
+
+
+def test_bruteforce_topk_shape_and_order(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = cosine_topk(emb, queries, k=3).toPandas()
+    assert len(out) == 5 * 3
+    for _, grp in out.groupby("query_id"):
+        assert list(grp["rank"]) == [1, 2, 3]
+        assert list(grp["cos_sim"]) == sorted(grp["cos_sim"], reverse=True)
+        assert (grp["neighbor_id"] != grp["query_id"].iloc[0]).all()
+
+
+def test_lsh_recall_at_k(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(emb, queries, k=3).toPandas()
+    approx = lsh_cosine_topk(emb, queries, k=3, n_planes=4, n_tables=12).toPandas()
+    e = {(r.query_id, r.neighbor_id) for r in exact.itertuples()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.itertuples()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"LSH recall@3 = {recall:.2f}"
+
+
+def test_lsh_is_deterministic(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    a = lsh_cosine_topk(emb, queries, k=3).toPandas()
+    b = lsh_cosine_topk(emb, queries, k=3).toPandas()
+    assert a.equals(b)

@@ -1,0 +1,99 @@
+"""Incremental source offset bookkeeping (S1/S2), upsert sink idempotency
+(K2), Kafka producer option passthrough (K3)."""
+
+from __future__ import annotations
+
+from kafka_connect_spark.sinks.kafka import kafka_sink_options
+from kafka_connect_spark.sinks.upsert import UpsertParquetSink
+from kafka_connect_spark.sources.incremental import IncrementalTableSource
+
+
+def _write_users(spark, path, rows):
+    spark.createDataFrame(rows, ["id", "name", "updated_at"]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def test_incrementing_mode_two_polls(spark, tmp_path):
+    data = str(tmp_path / "users")
+    state = str(tmp_path / "state")
+    _write_users(spark, data, [(1, "a", "2024-01-01"), (2, "b", "2024-01-02")])
+    src = IncrementalTableSource(data, "id", "incrementing", state)
+
+    sunk: list[list] = []
+    n1 = src.run_once(spark, lambda df: sunk.append(df.collect()))
+    assert n1 == 2 and src.last_offset() == 2
+
+    n_idle = src.run_once(spark, lambda df: sunk.append(df.collect()))
+    assert n_idle == 0  # caught up: nothing re-emitted
+
+    _write_users(
+        spark,
+        data,
+        [(1, "a", "2024-01-01"), (2, "b", "2024-01-02"), (3, "c", "2024-01-03")],
+    )
+    n2 = src.run_once(spark, lambda df: sunk.append(df.collect()))
+    assert n2 == 1 and {r["id"] for r in sunk[-1]} == {3}
+
+
+def test_offset_survives_restart(spark, tmp_path):
+    data = str(tmp_path / "users")
+    state = str(tmp_path / "state")
+    _write_users(spark, data, [(1, "a", "2024-01-01")])
+    src = IncrementalTableSource(data, "id", "incrementing", state)
+    src.run_once(spark, lambda df: None)
+
+    # new instance over the same state dir resumes, not re-reads
+    src2 = IncrementalTableSource(data, "id", "incrementing", state)
+    assert src2.last_offset() == 1
+    assert src2.run_once(spark, lambda df: None) == 0
+
+
+def test_batch_max_rows_paging(spark, tmp_path):
+    data = str(tmp_path / "users")
+    state = str(tmp_path / "state")
+    _write_users(spark, data, [(i, f"n{i}", "2024-01-01") for i in range(1, 8)])
+    src = IncrementalTableSource(data, "id", "incrementing", state, batch_max_rows=3)
+    sizes = []
+    while (n := src.run_once(spark, lambda df: None)) > 0:
+        sizes.append(n)
+    assert sizes == [3, 3, 1]  # batch.max.rows pages through the backlog
+
+
+def test_timestamp_mode(spark, tmp_path):
+    data = str(tmp_path / "users")
+    state = str(tmp_path / "state")
+    spark.sql(
+        "SELECT 1 AS id, 'a' AS name, TIMESTAMP '2024-01-01 00:00:00' AS updated_at "
+        "UNION ALL SELECT 2, 'b', TIMESTAMP '2024-01-02 00:00:00'"
+    ).write.mode("overwrite").parquet(data)
+    src = IncrementalTableSource(data, "updated_at", "timestamp", state)
+    assert src.run_once(spark, lambda df: None) == 2
+    assert src.last_offset() == "2024-01-02 00:00:00"
+    assert src.run_once(spark, lambda df: None) == 0
+
+
+def test_upsert_sink_idempotent_merge(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    sink = UpsertParquetSink(path, key_cols=["id"], order_col="ver")
+
+    b1 = spark.createDataFrame([(1, 1, "a"), (2, 1, "b")], ["id", "ver", "v"])
+    sink.apply_batch(b1)
+    # batch 2: update id=2 (two versions in one batch -> last writer wins), insert id=3
+    b2 = spark.createDataFrame([(2, 2, "b2"), (2, 3, "b3"), (3, 1, "c")], ["id", "ver", "v"])
+    sink.apply_batch(b2)
+    got = {r["id"]: r["v"] for r in sink.read(spark).collect()}
+    assert got == {1: "a", 2: "b3", 3: "c"}
+
+    # replaying batch 2 (at-least-once redelivery) changes nothing
+    sink.apply_batch(b2)
+    got2 = {r["id"]: r["v"] for r in sink.read(spark).collect()}
+    assert got2 == got
+
+
+def test_kafka_options_passthrough():
+    opts = kafka_sink_options("broker:9092", {"batch.size": 16384, "linger.ms": 5})
+    assert opts["kafka.bootstrap.servers"] == "broker:9092"
+    assert opts["kafka.batch.size"] == "16384"  # override beats tuned default
+    assert opts["kafka.linger.ms"] == "5"
+    assert opts["kafka.compression.type"] == "snappy"  # tuned default kept

@@ -1,0 +1,172 @@
+"""Streaming semantics (SURVEY.md §5.3): replay the events fixture as a
+file stream and assert streaming == batch for windows, watermark late-data
+drops, and exactly-once across a kill/restart with the idempotent upsert
+sink."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from kafka_connect_spark.catalog import load
+from kafka_connect_spark.sinks.upsert import UpsertParquetSink
+from kafka_connect_spark.sources.replay import file_replay_stream, write_replay_files
+from kafka_connect_spark.streaming.windows import session_agg, tumbling_agg
+
+
+def _replay_dir(spark, sf_dir, tmp_path, n_files=4):
+    events = load(spark, sf_dir, "events")
+    d = str(tmp_path / "replay")
+    write_replay_files(events, d, n_files, "ts")
+    return d, events
+
+
+def _run_available_now(sdf, checkpoint, sink_fn):
+    q = (
+        sdf.writeStream.foreachBatch(sink_fn)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_streaming_tumbling_equals_batch(spark, sf_dir, tmp_path):
+    d, events = _replay_dir(spark, sf_dir, tmp_path)
+    sdf = file_replay_stream(spark, d, spark.read.parquet(d).schema)
+    agg = tumbling_agg(sdf, watermark="10 minutes")
+
+    out: list[pd.DataFrame] = []
+    q = (
+        agg.writeStream.foreachBatch(lambda df, i: out.append(df.toPandas()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = pd.concat(out, ignore_index=True) if out else pd.DataFrame()
+
+    # append mode only emits closed windows: the final (unclosed-by-watermark)
+    # windows are withheld, everything emitted must match the batch run.
+    batch = tumbling_agg(events).toPandas()
+    merged = got.merge(batch, on=["w", "event_type"], suffixes=("_s", "_b"))
+    assert len(merged) == len(got) > 0
+    assert (merged["cnt_s"] == merged["cnt_b"]).all()
+    assert (abs(merged["sum_value_s"] - merged["sum_value_b"]) < 1e-6).all()
+
+
+def test_streaming_session_equals_batch(spark, sf_dir, tmp_path):
+    d, events = _replay_dir(spark, sf_dir, tmp_path)
+    # restrict to a few users to keep session state small
+    sdf = file_replay_stream(spark, d, spark.read.parquet(d).schema).filter(
+        F.col("user_id") < 5
+    )
+    agg = session_agg(sdf, watermark="30 minutes")
+    out: list[pd.DataFrame] = []
+    q = (
+        agg.writeStream.foreachBatch(lambda df, i: out.append(df.toPandas()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = pd.concat(out, ignore_index=True)
+    batch = session_agg(events.filter(F.col("user_id") < 5)).toPandas()
+    merged = got.merge(batch, on=["user_id", "session_start"], suffixes=("_s", "_b"))
+    assert len(merged) == len(got) > 0
+    assert (merged["cnt_s"] == merged["cnt_b"]).all()
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Phase 1 advances the watermark past the 10:00 window; phase 2 (same
+    checkpoint — the watermark survives restart) delivers an event 2 hours
+    late. Update mode must drop it: the 10:00 window never updates again.
+    (Complete mode intentionally disables watermark late-row filtering, so
+    the test runs in update mode like a production windowed pipeline.)"""
+    d = str(tmp_path / "late")
+    ckpt = str(tmp_path / "ckpt")
+
+    def mk(rows):
+        return spark.createDataFrame(rows, ["ts_s", "value"]).select(
+            F.col("ts_s").cast("timestamp").alias("ts"),
+            F.lit("e").alias("event_type"),
+            "value",
+        )
+
+    def drain(out):
+        schema = spark.read.parquet(d).schema
+        sdf = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+        agg = tumbling_agg(sdf, window="10 minutes", watermark="10 minutes")
+        q = (
+            agg.writeStream.foreachBatch(lambda df, i: out.append(df.toPandas()))
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    on_time = [
+        ("2024-01-01 10:00:00", 1.0),
+        ("2024-01-01 10:05:00", 1.0),
+        ("2024-01-01 12:00:00", 1.0),  # advances watermark far past 10:xx
+    ]
+    mk(on_time).coalesce(1).write.parquet(d)
+    phase1: list[pd.DataFrame] = []
+    drain(phase1)
+    got1 = pd.concat(phase1, ignore_index=True)
+    w10 = got1[got1["w"].astype(str) == "2024-01-01 10:00:00"]
+    assert list(w10["sum_value"]) == [2.0]
+
+    # late arrival: 10:01 event when the persisted watermark is ~11:50
+    mk([("2024-01-01 10:01:00", 100.0)]).coalesce(1).write.mode("append").parquet(d)
+    phase2: list[pd.DataFrame] = []
+    drain(phase2)
+    got2 = pd.concat(phase2, ignore_index=True) if phase2 else pd.DataFrame(columns=["w"])
+    assert (got2["w"].astype(str) != "2024-01-01 10:00:00").all()  # dropped, no update
+
+
+def test_exactly_once_restart_with_upsert_sink(spark, sf_dir, tmp_path):
+    """Kill after the first microbatch, restart from the checkpoint, compare
+    to the batch run: at-least-once replay + idempotent MERGE == exactly-once."""
+    d, events = _replay_dir(spark, sf_dir, tmp_path, n_files=4)
+    schema = spark.read.parquet(d).schema
+    sink = UpsertParquetSink(str(tmp_path / "tbl"), ["event_id"], "ts")
+    ckpt = str(tmp_path / "ckpt")
+
+    # phase 1: process exactly one file, then stop (simulated crash)
+    sdf = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    seen = []
+    q = (
+        sdf.writeStream.foreachBatch(
+            lambda df, i: (sink.apply_batch(df), seen.append(i))
+        )
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    import time
+
+    while not seen:
+        time.sleep(0.3)
+    q.stop()
+    q.awaitTermination(60)
+    partial = sink.read(spark).count()
+
+    # phase 2: restart from the same checkpoint, drain the rest
+    sdf2 = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    q2 = (
+        sdf2.writeStream.foreachBatch(sink.foreach_batch())
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+
+    total_expected = events.count()
+    got = sink.read(spark)
+    assert partial < total_expected  # the crash really was mid-stream
+    assert got.count() == total_expected  # no loss
+    assert got.select("event_id").distinct().count() == total_expected  # no dupes
