@@ -1,6 +1,22 @@
 """Sources (SURVEY.md §2.1)."""
 
 from .incremental import IncrementalTableSource
+from .kafka import (
+    KAFKA_RECORD_SCHEMA,
+    kafka_source_options,
+    mirror,
+    read_cdc_stream,
+    read_kafka_stream,
+)
 from .replay import file_replay_stream, write_replay_files
 
-__all__ = ["IncrementalTableSource", "file_replay_stream", "write_replay_files"]
+__all__ = [
+    "IncrementalTableSource",
+    "file_replay_stream",
+    "write_replay_files",
+    "KAFKA_RECORD_SCHEMA",
+    "kafka_source_options",
+    "read_kafka_stream",
+    "read_cdc_stream",
+    "mirror",
+]

@@ -114,6 +114,24 @@ def parse_exposition(text: str) -> list[dict]:
     return rows
 
 
+def exposition_to_df(spark, text: str):
+    """Ingest path as a Spark plan: exposition text -> typed rows via
+    regexp extraction (SURVEY.md §2.1 S7 'parse exposition format with
+    regexp_extract'). Labels kept as a raw string column; per-label access
+    via ``str_to_map`` downstream."""
+    from pyspark.sql import functions as F
+
+    lines = spark.createDataFrame(
+        [(line,) for line in text.splitlines()], ["line"]
+    ).filter(~F.col("line").startswith("#") & (F.trim("line") != ""))
+    pat = r"^([a-zA-Z_:][a-zA-Z0-9_:]*)(?:\{([^}]*)\})?\s+([-+0-9.eE]+)\s*$"
+    return lines.select(
+        F.regexp_extract("line", pat, 1).alias("name"),
+        F.regexp_extract("line", pat, 2).alias("labels"),
+        F.regexp_extract("line", pat, 3).cast("double").alias("value"),
+    ).filter(F.col("name") != "")
+
+
 class MetricsServer:
     """Minimal threaded /metrics endpoint over a MetricsListener."""
 
