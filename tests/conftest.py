@@ -15,8 +15,14 @@ SF_DIR = os.environ.get("SPARK_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="session")
-def spark():
-    s = get_spark("kcs-tests", cpus=8, shuffle_partitions=8)
+def spark(tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("warehouse"))
+    s = get_spark(
+        "kcs-tests",
+        cpus=8,
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.warehouse.dir": wh},  # static conf: build-time only
+    )
     yield s
 
 
