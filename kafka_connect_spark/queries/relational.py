@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import load, register_views
 from .registry import davg_sql, dsum, dsum_sql, query
 
 
@@ -514,6 +514,27 @@ def x10b_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.length("text").cast("long").alias("text_len"), "lang"
     ).orderBy("doc_id")
+
+
+_Q3_SQL = f"""
+    SELECT o_orderkey,
+           {dsum_sql("l_extendedprice * (1 - l_discount)")} AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey LIMIT 10
+"""
+
+
+@query("x16_sql_api_q3", oracle=_Q3_SQL)
+def x16_sql_api_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql entry point over registered views (TPC-H Q3 shape):
+    the engine's relational surface is reachable as ANSI SQL text, not just
+    the DataFrame API — same Catalyst plan either way."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q3_SQL)
 
 
 @query(
