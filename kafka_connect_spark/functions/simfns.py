@@ -70,6 +70,28 @@ def cosine_topk(
     return ranked.filter(F.col("rank") <= k).orderBy("query_id", "rank")
 
 
+def cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, cos_sim >=
+    threshold). Exact all-pairs — correct at any size, quadratic cost; the
+    scale path swaps the pair generator for the LSH bucket join
+    (``lsh_cosine_topk``'s candidate stage) and keeps this exact cosine as
+    the verify step."""
+    v = with_vec(df, vec_col)
+    a = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("v_norm").alias("na"))
+    b = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("v_norm").alias("nb"))
+    cos = F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def _bucket_udf(planes: np.ndarray):
     """planes: (n_tables, n_planes, dim). Returns a pandas UDF mapping an
     embedding to an array of per-table bucket ids (sign-bit packing)."""

@@ -138,6 +138,75 @@ def _k_noop(spec: dict):
     return lambda df: df.write.format("noop").mode("overwrite").save()
 
 
+# -- streaming plugins --------------------------------------------------------
+
+STREAM_SOURCES: dict[str, Callable] = {}
+STREAM_SINKS: dict[str, Callable] = {}
+
+
+def register_stream_source(name):
+    def deco(fn):
+        STREAM_SOURCES[name] = fn
+        return fn
+    return deco
+
+
+def register_stream_sink(name):
+    def deco(fn):
+        STREAM_SINKS[name] = fn
+        return fn
+    return deco
+
+
+@register_stream_source("file_stream")
+def _ss_file(spec: dict) -> Callable[[SparkSession], DataFrame]:
+    """S5 analog: new files in the directory are the increments; offsets
+    (which files are consumed) live in the sink's checkpoint."""
+
+    def read(spark: SparkSession) -> DataFrame:
+        schema = spark.read.format(spec.get("format", "parquet")).load(spec["path"]).schema
+        reader = spark.readStream.schema(schema)
+        if "max.files.per.trigger" in spec:
+            reader = reader.option("maxFilesPerTrigger", spec["max.files.per.trigger"])
+        return reader.format(spec.get("format", "parquet")).load(spec["path"])
+
+    return read
+
+
+@register_stream_source("rate")
+def _ss_rate(spec: dict) -> Callable[[SparkSession], DataFrame]:
+    return lambda spark: (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", spec.get("rows.per.second", 10))
+        .load()
+    )
+
+
+@register_stream_sink("parquet_stream")
+def _sk_parquet_stream(spec: dict):
+    def start(sdf: DataFrame):
+        return (
+            sdf.writeStream.format("parquet")
+            .option("path", spec["path"])
+            .option("checkpointLocation", spec["checkpoint"])
+            .outputMode("append")
+        )
+
+    return start
+
+
+@register_stream_sink("foreach_upsert")
+def _sk_foreach_upsert(spec: dict):
+    sink = UpsertParquetSink(spec["path"], spec["key.fields"], spec["order.column"])
+
+    def start(sdf: DataFrame):
+        return sdf.writeStream.foreachBatch(sink.foreach_batch()).option(
+            "checkpointLocation", spec["checkpoint"]
+        )
+
+    return start
+
+
 # -- the pipeline itself ------------------------------------------------------
 
 
@@ -148,15 +217,22 @@ class Pipeline:
         spec = resolve_config_placeholders(spec)
         self.spec = spec
         self.name = spec.get("name", "pipeline")
-        self._read = SOURCES[spec["source"]["type"]](spec["source"])
+        self.streaming = bool(spec.get("streaming", False))
+        src_reg = STREAM_SOURCES if self.streaming else SOURCES
+        sink_reg = STREAM_SINKS if self.streaming else SINKS
+        self._read = src_reg[spec["source"]["type"]](spec["source"])
         self._transforms = [
             TRANSFORMS[t["type"]](t) for t in spec.get("transforms", [])
         ]
-        self._sink = SINKS[spec["sink"]["type"]](spec["sink"])
+        self._sink = sink_reg[spec["sink"]["type"]](spec["sink"])
         err = spec.get("errors", {})
         self.tolerance = err.get("tolerance", "none")
         self.validate_condition = err.get("validate.condition")
         self._dlq = SINKS[err["dlq"]["type"]](err["dlq"]) if "dlq" in err else None
+        if self.streaming and self._dlq is not None:
+            # streaming DLQ needs a second writeStream (one query per sink);
+            # route via two specs over the same source instead
+            raise ValueError("DLQ sink is batch-only; use a separate streaming spec")
 
     @classmethod
     def from_json(cls, text: str) -> "Pipeline":
@@ -176,8 +252,25 @@ class Pipeline:
         """The logical plan: lazily composed, fully visible to Catalyst."""
         return self._apply(self._read(spark))
 
+    def start_stream(self, spark: SparkSession, available_now: bool = True):
+        """Compile to a running StreamingQuery (the herder's 'connector
+        RUNNING' state, reference README.md:115-131). Transforms apply to
+        the streaming DataFrame identically to batch; checkpointing and
+        restart-from-offset come from the sink's checkpointLocation."""
+        if not self.streaming:
+            raise ValueError("spec is not marked streaming: true")
+        sdf = self._apply(self._read(spark))
+        writer = self._sink(sdf)
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.queryName(self.name).start()
+
     def run(self, spark: SparkSession) -> int:
         """Execute once (one poll for incremental sources). Returns rows sunk."""
+        if self.streaming:
+            q = self.start_stream(spark, available_now=True)
+            q.awaitTermination()
+            return -1  # row count not tracked for streaming drains
         base = self._read(spark)
         src = getattr(self._read, "source", None)
         # Snapshot the increment's high-water mark BEFORE transforms (the

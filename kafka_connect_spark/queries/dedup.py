@@ -94,6 +94,28 @@ def x12d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(d, bits=_SIMHASH_BITS).orderBy("doc_id")
 
 
+@query(
+    "x12f_embedding_near_dup",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            ROUND(list_dot_product(a.v, b.v) /
+                  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                  6) AS cos_sim
+          FROM e a JOIN e b ON a.vec_id < b.vec_id)
+    SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.4 ORDER BY id_a, id_b
+    """,
+)
+def x12f_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection at threshold 0.4 (the
+    fixture's random vectors peak near 0.5; real embedding corpora use
+    ~0.95+ with the LSH prefilter)."""
+    from ..functions.simfns import cosine_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    return cosine_pairs(emb, 0.4).orderBy("id_a", "id_b")
+
+
 @query("x12e_minhash_lsh_pairs")  # seed-deterministic; rows-only check
 def x12e_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + 16-band LSH candidates, verified with exact Jaccard

@@ -1,0 +1,107 @@
+"""applyInPandasWithState custom stateful operator + streaming pipeline
+specs (the herder's 'config in -> StreamingQuery out' path)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_spark.catalog import load
+from kafka_connect_spark.plans import Pipeline
+from kafka_connect_spark.sources.replay import write_replay_files
+from kafka_connect_spark.streaming.stateful import running_totals
+
+
+def test_running_totals_state_across_microbatches(spark, sf_dir, tmp_path):
+    events = load(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    d = str(tmp_path / "replay")
+    write_replay_files(events, d, 3, "ts")
+
+    schema = spark.read.parquet(d).schema
+    sdf = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    out: list[pd.DataFrame] = []
+    q = (
+        running_totals(sdf)
+        .writeStream.foreachBatch(lambda b, i: out.append(b.toPandas()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = pd.concat(out, ignore_index=True)
+    assert len(out) >= 3  # state really crossed microbatches
+    # final emitted total per key == batch aggregate
+    final = got.groupby("key").last()
+    batch = (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("t"))
+        .toPandas()
+        .set_index("user_id")
+    )
+    for key, row in batch.iterrows():
+        assert final.loc[key, "n_events"] == row["n"]
+        assert abs(final.loc[key, "total_value"] - row["t"]) < 1e-3
+
+
+def test_streaming_pipeline_spec(spark, sf_dir, tmp_path):
+    """streaming: true spec compiles to a StreamingQuery: file stream ->
+    mask -> parquet sink with checkpoint; a second start drains nothing new."""
+    src = str(tmp_path / "src")
+    load(spark, sf_dir, "customer").limit(50).write.parquet(src)
+    spec = {
+        "name": "stream-mask",
+        "streaming": True,
+        "source": {"type": "file_stream", "path": src, "max.files.per.trigger": 1},
+        "transforms": [{"type": "mask_field", "fields": ["c_mktsegment"]}],
+        "sink": {
+            "type": "parquet_stream",
+            "path": str(tmp_path / "out"),
+            "checkpoint": str(tmp_path / "ckpt"),
+        },
+    }
+    q = Pipeline(spec).start_stream(spark)
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() == 50
+    assert out.select("c_mktsegment").distinct().collect()[0][0] == "CENSORED"
+
+    # restart from checkpoint: no duplicate output
+    q2 = Pipeline(spec).start_stream(spark)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 50
+
+
+def test_streaming_upsert_spec(spark, tmp_path):
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, 1, "a"), (1, 2, "a2"), (2, 1, "b")], ["id", "ver", "v"]
+    ).write.parquet(src)
+    spec = {
+        "streaming": True,
+        "source": {"type": "file_stream", "path": src},
+        "sink": {
+            "type": "foreach_upsert",
+            "path": str(tmp_path / "tbl"),
+            "key.fields": ["id"],
+            "order.column": "ver",
+            "checkpoint": str(tmp_path / "ckpt"),
+        },
+    }
+    q = Pipeline(spec).start_stream(spark)
+    q.awaitTermination(120)
+    got = {r["id"]: r["v"] for r in spark.read.parquet(str(tmp_path / "tbl")).collect()}
+    assert got == {1: "a2", 2: "b"}
+
+
+def test_streaming_dlq_rejected():
+    with pytest.raises(ValueError, match="DLQ sink is batch-only"):
+        Pipeline(
+            {
+                "streaming": True,
+                "source": {"type": "rate"},
+                "sink": {"type": "parquet_stream", "path": "x", "checkpoint": "y"},
+                "errors": {"tolerance": "all", "dlq": {"type": "parquet", "path": "z"}},
+            }
+        )
