@@ -181,6 +181,33 @@ def x11b_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+_pivot_cells = ", ".join(
+    f"ROUND(CAST(SUM(CAST(CASE WHEN event_type = '{t}' THEN value END AS DECIMAL(38,6))) AS DOUBLE), 4) AS {t}"
+    for t in _PIVOT_TYPES
+)
+
+
+@query(
+    "x17_pivot",
+    oracle=f"""
+    SELECT user_id, {_pivot_cells}
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def x17_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide metric matrix per series): explicit value list keeps the
+    plan a single pass — without it Spark runs an extra distinct job to
+    discover the columns."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", _PIVOT_TYPES)
+        .agg(dsum(F.col("value")))
+        .orderBy("user_id")
+    )
+
+
 @query("x11c_session_window")  # no SQL analog in DuckDB -> rows-only check
 def x11c_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (5-minute gap) per user — genuinely non-SQL-expressible

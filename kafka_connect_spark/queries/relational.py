@@ -516,6 +516,31 @@ def x10b_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@query(
+    "x10d_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           lpad(p_brand, 12, '*') AS brand_pad,
+           translate(p_type, 'aeiou', 'AEIOU') AS type_tr,
+           regexp_extract(p_name, '^(\\w+)', 1) AS first_word,
+           p_type LIKE '%STEEL%' AS is_steel,
+           trim(concat(' ', p_brand, ' ')) AS trimmed
+    FROM part ORDER BY p_partkey
+    """,
+)
+def x10d_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended string-function surface: pad/translate/regexp/LIKE/trim."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lpad("p_brand", 12, "*").alias("brand_pad"),
+        F.translate("p_type", "aeiou", "AEIOU").alias("type_tr"),
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.col("p_type").like("%STEEL%").alias("is_steel"),
+        F.trim(F.concat(F.lit(" "), F.col("p_brand"), F.lit(" "))).alias("trimmed"),
+    ).orderBy("p_partkey")
+
+
 _Q3_SQL = f"""
     SELECT o_orderkey,
            {dsum_sql("l_extendedprice * (1 - l_discount)")} AS revenue,

@@ -1,6 +1,7 @@
 """Sources (SURVEY.md §2.1)."""
 
 from .incremental import IncrementalTableSource
+from .incremental_stream import IncrementalTableDataSource
 from .kafka import (
     KAFKA_RECORD_SCHEMA,
     kafka_source_options,
@@ -12,6 +13,7 @@ from .replay import file_replay_stream, write_replay_files
 
 __all__ = [
     "IncrementalTableSource",
+    "IncrementalTableDataSource",
     "file_replay_stream",
     "write_replay_files",
     "KAFKA_RECORD_SCHEMA",

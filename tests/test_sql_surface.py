@@ -53,6 +53,17 @@ def test_x5_approx_count_distinct_tolerance(spark, sf_dir):
     assert abs(approx - exact) / exact < 0.1
 
 
+def test_percentile_matches_duckdb(spark, duck, sf_dir):
+    """Exact percentile (interpolating): Spark percentile == DuckDB
+    quantile_cont — kept as a test (not an oracle query) because the
+    interpolation arithmetic is engine-internal and only approximately
+    portable."""
+    li = load(spark, sf_dir, "lineitem")
+    s = li.agg(F.expr("percentile(l_extendedprice, 0.5)").alias("m")).collect()[0]["m"]
+    d = duck.sql("SELECT quantile_cont(l_extendedprice, 0.5) FROM lineitem").fetchone()[0]
+    assert abs(s - d) < 1e-6
+
+
 def test_exposition_parses_in_spark(spark):
     text = to_exposition(
         [
