@@ -109,6 +109,74 @@ def _bucket_udf(planes: np.ndarray):
     return bucketize
 
 
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style approximate top-k: partition the corpus into Voronoi cells
+    around fixed centroids; a query searches only its ``n_probe`` nearest
+    cells. The other classic ANN scale path next to hyperplane LSH
+    (x13b): one map pass tags cells, the join touches probed cells only.
+
+    Centroids are a deterministic unit-normalized random set (seeded) — a
+    production build would k-means a corpus sample, same plumbing."""
+    import numpy as np
+
+    # centroid directions (n_centroids, dim); dim inferred lazily per batch
+    def make_assign(n_assign: int):
+        @pandas_udf("array<long>")
+        def assign(emb: pd.Series) -> pd.Series:
+            mat = np.stack(emb.to_numpy()).astype(np.float64)
+            rng = np.random.RandomState(seed)
+            cents = rng.randn(n_centroids, mat.shape[1])
+            cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+            sims = mat @ cents.T / np.linalg.norm(mat, axis=1, keepdims=True)
+            top = np.argsort(-sims, axis=1)[:, :n_assign]
+            return pd.Series(list(top.astype(np.int64)))
+
+        return assign
+
+    c_tag = corpus.withColumn(
+        "cell", F.explode(make_assign(1)(F.col(vec_col).cast("array<double>")))
+    ).select(F.col(id_col).alias("neighbor_id"), "cell")
+    q_tag = queries.withColumn(
+        "cell", F.explode(make_assign(n_probe)(F.col(vec_col).cast("array<double>")))
+    ).select(F.col(id_col).alias("query_id"), "cell")
+    cand = (
+        c_tag.join(q_tag, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    c = with_vec(corpus, vec_col).select(F.col(id_col).alias("neighbor_id"), "v", "v_norm")
+    q = with_vec(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv"), F.col("v_norm").alias("q_norm")
+    )
+    cos = F.round(dot(F.col("qv"), F.col("v")) / (F.col("q_norm") * F.col("v_norm")), 6)
+    ranked = (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "neighbor_id", cos.alias("cos_sim"))
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("cos_sim").desc(), F.col("neighbor_id")
+                )
+            )
+            .cast("long"),
+        )
+    )
+    return ranked.filter(F.col("rank") <= k).orderBy("query_id", "rank")
+
+
 def lsh_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..functions.simfns import cosine_topk, lsh_cosine_topk
+from ..functions.simfns import cosine_topk, ivf_cosine_topk, lsh_cosine_topk
 from .registry import query
 
 
@@ -39,6 +39,15 @@ def x13_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return cosine_topk(emb, queries, k=3)
+
+
+@query("x13c_ann_ivf_topk")  # seed-deterministic; rows-only check
+def x13c_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style top-3 (16 cells, probe 8): Voronoi-cell candidate join +
+    exact rerank — the inverted-file ANN scale path."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_cosine_topk(emb, queries, k=3, n_centroids=16, n_probe=8)
 
 
 @query("x13b_ann_lsh_topk")  # seed-deterministic; rows-only check

@@ -24,11 +24,19 @@ from pyspark.sql import functions as F
 
 
 class UpsertParquetSink:
-    def __init__(self, path: str, key_cols: list[str], order_col: str, auto_create: bool = True) -> None:
+    def __init__(
+        self,
+        path: str,
+        key_cols: list[str],
+        order_col: str,
+        auto_create: bool = True,
+        auto_evolve: bool = True,
+    ) -> None:
         self.path = path
         self.key_cols = key_cols
         self.order_col = order_col
         self.auto_create = auto_create
+        self.auto_evolve = auto_evolve
 
     def _dedup_batch(self, batch: DataFrame) -> DataFrame:
         """Last-writer-wins within the batch (PK uniqueness — the failure the
@@ -53,9 +61,15 @@ class UpsertParquetSink:
                 raise FileNotFoundError(self.path)
             incoming.write.mode("overwrite").parquet(self.path)
             return
-        base = spark.read.parquet(self.path)
+        base = spark.read.option("mergeSchema", "true").parquet(self.path)
+        new_cols = set(incoming.columns) - set(base.columns)
+        if new_cols and not self.auto_evolve:
+            raise ValueError(f"schema evolution disabled; new columns: {sorted(new_cols)}")
         keep = base.join(incoming.select(*self.key_cols), self.key_cols, "left_anti")
-        merged = keep.unionByName(incoming)
+        # 'limited auto-evolution' (reference manifest.json:5): adding
+        # columns is allowed — missing sides fill with NULL; drops/renames
+        # are not silently applied
+        merged = keep.unionByName(incoming, allowMissingColumns=True)
         # Rewrite via a staging dir: parquet has no transactions, and
         # overwrite-while-reading-self breaks. Delta/Iceberg MERGE removes this.
         staging = self.path.rstrip("/") + ".staging"

@@ -5,7 +5,11 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from kafka_connect_spark.catalog import load
-from kafka_connect_spark.functions.simfns import cosine_topk, lsh_cosine_topk
+from kafka_connect_spark.functions.simfns import (
+    cosine_topk,
+    ivf_cosine_topk,
+    lsh_cosine_topk,
+)
 
 
 def test_bruteforce_topk_shape_and_order(spark, sf_dir):
@@ -28,6 +32,17 @@ def test_lsh_recall_at_k(spark, sf_dir):
     a = {(r.query_id, r.neighbor_id) for r in approx.itertuples()}
     recall = len(e & a) / len(e)
     assert recall >= 0.5, f"LSH recall@3 = {recall:.2f}"
+
+
+def test_ivf_recall_at_k(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(emb, queries, k=3).toPandas()
+    approx = ivf_cosine_topk(emb, queries, k=3, n_centroids=16, n_probe=8).toPandas()
+    e = {(r.query_id, r.neighbor_id) for r in exact.itertuples()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.itertuples()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"IVF recall@3 = {recall:.2f}"
 
 
 def test_lsh_is_deterministic(spark, sf_dir):

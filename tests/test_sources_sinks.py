@@ -91,6 +91,27 @@ def test_upsert_sink_idempotent_merge(spark, tmp_path):
     assert got2 == got
 
 
+def test_upsert_sink_schema_evolution(spark, tmp_path):
+    """'limited auto-evolution' (reference manifest.json:5): later batches
+    may ADD columns; existing rows read back with NULL in the new column."""
+    path = str(tmp_path / "tbl")
+    sink = UpsertParquetSink(path, key_cols=["id"], order_col="ver")
+    sink.apply_batch(spark.createDataFrame([(1, 1, "a")], ["id", "ver", "v"]))
+    sink.apply_batch(
+        spark.createDataFrame([(2, 1, "b", "extra")], ["id", "ver", "v", "w"])
+    )
+    got = {r["id"]: (r["v"], r["w"]) for r in sink.read(spark).collect()}
+    assert got == {1: ("a", None), 2: ("b", "extra")}
+
+    strict = UpsertParquetSink(path, ["id"], "ver", auto_evolve=False)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="schema evolution disabled"):
+        strict.apply_batch(
+            spark.createDataFrame([(3, 1, "c", 1.0)], ["id", "ver", "v", "z"])
+        )
+
+
 def test_kafka_options_passthrough():
     opts = kafka_sink_options("broker:9092", {"batch.size": 16384, "linger.ms": 5})
     assert opts["kafka.bootstrap.servers"] == "broker:9092"
