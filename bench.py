@@ -40,6 +40,12 @@ HEADLINE = [
     "x12e_minhash_lsh_pairs",
     "x13_ann_bruteforce_topk",
     "x13b_ann_lsh_topk",
+    "x13c_ann_ivf_topk",
+    "x16_sql_api_q3",
+    "x17_pivot",
+    "p7_avg_over_time",
+    "x14f_chunking",
+    "x12f_embedding_near_dup",
     "x14b_token_counts",
     "x14c_quality_score",
     "x14e_fingerprint",

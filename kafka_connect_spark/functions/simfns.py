@@ -92,6 +92,80 @@ def cosine_pairs(
     )
 
 
+def cosine_pairs_blocked(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 16,
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold via block-matrix multiplication.
+
+    Same output as ``cosine_pairs`` but vectorized: rows are hashed into
+    ``n_blocks`` blocks; every unordered block pair (i<=j) becomes one
+    applyInPandas group holding both blocks' vectors, and the group computes
+    its full cosine sub-matrix with a single numpy float64 matmul. Each row
+    is replicated n_blocks times to reach its pairs, so Arrow transfer is
+    n_blocks x |corpus| vectors while compute stays O(n^2 / n_blocks^2) per
+    task — pick n_blocks so a block pair fits executor memory. This is the
+    all-pairs plan that survives scale; the O(n^2) JVM fold does not."""
+    import numpy as np
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("blk"),
+    )
+    # replicate each row to every block pair it participates in
+    other = F.sequence(F.lit(0), F.lit(n_blocks - 1))
+    replicated = base.select(
+        "id",
+        "v",
+        "blk",
+        F.explode(other).alias("ob"),
+    ).select(
+        "id",
+        "v",
+        "blk",
+        F.least("blk", "ob").alias("bi"),
+        F.greatest("blk", "ob").alias("bj"),
+    ).dropDuplicates(["id", "bi", "bj"])
+
+    empty = pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+
+    def block_pair(pdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = int(pdf["bi"].iloc[0]), int(pdf["bj"].iloc[0])
+        a = pdf[pdf["blk"] == bi]
+        if a.empty or (bi != bj and pdf[pdf["blk"] == bj].empty):
+            return empty
+        ids_a = a["id"].to_numpy()
+        mat_a = np.stack(a["v"].to_numpy()).astype(np.float64)
+        mat_a /= np.linalg.norm(mat_a, axis=1, keepdims=True)
+        if bi == bj:
+            sims = mat_a @ mat_a.T
+            iu, ju = np.triu_indices(len(ids_a), k=1)
+            id_a, id_b = ids_a[iu], ids_a[ju]
+            cos = sims[iu, ju]
+        else:
+            b = pdf[pdf["blk"] == bj]
+            ids_b = b["id"].to_numpy()
+            mat_b = np.stack(b["v"].to_numpy()).astype(np.float64)
+            mat_b /= np.linalg.norm(mat_b, axis=1, keepdims=True)
+            sims = mat_a @ mat_b.T
+            ii, jj = np.meshgrid(np.arange(len(ids_a)), np.arange(len(ids_b)), indexing="ij")
+            id_a, id_b = ids_a[ii.ravel()], ids_b[jj.ravel()]
+            cos = sims.ravel()
+        cos = np.round(cos, 6)
+        keep = cos >= threshold
+        lo = np.minimum(id_a[keep], id_b[keep])
+        hi = np.maximum(id_a[keep], id_b[keep])
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cos_sim": cos[keep]})
+
+    return replicated.groupBy("bi", "bj").applyInPandas(
+        block_pair, "id_a long, id_b long, cos_sim double"
+    )
+
+
 def _bucket_udf(planes: np.ndarray):
     """planes: (n_tables, n_planes, dim). Returns a pandas UDF mapping an
     embedding to an array of per-table bucket ids (sign-bit packing)."""

@@ -1,5 +1,15 @@
-"""Pipeline-spec compiler (the 'herder' analog)."""
+"""Pipeline-spec compiler + lifecycle management (the 'herder' analog)."""
 
-from .pipeline import SINKS, SOURCES, TRANSFORMS, Pipeline
+from .herder import Herder, serve_http
+from .pipeline import SINKS, SOURCES, STREAM_SINKS, STREAM_SOURCES, TRANSFORMS, Pipeline
 
-__all__ = ["Pipeline", "SOURCES", "TRANSFORMS", "SINKS"]
+__all__ = [
+    "Pipeline",
+    "Herder",
+    "serve_http",
+    "SOURCES",
+    "TRANSFORMS",
+    "SINKS",
+    "STREAM_SOURCES",
+    "STREAM_SINKS",
+]

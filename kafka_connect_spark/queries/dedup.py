@@ -109,11 +109,12 @@ def x12d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x12f_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate detection at threshold 0.4 (the
     fixture's random vectors peak near 0.5; real embedding corpora use
-    ~0.95+ with the LSH prefilter)."""
-    from ..functions.simfns import cosine_pairs
+    ~0.95+). Block-matrix exact all-pairs: numpy matmul per block pair via
+    applyInPandas — the O(n^2) that scales by adding blocks."""
+    from ..functions.simfns import cosine_pairs_blocked
 
     emb = load(spark, sf_dir, "embeddings")
-    return cosine_pairs(emb, 0.4).orderBy("id_a", "id_b")
+    return cosine_pairs_blocked(emb, 0.4, n_blocks=16).orderBy("id_a", "id_b")
 
 
 @query("x12e_minhash_lsh_pairs")  # seed-deterministic; rows-only check

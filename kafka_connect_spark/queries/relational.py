@@ -301,6 +301,24 @@ def x3c_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x3d_full_outer_join",
+    oracle="""
+    SELECT n.n_nationkey AS nationkey, n.n_name, r.r_name
+    FROM nation n FULL OUTER JOIN region r ON n.n_regionkey = r.r_regionkey
+    ORDER BY nationkey NULLS FIRST
+    """,
+)
+def x3d_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        n.join(r, n.n_regionkey == r.r_regionkey, "full_outer")
+        .select(F.col("n_nationkey").alias("nationkey"), "n_name", "r_name")
+        .orderBy(F.col("nationkey").asc_nulls_first())
+    )
+
+
+@query(
     "x4_agg_tpch_q1",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,

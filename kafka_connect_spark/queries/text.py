@@ -117,6 +117,39 @@ def x14d_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x14f_chunking",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    c AS (SELECT doc_id,
+            unnest([{'i': CAST(s AS INTEGER),
+                     'c': array_to_string(toks[s*5 + 1 : s*5 + 10], ' ')}
+                    for s in range(0, CASE WHEN len(toks) >= 10
+                                         THEN (len(toks) - 10) // 5 + 1
+                                         ELSE 0 END)]) AS u
+          FROM t)
+    SELECT doc_id, u.i AS chunk_idx, u.c AS chunk_text
+    FROM c ORDER BY doc_id, chunk_idx
+    """,
+)
+def x14f_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sample chunking: sliding windows of 10 tokens, stride 5,
+    full windows only — the standard doc->sample fan-out before
+    tokenization. posexplode keeps the chunk index; all JVM-side array ops."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    starts = F.when(
+        F.size(toks) >= 10,
+        F.sequence(F.lit(0), F.floor((F.size(toks) - 10) / 5).cast("int")),
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = F.transform(starts, lambda s: F.concat_ws(" ", F.slice(toks, s * 5 + 1, 10)))
+    return (
+        d.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk_text"))
+        .withColumn("chunk_idx", F.col("chunk_idx").cast("int"))
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+@query(
     "x14e_fingerprint",
     oracle="""
     SELECT doc_id,

@@ -1,0 +1,89 @@
+"""Herder lifecycle (SURVEY.md §3.1): config CRUD, restart-on-update,
+status states, and the read-only REST facade."""
+
+from __future__ import annotations
+
+import json
+import time
+import urllib.request
+
+import pytest
+
+from kafka_connect_spark.plans import Herder, serve_http
+
+
+@pytest.fixture()
+def herder(spark, tmp_path):
+    h = Herder(spark, str(tmp_path / "configs"))
+    yield h
+    h.shutdown()
+
+
+def _batch_spec(tmp_path, name):
+    return {
+        "source": {"type": "parquet", "path": str(tmp_path / "src")},
+        "transforms": [{"type": "mask_field", "fields": ["v"]}],
+        "sink": {"type": "parquet", "path": str(tmp_path / f"out-{name}")},
+    }
+
+
+def test_put_run_status_delete(spark, tmp_path, herder):
+    spark.createDataFrame([(1, "s")], ["id", "v"]).write.parquet(str(tmp_path / "src"))
+    st = herder.put("job1", _batch_spec(tmp_path, "job1"))
+    assert st["state"] == "BATCH" and herder.list() == ["job1"]
+    assert herder.run_once("job1") == 1
+    out = spark.read.parquet(str(tmp_path / "out-job1")).collect()[0]
+    assert out["v"] == "CENSORED"
+    herder.delete("job1")
+    assert herder.list() == [] and herder.status("job1")["state"] == "NOT_FOUND"
+
+
+def test_invalid_spec_rejected_before_persist(herder, tmp_path):
+    with pytest.raises(KeyError):
+        herder.put("bad", {"source": {"type": "nope"}, "sink": {"type": "noop"}})
+    assert herder.list() == []  # fail-fast validation, nothing persisted
+
+
+def test_streaming_put_restarts_on_update(spark, tmp_path, herder):
+    spark.createDataFrame([(1, "x")], ["id", "v"]).write.parquet(str(tmp_path / "s1"))
+    spec = {
+        "streaming": True,
+        "source": {"type": "rate", "rows.per.second": 5},
+        "sink": {
+            "type": "parquet_stream",
+            "path": str(tmp_path / "o1"),
+            "checkpoint": str(tmp_path / "c1"),
+        },
+    }
+    st = herder.put("stream1", spec)
+    assert st["state"] == "RUNNING"
+    first_q = herder._queries["stream1"]
+
+    spec2 = dict(spec, sink=dict(spec["sink"], path=str(tmp_path / "o2"),
+                                 checkpoint=str(tmp_path / "c2")))
+    st2 = herder.put("stream1", spec2)
+    assert st2["state"] == "RUNNING"
+    assert herder._queries["stream1"] is not first_q  # old query replaced
+    assert not first_q.isActive  # reconfigure stopped the old instance
+    herder.stop("stream1")
+    assert herder.status("stream1")["state"] == "STOPPED"
+
+
+def test_rest_facade(spark, tmp_path, herder):
+    spark.createDataFrame([(1, "s")], ["id", "v"]).write.parquet(str(tmp_path / "src"))
+    herder.put("api-job", _batch_spec(tmp_path, "api"))
+    httpd = serve_http(herder)
+    port = httpd.server_address[1]
+    try:
+        def get(path):
+            return json.loads(
+                urllib.request.urlopen(f"http://127.0.0.1:{port}{path}", timeout=10).read()
+            )
+
+        assert get("/connectors") == ["api-job"]
+        assert get("/connectors/api-job")["sink"]["type"] == "parquet"
+        assert get("/connectors/api-job/status")["state"] == "BATCH"
+        with pytest.raises(urllib.error.HTTPError):
+            get("/connectors/nope")
+    finally:
+        httpd.shutdown()

@@ -45,6 +45,22 @@ def test_ivf_recall_at_k(spark, sf_dir):
     assert recall >= 0.5, f"IVF recall@3 = {recall:.2f}"
 
 
+def test_blocked_pairs_equal_fold_pairs(spark, sf_dir):
+    """Block-matrix all-pairs == JVM-fold all-pairs (same ids, cosines
+    within rounding) — the vectorized plan changes nothing but speed."""
+    from kafka_connect_spark.functions.simfns import cosine_pairs, cosine_pairs_blocked
+
+    emb = load(spark, sf_dir, "embeddings")
+    a = cosine_pairs(emb, 0.3).toPandas().sort_values(["id_a", "id_b"], ignore_index=True)
+    b = (
+        cosine_pairs_blocked(emb, 0.3, n_blocks=4)
+        .toPandas()
+        .sort_values(["id_a", "id_b"], ignore_index=True)
+    )
+    assert list(a["id_a"]) == list(b["id_a"]) and list(a["id_b"]) == list(b["id_b"])
+    assert (abs(a["cos_sim"] - b["cos_sim"]) < 2e-6).all()
+
+
 def test_lsh_is_deterministic(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
