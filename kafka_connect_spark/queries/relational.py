@@ -402,6 +402,54 @@ def x6b_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_GS_SQL = """
+    SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+           CAST(grouping(l_returnflag) AS INTEGER) AS g_rf,
+           CAST(grouping(l_linestatus) AS INTEGER) AS g_ls
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+
+@query("x6c_grouping_sets", oracle=_GS_SQL)
+def x6c_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping() markers (distinguishes 'NULL
+    because aggregated away' from data NULLs) — via the SQL surface; the
+    physical plan is the same Expand + partial/final aggregate as rollup."""
+    register_views(spark, sf_dir)
+    return spark.sql(_GS_SQL)
+
+
+@query(
+    "x7b_analytic_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           ROUND(percent_rank() OVER w, 6) AS pr,
+           ROUND(cume_dist() OVER w, 6) AS cd,
+           first_value(o_orderkey) OVER w AS first_key,
+           lead(o_totalprice) OVER w AS next_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderkey
+    """,
+)
+def x7b_analytic_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-function breadth: ntile / percent_rank / cume_dist /
+    first_value / lead over a deterministic (price, key) ordering."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+    ).orderBy("o_orderkey")
+
+
 @query(
     "x7_window_rank_lag",
     oracle="""
