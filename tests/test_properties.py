@@ -1,0 +1,96 @@
+"""Property-based tests (hypothesis): transform invariants that must hold
+for ANY input, not just the fixtures."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+from pyspark.sql import types as T
+
+from kafka_connect_spark.sinks.upsert import UpsertParquetSink
+from kafka_connect_spark.transforms import extract_new_record_state, mask_fields
+
+ROW = T.StructType([T.StructField("id", T.LongType()), T.StructField("v", T.StringType())])
+ENV = T.StructType(
+    [
+        T.StructField("before", ROW),
+        T.StructField("after", ROW),
+        T.StructField("op", T.StringType()),
+    ]
+)
+
+ops = st.sampled_from(["c", "u", "d", "r", None])
+vals = st.text(alphabet="abcxyz", min_size=0, max_size=5)
+envelopes = st.lists(
+    st.tuples(st.integers(0, 50), vals, vals, ops), min_size=0, max_size=25
+)
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+def _mk_env(spark, items):
+    rows = [
+        Row(
+            before=Row(id=i, v=b) if op in ("u", "d") else None,
+            after=Row(id=i, v=a) if op in ("c", "u", "r") else None,
+            op=op,
+        )
+        for i, b, a, op in items
+    ]
+    return spark.createDataFrame(rows, ENV)
+
+
+@given(items=envelopes)
+@settings(**_SETTINGS)
+def test_unwrap_rewrite_preserves_row_count(spark, items):
+    """rewrite mode never drops records: every envelope row (incl.
+    tombstones) yields exactly one output row, and __deleted is 'true'
+    exactly for op='d'."""
+    env = _mk_env(spark, items)
+    out = extract_new_record_state(env, drop_tombstones=False).collect()
+    assert len(out) == len(items)
+    n_deleted = sum(1 for r in out if r["__deleted"] == "true")
+    assert n_deleted == sum(1 for it in items if it[3] == "d")
+
+
+@given(items=envelopes)
+@settings(**_SETTINGS)
+def test_unwrap_drop_mode_drops_exactly_deletes(spark, items):
+    env = _mk_env(spark, items)
+    out = extract_new_record_state(env, drop_tombstones=True, delete_handling="drop")
+    expected = sum(1 for it in items if it[3] in ("c", "u", "r"))
+    assert out.count() == expected
+
+
+@given(values=st.lists(st.tuples(st.integers(0, 9), vals), min_size=1, max_size=20))
+@settings(**_SETTINGS)
+def test_mask_touches_only_listed_column(spark, values):
+    df = spark.createDataFrame(values, ["id", "v"])
+    out = mask_fields(df, ["v"], "X").collect()
+    assert all(r["v"] == "X" for r in out)
+    assert sorted(r["id"] for r in out) == sorted(i for i, _ in values)
+
+
+@given(
+    batch=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 9), vals), min_size=1, max_size=15
+    )
+)
+@settings(**_SETTINGS)
+def test_upsert_replay_idempotent(spark, tmp_path_factory, batch):
+    """Applying any batch twice == applying it once (the invariant that
+    turns at-least-once delivery into exactly-once)."""
+    path = str(tmp_path_factory.mktemp("upsert"))
+    sink = UpsertParquetSink(path, key_cols=["id"], order_col="ver")
+    df = spark.createDataFrame(batch, ["id", "ver", "v"])
+    sink.apply_batch(df)
+    once = sorted(map(tuple, sink.read(spark).collect()))
+    sink.apply_batch(df)
+    twice = sorted(map(tuple, sink.read(spark).collect()))
+    assert once == twice
+    assert len({k for k, _, _ in once}) == len(once)  # one row per key

@@ -89,6 +89,70 @@ def test_drop_duplicates_within_watermark_streaming(spark, tmp_path):
     assert sorted(got["event_id"]) == [1, 2]  # duplicates suppressed
 
 
+def test_partition_pruning(spark, tmp_path, sf_dir):
+    """Hive-partitioned layout + a partition-key filter => the scan plans
+    PartitionFilters and touches only the matching directories — the
+    data-skipping that makes 100 TB time-series tables queryable."""
+    from kafka_connect_spark.catalog import load
+
+    p = str(tmp_path / "orders_by_year")
+    orders = load(spark, sf_dir, "orders")
+    orders.withColumn("yr", F.year("o_orderdate")).write.partitionBy("yr").parquet(p)
+
+    q = spark.read.parquet(p).filter(F.col("yr") == 1995)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(yr" in plan  # pruning reached the scan
+    expected = orders.filter(F.year("o_orderdate") == 1995).count()
+    assert q.count() == expected > 0
+    # the single partition directory alone holds exactly the filtered rows,
+    # and the table has other partitions that the scan never needs
+    assert spark.read.parquet(f"{p}/yr=1995").count() == expected
+    import os
+
+    n_partitions = len([d for d in os.listdir(p) if d.startswith("yr=")])
+    assert n_partitions > 1
+
+
+def test_observability_loop_end_to_end(spark, tmp_path):
+    """Close the reference's metrics loop ON the engine (SURVEY.md §3.3):
+    run a streaming query -> listener captures progress -> exposition text
+    -> ingest via the custom data source -> aggregate P2-style."""
+    import time
+
+    from kafka_connect_spark.streaming.metrics import MetricsListener, to_exposition
+
+    listener = MetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        q = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", 100)
+            .load()
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+        deadline = time.time() + 60
+        while len(listener.samples) < 4 and time.time() < deadline:
+            time.sleep(0.5)
+        q.stop()
+        q.awaitTermination(30)
+    finally:
+        spark.streams.removeListener(listener)
+
+    scrape = tmp_path / "scrape.prom"
+    scrape.write_text(to_exposition(listener.samples))
+    spark.dataSource.register(ExpositionDataSource)
+    metrics = spark.read.format("exposition").option("path", str(scrape)).load()
+    agg = (
+        metrics.groupBy("name")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    )
+    by_name = {r["name"]: r for r in agg}
+    assert "num_input_rows" in by_name and by_name["num_input_rows"]["n"] >= 1
+
+
 def test_exposition_datasource_plugin(spark, tmp_path):
     spark.dataSource.register(ExpositionDataSource)
     for i, val in enumerate([1.5, 2.5]):
