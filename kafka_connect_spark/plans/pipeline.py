@@ -86,6 +86,20 @@ def _src_incremental(spec: dict) -> Callable[[SparkSession], DataFrame]:
     return read
 
 
+@register_source("exposition")
+def _src_exposition(spec: dict) -> Callable[[SparkSession], DataFrame]:
+    """Prometheus-exposition scrape files via the custom data source plugin
+    (the task-2 metrics ingest path)."""
+
+    def read(spark: SparkSession) -> DataFrame:
+        from ..sources.exposition_datasource import ExpositionDataSource
+
+        spark.dataSource.register(ExpositionDataSource)
+        return spark.read.format("exposition").option("path", spec["path"]).load()
+
+    return read
+
+
 @register_transform("mask_field")
 def _t_mask(spec: dict):
     return lambda df: mask_fields(df, spec["fields"], spec.get("replacement", "CENSORED"))
@@ -129,7 +143,12 @@ def _k_json(spec: dict):
 
 @register_sink("upsert_parquet")
 def _k_upsert(spec: dict):
-    sink = UpsertParquetSink(spec["path"], spec["key.fields"], spec["order.column"])
+    sink = UpsertParquetSink(
+        spec["path"],
+        spec["key.fields"],
+        spec["order.column"],
+        delete_col=spec.get("delete.column"),
+    )
     return lambda df: sink.apply_batch(df)
 
 
@@ -197,7 +216,12 @@ def _sk_parquet_stream(spec: dict):
 
 @register_stream_sink("foreach_upsert")
 def _sk_foreach_upsert(spec: dict):
-    sink = UpsertParquetSink(spec["path"], spec["key.fields"], spec["order.column"])
+    sink = UpsertParquetSink(
+        spec["path"],
+        spec["key.fields"],
+        spec["order.column"],
+        delete_col=spec.get("delete.column"),
+    )
 
     def start(sdf: DataFrame):
         return sdf.writeStream.foreachBatch(sink.foreach_batch()).option(

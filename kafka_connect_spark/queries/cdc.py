@@ -70,7 +70,7 @@ def t2_cdc_unwrap_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExtractNewRecordState with delete.handling.mode=rewrite
     (reference postgres/connector.json:11-14, README.md:321-329): deletes
     flatten from ``before`` and carry __deleted='true'."""
-    env = cdc_envelope(spark, sf_dir)
+    env = cdc_envelope(spark, sf_dir).select("before", "after", "op")
     return extract_new_record_state(
         env, drop_tombstones=False, delete_handling="rewrite"
     ).orderBy("event_id")
@@ -85,7 +85,7 @@ def t2_cdc_unwrap_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t2b_cdc_unwrap_drop_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExtractNewRecordState with delete.handling.mode=drop."""
-    env = cdc_envelope(spark, sf_dir)
+    env = cdc_envelope(spark, sf_dir).select("before", "after", "op")
     return extract_new_record_state(
         env, drop_tombstones=True, delete_handling="drop"
     ).orderBy("event_id")

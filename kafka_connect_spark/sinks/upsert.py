@@ -31,12 +31,20 @@ class UpsertParquetSink:
         order_col: str,
         auto_create: bool = True,
         auto_evolve: bool = True,
+        delete_col: str | None = None,
     ) -> None:
         self.path = path
         self.key_cols = key_cols
         self.order_col = order_col
         self.auto_create = auto_create
         self.auto_evolve = auto_evolve
+        # CDC materialization: rows whose ``delete_col`` == 'true' (the
+        # Debezium rewrite marker, transforms.extract_new_record_state)
+        # REMOVE their key from the table instead of upserting. Within a
+        # batch, order_col decides (delete-then-reinsert works); ACROSS
+        # batches correctness relies on in-order delivery per key — the
+        # guarantee Kafka's per-partition ordering provides upstream.
+        self.delete_col = delete_col
 
     def _dedup_batch(self, batch: DataFrame) -> DataFrame:
         """Last-writer-wins within the batch (PK uniqueness — the failure the
@@ -53,6 +61,14 @@ class UpsertParquetSink:
         batch's last-writer rows. Safe to re-apply the same batch (idempotent)."""
         spark = batch.sparkSession
         incoming = self._dedup_batch(batch)
+        deletes = None
+        if self.delete_col is not None and self.delete_col in incoming.columns:
+            # last writer decides: if the key's final event is a delete, the
+            # key disappears; otherwise the final state lands (minus marker)
+            deletes = incoming.filter(F.col(self.delete_col) == "true")
+            incoming = incoming.filter(
+                (F.col(self.delete_col) != "true") | F.col(self.delete_col).isNull()
+            ).drop(self.delete_col)
         exists = os.path.isdir(self.path) and any(
             f.endswith(".parquet") for f in os.listdir(self.path)
         )
@@ -65,7 +81,10 @@ class UpsertParquetSink:
         new_cols = set(incoming.columns) - set(base.columns)
         if new_cols and not self.auto_evolve:
             raise ValueError(f"schema evolution disabled; new columns: {sorted(new_cols)}")
-        keep = base.join(incoming.select(*self.key_cols), self.key_cols, "left_anti")
+        touched = incoming.select(*self.key_cols)
+        if deletes is not None:
+            touched = touched.unionByName(deletes.select(*self.key_cols)).distinct()
+        keep = base.join(touched, self.key_cols, "left_anti")
         # 'limited auto-evolution' (reference manifest.json:5): adding
         # columns is allowed — missing sides fill with NULL; drops/renames
         # are not silently applied

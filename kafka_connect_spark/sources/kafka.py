@@ -114,4 +114,6 @@ def read_cdc_stream(records: DataFrame, row_schema: T.StructType) -> DataFrame:
     parsed = records.withColumn(
         "env", F.from_json(F.col("value").cast("string"), env_schema)
     )
-    return parsed.select("env.*", "topic")
+    # keep the log coordinates: downstream MERGE ordering keys on offset
+    keep = [c for c in ("topic", "partition", "offset", "timestamp") if c in records.columns]
+    return parsed.select("env.*", *keep)

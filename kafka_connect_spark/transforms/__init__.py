@@ -71,7 +71,10 @@ def extract_new_record_state(
         src = src.filter(F.col("op").isNull() | (F.col("op") != "d"))
 
     row = F.when(F.col("op") == "d", F.col("before")).otherwise(F.col("after"))
-    cols = [row.alias("__row")]
+    # non-envelope columns (offsets, ts_ms, source metadata, ...) pass
+    # through — the add.fields surface of the reference SMT (README.md:324)
+    extras = [c for c in src.columns if c not in ("before", "after", "op")]
+    cols = [row.alias("__row")] + [F.col(c) for c in extras]
     if delete_handling == "rewrite":
         cols.append(
             F.when(F.col("op") == "d", F.lit("true"))
@@ -79,7 +82,11 @@ def extract_new_record_state(
             .alias(deleted_field)
         )
     flat = src.select(*cols)
-    out_cols = ["__row.*"] + ([deleted_field] if delete_handling == "rewrite" else [])
+    out_cols = (
+        ["__row.*"]
+        + extras
+        + ([deleted_field] if delete_handling == "rewrite" else [])
+    )
     return flat.select(*out_cols)
 
 

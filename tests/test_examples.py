@@ -1,0 +1,95 @@
+"""Execute the examples/ specs — the reference's three README exercises —
+end-to-end against generated inputs."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from kafka_connect_spark.plans import Pipeline
+from kafka_connect_spark.streaming.metrics import to_exposition
+
+EXAMPLES = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples")
+
+
+def _load_spec(name: str, env: dict, tmp_path) -> dict:
+    props = tmp_path / "ENV.properties"
+    props.write_text("".join(f"{k}={v}\n" for k, v in env.items()))
+    with open(os.path.join(EXAMPLES, name)) as fh:
+        text = fh.read().replace("ENV.properties", str(props))
+    return json.loads(text)
+
+
+def test_task1_jdbc_source_spec(spark, tmp_path):
+    spark.createDataFrame(
+        [(1, "n1", "s1"), (2, "n2", "s2")], ["id", "name", "private_info"]
+    ).write.parquet(str(tmp_path / "users"))
+    spec = _load_spec(
+        "task1_jdbc_source.json",
+        {
+            "users_table": str(tmp_path / "users"),
+            "state_dir": str(tmp_path / "state"),
+            "out_dir": str(tmp_path / "out"),
+        },
+        tmp_path,
+    )
+    assert Pipeline(spec).run(spark) == 2
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.columns == ["key", "value"]
+    first = json.loads(out.collect()[0]["value"])
+    assert first["payload"]["private_info"] == "CENSORED"
+    assert first["payload"]["topic"] == "postgresql-jdbc-bulk-users"
+    assert Pipeline(spec).run(spark) == 0  # offsets committed
+
+
+def test_task2_metrics_spec(spark, tmp_path):
+    scrape = tmp_path / "scrapes"
+    scrape.mkdir()
+    (scrape / "a.prom").write_text(
+        to_exposition(
+            [
+                {"name": "num_input_rows", "labels": {"query": "q"}, "value": 10.0},
+                {"name": "batch_duration_ms", "labels": {"query": "q"}, "value": 5.0},
+            ]
+        )
+    )
+    spec = _load_spec(
+        "task2_metrics.json",
+        {"scrape_dir": str(scrape), "metrics_out": str(tmp_path / "mout")},
+        tmp_path,
+    )
+    assert Pipeline(spec).run(spark) == 1  # filter kept num_input_rows only
+    got = spark.read.parquet(str(tmp_path / "mout")).collect()[0]
+    assert got["name"] == "num_input_rows" and got["value"] == 10.0
+
+
+def test_task3_cdc_spec(spark, tmp_path):
+    rows = [
+        (None, (1, "a1"), "c", 0),
+        ((1, "a1"), (1, "a2"), "u", 1),
+        (None, (2, "b1"), "c", 2),
+        ((2, "b1"), None, "d", 3),
+    ]
+    cdc = spark.createDataFrame(
+        rows,
+        "before struct<id:long,name:string>, after struct<id:long,name:string>, op string, offset long",
+    )
+    # one file == one in-order microbatch: cross-batch apply order is the
+    # transport's guarantee (Kafka preserves per-partition order); the file
+    # replay harness does not, so keep the log in a single file here
+    cdc.coalesce(1).write.parquet(str(tmp_path / "cdc"))
+    spec = _load_spec(
+        "task3_cdc_unwrap.json",
+        {
+            "cdc_dir": str(tmp_path / "cdc"),
+            "state_table": str(tmp_path / "state"),
+            "checkpoint": str(tmp_path / "ckpt"),
+        },
+        tmp_path,
+    )
+    q = Pipeline(spec).start_stream(spark)
+    q.awaitTermination(120)
+    got = {r["id"]: r["name"] for r in spark.read.parquet(str(tmp_path / "state")).collect()}
+    assert got == {1: "a2"}  # b deleted, a at latest version
