@@ -111,6 +111,29 @@ def t4_json_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t7_predicated_transform",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN event_type = 'click' THEN 'CENSORED' ELSE props END AS props,
+           event_type
+    FROM events ORDER BY event_id
+    """,
+)
+def t7_predicated_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicated SMT (reference README.md:290,327): the mask applies only
+    to rows matching the predicate; others pass through untouched."""
+    from pyspark.sql import functions as F
+
+    from ..transforms import apply_when
+
+    events = load(spark, sf_dir, "events").select("event_id", "props", "event_type")
+    out = apply_when(
+        events, F.col("event_type") == "click", lambda d: mask_fields(d, ["props"])
+    )
+    return out.orderBy("event_id")
+
+
+@query(
     "t3_topic_routing",
     oracle="""
     SELECT event_id, 'postgresql-jdbc-bulk-' || event_type AS topic

@@ -4,7 +4,7 @@ functions/textfns.py expression-for-expression (DuckDB list lambdas)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -146,6 +146,61 @@ def x14f_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk_text"))
         .withColumn("chunk_idx", F.col("chunk_idx").cast("int"))
         .orderBy("doc_id", "chunk_idx")
+    )
+
+
+@query(
+    "x14g_training_pipeline",
+    oracle="""
+    WITH kept AS (
+      SELECT doc_id, text, lang,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 20 AND lang IN ('en', 'de')
+    ),
+    chunks AS (
+      SELECT doc_id, lang,
+             unnest([{'i': CAST(s AS INTEGER),
+                      'c': array_to_string(string_split(text, ' ')[s*10 + 1 : s*10 + 20], ' ')}
+                     for s in range(0, (len(string_split(text, ' ')) - 20) // 10 + 1)]) AS u
+      FROM kept WHERE rn = 1
+    )
+    SELECT lang, count(*) AS n_chunks,
+           CAST(sum(len(string_split(u.c, ' '))) AS BIGINT) AS n_tokens
+    FROM chunks GROUP BY lang ORDER BY lang
+    """,
+)
+def x14g_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-data pipeline in ONE plan: length+lang filter ->
+    exact dedup keep-first -> 20-token/stride-10 chunking -> per-lang token
+    budget. Each stage is the operator implemented elsewhere; composed they
+    stay a single Catalyst plan (filter pushdown through the whole chain)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    kept = (
+        d.filter((F.size(toks) >= 20) & F.col("lang").isin("en", "de"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy(F.md5("text")).orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    starts = F.sequence(F.lit(0), F.floor((F.size(toks) - 20) / 10).cast("int"))
+    chunks = kept.select(
+        "lang",
+        F.explode(
+            F.transform(starts, lambda s: F.concat_ws(" ", F.slice(toks, s * 10 + 1, 20)))
+        ).alias("chunk"),
+    )
+    return (
+        chunks.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.size(F.split("chunk", " "))).alias("n_tokens"),
+        )
+        .orderBy("lang")
     )
 
 
