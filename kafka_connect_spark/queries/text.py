@@ -205,6 +205,63 @@ def x14g_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x18_deterministic_split",
+    oracle="""
+    WITH h AS (SELECT doc_id, lang,
+                      CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS bucket
+               FROM documents)
+    SELECT doc_id, lang, CAST(bucket AS INTEGER) AS bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+    FROM h ORDER BY doc_id
+    """,
+)
+def x18_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10) by a cross-engine
+    content hash of the key — reproducible across runs AND engines, no
+    rand(). The standard leakage-safe dataset split at any scale (pure
+    map-side; doc_id could equally be a URL or content fingerprint)."""
+    from ..functions.dedupfns import token_hash60
+
+    d = load(spark, sf_dir, "documents")
+    bucket = F.pmod(token_hash60(F.col("doc_id").cast("string")), F.lit(100))
+    return d.select(
+        "doc_id",
+        "lang",
+        bucket.cast("int").alias("bucket"),
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "x14h_vocab",
+    oracle="""
+    SELECT token, cnt, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT token, count(*) AS cnt,
+             row_number() OVER (ORDER BY count(*) DESC, token) AS rank
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY token
+    ) WHERE rank <= 20 ORDER BY rank
+    """,
+)
+def x14h_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary builder: corpus token counts ranked by frequency (ties by
+    token), top-20 — wordcount + TakeOrdered-style cutoff."""
+    d = load(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), "token")
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 20)
+        .orderBy("rank")
+    )
+
+
+@query(
     "x14e_fingerprint",
     oracle="""
     SELECT doc_id,
