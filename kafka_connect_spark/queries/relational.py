@@ -607,6 +607,63 @@ def x10d_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("p_partkey")
 
 
+@query(
+    "x10e_array_funcs",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n,
+           list_contains(toks, 'spark') AS has_spark,
+           CAST(list_position(toks, 'the') AS INTEGER) AS first_the,
+           array_to_string(toks[1:3], '_') AS head3,
+           array_to_string(list_reverse_sort(list_distinct(toks))[1:2], '|') AS top2_rev
+    FROM t ORDER BY doc_id
+    """,
+)
+def x10e_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/collection function surface: size, contains, position, slice,
+    sort — all JVM-side higher-order expressions."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.array_position(toks, "the").cast("int").alias("first_the"),
+        F.concat_ws("_", F.slice(toks, 1, 3)).alias("head3"),
+        F.concat_ws(
+            "|", F.slice(F.reverse(F.array_sort(F.array_distinct(toks))), 1, 2)
+        ).alias("top2_rev"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "x17b_unpivot",
+    oracle="""
+    WITH w AS (
+      SELECT user_id,
+             ROUND(CAST(SUM(CAST(CASE WHEN event_type = 'click' THEN value END AS DECIMAL(38,6))) AS DOUBLE), 4) AS click,
+             ROUND(CAST(SUM(CAST(CASE WHEN event_type = 'view' THEN value END AS DECIMAL(38,6))) AS DOUBLE), 4) AS view
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, metric, amount
+    FROM w UNPIVOT INCLUDE NULLS (amount FOR metric IN (click, view))
+    ORDER BY user_id, metric
+    """,
+)
+def x17b_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide metric matrix back to long form — the inverse
+    of x17, via the native unpivot operator (Expand, no shuffle)."""
+    events = load(spark, sf_dir, "events")
+    wide = events.groupBy("user_id").pivot("event_type", ["click", "view"]).agg(
+        dsum(F.col("value"))
+    )
+    return (
+        wide.unpivot("user_id", ["click", "view"], "metric", "amount")
+        .orderBy("user_id", "metric")
+    )
+
+
 _Q3_SQL = f"""
     SELECT o_orderkey,
            {dsum_sql("l_extendedprice * (1 - l_discount)")} AS revenue,

@@ -129,6 +129,89 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert (got2["w"].astype(str) != "2024-01-01 10:00:00").all()  # dropped, no update
 
 
+def test_stream_static_join(spark, sf_dir, tmp_path):
+    """Streaming events enriched against a static dimension table — the
+    broadcast-per-microbatch pattern; result equals the batch join."""
+    d, events = _replay_dir(spark, sf_dir, tmp_path, n_files=3)
+    sdf = file_replay_stream(spark, d, spark.read.parquet(d).schema)
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("view", "engagement"), ("purchase", "revenue")],
+        ["event_type", "category"],
+    )
+    joined = sdf.join(F.broadcast(dim), "event_type")
+    out: list[pd.DataFrame] = []
+    q = (
+        joined.writeStream.foreachBatch(lambda b, i: out.append(b.toPandas()))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = pd.concat(out, ignore_index=True)
+    batch = events.join(dim, "event_type").toPandas()
+    assert len(got) == len(batch)
+    assert got.groupby("category")["event_id"].count().to_dict() == \
+        batch.groupby("category")["event_id"].count().to_dict()
+
+
+def test_stream_stream_join(spark, sf_dir, tmp_path):
+    """Stream-stream inner join with watermarks: clicks joined to the same
+    user's purchases within [0, 10 min] — state-bounded on both sides;
+    result equals the batch interval join."""
+    d, events = _replay_dir(spark, sf_dir, tmp_path, n_files=3)
+    schema = spark.read.parquet(d).schema
+
+    def side(kind, alias_ts, alias_uid):
+        s = (
+            file_replay_stream(spark, d, schema)
+            .filter(F.col("event_type") == kind)
+            .withWatermark("ts", "30 minutes")
+        )
+        return s.select(
+            F.col("user_id").alias(alias_uid),
+            F.col("ts").alias(alias_ts),
+            F.col("event_id").alias(f"{kind}_id"),
+        )
+
+    clicks = side("click", "click_ts", "c_uid")
+    buys = side("purchase", "buy_ts", "b_uid")
+    joined = clicks.join(
+        buys,
+        (F.col("c_uid") == F.col("b_uid"))
+        & (F.col("buy_ts") >= F.col("click_ts"))
+        & (F.col("buy_ts") <= F.col("click_ts") + F.expr("INTERVAL 10 MINUTES")),
+    )
+    out: list[pd.DataFrame] = []
+    q = (
+        joined.writeStream.foreachBatch(lambda b, i: out.append(b.toPandas()))
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = pd.concat(out, ignore_index=True) if out else pd.DataFrame()
+
+    e = events
+    bc = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_uid"), F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    bb = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_uid"), F.col("ts").alias("buy_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    batch = bc.join(
+        bb,
+        (F.col("c_uid") == F.col("b_uid"))
+        & (F.col("buy_ts") >= F.col("click_ts"))
+        & (F.col("buy_ts") <= F.col("click_ts") + F.expr("INTERVAL 10 MINUTES")),
+    ).toPandas()
+    assert len(got) == len(batch) > 0
+    assert set(zip(got["click_id"], got["purchase_id"])) == set(
+        zip(batch["click_id"], batch["purchase_id"])
+    )
+
+
 def test_exactly_once_restart_with_upsert_sink(spark, sf_dir, tmp_path):
     """Kill after the first microbatch, restart from the checkpoint, compare
     to the batch run: at-least-once replay + idempotent MERGE == exactly-once."""
