@@ -664,6 +664,44 @@ def x17b_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "x19_histogram",
+    oracle="""
+    SELECT CAST(least(floor(o_totalprice / 60000), 9) AS INTEGER) AS bucket,
+           count(*) AS cnt
+    FROM orders GROUP BY bucket ORDER BY bucket
+    """,
+)
+def x19_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via integer bucket arithmetic (identical in
+    both engines; width_bucket's edge semantics differ across systems)."""
+    o = load(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 60000), F.lit(9)).cast("int")
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("bucket")
+    )
+
+
+_SCALAR_SQL = """
+    SELECT c_custkey, c_acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+                              / COUNT(*) FROM customer)
+    ORDER BY c_custkey
+"""
+
+
+@query("x20_scalar_subquery", oracle=_SCALAR_SQL)
+def x20_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in a predicate (customers above the mean balance) —
+    Catalyst plans the subquery once and broadcasts the scalar. Decimal-
+    exact mean so both engines compare against the same threshold."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SCALAR_SQL)
+
+
 _Q3_SQL = f"""
     SELECT o_orderkey,
            {dsum_sql("l_extendedprice * (1 - l_discount)")} AS revenue,
