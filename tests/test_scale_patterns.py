@@ -153,6 +153,44 @@ def test_observability_loop_end_to_end(spark, tmp_path):
     assert "num_input_rows" in by_name and by_name["num_input_rows"]["n"] >= 1
 
 
+def test_exposition_stream_sink_plugin(spark, tmp_path):
+    """Custom streaming SINK via the Python DataSource API: per-batch
+    atomic exposition files; roundtrips through the reader plugin."""
+    import glob
+
+    from kafka_connect_spark.sinks.exposition_sink import ExpositionSinkDataSource
+
+    spark.dataSource.register(ExpositionSinkDataSource)
+    src = str(tmp_path / "metrics_src")
+    rows = [("num_input_rows", 'query="q1"', 10.0), ("num_input_rows", 'query="q2"', 20.0)]
+    spark.createDataFrame(rows, "name string, labels string, value double").coalesce(
+        1
+    ).write.parquet(src)
+
+    out = str(tmp_path / "scrapes")
+    sdf = spark.readStream.schema("name string, labels string, value double").parquet(src)
+    q = (
+        sdf.writeStream.format("exposition_sink")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    files = glob.glob(f"{out}/batch-*.prom")
+    assert len(files) == 1
+    text = open(files[0]).read()
+    assert 'num_input_rows{query="q1"} 10.0' in text
+
+    # close the loop: the reader plugin ingests what the writer published
+    spark.dataSource.register(ExpositionDataSource)
+    back = spark.read.format("exposition").option("path", files[0]).load()
+    assert {(r["name"], r["value"]) for r in back.collect()} == {
+        ("num_input_rows", 10.0),
+        ("num_input_rows", 20.0),
+    }
+
+
 def test_exposition_datasource_plugin(spark, tmp_path):
     spark.dataSource.register(ExpositionDataSource)
     for i, val in enumerate([1.5, 2.5]):
