@@ -26,6 +26,11 @@ from pyspark.sql import functions as F
 # so ANSI-mode arithmetic never overflows.
 _MINHASH_PRIME = 2147483647
 
+# One-slot handle on the most recent ngram_jaccard_pairs shingle cache —
+# released on the next call so repeated invocations in a long-lived session
+# don't accumulate pinned partitions.
+_last_shingle_cache: DataFrame | None = None
+
 
 def content_hash(text: Column | str) -> Column:
     return F.md5(text if isinstance(text, Column) else F.col(text))
@@ -61,10 +66,15 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= threshold).
 
-    Plan shape: explode distinct shingles, equi self-join on the shingle
-    (shuffle on shingle string), count intersections per pair, then
-    |A ∪ B| = |A| + |B| - |A ∩ B|. Deterministic integer counts; the final
-    division is a single double op, rounded to 6."""
+    Plan shape: explode distinct shingles, hash each to int64, equi
+    self-join on the hash (8-byte shuffle keys instead of the raw shingle
+    string — shingles average ~20+ bytes, so this cuts join shuffle volume
+    by more than half), count intersections per pair, then
+    |A ∪ B| = |A| + |B| - |A ∩ B|. Shingles are distinct per doc before
+    hashing, so intersection counts are exact up to 64-bit xxhash64
+    collisions (~n²/2⁶⁵ — negligible at any corpus size we target).
+    Deterministic integer counts; the final division is a single double op,
+    rounded to 6."""
     # NOTE on plan shape: carrying size(arr) alongside explode(arr) looks
     # cheaper (one shuffle) but CollapseProject folds the array expression
     # into the post-explode projection, recomputing the shingle transform
@@ -72,12 +82,20 @@ def ngram_jaccard_pairs(
     # exploded rows per doc is one extra (tiny: |docs| groups) aggregation
     # and keeps the expensive expression evaluated once per row.
     sh = df.select(
-        F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("s")
-    )
+        F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("s_str")
+    ).select("id", F.xxhash64("s_str").alias("s"))
     # the exploded shingles feed three consumers (sizes + both join sides);
     # persisting computes the expensive shingle transform once (~35% saved,
     # measured at sf0.1). MEMORY_AND_DISK + LRU eviction keeps it safe.
+    # Long-lived sessions (bench loop, herder) call this repeatedly: release
+    # the previous call's cache so at most one shingle relation stays pinned
+    # (unpersist is safe even if that result is re-evaluated later — the
+    # plan just recomputes).
     sh = sh.persist()
+    global _last_shingle_cache
+    if _last_shingle_cache is not None:
+        _last_shingle_cache.unpersist(blocking=False)
+    _last_shingle_cache = sh
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     if max_shingle_freq is not None:
         hot = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df_"))

@@ -58,7 +58,7 @@ class Herder:
         spec = dict(spec, name=name)
         Pipeline(spec)  # validate before persisting (fail-fast like Connect)
         with self._lock:
-            self.stop(name)
+            self._stop_locked(name)
             tmp = self._config_path(name) + ".tmp"
             with open(tmp, "w") as fh:
                 json.dump(spec, fh, indent=2)
@@ -77,46 +77,55 @@ class Herder:
         """Execute a batch pipeline (one poll for incremental sources)."""
         return Pipeline(self.get_config(name)).run(self.spark)
 
-    def stop(self, name: str) -> bool:
+    def _stop_locked(self, name: str) -> bool:
+        """Internal: caller holds self._lock."""
         q = self._queries.pop(name, None)
         if q is not None:
             q.stop()
             return True
         return False
 
+    def stop(self, name: str) -> bool:
+        with self._lock:
+            return self._stop_locked(name)
+
     def delete(self, name: str) -> None:
         with self._lock:
-            self.stop(name)
+            self._stop_locked(name)
             self._failed.pop(name, None)
             path = self._config_path(name)
             if os.path.exists(path):
                 os.remove(path)
 
     def status(self, name: str) -> dict:
-        """Mirrors GET /connectors/<name>/status (reference README.md:115-131)."""
+        """Mirrors GET /connectors/<name>/status (reference README.md:115-131).
+        Runs from HTTP handler threads concurrently with put()/delete(), so
+        all reads/mutations of shared state happen under the lock."""
         if name not in self.list():
             return {"name": name, "state": "NOT_FOUND"}
-        q = self._queries.get(name)
-        if q is not None:
-            if q.isActive:
-                state = "RUNNING"
-            elif q.exception() is not None:
-                state, self._failed[name] = "FAILED", str(q.exception())
+        with self._lock:
+            q = self._queries.get(name)
+            if q is not None:
+                if q.isActive:
+                    state = "RUNNING"
+                elif q.exception() is not None:
+                    state, self._failed[name] = "FAILED", str(q.exception())
+                else:
+                    state = "STOPPED"
+            elif name in self._failed:
+                state = "FAILED"
             else:
-                state = "STOPPED"
-        elif name in self._failed:
-            state = "FAILED"
-        else:
-            spec = self.get_config(name)
-            state = "STOPPED" if spec.get("streaming") else "BATCH"
-        out = {"name": name, "state": state}
-        if name in self._failed:
-            out["trace"] = self._failed[name]
+                spec = self.get_config(name)
+                state = "STOPPED" if spec.get("streaming") else "BATCH"
+            out = {"name": name, "state": state}
+            if name in self._failed:
+                out["trace"] = self._failed[name]
         return out
 
     def shutdown(self) -> None:
-        for name in list(self._queries):
-            self.stop(name)
+        with self._lock:
+            for name in list(self._queries):
+                self._stop_locked(name)
 
 
 def serve_http(herder: Herder, host: str = "127.0.0.1", port: int = 0):

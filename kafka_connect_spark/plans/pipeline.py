@@ -297,13 +297,25 @@ class Pipeline:
             return -1  # row count not tracked for streaming drains
         base = self._read(spark)
         src = getattr(self._read, "source", None)
-        # Snapshot the increment's high-water mark BEFORE transforms (the
-        # chain may drop or mask the offset column).
-        off = src.max_offset_of(base) if src is not None else None
-        df = self._apply(base)
-        n = df.count()
-        self._sink(df)
-        if src is not None and off is not None:
-            # commit AFTER the sink write => at-least-once, like the reference
-            src.commit(off)
+        cached = False
+        if src is not None and src.batch_max_rows is not None:
+            # Bounded poll: the increment is consumed three times (offset
+            # snapshot, count, sink). It is a deterministic range filter, so
+            # caching is a perf optimization, not a consistency requirement.
+            base = base.cache()
+            cached = True
+        try:
+            # Snapshot the increment's high-water mark BEFORE transforms (the
+            # chain may drop or mask the offset column).
+            off = src.max_offset_of(base) if src is not None else None
+            df = self._apply(base)
+            n = df.count()
+            self._sink(df)
+            if src is not None and off is not None:
+                # commit AFTER the sink write => at-least-once, like the
+                # reference
+                src.commit(off)
+        finally:
+            if cached:
+                base.unpersist()
         return n

@@ -18,6 +18,7 @@ verified by the kill-and-restart test in tests/test_streaming.py."""
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -56,9 +57,78 @@ class UpsertParquetSink:
             .drop("__rn")
         )
 
+    # -- crash-safe versioned storage ---------------------------------------
+    #
+    # Parquet has no transactions, so each merge writes a NEW version
+    # directory (<path>.data.vN) and atomically flips a symlink at
+    # ``self.path`` onto it (symlink create + os.replace = one rename).
+    # A crash mid-write leaves the pointer on the previous complete version
+    # — readers never see a half-written table — and ``_recover`` repoints
+    # a missing/dangling pointer to the newest complete (_SUCCESS-marked)
+    # version on the next call. Superseded versions are deleted after the
+    # flip. This is the poor-man's Delta/Iceberg commit protocol; on a real
+    # table format the whole block becomes MERGE INTO.
+
+    def _pointer(self) -> str:
+        return self.path.rstrip("/")
+
+    def _version_dirs(self) -> list[str]:
+        ptr = os.path.abspath(self._pointer())
+        parent, base = os.path.dirname(ptr), os.path.basename(ptr)
+        prefix = base + ".data.v"
+        if not os.path.isdir(parent):
+            return []
+        vers = [
+            os.path.join(parent, f)
+            for f in os.listdir(parent)
+            if f.startswith(prefix) and f[len(prefix):].isdigit()
+        ]
+        return sorted(vers, key=lambda p: int(p.rsplit(".v", 1)[1]))
+
+    def _next_version_dir(self) -> str:
+        vers = self._version_dirs()
+        n = int(vers[-1].rsplit(".v", 1)[1]) + 1 if vers else 0
+        return os.path.abspath(self._pointer()) + f".data.v{n}"
+
+    def _flip(self, target: str) -> None:
+        """Atomically point ``self.path`` at ``target``, then GC superseded
+        version dirs and any legacy staging leftovers."""
+        ptr = self._pointer()
+        tmp = ptr + ".lnk.tmp"
+        if os.path.lexists(tmp):
+            os.unlink(tmp)
+        os.symlink(os.path.abspath(target), tmp)
+        os.replace(tmp, ptr)  # atomic rename over the old symlink
+        for d in self._version_dirs():
+            if os.path.abspath(d) != os.path.abspath(target):
+                shutil.rmtree(d, ignore_errors=True)
+        legacy_staging = ptr + ".staging"
+        if os.path.isdir(legacy_staging):
+            shutil.rmtree(legacy_staging, ignore_errors=True)
+
+    def _recover(self) -> bool:
+        """True if a readable base table exists (repairing the pointer from
+        the newest complete version dir if a crash stranded it)."""
+        ptr = self._pointer()
+        if os.path.islink(ptr):
+            if os.path.isdir(ptr):
+                return True
+            os.unlink(ptr)  # dangling: crashed between GC start and flip? repoint
+        elif os.path.isdir(ptr):
+            return any(f.endswith(".parquet") for f in os.listdir(ptr))
+        complete = [
+            d for d in self._version_dirs()
+            if os.path.exists(os.path.join(d, "_SUCCESS"))
+        ]
+        if complete:
+            self._flip(complete[-1])
+            return True
+        return False
+
     def apply_batch(self, batch: DataFrame, batch_id: int | None = None) -> None:
         """MERGE semantics: delete keys present in the batch, insert the
-        batch's last-writer rows. Safe to re-apply the same batch (idempotent)."""
+        batch's last-writer rows. Safe to re-apply the same batch (idempotent),
+        and crash-safe at every step (see versioned-storage note above)."""
         spark = batch.sparkSession
         incoming = self._dedup_batch(batch)
         deletes = None
@@ -69,14 +139,21 @@ class UpsertParquetSink:
             incoming = incoming.filter(
                 (F.col(self.delete_col) != "true") | F.col(self.delete_col).isNull()
             ).drop(self.delete_col)
-        exists = os.path.isdir(self.path) and any(
-            f.endswith(".parquet") for f in os.listdir(self.path)
-        )
-        if not exists:
+        if not self._recover():
             if not self.auto_create:
                 raise FileNotFoundError(self.path)
-            incoming.write.mode("overwrite").parquet(self.path)
+            v0 = self._next_version_dir()
+            incoming.write.mode("overwrite").parquet(v0)
+            self._flip(v0)
             return
+        ptr = self._pointer()
+        if not os.path.islink(ptr):
+            # migrate a legacy plain-directory table into the versioned
+            # layout: one atomic rename, then the pointer flip (a crash
+            # between the two is healed by _recover from the version dir)
+            v0 = self._next_version_dir()
+            os.rename(ptr, v0)
+            self._flip(v0)
         base = spark.read.option("mergeSchema", "true").parquet(self.path)
         new_cols = set(incoming.columns) - set(base.columns)
         if new_cols and not self.auto_evolve:
@@ -89,14 +166,12 @@ class UpsertParquetSink:
         # columns is allowed — missing sides fill with NULL; drops/renames
         # are not silently applied
         merged = keep.unionByName(incoming, allowMissingColumns=True)
-        # Rewrite via a staging dir: parquet has no transactions, and
-        # overwrite-while-reading-self breaks. Delta/Iceberg MERGE removes this.
-        staging = self.path.rstrip("/") + ".staging"
-        merged.write.mode("overwrite").parquet(staging)
-        final = spark.read.parquet(staging)
-        final.write.mode("overwrite").parquet(self.path)
+        new_v = self._next_version_dir()
+        merged.write.mode("overwrite").parquet(new_v)  # reads old version via symlink
+        self._flip(new_v)
 
     def read(self, spark: SparkSession) -> DataFrame:
+        self._recover()
         return spark.read.parquet(self.path)
 
     def foreach_batch(self):

@@ -15,8 +15,14 @@ with an idempotent sink (sinks.upsert) for effective exactly-once.
 
 Scale: each poll is one pushed-down range scan (``offset > last``), so
 cost tracks the increment, not the table. ``batch_max_rows`` bounds a poll
-via an ascending TakeOrdered (per-partition top-k, k-row driver merge) —
-no global sort."""
+by probing the n-th smallest offset (an ascending TakeOrdered: per-partition
+top-k, k-row driver merge — no global sort) and cutting the batch at that
+OFFSET BOUNDARY, inclusive of ties. The emitted batch is therefore a pure
+range predicate ``last < offset <= bound``: deterministic under
+re-evaluation, and a tie group sharing the boundary timestamp is always
+emitted whole — truncating mid-tie-group and committing the boundary would
+silently skip the tied rows past the cap forever (the failure mode the
+reference's timestamp+incrementing mode exists to avoid)."""
 
 from __future__ import annotations
 
@@ -67,21 +73,36 @@ class IncrementalTableSource:
     # -- polling ------------------------------------------------------------
 
     def read_increment(self, spark: SparkSession) -> DataFrame:
-        """One poll: rows with offset column > last committed offset,
-        ascending-limited to batch_max_rows. The filter lands in the scan
-        (PushedFilters) — for a JDBC backend Catalyst pushes the same
-        predicate into the remote query."""
+        """One poll: rows with offset column > last committed offset, capped
+        near batch_max_rows at an offset-boundary cut (ties included). The
+        filters land in the scan (PushedFilters) — for a JDBC backend
+        Catalyst pushes the same predicates into the remote query.
+
+        The returned DataFrame is a deterministic range filter (no LIMIT),
+        so offset snapshot, count, and sink write agree on the row set even
+        if each triggers a separate evaluation."""
         df = spark.read.format(self.fmt).load(self.path)
         last = self.last_offset()
         if last is not None:
-            bound = (
+            lower = (
                 F.lit(last).cast("timestamp")
                 if self.mode == "timestamp"
                 else F.lit(last)
             )
-            df = df.filter(F.col(self.offset_column) > bound)
+            df = df.filter(F.col(self.offset_column) > lower)
         if self.batch_max_rows is not None:
-            df = df.orderBy(self.offset_column).limit(self.batch_max_rows)
+            # Probe the n-th smallest offset (1-row driver scalar), then cut
+            # the batch at that boundary INCLUSIVE — rows tied with the
+            # boundary are all emitted now, never stranded past a truncation.
+            probe = (
+                df.orderBy(self.offset_column)
+                .limit(self.batch_max_rows)
+                .agg(F.max(self.offset_column).alias("b"))
+                .collect()[0]["b"]
+            )
+            if probe is None:
+                return df.limit(0)
+            df = df.filter(F.col(self.offset_column) <= F.lit(probe))
         return df
 
     def max_offset_of(self, batch: DataFrame):
@@ -101,7 +122,9 @@ class IncrementalTableSource:
         emitted (0 = caught up)."""
         batch = self.read_increment(spark)
         if self.batch_max_rows is not None:
-            # Bounded poll: materialize once so offset + sink see one snapshot.
+            # Bounded poll: the batch is already a deterministic range filter
+            # (see read_increment); cache purely to avoid re-scanning for the
+            # offset snapshot, count, and sink write.
             batch = batch.cache()
         new_offset = self.max_offset_of(batch)
         if new_offset is None:

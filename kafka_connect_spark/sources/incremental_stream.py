@@ -78,8 +78,15 @@ class _IncrementalStreamReader(SimpleDataSourceStreamReader):
             (tuple(r) for r in zip(*(table.column(n).to_pylist() for n in names))),
             key=lambda r: r[idx],
         )
-        if self.batch_max_rows is not None and upper is None:
-            rows = rows[: self.batch_max_rows]
+        if self.batch_max_rows is not None and upper is None and len(rows) > self.batch_max_rows:
+            # Cut at an offset boundary, ties included: committing the max of
+            # a mid-tie-group truncation would skip the tied rows past the
+            # cap forever (next poll filters offset > committed max).
+            bound = rows[self.batch_max_rows - 1][idx]
+            j = self.batch_max_rows
+            while j < len(rows) and rows[j][idx] == bound:
+                j += 1
+            rows = rows[:j]
         new_max = max(r[idx] for r in rows)
         return rows, new_max
 

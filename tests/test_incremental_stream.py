@@ -68,6 +68,26 @@ def test_incremental_stream_source(spark, tmp_path):
         q2.awaitTermination(30)
 
 
+def test_incremental_stream_cap_keeps_tie_group_whole(spark, tmp_path):
+    """batch.max.rows must cut at an offset boundary: a tie group sharing
+    the boundary value comes out in one batch, or the committed max would
+    skip the tied remainder forever."""
+    from kafka_connect_spark.sources.incremental_stream import _IncrementalStreamReader
+
+    src = str(tmp_path / "t")
+    # offset column `k`: five rows at k=1 (tie group > cap), two at k=2
+    spark.createDataFrame(
+        [(i, 1 if i <= 5 else 2) for i in range(1, 8)], ["id", "k"]
+    ).coalesce(1).write.parquet(src)
+    rdr = _IncrementalStreamReader(
+        {"path": src, "offset.column": "k", "batch.max.rows": "3"}
+    )
+    rows, new_max = rdr._scan(None)
+    assert len(rows) == 5 and new_max == 1  # whole k=1 group despite cap=3
+    rows2, new_max2 = rdr._scan(new_max)
+    assert len(rows2) == 2 and new_max2 == 2
+
+
 def test_incremental_stream_batch_cap(spark, tmp_path):
     spark.dataSource.register(IncrementalTableDataSource)
     src = str(tmp_path / "t")

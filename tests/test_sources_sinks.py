@@ -60,6 +60,42 @@ def test_batch_max_rows_paging(spark, tmp_path):
     assert sizes == [3, 3, 1]  # batch.max.rows pages through the backlog
 
 
+def test_batch_cap_never_splits_offset_tie_group(spark, tmp_path):
+    """Timestamp mode + batch.max.rows: rows sharing the boundary timestamp
+    must be emitted in ONE batch — truncating mid-group and committing the
+    boundary would skip the rest of the tie group forever."""
+    data = str(tmp_path / "users")
+    state = str(tmp_path / "state")
+    # ids 1-5 share ts T1 (tie group bigger than the cap), 6-7 at T2
+    spark.sql(
+        "SELECT id, CASE WHEN id <= 5 THEN TIMESTAMP '2024-01-01 00:00:00' "
+        "ELSE TIMESTAMP '2024-01-02 00:00:00' END AS updated_at "
+        "FROM range(1, 8) AS t(id)"
+    ).write.mode("overwrite").parquet(data)
+    src = IncrementalTableSource(data, "updated_at", "timestamp", state, batch_max_rows=3)
+    seen: list[set] = []
+    while src.run_once(spark, lambda df: seen.append({r["id"] for r in df.collect()})) > 0:
+        pass
+    # cap=3 but the T1 tie group (5 rows) comes out whole, then T2's pair
+    assert seen == [{1, 2, 3, 4, 5}, {6, 7}]
+    # nothing lost, nothing duplicated
+    assert sorted(x for s in seen for x in s) == list(range(1, 8))
+
+
+def test_read_increment_is_deterministic_under_reevaluation(spark, tmp_path):
+    """The capped batch is a pure range filter — separate evaluations (offset
+    snapshot, count, sink) must agree on the row set even without caching."""
+    data = str(tmp_path / "users")
+    state = str(tmp_path / "state")
+    _write_users(spark, data, [(i, f"n{i}", "2024-01-01") for i in range(1, 20)])
+    src = IncrementalTableSource(data, "id", "incrementing", state, batch_max_rows=5)
+    batch = src.read_increment(spark)
+    ids1 = {r["id"] for r in batch.collect()}
+    ids2 = {r["id"] for r in batch.collect()}
+    assert ids1 == ids2 == {1, 2, 3, 4, 5}
+    assert src.max_offset_of(batch) == 5
+
+
 def test_timestamp_mode(spark, tmp_path):
     data = str(tmp_path / "users")
     state = str(tmp_path / "state")
@@ -110,6 +146,57 @@ def test_upsert_sink_schema_evolution(spark, tmp_path):
         strict.apply_batch(
             spark.createDataFrame([(3, 1, "c", 1.0)], ["id", "ver", "v", "z"])
         )
+
+
+def test_upsert_sink_crash_safety(spark, tmp_path):
+    """Versioned commit protocol: a crash mid-merge never loses the last
+    complete table, and a stranded pointer is repaired on the next call."""
+    import os
+    import shutil
+
+    path = str(tmp_path / "tbl")
+    sink = UpsertParquetSink(path, key_cols=["id"], order_col="ver")
+    sink.apply_batch(spark.createDataFrame([(1, 1, "a")], ["id", "ver", "v"]))
+    assert os.path.islink(path)  # pointer onto .data.v0
+
+    # crash scenario 1: a half-written NEW version dir (no _SUCCESS) exists;
+    # the pointer still serves the old complete version and the partial dir
+    # is GC'd by the next successful merge
+    partial = path + ".data.v99"
+    os.makedirs(partial)
+    got = {r["id"]: r["v"] for r in sink.read(spark).collect()}
+    assert got == {1: "a"}
+    sink.apply_batch(spark.createDataFrame([(2, 1, "b")], ["id", "ver", "v"]))
+    assert not os.path.exists(partial)
+    assert {r["id"] for r in sink.read(spark).collect()} == {1, 2}
+
+    # crash scenario 2: pointer lost between rename and flip — recover from
+    # the newest complete version dir
+    target = os.readlink(path)
+    os.unlink(path)
+    got = {r["id"]: r["v"] for r in sink.read(spark).collect()}
+    assert got == {1: "a", 2: "b"}
+    assert os.path.islink(path) and os.readlink(path) == target
+
+    # no superseded version dirs or legacy staging left behind
+    vers = [f for f in os.listdir(tmp_path) if ".data.v" in f]
+    assert len(vers) == 1
+    shutil.rmtree(tmp_path / "tbl.data.v1", ignore_errors=True)
+
+
+def test_upsert_sink_migrates_legacy_plain_dir(spark, tmp_path):
+    """Tables written by the pre-versioned layout (plain parquet dir) are
+    adopted in place on the next merge."""
+    import os
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, 1, "a")], ["id", "ver", "v"]).write.parquet(path)
+    assert not os.path.islink(path)
+    sink = UpsertParquetSink(path, key_cols=["id"], order_col="ver")
+    sink.apply_batch(spark.createDataFrame([(1, 2, "a2"), (2, 1, "b")], ["id", "ver", "v"]))
+    assert os.path.islink(path)
+    got = {r["id"]: r["v"] for r in sink.read(spark).collect()}
+    assert got == {1: "a2", 2: "b"}
 
 
 def test_kafka_options_passthrough():
