@@ -175,12 +175,53 @@ def _bucket_udf(planes: np.ndarray):
     @pandas_udf("array<long>")
     def bucketize(emb: pd.Series) -> pd.Series:
         mat = np.stack(emb.to_numpy())  # (batch, dim)
-        out = []
         signs = np.einsum("bd,tpd->btp", mat, planes) > 0  # (batch, tables, planes)
         buckets = signs @ weights  # (batch, tables)
         return pd.Series(list(buckets.astype(np.int64)))
 
     return bucketize
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_size: int = 2048,
+    iters: int = 8,
+) -> np.ndarray:
+    """Spherical k-means over a deterministic corpus sample, driver-side.
+
+    The sample is the ``sample_size`` lowest-id rows (a TakeOrdered — bounded
+    driver transfer regardless of corpus size; at 100 TB a `.sample(seed)`
+    would spread IO better but lose run-to-run determinism, which the
+    correctness gate needs). Lloyd iterations run in numpy on unit vectors:
+    assign by max cosine, update = normalized mean; empty clusters keep
+    their previous centroid. Returns (n_centroids, dim) unit rows."""
+    rows = (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy("id")
+        .limit(sample_size)
+        .collect()
+    )
+    mat = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    rng = np.random.RandomState(seed)
+    cents = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)].copy()
+    if len(cents) < n_centroids:  # degenerate tiny corpus: pad with random dirs
+        pad = rng.randn(n_centroids - len(cents), mat.shape[1])
+        cents = np.vstack([cents, pad / np.linalg.norm(pad, axis=1, keepdims=True)])
+    for _ in range(iters):
+        assign = np.argmax(mat @ cents.T, axis=1)
+        for c in range(n_centroids):
+            members = mat[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cents[c] = m / n
+    return cents
 
 
 def ivf_cosine_topk(
@@ -192,24 +233,27 @@ def ivf_cosine_topk(
     n_centroids: int = 16,
     n_probe: int = 8,
     seed: int = 42,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: partition the corpus into Voronoi cells
     around fixed centroids; a query searches only its ``n_probe`` nearest
     cells. The other classic ANN scale path next to hyperplane LSH
     (x13b): one map pass tags cells, the join touches probed cells only.
 
-    Centroids are a deterministic unit-normalized random set (seeded) — a
-    production build would k-means a corpus sample, same plumbing."""
-    import numpy as np
+    Centroids default to spherical k-means over a deterministic corpus
+    sample (``kmeans_centroids``); pass ``centroids`` to reuse a trained
+    codebook. The matrix is built ONCE on the driver and closed over by the
+    assign UDF (pickled to executors with the function — the broadcast-once
+    pattern), never reconstructed per Arrow batch."""
+    if centroids is None:
+        centroids = kmeans_centroids(corpus, n_centroids, id_col, vec_col, seed)
+    cents = np.ascontiguousarray(centroids, dtype=np.float64)
+    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
 
-    # centroid directions (n_centroids, dim); dim inferred lazily per batch
     def make_assign(n_assign: int):
         @pandas_udf("array<long>")
         def assign(emb: pd.Series) -> pd.Series:
             mat = np.stack(emb.to_numpy()).astype(np.float64)
-            rng = np.random.RandomState(seed)
-            cents = rng.randn(n_centroids, mat.shape[1])
-            cents /= np.linalg.norm(cents, axis=1, keepdims=True)
             sims = mat @ cents.T / np.linalg.norm(mat, axis=1, keepdims=True)
             top = np.argsort(-sims, axis=1)[:, :n_assign]
             return pd.Series(list(top.astype(np.int64)))

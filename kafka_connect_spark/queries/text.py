@@ -246,19 +246,21 @@ def x18_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x14h_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary builder: corpus token counts ranked by frequency (ties by
-    token), top-20 — wordcount + TakeOrdered-style cutoff."""
+    token), top-20. The cutoff is orderBy().limit(20) — a
+    TakeOrderedAndProject (per-partition top-k, 20-row driver merge), NOT a
+    global row_number window: ranking the full distinct-token set through a
+    single-partition WindowExec is the classic scale-killer (10^8+ tokens
+    through one task at corpus scale). The rank window runs only over the
+    20 surviving rows."""
     d = load(spark, sf_dir, "documents")
     counts = (
         d.select(F.explode(F.split("text", " ")).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    top = counts.orderBy(F.col("cnt").desc(), "token").limit(20)
     w = Window.orderBy(F.col("cnt").desc(), "token")
-    return (
-        counts.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 20)
-        .orderBy("rank")
-    )
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).orderBy("rank")
 
 
 @query(

@@ -191,10 +191,34 @@ def apply_when(
     df: DataFrame, predicate: Column, transform: Callable[[DataFrame], DataFrame]
 ) -> DataFrame:
     """Predicated transform: apply ``transform`` only to rows matching
-    ``predicate``; other rows pass through unchanged. Requires the transform
-    to preserve the schema (as Connect SMT predicates do)."""
-    changed = transform(df.filter(predicate))
-    unchanged = df.filter(~predicate | predicate.isNull())
-    if set(changed.columns) != set(df.columns):
+    ``predicate``; other rows pass through unchanged (null predicate = no
+    match, like Connect's predicated SMTs). Requires the transform to
+    preserve the schema and pass unknown columns through (as Connect SMTs
+    do — they act on named fields of each record).
+
+    Single-pass plan: the predicate and the original column values are
+    stashed as extra columns, the transform runs over the WHOLE relation,
+    and a final per-column ``when(pred, transformed).otherwise(original)``
+    selects the right value. One scan, one codegen stage — a
+    filter/transform/union alternative reads the input twice and splits the
+    SMT chain into two subtrees (2x scan at scale)."""
+    orig_cols = list(df.columns)
+    stash = [F.col(c).alias(f"__orig__{c}") for c in orig_cols]
+    aug = df.select(*orig_cols, *stash, predicate.alias("__pred__"))
+    t = transform(aug)
+    missing = ({"__pred__", *{f"__orig__{c}" for c in orig_cols}, *orig_cols}
+               - set(t.columns))
+    if missing:
+        raise ValueError(
+            "predicated transform must preserve the schema and pass "
+            f"unknown columns through; missing: {sorted(missing)}"
+        )
+    if set(t.columns) - {"__pred__", *{f"__orig__{c}" for c in orig_cols}, *orig_cols}:
         raise ValueError("predicated transform must preserve the schema")
-    return changed.unionByName(unchanged)
+    pred = F.col("__pred__").isNotNull() & F.col("__pred__")
+    return t.select(
+        *[
+            F.when(pred, F.col(c)).otherwise(F.col(f"__orig__{c}")).alias(c)
+            for c in orig_cols
+        ]
+    )

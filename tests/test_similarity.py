@@ -42,7 +42,9 @@ def test_ivf_recall_at_k(spark, sf_dir):
     e = {(r.query_id, r.neighbor_id) for r in exact.itertuples()}
     a = {(r.query_id, r.neighbor_id) for r in approx.itertuples()}
     recall = len(e & a) / len(e)
-    assert recall >= 0.5, f"IVF recall@3 = {recall:.2f}"
+    # k-means centroids (vs seeded-random) lifted recall ~0.72 -> ~0.83 at
+    # n_probe=8 on the worst-case uniform-random fixture; bound locks that in
+    assert recall >= 0.65, f"IVF recall@3 = {recall:.2f}"
 
 
 def test_blocked_pairs_equal_fold_pairs(spark, sf_dir):
