@@ -86,6 +86,31 @@ def _src_incremental(spec: dict) -> Callable[[SparkSession], DataFrame]:
     return read
 
 
+@register_source("jdbc_incremental")
+def _src_jdbc(spec: dict) -> Callable[[SparkSession], DataFrame]:
+    """The reference's defining source (README.md:88-109): incremental poll
+    of a live database table over JDBC, offset predicates pushed into the
+    remote query."""
+    src = IncrementalTableSource(
+        path=spec["connection.url"],
+        offset_column=spec["offset.column"],
+        mode=spec.get("mode", "incrementing"),
+        state_dir=spec.get("state.dir"),
+        batch_max_rows=spec.get("batch.max.rows"),
+        fmt="jdbc",
+        table=spec["table"],
+        jdbc_options=spec.get("options"),
+    )
+
+    def read(spark: SparkSession) -> DataFrame:
+        df = src.read_increment(spark)
+        read.source = src
+        return df
+
+    read.source = src
+    return read
+
+
 @register_source("exposition")
 def _src_exposition(spec: dict) -> Callable[[SparkSession], DataFrame]:
     """Prometheus-exposition scrape files via the custom data source plugin
@@ -148,6 +173,21 @@ def _k_upsert(spec: dict):
         spec["key.fields"],
         spec["order.column"],
         delete_col=spec.get("delete.column"),
+    )
+    return lambda df: sink.apply_batch(df)
+
+
+@register_sink("upsert_jdbc")
+def _k_upsert_jdbc(spec: dict):
+    from ..sinks.jdbc import UpsertJdbcSink
+
+    sink = UpsertJdbcSink(
+        spec["connection.url"],
+        spec["table"],
+        spec["key.fields"],
+        spec["order.column"],
+        delete_col=spec.get("delete.column"),
+        options=spec.get("options"),
     )
     return lambda df: sink.apply_batch(df)
 

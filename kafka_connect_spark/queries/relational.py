@@ -65,6 +65,38 @@ def s3_jdbc_bulk_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "customer").orderBy("c_custkey")
 
 
+@query(
+    "s3b_jdbc_live_roundtrip",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    WHERE c_acctbal > 0 ORDER BY c_custkey
+    """,
+)
+def s3b_jdbc_live_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JDBC wiring, hash-checked: load the customer table, write it to
+    a live embedded Derby database over ``df.write.format("jdbc")``, read it
+    back with ``spark.read.format("jdbc")`` with a filter pushed into the
+    remote WHERE clause, and return the result (reference README.md:88-109
+    ``connection.url`` — the same code path a Postgres deployment uses).
+    DOUBLE/BIGINT/VARCHAR round-trip bit-exactly through the database."""
+    import tempfile
+
+    from ..sinks.jdbc import quiet_derby
+
+    quiet_derby(spark)
+    url = f"jdbc:derby:{tempfile.mkdtemp(prefix='derby-rt-')}/db;create=true"
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    (
+        cust.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "CUST")
+        .mode("overwrite")
+        .save()
+    )
+    back = spark.read.format("jdbc").option("url", url).option("dbtable", "CUST").load()
+    return back.filter(F.col("c_acctbal") > 0).orderBy("c_custkey")
+
+
 # ---------------------------------------------------------------------------
 # K2 — JDBC sink upsert semantics (reference sink-quickstart-sqlite.properties:19-29,
 # manifest.json:5 'idempotent writes with upserts'). Batch analog:
