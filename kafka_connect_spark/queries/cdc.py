@@ -111,6 +111,32 @@ def t4_json_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t4b_avro_envelope_roundtrip",
+    oracle="""
+    SELECT event_id, event_type, value FROM events ORDER BY event_id
+    """,
+)
+def t4b_avro_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AvroConverter surface (reference docker-compose.yaml:63-75,144):
+    serialize rows to the Confluent wire format (magic + schema id + Avro
+    binary) against a file-backed schema-registry analog, then decode back
+    to typed columns via the registered writer schema. Values round-trip
+    bit-exactly (zigzag longs, IEEE doubles, utf8 strings)."""
+    import tempfile
+
+    from ..transforms.avro import (
+        FileSchemaRegistry,
+        from_avro_envelope,
+        to_avro_envelope,
+    )
+
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    reg = FileSchemaRegistry(tempfile.mkdtemp(prefix="schema-registry-"))
+    env = to_avro_envelope(ev, reg, "events-value")
+    return from_avro_envelope(env, reg, subject="events-value").orderBy("event_id")
+
+
+@query(
     "t7_predicated_transform",
     oracle="""
     SELECT event_id,

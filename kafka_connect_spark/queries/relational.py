@@ -66,6 +66,67 @@ def s3_jdbc_bulk_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s6b_mm2_offset_translation",
+    oracle="""
+    WITH recs AS (
+      SELECT event_type AS topic, CAST(user_id % 4 AS INTEGER) AS partition,
+             event_id AS upstream_offset
+      FROM events
+    ),
+    map AS (
+      SELECT topic, partition, upstream_offset,
+             row_number() OVER (PARTITION BY topic, partition
+                                ORDER BY upstream_offset) - 1 AS downstream_offset
+      FROM recs
+    ),
+    grp AS (
+      SELECT topic, partition,
+             (MIN(upstream_offset) + MAX(upstream_offset)) // 2 AS committed
+      FROM recs GROUP BY topic, partition
+    )
+    SELECT 'g1' AS "group", 'primary.' || g.topic AS topic, g.partition,
+           g.committed AS upstream_offset,
+           CAST(COALESCE(
+             MIN(CASE WHEN m.upstream_offset >= g.committed
+                      THEN m.downstream_offset END),
+             MAX(m.downstream_offset) + 1, 0) AS BIGINT) AS downstream_offset
+    FROM grp g LEFT JOIN map m USING (topic, partition)
+    GROUP BY g.topic, g.partition, g.committed
+    ORDER BY topic, partition
+    """,
+)
+def s6b_mm2_offset_translation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MirrorMaker 2 checkpoint translation (reference README.md:52-65),
+    hash-checked: events become a kafka-shaped log (topic=event_type,
+    partition=user_id%4, offset=event_id), replication assigns contiguous
+    per-partition downstream offsets, and each consumer group's committed
+    upstream offset translates to the downstream resume position."""
+    from ..sources.mirror import checkpoints, mirror_with_offsets, offset_syncs
+
+    ev = load(spark, sf_dir, "events")
+    recs = ev.select(
+        F.lit(None).cast("binary").alias("value"),
+        F.col("event_type").alias("topic"),
+        F.pmod("user_id", F.lit(4)).cast("int").alias("partition"),
+        F.col("event_id").alias("offset"),
+    )
+    syncs = offset_syncs(mirror_with_offsets(recs, "primary"), "primary")
+    groups = (
+        recs.groupBy("topic", "partition")
+        .agg(F.expr("(min(offset) + max(offset)) div 2").alias("committed_offset"))
+        .withColumn("group", F.lit("g1"))
+    )
+    cp = checkpoints(groups, syncs, "primary")
+    return cp.select(
+        "group",
+        "topic",
+        "partition",
+        F.col("upstream_offset").cast("long").alias("upstream_offset"),
+        F.col("downstream_offset").cast("long").alias("downstream_offset"),
+    ).orderBy("topic", "partition")
+
+
+@query(
     "s3b_jdbc_live_roundtrip",
     oracle="""
     SELECT c_custkey, c_name, c_acctbal FROM customer

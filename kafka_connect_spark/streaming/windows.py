@@ -56,6 +56,24 @@ def sliding_agg(
     return out.select(F.col("win.start").alias("w"), "cnt", "sum_value")
 
 
+def dedup_within_watermark(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """X11 streaming exact-dedup: ``dropDuplicatesWithinWatermark`` — the
+    stateful twin of batch ``dropDuplicates`` (x12b) for at-least-once
+    upstreams (Kafka redelivery, CDC replay). Dedup state for a key is kept
+    only until the watermark passes its event time, so state is bounded by
+    the redelivery horizon instead of growing with the full key history —
+    the property that makes streaming dedup viable at 100 TB/day. Events
+    older than the watermark are dropped outright (they cannot be checked
+    against expired state), matching the watermark contract everywhere
+    else in the engine."""
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
+
+
 def session_agg(
     df: DataFrame,
     ts_col: str = "ts",

@@ -1,0 +1,98 @@
+"""Avro converter surface: binary codec correctness, registry semantics,
+Spark roundtrip, and schema evolution (old readers decode new data)."""
+
+from __future__ import annotations
+
+import pytest
+
+from kafka_connect_spark.transforms.avro import (
+    FileSchemaRegistry,
+    _decoder_of,
+    _encoder_of,
+    avro_schema_of,
+    from_avro_envelope,
+    spark_schema_of,
+    to_avro_envelope,
+)
+
+
+def test_codec_roundtrip_primitives():
+    avro = {
+        "type": "record",
+        "name": "R",
+        "fields": [
+            {"name": "i", "type": ["null", "long"], "default": None},
+            {"name": "d", "type": ["null", "double"], "default": None},
+            {"name": "s", "type": ["null", "string"], "default": None},
+            {"name": "b", "type": ["null", "boolean"], "default": None},
+        ],
+    }
+    enc, dec = _encoder_of(avro), _decoder_of(avro)
+    cases = [
+        {"i": 0, "d": 0.0, "s": "", "b": False},
+        {"i": -1, "d": -2.5, "s": "héllo ✓", "b": True},
+        {"i": 2**62, "d": 1e308, "s": "x" * 1000, "b": None},
+        {"i": None, "d": None, "s": None, "b": None},
+        {"i": -(2**62), "d": 5e-324, "s": "\n\t", "b": False},
+    ]
+    for row in cases:
+        assert dec(enc(row)) == row
+
+
+def test_registry_idempotent_and_persistent(tmp_path):
+    reg = FileSchemaRegistry(str(tmp_path))
+    s1 = {"type": "record", "name": "R", "fields": [{"name": "a", "type": ["null", "long"], "default": None}]}
+    s2 = {"type": "record", "name": "R", "fields": [{"name": "a", "type": ["null", "long"], "default": None},
+                                                    {"name": "b", "type": ["null", "string"], "default": None}]}
+    id1 = reg.register("subj", s1)
+    assert reg.register("subj", s1) == id1  # idempotent
+    id2 = reg.register("subj", s2)
+    assert id2 != id1
+    # a fresh instance over the same dir sees everything (file-backed)
+    reg2 = FileSchemaRegistry(str(tmp_path))
+    assert reg2.by_id(id1) == s1
+    assert reg2.latest("subj") == (id2, s2)
+    with pytest.raises(KeyError):
+        reg2.latest("nope")
+
+
+def test_spark_avro_roundtrip(spark, tmp_path):
+    reg = FileSchemaRegistry(str(tmp_path / "reg"))
+    df = spark.createDataFrame(
+        [(1, "a", 1.5, True), (2, None, None, False), (3, "c", -0.25, None)],
+        ["id", "name", "score", "flag"],
+    )
+    env = to_avro_envelope(df, reg, "t-value", key_cols=["id"])
+    assert env.columns == ["key", "value"]
+    first = env.first()
+    assert bytes(first["value"])[:1] == b"\x00"  # wire-format magic
+    assert first["key"] == '{"id":1}'
+    back = from_avro_envelope(env, reg, subject="t-value")
+    got = sorted(back.collect(), key=lambda r: r["id"])
+    want = sorted(df.collect(), key=lambda r: r["id"])
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_schema_evolution_both_directions(spark, tmp_path):
+    reg = FileSchemaRegistry(str(tmp_path / "reg"))
+    v1 = spark.createDataFrame([(1, "a")], ["id", "name"])
+    v2 = spark.createDataFrame([(2, "b", 9.5)], ["id", "name", "score"])
+    env1 = to_avro_envelope(v1, reg, "u-value")
+    env2 = to_avro_envelope(v2, reg, "u-value")
+    mixed = env1.unionByName(env2)
+
+    # new reader (latest = v2 schema) over old+new data: old rows null-fill
+    new_read = {r["id"]: (r["name"], r["score"])
+                for r in from_avro_envelope(mixed, reg, subject="u-value").collect()}
+    assert new_read == {1: ("a", None), 2: ("b", 9.5)}
+
+    # old reader (v1 schema) over new data: added field is ignored
+    reader_v1 = avro_schema_of(v1.schema)
+    old_read = {r["id"]: r["name"]
+                for r in from_avro_envelope(env2, reg, reader_schema=reader_v1).collect()}
+    assert old_read == {2: "b"}
+
+
+def test_spark_schema_of_is_inverse(spark):
+    df = spark.createDataFrame([(1, "a", 2.0)], ["id", "name", "score"])
+    assert spark_schema_of(avro_schema_of(df.schema)).fieldNames() == df.schema.fieldNames()

@@ -11,7 +11,11 @@ from pyspark.sql import functions as F
 from kafka_connect_spark.catalog import load
 from kafka_connect_spark.sinks.upsert import UpsertParquetSink
 from kafka_connect_spark.sources.replay import file_replay_stream, write_replay_files
-from kafka_connect_spark.streaming.windows import session_agg, tumbling_agg
+from kafka_connect_spark.streaming.windows import (
+    dedup_within_watermark,
+    session_agg,
+    tumbling_agg,
+)
 
 
 def _replay_dir(spark, sf_dir, tmp_path, n_files=4):
@@ -127,6 +131,63 @@ def test_watermark_drops_late_data(spark, tmp_path):
     drain(phase2)
     got2 = pd.concat(phase2, ignore_index=True) if phase2 else pd.DataFrame(columns=["w"])
     assert (got2["w"].astype(str) != "2024-01-01 10:00:00").all()  # dropped, no update
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Streaming dropDuplicatesWithinWatermark == batch dropDuplicates on
+    the emitted keys: redelivered keys within the watermark are suppressed
+    even across microbatches, and a duplicate arriving beyond the
+    watermark is dropped by the watermark itself."""
+    d = str(tmp_path / "dup")
+    ckpt = str(tmp_path / "ckpt")
+
+    def mk(rows):
+        return spark.createDataFrame(rows, ["id", "ts_s"]).select(
+            "id", F.col("ts_s").cast("timestamp").alias("ts")
+        )
+
+    def drain(out):
+        schema = spark.read.parquet(d).schema
+        sdf = file_replay_stream(spark, d, schema)
+        deduped = dedup_within_watermark(sdf, ["id"], watermark="10 minutes")
+        q = (
+            deduped.writeStream.foreachBatch(lambda df, i: out.append(df.toPandas()))
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    batch1 = [
+        (1, "2024-01-01 10:00:00"),
+        (1, "2024-01-01 10:01:00"),  # in-batch redelivery
+        (2, "2024-01-01 10:02:00"),
+    ]
+    mk(batch1).coalesce(1).write.parquet(d)
+    out1: list[pd.DataFrame] = []
+    drain(out1)
+    got1 = pd.concat(out1, ignore_index=True)
+    assert sorted(got1["id"]) == [1, 2]  # == batch dropDuplicates(["id"])
+
+    # phase 2, same checkpoint: a cross-batch redelivery of id=2 inside the
+    # watermark is suppressed by state; id=1 redelivered 2 hours late
+    # (beyond the persisted watermark) is dropped; id=3 is new
+    mk(
+        [
+            (2, "2024-01-01 10:03:00"),
+            (1, "2024-01-01 08:00:00"),
+            (3, "2024-01-01 10:04:00"),
+        ]
+    ).coalesce(1).write.mode("append").parquet(d)
+    out2: list[pd.DataFrame] = []
+    drain(out2)
+    got2 = pd.concat(out2, ignore_index=True) if out2 else pd.DataFrame(columns=["id"])
+    assert sorted(got2["id"]) == [3]
+
+    # end-to-end: every key exactly once — the batch-dedup result
+    all_ids = sorted(pd.concat([got1, got2], ignore_index=True)["id"])
+    assert all_ids == [1, 2, 3]
 
 
 def test_stream_static_join(spark, sf_dir, tmp_path):
