@@ -98,6 +98,8 @@ class UpsertParquetSink:
         if os.path.lexists(tmp):
             os.unlink(tmp)
         os.symlink(os.path.abspath(target), tmp)
+        if os.path.isdir(ptr) and not os.path.islink(ptr):
+            os.rmdir(ptr)  # empty placeholder dir (e.g. pre-created by mktemp)
         os.replace(tmp, ptr)  # atomic rename over the old symlink
         for d in self._version_dirs():
             if os.path.abspath(d) != os.path.abspath(target):

@@ -69,6 +69,134 @@ class MetricsListener(StreamingQueryListener):
         pass
 
 
+# -- JMX-exporter-style rename rules -----------------------------------------
+#
+# The reference pipes Connect's JMX beans through the prometheus
+# jmx-exporter with a regex rule file (kafka-connect/kafka-connect.yml:1-106:
+# pattern -> name template with $n captures, label templates, valueFactor,
+# lowercaseOutputName). Engine analog: each sample renders as the
+# jmx-ish source string ``spark.streaming<query=NAME><>metric`` and the
+# first matching rule rewrites name/labels/value. Unmatched samples pass
+# through unchanged (the exporter's default behavior).
+
+
+class MetricRenameRule:
+    def __init__(
+        self,
+        pattern: str,
+        name: str,
+        labels: dict[str, str] | None = None,
+        value_factor: float = 1.0,
+        help: str | None = None,
+        type: str | None = None,
+    ) -> None:
+        self.pattern = re.compile(pattern)
+        self.name = name
+        self.labels = labels or {}
+        self.value_factor = value_factor
+        self.help = help
+        self.type = type
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "MetricRenameRule":
+        """Accepts the jmx-exporter rule-file keys (pattern/name/labels/
+        valueFactor/help/type)."""
+        return cls(
+            d["pattern"],
+            d["name"],
+            labels=d.get("labels"),
+            value_factor=float(d.get("valueFactor", 1.0)),
+            help=d.get("help"),
+            type=d.get("type", "").lower() or None,
+        )
+
+
+def _expand(template: str, m: re.Match) -> str:
+    out = template
+    for i in range(m.re.groups, 0, -1):
+        out = out.replace(f"${i}", m.group(i) or "")
+    return out
+
+
+def source_string(sample: dict) -> str:
+    """Render a sample the way a JMX bean + attribute renders for the
+    exporter: ``domain<key=value, ...><>attribute``."""
+    labels = sample.get("labels", {})
+    inner = ", ".join(f"{k}={v}" for k, v in sorted(labels.items()))
+    return f"spark.streaming<{inner}><>{sample['name']}"
+
+
+def relabel(
+    samples: list[dict],
+    rules: list[MetricRenameRule],
+    lowercase_output_name: bool = True,
+) -> list[dict]:
+    """Apply the first matching rename rule to each sample (jmx-exporter
+    semantics: first match wins, no match passes through)."""
+    out = []
+    for s in samples:
+        src = source_string(s)
+        for r in rules:
+            m = r.pattern.search(src)
+            if m is None:
+                continue
+            name = _expand(r.name, m)
+            if lowercase_output_name:
+                name = name.lower()
+            renamed = {
+                "name": name,
+                "labels": {k: _expand(v, m) for k, v in r.labels.items()},
+                "value": s["value"] * r.value_factor,
+            }
+            if "ts" in s:
+                renamed["ts"] = s["ts"]
+            if r.help:
+                renamed["help"] = r.help
+            if r.type:
+                renamed["type"] = r.type
+            out.append(renamed)
+            break
+        else:
+            out.append(s)
+    return out
+
+
+# Default rules mapping Spark progress metrics onto the reference's
+# kafka_connect_* metric names (the names its Grafana dashboard queries —
+# Source Record Poll/Write rates, batch timing).
+CONNECT_RENAME_RULES = [
+    MetricRenameRule(
+        r"spark\.streaming<query=(.+)><>input_rows_per_second",
+        "kafka_connect_source_task_source_record_poll_rate",
+        labels={"connector": "$1"},
+        type="gauge",
+        help="Rate of records polled from the source",
+    ),
+    MetricRenameRule(
+        r"spark\.streaming<query=(.+)><>processed_rows_per_second",
+        "kafka_connect_source_task_source_record_write_rate",
+        labels={"connector": "$1"},
+        type="gauge",
+        help="Rate of records written to the sink",
+    ),
+    MetricRenameRule(
+        r"spark\.streaming<query=(.+)><>num_input_rows",
+        "kafka_connect_source_task_source_record_poll_total",
+        labels={"connector": "$1"},
+        type="counter",
+        help="Records polled in the batch",
+    ),
+    MetricRenameRule(
+        r"spark\.streaming<query=(.+)><>batch_duration_ms",
+        "kafka_connect_connector_task_batch_time_seconds",
+        labels={"connector": "$1"},
+        value_factor=0.001,
+        type="gauge",
+        help="Microbatch duration in seconds",
+    ),
+]
+
+
 def _fmt_labels(labels: dict[str, str]) -> str:
     if not labels:
         return ""
@@ -85,8 +213,8 @@ def to_exposition(samples: list[dict]) -> str:
         name = s["name"]
         if name not in seen:
             seen.add(name)
-            out.append(f"# HELP {name} {HELP.get(name, name)}")
-            out.append(f"# TYPE {name} {TYPE.get(name, 'gauge')}")
+            out.append(f"# HELP {name} {s.get('help', HELP.get(name, name))}")
+            out.append(f"# TYPE {name} {s.get('type', TYPE.get(name, 'gauge'))}")
         out.append(f"{name}{_fmt_labels(s.get('labels', {}))} {s['value']}")
     return "\n".join(out) + "\n"
 

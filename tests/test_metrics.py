@@ -64,3 +64,61 @@ def test_metrics_http_endpoint():
     finally:
         server.stop()
     assert 'num_input_rows{query="q"} 7.0' in body
+
+
+def test_jmx_style_rename_rules():
+    """The jmx-exporter rule surface (reference kafka-connect.yml:1-106):
+    regex pattern -> $n name/label templates, valueFactor, lowercase."""
+    from kafka_connect_spark.streaming.metrics import (
+        CONNECT_RENAME_RULES,
+        MetricRenameRule,
+        relabel,
+        to_exposition,
+    )
+
+    samples = [
+        {"name": "input_rows_per_second", "labels": {"query": "pg-orders"}, "value": 120.0},
+        {"name": "processed_rows_per_second", "labels": {"query": "pg-orders"}, "value": 118.0},
+        {"name": "batch_duration_ms", "labels": {"query": "pg-orders"}, "value": 2500.0},
+        {"name": "unmatched_metric", "labels": {}, "value": 1.0},
+    ]
+    out = relabel(samples, CONNECT_RENAME_RULES)
+    by_name = {s["name"]: s for s in out}
+    poll = by_name["kafka_connect_source_task_source_record_poll_rate"]
+    assert poll["labels"] == {"connector": "pg-orders"} and poll["value"] == 120.0
+    assert "kafka_connect_source_task_source_record_write_rate" in by_name
+    secs = by_name["kafka_connect_connector_task_batch_time_seconds"]
+    assert secs["value"] == 2.5  # valueFactor 0.001, like the reference's ms->s rule
+    assert by_name["unmatched_metric"]["value"] == 1.0  # pass-through
+
+    text = to_exposition(out)
+    assert (
+        'kafka_connect_source_task_source_record_poll_rate{connector="pg-orders"} 120.0'
+        in text
+    )
+    assert "# TYPE kafka_connect_connector_task_batch_time_seconds gauge" in text
+
+
+def test_rename_rule_from_dict_jmx_exporter_keys():
+    from kafka_connect_spark.streaming.metrics import MetricRenameRule, relabel
+
+    rule = MetricRenameRule.from_dict(
+        {
+            "pattern": r"spark\.streaming<query=(.+)><>num_input_rows",
+            "name": "Kafka_Connect_$1_Rows",
+            "labels": {"task": "$1"},
+            "valueFactor": 2.0,
+            "type": "COUNTER",
+        }
+    )
+    out = relabel(
+        [{"name": "num_input_rows", "labels": {"query": "T0"}, "value": 3.0}], [rule]
+    )
+    assert out == [
+        {
+            "name": "kafka_connect_t0_rows",  # lowercaseOutputName
+            "labels": {"task": "T0"},
+            "value": 6.0,
+            "type": "counter",
+        }
+    ]
