@@ -166,6 +166,62 @@ def cosine_pairs_blocked(
     )
 
 
+def lsh_cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 4,
+    n_tables: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs AT SCALE: hyperplane-LSH bucket candidates,
+    exact cosine verify. Same output contract as ``cosine_pairs`` /
+    ``cosine_pairs_blocked`` (id_a < id_b, cos_sim >= threshold) but the
+    join touches only same-bucket pairs instead of all |corpus|² — this is
+    the declared pair generator at 100 TB, with the exact all-pairs kept
+    as the verify stage / ground truth. The verify step recomputes exact
+    cosine, so precision is 1.0 by construction; recall vs the exact pairs
+    is asserted in tests/test_similarity.py."""
+    planes = np.random.RandomState(seed).randn(n_tables, n_planes, dim)
+    bucketize = _bucket_udf(planes)
+    tagged = (
+        df.withColumn("_bk", bucketize(F.col(vec_col).cast("array<double>")))
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.transform(
+                    F.col("_bk"),
+                    lambda b, i: F.struct(i.alias("table"), b.alias("bucket")),
+                )
+            ).alias("tb"),
+        )
+        .select("id", "tb.table", "tb.bucket")
+    )
+    a, b = tagged.alias("a"), tagged.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    v = with_vec(df, vec_col)
+    va = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("v_norm").alias("na"))
+    vb = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("v_norm").alias("nb"))
+    cos = F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def _bucket_udf(planes: np.ndarray):
     """planes: (n_tables, n_planes, dim). Returns a pandas UDF mapping an
     embedding to an array of per-table bucket ids (sign-bit packing)."""

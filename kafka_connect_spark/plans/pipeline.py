@@ -283,20 +283,33 @@ class Pipeline:
         self.name = spec.get("name", "pipeline")
         self.streaming = bool(spec.get("streaming", False))
         src_reg = STREAM_SOURCES if self.streaming else SOURCES
-        sink_reg = STREAM_SINKS if self.streaming else SINKS
         self._read = src_reg[spec["source"]["type"]](spec["source"])
         self._transforms = [
             TRANSFORMS[t["type"]](t) for t in spec.get("transforms", [])
         ]
-        self._sink = sink_reg[spec["sink"]["type"]](spec["sink"])
         err = spec.get("errors", {})
         self.tolerance = err.get("tolerance", "none")
         self.validate_condition = err.get("validate.condition")
         self._dlq = SINKS[err["dlq"]["type"]](err["dlq"]) if "dlq" in err else None
         if self.streaming and self._dlq is not None:
-            # streaming DLQ needs a second writeStream (one query per sink);
-            # route via two specs over the same source instead
-            raise ValueError("DLQ sink is batch-only; use a separate streaming spec")
+            # Streaming DLQ: a second writeStream per query is not possible,
+            # so the split happens INSIDE each microbatch via foreachBatch —
+            # the main sink is therefore a BATCH sink type applied per
+            # microbatch (Connect's errors.deadletterqueue does the same
+            # per-record split inside the sink task).
+            if not self.validate_condition or self.tolerance != "all":
+                raise ValueError(
+                    "streaming DLQ needs errors.tolerance=all + validate.condition"
+                )
+            self._sink = SINKS[spec["sink"]["type"]](spec["sink"])
+            self._dlq_checkpoint = spec["sink"].get("checkpoint") or err["dlq"].get(
+                "checkpoint"
+            )
+            if self._dlq_checkpoint is None:
+                raise ValueError("streaming DLQ needs sink.checkpoint")
+        else:
+            sink_reg = STREAM_SINKS if self.streaming else SINKS
+            self._sink = sink_reg[spec["sink"]["type"]](spec["sink"])
 
     @classmethod
     def from_json(cls, text: str) -> "Pipeline":
@@ -323,8 +336,28 @@ class Pipeline:
         restart-from-offset come from the sink's checkpointLocation."""
         if not self.streaming:
             raise ValueError("spec is not marked streaming: true")
-        sdf = self._apply(self._read(spark))
-        writer = self._sink(sdf)
+        if self._dlq is not None:
+            # per-microbatch split: bad rows -> DLQ sink, good rows ->
+            # transform chain -> main (batch) sink; offsets commit with the
+            # epoch, so both routes replay together on restart
+            cond = self.validate_condition
+            transforms, dlq, sink = self._transforms, self._dlq, self._sink
+
+            def split(df: DataFrame, _batch_id: int) -> None:
+                dlq(df.filter(~F.expr(cond) | F.expr(cond).isNull()))
+                good = df.filter(F.expr(cond))
+                for t in transforms:
+                    good = t(good)
+                sink(good)
+
+            writer = (
+                self._read(spark)
+                .writeStream.foreachBatch(split)
+                .option("checkpointLocation", self._dlq_checkpoint)
+            )
+        else:
+            sdf = self._apply(self._read(spark))
+            writer = self._sink(sdf)
         if available_now:
             writer = writer.trigger(availableNow=True)
         return writer.queryName(self.name).start()

@@ -117,6 +117,19 @@ def x12f_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs_blocked(emb, 0.4, n_blocks=16).orderBy("id_a", "id_b")
 
 
+@query("x12g_embedding_near_dup_lsh")  # seed-deterministic; rows-only check
+def x12g_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB embedding near-dup plan: hyperplane-LSH bucket candidates
+    + exact cosine verify (x12f's exact all-pairs is the verify-stage /
+    ground-truth twin; this is the pair generator that replaces it at
+    corpus scale). Precision 1.0 by construction; recall vs x12f asserted
+    in tests/test_similarity.py."""
+    from ..functions.simfns import lsh_cosine_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    return lsh_cosine_pairs(emb, 0.4, n_planes=3, n_tables=16).orderBy("id_a", "id_b")
+
+
 @query("x12e_minhash_lsh_pairs")  # seed-deterministic; rows-only check
 def x12e_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + 16-band LSH candidates, verified with exact Jaccard

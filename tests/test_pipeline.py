@@ -69,6 +69,39 @@ def test_error_tolerance_all_routes_to_dlq(spark, tmp_path):
     assert {r["id"] for r in spark.read.parquet(dlq).collect()} == {2}
 
 
+def test_streaming_dlq_splits_each_microbatch(spark, tmp_path):
+    """T6 streaming parity: a streaming spec with errors.tolerance=all
+    routes invalid rows to the DLQ and valid rows through the transform
+    chain, split inside each microbatch via foreachBatch."""
+    data = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    dlq = str(tmp_path / "dlq")
+    spark.createDataFrame(
+        [(1, 10.0, "s1"), (2, None, "s2"), (3, 30.0, "s3"), (4, None, "s4")],
+        "id bigint, amount double, ssn string",
+    ).write.parquet(data)
+    spec = {
+        "streaming": True,
+        "source": {"type": "file_stream", "path": data},
+        "transforms": [{"type": "mask_field", "fields": ["ssn"]}],
+        "sink": {
+            "type": "parquet",
+            "path": out,
+            "checkpoint": str(tmp_path / "ckpt"),
+        },
+        "errors": {
+            "tolerance": "all",
+            "validate.condition": "amount IS NOT NULL",
+            "dlq": {"type": "parquet", "path": dlq},
+        },
+    }
+    q = Pipeline(spec).start_stream(spark, available_now=True)
+    q.awaitTermination(120)
+    good = {r["id"]: r["ssn"] for r in spark.read.parquet(out).collect()}
+    assert good == {1: "CENSORED", 3: "CENSORED"}  # transformed, valid only
+    assert {r["id"] for r in spark.read.parquet(dlq).collect()} == {2, 4}
+
+
 def test_unknown_plugin_fails_fast():
     with pytest.raises(KeyError):
         Pipeline({"source": {"type": "nope"}, "sink": {"type": "noop"}})

@@ -34,6 +34,20 @@ def test_lsh_recall_at_k(spark, sf_dir):
     assert recall >= 0.5, f"LSH recall@3 = {recall:.2f}"
 
 
+def test_lsh_pairs_subset_and_recall(spark, sf_dir):
+    """lsh_cosine_pairs: every returned pair is a true near-dup pair (exact
+    verify => precision 1.0), and recall vs exact all-pairs holds."""
+    from kafka_connect_spark.functions.simfns import cosine_pairs, lsh_cosine_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    exact = {(r.id_a, r.id_b) for r in cosine_pairs(emb, 0.4).collect()}
+    approx = {(r.id_a, r.id_b) for r in lsh_cosine_pairs(emb, 0.4, n_planes=3, n_tables=16).collect()}
+    assert approx <= exact  # precision 1.0 by construction
+    assert exact, "fixture must contain near-dup pairs at 0.4"
+    recall = len(approx) / len(exact)
+    assert recall >= 0.5, f"LSH pair recall = {recall:.2f}"
+
+
 def test_ivf_recall_at_k(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
