@@ -129,9 +129,17 @@ class Herder:
 
 
 def serve_http(herder: Herder, host: str = "127.0.0.1", port: int = 0):
-    """Read-only REST facade: GET /connectors, /connectors/<name>,
-    /connectors/<name>/status — the shapes the reference exercises with
-    curl (README.md:73-76,115-131)."""
+    """REST facade mirroring the Connect worker API the reference drives
+    with curl (README.md:73-76,115-131):
+
+    - GET    /connectors                     list names
+    - GET    /connectors/<name>              stored config
+    - GET    /connectors/<name>/status       RUNNING/STOPPED/FAILED(+trace)
+    - PUT    /connectors/<name>/config       create/update (restarts query)
+    - DELETE /connectors/<name>              stop + remove config
+
+    Mutations delegate to the herder, whose lock serializes them against
+    concurrent status() calls from other handler threads."""
     import http.server
 
     class Handler(http.server.BaseHTTPRequestHandler):
@@ -142,6 +150,10 @@ def serve_http(herder: Herder, host: str = "127.0.0.1", port: int = 0):
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
+
+        def _body(self):
+            n = int(self.headers.get("Content-Length", 0))
+            return json.loads(self.rfile.read(n) or b"{}")
 
         def do_GET(self):  # noqa: N802
             parts = [p for p in self.path.split("/") if p]
@@ -155,6 +167,27 @@ def serve_http(herder: Herder, host: str = "127.0.0.1", port: int = 0):
                     self._json({"error": "not found"}, 404)
             elif len(parts) == 3 and parts[:1] == ["connectors"] and parts[2] == "status":
                 self._json(herder.status(parts[1]))
+            else:
+                self._json({"error": "not found"}, 404)
+
+        def do_PUT(self):  # noqa: N802
+            parts = [p for p in self.path.split("/") if p]
+            if len(parts) == 3 and parts[0] == "connectors" and parts[2] == "config":
+                try:
+                    self._json(herder.put(parts[1], self._body()))
+                except Exception as ex:  # noqa: BLE001 — config errors -> 400, like Connect
+                    self._json({"error": str(ex)}, 400)
+            else:
+                self._json({"error": "not found"}, 404)
+
+        def do_DELETE(self):  # noqa: N802
+            parts = [p for p in self.path.split("/") if p]
+            if len(parts) == 2 and parts[0] == "connectors":
+                if parts[1] not in herder.list():
+                    self._json({"error": "not found"}, 404)
+                    return
+                herder.delete(parts[1])
+                self._json({"deleted": parts[1]})
             else:
                 self._json({"error": "not found"}, 404)
 

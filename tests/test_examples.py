@@ -93,3 +93,30 @@ def test_task3_cdc_spec(spark, tmp_path):
     q.awaitTermination(120)
     got = {r["id"]: r["name"] for r in spark.read.parquet(str(tmp_path / "state")).collect()}
     assert got == {1: "a2"}  # b deleted, a at latest version
+
+
+def test_task4_jdbc_live_pipeline_spec(spark, tmp_path):
+    from kafka_connect_spark.sinks.jdbc import UpsertJdbcSink, quiet_derby
+
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    quiet_derby(spark)
+    (
+        spark.createDataFrame([(1, "alice", "x"), (2, "bob", "y")], ["id", "name", "ssn"])
+        .write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "SRC")
+        .mode("append")
+        .save()
+    )
+    spec = _load_spec(
+        "task4_jdbc_live_pipeline.json",
+        {"jdbc_url": url, "state_dir": str(tmp_path / "state")},
+        tmp_path,
+    )
+    assert Pipeline(spec).run(spark) == 2
+    got = {
+        r["id"]: (r["name"], r["ssn"])
+        for r in UpsertJdbcSink(url, "dst", ["id"], "id").read(spark).collect()
+    }
+    assert got == {1: ("alice", "CENSORED"), 2: ("bob", "CENSORED")}
+    assert Pipeline(spec).run(spark) == 0  # caught up

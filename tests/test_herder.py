@@ -87,3 +87,38 @@ def test_rest_facade(spark, tmp_path, herder):
             get("/connectors/nope")
     finally:
         httpd.shutdown()
+
+
+def test_rest_facade_mutations(spark, tmp_path, herder):
+    """Connect worker API parity: PUT /connectors/<name>/config creates or
+    reconfigures, DELETE /connectors/<name> removes; invalid config -> 400."""
+    spark.createDataFrame([(1, "s")], ["id", "v"]).write.parquet(str(tmp_path / "src"))
+    httpd = serve_http(herder)
+    port = httpd.server_address[1]
+
+    def call(method, path, body=None):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}",
+            method=method,
+            data=json.dumps(body).encode() if body is not None else None,
+            headers={"Content-Type": "application/json"},
+        )
+        return json.loads(urllib.request.urlopen(req, timeout=10).read())
+
+    try:
+        st = call("PUT", "/connectors/rest-job/config", _batch_spec(tmp_path, "rest"))
+        assert st["state"] == "BATCH"
+        assert call("GET", "/connectors") == ["rest-job"]
+        assert herder.run_once("rest-job") == 1  # the stored config runs
+
+        with pytest.raises(urllib.error.HTTPError) as e:
+            call("PUT", "/connectors/bad/config", {"source": {"type": "nope"}})
+        assert e.value.code == 400
+        assert "bad" not in herder.list()  # fail-fast: nothing persisted
+
+        assert call("DELETE", "/connectors/rest-job") == {"deleted": "rest-job"}
+        assert herder.list() == []
+        with pytest.raises(urllib.error.HTTPError):
+            call("DELETE", "/connectors/rest-job")
+    finally:
+        httpd.shutdown()
