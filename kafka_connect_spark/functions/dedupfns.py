@@ -218,6 +218,59 @@ def minhash_near_dup_pairs(
     )
 
 
+def dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Near-dup CLUSTER assignment: connected components over the dup-pair
+    graph via hash-min label propagation — the step that turns pairwise
+    near-dups into one canonical document per group (cluster id = min doc
+    id in the component, the usual keep-lowest policy).
+
+    Each iteration is one shuffle join + min-aggregate; iterations needed =
+    graph diameter in hops (log-ish for real dup clusters, which are
+    near-cliques — typically 2-3 rounds at any scale). The driver-side
+    convergence check is a scalar count per round, not a data collect."""
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    try:
+        for _ in range(max_iters):
+            nbr = sym.join(labels, sym["dst"] == labels["node"]).select(
+                F.col("src").alias("node"), "label"
+            )
+            new = (
+                labels.unionByName(nbr)
+                .groupBy("node")
+                .agg(F.min("label").alias("label"))
+                .persist()
+            )
+            changed = (
+                new.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new
+            if changed == 0:
+                break
+        return labels.select(
+            F.col("node").alias("doc_id"), F.col("label").alias("cluster")
+        )
+    finally:
+        sym.unpersist(blocking=False)
+
+
 def token_hash60(token: Column | str) -> Column:
     """Cross-engine deterministic 60-bit token hash: first 15 hex chars of
     md5, parsed base-16. DuckDB twin: CAST('0x' || substring(md5(t),1,15) AS BIGINT)."""

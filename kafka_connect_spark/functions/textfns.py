@@ -86,6 +86,58 @@ def lang_id(text: Column | str) -> Column:
     )
 
 
+# PII patterns, deliberately RE2-compatible (no backrefs/lookaround) so the
+# DuckDB oracle runs the IDENTICAL regex — and so the scan stays a plain
+# regexp_replace chain at 100 TB (JVM codegen, no Python).
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9_.+-]+@[A-Za-z0-9-]+\.[A-Za-z0-9.-]+", "[EMAIL]"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    (r"\b\d{3}[- ]\d{3}[- ]\d{4}\b", "[PHONE]"),
+    (r"\b\d{4}[- ]?\d{4}[- ]?\d{4}[- ]?\d{4}\b", "[CARD]"),
+]
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Training-data PII scrubbing: emails, SSNs, phone numbers, and card
+    numbers replaced with typed placeholders. The patterns' digit-group
+    shapes are mutually exclusive (3-2-4 / 3-3-4 / 4-4-4-4), so the chain
+    order cannot double-redact."""
+    t = text if isinstance(text, Column) else F.col(text)
+    for pat, repl in PII_PATTERNS:
+        t = F.regexp_replace(t, pat, repl)
+    return t
+
+
+def repetition_score(text: Column | str, n: int = 3) -> Column:
+    """Gopher-style repetition signal: frequency of the most common word
+    n-gram over the total n-gram count (1.0 = the document is one phrase
+    repeated). Pure higher-order array expressions — per-row, no shuffle;
+    docs shorter than n score 0."""
+    toks = tokens(text)
+    grams = F.sort_array(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+    total = F.size(grams)
+    # single O(L log L) pass: sort, then the longest run of equal adjacent
+    # grams IS the max frequency (vs. the naive distinct x contains scan,
+    # which is O(L^2) per document)
+    zero = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    max_cnt = F.aggregate(grams, zero, step, lambda acc: acc["best"])
+    return F.when(F.size(toks) >= n, F.round(max_cnt / total, 6)).otherwise(F.lit(0.0))
+
+
 def fingerprint(text: Column | str) -> Column:
     """Order-insensitive document fingerprint: md5 over the sorted distinct
     token set of the lowercased text. Two docs with permuted wording share a

@@ -117,6 +117,48 @@ def x12f_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs_blocked(emb, 0.4, n_blocks=16).orderBy("id_a", "id_b")
 
 
+@query(
+    "x12h_dup_clusters",
+    oracle="""
+    WITH RECURSIVE
+    tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS s
+           FROM tok WHERE len(t) >= 3),
+    ex AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    pairs AS (SELECT id_a, id_b FROM inter
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE ROUND(inter / (sa.n + sb.n - inter), 6) >= 0.5),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(node, r) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT e.src, r.r FROM edges e JOIN reach r ON r.node = e.dst
+    )
+    SELECT node AS doc_id, CAST(LEAST(node, MIN(r)) AS BIGINT) AS cluster
+    FROM reach GROUP BY node ORDER BY doc_id
+    """,
+)
+def x12h_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS, hash-checked: connected components over the exact
+    3-gram-Jaccard pair graph (x12c), cluster id = min doc id — the
+    canonical-document assignment a dedup pipeline actually needs. Spark
+    runs hash-min label propagation (one shuffle join per round, rounds =
+    component diameter); the oracle computes the same components with a
+    recursive CTE."""
+    from ..functions.dedupfns import dup_clusters
+
+    d = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.5)
+    return dup_clusters(pairs).orderBy("doc_id")
+
+
 @query("x12g_embedding_near_dup_lsh")  # seed-deterministic; rows-only check
 def x12g_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB embedding near-dup plan: hyperplane-LSH bucket candidates

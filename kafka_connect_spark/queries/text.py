@@ -14,6 +14,8 @@ from ..functions.textfns import (
     fingerprint,
     lang_id,
     quality_score,
+    redact_pii,
+    repetition_score,
     stopword_ratio,
     token_count,
 )
@@ -261,6 +263,64 @@ def x14h_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = counts.orderBy(F.col("cnt").desc(), "token").limit(20)
     w = Window.orderBy(F.col("cnt").desc(), "token")
     return top.withColumn("rank", F.row_number().over(w).cast("long")).orderBy("rank")
+
+
+@query(
+    "x14i_pii_redaction",
+    oracle=r"""
+    SELECT doc_id,
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        text || ' contact user' || CAST(doc_id AS VARCHAR)
+             || '@example.com ph 555-123-4567 ssn 123-45-6789 card 4111-1111-1111-1111',
+        '[A-Za-z0-9_.+-]+@[A-Za-z0-9-]+\.[A-Za-z0-9.-]+', '[EMAIL]', 'g'),
+        '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+        '\b\d{3}[- ]\d{3}[- ]\d{4}\b', '[PHONE]', 'g'),
+        '\b\d{4}[- ]?\d{4}[- ]?\d{4}[- ]?\d{4}\b', '[CARD]', 'g') AS redacted
+    FROM documents ORDER BY doc_id
+    """,
+)
+def x14i_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data PII scrubbing, hash-checked: emails / SSNs / phones /
+    card numbers -> typed placeholders. The fixture text carries no PII, so
+    a deterministic PII suffix is appended before redaction; patterns are
+    RE2-compatible so Spark (Java regex) and the DuckDB oracle (RE2) run
+    the IDENTICAL expressions. Pure regexp_replace chain: JVM codegen,
+    per-row, no shuffle — the 100 TB plan is the scan itself."""
+    d = load(spark, sf_dir, "documents")
+    salted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com ph 555-123-4567 ssn 123-45-6789 card 4111-1111-1111-1111"),
+    )
+    return d.select("doc_id", redact_pii(salted).alias("redacted")).orderBy("doc_id")
+
+
+@query(
+    "x14j_repetition_score",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    g AS (
+      SELECT doc_id, array_to_string(t[i:i+2], ' ') AS gram
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) _
+      WHERE len(t) >= 3
+    ),
+    c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
+    s AS (SELECT doc_id, ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS repetition
+          FROM c GROUP BY doc_id)
+    SELECT d.doc_id, COALESCE(s.repetition, 0.0) AS repetition
+    FROM documents d LEFT JOIN s USING (doc_id) ORDER BY doc_id
+    """,
+)
+def x14j_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signal, hash-checked: most-frequent
+    word trigram count over total trigrams per document. Spark computes it
+    per-row with higher-order array functions (sort + one aggregate pass,
+    no shuffle); the oracle recomputes via unnest + GROUP BY."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", repetition_score("text", n=3).alias("repetition")
+    ).orderBy("doc_id")
 
 
 @query(

@@ -55,3 +55,18 @@ def test_hot_shingle_cap_prunes_join(spark):
     uncapped = ngram_jaccard_pairs(df, threshold=0.01).count()
     capped = ngram_jaccard_pairs(df, threshold=0.01, max_shingle_freq=2).count()
     assert capped <= uncapped
+
+
+def test_dup_clusters_components(spark):
+    """Hash-min label propagation: chain + triangle + isolated pair resolve
+    to min-id components, including multi-hop chains."""
+    from kafka_connect_spark.functions.dedupfns import dup_clusters
+
+    pairs = spark.createDataFrame(
+        # component A: chain 1-2-3-4 (diameter 3); component B: 10-11; and
+        # a triangle 20-21-22
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        ["id_a", "id_b"],
+    )
+    got = {r["doc_id"]: r["cluster"] for r in dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}

@@ -23,3 +23,39 @@ def test_rows_only_queries_run(spark, sf_dir, name):
     df = QUERIES[name](spark, sf_dir)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_redact_pii_patterns(spark):
+    from kafka_connect_spark.functions.textfns import redact_pii
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            ("mail bob.smith+x@corp-mail.io now", "mail [EMAIL] now"),
+            ("ssn 123-45-6789 end", "ssn [SSN] end"),
+            ("call 555-123-4567 or 555 987 6543", "call [PHONE] or [PHONE]"),
+            ("card 4111-1111-1111-1111 or 4111111111111111", "card [CARD] or [CARD]"),
+            ("clean text stays", "clean text stays"),
+            ("version 1.2-3 stays", "version 1.2-3 stays"),
+        ],
+        ["t", "want"],
+    )
+    rows = df.select(redact_pii("t").alias("got"), "want").collect()
+    for r in rows:
+        assert r["got"] == r["want"]
+
+
+def test_repetition_score_values(spark):
+    from kafka_connect_spark.functions.textfns import repetition_score
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            ("a b c a b c a b c", 3 / 7),   # 'a b c' appears 3x of 7 trigrams
+            ("w x y z", 1 / 2),              # 2 distinct trigrams, max 1
+            ("short one", 0.0),              # < n tokens
+        ],
+        ["t", "want"],
+    )
+    for r in df.select(repetition_score("t").alias("got"), "want").collect():
+        assert abs(r["got"] - r["want"]) < 1e-6
