@@ -838,3 +838,84 @@ def x10c_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("days_since"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "x21_asof_join",
+    oracle="""
+    WITH w AS (
+      SELECT event_id, user_id, event_type, ts,
+             last_value(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_id
+      FROM events
+    )
+    SELECT event_id, user_id, ts, last_purchase_id
+    FROM w WHERE event_type = 'click' ORDER BY event_id
+    """,
+)
+def x21_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: each click picks the user's most recent prior-or-same-tick
+    purchase. Implemented as ONE running window over the unioned event-time
+    order (``last(..., ignorenulls)`` with rows-unbounded-preceding) — the
+    scalable as-of plan: a single per-key sort-shuffle, no range-condition
+    join explosion, no per-row probe. DuckDB's native ASOF JOIN is the
+    oracle-side shorthand for the same semantics; the oracle mirrors the
+    window form so tie-breaking (ts, then event_id) is bit-identical."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_purchase = F.last(
+        F.when(F.col("event_type") == "purchase", F.col("event_id")), ignorenulls=True
+    ).over(w)
+    return (
+        ev.select("event_id", "user_id", "event_type", "ts",
+                  last_purchase.alias("last_purchase_id"))
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts", "last_purchase_id")
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "x22_range_join",
+    oracle="""
+    WITH buckets AS (
+      SELECT CAST(d AS TIMESTAMP) AS start_ts,
+             CAST(d AS TIMESTAMP) + INTERVAL 1 DAY AS end_ts
+      FROM (SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-01-31',
+                                          INTERVAL 1 DAY)) AS d)
+    )
+    SELECT b.start_ts AS day_start, CAST(count(e.event_id) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM buckets b LEFT JOIN events e ON e.ts >= b.start_ts AND e.ts < b.end_ts
+    GROUP BY b.start_ts ORDER BY day_start
+    """,
+)
+def x22_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE join: events matched into half-open time intervals with NO equi
+    key — the generic interval-overlap shape (maintenance windows, price
+    epochs, sensor calibration ranges). The interval side is tiny, so the
+    right physical plan is a broadcast nested-loop with the range predicate
+    evaluated stream-side, which is exactly what Catalyst picks here; at
+    100 TB the events side still never shuffles."""
+    ev = load(spark, sf_dir, "events")
+    buckets = spark.sql(
+        "SELECT s AS start_ts, s + INTERVAL 1 DAY AS end_ts FROM ("
+        "SELECT explode(sequence(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-31', "
+        "INTERVAL 1 DAY)) AS s)"
+    )
+    joined = F.broadcast(buckets).join(
+        ev, (F.col("ts") >= F.col("start_ts")) & (F.col("ts") < F.col("end_ts")), "left"
+    )
+    return (
+        joined.groupBy(F.col("start_ts").alias("day_start"))
+        .agg(
+            F.count("event_id").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy("day_start")
+    )
