@@ -919,3 +919,31 @@ def x22_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_start")
     )
+
+
+@query(
+    "x23_percentiles",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 4) AS p50,
+           ROUND(quantile_cont(value, 0.9), 4) AS p90,
+           ROUND(quantile_cont(value, 0.99), 4) AS p99
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def x23_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per group (Spark `percentile`
+    == DuckDB `quantile_cont`). Exact percentile is a per-group sort — fine
+    up to huge groups; at 100 TB switch callers to `percentile_approx`
+    (t-digest sketch, mergeable map-side) and accept the error band the X5
+    tolerance test demonstrates."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
