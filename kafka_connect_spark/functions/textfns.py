@@ -86,6 +86,25 @@ def lang_id(text: Column | str) -> Column:
     )
 
 
+# GPT-2-style pre-tokenization pattern (the public BPE pre-split regex,
+# simplified to RE2-safe constructs — no lookahead): contraction suffixes,
+# space-prefixed letter runs, digit runs, punctuation runs, whitespace.
+# Behaves identically under Java regex (Spark) and RE2 (DuckDB oracle).
+BPE_SPLIT_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+
+def bpe_tokens(text: Column | str) -> Column:
+    """BPE-ish pre-tokenization: the regex split an LLM tokenizer applies
+    before byte-pair merges (word-with-leading-space pieces, contraction
+    suffixes, digit and punctuation runs). Whitespace-run tokens are kept —
+    filter them out for counting."""
+    t = text if isinstance(text, Column) else F.col(text)
+    return F.regexp_extract_all(t, F.lit(BPE_SPLIT_PATTERN), 0)
+
+
 # PII patterns, deliberately RE2-compatible (no backrefs/lookaround) so the
 # DuckDB oracle runs the IDENTICAL regex — and so the scan stays a plain
 # regexp_replace chain at 100 TB (JVM codegen, no Python).

@@ -266,6 +266,34 @@ def x14h_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x14k_bpe_token_counts",
+    oracle=r"""
+    SELECT token, count(*) AS cnt
+    FROM (SELECT unnest(regexp_extract_all(text,
+            '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+          AS token FROM documents)
+    WHERE NOT regexp_matches(token, '^\s+$')
+    GROUP BY token ORDER BY token
+    """,
+)
+def x14k_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-ish regex tokenizer (GPT-2-style pre-split:
+    contraction suffixes, space-prefixed word pieces, digit/punct runs),
+    hash-checked — the RE2-safe pattern runs verbatim in both engines.
+    Same wordcount plan as x14b, different tokenizer."""
+    from ..functions.textfns import bpe_tokens
+
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(bpe_tokens("text")).alias("token"))
+        .filter(~F.col("token").rlike(r"^\s+$"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("token")
+    )
+
+
+@query(
     "x14i_pii_redaction",
     oracle=r"""
     SELECT doc_id,

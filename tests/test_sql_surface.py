@@ -76,3 +76,31 @@ def test_exposition_parses_in_spark(spark):
     assert got == {("num_input_rows", 100.0), ("batch_duration_ms", 12.5)}
     labeled = [r for r in rows if r["name"] == "num_input_rows"][0]
     assert 'query="q1"' in labeled["labels"]
+
+
+def test_percentile_approx_tolerance(spark, sf_dir):
+    """The 100 TB percentile path: percentile_approx (t-digest, mergeable
+    map-side sketch) stays within a tight band of the exact per-group sort
+    — the trade documented in x23_percentiles' docstring."""
+    from kafka_connect_spark.catalog import load
+    from pyspark.sql import functions as F
+
+    ev = load(spark, sf_dir, "events")
+    both = (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("exact"),
+            F.expr("percentile_approx(value, 0.5, 1000)").alias("approx"),
+            F.expr("percentile(value, 0.97)").alias("lo99"),
+            F.expr("percentile_approx(value, 0.99, 1000)").alias("approx99"),
+            F.max("value").alias("mx"),
+        )
+        .collect()
+    )
+    assert both
+    for r in both:
+        # median: tight value band (dense region of the distribution)
+        assert abs(r["approx"] - r["exact"]) <= 0.05 * (abs(r["exact"]) + 1.0)
+        # tail: the sketch guarantees RANK accuracy, not value accuracy —
+        # p99-approx must land within the [p97, max] rank window
+        assert r["lo99"] <= r["approx99"] <= r["mx"]
