@@ -89,6 +89,54 @@ def extract_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(fn, FEATURE_SCHEMA)
 
 
+def resize_media(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """mapInPandas resize over the (doc_id, media, media_meta) contract:
+    same storage schema out, so it composes before ``extract_features`` /
+    ``sample_frames``. For 'fake/raw' the deterministic fake 'resample' is
+    cycle-repeat/truncate of the payload to target_w*target_h bytes; a real
+    codec (PIL.Image.resize / libswscale) plugs into ``_resize_one``.
+    Map-side only, Arrow-batched — the standard media-pipeline stage shape."""
+    n_bytes = target_w * target_h
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("media", T.BinaryType()),
+            T.StructField("media_meta", MEDIA_META),
+        ]
+    )
+
+    def _resize_one(fmt: str, payload: bytes) -> bytes:
+        if fmt == "fake/raw":
+            reps = -(-n_bytes // max(len(payload), 1))
+            return (payload * reps)[:n_bytes]
+        raise NotImplementedError(f"no resizer for format {fmt!r}: plug a codec here")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            media = [
+                _resize_one(m["format"], bytes(b))
+                for m, b in zip(pdf["media_meta"], pdf["media"])
+            ]
+            meta = [
+                {
+                    "format": m["format"],
+                    "width": target_w,
+                    "height": target_h,
+                    "n_frames": m["n_frames"],
+                }
+                for m in pdf["media_meta"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "media": media,
+                    "media_meta": meta,
+                }
+            )
+
+    return df.mapInPandas(fn, out_schema)
+
+
 def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
     """Frame-sampling stub for video payloads: emits (doc_id, frame_idx)
     rows for frames 0, every_n, 2*every_n, ... of media_meta.n_frames.

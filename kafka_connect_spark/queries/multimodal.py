@@ -45,3 +45,33 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     media = attach_fake_media(d)
     return sample_frames(media, every_n=2).orderBy("doc_id", "frame_idx")
+
+
+@query(
+    "mm_resize",
+    oracle="""
+    SELECT doc_id,
+           CAST(512 AS INTEGER) AS byte_len,
+           substring(repeat(md5(text), 32), 1, 1024) AS resized_hex,
+           CAST(32 AS INTEGER) AS width,
+           CAST(16 AS INTEGER) AS height
+    FROM documents ORDER BY doc_id
+    """,
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage on the multimodal contract: mapInPandas re-samples each
+    payload to 32x16 (fake codec: cycle-repeat/truncate to 512 bytes) and
+    rewrites the metadata struct; composes ahead of feature extraction. The
+    oracle reproduces the deterministic fake in pure SQL on the hex plane
+    (repeat the 32-hex-char md5 x32, truncate to 1024 chars = 512 bytes)."""
+    from ..functions.multimodalfns import resize_media
+
+    d = load(spark, sf_dir, "documents")
+    resized = resize_media(attach_fake_media(d), 32, 16)
+    return resized.select(
+        "doc_id",
+        F.length("media").cast("int").alias("byte_len"),
+        F.lower(F.hex("media")).alias("resized_hex"),
+        F.col("media_meta.width").alias("width"),
+        F.col("media_meta.height").alias("height"),
+    ).orderBy("doc_id")
