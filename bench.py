@@ -50,6 +50,15 @@ HEADLINE = [
     "x14c_quality_score",
     "x14e_fingerprint",
     "mm_feature_extract",
+    # round 2 additions
+    "t4b_avro_envelope_roundtrip",
+    "x14i_pii_redaction",
+    "x14j_repetition_score",
+    "x14k_bpe_token_counts",
+    "x21_asof_join",
+    "x22_range_join",
+    "x23_percentiles",
+    "x12h_dup_clusters",
 ]
 
 
