@@ -33,12 +33,17 @@ class UpsertParquetSink:
         auto_create: bool = True,
         auto_evolve: bool = True,
         delete_col: str | None = None,
+        keep_versions: int = 1,
     ) -> None:
         self.path = path
         self.key_cols = key_cols
         self.order_col = order_col
         self.auto_create = auto_create
         self.auto_evolve = auto_evolve
+        # >1 retains that many superseded table versions for time-travel
+        # reads / rollback after a bad batch (the Delta/Iceberg snapshot
+        # retention analog); 1 = current only.
+        self.keep_versions = max(1, keep_versions)
         # CDC materialization: rows whose ``delete_col`` == 'true' (the
         # Debezium rewrite marker, transforms.extract_new_record_state)
         # REMOVE their key from the table instead of upserting. Within a
@@ -101,8 +106,15 @@ class UpsertParquetSink:
         if os.path.isdir(ptr) and not os.path.islink(ptr):
             os.rmdir(ptr)  # empty placeholder dir (e.g. pre-created by mktemp)
         os.replace(tmp, ptr)  # atomic rename over the old symlink
-        for d in self._version_dirs():
-            if os.path.abspath(d) != os.path.abspath(target):
+        vers = self._version_dirs()
+        current = os.path.abspath(target)
+        keep = {current}
+        for d in reversed(vers):  # newest first, retain up to keep_versions
+            if len(keep) >= self.keep_versions:
+                break
+            keep.add(os.path.abspath(d))
+        for d in vers:
+            if os.path.abspath(d) not in keep:
                 shutil.rmtree(d, ignore_errors=True)
         legacy_staging = ptr + ".staging"
         if os.path.isdir(legacy_staging):
@@ -175,6 +187,21 @@ class UpsertParquetSink:
     def read(self, spark: SparkSession) -> DataFrame:
         self._recover()
         return spark.read.parquet(self.path)
+
+    def versions(self) -> list[int]:
+        """Retained version numbers, oldest first (time-travel surface)."""
+        return [int(d.rsplit(".v", 1)[1]) for d in self._version_dirs()]
+
+    def read_version(self, spark: SparkSession, version: int) -> DataFrame:
+        """Time-travel read of a retained version (``keep_versions`` > 1
+        keeps superseded snapshots — rollback = re-apply an old version's
+        rows, or point a reader at it for an audit diff)."""
+        for d in self._version_dirs():
+            if int(d.rsplit(".v", 1)[1]) == version:
+                return spark.read.parquet(d)
+        raise ValueError(
+            f"version {version} not retained (have {self.versions()})"
+        )
 
     def foreach_batch(self):
         """Adapter for ``writeStream.foreachBatch``."""

@@ -184,6 +184,28 @@ def test_upsert_sink_crash_safety(spark, tmp_path):
     shutil.rmtree(tmp_path / "tbl.data.v1", ignore_errors=True)
 
 
+def test_upsert_sink_time_travel(spark, tmp_path):
+    """keep_versions retains superseded snapshots for rollback/audit."""
+    path = str(tmp_path / "tbl")
+    sink = UpsertParquetSink(path, key_cols=["id"], order_col="ver", keep_versions=2)
+    sink.apply_batch(spark.createDataFrame([(1, 1, "a")], ["id", "ver", "v"]))
+    sink.apply_batch(spark.createDataFrame([(1, 2, "a2"), (2, 1, "b")], ["id", "ver", "v"]))
+    sink.apply_batch(spark.createDataFrame([(3, 1, "c")], ["id", "ver", "v"]))
+    vs = sink.versions()
+    assert len(vs) == 2  # current + one superseded
+    prev, cur = vs
+    assert {r["id"]: r["v"] for r in sink.read_version(spark, cur).collect()} == {
+        1: "a2", 2: "b", 3: "c"
+    }
+    assert {r["id"]: r["v"] for r in sink.read_version(spark, prev).collect()} == {
+        1: "a2", 2: "b"
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not retained"):
+        sink.read_version(spark, 999)
+
+
 def test_upsert_sink_migrates_legacy_plain_dir(spark, tmp_path):
     """Tables written by the pre-versioned layout (plain parquet dir) are
     adopted in place on the next merge."""

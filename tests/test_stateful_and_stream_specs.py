@@ -95,13 +95,16 @@ def test_streaming_upsert_spec(spark, tmp_path):
     assert got == {1: "a2", 2: "b"}
 
 
-def test_streaming_dlq_rejected():
-    with pytest.raises(ValueError, match="DLQ sink is batch-only"):
+def test_streaming_dlq_requires_validate_condition():
+    """Streaming DLQ is supported (foreachBatch split, test_pipeline.py);
+    a spec without a validate.condition has nothing to split on and must
+    fail fast at compile time."""
+    with pytest.raises(ValueError, match="validate.condition"):
         Pipeline(
             {
                 "streaming": True,
                 "source": {"type": "rate"},
-                "sink": {"type": "parquet_stream", "path": "x", "checkpoint": "y"},
+                "sink": {"type": "parquet", "path": "x", "checkpoint": "y"},
                 "errors": {"tolerance": "all", "dlq": {"type": "parquet", "path": "z"}},
             }
         )
