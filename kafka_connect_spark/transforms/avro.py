@@ -108,12 +108,15 @@ _AVRO_TO_SPARK = {
 
 
 def avro_schema_of(schema: T.StructType, name: str = "Envelope") -> dict:
-    """Derive the Avro record schema for a flat Spark schema. Every field is
-    a nullable union (matching Spark column nullability)."""
+    """Derive the Avro record schema for a Spark schema. Every field is a
+    nullable union (matching Spark column nullability); StructType fields
+    recurse into nested records (the shape Debezium envelopes need)."""
     fields = []
     for f in schema.fields:
-        if isinstance(f.dataType, T.TimestampType):
-            t: object = {"type": "long", "logicalType": "timestamp-micros"}
+        if isinstance(f.dataType, T.StructType):
+            t: object = avro_schema_of(f.dataType, name=f"{name}_{f.name}")
+        elif isinstance(f.dataType, T.TimestampType):
+            t = {"type": "long", "logicalType": "timestamp-micros"}
         else:
             base = _SPARK_TO_AVRO.get(type(f.dataType))
             if base is None:
@@ -131,8 +134,10 @@ def spark_schema_of(avro: dict) -> T.StructType:
         if isinstance(t, list):  # ["null", X]
             t = next(x for x in t if x != "null")
         if isinstance(t, dict):
-            if t.get("logicalType") == "timestamp-micros":
-                dt: T.DataType = T.TimestampType()
+            if t.get("type") == "record":
+                dt: T.DataType = spark_schema_of(t)
+            elif t.get("logicalType") == "timestamp-micros":
+                dt = T.TimestampType()
             else:
                 dt = _AVRO_TO_SPARK[t["type"]]
         else:
@@ -168,10 +173,13 @@ def _read_varint(data: bytes, pos: int) -> tuple[int, int]:
     return (acc >> 1) ^ -(acc & 1), pos
 
 
-def _base_type(t) -> str:
+def _base_type(t):
+    """Unwrap the ["null", X] union; keep record dicts whole."""
     if isinstance(t, list):
         t = next(x for x in t if x != "null")
     if isinstance(t, dict):
+        if t.get("type") == "record":
+            return t
         if t.get("logicalType") == "timestamp-micros":
             return "timestamp-micros"
         return t["type"]
@@ -179,21 +187,26 @@ def _base_type(t) -> str:
 
 
 def _encoder_of(avro: dict):
-    """Returns encode(row_dict) -> bytes for a record of nullable fields."""
+    """Returns encode(row_dict) -> bytes for a record of nullable fields;
+    nested records (dict values) recurse."""
     fields = [(f["name"], _base_type(f["type"])) for f in avro["fields"]]
+    nested = {
+        name: _encoder_of(t) for name, t in fields if isinstance(t, dict)
+    }
 
     def encode(row: dict) -> bytes:
         buf = bytearray()
         for name, t in fields:
-            v = row.get(name)
-            if v is None or (isinstance(v, float) and v != v and t != "double" and t != "float"):
-                _write_varint(buf, 0)  # union branch: null
-                continue
-            if isinstance(v, float) and v != v and t in ("long", "int", "timestamp-micros"):
-                _write_varint(buf, 0)  # pandas NaN standing in for a null int
+            v = row.get(name) if row is not None else None
+            is_nan = isinstance(v, float) and v != v
+            if v is None or (is_nan and t not in ("double", "float")):
+                _write_varint(buf, 0)  # union branch: null (or pandas NaN)
                 continue
             _write_varint(buf, 1)  # union branch: value
-            if t in ("long", "int"):
+            if isinstance(t, dict):
+                body = nested[name](dict(v) if not isinstance(v, dict) else v)
+                buf += body
+            elif t in ("long", "int"):
                 _write_varint(buf, int(v))
             elif t == "timestamp-micros":
                 _write_varint(buf, int(pd.Timestamp(v).value // 1000))
@@ -219,18 +232,23 @@ def _encoder_of(avro: dict):
 
 
 def _decoder_of(avro: dict):
-    """Returns decode(body_bytes) -> dict keyed by the WRITER field names."""
+    """Returns decode(body, pos=0) -> dict keyed by the WRITER field names;
+    nested records decode to dicts."""
     fields = [(f["name"], _base_type(f["type"])) for f in avro["fields"]]
+    nested = {
+        name: _decoder_of(t) for name, t in fields if isinstance(t, dict)
+    }
 
-    def decode(data: bytes) -> dict:
-        pos = 0
+    def _decode_at(data: bytes, pos: int) -> tuple[dict, int]:
         out: dict = {}
         for name, t in fields:
             branch, pos = _read_varint(data, pos)
             if branch == 0:
                 out[name] = None
                 continue
-            if t in ("long", "int"):
+            if isinstance(t, dict):
+                out[name], pos = nested[name].at(data, pos)
+            elif t in ("long", "int"):
                 out[name], pos = _read_varint(data, pos)
             elif t == "timestamp-micros":
                 micros, pos = _read_varint(data, pos)
@@ -254,8 +272,13 @@ def _decoder_of(avro: dict):
                 pos += 1
             else:
                 raise ValueError(f"unsupported Avro type {t!r}")
+        return out, pos
+
+    def decode(data: bytes, pos: int = 0) -> dict:
+        out, _ = _decode_at(data, pos)
         return out
 
+    decode.at = _decode_at
     return decode
 
 

@@ -96,3 +96,65 @@ def test_schema_evolution_both_directions(spark, tmp_path):
 def test_spark_schema_of_is_inverse(spark):
     df = spark.createDataFrame([(1, "a", 2.0)], ["id", "name", "score"])
     assert spark_schema_of(avro_schema_of(df.schema)).fieldNames() == df.schema.fieldNames()
+
+
+def test_nested_record_roundtrip_debezium_shape(spark, tmp_path):
+    """Nested records (the Debezium envelope shape: before/after structs)
+    encode and decode through the wire format."""
+    reg = FileSchemaRegistry(str(tmp_path / "reg"))
+    df = spark.createDataFrame(
+        [
+            (1, (10, "old"), (10, "new"), "u"),
+            (2, None, (20, "ins"), "c"),
+            (3, (30, "del"), None, "d"),
+        ],
+        "id bigint, before struct<k:bigint,v:string>, "
+        "after struct<k:bigint,v:string>, op string",
+    )
+    env = to_avro_envelope(df, reg, "cdc-value")
+    back = from_avro_envelope(env, reg, subject="cdc-value")
+    got = {r["id"]: (r["before"], r["after"], r["op"]) for r in back.collect()}
+    want = {r["id"]: (r["before"], r["after"], r["op"]) for r in df.collect()}
+    assert got == want
+
+
+def test_codec_property_roundtrip():
+    """Property: decode(encode(row)) == row for arbitrary nullable rows."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    avro = {
+        "type": "record",
+        "name": "R",
+        "fields": [
+            {"name": "i", "type": ["null", "long"], "default": None},
+            {"name": "d", "type": ["null", "double"], "default": None},
+            {"name": "s", "type": ["null", "string"], "default": None},
+            {"name": "b", "type": ["null", "boolean"], "default": None},
+            {
+                "name": "n",
+                "type": ["null", {
+                    "type": "record", "name": "N",
+                    "fields": [{"name": "x", "type": ["null", "long"], "default": None}],
+                }],
+                "default": None,
+            },
+        ],
+    }
+    enc, dec = _encoder_of(avro), _decoder_of(avro)
+    row_st = st.fixed_dictionaries(
+        {
+            "i": st.none() | st.integers(min_value=-(2**63), max_value=2**63 - 1),
+            "d": st.none() | st.floats(allow_nan=False),
+            "s": st.none() | st.text(max_size=200),
+            "b": st.none() | st.booleans(),
+            "n": st.none() | st.fixed_dictionaries({"x": st.none() | st.integers(-(2**31), 2**31)}),
+        }
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(row_st)
+    def check(row):
+        assert dec(enc(row)) == row
+
+    check()
