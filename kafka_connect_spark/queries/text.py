@@ -363,3 +363,92 @@ def x14e_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-insensitive document fingerprint (sorted distinct token set)."""
     d = load(spark, sf_dir, "documents")
     return d.select("doc_id", fingerprint("text").alias("fp")).orderBy("doc_id")
+
+
+@query(
+    "x24_stratified_sample",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn
+    FROM h WHERE rn <= 20 ORDER BY lang, rn
+    """,
+)
+def x24_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified DETERMINISTIC sampling: top-20 docs per language by
+    content-hash order — reproducible across runs and engines (no rand()),
+    the standard leakage-safe way to cut per-class evaluation slices from
+    a training corpus. Per-group window = one shuffle on the strata key;
+    skewed strata ride AQE."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "lang", "rn")
+        .orderBy("lang", "rn")
+    )
+
+
+@query(
+    "x25_tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+      FROM documents
+    ),
+    n_docs AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+    df_ AS (SELECT term, count(*) AS df FROM tok GROUP BY term),
+    tf AS (SELECT doc_id, term, count(*) AS tf
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+           GROUP BY doc_id, term),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * ln(CAST(n.n AS DOUBLE) / df_.df), 6) AS tfidf
+      FROM tf JOIN df_ USING (term) CROSS JOIN n_docs n
+    ),
+    ranked AS (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rk
+      FROM scored
+    )
+    SELECT doc_id, term, tfidf, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk
+    """,
+)
+def x25_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document: term frequency x inverse document
+    frequency (ln(N/df)), the classic relevance/keyword-extraction score.
+    Plan: two hash aggs (tf per doc-term, df per term), a broadcast-able
+    join on the term dimension, per-doc top-k window. df is |vocab|-sized
+    — small relative to the corpus, so the join broadcasts at scale."""
+    d = load(spark, sf_dir, "documents")
+    n_docs = d.select(F.countDistinct("doc_id").alias("n"))
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = (
+        d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 6).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .orderBy("doc_id", "rk")
+    )

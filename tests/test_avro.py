@@ -158,3 +158,26 @@ def test_codec_property_roundtrip():
         assert dec(enc(row)) == row
 
     check()
+
+
+def test_avro_cdc_envelope_composes_with_unwrap(spark, tmp_path):
+    """Debezium-over-Avro end to end: nested envelope -> wire format ->
+    decode -> ExtractNewRecordState, the reference's converter+SMT chain
+    with Avro in place of JSON."""
+    from kafka_connect_spark.transforms import extract_new_record_state
+
+    reg = FileSchemaRegistry(str(tmp_path / "reg"))
+    cdc = spark.createDataFrame(
+        [
+            ((10, "old"), (10, "new"), "u", 1000),
+            (None, (20, "ins"), "c", 2000),
+            ((30, "gone"), None, "d", 3000),
+        ],
+        "before struct<k:bigint,v:string>, after struct<k:bigint,v:string>, "
+        "op string, ts_ms bigint",
+    )
+    env = to_avro_envelope(cdc, reg, "dbz-value")
+    decoded = from_avro_envelope(env, reg, subject="dbz-value")
+    out = extract_new_record_state(decoded, delete_handling="rewrite")
+    got = {(r["k"]): (r["v"], r["__deleted"]) for r in out.collect()}
+    assert got == {10: ("new", "false"), 20: ("ins", "false"), 30: ("gone", "true")}
