@@ -49,6 +49,95 @@ def _update(
     yield pd.DataFrame({"key": [key[0]], "n_events": [n], "total_value": [round(total, 6)]})
 
 
+SESSION_OUTPUT = StructType(
+    [
+        StructField("key", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("session_start_ms", LongType()),
+        StructField("session_end_ms", LongType()),
+    ]
+)
+
+SESSION_STATE = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("total", DoubleType()),
+        StructField("start_ms", LongType()),
+        StructField("last_ms", LongType()),
+    ]
+)
+
+
+def session_totals(
+    sdf: DataFrame,
+    gap_sec: int = 600,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """Custom SESSION operator with an explicit inactivity timeout —
+    ``session_window`` (X11) emits sessions only via the aggregation path;
+    this is the applyInPandasWithState version for when a session close
+    must RUN CODE (flush to a sink, emit exactly one summary record — the
+    connector-task-flush analog). State = one (n, total, start, last)
+    tuple per key; EventTimeTimeout fires when the watermark passes
+    last_event + gap, emitting the closed session and freeing the state —
+    so state size tracks ACTIVE keys only."""
+    from pyspark.sql import functions as F
+
+    gap_ms = gap_sec * 1000
+
+    def update(key, pdfs, state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            n, total, start_ms, last_ms = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 6)],
+                    "session_start_ms": [start_ms],
+                    "session_end_ms": [last_ms],
+                }
+            )
+            return
+        n, total, start_ms, last_ms = (
+            state.get if state.exists else (0, 0.0, None, None)
+        )
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            lo = int(pdf["ts"].min().value // 1_000_000)
+            hi = int(pdf["ts"].max().value // 1_000_000)
+            start_ms = lo if start_ms is None else min(start_ms, lo)
+            last_ms = hi if last_ms is None else max(last_ms, hi)
+        state.update((n, round(total, 6), start_ms, last_ms))
+        state.setTimeoutTimestamp(last_ms + gap_ms)
+        return
+        yield  # pragma: no cover — makes the function a generator
+
+    return (
+        sdf.withWatermark(ts_col, watermark)
+        .select(
+            F.col(key_col).alias("key"),
+            F.col(ts_col).alias("ts"),
+            F.col(value_col).alias("value"),
+        )
+        .groupBy("key")
+        .applyInPandasWithState(
+            update,
+            outputStructType=SESSION_OUTPUT,
+            stateStructType=SESSION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def running_totals(sdf: DataFrame, key_col: str = "user_id", value_col: str = "value") -> DataFrame:
     """Checkpointed per-key running totals over a streaming DataFrame."""
     from pyspark.sql import functions as F

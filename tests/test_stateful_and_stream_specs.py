@@ -108,3 +108,58 @@ def test_streaming_dlq_requires_validate_condition():
                 "errors": {"tolerance": "all", "dlq": {"type": "parquet", "path": "z"}},
             }
         )
+
+
+def test_session_totals_timeout_closes_sessions(spark, tmp_path):
+    """EventTimeTimeout sessions: a key inactive past the gap emits exactly
+    one closed-session record (after the watermark passes) and frees its
+    state; an active key emits nothing."""
+    from kafka_connect_spark.streaming.stateful import session_totals
+
+    d = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+
+    def mk(rows):
+        return spark.createDataFrame(rows, ["user_id", "ts_s", "value"]).select(
+            "user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value"
+        )
+
+    def drain(out):
+        schema = spark.read.parquet(d).schema
+        sdf = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+        q = (
+            session_totals(sdf, gap_sec=600, watermark="5 minutes")
+            .writeStream.foreachBatch(lambda b, i: out.append(b.toPandas()))
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # session for user 1: two events within the gap
+    mk(
+        [(1, "2024-01-01 10:00:00", 2.0), (1, "2024-01-01 10:02:00", 3.0)]
+    ).coalesce(1).write.parquet(d)
+    out1: list[pd.DataFrame] = []
+    drain(out1)
+    assert sum(len(p) for p in out1) == 0  # session still open
+
+    # two hours later: watermark passes 10:02+gap, closing user 1's session;
+    # user 2's new session stays open
+    mk([(2, "2024-01-01 12:00:00", 7.0)]).coalesce(1).write.mode("append").parquet(d)
+    out2: list[pd.DataFrame] = []
+    drain(out2)
+    # one more drain so the timeout fires in a microbatch AFTER the
+    # watermark advanced (timeouts are evaluated at batch start)
+    mk([(2, "2024-01-01 12:01:00", 1.0)]).coalesce(1).write.mode("append").parquet(d)
+    out3: list[pd.DataFrame] = []
+    drain(out3)
+
+    closed = pd.concat(out2 + out3, ignore_index=True)
+    closed = closed[closed["key"] == 1]
+    assert len(closed) == 1
+    r = closed.iloc[0]
+    assert r["n_events"] == 2 and abs(r["total_value"] - 5.0) < 1e-6
+    assert r["session_start_ms"] == 1704103200000  # 2024-01-01 10:00:00 UTC
+    assert r["session_end_ms"] == 1704103320000  # 10:02:00
