@@ -256,3 +256,83 @@ def x11c_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@query(
+    "p8_irate",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, value, event_id,
+             lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv,
+             lag(ts)    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pt,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id,
+           ROUND((value - pv) / (epoch(ts) - epoch(pt)), 6) AS irate
+    FROM o WHERE rn = 1 AND pt IS NOT NULL AND ts > pt
+    ORDER BY user_id
+    """,
+)
+def p8_irate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL irate(): instantaneous rate from the LAST TWO samples of each
+    series — one per-series window (lag + row_number), no self-join. Series
+    with a single sample (or a zero interval) drop, as in Prometheus."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wd = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    o = ev.select(
+        "user_id", "ts", "value", "event_id",
+        F.lag("value").over(w).alias("pv"),
+        F.lag("ts").over(w).alias("pt"),
+        F.row_number().over(wd).alias("rn"),
+    )
+    return (
+        o.filter((F.col("rn") == 1) & F.col("pt").isNotNull() & (F.col("ts") > F.col("pt")))
+        .select(
+            "user_id",
+            F.round(
+                (F.col("value") - F.col("pv"))
+                / (F.unix_micros("ts") - F.unix_micros("pt")).cast("double")
+                * 1e6,
+                6,
+            ).alias("irate"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "p9_delta",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, value,
+             first_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_v,
+             last_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_v
+      FROM events
+    )
+    SELECT DISTINCT user_id, ROUND(last_v - first_v, 6) AS delta
+    FROM o ORDER BY user_id
+    """,
+)
+def p9_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL delta(): last minus first sample per series over the range —
+    min_by/max_by style endpoints via unbounded windows, one shuffle."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        ev.select(
+            "user_id",
+            F.first("value").over(w).alias("first_v"),
+            F.last("value").over(w).alias("last_v"),
+        )
+        .select("user_id", F.round(F.col("last_v") - F.col("first_v"), 6).alias("delta"))
+        .distinct()
+        .orderBy("user_id")
+    )
