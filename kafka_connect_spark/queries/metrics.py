@@ -336,3 +336,68 @@ def p9_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("user_id")
     )
+
+
+@query(
+    "p10_histogram_quantile",
+    oracle="""
+    WITH b AS (SELECT unnest([50.0, 100.0, 150.0, 200.0, 250.0, 1e308]) AS le),
+    cum AS (
+      SELECT e.event_type, b.le,
+             CAST(count(CASE WHEN e.value <= b.le THEN 1 END) AS DOUBLE) AS c
+      FROM events e CROSS JOIN b GROUP BY e.event_type, b.le
+    ),
+    tot AS (SELECT event_type, max(c) AS total FROM cum GROUP BY event_type),
+    w AS (
+      SELECT cum.event_type, le, c, total, 0.9 * total AS rank,
+             COALESCE(lag(c)  OVER (PARTITION BY cum.event_type ORDER BY le), 0.0) AS pc,
+             COALESCE(lag(le) OVER (PARTITION BY cum.event_type ORDER BY le), 0.0) AS ple
+      FROM cum JOIN tot USING (event_type)
+    ),
+    hit AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY le) AS rn
+      FROM w WHERE c >= rank
+    )
+    SELECT event_type,
+           ROUND(CASE WHEN le >= 1e308 THEN 250.0
+                      ELSE ple + (rank - pc) / (c - pc) * (le - ple) END, 6) AS q90
+    FROM hit WHERE rn = 1 ORDER BY event_type
+    """,
+)
+def p10_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL histogram_quantile(0.9, ...): linear interpolation inside the
+    first cumulative bucket whose count crosses the target rank, +Inf
+    bucket clamping to the highest finite boundary — the exact Prometheus
+    estimator over le-bucketed counters. Bucketing is an explode over a
+    6-literal array (x6 row fan-out, map-side) + one hash agg; the
+    quantile pick is a per-series window over 6 rows."""
+    ev = load(spark, sf_dir, "events")
+    les = [50.0, 100.0, 150.0, 200.0, 250.0, 1e308]
+    cum = (
+        ev.select(
+            "event_type",
+            "value",
+            F.explode(F.array(*[F.lit(x) for x in les])).alias("le"),
+        )
+        .groupBy("event_type", "le")
+        .agg(F.count(F.when(F.col("value") <= F.col("le"), 1)).cast("double").alias("c"))
+    )
+    tot = cum.groupBy("event_type").agg(F.max("c").alias("total"))
+    w = Window.partitionBy("event_type").orderBy("le")
+    scored = (
+        cum.join(tot, "event_type")
+        .withColumn("rank", F.lit(0.9) * F.col("total"))
+        .withColumn("pc", F.coalesce(F.lag("c").over(w), F.lit(0.0)))
+        .withColumn("ple", F.coalesce(F.lag("le").over(w), F.lit(0.0)))
+    )
+    hit = (
+        scored.filter(F.col("c") >= F.col("rank"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    q = F.when(F.col("le") >= 1e308, F.lit(250.0)).otherwise(
+        F.col("ple")
+        + (F.col("rank") - F.col("pc")) / (F.col("c") - F.col("pc"))
+        * (F.col("le") - F.col("ple"))
+    )
+    return hit.select("event_type", F.round(q, 6).alias("q90")).orderBy("event_type")
