@@ -151,6 +151,21 @@ def _t_envelope(spec: dict):
     return lambda df: to_json_envelope(df, spec.get("key.fields"))
 
 
+@register_transform("avro_envelope")
+def _t_avro_envelope(spec: dict):
+    """AvroConverter as a spec-addressable transform (reference
+    docker-compose.yaml:63-75: value.converter=AvroConverter +
+    schema.registry.url — here a file-backed registry path)."""
+
+    def apply(df: DataFrame) -> DataFrame:
+        from ..transforms.avro import FileSchemaRegistry, to_avro_envelope
+
+        reg = FileSchemaRegistry(spec["schema.registry.path"])
+        return to_avro_envelope(df, reg, spec["subject"], key_cols=spec.get("key.fields"))
+
+    return apply
+
+
 @register_transform("filter")
 def _t_filter(spec: dict):
     return lambda df: df.filter(spec["condition"])

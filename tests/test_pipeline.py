@@ -69,6 +69,35 @@ def test_error_tolerance_all_routes_to_dlq(spark, tmp_path):
     assert {r["id"] for r in spark.read.parquet(dlq).collect()} == {2}
 
 
+def test_avro_envelope_transform_in_spec(spark, tmp_path):
+    """Spec-driven AvroConverter: source rows serialize to the wire format
+    inside a pipeline, and decode back losslessly with the registry."""
+    from kafka_connect_spark.transforms.avro import FileSchemaRegistry, from_avro_envelope
+
+    data = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    reg_path = str(tmp_path / "registry")
+    spark.createDataFrame([(1, "a", 1.5), (2, "b", None)], "id bigint, v string, x double").write.parquet(data)
+    spec = {
+        "source": {"type": "parquet", "path": data},
+        "transforms": [
+            {
+                "type": "avro_envelope",
+                "schema.registry.path": reg_path,
+                "subject": "t-value",
+                "key.fields": ["id"],
+            }
+        ],
+        "sink": {"type": "parquet", "path": out},
+    }
+    assert Pipeline(spec).run(spark) == 2
+    env = spark.read.parquet(out)
+    assert set(env.columns) == {"key", "value"}
+    back = from_avro_envelope(env, FileSchemaRegistry(reg_path), subject="t-value")
+    got = {r["id"]: (r["v"], r["x"]) for r in back.collect()}
+    assert got == {1: ("a", 1.5), 2: ("b", None)}
+
+
 def test_streaming_dlq_splits_each_microbatch(spark, tmp_path):
     """T6 streaming parity: a streaming spec with errors.tolerance=all
     routes invalid rows to the DLQ and valid rows through the transform

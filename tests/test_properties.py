@@ -94,3 +94,34 @@ def test_upsert_replay_idempotent(spark, tmp_path_factory, batch):
     twice = sorted(map(tuple, sink.read(spark).collect()))
     assert once == twice
     assert len({k for k, _, _ in once}) == len(once)  # one row per key
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    offsets=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=40),
+    cap=st.integers(min_value=1, max_value=7),
+)
+def test_incremental_paging_never_loses_or_duplicates(spark, tmp_path_factory, offsets, cap):
+    """Property: paging through ANY offset multiset (ties included, cap
+    smaller than tie groups included) with batch_max_rows emits every row
+    exactly once — the at-least-once boundary-cut invariant."""
+    from kafka_connect_spark.sources.incremental import IncrementalTableSource
+
+    tmp = tmp_path_factory.mktemp("inc")
+    data = str(tmp / "t")
+    spark.createDataFrame(
+        [(i, o) for i, o in enumerate(offsets)], ["row_id", "off"]
+    ).coalesce(1).write.parquet(data)
+    src = IncrementalTableSource(
+        data, "off", "incrementing", str(tmp / "state"), batch_max_rows=cap
+    )
+    seen: list[int] = []
+    rounds = 0
+    while (n := src.run_once(spark, lambda df: seen.extend(r["row_id"] for r in df.collect()))) > 0:
+        rounds += 1
+        assert rounds <= len(offsets) + 2  # must terminate
+    assert sorted(seen) == list(range(len(offsets)))  # no loss, no dup
