@@ -181,3 +181,31 @@ def x12e_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_dup_pairs(
         d, num_hashes=64, bands=16, n=3, threshold=0.5
     ).orderBy("id_a", "id_b")
+
+
+@query(
+    "x26_dup_ratio_report",
+    oracle="""
+    SELECT lang, count(*) AS n_docs,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+           ROUND(1 - count(DISTINCT md5(text)) / CAST(count(*) AS DOUBLE), 6) AS dup_ratio
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def x26_dup_ratio_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus dedup AUDIT: per-language exact-duplicate ratio (1 -
+    distinct-content / docs) — the QA report run before and after a dedup
+    pass to quantify its effect. One hash agg with a distinct count on the
+    16-byte content hash (not the text), so shuffle bytes stay tiny."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(F.md5("text")).alias("n_unique"),
+            F.round(
+                1 - F.countDistinct(F.md5("text")) / F.count(F.lit(1)).cast("double"), 6
+            ).alias("dup_ratio"),
+        )
+        .orderBy("lang")
+    )
