@@ -15,6 +15,7 @@ Jaccard so false positives cost time, not correctness."""
 
 from __future__ import annotations
 
+import threading
 from functools import reduce
 from operator import add
 
@@ -28,7 +29,13 @@ _MINHASH_PRIME = 2147483647
 
 # One-slot handle on the most recent ngram_jaccard_pairs shingle cache —
 # released on the next call so repeated invocations in a long-lived session
-# don't accumulate pinned partitions.
+# don't accumulate pinned partitions. Guarded by a lock: with concurrent
+# pipelines (herder streaming queries, parallel bench runs) an unguarded
+# swap could unpersist a cache another in-flight job is reading, forcing
+# mid-job recomputation of the shingle transform. The lock makes the swap
+# atomic; the unpersist itself is always SAFE (Spark recomputes), the lock
+# just prevents two concurrent calls from both leaving a cache pinned.
+_shingle_cache_lock = threading.Lock()
 _last_shingle_cache: DataFrame | None = None
 
 
@@ -93,9 +100,10 @@ def ngram_jaccard_pairs(
     # plan just recomputes).
     sh = sh.persist()
     global _last_shingle_cache
-    if _last_shingle_cache is not None:
-        _last_shingle_cache.unpersist(blocking=False)
-    _last_shingle_cache = sh
+    with _shingle_cache_lock:
+        prev, _last_shingle_cache = _last_shingle_cache, sh
+    if prev is not None and prev is not sh:
+        prev.unpersist(blocking=False)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     if max_shingle_freq is not None:
         hot = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df_"))
@@ -244,6 +252,7 @@ def dup_clusters(
         .persist()
     )
     try:
+        changed = 0
         for _ in range(max_iters):
             nbr = sym.join(labels, sym["dst"] == labels["node"]).select(
                 F.col("src").alias("node"), "label"
@@ -264,6 +273,15 @@ def dup_clusters(
             labels = new
             if changed == 0:
                 break
+        if changed != 0:
+            # A component whose diameter exceeds the iteration budget (long
+            # chains of near-dups) would otherwise silently return SPLIT
+            # cluster assignments in a hash-checked path.
+            raise RuntimeError(
+                f"dup_clusters did not converge after {max_iters} iterations "
+                f"({changed} labels still changing); raise max_iters — the "
+                "dup graph has components with diameter > max_iters"
+            )
         return labels.select(
             F.col("node").alias("doc_id"), F.col("label").alias("cluster")
         )

@@ -171,6 +171,12 @@ def _t_filter(spec: dict):
     return lambda df: df.filter(spec["condition"])
 
 
+# Transform types that drop (or duplicate) rows: under a spec-level
+# predicate these must take the filter/union plan, not the single-pass
+# when/otherwise rewrite (which would wrongly drop non-matching rows too).
+ROW_DROPPING_TRANSFORMS = {"filter"}
+
+
 @register_sink("parquet")
 def _k_parquet(spec: dict):
     return lambda df: df.write.mode(spec.get("mode", "append")).parquet(spec["path"])
@@ -300,7 +306,7 @@ class Pipeline:
         src_reg = STREAM_SOURCES if self.streaming else SOURCES
         self._read = src_reg[spec["source"]["type"]](spec["source"])
         self._transforms = [
-            TRANSFORMS[t["type"]](t) for t in spec.get("transforms", [])
+            self._compile_transform(t) for t in spec.get("transforms", [])
         ]
         err = spec.get("errors", {})
         self.tolerance = err.get("tolerance", "none")
@@ -329,6 +335,29 @@ class Pipeline:
     @classmethod
     def from_json(cls, text: str) -> "Pipeline":
         return cls(json.loads(text))
+
+    @staticmethod
+    def _compile_transform(t: dict) -> Callable[[DataFrame], DataFrame]:
+        """Compile one transform spec, honoring a spec-level ``predicate``
+        (Connect's ``transforms.X.predicate`` + ``negate``,
+        reference README.md:290,327): the transform applies only to rows
+        matching the SQL condition. Row-dropping transform types
+        (``ROW_DROPPING_TRANSFORMS``) take the filter/union plan; the rest
+        use the single-pass when/otherwise rewrite."""
+        fn = TRANSFORMS[t["type"]](t)
+        cond = t.get("predicate")
+        if cond is None:
+            return fn
+        from ..transforms import apply_when
+
+        negate = str(t.get("negate", "false")).lower() == "true"
+        preserving = t["type"] not in ROW_DROPPING_TRANSFORMS
+
+        def predicated(df: DataFrame) -> DataFrame:
+            pred = ~F.expr(cond) if negate else F.expr(cond)
+            return apply_when(df, pred, fn, row_preserving=preserving)
+
+        return predicated
 
     def _apply(self, df: DataFrame) -> DataFrame:
         if self.tolerance == "all" and self.validate_condition:

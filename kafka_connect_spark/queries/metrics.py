@@ -184,25 +184,32 @@ def x11b_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "p7_avg_over_time",
     oracle="""
-    SELECT event_id,
+    SELECT event_id, user_id,
            ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
                  / COUNT(*) OVER w, 4) AS avg_5m
-    FROM events WHERE user_id = 7
-    WINDOW w AS (ORDER BY ts RANGE BETWEEN INTERVAL 5 MINUTES PRECEDING AND CURRENT ROW)
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 5 MINUTES PRECEDING AND CURRENT ROW)
     ORDER BY event_id
     """,
 )
 def p7_avg_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """avg_over_time(metric[5m]) — trailing time-range window frame (the
-    PromQL range-vector average). Spark expresses the interval frame as a
-    rangeBetween over epoch seconds; sum/count in exact decimal so the
-    trailing aggregate is engine-independent."""
-    events = load(spark, sf_dir, "events").filter(F.col("user_id") == 7)
+    PromQL range-vector average), computed per series. PromQL range vectors
+    are per-series by definition, and partitionBy keeps the WindowExec
+    distributed: each series' history stays inside one hash partition instead
+    of forcing the whole table through a single global-window task."""
+    events = load(spark, sf_dir, "events")
     # epoch MICROS, not seconds: unix_timestamp truncates and would shift
     # the frame boundary vs DuckDB's full-precision interval arithmetic
-    w = Window.orderBy(F.unix_micros("ts")).rangeBetween(-300 * 1_000_000, 0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-300 * 1_000_000, 0)
+    )
     return events.select(
         "event_id",
+        "user_id",
         F.round(
             F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double")
             / F.count(F.lit(1)).over(w),

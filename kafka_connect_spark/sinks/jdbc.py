@@ -123,13 +123,28 @@ class UpsertJdbcSink:
             conn.close()
 
     def existing_columns(self, spark: SparkSession) -> list[str] | None:
-        """Column names of the target table, or None if it doesn't exist."""
+        """Column names of the target table, or None if it doesn't exist.
+
+        ``getColumns`` treats the table name as a LIKE pattern ('_'/'%' are
+        wildcards), so 'user_events' would also match 'userXevents' and
+        auto_create/auto_evolve would mis-detect. The pattern is escaped
+        with the driver's search-string escape AND results are filtered by
+        exact TABLE_NAME match (belt and braces — some drivers ignore the
+        escape in metadata patterns)."""
         conn = self._connection(spark)
         try:
-            rs = conn.getMetaData().getColumns(None, None, self.table, None)
+            md = conn.getMetaData()
+            esc = md.getSearchStringEscape() or "\\"
+            pattern = (
+                self.table.replace(esc, esc + esc)
+                .replace("_", esc + "_")
+                .replace("%", esc + "%")
+            )
+            rs = md.getColumns(None, None, pattern, None)
             cols = []
             while rs.next():
-                cols.append(rs.getString("COLUMN_NAME"))
+                if rs.getString("TABLE_NAME") == self.table:
+                    cols.append(rs.getString("COLUMN_NAME"))
             rs.close()
             return cols or None
         finally:

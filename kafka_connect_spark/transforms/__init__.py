@@ -187,38 +187,68 @@ def resolve_config_placeholders(value):
 # -- T7 ----------------------------------------------------------------------
 
 
+# Stash-column prefix for the single-pass predicated plan. Deliberately ugly
+# and namespaced so no real transform's output can collide with it; a generic
+# transform that rewrites EVERY column (including these) is outside the
+# row-preserving contract and must use row_preserving=False.
+_STASH = "__kcs_stash__"
+_PRED = "__kcs_pred__"
+
+
 def apply_when(
-    df: DataFrame, predicate: Column, transform: Callable[[DataFrame], DataFrame]
+    df: DataFrame,
+    predicate: Column,
+    transform: Callable[[DataFrame], DataFrame],
+    row_preserving: bool = True,
 ) -> DataFrame:
     """Predicated transform: apply ``transform`` only to rows matching
     ``predicate``; other rows pass through unchanged (null predicate = no
-    match, like Connect's predicated SMTs). Requires the transform to
-    preserve the schema and pass unknown columns through (as Connect SMTs
-    do — they act on named fields of each record).
+    match, like Connect's predicated SMTs).
 
-    Single-pass plan: the predicate and the original column values are
-    stashed as extra columns, the transform runs over the WHOLE relation,
-    and a final per-column ``when(pred, transformed).otherwise(original)``
-    selects the right value. One scan, one codegen stage — a
-    filter/transform/union alternative reads the input twice and splits the
-    SMT chain into two subtrees (2x scan at scale)."""
+    ``row_preserving=True`` (default — the Connect SMT contract: one record
+    in, one record out, named fields rewritten, unknown fields passed
+    through) uses a single-pass plan: the predicate and original column
+    values are stashed as extra columns, the transform runs over the WHOLE
+    relation, and a final per-column ``when(pred, transformed)
+    .otherwise(original)`` selects the right value. One scan, one codegen
+    stage.
+
+    ``row_preserving=False`` MUST be used for transforms that drop or
+    duplicate rows (e.g. a Filter SMT analog): the single-pass plan would
+    wrongly apply the drop to non-matching rows too. It falls back to the
+    filter/transform/union plan — the transform sees only matching rows,
+    non-matching rows bypass it entirely. Two scan subtrees; correct by
+    construction for any transform that preserves the schema.
+    """
     orig_cols = list(df.columns)
-    stash = [F.col(c).alias(f"__orig__{c}") for c in orig_cols]
-    aug = df.select(*orig_cols, *stash, predicate.alias("__pred__"))
+    if not row_preserving:
+        # Safe two-subtree plan: transform only the matching slice.
+        hit = predicate.isNotNull() & predicate
+        matched = transform(df.filter(hit))
+        if set(matched.columns) != set(orig_cols):
+            raise ValueError(
+                "predicated transform must preserve the schema; got "
+                f"{sorted(matched.columns)} want {sorted(orig_cols)}"
+            )
+        return matched.select(*orig_cols).unionByName(df.filter(~hit | predicate.isNull()))
+
+    stash = [F.col(c).alias(f"{_STASH}{c}") for c in orig_cols]
+    aug = df.select(*orig_cols, *stash, predicate.alias(_PRED))
     t = transform(aug)
-    missing = ({"__pred__", *{f"__orig__{c}" for c in orig_cols}, *orig_cols}
-               - set(t.columns))
+    expected = {_PRED, *{f"{_STASH}{c}" for c in orig_cols}, *orig_cols}
+    missing = expected - set(t.columns)
     if missing:
         raise ValueError(
             "predicated transform must preserve the schema and pass "
-            f"unknown columns through; missing: {sorted(missing)}"
+            f"unknown columns through; missing: {sorted(missing)} "
+            "(row-dropping/duplicating transforms need row_preserving=False)"
         )
-    if set(t.columns) - {"__pred__", *{f"__orig__{c}" for c in orig_cols}, *orig_cols}:
+    if set(t.columns) - expected:
         raise ValueError("predicated transform must preserve the schema")
-    pred = F.col("__pred__").isNotNull() & F.col("__pred__")
+    pred = F.col(_PRED).isNotNull() & F.col(_PRED)
     return t.select(
         *[
-            F.when(pred, F.col(c)).otherwise(F.col(f"__orig__{c}")).alias(c)
+            F.when(pred, F.col(c)).otherwise(F.col(f"{_STASH}{c}")).alias(c)
             for c in orig_cols
         ]
     )

@@ -64,13 +64,32 @@ class FileSchemaRegistry:
             if e["subject"] == subject and json.dumps(e["schema"], sort_keys=True) == canon:
                 return e["id"]
         sid = (entries[-1]["id"] + 1) if entries else 1
-        version = 1 + sum(1 for e in entries if e["subject"] == subject)
-        rec = {"id": sid, "subject": subject, "version": version, "schema": schema}
-        tmp = os.path.join(self.path, f"{sid}.json.tmp")
-        with open(tmp, "w") as fh:
-            json.dump(rec, fh)
-        os.replace(tmp, os.path.join(self.path, f"{sid}.json"))
-        return sid
+        # Claim the id file exclusively so two concurrent registrations
+        # (pipelines sharing one registry path) can never both take the same
+        # id — a last-wins os.replace would silently discard one schema and
+        # later decode those records with the wrong writer schema. The
+        # claim is a hard link of a fully-written temp file: link() fails
+        # with FileExistsError if the id is taken (retry with the next id),
+        # and the final name appears atomically with complete content, so
+        # concurrent readers never observe a half-written entry.
+        tmp = os.path.join(self.path, f".claim-{os.getpid()}-{id(self)}.tmp")
+        try:
+            while True:
+                version = 1 + sum(
+                    1 for e in self._entries() if e["subject"] == subject
+                )
+                rec = {"id": sid, "subject": subject, "version": version, "schema": schema}
+                with open(tmp, "w") as fh:
+                    json.dump(rec, fh)
+                try:
+                    os.link(tmp, os.path.join(self.path, f"{sid}.json"))
+                except FileExistsError:
+                    sid += 1
+                    continue
+                return sid
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
 
     def by_id(self, sid: int) -> dict:
         with open(os.path.join(self.path, f"{sid}.json")) as fh:

@@ -106,6 +106,92 @@ def test_apply_when_predicate(spark):
     assert got == {1: "keep", 2: "CENSORED"}
 
 
+def test_apply_when_row_dropping_transform(spark):
+    """A row-dropping transform (Filter SMT analog) under a predicate must
+    drop only the MATCHING rows — non-matching rows pass through even when
+    they'd fail the inner filter (ADVICE r2: the single-pass plan applied
+    the drop globally)."""
+    df = spark.createDataFrame(
+        [(1, "keep", 0), (2, "evaluated", 0), (3, "evaluated", 99)],
+        ["id", "kind", "score"],
+    )
+    out = apply_when(
+        df,
+        F.col("kind") == "evaluated",
+        lambda d: d.filter(F.col("score") > 50),
+        row_preserving=False,
+    )
+    assert sorted(r["id"] for r in out.collect()) == [1, 3]
+    # and the column order survives the union
+    assert out.columns == ["id", "kind", "score"]
+
+
+def test_apply_when_row_preserving_counts(spark):
+    """The default single-pass plan is row-preserving by construction:
+    same count in, same count out, regardless of predicate selectivity."""
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(10)], ["id", "v"])
+    out = apply_when(df, F.col("id") % 2 == 0, lambda d: mask_fields(d, ["v"]))
+    assert out.count() == 10
+    got = {r["id"]: r["v"] for r in out.collect()}
+    assert got[2] == "CENSORED" and got[3] == "v3"
+
+
+def test_pipeline_spec_level_predicate(spark, tmp_path):
+    """Connect's transforms.X.predicate + negate as spec fields: the filter
+    transform (row-dropping) under a predicate drops only matching rows."""
+    from kafka_connect_spark.plans.pipeline import Pipeline
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 99), (3, "a", 99)], ["id", "grp", "score"]
+    ).write.parquet(src)
+    sunk = str(tmp_path / "out")
+    p = Pipeline(
+        {
+            "source": {"type": "parquet", "path": src},
+            "transforms": [
+                {
+                    "type": "filter",
+                    "condition": "score > 50",
+                    "predicate": "grp = 'a'",
+                }
+            ],
+            "sink": {"type": "parquet", "path": sunk},
+        }
+    )
+    p.run(spark)
+    got = sorted(r["id"] for r in spark.read.parquet(sunk).collect())
+    # id=1: matched (grp a), fails score>50 -> dropped.
+    # id=2: unmatched (grp b) -> bypasses the filter, kept.
+    # id=3: matched, passes -> kept.
+    assert got == [2, 3]
+
+
+def test_pipeline_spec_level_predicate_negate(spark, tmp_path):
+    from kafka_connect_spark.plans.pipeline import Pipeline
+
+    src = str(tmp_path / "srcn")
+    spark.createDataFrame([(1, "a"), (2, "b")], ["id", "grp"]).write.parquet(src)
+    sunk = str(tmp_path / "outn")
+    p = Pipeline(
+        {
+            "source": {"type": "parquet", "path": src},
+            "transforms": [
+                {
+                    "type": "mask_field",
+                    "fields": ["grp"],
+                    "predicate": "grp = 'a'",
+                    "negate": "true",
+                }
+            ],
+            "sink": {"type": "parquet", "path": sunk},
+        }
+    )
+    p.run(spark)
+    got = {r["id"]: r["grp"] for r in spark.read.parquet(sunk).collect()}
+    assert got == {1: "a", 2: "CENSORED"}
+
+
 def test_config_provider(tmp_path):
     secrets = tmp_path / "creds.properties"
     secrets.write_text("user=admin\npassword=hunter2\n")
