@@ -253,6 +253,27 @@ def _ss_file(spec: dict) -> Callable[[SparkSession], DataFrame]:
     return read
 
 
+@register_stream_source("incremental_table")
+def _ss_incremental(spec: dict) -> Callable[[SparkSession], DataFrame]:
+    """S1/S2 as a native stream: offsets checkpoint with the sink epoch;
+    data reads happen on executors (partition-per-file Arrow scans)."""
+
+    def read(spark: SparkSession) -> DataFrame:
+        from ..sources.incremental_stream import IncrementalTableDataSource
+
+        spark.dataSource.register(IncrementalTableDataSource)
+        reader = (
+            spark.readStream.format("incremental_table")
+            .option("path", spec["path"])
+            .option("offset.column", spec["offset.column"])
+        )
+        if "batch.max.rows" in spec:
+            reader = reader.option("batch.max.rows", str(spec["batch.max.rows"]))
+        return reader.load()
+
+    return read
+
+
 @register_stream_source("rate")
 def _ss_rate(spec: dict) -> Callable[[SparkSession], DataFrame]:
     return lambda spark: (

@@ -73,6 +73,38 @@ def test_streaming_pipeline_spec(spark, sf_dir, tmp_path):
     assert spark.read.parquet(str(tmp_path / "out")).count() == 50
 
 
+def test_streaming_incremental_table_spec(spark, tmp_path):
+    """The native incremental_table stream source as a spec-addressable
+    streaming pipeline: offsets checkpoint with the sink, executor-side
+    partition reads."""
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(i, f"n{i}") for i in range(1, 6)], ["id", "name"]
+    ).write.parquet(src)
+    spec = {
+        "name": "stream-incremental",
+        "streaming": True,
+        "source": {"type": "incremental_table", "path": src, "offset.column": "id"},
+        "transforms": [{"type": "mask_field", "fields": ["name"]}],
+        "sink": {
+            "type": "parquet_stream",
+            "path": str(tmp_path / "out"),
+            "checkpoint": str(tmp_path / "ckpt"),
+        },
+    }
+    q = Pipeline(spec).start_stream(spark)
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() == 5
+    assert out.select("name").distinct().collect()[0][0] == "CENSORED"
+
+    # append + restart: only the new rows flow
+    spark.createDataFrame([(6, "n6")], ["id", "name"]).write.mode("append").parquet(src)
+    q2 = Pipeline(spec).start_stream(spark)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 6
+
+
 def test_streaming_upsert_spec(spark, tmp_path):
     src = str(tmp_path / "src")
     spark.createDataFrame(
