@@ -130,12 +130,27 @@ def _t_mask(spec: dict):
     return lambda df: mask_fields(df, spec["fields"], spec.get("replacement", "CENSORED"))
 
 
+def _listish(v) -> list[str] | None:
+    """Connect configs write list options as comma-joined strings; specs
+    may also pass real lists."""
+    if v is None:
+        return None
+    if isinstance(v, str):
+        return [p.strip() for p in v.split(",") if p.strip()]
+    return list(v)
+
+
 @register_transform("unwrap")
 def _t_unwrap(spec: dict):
     return lambda df: extract_new_record_state(
         df,
         drop_tombstones=spec.get("drop.tombstones", "false") == "true",
         delete_handling=spec.get("delete.handling.mode", "rewrite"),
+        add_fields=_listish(spec.get("add.fields")),
+        add_fields_prefix=spec.get("add.fields.prefix", "__"),
+        add_headers=_listish(spec.get("add.headers")),
+        add_headers_prefix=spec.get("add.headers.prefix", "__"),
+        route_by_field=spec.get("route.by.field") or None,
     )
 
 
@@ -160,7 +175,12 @@ def _t_avro_envelope(spec: dict):
     def apply(df: DataFrame) -> DataFrame:
         from ..transforms.avro import FileSchemaRegistry, to_avro_envelope
 
-        reg = FileSchemaRegistry(spec["schema.registry.path"])
+        if "schema.registry.url" in spec:
+            from ..transforms.schema_registry import RestSchemaRegistry
+
+            reg = RestSchemaRegistry(spec["schema.registry.url"])
+        else:
+            reg = FileSchemaRegistry(spec["schema.registry.path"])
         return to_avro_envelope(df, reg, spec["subject"], key_cols=spec.get("key.fields"))
 
     return apply

@@ -92,6 +92,38 @@ def t2b_cdc_unwrap_drop_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t2c_unwrap_add_fields_route",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CASE WHEN event_id % 4 = 2 THEN -value ELSE value END AS value,
+           CASE event_id % 4 WHEN 0 THEN 'c' WHEN 1 THEN 'u' WHEN 2 THEN 'd' ELSE 'r' END AS __op,
+           CAST(epoch_ms(ts) AS BIGINT) AS __ts_ms,
+           'events' AS __source_table,
+           CASE WHEN event_id % 4 = 2 THEN 'true' ELSE 'false' END AS __deleted,
+           event_type AS topic
+    FROM events ORDER BY event_id
+    """,
+)
+def t2c_unwrap_add_fields_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExtractNewRecordState add.fields + route.by.field (reference
+    README.md:316-329): envelope metadata promoted as __-prefixed value
+    columns (__op, __ts_ms, __source_table) and the topic routed from a
+    field of the flattened row — all single-pass JVM expressions."""
+    env = cdc_envelope(spark, sf_dir)
+    return (
+        extract_new_record_state(
+            env,
+            drop_tombstones=False,
+            delete_handling="rewrite",
+            add_fields=["op", "ts_ms", "source.table"],
+            route_by_field="event_type",
+        )
+        .drop("ts_ms", "source")  # raw extras; keep the promoted copies
+        .orderBy("event_id")
+    )
+
+
+@query(
     "t4_json_envelope_roundtrip",
     oracle="""
     SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,

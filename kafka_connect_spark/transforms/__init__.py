@@ -42,16 +42,31 @@ def mask_fields(
 # -- T2 ----------------------------------------------------------------------
 
 
+def _added_field_column(spec: str, prefix: str) -> Column:
+    """One ``add.fields``/``add.headers`` entry: an envelope path like
+    ``op``, ``ts_ms``, ``source.table``, optionally renamed via
+    ``path:newname``. Default output name = prefix + path with dots
+    flattened to underscores (Debezium's ``__source_table`` convention)."""
+    path, _, rename = spec.partition(":")
+    name = rename or path.replace(".", "_")
+    return F.col(path).alias(f"{prefix}{name}")
+
+
 def extract_new_record_state(
     df: DataFrame,
     drop_tombstones: bool = False,
     delete_handling: str = "rewrite",
     deleted_field: str = "__deleted",
+    add_fields: list[str] | None = None,
+    add_fields_prefix: str = "__",
+    add_headers: list[str] | None = None,
+    add_headers_prefix: str = "__",
+    route_by_field: str | None = None,
 ) -> DataFrame:
     """Debezium ExtractNewRecordState ('unwrap') over an envelope DataFrame
     with columns ``before:struct, after:struct, op:string`` (+ extras).
 
-    Semantics (reference postgres/connector.json:11-14, README.md:321-329):
+    Semantics (reference postgres/connector.json:11-14, README.md:316-329):
     - flatten the envelope to the row fields;
     - ``delete.handling.mode=rewrite``: deletes become rows (taken from
       ``before``) carrying ``__deleted='true'``; non-deletes get 'false';
@@ -59,7 +74,16 @@ def extract_new_record_state(
     - ``delete.handling.mode=none``: deletes flattened from ``before``
       without the marker column;
     - ``drop.tombstones=false``: tombstones (op IS NULL, i.e. null value
-      records) pass through with null row fields.
+      records) pass through with null row fields;
+    - ``add.fields`` (README.md:317-318): envelope metadata paths
+      (``op``, ``ts_ms``, ``source.table``; ``path:rename`` supported)
+      promoted to value columns named ``__``-prefixed with dots flattened
+      (``__source_table``), prefix configurable;
+    - ``add.headers`` (README.md:319-320): same paths emitted as a Kafka
+      ``headers`` column — ``array<struct<key:string, value:binary>>``,
+      the exact shape Spark's Kafka writer sends as record headers;
+    - ``route.by.field`` (README.md:328): output ``topic`` taken from the
+      named field of the flattened row state.
     """
     if delete_handling not in ("rewrite", "drop", "none"):
         raise ValueError(f"unknown delete.handling.mode: {delete_handling}")
@@ -75,6 +99,27 @@ def extract_new_record_state(
     # through — the add.fields surface of the reference SMT (README.md:324)
     extras = [c for c in src.columns if c not in ("before", "after", "op")]
     cols = [row.alias("__row")] + [F.col(c) for c in extras]
+    added_names: list[str] = []
+    for spec in add_fields or []:
+        col = _added_field_column(spec, add_fields_prefix)
+        cols.append(col)
+        added_names.append(src.select(col).columns[0])
+    if add_headers:
+        header_structs = []
+        for spec in add_headers:
+            col = _added_field_column(spec, add_headers_prefix)
+            key = src.select(col).columns[0]
+            header_structs.append(
+                F.struct(
+                    F.lit(key).alias("key"),
+                    F.col(spec.partition(":")[0])
+                    .cast("string")
+                    .cast("binary")
+                    .alias("value"),
+                )
+            )
+        cols.append(F.array(*header_structs).alias("headers"))
+        added_names.append("headers")
     if delete_handling == "rewrite":
         cols.append(
             F.when(F.col("op") == "d", F.lit("true"))
@@ -85,9 +130,13 @@ def extract_new_record_state(
     out_cols = (
         ["__row.*"]
         + extras
+        + added_names
         + ([deleted_field] if delete_handling == "rewrite" else [])
     )
-    return flat.select(*out_cols)
+    out = flat.select(*out_cols)
+    if route_by_field:
+        out = out.withColumn("topic", F.col(route_by_field).cast("string"))
+    return out
 
 
 # -- T3 ----------------------------------------------------------------------

@@ -308,7 +308,7 @@ _MAGIC = b"\x00"
 
 def to_avro_envelope(
     df: DataFrame,
-    registry: FileSchemaRegistry,
+    registry,  # FileSchemaRegistry | RestSchemaRegistry (duck-typed)
     subject: str,
     key_cols: list[str] | None = None,
 ) -> DataFrame:
@@ -335,7 +335,7 @@ def to_avro_envelope(
 
 def from_avro_envelope(
     df: DataFrame,
-    registry: FileSchemaRegistry,
+    registry,  # FileSchemaRegistry | RestSchemaRegistry (duck-typed)
     reader_schema: T.StructType | dict | None = None,
     subject: str | None = None,
 ) -> DataFrame:
@@ -354,10 +354,11 @@ def from_avro_envelope(
     else:
         out_schema = reader_schema
     names = [f.name for f in out_schema.fields]
-    reg_path = registry.path
+    # the registry handle (a path or URL) pickles to executors; writer
+    # schemas are fetched once per (executor, schema id), not per row
+    reg = registry
 
     def gen(batches):
-        reg = FileSchemaRegistry(reg_path)
         decoders: dict[int, object] = {}
         for pdf in batches:
             rows = []

@@ -56,8 +56,52 @@ def test_registry_idempotent_and_persistent(tmp_path):
         reg2.latest("nope")
 
 
-def test_spark_avro_roundtrip(spark, tmp_path):
-    reg = FileSchemaRegistry(str(tmp_path / "reg"))
+@pytest.fixture()
+def rest_registry(tmp_path):
+    """A RestSchemaRegistry client against a stub Confluent-REST server
+    backed by a FileSchemaRegistry."""
+    from kafka_connect_spark.transforms.schema_registry import (
+        RestSchemaRegistry,
+        serve_schema_registry,
+    )
+
+    backing = FileSchemaRegistry(str(tmp_path / "rest-backing"))
+    server = serve_schema_registry(backing)
+    url = f"http://127.0.0.1:{server.server_address[1]}"
+    yield RestSchemaRegistry(url)
+    server.shutdown()
+
+
+def _registry_of(kind, tmp_path, rest_registry):
+    if kind == "file":
+        return FileSchemaRegistry(str(tmp_path / "reg"))
+    return rest_registry
+
+
+def test_rest_registry_confluent_shapes(rest_registry):
+    """Client/server speak the public Confluent REST subset: register is
+    idempotent, ids resolve globally, latest is per-subject, 404s map to
+    KeyError."""
+    s1 = {"type": "record", "name": "R",
+          "fields": [{"name": "a", "type": ["null", "long"], "default": None}]}
+    s2 = {"type": "record", "name": "R",
+          "fields": [{"name": "a", "type": ["null", "long"], "default": None},
+                     {"name": "b", "type": ["null", "string"], "default": None}]}
+    id1 = rest_registry.register("subj", s1)
+    assert rest_registry.register("subj", s1) == id1  # idempotent
+    id2 = rest_registry.register("subj", s2)
+    assert id2 != id1
+    assert rest_registry.by_id(id1) == s1
+    assert rest_registry.latest("subj") == (id2, s2)
+    with pytest.raises(KeyError):
+        rest_registry.latest("nope")
+    with pytest.raises(KeyError):
+        rest_registry.by_id(999)
+
+
+@pytest.mark.parametrize("kind", ["file", "rest"])
+def test_spark_avro_roundtrip(spark, tmp_path, rest_registry, kind):
+    reg = _registry_of(kind, tmp_path, rest_registry)
     df = spark.createDataFrame(
         [(1, "a", 1.5, True), (2, None, None, False), (3, "c", -0.25, None)],
         ["id", "name", "score", "flag"],
@@ -73,8 +117,9 @@ def test_spark_avro_roundtrip(spark, tmp_path):
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
 
 
-def test_schema_evolution_both_directions(spark, tmp_path):
-    reg = FileSchemaRegistry(str(tmp_path / "reg"))
+@pytest.mark.parametrize("kind", ["file", "rest"])
+def test_schema_evolution_both_directions(spark, tmp_path, rest_registry, kind):
+    reg = _registry_of(kind, tmp_path, rest_registry)
     v1 = spark.createDataFrame([(1, "a")], ["id", "name"])
     v2 = spark.createDataFrame([(2, "b", 9.5)], ["id", "name", "score"])
     env1 = to_avro_envelope(v1, reg, "u-value")

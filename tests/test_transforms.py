@@ -106,6 +106,57 @@ def test_apply_when_predicate(spark):
     assert got == {1: "keep", 2: "CENSORED"}
 
 
+def test_unwrap_add_fields_headers_route(spark):
+    """Debezium unwrap option surface (reference README.md:316-329):
+    add.fields promotes envelope metadata as __-prefixed columns (dots
+    flattened, rename supported), add.headers emits the Kafka headers
+    shape, route.by.field routes the topic from a row field — exercised
+    through the spec-level 'unwrap' transform plugin with Connect-style
+    comma-joined lists."""
+    from pyspark.sql import Row
+
+    from kafka_connect_spark.plans.pipeline import TRANSFORMS
+
+    schema = T.StructType(
+        [
+            T.StructField("before", ROW_SCHEMA),
+            T.StructField("after", ROW_SCHEMA),
+            T.StructField("op", T.StringType()),
+            T.StructField("ts_ms", T.LongType()),
+            T.StructField(
+                "source",
+                T.StructType([T.StructField("table", T.StringType())]),
+            ),
+        ]
+    )
+    env = spark.createDataFrame(
+        [
+            Row(before=None, after=Row(id=1, name="a"), op="c", ts_ms=111,
+                source=Row(table="users")),
+            Row(before=Row(id=2, name="gone"), after=None, op="d", ts_ms=222,
+                source=Row(table="users")),
+        ],
+        schema,
+    )
+    fn = TRANSFORMS["unwrap"](
+        {
+            "type": "unwrap",
+            "add.fields": "op,ts_ms,source.table",
+            "add.headers": "op:operation",
+            "route.by.field": "name",
+        }
+    )
+    out = {r["id"]: r for r in fn(env).collect()}
+    assert out[1]["__op"] == "c" and out[1]["__ts_ms"] == 111
+    assert out[1]["__source_table"] == "users"
+    assert out[1]["topic"] == "a"
+    assert out[2]["__op"] == "d" and out[2]["__deleted"] == "true"
+    assert out[2]["topic"] == "gone"  # deletes route by the before-state
+    hdr = out[1]["headers"]
+    assert len(hdr) == 1 and hdr[0]["key"] == "__operation"
+    assert bytes(hdr[0]["value"]) == b"c"
+
+
 def test_apply_when_row_dropping_transform(spark):
     """A row-dropping transform (Filter SMT analog) under a predicate must
     drop only the MATCHING rows — non-matching rows pass through even when
