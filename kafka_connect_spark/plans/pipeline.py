@@ -294,6 +294,23 @@ def _ss_incremental(spec: dict) -> Callable[[SparkSession], DataFrame]:
     return read
 
 
+@register_stream_source("tailing_file")
+def _ss_tailing(spec: dict) -> Callable[[SparkSession], DataFrame]:
+    """S5 with the reference's exact (file, byte-position) offsets: tail
+    one growing text file, one record per appended line."""
+
+    def read(spark: SparkSession) -> DataFrame:
+        from ..sources.tailing import TailingFileDataSource
+
+        spark.dataSource.register(TailingFileDataSource)
+        reader = spark.readStream.format("tailing_file").option("path", spec["path"])
+        if "batch.max.bytes" in spec:
+            reader = reader.option("batch.max.bytes", str(spec["batch.max.bytes"]))
+        return reader.load()
+
+    return read
+
+
 @register_stream_source("rate")
 def _ss_rate(spec: dict) -> Callable[[SparkSession], DataFrame]:
     return lambda spark: (

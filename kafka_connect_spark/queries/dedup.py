@@ -172,6 +172,21 @@ def x12g_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_cosine_pairs(emb, 0.4, n_planes=3, n_tables=16).orderBy("id_a", "id_b")
 
 
+@query("x12i_lsh_dup_clusters")  # seed-deterministic; rows-only check
+def x12i_lsh_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end 100 TB dedup pipeline: MinHash-LSH pair generation
+    (x12e — band-bucket join, no all-pairs scan) composed with hash-min
+    label propagation (x12h's cluster assignment). This is the composition
+    a trillion-token corpus actually runs; x12h over exact pairs is its
+    ground-truth twin. Cluster agreement with the exact pipeline is
+    asserted in tests/test_dedup.py (LSH recall makes it rows-only here)."""
+    from ..functions.dedupfns import dup_clusters
+
+    d = load(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(d, num_hashes=64, bands=16, n=3, threshold=0.5)
+    return dup_clusters(pairs).orderBy("doc_id")
+
+
 @query("x12e_minhash_lsh_pairs")  # seed-deterministic; rows-only check
 def x12e_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + 16-band LSH candidates, verified with exact Jaccard

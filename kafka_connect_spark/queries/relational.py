@@ -947,3 +947,45 @@ def x23_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "x27_salted_skew_join",
+    oracle="""
+    SELECT s_name,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM (SELECT CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE l_suppkey END AS sk,
+                 l_quantity
+          FROM lineitem) l
+    JOIN supplier ON s_suppkey = sk
+    GROUP BY s_name ORDER BY s_name
+    """,
+)
+def x27_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key join through ``salted_join`` (functions/skew.py) — the
+    pathological-skew plan AQE can't fix (one key larger than an executor).
+    Half of lineitem is funneled onto supplier key 1 (the fabricated hot
+    key); the salt spreads that key's rows over 8 reducers while the oracle
+    is the PLAIN join — salting must never change results. Salt-spread is
+    plan-asserted in tests/test_scale_patterns.py."""
+    from ..functions.skew import salted_join
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 2 == 0, F.lit(1))
+        .otherwise(F.col("l_suppkey"))
+        .alias("sk"),
+        "l_quantity",
+    )
+    sup = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("sk"), "s_name"
+    )
+    joined = salted_join(li, sup, "sk", n_salts=8)
+    return (
+        joined.groupBy("s_name")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("s_name")
+    )

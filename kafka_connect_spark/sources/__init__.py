@@ -10,10 +10,12 @@ from .kafka import (
     read_kafka_stream,
 )
 from .replay import file_replay_stream, write_replay_files
+from .tailing import TailingFileDataSource
 
 __all__ = [
     "IncrementalTableSource",
     "IncrementalTableDataSource",
+    "TailingFileDataSource",
     "file_replay_stream",
     "write_replay_files",
     "KAFKA_RECORD_SCHEMA",

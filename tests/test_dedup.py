@@ -32,6 +32,38 @@ def test_minhash_recall_vs_exact(spark, sf_dir):
     assert recall >= 0.9, f"recall {recall:.2f} ({len(mh)}/{len(exact)})"
 
 
+def test_lsh_cluster_agreement_with_exact_pipeline(spark, sf_dir):
+    """x12i contract: clustering the LSH pair graph agrees with clustering
+    the exact pair graph, bounded by LSH recall — every LSH cluster
+    assignment must be consistent with the exact one (same canonical id
+    for any doc the LSH graph connects), and nearly all exact dup docs
+    must still be clustered."""
+    from kafka_connect_spark.functions.dedupfns import dup_clusters
+
+    docs = load(spark, sf_dir, "documents")
+    exact = {
+        (r["doc_id"], r["cluster"])
+        for r in dup_clusters(ngram_jaccard_pairs(docs, threshold=0.5)).collect()
+    }
+    lsh = {
+        (r["doc_id"], r["cluster"])
+        for r in dup_clusters(minhash_near_dup_pairs(docs, threshold=0.5)).collect()
+    }
+    assert exact, "fixture should contain dup clusters at threshold 0.5"
+    # precision: LSH pairs are a verified subset of exact pairs, so any
+    # cluster the LSH graph forms must be identical to the exact one
+    # unless recall loss split a component (then labels stay consistent:
+    # a doc's LSH cluster id maps into the same exact cluster)
+    exact_label = dict(exact)
+    for doc, cl in lsh:
+        assert exact_label[doc] == exact_label[cl], (
+            f"doc {doc}: LSH cluster {cl} not inside exact cluster "
+            f"{exact_label[doc]}"
+        )
+    coverage = len({d for d, _ in lsh}) / len({d for d, _ in exact})
+    assert coverage >= 0.9, f"LSH clustered only {coverage:.2f} of dup docs"
+
+
 def test_simhash_locality(spark):
     rows = [
         (1, "the quick brown fox jumps over the lazy dog near the river bank"),

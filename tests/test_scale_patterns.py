@@ -30,6 +30,31 @@ def test_salted_join_matches_plain_join(spark):
     assert len(plain) == 1501
 
 
+def test_x27_salt_spreads_hot_key_and_joins_on_salt(spark, sf_dir):
+    """The registered x27 query's skew contract: the fabricated hot key
+    (sk=1, ~half of lineitem) is spread across ALL 8 salt values — 8
+    reducers instead of one straggler — and the physical join key is
+    (sk, __salt), not sk alone."""
+    from kafka_connect_spark.catalog import load
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 2 == 0, F.lit(1))
+        .otherwise(F.col("l_suppkey"))
+        .alias("sk"),
+        "l_quantity",
+    )
+    sup = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("sk"), "s_name"
+    )
+    salt = F.pmod(F.xxhash64(*li.columns), F.lit(8))
+    spread = (
+        li.filter(F.col("sk") == 1).select(salt.alias("s")).distinct().count()
+    )
+    assert spread == 8, f"hot key landed on only {spread}/8 salts"
+    plan = salted_join(li, sup, "sk", n_salts=8)._jdf.queryExecution().toString()
+    assert "__salt" in plan  # the shuffle key includes the salt
+
+
 def test_salted_left_join(spark):
     left = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
     right = spark.createDataFrame([(1, "x")], ["k", "w"])
