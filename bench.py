@@ -59,6 +59,10 @@ HEADLINE = [
     "x22_range_join",
     "x23_percentiles",
     "x12h_dup_clusters",
+    # round 3 additions
+    "t2c_unwrap_add_fields_route",
+    "x27_salted_skew_join",
+    "x12i_lsh_dup_clusters",
 ]
 
 

@@ -30,6 +30,7 @@ dependency-free converter surface)."""
 from __future__ import annotations
 
 import json
+import logging
 import os
 import struct as _struct
 
@@ -37,6 +38,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+_log = logging.getLogger(__name__)
 
 # -- schema registry analog ---------------------------------------------------
 
@@ -305,6 +308,30 @@ def _decoder_of(avro: dict):
 
 _MAGIC = b"\x00"
 
+# Per-session cache of the JVM avro probe (keyed by the JVM session id so a
+# restarted session re-probes).
+_jvm_avro_cache: dict[str, bool] = {}
+
+
+def jvm_avro_available(spark) -> bool:
+    """True when the spark-avro datasource module is loaded in the JVM, so
+    ``to_avro``/``from_avro`` run as native expressions. The default Spark
+    distribution (and this sandbox) ships only the Avro core jars, not the
+    datasource — the probe analyzes a trivial plan and caches the answer."""
+    key = spark.sparkContext.applicationId
+    hit = _jvm_avro_cache.get(key)
+    if hit is not None:
+        return hit
+    try:
+        from pyspark.sql.avro.functions import to_avro as _jvm_to_avro
+
+        _ = spark.range(1).select(_jvm_to_avro(F.struct("id"))).schema
+        ok = True
+    except Exception:  # noqa: BLE001 - any analysis failure = not loaded
+        ok = False
+    _jvm_avro_cache[key] = ok
+    return ok
+
 
 def to_avro_envelope(
     df: DataFrame,
@@ -314,20 +341,40 @@ def to_avro_envelope(
 ) -> DataFrame:
     """AvroConverter with schemas.enable: register the schema, serialize
     each row as magic + schema-id + Avro binary. Output:
-    ``key:string?, value:binary``."""
+    ``key:string?, value:binary``.
+
+    Encode path selection (logged once per call): when the spark-avro
+    module is loaded, the body is produced by the JVM ``to_avro``
+    expression against OUR registered writer schema (same bytes, no Python
+    in the hot path — whole-stage codegen end to end); otherwise the
+    pure-Python Arrow-batched codec runs (the sandbox fallback)."""
     avro = avro_schema_of(df.schema)
     sid = registry.register(subject, avro)
-    encode = _encoder_of(avro)
     prefix = _MAGIC + sid.to_bytes(4, "big")
     cols = list(df.columns)
 
-    @F.pandas_udf("binary")
-    def enc(batch: pd.DataFrame) -> pd.Series:
-        return pd.Series(
-            [prefix + encode(rec) for rec in batch.to_dict(orient="records")]
-        )
+    spark = df.sparkSession
+    if jvm_avro_available(spark):
+        from pyspark.sql.avro.functions import to_avro as _jvm_to_avro
 
-    out = [enc(F.struct(*cols)).alias("value")]
+        _log.info("avro encode: JVM to_avro (schema id %d)", sid)
+        value = F.concat(
+            F.lit(bytearray(prefix)),
+            _jvm_to_avro(F.struct(*cols), json.dumps(avro)),
+        )
+    else:
+        _log.info("avro encode: pure-Python codec (schema id %d)", sid)
+        encode = _encoder_of(avro)
+
+        @F.pandas_udf("binary")
+        def enc(batch: pd.DataFrame) -> pd.Series:
+            return pd.Series(
+                [prefix + encode(rec) for rec in batch.to_dict(orient="records")]
+            )
+
+        value = enc(F.struct(*cols))
+
+    out = [value.alias("value")]
     if key_cols:
         out.insert(0, F.to_json(F.struct(*key_cols)).alias("key"))
     return df.select(*out)
@@ -344,7 +391,14 @@ def from_avro_envelope(
     Each record decodes with its embedded WRITER schema id; the result is
     projected onto the reader schema (default: the subject's latest):
     fields the writer lacked come back null, writer-only fields drop —
-    Avro's evolution contract."""
+    Avro's evolution contract.
+
+    Decode stays on the Arrow-batched Python codec even when spark-avro is
+    loaded: JVM ``from_avro`` takes ONE static schema, but a Confluent
+    envelope stream carries per-record writer ids, so a JVM route would
+    need a split-by-id/decode/union plan per distinct schema — worth it
+    only for single-schema topics; the registry lookup here is cached per
+    (executor, schema id), so Python cost is the codec itself."""
     if reader_schema is None:
         if subject is None:
             raise ValueError("pass reader_schema or subject")

@@ -138,6 +138,20 @@ def test_schema_evolution_both_directions(spark, tmp_path, rest_registry, kind):
     assert old_read == {2: "b"}
 
 
+def test_jvm_avro_detection_and_fallback(spark, tmp_path):
+    """The sandbox ships no spark-avro module: detection must say so (and
+    cache it), and the envelope encoder must take the Python path and
+    still produce valid wire-format bytes."""
+    from kafka_connect_spark.transforms.avro import jvm_avro_available
+
+    assert jvm_avro_available(spark) is False
+    assert jvm_avro_available(spark) is False  # cached second call
+    reg = FileSchemaRegistry(str(tmp_path / "reg"))
+    df = spark.createDataFrame([(1, "a")], ["id", "name"])
+    env = to_avro_envelope(df, reg, "d-value")
+    assert bytes(env.first()["value"])[:1] == b"\x00"
+
+
 def test_spark_schema_of_is_inverse(spark):
     df = spark.createDataFrame([(1, "a", 2.0)], ["id", "name", "score"])
     assert spark_schema_of(avro_schema_of(df.schema)).fieldNames() == df.schema.fieldNames()
