@@ -63,6 +63,10 @@ HEADLINE = [
     "t2c_unwrap_add_fields_route",
     "x27_salted_skew_join",
     "x12i_lsh_dup_clusters",
+    "s2c_jdbc_ts_incrementing_scan",
+    "p11_increase_and_resets",
+    "x28_contamination_check",
+    "x29_sequence_packing",
 ]
 
 

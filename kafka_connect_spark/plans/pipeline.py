@@ -77,6 +77,7 @@ def _src_incremental(spec: dict) -> Callable[[SparkSession], DataFrame]:
         mode=spec.get("mode", "incrementing"),
         state_dir=spec.get("state.dir"),
         batch_max_rows=spec.get("batch.max.rows"),
+        incrementing_column=spec.get("incrementing.column"),
     )
     def read(spark: SparkSession) -> DataFrame:
         df = src.read_increment(spark)
@@ -100,6 +101,7 @@ def _src_jdbc(spec: dict) -> Callable[[SparkSession], DataFrame]:
         fmt="jdbc",
         table=spec["table"],
         jdbc_options=spec.get("options"),
+        incrementing_column=spec.get("incrementing.column"),
     )
 
     def read(spark: SparkSession) -> DataFrame:

@@ -408,3 +408,57 @@ def p10_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.col("le") - F.col("ple"))
     )
     return hit.select("event_type", F.round(q, 6).alias("q90")).orderBy("event_type")
+
+
+@query(
+    "p11_increase_and_resets",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, ts, event_id,
+             (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) * 7)
+               % 1000 AS counter
+      FROM events
+    ),
+    d AS (
+      SELECT user_id, counter,
+             lag(counter) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv
+      FROM c
+    )
+    SELECT user_id,
+           CAST(SUM(CASE WHEN pv IS NULL THEN 0
+                         WHEN counter >= pv THEN counter - pv
+                         ELSE counter END) AS BIGINT) AS total_increase,
+           CAST(COUNT(CASE WHEN counter < pv THEN 1 END) AS BIGINT) AS n_resets
+    FROM d GROUP BY user_id ORDER BY user_id
+    """,
+)
+def p11_increase_and_resets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL increase() + resets() over a counter with wraparound: on a
+    reset (sample below its time-predecessor) increase() credits the full
+    new value and resets() counts one. The counter is synthesized
+    deterministically (7x the per-series sample index mod 1000) so both
+    engines see identical integer series; every series longer than 143
+    samples genuinely wraps. One per-series time-ordered lag window + one
+    hash agg — no self-join, scales per series like every PromQL op."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    c = ev.select(
+        "user_id", "ts", "event_id",
+        ((F.row_number().over(w) * 7) % 1000).alias("counter"),
+    )
+    d = c.withColumn("pv", F.lag("counter").over(w))
+    inc = (
+        F.when(F.col("pv").isNull(), F.lit(0))
+        .when(F.col("counter") >= F.col("pv"), F.col("counter") - F.col("pv"))
+        .otherwise(F.col("counter"))
+    )
+    return (
+        d.groupBy("user_id")
+        .agg(
+            F.sum(inc).alias("total_increase"),
+            F.count(F.when(F.col("counter") < F.col("pv"), F.lit(1))).alias(
+                "n_resets"
+            ),
+        )
+        .orderBy("user_id")
+    )

@@ -58,6 +58,32 @@ def s2_jdbc_incrementing_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.filter(F.col("l_orderkey") > 3000).orderBy("l_orderkey", "l_linenumber")
 
 
+@query(
+    "s2c_jdbc_ts_incrementing_scan",
+    oracle="""
+    SELECT event_id, user_id, ts, value FROM events
+    WHERE date_trunc('hour', ts) > TIMESTAMP '2024-01-16 00:00:00'
+       OR (date_trunc('hour', ts) = TIMESTAMP '2024-01-16 00:00:00'
+           AND event_id > 5000)
+    ORDER BY event_id
+    """,
+)
+def s2c_jdbc_ts_incrementing_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JDBC source `timestamp+incrementing` mode (the reference source's
+    dual-offset poll): the committed offset is the composite (timestamp,
+    id), so the increment predicate is ts > last_ts OR (ts = last_ts AND
+    id > last_id) — an OR-of-ranges Catalyst pushes into the scan. The
+    hour-truncated timestamp gives the fixture real tie groups, so the
+    id branch of the composite does real work here (capped-poll paging
+    semantics are tested in tests/test_sources_sinks.py)."""
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    hts = F.date_trunc("hour", F.col("ts"))
+    lts = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    return ev.filter(
+        (hts > lts) | ((hts == lts) & (F.col("event_id") > 5000))
+    ).orderBy("event_id")
+
+
 @query("s3_jdbc_bulk_snapshot", oracle="SELECT * FROM customer ORDER BY c_custkey")
 def s3_jdbc_bulk_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JDBC source `bulk` mode: full-table copy per poll (reference

@@ -452,3 +452,117 @@ def x25_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .orderBy("doc_id", "rk")
     )
+
+
+@query(
+    "x28_contamination_check",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+3], ' ')
+                            for i in range(1, len(t) - 2)]) AS s
+           FROM tok WHERE len(t) >= 4),
+    ex AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+    bench AS (SELECT DISTINCT sh FROM ex WHERE doc_id % 29 = 0)
+    SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+    FROM ex e JOIN bench b ON e.sh = b.sh
+    WHERE e.doc_id % 29 <> 0
+    GROUP BY e.doc_id ORDER BY e.doc_id
+    """,
+)
+def x28_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination audit: for every training document, how many
+    distinct 4-gram shingles it shares with a held-out benchmark set (here
+    the deterministic doc_id % 29 slice standing in for an eval suite) —
+    the decontamination pass every LLM data pipeline runs before training.
+
+    Plan: shingle-explode both sides, BROADCAST the benchmark's distinct
+    shingles (eval suites are tiny relative to the corpus — MBs against
+    100 TB), hash-join + per-doc count. No shuffle of the training corpus
+    beyond the final per-doc aggregation of matches only."""
+    from ..functions.dedupfns import shingles
+
+    d = load(spark, sf_dir, "documents")
+    ex = d.select(
+        "doc_id", F.explode(shingles(F.col("text"), 4)).alias("sh")
+    )
+    bench = (
+        ex.filter(F.col("doc_id") % 29 == 0).select("sh").distinct()
+    )
+    return (
+        ex.filter(F.col("doc_id") % 29 != 0)
+        .join(F.broadcast(bench), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "x29_sequence_packing",
+    oracle="""
+    WITH d AS (
+      SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+    ),
+    off AS (
+      SELECT lang, doc_id, n_tok,
+             SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tok AS start_off
+      FROM d
+    ),
+    spans AS (
+      SELECT lang, doc_id, n_tok, start_off,
+             unnest(range(CAST(start_off // 512 AS BIGINT),
+                          CAST((start_off + n_tok - 1) // 512 AS BIGINT) + 1)) AS seq_id
+      FROM off WHERE n_tok > 0
+    )
+    SELECT lang, seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(LEAST(start_off + n_tok, (seq_id + 1) * 512)
+                    - GREATEST(start_off, seq_id * 512)) AS BIGINT) AS n_tokens
+    FROM spans GROUP BY lang, seq_id ORDER BY lang, seq_id
+    """,
+)
+def x29_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing accounting (GPT-style concat-and-chunk):
+    documents concatenate in deterministic (lang, doc_id) order and split
+    into fixed 512-token sequences; a document straddling a boundary
+    contributes to both sequences. Output per (lang, sequence): documents
+    touching it and tokens filled — every sequence holds exactly 512
+    except each language's last.
+
+    Plan: one per-language cumulative-sum window gives each doc its token
+    offset; a sequence() explode fans a doc to the sequences it spans (≥1
+    row each, ~1 on average); one hash agg. No joins, no driver loop —
+    the packing layout for a trillion tokens is two shuffles."""
+    d = load(spark, sf_dir, "documents").select(
+        "lang", "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    off = d.withColumn("start_off", F.sum("n_tok").over(w) - F.col("n_tok"))
+    spans = off.filter(F.col("n_tok") > 0).select(
+        "lang",
+        "n_tok",
+        "start_off",
+        F.explode(
+            F.sequence(
+                (F.col("start_off") / 512).cast("long"),
+                ((F.col("start_off") + F.col("n_tok") - 1) / 512).cast("long"),
+            )
+        ).alias("seq_id"),
+    )
+    filled = F.least(
+        F.col("start_off") + F.col("n_tok"), (F.col("seq_id") + 1) * 512
+    ) - F.greatest(F.col("start_off"), F.col("seq_id") * 512)
+    return (
+        spans.groupBy("lang", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(filled).alias("n_tokens"),
+        )
+        .orderBy("lang", "seq_id")
+    )

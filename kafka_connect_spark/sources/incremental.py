@@ -21,8 +21,12 @@ OFFSET BOUNDARY, inclusive of ties. The emitted batch is therefore a pure
 range predicate ``last < offset <= bound``: deterministic under
 re-evaluation, and a tie group sharing the boundary timestamp is always
 emitted whole — truncating mid-tie-group and committing the boundary would
-silently skip the tied rows past the cap forever (the failure mode the
-reference's timestamp+incrementing mode exists to avoid)."""
+silently skip the tied rows past the cap forever.
+
+``timestamp+incrementing`` is the reference JDBC source's dual-offset
+mode: the committed offset is the composite (timestamp, id), unique per
+row, so capped polls page through timestamp tie groups exactly (cut
+anywhere, disambiguated by id) instead of emitting them whole."""
 
 from __future__ import annotations
 
@@ -46,6 +50,7 @@ class IncrementalTableSource:
         fmt: str = "parquet",
         table: str | None = None,
         jdbc_options: dict | None = None,
+        incrementing_column: str | None = None,
     ) -> None:
         """``fmt="jdbc"`` polls a live database: ``path`` is the JDBC url
         (reference README.md:93 ``connection.url``), ``table`` the remote
@@ -56,12 +61,15 @@ class IncrementalTableSource:
         Catalyst (verified in tests/test_jdbc.py), so each poll ships only
         the increment over the wire — the reference JDBC connector's
         query shape (README.md:100-101)."""
-        if mode not in ("incrementing", "timestamp"):
+        if mode not in ("incrementing", "timestamp", "timestamp+incrementing"):
             raise ValueError(f"unknown mode: {mode}")
         if fmt == "jdbc" and not table:
             raise ValueError("fmt='jdbc' requires table=")
+        if mode == "timestamp+incrementing" and not incrementing_column:
+            raise ValueError("timestamp+incrementing requires incrementing_column=")
         self.path = path
         self.offset_column = offset_column
+        self.incrementing_column = incrementing_column
         self.mode = mode
         self.batch_max_rows = batch_max_rows
         self.fmt = fmt
@@ -110,6 +118,8 @@ class IncrementalTableSource:
         if each triggers a separate evaluation."""
         df = self._base_df(spark)
         last = self.last_offset()
+        if self.mode == "timestamp+incrementing":
+            return self._read_increment_dual(df, last)
         if last is not None:
             lower = (
                 F.lit(last).cast("timestamp")
@@ -132,7 +142,49 @@ class IncrementalTableSource:
             df = df.filter(F.col(self.offset_column) <= F.lit(probe))
         return df
 
+    def _read_increment_dual(self, df: DataFrame, last) -> DataFrame:
+        """``timestamp+incrementing`` (the reference JDBC source's dual
+        mode): the offset is the COMPOSITE (timestamp, id), which is unique
+        per row — so a capped poll can cut anywhere without the tie-group
+        inflation the single-timestamp mode needs (rows sharing the boundary
+        timestamp are disambiguated by id; the exact failure mode the dual
+        mode exists to fix). Filter shape stays a pushdown-friendly
+        OR-of-ranges: ts > last_ts OR (ts = last_ts AND id > last_id)."""
+        tsc = F.col(self.offset_column)
+        idc = F.col(self.incrementing_column)
+        if last is not None:
+            lts = F.lit(last["ts"]).cast("timestamp")
+            df = df.filter((tsc > lts) | ((tsc == lts) & (idc > F.lit(last["id"]))))
+        if self.batch_max_rows is not None:
+            probe = (
+                df.orderBy(self.offset_column, self.incrementing_column)
+                .limit(self.batch_max_rows)
+                .agg(F.max(F.struct(tsc.alias("ts"), idc.alias("id"))).alias("b"))
+                .collect()[0]["b"]
+            )
+            if probe is None:
+                return df.limit(0)
+            bts = F.lit(probe["ts"]).cast("timestamp")
+            df = df.filter((tsc < bts) | ((tsc == bts) & (idc <= F.lit(probe["id"]))))
+        return df
+
     def max_offset_of(self, batch: DataFrame):
+        if self.mode == "timestamp+incrementing":
+            row = batch.agg(
+                F.max(
+                    F.struct(
+                        F.col(self.offset_column).alias("ts"),
+                        F.col(self.incrementing_column).alias("id"),
+                    )
+                ).alias("m")
+            ).collect()[0]["m"]
+            if row is None:
+                return None
+            ts = row["ts"]
+            return {
+                "ts": ts.isoformat(sep=" ") if hasattr(ts, "isoformat") else ts,
+                "id": row["id"],
+            }
         row = batch.agg(F.max(self.offset_column).alias("m")).collect()[0]
         m = row["m"]
         if m is None:

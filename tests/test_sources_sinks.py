@@ -82,6 +82,36 @@ def test_batch_cap_never_splits_offset_tie_group(spark, tmp_path):
     assert sorted(x for s in seen for x in s) == list(range(1, 8))
 
 
+def test_timestamp_incrementing_dual_mode_pages_through_ties(spark, tmp_path):
+    """timestamp+incrementing (the reference JDBC source's dual mode): the
+    composite (ts, id) offset is unique, so a capped poll pages THROUGH a
+    timestamp tie group exactly at the cap — unlike single-timestamp mode,
+    which must emit the whole group at once — with no loss or duplication."""
+    data = str(tmp_path / "users")
+    state = str(tmp_path / "state")
+    # ids 1-5 share ts T1, 6-7 at T2 (same fixture as the tie-group test)
+    spark.sql(
+        "SELECT id, CASE WHEN id <= 5 THEN TIMESTAMP '2024-01-01 00:00:00' "
+        "ELSE TIMESTAMP '2024-01-02 00:00:00' END AS updated_at "
+        "FROM range(1, 8) AS t(id)"
+    ).write.mode("overwrite").parquet(data)
+    src = IncrementalTableSource(
+        data, "updated_at", "timestamp+incrementing", state,
+        batch_max_rows=3, incrementing_column="id",
+    )
+    seen: list[list] = []
+    while src.run_once(spark, lambda df: seen.append(sorted(r["id"] for r in df.collect()))) > 0:
+        pass
+    assert seen == [[1, 2, 3], [4, 5, 6], [7]]  # exact cap, ties split safely
+    assert src.last_offset() == {"ts": "2024-01-02 00:00:00", "id": 7}
+    # restart: a fresh instance resumes from the committed composite offset
+    src2 = IncrementalTableSource(
+        data, "updated_at", "timestamp+incrementing", state,
+        batch_max_rows=3, incrementing_column="id",
+    )
+    assert src2.run_once(spark, lambda df: None) == 0
+
+
 def test_read_increment_is_deterministic_under_reevaluation(spark, tmp_path):
     """The capped batch is a pure range filter — separate evaluations (offset
     snapshot, count, sink) must agree on the row set even without caching."""
