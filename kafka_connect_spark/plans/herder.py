@@ -63,7 +63,9 @@ class Herder:
             with open(tmp, "w") as fh:
                 json.dump(spec, fh, indent=2)
             os.replace(tmp, self._config_path(name))
-            if spec.get("streaming"):
+            # a PAUSED target state persists across reconfigure, like
+            # Connect's target-state records
+            if spec.get("streaming") and not self.is_paused(name):
                 try:
                     self._queries[name] = Pipeline(spec).start_stream(
                         self.spark, available_now=False
@@ -89,13 +91,68 @@ class Herder:
         with self._lock:
             return self._stop_locked(name)
 
+    # -- target state (PUT /connectors/<name>/pause|/resume, reference
+    #    Connect worker API; target state survives a herder restart via a
+    #    side file, like Connect's persisted target-state records) ---------
+
+    def _state_path(self, name: str) -> str:
+        return os.path.join(self.config_dir, f"{name}.state")
+
+    def is_paused(self, name: str) -> bool:
+        return os.path.exists(self._state_path(name))
+
+    def pause(self, name: str) -> dict:
+        """Stop the running query but KEEP the config; status -> PAUSED."""
+        if name not in self.list():
+            return {"name": name, "state": "NOT_FOUND"}
+        with self._lock:
+            self._stop_locked(name)
+            with open(self._state_path(name), "w") as fh:
+                fh.write("PAUSED")
+        return self.status(name)
+
+    def resume(self, name: str) -> dict:
+        """Clear the paused target state and restart a streaming spec."""
+        if name not in self.list():
+            return {"name": name, "state": "NOT_FOUND"}
+        with self._lock:
+            if os.path.exists(self._state_path(name)):
+                os.remove(self._state_path(name))
+            spec = self.get_config(name)
+            if spec.get("streaming") and name not in self._queries:
+                try:
+                    self._queries[name] = Pipeline(spec).start_stream(
+                        self.spark, available_now=False
+                    )
+                    self._failed.pop(name, None)
+                except Exception as ex:  # noqa: BLE001
+                    self._failed[name] = str(ex)
+        return self.status(name)
+
+    def restart(self, name: str) -> dict:
+        """POST /connectors/<name>/restart: bounce the query in place."""
+        if name not in self.list():
+            return {"name": name, "state": "NOT_FOUND"}
+        with self._lock:
+            self._stop_locked(name)
+            spec = self.get_config(name)
+            if spec.get("streaming") and not self.is_paused(name):
+                try:
+                    self._queries[name] = Pipeline(spec).start_stream(
+                        self.spark, available_now=False
+                    )
+                    self._failed.pop(name, None)
+                except Exception as ex:  # noqa: BLE001
+                    self._failed[name] = str(ex)
+        return self.status(name)
+
     def delete(self, name: str) -> None:
         with self._lock:
             self._stop_locked(name)
             self._failed.pop(name, None)
-            path = self._config_path(name)
-            if os.path.exists(path):
-                os.remove(path)
+            for path in (self._config_path(name), self._state_path(name)):
+                if os.path.exists(path):
+                    os.remove(path)
 
     def status(self, name: str) -> dict:
         """Mirrors GET /connectors/<name>/status (reference README.md:115-131).
@@ -105,7 +162,9 @@ class Herder:
             return {"name": name, "state": "NOT_FOUND"}
         with self._lock:
             q = self._queries.get(name)
-            if q is not None:
+            if self.is_paused(name) and q is None:
+                state = "PAUSED"
+            elif q is not None:
                 if q.isActive:
                     state = "RUNNING"
                 elif q.exception() is not None:
@@ -134,8 +193,11 @@ def serve_http(herder: Herder, host: str = "127.0.0.1", port: int = 0):
 
     - GET    /connectors                     list names
     - GET    /connectors/<name>              stored config
-    - GET    /connectors/<name>/status       RUNNING/STOPPED/FAILED(+trace)
+    - GET    /connectors/<name>/status       RUNNING/PAUSED/STOPPED/FAILED(+trace)
     - PUT    /connectors/<name>/config       create/update (restarts query)
+    - PUT    /connectors/<name>/pause        stop query, keep config (PAUSED)
+    - PUT    /connectors/<name>/resume       clear pause, restart streaming spec
+    - POST   /connectors/<name>/restart      bounce the query in place
     - DELETE /connectors/<name>              stop + remove config
 
     Mutations delegate to the herder, whose lock serializes them against
@@ -177,6 +239,17 @@ def serve_http(herder: Herder, host: str = "127.0.0.1", port: int = 0):
                     self._json(herder.put(parts[1], self._body()))
                 except Exception as ex:  # noqa: BLE001 — config errors -> 400, like Connect
                     self._json({"error": str(ex)}, 400)
+            elif len(parts) == 3 and parts[0] == "connectors" and parts[2] == "pause":
+                self._json(herder.pause(parts[1]))
+            elif len(parts) == 3 and parts[0] == "connectors" and parts[2] == "resume":
+                self._json(herder.resume(parts[1]))
+            else:
+                self._json({"error": "not found"}, 404)
+
+        def do_POST(self):  # noqa: N802
+            parts = [p for p in self.path.split("/") if p]
+            if len(parts) == 3 and parts[0] == "connectors" and parts[2] == "restart":
+                self._json(herder.restart(parts[1]))
             else:
                 self._json({"error": "not found"}, 404)
 

@@ -566,3 +566,42 @@ def x29_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "seq_id")
     )
+
+
+# Per-language mixture rates for x30 (rebalance toward low-resource
+# languages). Acceptance thresholds are precomputed as exact int64 values
+# (rate * 2^60) so both engines compare integers — no float boundary.
+_MIX_RATES = {"en": 0.25, "de": 1.0, "es": 0.5, "fr": 1.0, "zh": 0.2}
+_MIX_THRESHOLDS = {
+    lang: int(rate * (1 << 60)) for lang, rate in _MIX_RATES.items()
+}
+_mix_sql_case = "CASE lang " + " ".join(
+    f"WHEN '{lang}' THEN {thr}" for lang, thr in _MIX_THRESHOLDS.items()
+) + " ELSE 0 END"
+
+
+@query(
+    "x30_mixture_resample",
+    oracle=f"""
+    SELECT doc_id, lang FROM documents
+    WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+          < {_mix_sql_case}
+    ORDER BY doc_id
+    """,
+)
+def x30_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture resampling: per-language Bernoulli acceptance at
+    declared mixture rates (en downweighted, low-resource languages kept),
+    decided by a content-independent deterministic hash of the doc id — so
+    the sample is reproducible across runs, engines, and partitionings
+    (rand() would be none of those). Pure map-side filter: at 100 TB this
+    is a scan with zero shuffle, and the acceptance predicate pushes into
+    the reader."""
+    from ..functions.dedupfns import token_hash60
+
+    d = load(spark, sf_dir, "documents")
+    thr = F.lit(0)
+    for lang, t in _MIX_THRESHOLDS.items():
+        thr = F.when(F.col("lang") == lang, F.lit(t)).otherwise(thr)
+    u = token_hash60(F.col("doc_id").cast("string"))
+    return d.filter(u < thr).select("doc_id", "lang").orderBy("doc_id")

@@ -122,3 +122,43 @@ def test_rest_facade_mutations(spark, tmp_path, herder):
             call("DELETE", "/connectors/rest-job")
     finally:
         httpd.shutdown()
+
+
+def test_pause_resume_restart_lifecycle(spark, tmp_path, herder):
+    """Connect target-state parity: pause stops the query but keeps the
+    config (PAUSED, surviving reconfigure), resume restarts it, restart
+    bounces it in place — driven through the REST facade."""
+    spec = {
+        "streaming": True,
+        "source": {"type": "rate", "rows.per.second": 5},
+        "sink": {
+            "type": "parquet_stream",
+            "path": str(tmp_path / "o1"),
+            "checkpoint": str(tmp_path / "c1"),
+        },
+    }
+    assert herder.put("pr", spec)["state"] == "RUNNING"
+    httpd = serve_http(herder)
+    port = httpd.server_address[1]
+
+    def call(method, path, body=None):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}",
+            method=method,
+            data=json.dumps(body).encode() if body is not None else None,
+        )
+        return json.loads(urllib.request.urlopen(req, timeout=10).read())
+
+    try:
+        assert call("PUT", "/connectors/pr/pause")["state"] == "PAUSED"
+        assert "pr" in herder.list()  # config kept
+        # reconfigure while paused: stays paused, no query started
+        herder.put("pr", dict(spec))
+        assert herder.status("pr")["state"] == "PAUSED"
+        assert call("PUT", "/connectors/pr/resume")["state"] == "RUNNING"
+        q1 = herder._queries["pr"]
+        assert call("POST", "/connectors/pr/restart")["state"] == "RUNNING"
+        assert herder._queries["pr"] is not q1 and not q1.isActive
+        assert call("PUT", "/connectors/nope/pause")["state"] == "NOT_FOUND"
+    finally:
+        httpd.shutdown()
