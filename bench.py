@@ -67,6 +67,8 @@ HEADLINE = [
     "p11_increase_and_resets",
     "x28_contamination_check",
     "x29_sequence_packing",
+    "x30_mixture_resample",
+    "x31_emit_on_change",
 ]
 
 

@@ -8,7 +8,7 @@ flattened from ``before`` (not ``after``)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -207,3 +207,41 @@ def t3_topic_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_topic(events, "postgresql-jdbc-bulk-", F.col("event_type")).select(
         "event_id", "topic"
     ).orderBy("event_id")
+
+
+@query(
+    "x31_emit_on_change",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CAST(FLOOR(value / 100) AS BIGINT) AS gauge
+      FROM events
+    ),
+    d AS (
+      SELECT user_id, event_id, gauge,
+             lag(gauge) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv
+      FROM g
+    )
+    SELECT user_id, event_id, gauge FROM d
+    WHERE pv IS NULL OR gauge <> pv
+    ORDER BY event_id
+    """,
+)
+def x31_emit_on_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC compaction ('drop unchanged'): per series, keep a sample only
+    when its quantized gauge differs from the previous emitted value —
+    the batch twin of streaming.stateful.emit_on_change (equivalence
+    asserted in tests/test_stateful_and_stream_specs.py). One per-series
+    lag window; FLOOR quantization keeps the comparison integer-exact in
+    both engines."""
+    ev = load(spark, sf_dir, "events")
+    g = ev.select(
+        "user_id", "ts", "event_id", F.floor(F.col("value") / 100).alias("gauge")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = g.withColumn("pv", F.lag("gauge").over(w))
+    return (
+        d.filter(F.col("pv").isNull() | (F.col("gauge") != F.col("pv")))
+        .select("user_id", "event_id", "gauge")
+        .orderBy("event_id")
+    )

@@ -153,3 +153,68 @@ def running_totals(sdf: DataFrame, key_col: str = "user_id", value_col: str = "v
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+CHANGE_OUTPUT = StructType(
+    [
+        StructField("key", LongType()),
+        StructField("event_id", LongType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+CHANGE_STATE = StructType([StructField("last", DoubleType())])
+
+
+def emit_on_change(
+    sdf: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """CDC compaction / change detection: per key, emit a row only when its
+    value DIFFERS from the previously emitted one — consecutive repeats are
+    suppressed (Kafka Connect users run this to thin chatty poll sources;
+    Debezium calls the batch analog 'drop unchanged'). State per key is a
+    single last-value double, so the store scales with |keys|. Rows inside
+    a microbatch are processed in (ts, id) order, making the operator
+    deterministic under replay; batch-vs-streaming equivalence is asserted
+    in tests (the batch twin is the x31 lag-window query)."""
+    from pyspark.sql import functions as F
+
+    def update(key, pdfs, state: GroupState) -> Iterator[pd.DataFrame]:
+        prev = state.get[0] if state.exists else None
+        out_ids, out_vals = [], []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for eid, v in zip(pdf["event_id"], pdf["value"]):
+                v = float(v)
+                if prev is None or v != prev:
+                    out_ids.append(int(eid))
+                    out_vals.append(v)
+                    prev = v
+        state.update((prev,))
+        if out_ids:
+            yield pd.DataFrame(
+                {"key": key[0], "event_id": out_ids, "value": out_vals}
+            )
+
+    return (
+        sdf.select(
+            F.col(key_col).alias("key"),
+            F.col(ts_col).alias("ts"),
+            F.col(id_col).alias("event_id"),
+            F.col(value_col).alias("value"),
+        )
+        .groupBy("key")
+        .applyInPandasWithState(
+            update,
+            outputStructType=CHANGE_OUTPUT,
+            stateStructType=CHANGE_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -45,6 +45,53 @@ def test_running_totals_state_across_microbatches(spark, sf_dir, tmp_path):
         assert abs(final.loc[key, "total_value"] - row["t"]) < 1e-3
 
 
+def test_emit_on_change_streaming_equals_batch(spark, sf_dir, tmp_path):
+    """CDC compaction equivalence: the stateful streaming emit_on_change
+    (last-value state per key, crossing microbatches) emits exactly the
+    rows the x31 batch lag-window query keeps."""
+    from kafka_connect_spark.streaming.stateful import emit_on_change
+
+    events = load(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    d = str(tmp_path / "replay")
+    write_replay_files(events, d, 3, "ts")
+    schema = spark.read.parquet(d).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .withColumn("value", F.floor(F.col("value") / 100).cast("double"))
+    )
+    out: list[pd.DataFrame] = []
+    q = (
+        emit_on_change(sdf)
+        .writeStream.foreachBatch(lambda b, i: out.append(b.toPandas()))
+        .option("checkpointLocation", str(tmp_path / "ckpt-eoc"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = pd.concat(out, ignore_index=True)
+    assert len(out) >= 3  # last-value state really crossed microbatches
+
+    # batch twin (the x31 plan) over the SAME filtered slice — the
+    # registered query runs the full table, so recompute it here
+    from pyspark.sql import Window
+
+    g = events.select(
+        "user_id", "ts", "event_id", F.floor(F.col("value") / 100).alias("gauge")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    want = (
+        g.withColumn("pv", F.lag("gauge").over(w))
+        .filter(F.col("pv").isNull() | (F.col("gauge") != F.col("pv")))
+        .select("event_id")
+        .toPandas()
+    )
+    assert set(got["event_id"]) == set(want["event_id"])
+    assert len(got) == len(want)
+
+
 def test_streaming_pipeline_spec(spark, sf_dir, tmp_path):
     """streaming: true spec compiles to a StreamingQuery: file stream ->
     mask -> parquet sink with checkpoint; a second start drains nothing new."""
