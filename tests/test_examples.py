@@ -120,3 +120,23 @@ def test_task4_jdbc_live_pipeline_spec(spark, tmp_path):
     }
     assert got == {1: ("alice", "CENSORED"), 2: ("bob", "CENSORED")}
     assert Pipeline(spec).run(spark) == 0  # caught up
+
+
+def test_task5_filestream_tail_spec(spark, tmp_path):
+    """tailing_file source + predicated MaskField through a spec: appended
+    lines flow as records; only predicate-matching lines are masked."""
+    tail = tmp_path / "app.log"
+    tail.write_text("hello world\nthe secret token\nplain line\n")
+    spec = _load_spec(
+        "task5_filestream_tail.json",
+        {
+            "tail_file": str(tail),
+            "out_dir": str(tmp_path / "out"),
+            "checkpoint": str(tmp_path / "ckpt"),
+        },
+        tmp_path,
+    )
+    q = Pipeline(spec).start_stream(spark)
+    q.awaitTermination(120)
+    got = sorted(r["value"] for r in spark.read.parquet(str(tmp_path / "out")).collect())
+    assert got == ["CENSORED", "hello world", "plain line"]
