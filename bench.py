@@ -69,6 +69,7 @@ HEADLINE = [
     "x29_sequence_packing",
     "x30_mixture_resample",
     "x31_emit_on_change",
+    "mm_phash_pairs",
 ]
 
 

@@ -144,3 +144,87 @@ def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
     chain into ``extract_features``."""
     idx = F.sequence(F.lit(0), F.col("media_meta.n_frames") - 1, F.lit(every_n))
     return df.select("doc_id", F.explode(idx).alias("frame_idx"))
+
+
+def perceptual_hash(df: DataFrame) -> DataFrame:
+    """pHash-style 64-bit perceptual hash over the (doc_id, media,
+    media_meta) contract: resize to 8x8, then bit i = (pixel_i > mean) —
+    near-identical images land at small Hamming distance. The resize goes
+    through ``resize_media`` (real codec plugs in there; the fake path is
+    deterministic), the thresholding is one Arrow-batched numpy pass.
+    Output: (doc_id, phash:long). Map-side only."""
+    import numpy as np
+
+    small = resize_media(df, 8, 8)
+    out_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("phash", T.LongType())]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = (1 << np.arange(64, dtype=np.uint64))
+        for pdf in batches:
+            hashes = []
+            for b in pdf["media"]:
+                px = np.frombuffer(bytes(b), dtype=np.uint8).astype(np.int32)
+                bits = (px > px.mean()).astype(np.uint64)
+                hashes.append(int((bits * weights).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    # numpy uint64 -> signed int64 wrap for Spark LongType
+                    "phash": pd.array(
+                        [h - (1 << 64) if h >= (1 << 63) else h for h in hashes],
+                        dtype="int64",
+                    ),
+                }
+            )
+
+    return small.mapInPandas(fn, out_schema)
+
+
+def phash_near_dup_pairs(
+    hashes: DataFrame, max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """Hamming near-dup pairs over 64-bit perceptual hashes WITHOUT the
+    all-pairs scan: multi-index pigeonhole banding. Split each hash into
+    ``bands`` equal bit-slices; two hashes within ``max_hamming`` bits
+    (max_hamming < bands) MUST agree on at least one whole slice, so the
+    equi self-join on (band, slice value) has recall 1.0 by construction
+    (unlike probabilistic LSH) and the exact bit_count verify removes the
+    false positives. Shuffle = |docs| x bands tiny tuples."""
+    if max_hamming >= bands:
+        raise ValueError("pigeonhole needs max_hamming < bands")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned(F.col("phash"), i * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("bv"),
+            )
+            for i in range(bands)
+        ]
+    )
+    banded = hashes.select("doc_id", "phash", F.explode(slices).alias("b")).select(
+        "doc_id", "phash", "b.band", "b.bv"
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    from .dedupfns import hamming
+
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            hamming(F.col("a.phash"), F.col("b.phash")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -75,3 +75,45 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("media_meta.width").alias("width"),
         F.col("media_meta.height").alias("height"),
     ).orderBy("doc_id")
+
+
+@query(
+    "mm_phash_pairs",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             [CAST('0x' || substr(md5(text), 2*j + 1, 2) AS BIGINT)
+              for j in range(0, 16)] AS px
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id,
+             list_sum([CASE WHEN px[j + 1] > list_sum(px) / 16.0
+                            THEN 2**j ELSE 0 END
+                       for j in range(0, 16)]) AS pattern
+      FROM b
+    )
+    SELECT a.doc_id AS id_a, c.doc_id AS id_b, CAST(0 AS INTEGER) AS hamming
+    FROM p a JOIN p c ON a.pattern = c.pattern AND a.doc_id < c.doc_id
+    ORDER BY id_a, id_b
+    """,
+)
+def mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup detection: 64-bit perceptual hash (resize to 8x8,
+    threshold against the mean) + pigeonhole multi-index banding — an
+    EXACT-recall Hamming pair search (any two hashes within 3 bits share a
+    whole 16-bit slice), unlike probabilistic LSH.
+
+    Under the fake codec the 8x8 plane is the 16-byte md5 digest cycled
+    4x, so every phash bit repeats with period 16: Hamming distances are
+    multiples of 4, pairs within 3 bits are exactly the pairs whose
+    16-byte threshold PATTERN matches, and the oracle recomputes that
+    pattern byte-for-byte from the md5 hex in pure SQL — a full-path hash
+    check of decode -> resize -> threshold -> band -> verify."""
+    from ..functions.multimodalfns import perceptual_hash, phash_near_dup_pairs
+
+    d = load(spark, sf_dir, "documents")
+    hashes = perceptual_hash(attach_fake_media(d))
+    return phash_near_dup_pairs(hashes, max_hamming=3, bands=4).orderBy(
+        "id_a", "id_b"
+    )

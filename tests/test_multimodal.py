@@ -75,3 +75,46 @@ def test_resize_unknown_format_raises(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|no resizer"):
         resize_media(df, 4, 4).collect()
+
+
+def test_phash_hamming_and_pigeonhole_recall(spark):
+    """Crafted 64-byte payloads: a near-dup (one flipped pixel) lands at
+    Hamming 1 and is found; an unrelated payload is not. The pigeonhole
+    banding must find EVERY pair the brute-force all-pairs check finds
+    (recall 1.0 by construction, not probabilistic)."""
+    import random
+
+    from kafka_connect_spark.functions.dedupfns import hamming
+    from kafka_connect_spark.functions.multimodalfns import (
+        perceptual_hash,
+        phash_near_dup_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    base = bytes(rng.randrange(256) for _ in range(64))
+    near = bytearray(base)
+    near[5] = (base[5] + 200) % 256  # flip one pixel across the mean
+    rows = [(1, bytearray(base)), (2, bytes(near))]
+    for i in range(3, 40):
+        rows.append((i, bytes(rng.randrange(256) for _ in range(64))))
+    df = spark.createDataFrame(
+        [(i, m, ("fake/raw", 8, 8, 1)) for i, m in rows],
+        "doc_id long, media binary, media_meta struct<format:string,width:int,height:int,n_frames:int>",
+    )
+    hashes = perceptual_hash(df)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_near_dup_pairs(hashes, max_hamming=3, bands=4).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 3
+    # brute-force ground truth: banding must find every qualifying pair
+    a = hashes.select(F.col("doc_id").alias("id_a"), F.col("phash").alias("ha"))
+    b = hashes.select(F.col("doc_id").alias("id_b"), F.col("phash").alias("hb"))
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(hamming(F.col("ha"), F.col("hb")) <= 3)
+        .collect()
+    }
+    assert set(pairs) == brute
