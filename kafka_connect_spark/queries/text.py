@@ -605,3 +605,41 @@ def x30_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         thr = F.when(F.col("lang") == lang, F.lit(t)).otherwise(thr)
     u = token_hash60(F.col("doc_id").cast("string"))
     return d.filter(u < thr).select("doc_id", "lang").orderBy("doc_id")
+
+
+@query(
+    "x32_token_commonness",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    cnt AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+           ROUND(CAST(SUM(c) AS BIGINT) / CAST(count(*) AS DOUBLE), 6)
+             AS avg_commonness
+    FROM tk JOIN cnt USING (tok)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def x32_token_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-likelihood quality signal: each document's average corpus
+    frequency of its tokens — the integer-exact stand-in for unigram-LM
+    perplexity (low = rare-token gibberish, high = boilerplate; filter
+    both tails). All arithmetic is integer counts with ONE final double
+    division, so the score is bit-identical across engines and replay.
+    Plan: one token count agg + one re-join of the exploded tokens + one
+    per-doc agg — the vocabulary shuffles once, the corpus twice."""
+    d = load(spark, sf_dir, "documents")
+    tk = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    cnt = tk.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        tk.join(cnt, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.round(F.sum("c") / F.count(F.lit(1)).cast("double"), 6).alias(
+                "avg_commonness"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -26,6 +26,7 @@ import uuid
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceStreamWriter,
+    DataSourceWriter,
     WriterCommitMessage,
 )
 
@@ -76,6 +77,37 @@ class ExpositionStreamWriter(DataSourceStreamWriter):
                 os.remove(m.path)
 
 
+class ExpositionBatchWriter(DataSourceWriter):
+    """Batch twin of the stream writer (``df.write.format("exposition_sink")``):
+    same executor-write / driver-commit / abort contract, publishing one
+    ``snapshot.prom`` atomically — the one-shot scrape-file export."""
+
+    def __init__(self, options: dict, overwrite: bool) -> None:
+        self._w = ExpositionStreamWriter(options)
+        self.path = self._w.path
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _PartFile:
+        return self._w.write(iterator)
+
+    def commit(self, messages) -> None:
+        final = os.path.join(self.path, "snapshot.prom")
+        if not self.overwrite and os.path.exists(final):
+            raise FileExistsError(f"{final} exists; use mode('overwrite')")
+        tmp = final + ".inprogress"
+        with open(tmp, "w") as out:
+            for m in messages:
+                if m is None or m.rows == 0:
+                    continue
+                with open(m.path) as fh:
+                    out.write(fh.read())
+                os.remove(m.path)
+        os.replace(tmp, final)
+
+    def abort(self, messages) -> None:
+        self._w.abort(messages, -1)
+
+
 class ExpositionSinkDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -83,6 +115,9 @@ class ExpositionSinkDataSource(DataSource):
 
     def schema(self) -> str:
         return "name string, labels string, value double"
+
+    def writer(self, schema, overwrite: bool):
+        return ExpositionBatchWriter(self.options, overwrite)
 
     def streamWriter(self, schema, overwrite: bool):  # noqa: N802
         return ExpositionStreamWriter(self.options)

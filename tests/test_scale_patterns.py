@@ -178,6 +178,31 @@ def test_observability_loop_end_to_end(spark, tmp_path):
     assert "num_input_rows" in by_name and by_name["num_input_rows"]["n"] >= 1
 
 
+def test_exposition_batch_writer_plugin(spark, tmp_path):
+    """Custom BATCH writer via the Python DataSource API (completes the
+    plugin symmetry: batch read / stream read / stream write / batch
+    write): executor part files -> one atomic snapshot.prom on commit;
+    append without overwrite refuses."""
+    import pytest
+
+    from kafka_connect_spark.sinks.exposition_sink import ExpositionSinkDataSource
+
+    spark.dataSource.register(ExpositionSinkDataSource)
+    out = str(tmp_path / "snap")
+    df = spark.createDataFrame(
+        [("up", 'job="api"', 1.0), ("up", 'job="db"', 0.0)],
+        "name string, labels string, value double",
+    )
+    df.write.format("exposition_sink").option("path", out).mode("overwrite").save()
+    text = open(f"{out}/snapshot.prom").read()
+    assert 'up{job="api"} 1.0' in text and 'up{job="db"} 0.0' in text
+    # second overwrite replaces atomically; append onto an existing
+    # snapshot refuses (the DataSource API only passes Append/Overwrite)
+    df.write.format("exposition_sink").option("path", out).mode("overwrite").save()
+    with pytest.raises(Exception, match="exists"):
+        df.write.format("exposition_sink").option("path", out).mode("append").save()
+
+
 def test_exposition_stream_sink_plugin(spark, tmp_path):
     """Custom streaming SINK via the Python DataSource API: per-batch
     atomic exposition files; roundtrips through the reader plugin."""
