@@ -70,6 +70,8 @@ HEADLINE = [
     "x30_mixture_resample",
     "x31_emit_on_change",
     "mm_phash_pairs",
+    "x32_token_commonness",
+    "p12_zscore_anomalies",
 ]
 
 

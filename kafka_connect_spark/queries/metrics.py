@@ -462,3 +462,49 @@ def p11_increase_and_resets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "p12_zscore_anomalies",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sv,
+             CAST(SUM(CAST(value AS DECIMAL(38,6)) * CAST(value AS DECIMAL(38,6)))
+                  AS DOUBLE) AS svv,
+             count(*) AS n
+      FROM events GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id,
+           ROUND((e.value - s.sv / s.n)
+                 / sqrt((s.svv - s.sv * s.sv / s.n) / s.n), 4) AS z
+    FROM events e JOIN s USING (user_id)
+    WHERE s.n > 1
+      AND abs((e.value - s.sv / s.n)
+              / sqrt((s.svv - s.sv * s.sv / s.n) / s.n)) > 2.5
+    ORDER BY e.event_id
+    """,
+)
+def p12_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series anomaly flags: samples more than 2.5 population standard
+    deviations from their series mean. Mean and variance come from EXACT
+    decimal sums (sum, sum of squares) so both engines derive identical
+    doubles before the single sqrt/divide/round — the determinism trick
+    that makes a statistical filter hash-checkable. One grouped agg +
+    one broadcastable re-join; no window, no second scan of wide rows."""
+    ev = load(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(38,6)")
+    s = ev.groupBy("user_id").agg(
+        F.sum(dec).cast("double").alias("sv"),
+        F.sum(dec * dec).cast("double").alias("svv"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    j = ev.join(F.broadcast(s), "user_id").filter(F.col("n") > 1)
+    z = (F.col("value") - F.col("sv") / F.col("n")) / F.sqrt(
+        (F.col("svv") - F.col("sv") * F.col("sv") / F.col("n")) / F.col("n")
+    )
+    return (
+        j.filter(F.abs(z) > 2.5)
+        .select("event_id", "user_id", F.round(z, 4).alias("z"))
+        .orderBy("event_id")
+    )
