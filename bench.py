@@ -72,6 +72,7 @@ HEADLINE = [
     "mm_phash_pairs",
     "x32_token_commonness",
     "p12_zscore_anomalies",
+    "x33_cdc_aggregate_maintenance",
 ]
 
 

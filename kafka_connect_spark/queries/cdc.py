@@ -245,3 +245,53 @@ def x31_emit_on_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_id", "gauge")
         .orderBy("event_id")
     )
+
+
+@query(
+    "x33_cdc_aggregate_maintenance",
+    oracle="""
+    SELECT user_id,
+           ROUND(CAST(SUM(CASE event_id % 4
+                    WHEN 0 THEN CAST(value AS DECIMAL(38,6))
+                    WHEN 1 THEN CAST(value AS DECIMAL(38,6))
+                                - CAST(-value AS DECIMAL(38,6))
+                    WHEN 2 THEN -CAST(-value AS DECIMAL(38,6))
+                    ELSE CAST(value AS DECIMAL(38,6))
+                  END) AS DOUBLE), 4) AS maintained_sum,
+           CAST(COUNT(CASE WHEN event_id % 4 IN (0, 3) THEN 1 END) AS BIGINT)
+             - CAST(COUNT(CASE WHEN event_id % 4 = 2 THEN 1 END) AS BIGINT)
+             AS maintained_count
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def x33_cdc_aggregate_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental VIEW MAINTENANCE under CDC: keep a per-key SUM/COUNT
+    aggregate current by folding each change event's DELTA instead of
+    recomputing — insert adds after, update adds (after - before), delete
+    subtracts before; counts move by +1/0/-1. This is the algebra that
+    maintains a 100 TB materialized aggregate with work proportional to
+    the CHANGE stream, not the base table. Decimal accumulation keeps the
+    folded total bit-identical to the oracle's direct evaluation."""
+    env = cdc_envelope(spark, sf_dir)
+    dec = lambda c: c.cast("decimal(38,6)")  # noqa: E731
+    delta = (
+        F.when(F.col("op") == "c", dec(F.col("after.value")))
+        .when(F.col("op") == "u", dec(F.col("after.value")) - dec(F.col("before.value")))
+        .when(F.col("op") == "d", -dec(F.col("before.value")))
+        .otherwise(dec(F.col("after.value")))
+    )
+    cnt_delta = (
+        F.when(F.col("op") == "c", F.lit(1))
+        .when(F.col("op") == "u", F.lit(0))
+        .when(F.col("op") == "d", F.lit(-1))
+        .otherwise(F.lit(1))
+    )
+    key = F.coalesce(F.col("after.user_id"), F.col("before.user_id"))
+    return (
+        env.groupBy(key.alias("user_id"))
+        .agg(
+            F.round(F.sum(delta).cast("double"), 4).alias("maintained_sum"),
+            F.sum(cnt_delta).alias("maintained_count"),
+        )
+        .orderBy("user_id")
+    )

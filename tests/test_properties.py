@@ -125,3 +125,37 @@ def test_incremental_paging_never_loses_or_duplicates(spark, tmp_path_factory, o
         rounds += 1
         assert rounds <= len(offsets) + 2  # must terminate
     assert sorted(seen) == list(range(len(offsets)))  # no loss, no dup
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 100), vals),
+        min_size=0, max_size=25, unique_by=lambda t: t[0],
+    ),
+    pred_cut=st.integers(0, 100),
+    filt_cut=st.integers(0, 100),
+)
+@settings(**_SETTINGS)
+def test_apply_when_row_dropping_preserves_unmatched(spark, rows, pred_cut, filt_cut):
+    """For ANY data and any predicate/filter pair: a row-dropping transform
+    under apply_when(row_preserving=False) must drop exactly the rows that
+    BOTH match the predicate AND fail the inner filter — unmatched rows
+    survive regardless of the filter."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_spark.transforms import apply_when
+
+    df = spark.createDataFrame(rows, "id long, score long, v string") if rows else (
+        spark.createDataFrame([], "id long, score long, v string")
+    )
+    out = apply_when(
+        df,
+        F.col("score") >= pred_cut,
+        lambda d: d.filter(F.col("score") < filt_cut),
+        row_preserving=False,
+    )
+    got = sorted(r["id"] for r in out.collect())
+    want = sorted(
+        i for i, score, _ in rows if not (score >= pred_cut and score >= filt_cut)
+    )
+    assert got == want
