@@ -1015,3 +1015,34 @@ def x27_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_name")
     )
+
+
+@query(
+    "x34_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders)
+    WHERE rn <= 3 ORDER BY o_custkey, o_totalprice DESC, o_orderkey
+    """,
+)
+def x34_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group (each customer's 3 largest orders) — the grouped
+    twin of x8's global TakeOrderedAndProject. The rank window partitions
+    by the group key, so at scale every group sorts independently inside
+    its hash partition (WindowGroupLimit pushes the k-limit below the sort
+    in Spark 3.5+ — no group materializes more than k rows per partition).
+    Ties broken by key for determinism."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice",
+                 F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+        .orderBy("o_custkey", F.col("o_totalprice").desc(), "o_orderkey")
+    )

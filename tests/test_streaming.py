@@ -314,3 +314,91 @@ def test_exactly_once_restart_with_upsert_sink(spark, sf_dir, tmp_path):
     assert partial < total_expected  # the crash really was mid-stream
     assert got.count() == total_expected  # no loss
     assert got.select("event_id").distinct().count() == total_expected  # no dupes
+
+
+def test_stream_stream_left_outer_join(spark, sf_dir, tmp_path):
+    """LEFT OUTER stream-stream join: clicks with no purchase in [0,10min]
+    must still emit, null-padded, once the watermark passes their join
+    window. A far-future sentinel file pushes the watermark at the end so
+    the unmatched tail isn't withheld (outer results emit only on
+    watermark advance). Result equals the batch left join."""
+    import pandas as pd
+
+    d, events = _replay_dir(spark, sf_dir, tmp_path, n_files=3)
+    # sentinel: one click a year past the data, in its own LAST-ordered file
+    schema = spark.read.parquet(d).schema
+    sent = (
+        spark.read.parquet(d).limit(1)
+        .withColumn("event_id", F.lit(-1).cast("long"))
+        .withColumn("user_id", F.lit(-1).cast("long"))
+        .withColumn("event_type", F.lit("click"))
+        .withColumn("ts", F.lit("2025-06-01 00:00:00").cast("timestamp"))
+    )
+    sent_path = str(tmp_path / "sentinel")
+    sent.select([f.name for f in schema.fields]).coalesce(1).write.parquet(sent_path)
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+
+    for f in _glob.glob(f"{sent_path}/part-*.parquet"):
+        dst = _os.path.join(d, "zz-" + _os.path.basename(f))
+        _shutil.copy(f, dst)
+        t = _time.time() + 60
+        _os.utime(dst, (t, t))
+
+    def side(kind, ts_alias, uid_alias, id_alias):
+        s = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+            .filter(F.col("event_type") == kind)
+            .withWatermark("ts", "30 minutes")
+        )
+        return s.select(
+            F.col("user_id").alias(uid_alias),
+            F.col("ts").alias(ts_alias),
+            F.col("event_id").alias(id_alias),
+        )
+
+    clicks = side("click", "click_ts", "c_uid", "click_id")
+    buys = side("purchase", "buy_ts", "b_uid", "purchase_id")
+    joined = clicks.join(
+        buys,
+        (F.col("c_uid") == F.col("b_uid"))
+        & (F.col("buy_ts") >= F.col("click_ts"))
+        & (F.col("buy_ts") <= F.col("click_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "left_outer",
+    )
+    out: list[pd.DataFrame] = []
+    q = (
+        joined.writeStream.foreachBatch(lambda b, i: out.append(b.toPandas()))
+        .option("checkpointLocation", str(tmp_path / "ck-lo"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    got = pd.concat(out, ignore_index=True)
+    got = got[got["click_id"] != -1]  # drop the sentinel itself
+
+    bc = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_uid"), F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    bb = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_uid"), F.col("ts").alias("buy_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    batch = bc.join(
+        bb,
+        (F.col("c_uid") == F.col("b_uid"))
+        & (F.col("buy_ts") >= F.col("click_ts"))
+        & (F.col("buy_ts") <= F.col("click_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "left_outer",
+    ).toPandas()
+    key = lambda df: sorted(  # noqa: E731
+        zip(df["click_id"], df["purchase_id"].fillna(-9).astype(int))
+    )
+    assert key(got) == key(batch)
+    # the join is genuinely outer: some clicks emitted null-padded
+    assert got["purchase_id"].isna().any()
