@@ -1,0 +1,82 @@
+"""Physical-plan regression tests: the plan SHAPES the 100 TB design
+depends on, asserted programmatically so they can't silently regress
+(docs/PLANS.md is the human-readable dump of the same evidence).
+
+Each assertion names the property that makes the operator scale: filters
+reaching the scan, small sides broadcast, top-k avoiding global sorts,
+windows partitioned, group limits pushed below the sort."""
+
+from __future__ import annotations
+
+import pytest
+
+from kafka_connect_spark.queries import QUERIES
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().toString()
+
+
+def test_s1_filter_pushed_to_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "s1_jdbc_timestamp_scan")
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThan(o_orderdate" in plan
+
+
+def test_x2_star_join_broadcasts_dimensions(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "x2_join_star_q5")
+    assert "BroadcastHashJoin" in plan
+    # partial+final aggregation (map-side combine before the shuffle)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_x8_topk_is_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "x8_topk")
+    assert "TakeOrderedAndProject" in plan  # no global Sort + Limit
+
+
+def test_p7_window_is_partitioned(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "p7_avg_over_time")
+    assert "Window" in plan
+    # per-series windows hash-partition on the series key; a global window
+    # would funnel the whole table through one SinglePartition exchange
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_x34_group_limit_pushed_below_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "x34_topk_per_group")
+    assert "WindowGroupLimit" in plan  # k rows per group, not full sort
+
+
+def test_x28_benchmark_side_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "x28_contamination_check")
+    assert "BroadcastHashJoin" in plan  # holdout shingles broadcast
+
+
+def test_x30_filter_is_map_side(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "x30_mixture_resample")
+    # only exchange is the output-order sort: no hash/aggregate shuffle
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" in plan  # the ORDER BY for the oracle
+
+
+def test_x27_join_keys_include_salt(spark, sf_dir):
+    plan = _optimized(spark, sf_dir, "x27_salted_skew_join")
+    assert "__salt" in plan
+
+
+def test_entry_query_prunes_columns(spark, sf_dir):
+    """The flagship star join must not scan all lineitem columns for a
+    2-measure aggregate (column pruning reached the reader)."""
+    plan = _plan(spark, sf_dir, "x2_join_star_q5")
+    scans = [
+        s for s in plan.split("FileScan parquet")[1:] if "lineitem.parquet" in s
+    ]
+    assert scans, f"no lineitem scan found in plan:\n{plan[:2000]}"
+    read_schema = scans[0].split("ReadSchema:")[1].split("\n")[0]
+    assert "l_comment" not in read_schema and "l_shipdate" not in read_schema
