@@ -73,6 +73,7 @@ HEADLINE = [
     "x32_token_commonness",
     "p12_zscore_anomalies",
     "x33_cdc_aggregate_maintenance",
+    "x34_topk_per_group",
 ]
 
 
