@@ -74,6 +74,7 @@ HEADLINE = [
     "p12_zscore_anomalies",
     "x33_cdc_aggregate_maintenance",
     "x34_topk_per_group",
+    "p13_quantile_over_time",
 ]
 
 

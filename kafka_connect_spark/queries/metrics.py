@@ -508,3 +508,36 @@ def p12_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", F.round(z, 4).alias("z"))
         .orderBy("event_id")
     )
+
+
+@query(
+    "p13_quantile_over_time",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(quantile_cont(value, 0.5) OVER w, 4) AS p50_20,
+           ROUND(quantile_cont(value, 0.9) OVER w, 4) AS p90_20
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+)
+def p13_quantile_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quantile_over_time: trailing per-series quantiles over the last 20
+    samples (Spark's exact `percentile` and DuckDB's `quantile_cont` both
+    linear-interpolate, so the window frames hash-match). Partitioned
+    per series like every range-vector op — each series' trailing state
+    stays inside its hash partition; the frame bound caps per-row work at
+    O(20 log 20) regardless of history length."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.expr("percentile(value, 0.5)").over(w), 4).alias("p50_20"),
+        F.round(F.expr("percentile(value, 0.9)").over(w), 4).alias("p90_20"),
+    ).orderBy("event_id")

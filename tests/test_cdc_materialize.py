@@ -84,3 +84,56 @@ def test_delete_then_reinsert_across_batches(spark, tmp_path):
     sink.apply_batch(b3)
     got = {r["id"]: r["v"] for r in sink.read(spark).collect()}
     assert got == {1: "x2", 2: "y"}
+
+
+def test_streaming_aggregate_maintenance_equals_batch(spark, sf_dir, tmp_path):
+    """x33's delta algebra as a STREAMING aggregate: fold CDC deltas per
+    key in update mode across microbatches; the final maintained sums
+    equal the registered batch query over the same envelope."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from kafka_connect_spark.queries.cdc import cdc_envelope, x33_cdc_aggregate_maintenance
+
+    env = cdc_envelope(spark, sf_dir)
+    d = str(tmp_path / "cdc-replay")
+    env.repartition(3).write.parquet(d)
+
+    schema = spark.read.parquet(d).schema
+    sdf = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    dec = lambda c: c.cast("decimal(38,6)")  # noqa: E731
+    delta = (
+        F.when(F.col("op") == "c", dec(F.col("after.value")))
+        .when(F.col("op") == "u", dec(F.col("after.value")) - dec(F.col("before.value")))
+        .when(F.col("op") == "d", -dec(F.col("before.value")))
+        .otherwise(dec(F.col("after.value")))
+    )
+    key = F.coalesce(F.col("after.user_id"), F.col("before.user_id"))
+    agg = sdf.select(key.alias("user_id"), delta.alias("d")).groupBy("user_id").agg(
+        F.sum("d").alias("s")
+    )
+    latest: dict = {}
+    n_batches = [0]
+
+    def upd(b, _i):
+        n_batches[0] += 1
+        for r in b.collect():
+            latest[r["user_id"]] = float(r["s"])
+
+    q = (
+        agg.writeStream.foreachBatch(upd)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert n_batches[0] >= 2  # state genuinely crossed microbatches
+
+    batch = {
+        r["user_id"]: r["maintained_sum"]
+        for r in x33_cdc_aggregate_maintenance(spark, sf_dir).collect()
+    }
+    assert set(latest) == set(batch)
+    for k, v in batch.items():
+        assert abs(latest[k] - v) < 1e-3, (k, latest[k], v)
