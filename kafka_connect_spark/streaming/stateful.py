@@ -185,21 +185,34 @@ def emit_on_change(
 
     def update(key, pdfs, state: GroupState) -> Iterator[pd.DataFrame]:
         prev = state.get[0] if state.exists else None
-        out_ids, out_vals = [], []
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for eid, v in zip(pdf["event_id"], pdf["value"]):
-                v = float(v)
-                if prev is None or v != prev:
-                    out_ids.append(int(eid))
-                    out_vals.append(v)
-                    prev = v
-        state.update((prev,))
-        if out_ids:
+        # A key's microbatch arrives as MULTIPLE Arrow chunks (split at
+        # spark.sql.execution.arrow.maxRecordsPerBatch) in arbitrary
+        # upstream order — materialize them all before the single sort, or
+        # the (ts, id) ordering only holds within a chunk.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            state.update((prev,))
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
+        values = pdf["value"].astype("float64")
+        # After each row, the last-emitted value ALWAYS equals that row's
+        # value (emitted: trivially; suppressed: equality was why) — so
+        # suppression reduces to one vectorized compare against the
+        # previous row, seeded with the carried state.
+        keep = values.ne(values.shift(1)) if prev is None else values.ne(
+            values.shift(1, fill_value=float(prev))
+        )
+        if prev is None:
+            keep.iloc[0] = True
+        state.update((float(values.iloc[-1]),))
+        out = pdf.loc[keep]
+        if len(out):
             yield pd.DataFrame(
-                {"key": key[0], "event_id": out_ids, "value": out_vals}
+                {
+                    "key": key[0],
+                    "event_id": out["event_id"].astype("int64"),
+                    "value": out["value"].astype("float64"),
+                }
             )
 
     return (

@@ -167,6 +167,179 @@ def test_incremental_stream_timestamp_offsets(spark, tmp_path):
     assert sorted(r[0] for r in got2) == [3, 4]
 
 
+def test_probe_is_streaming_not_materialized(spark, tmp_path, monkeypatch):
+    """The driver-side offset probe must fold Arrow batches incrementally —
+    it may NEVER materialize the offset column as one table (cold start on
+    a 100× table would put the whole column on the driver)."""
+    import pyarrow.dataset as pads
+
+    from kafka_connect_spark.sources.incremental_stream import _IncrementalStreamReader
+
+    src = str(tmp_path / "t")
+    for lo in (1, 6, 11):
+        spark.createDataFrame(
+            [(i, f"n{i}") for i in range(lo, lo + 5)], ["id", "name"]
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    class _NoToTable:
+        def __init__(self, ds):
+            self._ds = ds
+
+        def to_table(self, *a, **k):  # noqa: ANN001
+            raise AssertionError("offset probe materialized the column via to_table")
+
+        def __getattr__(self, name):
+            return getattr(self._ds, name)
+
+    orig_factory = pads.dataset
+    monkeypatch.setattr(
+        pads, "dataset", lambda *a, **k: _NoToTable(orig_factory(*a, **k))
+    )
+
+    rdr = _IncrementalStreamReader(
+        {"path": src, "offset.column": "id", "batch.max.rows": "4"}
+    )
+    rdr.initialOffset()
+    assert rdr.latestOffset() == {"offset": 4}  # capped: 4th smallest
+    rdr._cursor = 4
+    assert rdr.latestOffset() == {"offset": 8}
+    # uncapped cold-start probe streams too
+    rdr2 = _IncrementalStreamReader({"path": src, "offset.column": "id"})
+    assert rdr2.latestOffset() == {"offset": 15}
+
+
+def test_probe_early_stops_on_fragment_stats(spark, tmp_path, monkeypatch):
+    """Capped probe visits fragments in ascending stat-min order and stops
+    once the cap-th smallest beats every remaining fragment's minimum —
+    steady state touches one file regardless of table size."""
+    import pyarrow.dataset as pads
+
+    from kafka_connect_spark.sources.incremental_stream import _IncrementalStreamReader
+
+    src = str(tmp_path / "t")
+    for lo in (1, 101, 201):  # disjoint offset ranges, one file each
+        spark.createDataFrame(
+            [(i,) for i in range(lo, lo + 50)], ["id"]
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    scanned: list[str] = []
+
+    class _CountingFragment:
+        def __init__(self, frag):
+            self._frag = frag
+
+        def to_batches(self, *a, **k):  # noqa: ANN001
+            scanned.append(self._frag.path)
+            return self._frag.to_batches(*a, **k)
+
+        def __getattr__(self, name):
+            return getattr(self._frag, name)
+
+    class _CountingDataset:
+        def __init__(self, ds):
+            self._ds = ds
+
+        def get_fragments(self, *a, **k):  # noqa: ANN001
+            return [_CountingFragment(f) for f in self._ds.get_fragments(*a, **k)]
+
+        def __getattr__(self, name):
+            return getattr(self._ds, name)
+
+    orig_factory = pads.dataset
+    monkeypatch.setattr(
+        pads, "dataset", lambda *a, **k: _CountingDataset(orig_factory(*a, **k))
+    )
+    rdr = _IncrementalStreamReader(
+        {"path": src, "offset.column": "id", "batch.max.rows": "10"}
+    )
+    rdr.initialOffset()
+    assert rdr.latestOffset() == {"offset": 10}
+    assert len(set(scanned)) == 1  # only the lowest-range file was read
+
+
+def test_restart_honors_batch_cap_via_mirror(spark, tmp_path):
+    """With offset.mirror.dir set, a restarted reader resumes CAPPED from
+    the commit-time mirror instead of announcing the uncapped global max —
+    the reference's ≤ batch.max.rows-per-poll contract holds across
+    restarts (README.md:101)."""
+    from kafka_connect_spark.sources.incremental_stream import _IncrementalStreamReader
+
+    src = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(i, f"n{i}") for i in range(1, 101)], ["id", "name"]
+    ).coalesce(1).write.parquet(src)
+    opts = {
+        "path": src,
+        "offset.column": "id",
+        "batch.max.rows": "10",
+        "offset.mirror.dir": str(tmp_path / "mirror"),
+    }
+    rdr = _IncrementalStreamReader(opts)
+    start = rdr.initialOffset()
+    end1 = rdr.latestOffset()
+    assert end1 == {"offset": 10}
+    assert len(_drain(rdr, start, end1)) == 10
+    rdr.commit(end1)
+
+    # restart: a FRESH reader (unknown cursor) with the same options
+    rdr2 = _IncrementalStreamReader(opts)
+    end2 = rdr2.latestOffset()
+    assert end2 == {"offset": 20}  # capped from mirrored offset, not 100
+    assert len(_drain(rdr2, end1, end2)) == 10
+
+    # without a mirror the restart path still works (uncapped, documented)
+    rdr3 = _IncrementalStreamReader({k: v for k, v in opts.items() if k != "offset.mirror.dir"})
+    assert rdr3.latestOffset() == {"offset": 100}
+
+
+def test_stale_mirror_never_loses_data(spark, tmp_path):
+    """Mirror trailing the checkpoint (crash between epoch commit and
+    commit()) yields one empty batch, then normal capped paging — the
+    cursor never regresses and no rows are skipped or duplicated."""
+    from kafka_connect_spark.sources.incremental_stream import _IncrementalStreamReader
+
+    src = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(i,) for i in range(1, 31)], ["id"]
+    ).coalesce(1).write.parquet(src)
+    mirror = str(tmp_path / "mirror")
+    opts = {
+        "path": src,
+        "offset.column": "id",
+        "batch.max.rows": "10",
+        "offset.mirror.dir": mirror,
+    }
+    rdr = _IncrementalStreamReader(opts)
+    rdr.initialOffset()
+    rdr.commit(rdr.latestOffset())  # mirror = 10
+    committed = {"offset": 15}  # checkpoint got further before the crash
+
+    rdr2 = _IncrementalStreamReader(opts)
+    stale_end = rdr2.latestOffset()  # probes from mirror=10 -> 20... but
+    assert stale_end == {"offset": 20}
+    # ...Spark plans (checkpoint committed=15, announced 20]: a SHORT batch,
+    # never a re-read of rows ≤ 15
+    assert [r[0] for r in _drain(rdr2, committed, stale_end)] == [16, 17, 18, 19, 20]
+    rdr2.commit(stale_end)
+    end_next = rdr2.latestOffset()
+    assert end_next == {"offset": 30}
+    assert len(_drain(rdr2, stale_end, end_next)) == 10
+
+    # fully-behind announcement (mirror two batches back): empty batch,
+    # cursor must NOT regress below the checkpointed start
+    rdr3 = _IncrementalStreamReader(opts)
+    rdr3._cursor = None
+    rdr3.commit({"offset": 10})  # force mirror back to 10
+    rdr4 = _IncrementalStreamReader(opts)
+    behind_end = rdr4.latestOffset()  # 20, but checkpoint committed = 25
+    assert behind_end == {"offset": 20}
+    assert _drain(rdr4, {"offset": 25}, behind_end) == []  # no re-reads
+    rdr4.commit(behind_end)  # regress guard: cursor stays at 25
+    end5 = rdr4.latestOffset()
+    assert end5 == {"offset": 30}  # capped page from 25, forward progress
+    assert [r[0] for r in _drain(rdr4, {"offset": 25}, end5)] == [26, 27, 28, 29, 30]
+
+
 def test_incremental_stream_batch_cap(spark, tmp_path):
     spark.dataSource.register(IncrementalTableDataSource)
     src = str(tmp_path / "t")

@@ -92,6 +92,44 @@ def test_emit_on_change_streaming_equals_batch(spark, sf_dir, tmp_path):
     assert len(got) == len(want)
 
 
+def test_emit_on_change_key_spanning_arrow_chunks(spark, tmp_path):
+    """applyInPandasWithState delivers one key's microbatch as MULTIPLE
+    Arrow chunks (split at arrow.maxRecordsPerBatch) in arbitrary upstream
+    order — suppression must sort the whole group once, not per chunk, or
+    the emitted set silently diverges from the x31 batch twin."""
+    import random
+
+    from kafka_connect_spark.streaming.stateful import emit_on_change
+
+    n = 300
+    rows = [(1, i, i, float(i // 10)) for i in range(n)]  # change every 10th
+    random.Random(7).shuffle(rows)  # scramble file order
+    df = spark.createDataFrame(rows, ["user_id", "tsec", "event_id", "value"])
+    df = df.withColumn("ts", F.timestamp_seconds(F.col("tsec"))).drop("tsec")
+    src = str(tmp_path / "src")
+    df.coalesce(1).write.parquet(src)
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "25")  # 300-row group -> 12 chunks
+    out: list[pd.DataFrame] = []
+    try:
+        sdf = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+        q = (
+            emit_on_change(sdf)
+            .writeStream.foreachBatch(lambda b, i: out.append(b.toPandas()))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set(key, old)
+    got = pd.concat(out, ignore_index=True)
+    assert sorted(got["event_id"]) == [i * 10 for i in range(30)]
+
+
 def test_streaming_pipeline_spec(spark, sf_dir, tmp_path):
     """streaming: true spec compiles to a StreamingQuery: file stream ->
     mask -> parquet sink with checkpoint; a second start drains nothing new."""
