@@ -24,7 +24,119 @@ import threading
 
 from pyspark.sql import SparkSession
 
-from .pipeline import Pipeline
+from .pipeline import SINKS, SOURCES, STREAM_SINKS, STREAM_SOURCES, TRANSFORMS, Pipeline
+
+
+def plugin_list() -> list[dict]:
+    """GET /connector-plugins analog (reference README.md:29-67 lists the
+    worker's installed connector classes): every registered source, sink,
+    and transform type with its role."""
+    out = []
+    for role, reg in (
+        ("source", SOURCES),
+        ("source", STREAM_SOURCES),
+        ("sink", SINKS),
+        ("sink", STREAM_SINKS),
+        ("transformation", TRANSFORMS),
+    ):
+        for name in reg:
+            out.append({"class": name, "type": role})
+    return sorted(out, key=lambda d: (d["type"], d["class"]))
+
+
+def _try_compile(field_prefix: str, fn, section: dict, errors: dict) -> None:
+    """Dry-run one spec section, folding failures into per-field errors: a
+    KeyError names the exact missing option (Connect's per-field validation
+    shape); anything else lands on the section itself. Compile functions
+    read their options LAZILY (inside the returned closure), so after
+    compiling, the closure is invoked once with a mock Spark/DataFrame —
+    dict accesses on the real section still raise KeyError for missing
+    options, while the mock absorbs every Spark call without doing I/O."""
+    from unittest.mock import MagicMock
+
+    try:
+        compiled = fn(section)
+    except KeyError as ke:
+        key = ke.args[0] if ke.args else str(ke)
+        errors.setdefault(f"{field_prefix}.{key}", []).append(
+            f'Missing required configuration "{key}"'
+        )
+        return
+    except Exception as ex:  # noqa: BLE001 - config errors, not bugs
+        errors.setdefault(field_prefix, []).append(str(ex))
+        return
+    if not callable(compiled):
+        return
+    try:
+        compiled(MagicMock())
+    except KeyError as ke:
+        key = ke.args[0] if ke.args else str(ke)
+        errors.setdefault(f"{field_prefix}.{key}", []).append(
+            f'Missing required configuration "{key}"'
+        )
+    except Exception:  # noqa: BLE001, S110 - mock-execution artifacts only
+        pass
+
+
+def validate_config(plugin_type: str, spec: dict) -> dict:
+    """PUT /connector-plugins/<type>/config/validate analog: dry-run the
+    pipeline spec against the registries WITHOUT starting anything and
+    report Connect's validation result shape — ``error_count`` plus one
+    ``configs`` entry per offending field, each with its ``errors`` list
+    (the worker API the reference README drives at README.md:16-23).
+    Like Connect, a spec that fails validation still returns HTTP 200
+    with error_count > 0; only an unknown plugin type is a 404."""
+    streaming = bool(spec.get("streaming", False))
+    src_reg = STREAM_SOURCES if streaming else SOURCES
+    sink_reg = STREAM_SINKS if streaming else SINKS
+    errors: dict[str, list[str]] = {}
+
+    source = dict(spec.get("source") or {})
+    source.setdefault("type", plugin_type)
+    if source["type"] not in src_reg:
+        errors.setdefault("source.type", []).append(
+            f"Unknown source type {source['type']!r}"
+            + (" (streaming)" if streaming else "")
+        )
+    else:
+        _try_compile("source", src_reg[source["type"]], source, errors)
+
+    for i, t in enumerate(spec.get("transforms", [])):
+        ttype = t.get("type")
+        if ttype not in TRANSFORMS:
+            errors.setdefault(f"transforms.{i}.type", []).append(
+                f"Unknown transform type {ttype!r}"
+            )
+        else:
+            _try_compile(f"transforms.{i}", TRANSFORMS[ttype], t, errors)
+
+    sink = spec.get("sink")
+    if not sink or "type" not in sink:
+        errors.setdefault("sink.type", []).append('Missing required configuration "type"')
+    elif sink["type"] not in sink_reg:
+        errors.setdefault("sink.type", []).append(f"Unknown sink type {sink['type']!r}")
+    else:
+        _try_compile("sink", sink_reg[sink["type"]], sink, errors)
+
+    configs = [
+        {
+            "definition": {"name": field, "type": "STRING", "required": True},
+            "value": {
+                "name": field,
+                "value": None,
+                "recommended_values": [],
+                "errors": errs,
+                "visible": True,
+            },
+        }
+        for field, errs in sorted(errors.items())
+    ]
+    return {
+        "name": plugin_type,
+        "error_count": sum(len(e) for e in errors.values()),
+        "groups": ["Common"],
+        "configs": configs,
+    }
 
 
 class Herder:
@@ -181,6 +293,33 @@ class Herder:
                 out["trace"] = self._failed[name]
         return out
 
+    def tasks(self, name: str) -> list[dict] | None:
+        """GET /connectors/<name>/tasks analog (reference README.md:115-131
+        shows the task array inside the status payload; tasks.max=1 in the
+        walkthrough README.md:92): one task per pipeline, carrying the
+        compiled source config — a Structured Streaming query parallelizes
+        WITHIN the task via partitions instead of multiplying tasks."""
+        if name not in self.list():
+            return None
+        spec = self.get_config(name)
+        return [
+            {
+                "id": {"connector": name, "task": 0},
+                "config": dict(spec.get("source", {}), **{"task.class": "pipeline"}),
+            }
+        ]
+
+    def task_status(self, name: str, task_id: int) -> dict:
+        """GET /connectors/<name>/tasks/<id>/status analog: the single
+        task's state tracks the query state."""
+        tasks = self.tasks(name)
+        if tasks is None or task_id >= len(tasks):
+            return {"error": "not found"}
+        state = self.status(name)["state"]
+        if state == "BATCH":
+            state = "UNASSIGNED"  # batch specs have no long-running task
+        return {"id": task_id, "state": state, "worker_id": "local"}
+
     def shutdown(self) -> None:
         with self._lock:
             for name in list(self._queries):
@@ -194,6 +333,12 @@ def serve_http(herder: Herder, host: str = "127.0.0.1", port: int = 0):
     - GET    /connectors                     list names
     - GET    /connectors/<name>              stored config
     - GET    /connectors/<name>/status       RUNNING/PAUSED/STOPPED/FAILED(+trace)
+    - GET    /connectors/<name>/tasks        task list (single-task pipelines)
+    - GET    /connectors/<name>/tasks/<id>/status  per-task state
+    - GET    /connector-plugins              registered source/sink/transform types
+    - PUT    /connector-plugins/<type>/config/validate  dry-run validation,
+             Connect's error_count + per-field errors shape (200 even when
+             invalid, like the reference worker; unknown type -> 404)
     - PUT    /connectors/<name>/config       create/update (restarts query)
     - PUT    /connectors/<name>/pause        stop query, keep config (PAUSED)
     - PUT    /connectors/<name>/resume       clear pause, restart streaming spec
@@ -229,6 +374,22 @@ def serve_http(herder: Herder, host: str = "127.0.0.1", port: int = 0):
                     self._json({"error": "not found"}, 404)
             elif len(parts) == 3 and parts[:1] == ["connectors"] and parts[2] == "status":
                 self._json(herder.status(parts[1]))
+            elif len(parts) == 3 and parts[0] == "connectors" and parts[2] == "tasks":
+                tasks = herder.tasks(parts[1])
+                if tasks is None:
+                    self._json({"error": "not found"}, 404)
+                else:
+                    self._json(tasks)
+            elif (
+                len(parts) == 5
+                and parts[0] == "connectors"
+                and parts[2] == "tasks"
+                and parts[4] == "status"
+            ):
+                out = herder.task_status(parts[1], int(parts[3]))
+                self._json(out, 404 if "error" in out else 200)
+            elif parts == ["connector-plugins"]:
+                self._json(plugin_list())
             else:
                 self._json({"error": "not found"}, 404)
 
@@ -243,6 +404,21 @@ def serve_http(herder: Herder, host: str = "127.0.0.1", port: int = 0):
                 self._json(herder.pause(parts[1]))
             elif len(parts) == 3 and parts[0] == "connectors" and parts[2] == "resume":
                 self._json(herder.resume(parts[1]))
+            elif (
+                len(parts) == 4
+                and parts[0] == "connector-plugins"
+                and parts[2:] == ["config", "validate"]
+            ):
+                spec = self._body()
+                known = (
+                    parts[1] in SOURCES
+                    or parts[1] in STREAM_SOURCES
+                    or (spec.get("source") or {}).get("type") is not None
+                )
+                if not known:
+                    self._json({"error": f"unknown plugin {parts[1]!r}"}, 404)
+                else:
+                    self._json(validate_config(parts[1], spec))
             else:
                 self._json({"error": "not found"}, 404)
 

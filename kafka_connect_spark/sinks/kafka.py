@@ -32,11 +32,54 @@ def kafka_sink_options(
     return opts
 
 
-def write_kafka(sdf: DataFrame, bootstrap_servers: str, checkpoint: str, **overrides):
+def exactly_once_sink_options(
+    bootstrap_servers: str,
+    transactional_id: str | None = None,
+    overrides: dict[str, str] | None = None,
+) -> dict[str, str]:
+    """The reference declares ``exactly.once.support=requested`` on the
+    worker (README.md:285) — Connect satisfies it with an idempotent /
+    transactional producer per task. Spark's Kafka sink COMMITS outside
+    the producer transaction, so the end-to-end guarantee stays
+    at-least-once (documented in SURVEY.md §2.3 T8); this builds the same
+    producer-level option surface so a pipeline spec can request it:
+
+    - ``kafka.enable.idempotence=true`` + ``kafka.acks=all`` — no broker-
+      side duplicates from producer retries (the idempotent producer);
+    - ``kafka.transactional.id`` (when given) — fences zombie producers
+      across query restarts, the transactional half of Connect's
+      exactly-once source support;
+    - in-flight window capped at 5, the idempotence-compatible maximum.
+
+    Downstream consumers should read ``isolation.level=read_committed``
+    for the transactional path to matter."""
+    opts = kafka_sink_options(bootstrap_servers, overrides)
+    opts.setdefault("kafka.enable.idempotence", "true")
+    opts.setdefault("kafka.acks", "all")
+    opts.setdefault("kafka.max.in.flight.requests.per.connection", "5")
+    if transactional_id is not None:
+        opts["kafka.transactional.id"] = transactional_id
+    return opts
+
+
+def write_kafka(
+    sdf: DataFrame,
+    bootstrap_servers: str,
+    checkpoint: str,
+    exactly_once: bool = False,
+    transactional_id: str | None = None,
+    **overrides,
+):
     """Streaming Kafka sink: requires key/value (+ optional topic) columns,
-    exactly the Connect record contract. At-least-once (Kafka sink is not
-    transactional in Spark) — matching the reference (README.md:285)."""
+    exactly the Connect record contract. Default delivery is
+    at-least-once, matching the reference's effective guarantee
+    (README.md:285); ``exactly_once=True`` requests the idempotent /
+    transactional producer options (see ``exactly_once_sink_options``)."""
+    if exactly_once:
+        opts = exactly_once_sink_options(bootstrap_servers, transactional_id, overrides)
+    else:
+        opts = kafka_sink_options(bootstrap_servers, overrides)
     w = sdf.writeStream.format("kafka").option("checkpointLocation", checkpoint)
-    for k, v in kafka_sink_options(bootstrap_servers, overrides).items():
+    for k, v in opts.items():
         w = w.option(k, v)
     return w.start()

@@ -162,3 +162,90 @@ def test_pause_resume_restart_lifecycle(spark, tmp_path, herder):
         assert call("PUT", "/connectors/nope/pause")["state"] == "NOT_FOUND"
     finally:
         httpd.shutdown()
+
+
+def test_config_validate_endpoint(spark, tmp_path, herder):
+    """PUT /connector-plugins/<type>/config/validate: Connect's dry-run
+    shape — valid spec returns error_count 0; an invalid one returns 200
+    with per-field errors naming the missing option; unknown plugin type
+    is a 404. Nothing is persisted or started either way."""
+    spark.createDataFrame([(1, "s")], ["id", "v"]).write.parquet(str(tmp_path / "src"))
+    httpd = serve_http(herder)
+    port = httpd.server_address[1]
+
+    def call(method, path, body=None):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}",
+            method=method,
+            data=json.dumps(body).encode() if body is not None else None,
+            headers={"Content-Type": "application/json"},
+        )
+        return json.loads(urllib.request.urlopen(req, timeout=10).read())
+
+    try:
+        good = _batch_spec(tmp_path, "val")
+        res = call("PUT", "/connector-plugins/parquet/config/validate", good)
+        assert res["error_count"] == 0 and res["name"] == "parquet"
+
+        bad = {
+            "source": {"type": "parquet"},  # missing path
+            "transforms": [{"type": "mask_field"}],  # missing fields
+            "sink": {"type": "nope"},
+        }
+        res = call("PUT", "/connector-plugins/parquet/config/validate", bad)
+        assert res["error_count"] == 3
+        fields = {c["value"]["name"]: c["value"]["errors"] for c in res["configs"]}
+        assert "source.path" in fields and "path" in fields["source.path"][0]
+        assert "transforms.0.fields" in fields
+        assert "sink.type" in fields
+        assert herder.list() == []  # dry run: nothing persisted
+
+        with pytest.raises(urllib.error.HTTPError) as e:
+            call("PUT", "/connector-plugins/not-a-plugin/config/validate", {})
+        assert e.value.code == 404
+    finally:
+        httpd.shutdown()
+
+
+def test_tasks_and_plugin_endpoints(spark, tmp_path, herder):
+    """GET /connectors/<n>/tasks + /tasks/0/status + /connector-plugins:
+    a running pipeline reports one task whose state tracks the query."""
+    spec = {
+        "streaming": True,
+        "source": {"type": "rate", "rows.per.second": 5},
+        "sink": {
+            "type": "parquet_stream",
+            "path": str(tmp_path / "o1"),
+            "checkpoint": str(tmp_path / "c1"),
+        },
+    }
+    assert herder.put("tk", spec)["state"] == "RUNNING"
+    httpd = serve_http(herder)
+    port = httpd.server_address[1]
+
+    def get(path):
+        return json.loads(
+            urllib.request.urlopen(f"http://127.0.0.1:{port}{path}", timeout=10).read()
+        )
+
+    try:
+        tasks = get("/connectors/tk/tasks")
+        assert tasks == [
+            {
+                "id": {"connector": "tk", "task": 0},
+                "config": {"type": "rate", "rows.per.second": 5, "task.class": "pipeline"},
+            }
+        ]
+        st = get("/connectors/tk/tasks/0/status")
+        assert st["state"] == "RUNNING" and st["id"] == 0
+        plugins = get("/connector-plugins")
+        classes = {(p["class"], p["type"]) for p in plugins}
+        assert ("parquet", "source") in classes
+        assert ("mask_field", "transformation") in classes
+        assert ("parquet_stream", "sink") in classes
+        with pytest.raises(urllib.error.HTTPError):
+            get("/connectors/nope/tasks")
+        with pytest.raises(urllib.error.HTTPError):
+            get("/connectors/tk/tasks/5/status")
+    finally:
+        httpd.shutdown()

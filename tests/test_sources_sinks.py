@@ -257,3 +257,32 @@ def test_kafka_options_passthrough():
     assert opts["kafka.batch.size"] == "16384"  # override beats tuned default
     assert opts["kafka.linger.ms"] == "5"
     assert opts["kafka.compression.type"] == "snappy"  # tuned default kept
+
+
+def test_kafka_exactly_once_option_surface():
+    """The reference worker declares exactly.once.support=requested
+    (README.md:285): the idempotent/transactional producer options must be
+    emittable, with the documented at-least-once default unchanged."""
+    from kafka_connect_spark.sinks.kafka import exactly_once_sink_options
+
+    opts = exactly_once_sink_options("broker:9092", transactional_id="pipe-1")
+    assert opts["kafka.enable.idempotence"] == "true"
+    assert opts["kafka.acks"] == "all"
+    assert opts["kafka.transactional.id"] == "pipe-1"
+    assert opts["kafka.max.in.flight.requests.per.connection"] == "5"
+    assert opts["kafka.compression.type"] == "snappy"  # tuned defaults kept
+
+    # no transactional id -> idempotence only (no zombie fencing)
+    assert "kafka.transactional.id" not in exactly_once_sink_options("b:9092")
+
+    # explicit user overrides win over the exactly-once defaults
+    opts = exactly_once_sink_options(
+        "b:9092", overrides={"enable.idempotence": "false", "acks": "1"}
+    )
+    assert opts["kafka.enable.idempotence"] == "false"
+    assert opts["kafka.acks"] == "1"
+
+    # the at-least-once default path emits none of the EO options
+    base = kafka_sink_options("b:9092")
+    assert "kafka.enable.idempotence" not in base
+    assert "kafka.transactional.id" not in base

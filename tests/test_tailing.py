@@ -4,6 +4,7 @@ the checkpoint; kill/restart resumes with no loss and no duplicates."""
 
 from __future__ import annotations
 
+import os
 import time
 
 from kafka_connect_spark.sources.tailing import (
@@ -54,18 +55,86 @@ def test_tailing_batch_max_bytes_cuts_at_line_boundary(tmp_path):
 
 
 def test_tailing_truncation_restarts_from_top(tmp_path):
+    """Truncation bumps the offset GENERATION, so the next batch is planned
+    from the COMMITTED offset (as Spark does) and still reads the new
+    file's head — the old upper<=lower guard silently skipped it."""
     f = str(tmp_path / "rot.log")
     _append(f, "old-1\nold-2\n")
     rdr = _TailingFileStreamReader({"path": f})
-    rdr.initialOffset()
+    start = rdr.initialOffset()
     end1 = rdr.latestOffset()
     assert end1["position"] == 12
-    with open(f, "w") as fh:  # rotation: new, shorter file
+    assert [r[0] for p in rdr.partitions(start, end1) for r in rdr.read(p)] == [
+        "old-1",
+        "old-2",
+    ]
+    rdr.commit(end1)
+    with open(f, "w") as fh:  # truncation: new, shorter file in place
         fh.write("new\n")
     end2 = rdr.latestOffset()
-    assert end2["position"] == 4
-    assert [r[0] for p in rdr.partitions({"file": f, "position": 0}, end2)
-            for r in rdr.read(p)] == ["new"]
+    assert end2["position"] == 4 and end2["gen"] == end1["gen"] + 1
+    # planned from the committed offset, exactly as Spark replays it
+    assert [r[0] for p in rdr.partitions(end1, end2) for r in rdr.read(p)] == ["new"]
+
+
+def test_tailing_rotation_follows_renamed_tail(tmp_path):
+    """logrotate flow with rotation.glob: the renamed old file's unread
+    tail is emitted FIRST (same generation — positions carry over), then
+    the stream switches to the new file from byte 0. No loss, no dups."""
+    f = str(tmp_path / "app.log")
+    _append(f, "a-1\na-2\na-3\n")
+    rdr = _TailingFileStreamReader(
+        {"path": f, "rotation.glob": str(tmp_path / "app.log.*")}
+    )
+    start = rdr.initialOffset()
+    end1 = rdr.latestOffset()
+    got1 = [r[0] for p in rdr.partitions(start, end1) for r in rdr.read(p)]
+    assert got1 == ["a-1", "a-2", "a-3"]
+    rdr.commit(end1)
+
+    # rotate: two more lines land in the old file, then it is renamed and
+    # a fresh live file starts
+    _append(f, "a-4\na-5\n")
+    os.rename(f, str(tmp_path / "app.log.1"))
+    _append(f, "b-1\n")
+
+    end2 = rdr.latestOffset()  # old file's tail, same generation
+    assert end2["gen"] == end1["gen"] and end2["file"].endswith("app.log.1")
+    got2 = [r[0] for p in rdr.partitions(end1, end2) for r in rdr.read(p)]
+    assert got2 == ["a-4", "a-5"]
+    rdr.commit(end2)
+
+    end3 = rdr.latestOffset()  # switch: new generation, new file from 0
+    assert end3["gen"] == end2["gen"] + 1 and end3["file"] == f
+    got3 = [r[0] for p in rdr.partitions(end2, end3) for r in rdr.read(p)]
+    assert got3 == ["b-1"]
+    rdr.commit(end3)
+
+    # steady state on the new file
+    _append(f, "b-2\n")
+    end4 = rdr.latestOffset()
+    assert end4["gen"] == end3["gen"]
+    assert [r[0] for p in rdr.partitions(end3, end4) for r in rdr.read(p)] == ["b-2"]
+
+
+def test_tailing_rotation_without_glob_loses_only_unpolled_tail(tmp_path):
+    """Without rotation.glob the renamed file's tail is unreachable (the
+    reference's FileStreamSource behaves the same) — but the NEW file's
+    head must still be read via the generation bump, never skipped."""
+    f = str(tmp_path / "app.log")
+    _append(f, "a-1\n")
+    rdr = _TailingFileStreamReader({"path": f})
+    start = rdr.initialOffset()
+    end1 = rdr.latestOffset()
+    assert [r[0] for p in rdr.partitions(start, end1) for r in rdr.read(p)] == ["a-1"]
+    rdr.commit(end1)
+    os.rename(f, str(tmp_path / "app.log.1"))
+    _append(f, "b-1\nb-2\n")  # new inode, LARGER than committed position
+
+    end2 = rdr.latestOffset()
+    assert end2["gen"] == end1["gen"] + 1
+    got = [r[0] for p in rdr.partitions(end1, end2) for r in rdr.read(p)]
+    assert got == ["b-1", "b-2"]
 
 
 def test_tailing_stream_end_to_end_with_restart(spark, tmp_path):
