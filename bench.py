@@ -4,7 +4,11 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query executes to completion via the noop sink (no driver collect).
+Each query executes to completion via the noop sink (no driver collect)
+and is timed over $SPARK_GRAFT_BENCH_REPS runs (default 3), reporting the
+PER-QUERY MEDIAN — single-shot numbers swing with run position (JVM/GC
+state drift across a 50-query session moved the r3 pipeline number 37%),
+medians make round-over-round diffs meaningful.
 ``pipeline_mask_envelope`` is the reference-workload analog (incremental
 read -> MaskField -> JSON envelope -> sink; BASELINE.md's 3-4K rows/s
 experiment) — its rows/sec lands in "pipeline_rows_per_sec"."""
@@ -82,9 +86,16 @@ def run_noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    mid = len(s) // 2
+    return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -93,21 +104,27 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        run_noop(QUERIES[name](spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+        runs = []
+        for _ in range(reps):
+            t0 = time.time()
+            run_noop(QUERIES[name](spark, sf_dir))
+            runs.append(time.time() - t0)
+        timings[name] = round(_median(runs), 3)
 
     # reference-workload analog: scan -> mask -> topic routing -> JSON envelope
     li = load(spark, sf_dir, "lineitem")
     n_rows = li.count()
-    t0 = time.time()
     pipe = to_json_envelope(
         with_topic(mask_fields(li, ["l_comment"] if "l_comment" in li.columns else ["l_returnflag"]),
                    "postgresql-jdbc-bulk-", "lineitem"),
         key_cols=["l_orderkey"] if "l_orderkey" in li.columns else None,
     )
-    run_noop(pipe)
-    pipe_sec = time.time() - t0
+    runs = []
+    for _ in range(reps):
+        t0 = time.time()
+        run_noop(pipe)
+        runs.append(time.time() - t0)
+    pipe_sec = _median(runs)
     timings["pipeline_mask_envelope"] = round(pipe_sec, 3)
 
     # semantics-matched baseline analog: the reference's experiment is an
@@ -117,22 +134,24 @@ def main() -> None:
 
     from kafka_connect_spark.sources.incremental import IncrementalTableSource
 
-    inc = IncrementalTableSource(
-        f"{sf_dir}/orders.parquet",
-        "o_orderkey",
-        "incrementing",
-        tempfile.mkdtemp(prefix="bench-inc-"),
-        batch_max_rows=25_000,
-    )
-
     def poll_sink(df) -> None:
         run_noop(to_json_envelope(mask_fields(df, ["o_orderpriority"])))
 
-    t0 = time.time()
-    polled = 0
-    while (n := inc.run_once(spark, poll_sink)) > 0:
-        polled += n
-    inc_sec = time.time() - t0
+    runs, polled = [], 0
+    for _ in range(reps):
+        inc = IncrementalTableSource(
+            f"{sf_dir}/orders.parquet",
+            "o_orderkey",
+            "incrementing",
+            tempfile.mkdtemp(prefix="bench-inc-"),  # fresh offsets per rep
+            batch_max_rows=25_000,
+        )
+        t0 = time.time()
+        polled = 0
+        while (n := inc.run_once(spark, poll_sink)) > 0:
+            polled += n
+        runs.append(time.time() - t0)
+    inc_sec = _median(runs)
     timings["incremental_poll_loop"] = round(inc_sec, 3)
 
     total = round(sum(timings.values()), 3)
@@ -144,6 +163,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "reps": reps,
+                "aggregation": "median",
                 "pipeline_rows_per_sec": round(n_rows / pipe_sec, 1),
                 "incremental_poll_rows_per_sec": round(polled / inc_sec, 1),
             }

@@ -259,7 +259,7 @@ def dup_clusters(
         # shuffle join + filter + count; measured ~25% off x12h wall).
         changed = 1
         prev_sum = None
-        for _ in range(max_iters):
+        for it in range(max_iters):
             nbr = sym.join(labels, sym["dst"] == labels["node"]).select(
                 F.col("src").alias("node"), "label"
             )
@@ -267,8 +267,16 @@ def dup_clusters(
                 labels.unionByName(nbr)
                 .groupBy("node")
                 .agg(F.min("label").alias("label"))
-                .persist()
             )
+            if (it + 1) % 5 == 0:
+                # Truncate the iterative lineage: persist() caches DATA but
+                # the logical plan still compounds one join per round, and
+                # long-diameter graphs (many rounds) blow up planning/codegen
+                # memory. A periodic eager checkpoint caps plan depth at 5
+                # joins regardless of round count.
+                new = new.localCheckpoint(eager=True)
+            else:
+                new = new.persist()
             # decimal(38,0): exact at any node count x 64-bit label magnitude
             cur_sum = new.agg(
                 F.sum(F.col("label").cast("decimal(38,0)")).alias("s")

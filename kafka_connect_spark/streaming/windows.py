@@ -56,6 +56,39 @@ def sliding_agg(
     return out.select(F.col("win.start").alias("w"), "cnt", "sum_value")
 
 
+def rate_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 minute",
+    slide: str | None = None,
+    value_col: str = "value",
+    window_seconds: float = 60.0,
+    watermark: str | None = None,
+) -> DataFrame:
+    """PromQL ``rate(counter[1m])`` as a windowed aggregation: per-second
+    rate from the counter's (max - min) span inside each window — the
+    dashboard's headline Source Record Poll/Write rate panels
+    (reference grafana/dashboards/connect.json:1722,1825). Same operator
+    for batch (the p3 oracle-checked analog) and STREAMING input: with a
+    watermark, closed windows emit in append mode and state stays bounded
+    by the watermark horizon; a ``slide`` gives the dashboard's refresh
+    cadence (overlapping windows, each event in window/slide states)."""
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    win = (
+        F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    ).alias("win")
+    return (
+        df.groupBy(win)
+        .agg(
+            F.round(
+                (F.max(value_col) - F.min(value_col)) / F.lit(window_seconds), 6
+            ).alias("rate_per_sec")
+        )
+        .select(F.col("win.start").alias("w"), "rate_per_sec")
+    )
+
+
 def dedup_within_watermark(
     df: DataFrame,
     key_cols: list[str],

@@ -78,9 +78,19 @@ class FileSchemaRegistry:
         tmp = os.path.join(self.path, f".claim-{os.getpid()}-{id(self)}.tmp")
         try:
             while True:
-                version = 1 + sum(
-                    1 for e in self._entries() if e["subject"] == subject
-                )
+                entries = self._entries()
+                for e in entries:
+                    # re-run the duplicate scan every attempt: a concurrent
+                    # identical registration may have landed since the last
+                    # read — return its id instead of minting a second one
+                    if (
+                        e["subject"] == subject
+                        and json.dumps(e["schema"], sort_keys=True) == canon
+                    ):
+                        return e["id"]
+                if entries:
+                    sid = max(sid, entries[-1]["id"] + 1)
+                version = 1 + sum(1 for e in entries if e["subject"] == subject)
                 rec = {"id": sid, "subject": subject, "version": version, "schema": schema}
                 with open(tmp, "w") as fh:
                     json.dump(rec, fh)
@@ -89,6 +99,28 @@ class FileSchemaRegistry:
                 except FileExistsError:
                     sid += 1
                     continue
+                # Claim won. Ids are claimed contiguously upward, so every
+                # entry with id < sid is now immutable — but one may have
+                # LINKED between our version read and our link (a writer
+                # finishing on a lower id). Recompute the version against
+                # the final smaller-id set and rewrite our entry if stale,
+                # so (subject, version) pairs stay unique.
+                smaller = [e for e in self._entries() if e["id"] < sid]
+                true_version = 1 + sum(1 for e in smaller if e["subject"] == subject)
+                if true_version != version:
+                    rec["version"] = true_version
+                    fix = tmp + ".fix"
+                    with open(fix, "w") as fh:
+                        json.dump(rec, fh)
+                    os.replace(fix, os.path.join(self.path, f"{sid}.json"))
+                for e in smaller:
+                    # concurrent identical registration that won a lower id:
+                    # report the canonical (smaller) id
+                    if (
+                        e["subject"] == subject
+                        and json.dumps(e["schema"], sort_keys=True) == canon
+                    ):
+                        return e["id"]
                 return sid
         finally:
             if os.path.exists(tmp):

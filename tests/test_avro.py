@@ -240,3 +240,59 @@ def test_avro_cdc_envelope_composes_with_unwrap(spark, tmp_path):
     out = extract_new_record_state(decoded, delete_handling="rewrite")
     got = {(r["k"]): (r["v"], r["__deleted"]) for r in out.collect()}
     assert got == {10: ("new", "false"), 20: ("ins", "false"), 30: ("gone", "true")}
+
+
+def test_registry_concurrent_registrations_unique_ids_and_versions(tmp_path):
+    """Concurrent registrations under ONE subject must mint unique ids AND
+    unique (subject, version) pairs — the post-claim version recompute
+    covers a writer that linked a lower id between our version read and
+    our link. Identical schemas registered concurrently resolve to one
+    canonical id."""
+    import threading
+
+    from kafka_connect_spark.transforms.avro import FileSchemaRegistry
+
+    path = str(tmp_path / "reg")
+    n_threads, per_thread = 8, 6
+    results: dict[int, list[int]] = {}
+
+    def work(t: int) -> None:
+        reg = FileSchemaRegistry(path)  # own handle, like separate pipelines
+        ids = []
+        for i in range(per_thread):
+            schema = {
+                "type": "record",
+                "name": f"R{t}_{i}",
+                "fields": [{"name": "x", "type": "long"}],
+            }
+            ids.append(reg.register("events-value", schema))
+        results[t] = ids
+
+    threads = [threading.Thread(target=work, args=(t,)) for t in range(n_threads)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+
+    reg = FileSchemaRegistry(path)
+    entries = reg._entries()
+    assert len(entries) == n_threads * per_thread
+    ids = [e["id"] for e in entries]
+    assert ids == sorted(ids) and len(set(ids)) == len(ids)
+    assert ids == list(range(1, len(ids) + 1))  # contiguous claims
+    versions = [e["version"] for e in entries if e["subject"] == "events-value"]
+    assert len(set(versions)) == len(versions), "duplicate (subject, version)"
+
+    # identical schema raced from many threads -> exactly one canonical id
+    same: list[int] = []
+    dup_schema = {"type": "record", "name": "Dup", "fields": []}
+
+    def race_same() -> None:
+        same.append(FileSchemaRegistry(path).register("dup-subj", dup_schema))
+
+    threads = [threading.Thread(target=race_same) for _ in range(8)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert len(set(same)) == 1

@@ -102,3 +102,24 @@ def test_dup_clusters_components(spark):
     )
     got = {r["doc_id"]: r["cluster"] for r in dup_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_dup_clusters_long_chain_raises_on_nonconvergence(spark):
+    """A chain component with diameter > max_iters must RAISE (a silently
+    split cluster in a hash-checked path is the failure mode), with a
+    message naming the fix; the same chain converges when the budget
+    covers the diameter."""
+    import pytest as _pytest
+
+    from kafka_connect_spark.functions.dedupfns import dup_clusters
+
+    # path graph 0-1-2-...-19: hash-min needs ~ceil(diameter/2^k) rounds;
+    # label propagation moves the min one hop per round -> 19 hops
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(19)], ["id_a", "id_b"]
+    )
+    with _pytest.raises(RuntimeError, match="did not converge.*max_iters"):
+        dup_clusters(chain, max_iters=3)
+
+    got = {r["doc_id"]: r["cluster"] for r in dup_clusters(chain, max_iters=25).collect()}
+    assert set(got.values()) == {0} and len(got) == 20

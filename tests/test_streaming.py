@@ -61,6 +61,39 @@ def test_streaming_tumbling_equals_batch(spark, sf_dir, tmp_path):
     assert (abs(merged["sum_value_s"] - merged["sum_value_b"]) < 1e-6).all()
 
 
+def test_streaming_rate_equals_batch(spark, sf_dir, tmp_path):
+    """The dashboard's headline rate(counter[1m]) panels run on LIVE
+    streams (connect.json:1722,1825): the windowed rate operator must
+    produce on a replayed stream exactly what the batch algebra (the
+    p3-shape query) computes — tumbling AND sliding."""
+    from kafka_connect_spark.streaming.windows import rate_agg
+
+    d, events = _replay_dir(spark, sf_dir, tmp_path)
+    clicks = events.filter(F.col("event_type") == "click")
+
+    for slide, ckpt in ((None, "ckpt-rate-t"), ("30 seconds", "ckpt-rate-s")):
+        sdf = file_replay_stream(spark, d, spark.read.parquet(d).schema).filter(
+            F.col("event_type") == "click"
+        )
+        agg = rate_agg(sdf, slide=slide, watermark="10 minutes")
+        out: list[pd.DataFrame] = []
+        q = (
+            agg.writeStream.foreachBatch(lambda df, i: out.append(df.toPandas()))
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = pd.concat(out, ignore_index=True) if out else pd.DataFrame()
+
+        batch = rate_agg(clicks, slide=slide).toPandas()
+        merged = got.merge(batch, on="w", suffixes=("_s", "_b"))
+        # append emits only watermark-closed windows; all of them must match
+        assert len(merged) == len(got) > 0
+        assert (abs(merged["rate_per_sec_s"] - merged["rate_per_sec_b"]) < 1e-9).all()
+
+
 def test_streaming_session_equals_batch(spark, sf_dir, tmp_path):
     d, events = _replay_dir(spark, sf_dir, tmp_path)
     # restrict to a few users to keep session state small
