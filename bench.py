@@ -79,6 +79,12 @@ HEADLINE = [
     "x33_cdc_aggregate_maintenance",
     "x34_topk_per_group",
     "p13_quantile_over_time",
+    # round 4 additions
+    "p14_deriv",
+    "p15_predict_linear",
+    "mm_audio_frame_energy",
+    "x35_embedding_array_ops",
+    "x36_source_quota_cap",
 ]
 
 

@@ -228,3 +228,83 @@ def phash_near_dup_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+AUDIO_META = T.StructType(
+    [
+        T.StructField("format", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+    ]
+)
+
+
+def attach_fake_audio(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", blocks: int = 8
+) -> DataFrame:
+    """Attach a deterministic fake PCM16 payload: ``blocks`` chained md5
+    digests of the text (so samples do NOT repeat with the digest period)
+    interpreted downstream as little-endian int16 mono — the storage
+    contract for audio columns (opaque binary + typed metadata), mirroring
+    ``attach_fake_media`` for images."""
+    payload = F.concat(
+        *[F.unhex(F.md5(F.concat(F.col(text_col), F.lit(str(i))))) for i in range(blocks)]
+    )
+    meta = F.struct(
+        F.lit("fake/pcm16").alias("format"),
+        F.lit(16000).cast("int").alias("sample_rate"),
+        F.lit(1).cast("int").alias("n_channels"),
+        F.lit(blocks * 8).cast("int").alias("n_samples"),
+    )
+    return df.select(F.col(id_col), payload.alias("audio"), meta.alias("audio_meta"))
+
+
+AUDIO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("energy", T.LongType()),
+    ]
+)
+
+
+def audio_frame_energy(df: DataFrame, frame_len: int = 16) -> DataFrame:
+    """mapInPandas audio framing over the (doc_id, audio, audio_meta)
+    contract: decode PCM16 ('fake/pcm16' = raw little-endian int16; a real
+    codec — soundfile/libav — plugs into the same branch), split into
+    ``frame_len``-sample frames, emit integer absolute energy per frame
+    (sum |sample|) — the VAD/silence-trim primitive of an audio training
+    pipeline. Integer energies keep the op oracle-checkable cross-engine.
+    Map-side only, Arrow-batched, scales by input splits."""
+    import numpy as np
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            fidx: list[int] = []
+            energy: list[int] = []
+            for did, m, b in zip(pdf["doc_id"], pdf["audio_meta"], pdf["audio"]):
+                if m["format"] != "fake/pcm16":
+                    raise NotImplementedError(
+                        f"no audio decoder for format {m['format']!r}: plug a codec here"
+                    )
+                samples = np.frombuffer(bytes(b), dtype="<i2").astype(np.int64)
+                n_frames = len(samples) // frame_len
+                e = (
+                    np.abs(samples[: n_frames * frame_len])
+                    .reshape(n_frames, frame_len)
+                    .sum(axis=1)
+                )
+                ids.extend([int(did)] * n_frames)
+                fidx.extend(range(n_frames))
+                energy.extend(int(x) for x in e)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "frame_idx": pd.array(fidx, dtype="int32"),
+                    "energy": pd.array(energy, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(fn, AUDIO_FRAME_SCHEMA)

@@ -448,15 +448,33 @@ class Pipeline:
             transforms, dlq, sink = self._transforms, self._dlq, self._sink
 
             def split(df: DataFrame, _batch_id: int) -> None:
-                dlq(df.filter(~F.expr(cond) | F.expr(cond).isNull()))
-                good = df.filter(F.expr(cond))
-                for t in transforms:
-                    good = t(good)
-                sink(good)
+                # cache: the two routes are two actions — without it the
+                # source is scanned twice AND the observed error counters
+                # below would double-count (one increment per execution)
+                df = df.persist()
+                try:
+                    dlq(df.filter(~F.expr(cond) | F.expr(cond).isNull()))
+                    good = df.filter(F.expr(cond))
+                    for t in transforms:
+                        good = t(good)
+                    sink(good)
+                finally:
+                    df.unpersist()
 
+            # DLQ counters as OBSERVED metrics: they ride the existing
+            # progress events (MetricsListener exports them as
+            # errors_records_dlq / errors_records_read) with no extra job
+            # or second pass — Connect's total-record-errors /
+            # deadletterqueue-produce-requests analog.
+            observed = self._read(spark).observe(
+                "errors",
+                F.count(
+                    F.when(~F.expr(cond) | F.expr(cond).isNull(), 1)
+                ).alias("records_dlq"),
+                F.count(F.lit(1)).alias("records_read"),
+            )
             writer = (
-                self._read(spark)
-                .writeStream.foreachBatch(split)
+                observed.writeStream.foreachBatch(split)
                 .option("checkpointLocation", self._dlq_checkpoint)
             )
         else:

@@ -541,3 +541,112 @@ def p13_quantile_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(value, 0.5)").over(w), 4).alias("p50_20"),
         F.round(F.expr("percentile(value, 0.9)").over(w), 4).alias("p90_20"),
     ).orderBy("event_id")
+
+
+# Minute index of 2024-01-01T00:00:00Z — the fixture epoch; keeps the
+# regression sums small enough (< 2^53) that BOTH engines hold them exactly.
+_REG_EPOCH_MIN = 1704067200 // 60
+
+_REG_SUMS_SQL = f"""
+    WITH s AS (
+      SELECT user_id,
+             CAST(FLOOR(epoch_ms(ts) / 60000) AS BIGINT) - {_REG_EPOCH_MIN} AS x,
+             CAST(FLOOR(value * 100) AS BIGINT) AS y
+      FROM events
+    ),
+    a AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT)   AS n,
+             CAST(SUM(x) AS BIGINT)     AS sx,
+             CAST(SUM(y) AS BIGINT)     AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(MAX(x) AS BIGINT)     AS maxx
+      FROM s GROUP BY user_id
+    )
+    SELECT user_id, n, sx, sy, sxy, sxx, maxx,
+           n * sxy - sx * sy AS num,
+           n * sxx - sx * sx AS den
+    FROM a WHERE n >= 2 AND n * sxx - sx * sx <> 0
+"""
+
+
+def _regression_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series least-squares sums over (minute index, centi-value) —
+    ALL-INTEGER accumulation, so Spark and DuckDB reach bit-identical
+    sums before the one double division. One hash agg per series; the
+    regression state is five bigints regardless of series length, the
+    same map-side-partial shape as every PromQL estimator here."""
+    ev = load(spark, sf_dir, "events")
+    s = ev.select(
+        "user_id",
+        (F.floor(F.unix_millis("ts") / F.lit(60000)).cast("long") - _REG_EPOCH_MIN).alias("x"),
+        F.floor(F.col("value") * 100).cast("long").alias("y"),
+    )
+    a = s.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.max("x").alias("maxx"),
+    )
+    a = a.withColumn("num", F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+    a = a.withColumn("den", F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return a.filter((F.col("n") >= 2) & (F.col("den") != 0))
+
+
+@query(
+    "p14_deriv",
+    oracle=f"""
+    SELECT user_id,
+           round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 6000.0, 6) AS deriv_per_sec
+    FROM ({_REG_SUMS_SQL})
+    ORDER BY user_id
+    """,
+)
+def p14_deriv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL deriv(gauge[w]): per-second least-squares slope of each
+    series (the dashboard family's trend estimator). Minute-resolution x
+    and centi-quantized y keep every sum integer-exact in both engines;
+    the single slope division happens once, in double, from identical
+    inputs. /6000 = minutes->seconds x centi->units."""
+    a = _regression_sums(spark, sf_dir)
+    return a.select(
+        "user_id",
+        F.round(
+            F.col("num").cast("double") / F.col("den").cast("double") / F.lit(6000.0), 6
+        ).alias("deriv_per_sec"),
+    ).orderBy("user_id")
+
+
+@query(
+    "p15_predict_linear",
+    oracle=f"""
+    SELECT user_id,
+           round((CAST(sy AS DOUBLE)
+                  + (CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+                    * CAST(n * (maxx + 60) - sx AS DOUBLE))
+                 / CAST(n AS DOUBLE) / 100.0, 6) AS predicted
+    FROM ({_REG_SUMS_SQL})
+    ORDER BY user_id
+    """,
+)
+def p15_predict_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL predict_linear(gauge[w], 1h): extrapolate each series' linear
+    fit one hour past its newest sample — the dashboard's capacity-planning
+    estimator (disk-full style alerts). Same integer-exact sums as p14;
+    prediction = intercept + slope * (max_x + 60min), algebraically folded
+    to avoid a second pass."""
+    a = _regression_sums(spark, sf_dir)
+    slope = F.col("num").cast("double") / F.col("den").cast("double")
+    pred = (
+        (
+            F.col("sy").cast("double")
+            + slope
+            * (F.col("n") * (F.col("maxx") + F.lit(60)) - F.col("sx")).cast("double")
+        )
+        / F.col("n").cast("double")
+        / F.lit(100.0)
+    )
+    return a.select("user_id", F.round(pred, 6).alias("predicted")).orderBy("user_id")

@@ -117,3 +117,42 @@ def mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_near_dup_pairs(hashes, max_hamming=3, bands=4).orderBy(
         "id_a", "id_b"
     )
+
+
+@query(
+    "mm_audio_frame_energy",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             flatten(list_transform(range(0, 8), blk ->
+               list_transform(range(0, 16), p ->
+                 CAST('0x' || substr(md5(text || CAST(blk AS VARCHAR)), 2*p + 1, 2)
+                      AS BIGINT)))) AS bts
+      FROM documents
+    ),
+    smp AS (
+      SELECT doc_id,
+             list_transform(range(0, 64), k ->
+               ((bts[2*k + 1] + 256 * bts[2*k + 2] + 32768) % 65536) - 32768) AS s
+      FROM raw
+    )
+    SELECT doc_id,
+           CAST(f AS INT) AS frame_idx,
+           CAST(list_sum(list_transform(range(16*f, 16*f + 16), k -> abs(s[k + 1])))
+                AS BIGINT) AS energy
+    FROM smp, (SELECT unnest(range(0, 4)) AS f)
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def mm_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio framing + energy (the VAD/silence-trim primitive): fake PCM16
+    payloads (8 chained md5 digests = 64 LE int16 samples) framed at 16
+    samples, integer |sample| energy per frame via Arrow-batched
+    mapInPandas. The oracle re-derives the exact PCM bytes from md5 hex in
+    DuckDB list comprehensions — the decode plumbing (schema, batch shape,
+    framing math) is what's under test; a real codec swaps into
+    ``audio_frame_energy``'s format branch. Map-side only at 100 TB."""
+    from ..functions.multimodalfns import attach_fake_audio, audio_frame_energy
+
+    d = load(spark, sf_dir, "documents")
+    return audio_frame_energy(attach_fake_audio(d)).orderBy("doc_id", "frame_idx")

@@ -58,3 +58,51 @@ def x13b_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return lsh_cosine_topk(emb, queries, k=3, dim=64, n_planes=4, n_tables=12)
+
+
+@query(
+    "x35_embedding_array_ops",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           CAST(list_sum(list_transform(embedding, x ->
+                 CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 6)
+                      AS DECIMAL(38,6)))) AS DOUBLE) AS sum_sq,
+           array_to_string(list_transform(embedding[1:4], x ->
+                 CAST(CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS VARCHAR)),
+                 ',') AS head_sig,
+           CAST(len(list_filter(embedding, x -> x < 0)) AS INT) AS n_negative
+    FROM embeddings
+    WHERE vec_id < 500
+    ORDER BY vec_id
+    """,
+)
+def x35_embedding_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise array operations over the embedding column WITHOUT
+    exploding: higher-order functions (transform / filter / aggregate) run
+    JVM-side inside whole-stage codegen — the map-side shape feature
+    normalization takes at 100 TB (no posexplode row blowup, no shuffle).
+    Hash-safe cross-engine: squares are rounded once per element then
+    accumulated in DECIMAL (order-free exact sum); the head signature
+    quantizes floats to integers before string-joining, so no float
+    formatting is compared."""
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    sum_sq = F.aggregate(
+        F.transform("embedding", lambda v: F.round(v.cast("double") * v.cast("double"), 6).cast("decimal(38,6)")),
+        F.lit(0).cast("decimal(38,6)"),
+        lambda acc, v: acc + v,
+    ).cast("double")
+    head_sig = F.array_join(
+        F.transform(
+            F.slice("embedding", 1, 4),
+            lambda v: F.floor(v.cast("double") * 1000).cast("bigint").cast("string"),
+        ),
+        ",",
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        sum_sq.alias("sum_sq"),
+        head_sig.alias("head_sig"),
+        F.size(F.filter("embedding", lambda v: v < F.lit(0.0))).alias("n_negative"),
+    ).orderBy("vec_id")

@@ -643,3 +643,38 @@ def x32_token_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "x36_source_quota_cap",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY CAST('0x' || substring(md5(text), 1, 15) AS BIGINT), doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 50 ORDER BY doc_id
+    """,
+)
+def x36_source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota sampling — the domain-cap stage of a crawl-derived
+    training pipeline (no single source may dominate the mixture): keep at
+    most 50 docs per source, chosen DETERMINISTICALLY by content-hash order
+    (not arrival order, so the sample is stable under re-crawls and
+    repartitioning). One per-source rank window; with millions of sources
+    the partition count is the source count — no global sort, no skew
+    beyond the largest single source, and WindowGroupLimit prunes rows
+    past the cap before the sort at 100 TB."""
+    from ..functions.dedupfns import token_hash60
+
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(token_hash60(F.col("text")), "doc_id")
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).cast("long").alias("rk"))
+        .filter(F.col("rk") <= 50)
+        .orderBy("doc_id")
+    )

@@ -61,6 +61,21 @@ class MetricsListener(StreamingQueryListener):
                 self.samples.append(
                     {"name": name, "labels": labels, "ts": p.timestamp, "value": float(value)}
                 )
+        # Observed metrics (df.observe) ride the SAME progress event — zero
+        # extra jobs; the DLQ split publishes its per-batch error counters
+        # this way (Connect's task error metrics: total-record-errors,
+        # deadletterqueue-produce-requests analogs).
+        for obs_name, row in dict(p.observedMetrics or {}).items():
+            for field, value in row.asDict().items():
+                if isinstance(value, (int, float)):
+                    self.samples.append(
+                        {
+                            "name": f"{obs_name}_{field}",
+                            "labels": labels,
+                            "ts": p.timestamp,
+                            "value": float(value),
+                        }
+                    )
 
     def onQueryTerminated(self, event) -> None:  # noqa: N802
         pass

@@ -124,11 +124,29 @@ def test_streaming_dlq_splits_each_microbatch(spark, tmp_path):
             "dlq": {"type": "parquet", "path": dlq},
         },
     }
-    q = Pipeline(spec).start_stream(spark, available_now=True)
-    q.awaitTermination(120)
+    from kafka_connect_spark.streaming.metrics import MetricsListener, to_exposition
+
+    listener = MetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        q = Pipeline(spec).start_stream(spark, available_now=True)
+        q.awaitTermination(120)
+    finally:
+        spark.streams.removeListener(listener)
     good = {r["id"]: r["ssn"] for r in spark.read.parquet(out).collect()}
     assert good == {1: "CENSORED", 3: "CENSORED"}  # transformed, valid only
     assert {r["id"] for r in spark.read.parquet(dlq).collect()} == {2, 4}
+
+    # DLQ counters surface as OBSERVED metrics on the same progress events
+    # (no extra job): Connect's total-record-errors analog, scrapeable
+    # through the exposition endpoint.
+    by_name: dict[str, float] = {}
+    for s in listener.samples:
+        by_name[s["name"]] = by_name.get(s["name"], 0.0) + s["value"]
+    assert by_name.get("errors_records_dlq") == 2.0
+    assert by_name.get("errors_records_read") == 4.0
+    text = to_exposition([s for s in listener.samples if s["name"].startswith("errors_")])
+    assert "errors_records_dlq" in text
 
 
 def test_unknown_plugin_fails_fast():

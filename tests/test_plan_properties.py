@@ -80,3 +80,17 @@ def test_entry_query_prunes_columns(spark, sf_dir):
     assert scans, f"no lineitem scan found in plan:\n{plan[:2000]}"
     read_schema = scans[0].split("ReadSchema:")[1].split("\n")[0]
     assert "l_comment" not in read_schema and "l_shipdate" not in read_schema
+
+
+def test_x36_quota_cap_group_limit_below_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "x36_source_quota_cap")
+    assert "WindowGroupLimit" in plan  # per-source cap prunes before sort
+    assert "hashpartitioning(source" in plan  # partitioned by source key
+
+
+def test_x35_array_ops_stay_map_side(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "x35_embedding_array_ops")
+    # higher-order array functions: no explode-row-blowup, no agg shuffle —
+    # only the output-order sort exchanges data
+    assert "Generate" not in plan
+    assert "hashpartitioning" not in plan
