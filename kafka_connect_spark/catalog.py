@@ -32,14 +32,29 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table. Parquet => predicate pushdown + column pruning
     reach the scan for free (verify with .explain: PushedFilters/ReadSchema).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects outright; read it as long (legacy conf) and truncate to
-    microseconds — the same truncation DuckDB applies, so oracle comparisons
-    see identical instants."""
+    ``events.ts`` has drifted across fixture generations: early fixtures
+    stored parquet TIMESTAMP(NANOS) — rejected by the vectorized reader, so
+    the session sets ``spark.sql.legacy.parquet.nanosAsLong`` and the column
+    surfaces as bigint — while current fixtures store plain timestamp[us].
+    Branch on the OBSERVED dtype rather than assuming a generation; the
+    nanos branch truncates to microseconds, the same truncation DuckDB
+    applies, so oracle comparisons see identical instants either way."""
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None) != "true":
+            # Sessions not built by get_spark() (bare tests, driver harness)
+            # still need the conf before the read or a legacy nanos fixture
+            # fails at scan time.
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_dtype = dict(df.dtypes)["ts"]
+        if ts_dtype == "bigint":  # legacy nanos-as-long fixture
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if ts_dtype == "timestamp_ntz":
+            # Fixture instants are UTC wall-clock; the session timezone is
+            # UTC, so NTZ -> LTZ cast preserves the instant and both fixture
+            # generations yield identical TIMESTAMP values.
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df  # already timestamp — pass through
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

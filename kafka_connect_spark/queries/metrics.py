@@ -245,11 +245,41 @@ def x17_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("x11c_session_window")  # no SQL analog in DuckDB -> rows-only check
+@query(
+    "x11c_session_window",
+    # gap-sessionization is SQL-expressible with the lag + cumulative-sum
+    # idiom: a session breaks when the gap to the previous event is >= the
+    # 5-minute gap (Spark's session window is [start, last_ts + gap), end
+    # EXCLUSIVE — an event exactly gap after the last starts a new session),
+    # and session_end = last event + gap.
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 5 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ), s AS (
+      SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 5 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum_value
+    FROM s GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+)
 def x11c_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session windows (5-minute gap) per user — genuinely non-SQL-expressible
-    in the oracle; verified Spark-vs-Spark in tests/test_streaming.py
-    (batch session_window == streaming session_window over the same replay)."""
+    """Session windows (5-minute gap) per user. Also verified Spark-vs-Spark
+    in tests/test_streaming.py (batch session_window == streaming
+    session_window over the same replay); the DuckDB oracle uses the
+    lag + cumulative-sum sessionization idiom (verdict r4 #6)."""
     events = load(spark, sf_dir, "events")
     return (
         events.groupBy(F.session_window("ts", "5 minutes").alias("sw"), "user_id")

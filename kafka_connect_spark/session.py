@@ -36,6 +36,11 @@ def get_spark(
         # should broadcast rather than shuffle.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
+        # Legacy fixture generations stored events.ts as TIMESTAMP(NANOS),
+        # which the vectorized reader rejects; with this conf those columns
+        # surface as bigint and catalog.load() converts them. Current
+        # fixtures (timestamp[us]) are unaffected by the conf.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")
     )

@@ -134,12 +134,18 @@ class UpsertJdbcSink:
         conn = self._connection(spark)
         try:
             md = conn.getMetaData()
-            esc = md.getSearchStringEscape() or "\\"
-            pattern = (
-                self.table.replace(esc, esc + esc)
-                .replace("_", esc + "_")
-                .replace("%", esc + "%")
-            )
+            esc = md.getSearchStringEscape()
+            if esc:
+                pattern = (
+                    self.table.replace(esc, esc + esc)
+                    .replace("_", esc + "_")
+                    .replace("%", esc + "%")
+                )
+            else:
+                # Derby reports NO metadata escape ('' — injecting one
+                # matches nothing); leave wildcards live and let the exact
+                # TABLE_NAME filter below discard over-matches.
+                pattern = self.table
             rs = md.getColumns(None, None, pattern, None)
             cols = []
             while rs.next():

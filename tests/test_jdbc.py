@@ -127,3 +127,80 @@ def test_jdbc_pipeline_spec_end_to_end(spark, tmp_path):
     got = {r["id"]: (r["name"], r["ssn"]) for r in out.collect()}
     assert got == {1: ("alice", "CENSORED"), 2: ("bob", "CENSORED")}
     assert p.run(spark) == 0  # caught up; offset survived
+
+
+def test_jdbc_schema_evolution_mid_stream(spark, tmp_path):
+    """Widen the target table on a LIVE streaming pipeline: phase 1 streams
+    schema-A microbatches into the Derby upsert sink, the connector restarts
+    (same checkpoint) with schema A+B, and the sink's auto.evolve must ALTER
+    the live table in place — old rows NULL-padded, an existing key UPDATEd
+    with a value for the new column, new keys inserted. Mirrors the vendored
+    JDBC sink's 'limited auto-evolution'
+    (confluentinc-kafka-connect-jdbc-10.8.0/manifest.json:5)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    url = _url(tmp_path)
+    sink = UpsertJdbcSink(url, "evolve_t", ["id"], "ver")
+    ckpt = str(tmp_path / "ckpt")
+
+    # phase 1: two microbatch files, original schema
+    d1 = tmp_path / "in_v1"
+    d1.mkdir()
+    for i, rows in enumerate([[(1, 1, "a")], [(2, 1, "b")]]):
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ver": pa.array([r[1] for r in rows], pa.int64()),
+                    "v": pa.array([r[2] for r in rows], pa.string()),
+                }
+            ),
+            str(d1 / f"f{i}.parquet"),
+        )
+    schema_v1 = spark.read.parquet(str(d1)).schema
+    q = (
+        spark.readStream.schema(schema_v1)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d1))
+        .writeStream.foreachBatch(sink.foreach_batch())
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert {r["id"]: r["v"] for r in sink.read(spark).collect()} == {1: "a", 2: "b"}
+
+    # phase 2: connector restart with a widened record schema — id=2 updated
+    # WITH a new-column value, id=3 inserted
+    d2 = tmp_path / "in_v2"
+    d2.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([2, 3], pa.int64()),
+                "ver": pa.array([2, 1], pa.int64()),
+                "v": pa.array(["b2", "c"], pa.string()),
+                "w": pa.array(["x2", "x3"], pa.string()),
+            }
+        ),
+        str(d2 / "f0.parquet"),
+    )
+    schema_v2 = spark.read.parquet(str(d2)).schema
+    q2 = (
+        spark.readStream.schema(schema_v2)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d2))
+        .writeStream.foreachBatch(sink.foreach_batch())
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+
+    got = {r["id"]: (r["v"], r["w"]) for r in sink.read(spark).collect()}
+    assert got == {
+        1: ("a", None),  # pre-evolution row NULL-padded
+        2: ("b2", "x2"),  # existing key UPDATEd including the new column
+        3: ("c", "x3"),  # post-evolution insert
+    }
