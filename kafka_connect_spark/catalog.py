@@ -58,6 +58,26 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def load_parallel(
+    spark: SparkSession, sf_dir: str, name: str, min_partitions: int | None = None
+) -> DataFrame:
+    """``load()`` plus guaranteed scan parallelism for CPU-heavy per-row
+    operators (tokenize/shingle/hash/sort-per-document shapes).
+
+    Parquet cannot split below row-group granularity, and the test fixtures
+    are single-row-group files — so a heavy map stage would serialize on ONE
+    task while 31 cores idle. The repartition here is CONDITIONAL: it fires
+    only when the planned scan has fewer splits than the target, so at
+    production scale (thousands of row groups / files) it is a no-op and no
+    shuffle is added. The guarded shuffle it does add on tiny inputs moves
+    less data than one row group by definition."""
+    df = load(spark, sf_dir, name)
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view (for spark.sql queries)."""
     for name in TABLES:

@@ -133,10 +133,21 @@ def repetition_score(text: Column | str, n: int = 3) -> Column:
     repeated). Pure higher-order array expressions — per-row, no shuffle;
     docs shorter than n score 0."""
     toks = tokens(text)
+    # gram identity as a 64-bit hash of the n token slots (token boundaries
+    # hashed separately, so no concat/slice string allocation per gram):
+    # sorting and run-comparing int64s is several times cheaper than the
+    # equivalent over gram STRINGS, and equality is preserved modulo a
+    # ~L^2/2^64 per-doc collision chance (the oracle hash-check would
+    # surface one)
+    # empty index range for docs shorter than n (sequence(1, 0) would
+    # DESCEND and element_at(_, 0) errors under ANSI)
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
     grams = F.sort_array(
         F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            idx,
+            lambda i: F.xxhash64(*[F.element_at(toks, i + j) for j in range(n)]),
         )
     )
     total = F.size(grams)
@@ -144,7 +155,7 @@ def repetition_score(text: Column | str, n: int = 3) -> Column:
     # grams IS the max frequency (vs. the naive distinct x contains scan,
     # which is O(L^2) per document)
     zero = F.struct(
-        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        F.lit(0).cast("bigint").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
     )
 
     def step(acc, x):

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import load, load_parallel
 from ..functions.dedupfns import (
     content_hash,
     exact_dedup,
@@ -66,7 +66,7 @@ def x12b_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x12c_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard near-duplicate pairs at threshold 0.5."""
-    d = load(spark, sf_dir, "documents")
+    d = load_parallel(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(d, n=3, threshold=0.5).orderBy("id_a", "id_b")
 
 
@@ -154,7 +154,7 @@ def x12h_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive CTE."""
     from ..functions.dedupfns import dup_clusters
 
-    d = load(spark, sf_dir, "documents")
+    d = load_parallel(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(d, n=3, threshold=0.5)
     return dup_clusters(pairs).orderBy("doc_id")
 
@@ -182,7 +182,7 @@ def x12i_lsh_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserted in tests/test_dedup.py (LSH recall makes it rows-only here)."""
     from ..functions.dedupfns import dup_clusters
 
-    d = load(spark, sf_dir, "documents")
+    d = load_parallel(spark, sf_dir, "documents")
     pairs = minhash_near_dup_pairs(d, num_hashes=64, bands=16, n=3, threshold=0.5)
     return dup_clusters(pairs).orderBy("doc_id")
 
@@ -192,7 +192,7 @@ def x12e_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + 16-band LSH candidates, verified with exact Jaccard
     >= 0.5. Same output contract as x12c; recall vs the exact pairs is
     asserted in tests/test_dedup.py."""
-    d = load(spark, sf_dir, "documents")
+    d = load_parallel(spark, sf_dir, "documents")
     return minhash_near_dup_pairs(
         d, num_hashes=64, bands=16, n=3, threshold=0.5
     ).orderBy("id_a", "id_b")
@@ -223,4 +223,55 @@ def x26_dup_ratio_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_ratio"),
         )
         .orderBy("lang")
+    )
+
+
+@query(
+    "x37_incremental_dedup",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, source, n_chars,
+             md5(array_to_string(list_sort(list_distinct(
+                 string_split(lower(text), ' '))), ' ')) AS h
+      FROM documents
+    ),
+    ref AS (SELECT DISTINCT h FROM fp WHERE source <> 'src0'),
+    new AS (SELECT * FROM fp WHERE source = 'src0'),
+    kept AS (
+      SELECT n.doc_id, n.source, n.n_chars,
+             row_number() OVER (PARTITION BY n.h ORDER BY n.doc_id) AS rn
+      FROM new n ANTI JOIN ref r ON n.h = r.h
+    )
+    SELECT doc_id, source, n_chars FROM kept WHERE rn = 1 ORDER BY doc_id
+    """,
+)
+def x37_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of a NEW crawl against the existing reference
+    corpus — the every-snapshot op of a continuously-fed training pipeline
+    (dedup new data against everything already ingested, then within
+    itself). Key = the order-insensitive token-set fingerprint (x14e), so
+    permuted boilerplate dedups too.
+
+    100 TB shape: both sides reduce to their 16-byte fingerprints before
+    any join, so the anti-join shuffles hashes, not documents (the
+    reference side is distinct-ed first — at corpus scale that's the
+    already-materialized dedup index, not a rescan). Within-batch
+    keep-first is a rank window on the same hash. No all-pairs stage
+    anywhere; a bloom filter on the reference hashes would push the
+    anti-join map-side when the new batch is tiny vs the corpus."""
+    from ..functions.textfns import fingerprint
+
+    from pyspark.sql import Window
+
+    d = load_parallel(spark, sf_dir, "documents")
+    fp = d.select("doc_id", "source", "n_chars", fingerprint("text").alias("h"))
+    new = fp.filter(F.col("source") == "src0")
+    ref = fp.filter(F.col("source") != "src0").select("h").distinct()
+    w = Window.partitionBy("h").orderBy("doc_id")
+    return (
+        new.join(ref, "h", "left_anti")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
     )

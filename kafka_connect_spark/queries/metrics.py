@@ -565,12 +565,20 @@ def p13_quantile_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(-19, Window.currentRow)
     )
-    return ev.select(
-        "event_id",
-        "user_id",
-        F.round(F.expr("percentile(value, 0.5)").over(w), 4).alias("p50_20"),
-        F.round(F.expr("percentile(value, 0.9)").over(w), 4).alias("p90_20"),
-    ).orderBy("event_id")
+    # BOTH quantiles from ONE percentile(value, array(...)) window buffer —
+    # two separate calls would maintain (and re-sort) two frame buffers
+    # per row; the array form halves the window work
+    q = F.expr("percentile(value, array(0.5D, 0.9D))").over(w)
+    return (
+        ev.select("event_id", "user_id", q.alias("q"))
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.col("q")[0], 4).alias("p50_20"),
+            F.round(F.col("q")[1], 4).alias("p90_20"),
+        )
+        .orderBy("event_id")
+    )
 
 
 # Minute index of 2024-01-01T00:00:00Z — the fixture epoch; keeps the
@@ -680,3 +688,58 @@ def p15_predict_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.lit(100.0)
     )
     return a.select("user_id", F.round(pred, 6).alias("predicted")).orderBy("user_id")
+
+
+@query(
+    "p16_topk_bottomk",
+    oracle="""
+    WITH a AS (
+      SELECT event_type, user_id,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 4) AS series_sum
+      FROM events GROUP BY event_type, user_id
+    ), r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY series_sum DESC, user_id) AS rk_top,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY series_sum ASC, user_id) AS rk_bot
+      FROM a
+    )
+    SELECT event_type, user_id, series_sum,
+           CASE WHEN rk_top <= 3 THEN 'top' ELSE 'bottom' END AS side
+    FROM r WHERE rk_top <= 3 OR rk_bot <= 3
+    ORDER BY event_type, side, user_id
+    """,
+)
+def p16_topk_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``topk(3, sum by (series)(metric))`` and ``bottomk`` in one
+    pass — the dashboard's 'worst offenders' panel over AGGREGATED series
+    (two-level: per-series sum, then rank within metric). Distinct from
+    x34's row-level grouped top-k: the rank runs over the aggregate, so
+    the window input is |series|, not |events|, and both directions reuse
+    ONE sort per partition (rk_bot = n - rk_top reversal is not used only
+    because ties-by-key must stay deterministic). At scale: the series agg
+    is the usual partial+final hash agg; the rank window sees the already
+    tiny series table."""
+    ev = load(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type", "user_id").agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double"), 4
+        ).alias("series_sum")
+    )
+    wt = Window.partitionBy("event_type").orderBy(F.col("series_sum").desc(), "user_id")
+    wb = Window.partitionBy("event_type").orderBy(F.col("series_sum").asc(), "user_id")
+    return (
+        agg.withColumn("rk_top", F.row_number().over(wt))
+        .withColumn("rk_bot", F.row_number().over(wb))
+        .filter((F.col("rk_top") <= 3) | (F.col("rk_bot") <= 3))
+        .select(
+            "event_type",
+            "user_id",
+            "series_sum",
+            F.when(F.col("rk_top") <= 3, F.lit("top"))
+            .otherwise(F.lit("bottom"))
+            .alias("side"),
+        )
+        .orderBy("event_type", "side", "user_id")
+    )

@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import load, load_parallel
 from ..functions.textfns import (
     LANG_MARKERS,
     STOPWORDS,
@@ -34,7 +34,7 @@ def _sql_list(words: list[str]) -> str:
     """,
 )
 def x14_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = load_parallel(spark, sf_dir, "documents")
     return (
         d.groupBy("lang")
         .agg(F.count(F.lit(1)).alias("cnt"), F.sum("n_chars").alias("sum_chars"))
@@ -84,7 +84,7 @@ def x14b_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x14c_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document quality heuristic: length / stopword-ratio / punctuation
     density (functions/textfns.quality_score)."""
-    d = load(spark, sf_dir, "documents")
+    d = load_parallel(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         token_count("text").alias("n_tokens"),
@@ -114,7 +114,7 @@ _LANG_CASE = f"""
 @query("x14d_lang_id", oracle=_LANG_CASE)
 def x14d_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic (marker-stopword argmax; see textfns.lang_id)."""
-    d = load(spark, sf_dir, "documents")
+    d = load_parallel(spark, sf_dir, "documents")
     return d.select("doc_id", lang_id("text").alias("lang_guess")).orderBy("doc_id")
 
 
@@ -137,7 +137,7 @@ def x14f_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-sample chunking: sliding windows of 10 tokens, stride 5,
     full windows only — the standard doc->sample fan-out before
     tokenization. posexplode keeps the chunk index; all JVM-side array ops."""
-    d = load(spark, sf_dir, "documents")
+    d = load_parallel(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     starts = F.when(
         F.size(toks) >= 10,
@@ -177,7 +177,7 @@ def x14g_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact dedup keep-first -> 20-token/stride-10 chunking -> per-lang token
     budget. Each stage is the operator implemented elsewhere; composed they
     stay a single Catalyst plan (filter pushdown through the whole chain)."""
-    d = load(spark, sf_dir, "documents")
+    d = load_parallel(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     kept = (
         d.filter((F.size(toks) >= 20) & F.col("lang").isin("en", "de"))
@@ -254,7 +254,7 @@ def x14h_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-partition WindowExec is the classic scale-killer (10^8+ tokens
     through one task at corpus scale). The rank window runs only over the
     20 surviving rows."""
-    d = load(spark, sf_dir, "documents")
+    d = load_parallel(spark, sf_dir, "documents")
     counts = (
         d.select(F.explode(F.split("text", " ")).alias("token"))
         .groupBy("token")
@@ -314,7 +314,7 @@ def x14i_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     RE2-compatible so Spark (Java regex) and the DuckDB oracle (RE2) run
     the IDENTICAL expressions. Pure regexp_replace chain: JVM codegen,
     per-row, no shuffle — the 100 TB plan is the scan itself."""
-    d = load(spark, sf_dir, "documents")
+    d = load_parallel(spark, sf_dir, "documents")
     salted = F.concat(
         F.col("text"),
         F.lit(" contact user"),
@@ -345,7 +345,7 @@ def x14j_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     word trigram count over total trigrams per document. Spark computes it
     per-row with higher-order array functions (sort + one aggregate pass,
     no shuffle); the oracle recomputes via unnest + GROUP BY."""
-    d = load(spark, sf_dir, "documents")
+    d = load_parallel(spark, sf_dir, "documents")
     return d.select(
         "doc_id", repetition_score("text", n=3).alias("repetition")
     ).orderBy("doc_id")
@@ -428,7 +428,7 @@ def x25_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: two hash aggs (tf per doc-term, df per term), a broadcast-able
     join on the term dimension, per-doc top-k window. df is |vocab|-sized
     — small relative to the corpus, so the join broadcasts at scale."""
-    d = load(spark, sf_dir, "documents")
+    d = load_parallel(spark, sf_dir, "documents")
     n_docs = d.select(F.countDistinct("doc_id").alias("n"))
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
@@ -482,7 +482,7 @@ def x28_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     beyond the final per-doc aggregation of matches only."""
     from ..functions.dedupfns import shingles
 
-    d = load(spark, sf_dir, "documents")
+    d = load_parallel(spark, sf_dir, "documents")
     ex = d.select(
         "doc_id", F.explode(shingles(F.col("text"), 4)).alias("sh")
     )

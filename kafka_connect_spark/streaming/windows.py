@@ -89,6 +89,106 @@ def rate_agg(
     )
 
 
+def _regression_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    window: str,
+    slide: str | None,
+    value_col: str,
+    watermark: str | None,
+) -> DataFrame:
+    """Per-(window, series) least-squares sums over (minute index,
+    centi-value) — the windowed twin of queries.metrics._regression_sums.
+    The regression state is five bigints per group regardless of series
+    length (pure sums => map-side partial aggregation, and in streaming the
+    same sums are the incremental state Spark keeps per open window), so
+    state scales with open windows x series, not with events — the property
+    that makes the PromQL trend estimators viable on an unbounded stream."""
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    # epoch offset keeps x small => n*sxx and sx*sx stay far from int64
+    # overflow even for year-long windows
+    epoch_min = 1704067200 // 60
+    s = df.select(
+        ts_col,
+        key_col,
+        (F.floor(F.unix_millis(ts_col) / F.lit(60000)).cast("long") - epoch_min).alias(
+            "x"
+        ),
+        F.floor(F.col(value_col) * 100).cast("long").alias("y"),
+    )
+    win = (F.window(ts_col, window, slide) if slide else F.window(ts_col, window)).alias(
+        "win"
+    )
+    a = s.groupBy(win, key_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.max("x").alias("maxx"),
+    )
+    a = a.withColumn("num", F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+    a = a.withColumn("den", F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return a.filter((F.col("n") >= 2) & (F.col("den") != 0))
+
+
+def deriv_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    window: str = "30 minutes",
+    slide: str | None = None,
+    value_col: str = "value",
+    watermark: str | None = None,
+) -> DataFrame:
+    """PromQL ``deriv(gauge[w])`` on a LIVE stream: per-second least-squares
+    slope of each series inside each (sliding) window — the streaming twin
+    of the batch p14 estimator, same integer-exact sums, same /6000
+    (minutes->seconds x centi->units) final division."""
+    a = _regression_window_agg(df, ts_col, key_col, window, slide, value_col, watermark)
+    return a.select(
+        F.col("win.start").alias("w"),
+        key_col,
+        F.round(
+            F.col("num").cast("double") / F.col("den").cast("double") / F.lit(6000.0), 6
+        ).alias("deriv_per_sec"),
+    )
+
+
+def predict_linear_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    window: str = "30 minutes",
+    slide: str | None = None,
+    value_col: str = "value",
+    watermark: str | None = None,
+    ahead_minutes: int = 60,
+) -> DataFrame:
+    """PromQL ``predict_linear(gauge[w], t)`` on a LIVE stream: extrapolate
+    each series' in-window linear fit ``ahead_minutes`` past its newest
+    sample (capacity alerts on live dashboards) — streaming twin of the
+    batch p15 estimator, prediction algebraically folded to one pass."""
+    a = _regression_window_agg(df, ts_col, key_col, window, slide, value_col, watermark)
+    slope = F.col("num").cast("double") / F.col("den").cast("double")
+    pred = (
+        (
+            F.col("sy").cast("double")
+            + slope
+            * (
+                F.col("n") * (F.col("maxx") + F.lit(ahead_minutes)) - F.col("sx")
+            ).cast("double")
+        )
+        / F.col("n").cast("double")
+        / F.lit(100.0)
+    )
+    return a.select(
+        F.col("win.start").alias("w"), key_col, F.round(pred, 6).alias("predicted")
+    )
+
+
 def dedup_within_watermark(
     df: DataFrame,
     key_cols: list[str],

@@ -435,3 +435,40 @@ def test_stream_stream_left_outer_join(spark, sf_dir, tmp_path):
     assert key(got) == key(batch)
     # the join is genuinely outer: some clicks emitted null-padded
     assert got["purchase_id"].isna().any()
+
+
+def test_streaming_deriv_and_predict_linear_equal_batch(spark, sf_dir, tmp_path):
+    """p14/p15's streaming twins (verdict r4 #9): the windowed least-squares
+    estimators on a replayed stream must equal the same operator run in
+    batch — completing the PromQL family's batch<->streaming parity story
+    begun with p3/rate. Watermark-closed windows only (append mode)."""
+    from kafka_connect_spark.streaming.windows import deriv_agg, predict_linear_agg
+
+    d, events = _replay_dir(spark, sf_dir, tmp_path)
+    # a few series keeps sliding-window state small in the test
+    batch_src = events.filter(F.col("user_id") < 8)
+
+    for op, val_col, ckpt in (
+        (deriv_agg, "deriv_per_sec", "ckpt-deriv"),
+        (predict_linear_agg, "predicted", "ckpt-predict"),
+    ):
+        sdf = file_replay_stream(spark, d, spark.read.parquet(d).schema).filter(
+            F.col("user_id") < 8
+        )
+        agg = op(sdf, window="30 minutes", slide="10 minutes", watermark="30 minutes")
+        out: list[pd.DataFrame] = []
+        q = (
+            agg.writeStream.foreachBatch(lambda df, i: out.append(df.toPandas()))
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = pd.concat(out, ignore_index=True) if out else pd.DataFrame()
+
+        batch = op(batch_src, window="30 minutes", slide="10 minutes").toPandas()
+        merged = got.merge(batch, on=["w", "user_id"], suffixes=("_s", "_b"))
+        # every emitted (closed) window must match the batch value exactly
+        assert len(merged) == len(got) > 0
+        assert (abs(merged[f"{val_col}_s"] - merged[f"{val_col}_b"]) < 1e-9).all()
