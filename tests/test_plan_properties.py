@@ -94,3 +94,31 @@ def test_x35_array_ops_stay_map_side(spark, sf_dir):
     # only the output-order sort exchanges data
     assert "Generate" not in plan
     assert "hashpartitioning" not in plan
+
+
+def test_x37_incremental_dedup_shuffles_hashes_not_text(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "x37_incremental_dedup")
+    # source filters reach both parquet scans
+    assert "PushedFilters: [IsNotNull(source), EqualTo(source,src0)]" in plan
+    assert "PushedFilters: [IsNotNull(source), Not(EqualTo(source,src0))]" in plan
+    # anti-join on the 16-byte fingerprint, reference side reduced to
+    # distinct hashes (and broadcast at this scale)
+    assert "LeftAnti" in plan
+    # keep-first is a group-limit (partial+final): only one row per hash
+    # survives the map side, never the whole dup group
+    assert plan.count("WindowGroupLimit") >= 2
+    # the fingerprint projection sits BELOW the hash exchange: the join and
+    # window shuffle hashes + 3 small columns, never document text
+    import re
+
+    ex = re.search(r"Exchange hashpartitioning\(h#\d+", plan)
+    assert ex is not None
+
+
+def test_p16_topk_ranks_aggregated_series(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "p16_topk_bottomk")
+    # series sum aggregates partial+final BEFORE any window: the rank input
+    # is |series|, not |events|
+    assert plan.count("HashAggregate") >= 2
+    assert "Window" in plan
+    assert "hashpartitioning(event_type" in plan
