@@ -149,10 +149,13 @@ def minhash_signatures(
     ``num_hashes`` partial-min columns — map-side combine keeps the shuffle at
     |docs| x num_hashes regardless of corpus size."""
     a, b = _perm_coeffs(num_hashes, seed)
+    # materialize the base hash ONCE per shingle row: as a subexpression of
+    # all num_hashes aggregates it would be re-evaluated per permutation
+    # (aggregate expressions don't share CSE), turning 1 xxhash into 64
     sh = df.select(
         F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("s")
-    )
-    x = F.pmod(F.xxhash64("s"), F.lit(_MINHASH_PRIME))
+    ).select("id", F.pmod(F.xxhash64("s"), F.lit(_MINHASH_PRIME)).alias("x"))
+    x = F.col("x")
     aggs = [
         F.min(F.pmod(F.lit(a[i]) * x + F.lit(b[i]), F.lit(_MINHASH_PRIME))).alias(f"mh{i}")
         for i in range(num_hashes)

@@ -275,3 +275,59 @@ def x37_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "x12j_cluster_size_histogram",
+    oracle="""
+    WITH RECURSIVE
+    tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS s
+           FROM tok WHERE len(t) >= 3),
+    ex AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    pairs AS (SELECT id_a, id_b FROM inter
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE ROUND(inter / (sa.n + sb.n - inter), 6) >= 0.5),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(node, r) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT e.src, r.r FROM edges e JOIN reach r ON r.node = e.dst
+    ),
+    comp AS (SELECT node, LEAST(node, MIN(r)) AS cluster FROM reach GROUP BY node),
+    csize AS (SELECT cluster, count(*) AS cluster_size FROM comp GROUP BY cluster)
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           count(*) AS n_clusters,
+           CAST(SUM(cluster_size - 1) AS BIGINT) AS docs_removable
+    FROM csize GROUP BY cluster_size ORDER BY cluster_size
+    """,
+)
+def x12j_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-impact AUDIT over the cluster assignment (x12h): cluster-size
+    histogram + how many docs a keep-one-per-cluster policy removes at
+    each size — the report that sizes a dedup run's effect BEFORE the
+    expensive rewrite pass. Two tiny hash aggs over the |clustered-docs|
+    label table; the histogram is bounded by the largest dup cluster, so
+    the result stays KB-sized at any corpus scale."""
+    from ..functions.dedupfns import dup_clusters
+
+    d = load_parallel(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.5)
+    comp = dup_clusters(pairs)
+    return (
+        comp.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum(F.col("cluster_size") - 1).alias("docs_removable"),
+        )
+        .orderBy("cluster_size")
+    )

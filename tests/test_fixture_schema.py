@@ -162,3 +162,21 @@ def test_load_events_nanos_generation(spark, tmp_path):
     got = [r.ts.isoformat() for r in df.orderBy("event_id").collect()]
     # nanos truncate (not round) to micros
     assert got[0] == "2024-01-01T00:00:01.234567"
+
+
+def test_load_parallel_fans_out_single_split(spark, sf_dir):
+    """Single-row-group fixture files plan as ONE scan task; load_parallel
+    must fan them out to the session's parallelism for CPU-heavy per-row
+    operators — and stay a no-op (same partitioning, no added shuffle)
+    when the scan already has enough splits."""
+    from kafka_connect_spark.catalog import load_parallel
+
+    plain = load(spark, sf_dir, "documents")
+    assert plain.rdd.getNumPartitions() == 1  # the fixture premise
+    fanned = load_parallel(spark, sf_dir, "documents")
+    assert fanned.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert fanned.count() == plain.count()
+
+    # already-parallel input: returned untouched (no repartition node)
+    wide = load_parallel(spark, sf_dir, "documents", min_partitions=1)
+    assert "Exchange" not in wide._jdf.queryExecution().executedPlan().toString()
