@@ -85,6 +85,12 @@ HEADLINE = [
     "mm_audio_frame_energy",
     "x35_embedding_array_ops",
     "x36_source_quota_cap",
+    # round 5 additions (x39_bpe_train excluded: 10-round iterative trainer,
+    # dominated by fixed per-round job overhead at bench SF — not a
+    # throughput signal)
+    "x37_incremental_dedup",
+    "p16_topk_bottomk",
+    "x12j_cluster_size_histogram",
 ]
 
 

@@ -188,3 +188,99 @@ def add_text_stats(df, text_col: str = "text"):
         .withColumn("lang_guess", lang_id(t))
         .withColumn("fp", fingerprint(t))
     )
+
+
+def _merge_pair_in_syms(syms: Column, left: str, right: str) -> Column:
+    """Replace every non-overlapping (left, right) adjacency in a symbol
+    array with their concatenation, greedy left-to-right — one fold, no
+    UDF. 'a a a' under merge (a,a) -> ['aa','a'] (the BPE contract)."""
+    merged = left + right
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (s == F.lit(right)),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def bpe_train(
+    df,
+    text_col: str = "text",
+    num_merges: int = 10,
+    min_freq: int = 2,
+    end_of_word: str = "</w>",
+):
+    """Learn BPE merges from a corpus — the tokenizer-FITTING side of the
+    x14k tokenizer (reference pipelines ship a fixed vocab; a training-data
+    engine has to be able to fit one).
+
+    Classic BPE trains on the WORD-FREQUENCY table, not the corpus: the
+    one corpus-sized job here is the initial word count (hash agg, Zipf
+    makes the result small); every merge round then runs on |vocab| rows —
+    explode adjacent symbol pairs weighted by word freq, one partial+final
+    sum agg, and a 1-ROW driver collect of the argmax pair (ties broken
+    lexicographically for determinism). The merge application is a pure
+    higher-order fold (map-side, no shuffle). Plan depth from the
+    iterative withColumn chain is capped with a periodic localCheckpoint
+    (the dup_clusters lesson). Returns (merges DataFrame(rank, left,
+    right, merged, cnt), final word-symbol table).
+    """
+    spark = df.sparkSession
+    t = F.col(text_col)
+    words = (
+        df.select(F.explode(F.split(F.lower(t), r"\s+")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn(
+            "syms",
+            F.concat(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w")),
+                    lambda i: F.substr("w", i, F.lit(1)),
+                ),
+                F.array(F.lit(end_of_word)),
+            ),
+        )
+        .select("w", "freq", "syms")
+        .persist()
+    )
+    words.count()  # materialize once; rounds iterate on this table
+    merges: list[tuple] = []
+    try:
+        cur = words
+        for rank in range(num_merges):
+            pair_structs = F.transform(
+                F.sequence(F.lit(1), F.size("syms") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("syms"), i).alias("l"),
+                    F.element_at(F.col("syms"), i + 1).alias("r"),
+                ),
+            )
+            top = (
+                cur.filter(F.size("syms") >= 2)
+                .select(F.explode(pair_structs).alias("p"), "freq")
+                .groupBy("p.l", "p.r")
+                .agg(F.sum("freq").alias("cnt"))
+                .orderBy(F.desc("cnt"), "l", "r")
+                .limit(1)
+                .collect()
+            )
+            if not top or top[0]["cnt"] < min_freq:
+                break
+            left, right, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
+            merges.append((rank, left, right, left + right, cnt))
+            nxt = cur.withColumn("syms", _merge_pair_in_syms(F.col("syms"), left, right))
+            if (rank + 1) % 4 == 0:
+                nxt = nxt.localCheckpoint(eager=True)
+            cur = nxt
+        schema = "rank int, left string, right string, merged string, cnt bigint"
+        return spark.createDataFrame(merges, schema), cur
+    finally:
+        words.unpersist(blocking=False)

@@ -678,3 +678,18 @@ def x36_source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 50)
         .orderBy("doc_id")
     )
+
+
+@query("x39_bpe_train")  # iterative argmax-merge loop: no SQL analog -> rows-only
+def x39_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge learning (tokenizer fitting) over the corpus:
+    10 merge rounds on the word-frequency table. Deterministic (lexicographic
+    tie-break); verified against a pure-Python reference BPE in
+    tests/test_text_analysis-style suite (Spark == reference merge sequence).
+    Scale shape: one corpus-sized word count, then every round touches only
+    |vocab| rows and collects exactly ONE row (the argmax pair)."""
+    from ..functions.textfns import bpe_train
+
+    d = load_parallel(spark, sf_dir, "documents")
+    merges, _ = bpe_train(d, num_merges=10)
+    return merges.orderBy("rank")
