@@ -91,6 +91,7 @@ HEADLINE = [
     "x37_incremental_dedup",
     "p16_topk_bottomk",
     "x12j_cluster_size_histogram",
+    "x40_data_quality_report",
 ]
 
 

@@ -1,7 +1,17 @@
 """Declared query surface. Importing this package registers every query
 from SURVEY.md §2 into ``QUERIES`` / ``ORACLE`` (see registry.py)."""
 
-from . import cdc, dedup, metrics, multimodal, relational, similarity, text, udf  # noqa: F401
+from . import (  # noqa: F401
+    cdc,
+    dedup,
+    metrics,
+    multimodal,
+    quality,
+    relational,
+    similarity,
+    text,
+    udf,
+)
 from .registry import ORACLE, QUERIES
 
 __all__ = ["QUERIES", "ORACLE"]

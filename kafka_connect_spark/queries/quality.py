@@ -1,0 +1,106 @@
+"""Data-quality constraint suite (Deequ-style) over the relational fixtures.
+
+The op every large-scale ingestion pipeline runs before publishing a
+snapshot: a declarative set of constraints (completeness, bounds, key
+uniqueness, referential integrity) evaluated in as few passes as possible,
+producing one row per check. All scalar constraints fold into a SINGLE
+aggregate scan of the fact table (conditional-sum columns — map-side
+partial agg, one tiny final row); the referential check is the only join,
+and it joins against the dimension's key column alone. At 100 TB the whole
+report costs one table scan + one key anti-join, and the result is always
+|checks| rows."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from .registry import query
+
+
+@query(
+    "x40_data_quality_report",
+    oracle="""
+    WITH m AS (
+      SELECT count(*) AS n,
+             SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS null_qty,
+             SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS disc_oob,
+             count(DISTINCT (l_orderkey, l_linenumber)) AS pk_distinct,
+             SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS price_nonpos
+      FROM lineitem
+    ), o AS (
+      SELECT count(*) AS orphans
+      FROM lineitem l ANTI JOIN orders d ON l.l_orderkey = d.o_orderkey
+    )
+    SELECT 'completeness_l_quantity' AS check_name,
+           ROUND((n - null_qty) / CAST(n AS DOUBLE), 6) AS metric,
+           null_qty = 0 AS passed FROM m, o
+    UNION ALL SELECT 'bounds_l_discount_0_0.1', CAST(disc_oob AS DOUBLE),
+           disc_oob = 0 FROM m, o
+    UNION ALL SELECT 'pk_unique_orderkey_linenumber', CAST(pk_distinct AS DOUBLE),
+           pk_distinct = n FROM m, o
+    UNION ALL SELECT 'positive_l_extendedprice', CAST(price_nonpos AS DOUBLE),
+           price_nonpos = 0 FROM m, o
+    UNION ALL SELECT 'ref_integrity_orderkey', CAST(orphans AS DOUBLE),
+           orphans = 0 FROM m, o
+    ORDER BY check_name
+    """,
+)
+def x40_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint report over lineitem: completeness, value bounds, PK
+    uniqueness, sign sanity, and orphan-key referential integrity vs
+    orders. Note the fixture FAILS the PK-uniqueness check (duplicate
+    (l_orderkey, l_linenumber) pairs) — the report is discriminating, not
+    a tautology. One aggregate pass + one key-only anti-join."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    m = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").isNull().cast("long")).alias("null_qty"),
+        F.sum(
+            ((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)).cast("long")
+        ).alias("disc_oob"),
+        F.countDistinct("l_orderkey", "l_linenumber").alias("pk_distinct"),
+        F.sum((F.col("l_extendedprice") <= 0).cast("long")).alias("price_nonpos"),
+    )
+    orphans = (
+        li.join(
+            orders.select(F.col("o_orderkey").alias("l_orderkey")),
+            "l_orderkey",
+            "left_anti",
+        ).agg(F.count(F.lit(1)).alias("orphans"))
+    )
+    r = m.crossJoin(F.broadcast(orphans))  # 1 row x 1 row
+    checks = F.array(
+        F.struct(
+            F.lit("completeness_l_quantity").alias("check_name"),
+            F.round((F.col("n") - F.col("null_qty")) / F.col("n"), 6).alias("metric"),
+            (F.col("null_qty") == 0).alias("passed"),
+        ),
+        F.struct(
+            F.lit("bounds_l_discount_0_0.1").alias("check_name"),
+            F.col("disc_oob").cast("double").alias("metric"),
+            (F.col("disc_oob") == 0).alias("passed"),
+        ),
+        F.struct(
+            F.lit("pk_unique_orderkey_linenumber").alias("check_name"),
+            F.col("pk_distinct").cast("double").alias("metric"),
+            (F.col("pk_distinct") == F.col("n")).alias("passed"),
+        ),
+        F.struct(
+            F.lit("positive_l_extendedprice").alias("check_name"),
+            F.col("price_nonpos").cast("double").alias("metric"),
+            (F.col("price_nonpos") == 0).alias("passed"),
+        ),
+        F.struct(
+            F.lit("ref_integrity_orderkey").alias("check_name"),
+            F.col("orphans").cast("double").alias("metric"),
+            (F.col("orphans") == 0).alias("passed"),
+        ),
+    )
+    return (
+        r.select(F.explode(checks).alias("c"))
+        .select("c.check_name", "c.metric", "c.passed")
+        .orderBy("check_name")
+    )
