@@ -472,3 +472,57 @@ def test_streaming_deriv_and_predict_linear_equal_batch(spark, sf_dir, tmp_path)
         # every emitted (closed) window must match the batch value exactly
         assert len(merged) == len(got) > 0
         assert (abs(merged[f"{val_col}_s"] - merged[f"{val_col}_b"]) < 1e-9).all()
+
+
+def test_streaming_incremental_dedup_equals_batch(spark, sf_dir, tmp_path):
+    """x37's live-ingest shape: the NEW crawl arrives as a stream, is
+    anti-joined per microbatch against the STATIC corpus fingerprint index
+    (stream-static join), and deduped within the stream. The set of kept
+    fingerprints — and hence the kept-doc count — must equal the batch x37
+    run. (Which representative doc survives a dup group is arrival-order
+    in streaming vs min-id in batch; sets, not ids, are the invariant.)"""
+    from kafka_connect_spark.catalog import load
+    from kafka_connect_spark.functions.textfns import fingerprint
+    from kafka_connect_spark.queries import QUERIES
+
+    docs = load(spark, sf_dir, "documents")
+    new_batch = docs.filter(F.col("source") == "src0")
+    d = str(tmp_path / "replay-docs")
+    write_replay_files(new_batch, d, 3, "doc_id")
+
+    ref = (
+        docs.filter(F.col("source") != "src0")
+        .select(fingerprint("text").alias("h"))
+        .distinct()
+    )
+
+    sdf = (
+        file_replay_stream(spark, d, spark.read.parquet(d).schema)
+        .select("doc_id", fingerprint("text").alias("h"))
+        .join(ref, "h", "left_anti")
+        .dropDuplicates(["h"])
+    )
+    kept: list[tuple] = []
+    q = (
+        sdf.writeStream.foreachBatch(
+            lambda df, i: kept.extend((r["doc_id"], r["h"]) for r in df.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt-incdedup"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch = QUERIES["x37_incremental_dedup"](spark, sf_dir)
+    batch_ids = {r["doc_id"] for r in batch.collect()}
+    batch_hashes = {
+        r["h"]
+        for r in new_batch.select("doc_id", fingerprint("text").alias("h"))
+        .join(ref, "h", "left_anti")
+        .select("h")
+        .distinct()
+        .collect()
+    }
+    assert len(kept) == len(batch_ids) > 0
+    assert {h for _, h in kept} == batch_hashes
