@@ -116,14 +116,11 @@ def main() -> None:
     load(spark, sf_dir, "lineitem").count()
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        runs = []
-        for _ in range(reps):
-            t0 = time.time()
-            run_noop(QUERIES[name](spark, sf_dir))
-            runs.append(time.time() - t0)
-        timings[name] = round(_median(runs), 3)
 
+    # Throughput analogs run FIRST (right after warmup): measured after the
+    # 60-query headline sweep they inherit a churned JVM/GC state and swing
+    # ~30% run-to-run; position-pinning makes the rows/sec trend comparable
+    # across rounds.
     # reference-workload analog: scan -> mask -> topic routing -> JSON envelope
     li = load(spark, sf_dir, "lineitem")
     n_rows = li.count()
@@ -166,6 +163,14 @@ def main() -> None:
         runs.append(time.time() - t0)
     inc_sec = _median(runs)
     timings["incremental_poll_loop"] = round(inc_sec, 3)
+
+    for name in HEADLINE:
+        runs = []
+        for _ in range(reps):
+            t0 = time.time()
+            run_noop(QUERIES[name](spark, sf_dir))
+            runs.append(time.time() - t0)
+        timings[name] = round(_median(runs), 3)
 
     total = round(sum(timings.values()), 3)
     print(
