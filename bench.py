@@ -92,6 +92,8 @@ HEADLINE = [
     "p16_topk_bottomk",
     "x12j_cluster_size_histogram",
     "x40_data_quality_report",
+    "x41_session_funnel",
+    "x42_cohort_retention",
 ]
 
 

@@ -743,3 +743,108 @@ def p16_topk_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "side", "user_id")
     )
+
+
+@query(
+    "x41_session_funnel",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 300000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts, event_type,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    ), per_sess AS (
+      SELECT user_id, sid,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+             MAX(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase
+      FROM s GROUP BY user_id, sid
+    )
+    SELECT user_id, count(*) AS n_sessions,
+           COALESCE(SUM(CASE WHEN first_click IS NOT NULL
+                              AND last_purchase > first_click
+                             THEN 1 ELSE 0 END), 0) AS n_converting
+    FROM per_sess GROUP BY user_id ORDER BY user_id
+    """,
+)
+def x41_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session funnel conversion: per user, how many 5-minute-gap sessions
+    contain a purchase AFTER the session's first click — the product
+    analytics staple (funnel over sessionized clickstream). Gap compare in
+    exact integer MICROSECONDS on both engines (truncated-seconds vs
+    fractional-seconds mismatches would flip boundary sessions). All
+    per-user windows hash-partition on user_id; the funnel flags are two
+    conditional min/max aggregates, no self-join."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = (
+        ev.withColumn("prev_us", F.lag(F.unix_micros("ts")).over(w))
+        .withColumn(
+            "new_s",
+            (
+                F.col("prev_us").isNull()
+                | (F.unix_micros("ts") - F.col("prev_us") >= 300_000_000)
+            ).cast("int"),
+        )
+        .withColumn(
+            "sid", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+    )
+    per_sess = s.groupBy("user_id", "sid").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("first_click"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "last_purchase"
+        ),
+    )
+    return (
+        per_sess.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.coalesce(
+                F.sum(
+                    (
+                        F.col("first_click").isNotNull()
+                        & (F.col("last_purchase") > F.col("first_click"))
+                    ).cast("long")
+                ),
+                F.lit(0),
+            ).alias("n_converting"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "x42_cohort_retention",
+    oracle="""
+    WITH first AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id
+    ),
+    act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+    SELECT cohort_day, date_diff('day', cohort_day, day) AS day_offset,
+           count(DISTINCT a.user_id) AS active_users
+    FROM act a JOIN first f USING (user_id)
+    GROUP BY cohort_day, day_offset ORDER BY cohort_day, day_offset
+    """,
+)
+def x42_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day, activity
+    counted per day-offset — the other product-analytics staple. Two hash
+    aggs + one equi-join on user_id; the (user, day) distinct pre-shrinks
+    the join input to at most |users| x |days| rows, so the join never sees
+    raw events. Integer/date arithmetic only — engine-exact."""
+    ev = load(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_day"))
+    act = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    return (
+        act.join(first, "user_id")
+        .withColumn("day_offset", F.datediff("day", "cohort_day"))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
