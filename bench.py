@@ -94,6 +94,7 @@ HEADLINE = [
     "x40_data_quality_report",
     "x41_session_funnel",
     "x42_cohort_retention",
+    "x43_containment_pairs",
 ]
 
 

@@ -340,3 +340,41 @@ def simhash(
 
 def hamming(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-SUBSET pairs: containment(A in B) = |A ∩ B| / |A| — the
+    boilerplate/quotation detector Jaccard misses (a short doc fully
+    embedded in a long one has low Jaccard but containment ~1). Same
+    int64-hashed shingle self-join as ngram_jaccard_pairs; emits the pair
+    once (id_a < id_b) with BOTH directions' containment, filtered on the
+    max of the two. Deterministic integer counts; two rounded divisions."""
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("s_str")
+    ).select("id", F.xxhash64("s_str").alias("s"))
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("containment_a", F.round(F.col("inter") / F.col("n_a"), 6))
+        .withColumn("containment_b", F.round(F.col("inter") / F.col("n_b"), 6))
+        .filter(
+            F.greatest(F.col("containment_a"), F.col("containment_b")) >= threshold
+        )
+        .select("id_a", "id_b", "containment_a", "containment_b")
+    )

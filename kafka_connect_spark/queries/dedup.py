@@ -331,3 +331,38 @@ def x12j_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+@query(
+    "x43_containment_pairs",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS s
+           FROM tok WHERE len(t) >= 3),
+    ex AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           ROUND(inter / CAST(sa.n AS DOUBLE), 6) AS containment_a,
+           ROUND(inter / CAST(sb.n AS DOUBLE), 6) AS containment_b
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE GREATEST(ROUND(inter / CAST(sa.n AS DOUBLE), 6),
+                   ROUND(inter / CAST(sb.n AS DOUBLE), 6)) >= 0.8
+    ORDER BY id_a, id_b
+    """,
+)
+def x43_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-subset detection (containment >= 0.8 in either direction) —
+    catches short-doc-embedded-in-long-doc boilerplate that Jaccard's
+    union denominator dilutes below any practical threshold. Same hashed
+    shingle join as x12c (8-byte shuffle keys; the oracle recomputes with
+    raw shingle strings)."""
+    from ..functions.dedupfns import ngram_containment_pairs
+
+    d = load_parallel(spark, sf_dir, "documents")
+    return ngram_containment_pairs(d, n=3, threshold=0.8).orderBy("id_a", "id_b")
