@@ -248,10 +248,14 @@ def dup_clusters(
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
+    # fused init: label_0 = min(self, neighbors) — the same aggregation a
+    # "labels = node; round 1" sequence would produce, for the cost of the
+    # node-distinct job alone (one join round saved; near-clique dup
+    # graphs then converge in 1-2 further rounds)
     labels = (
-        sym.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        sym.groupBy("src")
+        .agg(F.min(F.least(F.col("src"), F.col("dst"))).alias("label"))
+        .withColumnRenamed("src", "node")
         .persist()
     )
     try:
