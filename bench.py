@@ -95,6 +95,7 @@ HEADLINE = [
     "x41_session_funnel",
     "x42_cohort_retention",
     "x43_containment_pairs",
+    "x44_cross_source_dup_matrix",
 ]
 
 

@@ -366,3 +366,60 @@ def x43_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_parallel(spark, sf_dir, "documents")
     return ngram_containment_pairs(d, n=3, threshold=0.8).orderBy("id_a", "id_b")
+
+
+@query(
+    "x44_cross_source_dup_matrix",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS s
+           FROM tok WHERE len(t) >= 3),
+    ex AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    pairs AS (SELECT id_a, id_b FROM inter
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE ROUND(inter / (sa.n + sb.n - inter), 6) >= 0.5)
+    SELECT LEAST(da.source, db.source) AS source_a,
+           GREATEST(da.source, db.source) AS source_b,
+           count(*) AS dup_pairs
+    FROM pairs JOIN documents da ON da.doc_id = id_a
+               JOIN documents db ON db.doc_id = id_b
+    GROUP BY 1, 2 ORDER BY source_a, source_b
+    """,
+)
+def x44_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance audit: which SOURCES duplicate each other — near-dup pair
+    counts per unordered source pair (mirror/scrape detection, licensing
+    triage, crawl-overlap measurement). The matrix join touches only the
+    pair list and a (doc_id, source) projection; |sources|² output rows."""
+    from ..functions.dedupfns import ngram_jaccard_pairs
+
+    d = load_parallel(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.5)
+    src = d.select("doc_id", "source")
+    return (
+        pairs.join(
+            src.withColumnRenamed("doc_id", "id_a").withColumnRenamed(
+                "source", "src_a"
+            ),
+            "id_a",
+        )
+        .join(
+            src.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
+                "source", "src_b"
+            ),
+            "id_b",
+        )
+        .select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("dup_pairs"))
+        .orderBy("source_a", "source_b")
+    )

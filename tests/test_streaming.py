@@ -526,3 +526,58 @@ def test_streaming_incremental_dedup_equals_batch(spark, sf_dir, tmp_path):
     }
     assert len(kept) == len(batch_ids) > 0
     assert {h for _, h in kept} == batch_hashes
+
+
+def test_streaming_session_funnel_equals_batch(spark, sf_dir, tmp_path):
+    """x41's live shape: funnel flags as conditional min/max aggregates
+    inside session_window on a replayed stream. Session boundaries are the
+    same 5-minute gap as x41's lag+cumsum sessionization (proven equivalent
+    by the x11c oracle), so per-user converting-session counts must match
+    the batch x41 run for users whose sessions all closed under the
+    watermark."""
+    from kafka_connect_spark.queries import QUERIES
+
+    d, events = _replay_dir(spark, sf_dir, tmp_path)
+    sdf = file_replay_stream(spark, d, spark.read.parquet(d).schema).filter(
+        F.col("user_id") < 8
+    )
+    agg = (
+        sdf.withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", "5 minutes").alias("sw"), "user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+                "first_click"
+            ),
+            F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+                "last_purchase"
+            ),
+        )
+    )
+    out: list[pd.DataFrame] = []
+    q = (
+        agg.writeStream.foreachBatch(lambda df, i: out.append(df.toPandas()))
+        .option("checkpointLocation", str(tmp_path / "ckpt-funnel"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = pd.concat(out, ignore_index=True)
+    got["converting"] = got["first_click"].notna() & (
+        got["last_purchase"] > got["first_click"]
+    )
+    stream_conv = got.groupby("user_id")["converting"].sum()
+
+    batch = (
+        QUERIES["x41_session_funnel"](spark, sf_dir)
+        .filter(F.col("user_id") < 8)
+        .toPandas()
+        .set_index("user_id")
+    )
+    # append mode withholds sessions still open at end-of-stream; every
+    # user whose stream emitted ALL their sessions must match exactly
+    sessions_emitted = got.groupby("user_id").size()
+    full = sessions_emitted[sessions_emitted == batch["n_sessions"]].index
+    assert len(full) > 0
+    for uid in full:
+        assert int(stream_conv[uid]) == int(batch.loc[uid, "n_converting"])
