@@ -159,3 +159,83 @@ def test_apply_when_row_dropping_preserves_unmatched(spark, rows, pred_cut, filt
         i for i, score, _ in rows if not (score >= pred_cut and score >= filt_cut)
     )
     assert got == want
+
+
+texts = st.lists(
+    st.text(alphabet="ab x", min_size=0, max_size=40), min_size=1, max_size=12
+)
+
+
+@given(docs=texts)
+@settings(**_SETTINGS)
+def test_containment_bounds_and_symmetric_emission(spark, docs):
+    """For ANY corpus: containment values lie in (0, 1]; pairs are emitted
+    once with id_a < id_b; and containment_a >= containment_b iff doc_a has
+    the smaller shingle set (same intersection, smaller denominator)."""
+    from kafka_connect_spark.functions.dedupfns import (
+        ngram_containment_pairs,
+        shingles,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], ["doc_id", "text"]
+    )
+    got = ngram_containment_pairs(df, threshold=0.0).collect()
+    sizes = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", F.size(shingles("text", 3)).alias("n")
+        ).collect()
+    }
+    for r in got:
+        assert r["id_a"] < r["id_b"]
+        assert 0 < r["containment_a"] <= 1 and 0 < r["containment_b"] <= 1
+        if sizes[r["id_a"]] < sizes[r["id_b"]]:
+            assert r["containment_a"] >= r["containment_b"]
+
+
+@given(docs=texts)
+@settings(**_SETTINGS)
+def test_bpe_merge_counts_monotone_nonincreasing(spark, docs):
+    """For ANY corpus: the argmax pair count per BPE round never increases
+    (merging can only remove adjacencies of the remaining pairs' supply,
+    never create new higher-frequency ones above the previous max)."""
+    from kafka_connect_spark.functions.textfns import bpe_train
+
+    df = spark.createDataFrame([(t,) for t in docs], ["text"])
+    merges, _ = bpe_train(df, num_merges=4, min_freq=1)
+    counts = [r["cnt"] for r in merges.orderBy("rank").collect()]
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+
+
+@given(docs=texts)
+@settings(**_SETTINGS)
+def test_incremental_dedup_keeps_subset_of_new(spark, docs):
+    """For ANY corpus split: the incremental-dedup survivors are a subset
+    of the new batch, contain no fingerprint present in the reference, and
+    are fingerprint-unique among themselves."""
+    from kafka_connect_spark.functions.textfns import fingerprint
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, t, "src0" if i % 2 == 0 else "ref") for i, t in enumerate(docs)],
+        ["doc_id", "text", "source"],
+    )
+    fp = df.select("doc_id", "source", fingerprint("text").alias("h"))
+    new = fp.filter(F.col("source") == "src0")
+    ref = fp.filter(F.col("source") != "src0").select("h").distinct()
+    w = Window.partitionBy("h").orderBy("doc_id")
+    kept = (
+        new.join(ref, "h", "left_anti")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    )
+    new_ids = {r["doc_id"] for r in new.collect()}
+    ref_hashes = {r["h"] for r in ref.collect()}
+    kept_hashes = [r["h"] for r in kept]
+    assert {r["doc_id"] for r in kept} <= new_ids
+    assert not (set(kept_hashes) & ref_hashes)
+    assert len(kept_hashes) == len(set(kept_hashes))
