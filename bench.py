@@ -96,6 +96,8 @@ HEADLINE = [
     "x42_cohort_retention",
     "x43_containment_pairs",
     "x44_cross_source_dup_matrix",
+    "x45_returned_revenue_q10",
+    "x46_large_orders_q18",
 ]
 
 

@@ -1046,3 +1046,77 @@ def x34_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy("o_custkey", F.col("o_totalprice").desc(), "o_orderkey")
     )
+
+
+@query(
+    "x45_returned_revenue_q10",
+    oracle=f"""
+    SELECT c_custkey, c_name, c_acctbal, n_name,
+           {dsum_sql("l_extendedprice * (1 - l_discount)")} AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def x45_returned_revenue_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20 — the
+    'who should we call' report. Plan: returnflag filter pushed into the
+    lineitem scan, nation broadcast, two shuffle joins on the fact keys,
+    partial+final agg, TakeOrderedAndProject for the limit (no global
+    sort). Deterministic top-20: revenue rounds via the decimal trick and
+    c_custkey breaks ties totally."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    n = load(spark, sf_dir, "nation")
+    rev = dsum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("double"))
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(
+            li.filter(F.col("l_returnflag") == "R"),
+            F.col("o_orderkey") == li["l_orderkey"],
+        )
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(rev.alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "x46_large_orders_q18",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey, {dsum_sql("l_quantity")} AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING {dsum_sql("l_quantity")} > 150
+    )
+    SELECT c_custkey, o_orderkey, o_totalprice, sum_qty
+    FROM big JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+)
+def x46_large_orders_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders (HAVING over a fact-table agg,
+    then joins back to the dimensions). The HAVING agg shrinks lineitem to
+    qualifying orderkeys BEFORE any join — the aggregate-then-join order
+    that keeps the join input |qualifying orders|, not |lineitem|."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum(F.col("l_quantity")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select("c_custkey", "o_orderkey", "o_totalprice", "sum_qty")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
