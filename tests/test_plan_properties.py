@@ -135,11 +135,10 @@ def test_x45_q10_pushdown_broadcast_topk(spark, sf_dir):
 
 def test_x46_q18_aggregates_before_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "x46_large_orders_q18")
-    # the HAVING agg runs below the joins: the first HashAggregate pair
-    # consumes the lineitem scan directly, so joins see |qualifying orders|
+    # the HAVING agg runs below the joins (partial+final pair over the
+    # lineitem scan), so the joins see |qualifying orders| rows; top-100
+    # never global-sorts. The tree prints root-first, so the aggregate
+    # lines must appear BELOW (after) the join lines in the dump.
     assert plan.count("HashAggregate") >= 2
     assert "TakeOrderedAndProject" in plan
-    li_scan = plan.index("Scan parquet") if "Scan parquet" in plan else plan.index("FileScan")
-    first_join = plan.index("Join")
-    first_agg = plan.index("HashAggregate")
-    assert li_scan is not None and first_agg > -1 and first_join > -1
+    assert plan.index("Join") < plan.index("HashAggregate")
