@@ -115,7 +115,11 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
-    spark = get_spark("bench")
+    # console progress interleaves with stdout and broke the driver's JSON
+    # parse in round 5 (BENCH_r05: rc=0, parsed=null) — keep stdout clean
+    spark = get_spark(
+        "bench", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm the JVM + parquet footers so timings measure the queries
@@ -179,21 +183,28 @@ def main() -> None:
         timings[name] = round(_median(runs), 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "reps": reps,
-                "aggregation": "median",
-                "pipeline_rows_per_sec": round(n_rows / pipe_sec, 1),
-                "incremental_poll_rows_per_sec": round(polled / inc_sec, 1),
-            }
-        )
+    result = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "reps": reps,
+            "aggregation": "median",
+            "pipeline_rows_per_sec": round(n_rows / pipe_sec, 1),
+            "incremental_poll_rows_per_sec": round(polled / inc_sec, 1),
+            # methodology pins: the throughput analogs run FIRST (post-warmup,
+            # pre-sweep) since round 5 — r3's 60.7K poll number was measured
+            # on a 60-query-hot JVM and is NOT comparable to these
+            "throughput_position": "post-warmup",
+            "poll_page_rows": 25_000,
+        }
     )
+    # final, lone stdout line — flush stderr first so nothing interleaves
+    sys.stderr.flush()
+    sys.stdout.flush()
+    print(result, flush=True)
 
 
 if __name__ == "__main__":

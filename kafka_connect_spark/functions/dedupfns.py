@@ -23,6 +23,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .rounding import dround
+
 # Mersenne prime 2^31-1: (a*h + b) stays within int64 for a,h < 2^31,
 # so ANSI-mode arithmetic never overflows.
 _MINHASH_PRIME = 2147483647
@@ -122,7 +124,7 @@ def ngram_jaccard_pairs(
         .join(sb, "id_b")
         .withColumn(
             "jaccard",
-            F.round(F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6),
+            dround(F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -218,7 +220,7 @@ def minhash_near_dup_pairs(
         .join(b, "id_b")
         .withColumn(
             "jaccard",
-            F.round(
+            dround(
                 F.size(F.array_intersect("sh_a", "sh_b"))
                 / F.size(F.array_union("sh_a", "sh_b")),
                 6,
@@ -352,17 +354,37 @@ def ngram_containment_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
+    max_shingle_freq: int | None = None,
 ) -> DataFrame:
     """Near-SUBSET pairs: containment(A in B) = |A ∩ B| / |A| — the
     boilerplate/quotation detector Jaccard misses (a short doc fully
     embedded in a long one has low Jaccard but containment ~1). Same
     int64-hashed shingle self-join as ngram_jaccard_pairs; emits the pair
     once (id_a < id_b) with BOTH directions' containment, filtered on the
-    max of the two. Deterministic integer counts; two rounded divisions."""
+    max of the two. Deterministic integer counts; two rounded divisions.
+
+    ``max_shingle_freq`` is the 100 TB guardrail: this operator's target
+    input IS boilerplate, and a shingle shared by N docs yields an O(N²)
+    join output for that key — a header in 10⁶ docs would emit 10¹² rows.
+    The cap drops shingles whose document frequency exceeds it from the
+    JOIN SIDE ONLY; |A| (``n_sh``) stays exact, computed from the uncapped
+    set. Bias is therefore one-sided and documented: |A∩B| can only shrink,
+    so reported containment is a LOWER bound — capped-out pairs are missed,
+    never inflated (the audit-safe direction for a boilerplate report).
+    Unlike the Jaccard cap (which shrinks the union denominator too), the
+    exact |A| denominator here keeps every surviving pair's score
+    conservative."""
     sh = df.select(
         F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("s_str")
     ).select("id", F.xxhash64("s_str").alias("s"))
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_shingle_freq is not None:
+        # df-cap mirrors ngram_jaccard_pairs: the hot-shingle list is tiny
+        # (only shingles with df > cap), so the anti-join broadcasts.
+        hot = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df_"))
+        sh = sh.join(
+            F.broadcast(hot.filter(F.col("df_") > max_shingle_freq)), "s", "left_anti"
+        )
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -375,8 +397,8 @@ def ngram_containment_pairs(
     return (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
-        .withColumn("containment_a", F.round(F.col("inter") / F.col("n_a"), 6))
-        .withColumn("containment_b", F.round(F.col("inter") / F.col("n_b"), 6))
+        .withColumn("containment_a", dround(F.col("inter") / F.col("n_a"), 6))
+        .withColumn("containment_b", dround(F.col("inter") / F.col("n_b"), 6))
         .filter(
             F.greatest(F.col("containment_a"), F.col("containment_b")) >= threshold
         )

@@ -13,8 +13,9 @@
 
 Exact-arithmetic discipline: dot products fold left-to-right over
 double-cast arrays, matching the DuckDB oracle's list_dot_product; the
-cosine is rounded to 6 decimals BEFORE ranking in both engines so ranking
-never depends on sub-ulp differences."""
+cosine is rounded to 6 decimals BEFORE ranking in both engines (via the
+deterministic floor idiom in functions.rounding, identical in Spark, DuckDB
+and numpy) so ranking never depends on sub-ulp differences."""
 
 from __future__ import annotations
 
@@ -23,6 +24,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+
+from .rounding import dround, npround
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -56,7 +59,7 @@ def cosine_topk(
         F.col(id_col).alias("query_id"), F.col("v").alias("qv"), F.col("v_norm").alias("q_norm")
     )
     pairs = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-    cos = F.round(dot(F.col("qv"), F.col("v")) / (F.col("q_norm") * F.col("v_norm")), 6)
+    cos = dround(dot(F.col("qv"), F.col("v")) / (F.col("q_norm") * F.col("v_norm")), 6)
     ranked = pairs.select("query_id", "neighbor_id", cos.alias("cos_sim")).withColumn(
         "rank",
         F.row_number()
@@ -84,7 +87,7 @@ def cosine_pairs(
     v = with_vec(df, vec_col)
     a = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("v_norm").alias("na"))
     b = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("v_norm").alias("nb"))
-    cos = F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+    cos = dround(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", cos.alias("cos_sim"))
@@ -155,7 +158,7 @@ def cosine_pairs_blocked(
             ii, jj = np.meshgrid(np.arange(len(ids_a)), np.arange(len(ids_b)), indexing="ij")
             id_a, id_b = ids_a[ii.ravel()], ids_b[jj.ravel()]
             cos = sims.ravel()
-        cos = np.round(cos, 6)
+        cos = npround(cos, 6)
         keep = cos >= threshold
         lo = np.minimum(id_a[keep], id_b[keep])
         hi = np.maximum(id_a[keep], id_b[keep])
@@ -213,7 +216,7 @@ def lsh_cosine_pairs(
     v = with_vec(df, vec_col)
     va = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("v_norm").alias("na"))
     vb = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("v_norm").alias("nb"))
-    cos = F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+    cos = dround(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
     return (
         cands.join(va, "id_a")
         .join(vb, "id_b")
@@ -332,7 +335,7 @@ def ivf_cosine_topk(
     q = with_vec(queries, vec_col).select(
         F.col(id_col).alias("query_id"), F.col("v").alias("qv"), F.col("v_norm").alias("q_norm")
     )
-    cos = F.round(dot(F.col("qv"), F.col("v")) / (F.col("q_norm") * F.col("v_norm")), 6)
+    cos = dround(dot(F.col("qv"), F.col("v")) / (F.col("q_norm") * F.col("v_norm")), 6)
     ranked = (
         cand.join(c, "neighbor_id")
         .join(F.broadcast(q), "query_id")
@@ -393,7 +396,7 @@ def lsh_cosine_topk(
     q = with_vec(queries, vec_col).select(
         F.col(id_col).alias("query_id"), F.col("v").alias("qv"), F.col("v_norm").alias("q_norm")
     )
-    cos = F.round(dot(F.col("qv"), F.col("v")) / (F.col("q_norm") * F.col("v_norm")), 6)
+    cos = dround(dot(F.col("qv"), F.col("v")) / (F.col("q_norm") * F.col("v_norm")), 6)
     ranked = (
         cand.join(c, "neighbor_id")
         .join(F.broadcast(q), "query_id")

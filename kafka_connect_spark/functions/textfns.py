@@ -13,6 +13,8 @@ from functools import reduce
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from .rounding import dround
+
 # Marker stopword sets for the language-ID heuristic. Deterministic and
 # mirrored verbatim in the DuckDB oracle SQL (queries/text.py).
 LANG_MARKERS: dict[str, list[str]] = {
@@ -48,12 +50,12 @@ def _punct_ratio_raw(t: Column) -> Column:
 
 
 def stopword_ratio(text: Column | str) -> Column:
-    return F.round(_stopword_ratio_raw(tokens(text)), 6)
+    return dround(_stopword_ratio_raw(tokens(text)), 6)
 
 
 def punct_ratio(text: Column | str) -> Column:
     t = text if isinstance(text, Column) else F.col(text)
-    return F.round(_punct_ratio_raw(t), 6)
+    return dround(_punct_ratio_raw(t), 6)
 
 
 def quality_score(text: Column | str) -> Column:
@@ -66,7 +68,7 @@ def quality_score(text: Column | str) -> Column:
     len_score = F.least(n, F.lit(100)) / 100.0
     stop_score = F.least(_stopword_ratio_raw(tokens(t)) * 5, F.lit(1.0))
     punct_pen = _punct_ratio_raw(t)
-    return F.round((len_score + stop_score) / 2.0 - punct_pen, 4)
+    return dround((len_score + stop_score) / 2.0 - punct_pen, 4)
 
 
 def lang_id(text: Column | str) -> Column:
@@ -165,7 +167,7 @@ def repetition_score(text: Column | str, n: int = 3) -> Column:
         )
 
     max_cnt = F.aggregate(grams, zero, step, lambda acc: acc["best"])
-    return F.when(F.size(toks) >= n, F.round(max_cnt / total, 6)).otherwise(F.lit(0.0))
+    return F.when(F.size(toks) >= n, dround(max_cnt / total, 6)).otherwise(F.lit(0.0))
 
 
 def fingerprint(text: Column | str) -> Column:

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..transforms import extract_new_record_state, mask_fields
-from .registry import query
+from .registry import dround, dround_sql, query
 
 
 @query(
@@ -247,17 +247,20 @@ def x31_emit_on_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_X33_SUM = dround_sql(
+    "CAST(SUM(CASE event_id % 4 "
+    "WHEN 0 THEN CAST(value AS DECIMAL(38,6)) "
+    "WHEN 1 THEN CAST(value AS DECIMAL(38,6)) - CAST(-value AS DECIMAL(38,6)) "
+    "WHEN 2 THEN -CAST(-value AS DECIMAL(38,6)) "
+    "ELSE CAST(value AS DECIMAL(38,6)) END) AS DOUBLE)", 4
+)
+
+
 @query(
     "x33_cdc_aggregate_maintenance",
-    oracle="""
+    oracle=f"""
     SELECT user_id,
-           ROUND(CAST(SUM(CASE event_id % 4
-                    WHEN 0 THEN CAST(value AS DECIMAL(38,6))
-                    WHEN 1 THEN CAST(value AS DECIMAL(38,6))
-                                - CAST(-value AS DECIMAL(38,6))
-                    WHEN 2 THEN -CAST(-value AS DECIMAL(38,6))
-                    ELSE CAST(value AS DECIMAL(38,6))
-                  END) AS DOUBLE), 4) AS maintained_sum,
+           {_X33_SUM} AS maintained_sum,
            CAST(COUNT(CASE WHEN event_id % 4 IN (0, 3) THEN 1 END) AS BIGINT)
              - CAST(COUNT(CASE WHEN event_id % 4 = 2 THEN 1 END) AS BIGINT)
              AS maintained_count
@@ -290,7 +293,7 @@ def x33_cdc_aggregate_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
     return (
         env.groupBy(key.alias("user_id"))
         .agg(
-            F.round(F.sum(delta).cast("double"), 4).alias("maintained_sum"),
+            dround(F.sum(delta).cast("double"), 4).alias("maintained_sum"),
             F.sum(cnt_delta).alias("maintained_count"),
         )
         .orderBy("user_id")

@@ -18,7 +18,21 @@ from ..functions.dedupfns import (
     ngram_jaccard_pairs,
     simhash,
 )
-from .registry import query
+from .registry import dround, dround_sql, query
+
+
+
+# Cross-engine-deterministic rounding twins (see registry.dround): every
+# jaccard/containment emission AND threshold filter uses the same idiom in
+# both engines so boundary pairs can't diverge.
+_J_SQL = dround_sql("inter / (sa.n + sb.n - inter)", 6)
+_CA_SQL = dround_sql("inter / CAST(sa.n AS DOUBLE)", 6)
+_CB_SQL = dround_sql("inter / CAST(sb.n AS DOUBLE)", 6)
+_DUP_RATIO_SQL = dround_sql("1 - count(DISTINCT md5(text)) / CAST(count(*) AS DOUBLE)", 6)
+_COS_PAIR_SQL = dround_sql(
+    "list_dot_product(a.v, b.v) / "
+    "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))", 6
+)
 
 
 @query(
@@ -45,7 +59,7 @@ def x12b_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "x12c_ngram_jaccard_pairs",
-    oracle="""
+    oracle=f"""
     WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
     sh AS (SELECT doc_id,
              list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS s
@@ -56,11 +70,11 @@ def x12b_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
               GROUP BY 1, 2)
     SELECT id_a, id_b,
-           ROUND(inter / (sa.n + sb.n - inter), 6) AS jaccard
+           {_J_SQL} AS jaccard
     FROM inter
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
-    WHERE ROUND(inter / (sa.n + sb.n - inter), 6) >= 0.5
+    WHERE {_J_SQL} >= 0.5
     ORDER BY id_a, id_b
     """,
 )
@@ -96,12 +110,10 @@ def x12d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "x12f_embedding_near_dup",
-    oracle="""
+    oracle=f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-            ROUND(list_dot_product(a.v, b.v) /
-                  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
-                  6) AS cos_sim
+            {_COS_PAIR_SQL} AS cos_sim
           FROM e a JOIN e b ON a.vec_id < b.vec_id)
     SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.4 ORDER BY id_a, id_b
     """,
@@ -119,7 +131,7 @@ def x12f_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "x12h_dup_clusters",
-    oracle="""
+    oracle=f"""
     WITH RECURSIVE
     tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
     sh AS (SELECT doc_id,
@@ -133,7 +145,7 @@ def x12f_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs AS (SELECT id_a, id_b FROM inter
               JOIN sizes sa ON sa.doc_id = id_a
               JOIN sizes sb ON sb.doc_id = id_b
-              WHERE ROUND(inter / (sa.n + sb.n - inter), 6) >= 0.5),
+              WHERE {_J_SQL} >= 0.5),
     edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
               UNION ALL SELECT id_b, id_a FROM pairs),
     reach(node, r) AS (
@@ -200,10 +212,10 @@ def x12e_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "x26_dup_ratio_report",
-    oracle="""
+    oracle=f"""
     SELECT lang, count(*) AS n_docs,
            CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
-           ROUND(1 - count(DISTINCT md5(text)) / CAST(count(*) AS DOUBLE), 6) AS dup_ratio
+           {_DUP_RATIO_SQL} AS dup_ratio
     FROM documents GROUP BY lang ORDER BY lang
     """,
 )
@@ -218,7 +230,7 @@ def x26_dup_ratio_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.countDistinct(F.md5("text")).alias("n_unique"),
-            F.round(
+            dround(
                 1 - F.countDistinct(F.md5("text")) / F.count(F.lit(1)).cast("double"), 6
             ).alias("dup_ratio"),
         )
@@ -279,7 +291,7 @@ def x37_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "x12j_cluster_size_histogram",
-    oracle="""
+    oracle=f"""
     WITH RECURSIVE
     tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
     sh AS (SELECT doc_id,
@@ -293,7 +305,7 @@ def x37_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs AS (SELECT id_a, id_b FROM inter
               JOIN sizes sa ON sa.doc_id = id_a
               JOIN sizes sb ON sb.doc_id = id_b
-              WHERE ROUND(inter / (sa.n + sb.n - inter), 6) >= 0.5),
+              WHERE {_J_SQL} >= 0.5),
     edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
               UNION ALL SELECT id_b, id_a FROM pairs),
     reach(node, r) AS (
@@ -335,7 +347,7 @@ def x12j_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "x43_containment_pairs",
-    oracle="""
+    oracle=f"""
     WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
     sh AS (SELECT doc_id,
              list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS s
@@ -346,13 +358,12 @@ def x12j_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
               GROUP BY 1, 2)
     SELECT id_a, id_b,
-           ROUND(inter / CAST(sa.n AS DOUBLE), 6) AS containment_a,
-           ROUND(inter / CAST(sb.n AS DOUBLE), 6) AS containment_b
+           {_CA_SQL} AS containment_a,
+           {_CB_SQL} AS containment_b
     FROM inter
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
-    WHERE GREATEST(ROUND(inter / CAST(sa.n AS DOUBLE), 6),
-                   ROUND(inter / CAST(sb.n AS DOUBLE), 6)) >= 0.8
+    WHERE GREATEST({_CA_SQL}, {_CB_SQL}) >= 0.8
     ORDER BY id_a, id_b
     """,
 )
@@ -369,8 +380,47 @@ def x43_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x43b_containment_pairs_capped",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS s
+           FROM tok WHERE len(t) >= 3),
+    ex AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+    hot AS (SELECT sh FROM ex GROUP BY sh HAVING count(*) > 8),
+    exj AS (SELECT doc_id, sh FROM ex ANTI JOIN hot USING (sh)),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM exj a JOIN exj b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           {{_CA_SQL}} AS containment_a,
+           {{_CB_SQL}} AS containment_b
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE GREATEST({{_CA_SQL}}, {{_CB_SQL}}) >= 0.5
+    ORDER BY id_a, id_b
+    """.format(_CA_SQL=_CA_SQL, _CB_SQL=_CB_SQL),
+)
+def x43b_containment_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x43 with the df-cap engaged (max_shingle_freq=8): hot shingles leave
+    the join side, |A| stays exact — the 100 TB boilerplate-skew guardrail,
+    hash-checked against an oracle that applies the identical cap. Scores
+    are lower bounds of x43's (one-sided bias; see
+    functions/dedupfns.ngram_containment_pairs), so the threshold here is
+    looser to keep the checked surface non-trivial."""
+    from ..functions.dedupfns import ngram_containment_pairs
+
+    d = load_parallel(spark, sf_dir, "documents")
+    return ngram_containment_pairs(
+        d, n=3, threshold=0.5, max_shingle_freq=8
+    ).orderBy("id_a", "id_b")
+
+
+@query(
     "x44_cross_source_dup_matrix",
-    oracle="""
+    oracle=f"""
     WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
     sh AS (SELECT doc_id,
              list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS s
@@ -383,7 +433,7 @@ def x43_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs AS (SELECT id_a, id_b FROM inter
               JOIN sizes sa ON sa.doc_id = id_a
               JOIN sizes sb ON sb.doc_id = id_b
-              WHERE ROUND(inter / (sa.n + sb.n - inter), 6) >= 0.5)
+              WHERE {_J_SQL} >= 0.5)
     SELECT LEAST(da.source, db.source) AS source_a,
            GREATEST(da.source, db.source) AS source_b,
            count(*) AS dup_pairs

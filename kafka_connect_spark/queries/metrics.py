@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from .registry import dsum, dsum_sql, query
+from .registry import dround, dround_sql, dsum, dsum_sql, query
 
 
 @query(
@@ -47,9 +47,9 @@ def p2_grouped_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "p3_rate_window",
-    oracle="""
+    oracle=f"""
     SELECT time_bucket(INTERVAL '1 minute', ts) AS w,
-           ROUND((max(value) - min(value)) / 60.0, 6) AS rate_per_sec
+           {dround_sql("(max(value) - min(value)) / 60.0", 6)} AS rate_per_sec
     FROM events WHERE event_type = 'click'
     GROUP BY w ORDER BY w
     """,
@@ -61,7 +61,7 @@ def p3_rate_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load(spark, sf_dir, "events").filter(F.col("event_type") == "click")
     return (
         events.groupBy(F.window("ts", "1 minute").alias("win"))
-        .agg(F.round((F.max("value") - F.min("value")) / 60.0, 6).alias("rate_per_sec"))
+        .agg(dround((F.max("value") - F.min("value")) / 60.0, 6).alias("rate_per_sec"))
         .select(F.col("win.start").alias("w"), "rate_per_sec")
         .orderBy("w")
     )
@@ -110,14 +110,18 @@ def p5_label_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+_P6_WSUM = (
+    "CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)"
+)
+
+
 @query(
     "p6_running_total",
-    oracle="""
+    oracle=f"""
     SELECT event_id,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER
-             (PARTITION BY user_id ORDER BY ts, event_id
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4)
-           AS running_total
+           {dround_sql(_P6_WSUM, 4)} AS running_total
     FROM events ORDER BY event_id
     """,
 )
@@ -132,7 +136,7 @@ def p6_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return events.select(
         "event_id",
-        F.round(
+        dround(
             F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double"), 4
         ).alias("running_total"),
     ).orderBy("event_id")
@@ -183,10 +187,9 @@ def x11b_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "p7_avg_over_time",
-    oracle="""
+    oracle=f"""
     SELECT event_id, user_id,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
-                 / COUNT(*) OVER w, 4) AS avg_5m
+           {dround_sql("CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) / (COUNT(*) OVER w)", 4)} AS avg_5m
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts
                  RANGE BETWEEN INTERVAL 5 MINUTES PRECEDING AND CURRENT ROW)
@@ -210,7 +213,7 @@ def p7_avg_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.select(
         "event_id",
         "user_id",
-        F.round(
+        dround(
             F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double")
             / F.count(F.lit(1)).over(w),
             4,
@@ -220,7 +223,11 @@ def p7_avg_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
 _pivot_cells = ", ".join(
-    f"ROUND(CAST(SUM(CAST(CASE WHEN event_type = '{t}' THEN value END AS DECIMAL(38,6))) AS DOUBLE), 4) AS {t}"
+    dround_sql(
+        f"CAST(SUM(CAST(CASE WHEN event_type = '{t}' THEN value END AS DECIMAL(38,6))) AS DOUBLE)",
+        4,
+    )
+    + f" AS {t}"
     for t in _PIVOT_TYPES
 )
 
@@ -252,7 +259,7 @@ def x17_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 5-minute gap (Spark's session window is [start, last_ts + gap), end
     # EXCLUSIVE — an event exactly gap after the last starts a new session),
     # and session_end = last event + gap.
-    oracle="""
+    oracle=f"""
     WITH o AS (
       SELECT user_id, ts, value,
              CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
@@ -270,7 +277,7 @@ def x17_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(ts) AS session_start,
            MAX(ts) + INTERVAL 5 MINUTE AS session_end,
            COUNT(*) AS n_events,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum_value
+           {dsum_sql("value")} AS sum_value
     FROM s GROUP BY user_id, sid
     ORDER BY user_id, session_start
     """,
@@ -297,7 +304,7 @@ def x11c_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "p8_irate",
-    oracle="""
+    oracle=f"""
     WITH o AS (
       SELECT user_id, ts, value, event_id,
              lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv,
@@ -306,7 +313,7 @@ def x11c_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT user_id,
-           ROUND((value - pv) / (epoch(ts) - epoch(pt)), 6) AS irate
+           {dround_sql("(value - pv) / (epoch(ts) - epoch(pt))", 6)} AS irate
     FROM o WHERE rn = 1 AND pt IS NOT NULL AND ts > pt
     ORDER BY user_id
     """,
@@ -328,7 +335,7 @@ def p8_irate(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.filter((F.col("rn") == 1) & F.col("pt").isNotNull() & (F.col("ts") > F.col("pt")))
         .select(
             "user_id",
-            F.round(
+            dround(
                 (F.col("value") - F.col("pv"))
                 / (F.unix_micros("ts") - F.unix_micros("pt")).cast("double")
                 * 1e6,
@@ -341,7 +348,7 @@ def p8_irate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "p9_delta",
-    oracle="""
+    oracle=f"""
     WITH o AS (
       SELECT user_id, value,
              first_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -350,7 +357,7 @@ def p8_irate(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_v
       FROM events
     )
-    SELECT DISTINCT user_id, ROUND(last_v - first_v, 6) AS delta
+    SELECT DISTINCT user_id, {dround_sql("last_v - first_v", 6)} AS delta
     FROM o ORDER BY user_id
     """,
 )
@@ -369,7 +376,7 @@ def p9_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("value").over(w).alias("first_v"),
             F.last("value").over(w).alias("last_v"),
         )
-        .select("user_id", F.round(F.col("last_v") - F.col("first_v"), 6).alias("delta"))
+        .select("user_id", dround(F.col("last_v") - F.col("first_v"), 6).alias("delta"))
         .distinct()
         .orderBy("user_id")
     )
@@ -377,7 +384,7 @@ def p9_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "p10_histogram_quantile",
-    oracle="""
+    oracle=f"""
     WITH b AS (SELECT unnest([50.0, 100.0, 150.0, 200.0, 250.0, 1e308]) AS le),
     cum AS (
       SELECT e.event_type, b.le,
@@ -396,8 +403,7 @@ def p9_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM w WHERE c >= rank
     )
     SELECT event_type,
-           ROUND(CASE WHEN le >= 1e308 THEN 250.0
-                      ELSE ple + (rank - pc) / (c - pc) * (le - ple) END, 6) AS q90
+           {dround_sql("CASE WHEN le >= 1e308 THEN 250.0 ELSE ple + (rank - pc) / (c - pc) * (le - ple) END", 6)} AS q90
     FROM hit WHERE rn = 1 ORDER BY event_type
     """,
 )
@@ -437,7 +443,7 @@ def p10_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         + (F.col("rank") - F.col("pc")) / (F.col("c") - F.col("pc"))
         * (F.col("le") - F.col("ple"))
     )
-    return hit.select("event_type", F.round(q, 6).alias("q90")).orderBy("event_type")
+    return hit.select("event_type", dround(q, 6).alias("q90")).orderBy("event_type")
 
 
 @query(
@@ -496,7 +502,7 @@ def p11_increase_and_resets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "p12_zscore_anomalies",
-    oracle="""
+    oracle=f"""
     WITH s AS (
       SELECT user_id,
              CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sv,
@@ -506,8 +512,7 @@ def p11_increase_and_resets(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY user_id
     )
     SELECT e.event_id, e.user_id,
-           ROUND((e.value - s.sv / s.n)
-                 / sqrt((s.svv - s.sv * s.sv / s.n) / s.n), 4) AS z
+           {dround_sql("(e.value - s.sv / s.n) / sqrt((s.svv - s.sv * s.sv / s.n) / s.n)", 4)} AS z
     FROM events e JOIN s USING (user_id)
     WHERE s.n > 1
       AND abs((e.value - s.sv / s.n)
@@ -535,17 +540,17 @@ def p12_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         j.filter(F.abs(z) > 2.5)
-        .select("event_id", "user_id", F.round(z, 4).alias("z"))
+        .select("event_id", "user_id", dround(z, 4).alias("z"))
         .orderBy("event_id")
     )
 
 
 @query(
     "p13_quantile_over_time",
-    oracle="""
+    oracle=f"""
     SELECT event_id, user_id,
-           ROUND(quantile_cont(value, 0.5) OVER w, 4) AS p50_20,
-           ROUND(quantile_cont(value, 0.9) OVER w, 4) AS p90_20
+           {dround_sql("quantile_cont(value, 0.5) OVER w", 4)} AS p50_20,
+           {dround_sql("quantile_cont(value, 0.9) OVER w", 4)} AS p90_20
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
@@ -574,8 +579,8 @@ def p13_quantile_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_id",
             "user_id",
-            F.round(F.col("q")[0], 4).alias("p50_20"),
-            F.round(F.col("q")[1], 4).alias("p90_20"),
+            dround(F.col("q")[0], 4).alias("p50_20"),
+            dround(F.col("q")[1], 4).alias("p90_20"),
         )
         .orderBy("event_id")
     )
@@ -638,7 +643,7 @@ def _regression_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     "p14_deriv",
     oracle=f"""
     SELECT user_id,
-           round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 6000.0, 6) AS deriv_per_sec
+           {dround_sql("CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 6000.0", 6)} AS deriv_per_sec
     FROM ({_REG_SUMS_SQL})
     ORDER BY user_id
     """,
@@ -652,7 +657,7 @@ def p14_deriv(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = _regression_sums(spark, sf_dir)
     return a.select(
         "user_id",
-        F.round(
+        dround(
             F.col("num").cast("double") / F.col("den").cast("double") / F.lit(6000.0), 6
         ).alias("deriv_per_sec"),
     ).orderBy("user_id")
@@ -662,10 +667,7 @@ def p14_deriv(spark: SparkSession, sf_dir: str) -> DataFrame:
     "p15_predict_linear",
     oracle=f"""
     SELECT user_id,
-           round((CAST(sy AS DOUBLE)
-                  + (CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
-                    * CAST(n * (maxx + 60) - sx AS DOUBLE))
-                 / CAST(n AS DOUBLE) / 100.0, 6) AS predicted
+           {dround_sql("(CAST(sy AS DOUBLE) + (CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) * CAST(n * (maxx + 60) - sx AS DOUBLE)) / CAST(n AS DOUBLE) / 100.0", 6)} AS predicted
     FROM ({_REG_SUMS_SQL})
     ORDER BY user_id
     """,
@@ -687,15 +689,15 @@ def p15_predict_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.col("n").cast("double")
         / F.lit(100.0)
     )
-    return a.select("user_id", F.round(pred, 6).alias("predicted")).orderBy("user_id")
+    return a.select("user_id", dround(pred, 6).alias("predicted")).orderBy("user_id")
 
 
 @query(
     "p16_topk_bottomk",
-    oracle="""
+    oracle=f"""
     WITH a AS (
       SELECT event_type, user_id,
-             ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 4) AS series_sum
+             {dsum_sql("value")} AS series_sum
       FROM events GROUP BY event_type, user_id
     ), r AS (
       SELECT *,
@@ -723,9 +725,7 @@ def p16_topk_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny series table."""
     ev = load(spark, sf_dir, "events")
     agg = ev.groupBy("event_type", "user_id").agg(
-        F.round(
-            F.sum(F.col("value").cast("decimal(38,6)")).cast("double"), 4
-        ).alias("series_sum")
+        dsum(F.col("value")).alias("series_sum")
     )
     wt = Window.partitionBy("event_type").orderBy(F.col("series_sum").desc(), "user_id")
     wb = Window.partitionBy("event_type").orderBy(F.col("series_sum").asc(), "user_id")
@@ -766,9 +766,9 @@ def p16_topk_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM s GROUP BY user_id, sid
     )
     SELECT user_id, count(*) AS n_sessions,
-           COALESCE(SUM(CASE WHEN first_click IS NOT NULL
+           CAST(COALESCE(SUM(CASE WHEN first_click IS NOT NULL
                               AND last_purchase > first_click
-                             THEN 1 ELSE 0 END), 0) AS n_converting
+                             THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_converting
     FROM per_sess GROUP BY user_id ORDER BY user_id
     """,
 )

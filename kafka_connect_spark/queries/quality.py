@@ -16,12 +16,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from .registry import query
+from .registry import dround, dround_sql, query
 
 
 @query(
     "x40_data_quality_report",
-    oracle="""
+    oracle=f"""
     WITH m AS (
       SELECT count(*) AS n,
              SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS null_qty,
@@ -34,7 +34,7 @@ from .registry import query
       FROM lineitem l ANTI JOIN orders d ON l.l_orderkey = d.o_orderkey
     )
     SELECT 'completeness_l_quantity' AS check_name,
-           ROUND((n - null_qty) / CAST(n AS DOUBLE), 6) AS metric,
+           {dround_sql("(n - null_qty) / CAST(n AS DOUBLE)", 6)} AS metric,
            null_qty = 0 AS passed FROM m, o
     UNION ALL SELECT 'bounds_l_discount_0_0.1', CAST(disc_oob AS DOUBLE),
            disc_oob = 0 FROM m, o
@@ -61,7 +61,10 @@ def x40_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             ((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)).cast("long")
         ).alias("disc_oob"),
-        F.countDistinct("l_orderkey", "l_linenumber").alias("pk_distinct"),
+        # struct-distinct: counts tuples even when a key field is NULL, matching
+        # DuckDB's count(DISTINCT (a,b)) row semantics — bare countDistinct
+        # silently drops NULL-keyed rows, the wrong default for a QUALITY check
+        F.countDistinct(F.struct("l_orderkey", "l_linenumber")).alias("pk_distinct"),
         F.sum((F.col("l_extendedprice") <= 0).cast("long")).alias("price_nonpos"),
     )
     orphans = (
@@ -75,7 +78,7 @@ def x40_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     checks = F.array(
         F.struct(
             F.lit("completeness_l_quantity").alias("check_name"),
-            F.round((F.col("n") - F.col("null_qty")) / F.col("n"), 6).alias("metric"),
+            dround((F.col("n") - F.col("null_qty")) / F.col("n"), 6).alias("metric"),
             (F.col("null_qty") == 0).alias("passed"),
         ),
         F.struct(

@@ -39,28 +39,35 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
+# Deterministic rounding lives in functions.rounding (usable from both the
+# functions/ layer and here without an import cycle); re-exported for the
+# query modules.
+from ..functions.rounding import dround, dround_sql  # noqa: E402  (re-export)
+
+
 def dsum(col: Column, scale: int = 4) -> Column:
     """Order-independent SUM over doubles.
 
     Plain double SUM is association-order-dependent, so Spark and DuckDB can
     disagree in the last ulps. Accumulating in DECIMAL(38,6) is exact (and
     therefore order-independent) in both engines; the result is cast back to
-    double and rounded. SQL twin:
-    ``ROUND(CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE), scale)``.
+    double and rounded via :func:`dround`.
     """
-    return F.round(F.sum(col.cast(_DEC)).cast("double"), scale)
+    return dround(F.sum(col.cast(_DEC)).cast("double"), scale)
 
 
 def dsum_sql(expr: str, scale: int = 4) -> str:
-    return f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE), {scale})"
+    return dround_sql(f"CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE)", scale)
 
 
 def davg(col: Column, scale: int = 4) -> Column:
     """AVG via exact decimal sum / count — see ``dsum``."""
-    return F.round(
+    return dround(
         F.sum(col.cast(_DEC)).cast("double") / F.count(F.lit(1)), scale
     )
 
 
 def davg_sql(expr: str, scale: int = 4) -> str:
-    return f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), {scale})"
+    return dround_sql(
+        f"CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)", scale
+    )

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load, register_views
-from .registry import davg_sql, dsum, dsum_sql, query
+from .registry import davg_sql, dround, dround_sql, dsum, dsum_sql, query
 
 
 # ---------------------------------------------------------------------------
@@ -464,7 +464,7 @@ def x4_agg_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
                 "sum_disc_price"
             ),
-            F.round(
+            dround(
                 F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double")
                 / F.count(F.lit(1)),
                 4,
@@ -542,11 +542,11 @@ def x6c_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "x7b_analytic_funcs",
-    oracle="""
+    oracle=f"""
     SELECT o_orderkey,
            CAST(ntile(4) OVER w AS BIGINT) AS quartile,
-           ROUND(percent_rank() OVER w, 6) AS pr,
-           ROUND(cume_dist() OVER w, 6) AS cd,
+           {dround_sql("percent_rank() OVER w", 6)} AS pr,
+           {dround_sql("cume_dist() OVER w", 6)} AS cd,
            first_value(o_orderkey) OVER w AS first_key,
            lead(o_totalprice) OVER w AS next_price
     FROM orders
@@ -562,8 +562,8 @@ def x7b_analytic_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey",
         F.ntile(4).over(w).cast("long").alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pr"),
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        dround(F.percent_rank().over(w), 6).alias("pr"),
+        dround(F.cume_dist().over(w), 6).alias("cd"),
         F.first("o_orderkey").over(w).alias("first_key"),
         F.lead("o_totalprice").over(w).alias("next_price"),
     ).orderBy("o_orderkey")
@@ -756,13 +756,21 @@ def x10e_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_CLICK_CELL = dround_sql(
+    "CAST(SUM(CAST(CASE WHEN event_type = 'click' THEN value END AS DECIMAL(38,6))) AS DOUBLE)", 4
+)
+_VIEW_CELL = dround_sql(
+    "CAST(SUM(CAST(CASE WHEN event_type = 'view' THEN value END AS DECIMAL(38,6))) AS DOUBLE)", 4
+)
+
+
 @query(
     "x17b_unpivot",
-    oracle="""
+    oracle=f"""
     WITH w AS (
       SELECT user_id,
-             ROUND(CAST(SUM(CAST(CASE WHEN event_type = 'click' THEN value END AS DECIMAL(38,6))) AS DOUBLE), 4) AS click,
-             ROUND(CAST(SUM(CAST(CASE WHEN event_type = 'view' THEN value END AS DECIMAL(38,6))) AS DOUBLE), 4) AS view
+             {_CLICK_CELL} AS click,
+             {_VIEW_CELL} AS view
       FROM events GROUP BY user_id
     )
     SELECT user_id, metric, amount
@@ -949,11 +957,11 @@ def x22_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "x23_percentiles",
-    oracle="""
+    oracle=f"""
     SELECT event_type,
-           ROUND(quantile_cont(value, 0.5), 4) AS p50,
-           ROUND(quantile_cont(value, 0.9), 4) AS p90,
-           ROUND(quantile_cont(value, 0.99), 4) AS p99
+           {dround_sql("quantile_cont(value, 0.5)", 4)} AS p50,
+           {dround_sql("quantile_cont(value, 0.9)", 4)} AS p90,
+           {dround_sql("quantile_cont(value, 0.99)", 4)} AS p99
     FROM events GROUP BY event_type ORDER BY event_type
     """,
 )
@@ -967,9 +975,9 @@ def x23_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy("event_type")
         .agg(
-            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
-            F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
-            F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+            dround(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            dround(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+            dround(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
         )
         .orderBy("event_type")
     )
@@ -977,9 +985,9 @@ def x23_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "x27_salted_skew_join",
-    oracle="""
+    oracle=f"""
     SELECT s_name,
-           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum_qty,
+           {dsum_sql("l_quantity")} AS sum_qty,
            CAST(COUNT(*) AS BIGINT) AS n_items
     FROM (SELECT CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE l_suppkey END AS sk,
                  l_quantity

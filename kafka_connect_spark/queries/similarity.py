@@ -12,19 +12,23 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..functions.simfns import cosine_topk, ivf_cosine_topk, lsh_cosine_topk
-from .registry import query
+from .registry import dround, dround_sql, query
+
+
+_COS_SQL = dround_sql(
+    "list_dot_product(q.qv, e.v) / "
+    "(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v)))", 6
+)
 
 
 @query(
     "x13_ann_bruteforce_topk",
-    oracle="""
+    oracle=f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
     pairs AS (
       SELECT q.query_id, e.vec_id AS neighbor_id,
-             ROUND(list_dot_product(q.qv, e.v) /
-                   (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))),
-                   6) AS cos_sim
+             {_COS_SQL} AS cos_sim
       FROM q, e WHERE e.vec_id <> q.query_id
     )
     SELECT query_id, neighbor_id, cos_sim, rank FROM (
@@ -60,13 +64,16 @@ def x13b_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_cosine_topk(emb, queries, k=3, dim=64, n_planes=4, n_tables=12)
 
 
+_SQ_SQL = dround_sql("CAST(x AS DOUBLE) * CAST(x AS DOUBLE)", 6)
+
+
 @query(
     "x35_embedding_array_ops",
-    oracle="""
+    oracle=f"""
     SELECT vec_id,
            CAST(len(embedding) AS INT) AS dim,
            CAST(list_sum(list_transform(embedding, x ->
-                 CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 6)
+                 CAST({_SQ_SQL}
                       AS DECIMAL(38,6)))) AS DOUBLE) AS sum_sq,
            array_to_string(list_transform(embedding[1:4], x ->
                  CAST(CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS VARCHAR)),
@@ -88,7 +95,7 @@ def x35_embedding_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     formatting is compared."""
     e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
     sum_sq = F.aggregate(
-        F.transform("embedding", lambda v: F.round(v.cast("double") * v.cast("double"), 6).cast("decimal(38,6)")),
+        F.transform("embedding", lambda v: dround(v.cast("double") * v.cast("double"), 6).cast("decimal(38,6)")),
         F.lit(0).cast("decimal(38,6)"),
         lambda acc, v: acc + v,
     ).cast("double")

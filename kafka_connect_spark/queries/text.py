@@ -19,7 +19,7 @@ from ..functions.textfns import (
     stopword_ratio,
     token_count,
 )
-from .registry import query
+from .registry import dround, dround_sql, query
 
 
 def _sql_list(words: list[str]) -> str:
@@ -76,8 +76,8 @@ def x14b_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
              punct
       FROM t
     )
-    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, ROUND(sw_raw, 6) AS sw_ratio,
-           ROUND((least(n_tokens, 100) / 100.0 + least(sw_raw * 5, 1.0)) / 2.0 - punct, 4) AS quality
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, {dround_sql("sw_raw", 6)} AS sw_ratio,
+           {dround_sql("(least(n_tokens, 100) / 100.0 + least(sw_raw * 5, 1.0)) / 2.0 - punct", 4)} AS quality
     FROM s ORDER BY doc_id
     """,
 )
@@ -326,7 +326,7 @@ def x14i_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "x14j_repetition_score",
-    oracle="""
+    oracle=f"""
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
     g AS (
       SELECT doc_id, array_to_string(t[i:i+2], ' ') AS gram
@@ -334,7 +334,7 @@ def x14i_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE len(t) >= 3
     ),
     c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
-    s AS (SELECT doc_id, ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS repetition
+    s AS (SELECT doc_id, {dround_sql("CAST(MAX(c) AS DOUBLE) / SUM(c)", 6)} AS repetition
           FROM c GROUP BY doc_id)
     SELECT d.doc_id, COALESCE(s.repetition, 0.0) AS repetition
     FROM documents d LEFT JOIN s USING (doc_id) ORDER BY doc_id
@@ -397,7 +397,7 @@ def x24_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "x25_tfidf_top_terms",
-    oracle="""
+    oracle=f"""
     WITH tok AS (
       SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
       FROM documents
@@ -409,7 +409,7 @@ def x24_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
            GROUP BY doc_id, term),
     scored AS (
       SELECT tf.doc_id, tf.term,
-             ROUND(tf.tf * ln(CAST(n.n AS DOUBLE) / df_.df), 6) AS tfidf
+             {dround_sql("tf.tf * ln(CAST(n.n AS DOUBLE) / df_.df)", 6)} AS tfidf
       FROM tf JOIN df_ USING (term) CROSS JOIN n_docs n
     ),
     ranked AS (
@@ -443,7 +443,7 @@ def x25_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "term",
-            F.round(F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 6).alias("tfidf"),
+            dround(F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 6).alias("tfidf"),
         )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
@@ -609,13 +609,13 @@ def x30_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "x32_token_commonness",
-    oracle="""
+    oracle=f"""
     WITH tk AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
     ),
     cnt AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok)
     SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
-           ROUND(CAST(SUM(c) AS BIGINT) / CAST(count(*) AS DOUBLE), 6)
+           {dround_sql("CAST(SUM(c) AS BIGINT) / CAST(count(*) AS DOUBLE)", 6)}
              AS avg_commonness
     FROM tk JOIN cnt USING (tok)
     GROUP BY doc_id ORDER BY doc_id
@@ -637,7 +637,7 @@ def x32_token_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tok"),
-            F.round(F.sum("c") / F.count(F.lit(1)).cast("double"), 6).alias(
+            dround(F.sum("c") / F.count(F.lit(1)).cast("double"), 6).alias(
                 "avg_commonness"
             ),
         )

@@ -17,13 +17,13 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf, udf
 
 from ..catalog import load
-from .registry import query
+from .registry import dround_sql, query
 
 
 @query(
     "x15_pandas_udf_scalar",
-    oracle="""
-    SELECT event_id, ROUND(ln(1 + abs(value)), 6) AS log_value
+    oracle=f"""
+    SELECT event_id, {dround_sql("ln(1 + abs(value))", 6)} AS log_value
     FROM events ORDER BY event_id
     """,
 )
@@ -33,7 +33,9 @@ def x15_pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf("double")
     def log1p_abs(v: pd.Series) -> pd.Series:
-        return pd.Series(np.round(np.log1p(np.abs(v.to_numpy())), 6))
+        from ..functions.rounding import npround
+
+        return pd.Series(npround(np.log1p(np.abs(v.to_numpy())), 6))
 
     events = load(spark, sf_dir, "events")
     return events.select("event_id", log1p_abs("value").alias("log_value")).orderBy(
@@ -61,8 +63,8 @@ def x15b_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "x15c_pandas_udf_grouped_agg",
-    oracle="""
-    SELECT event_type, ROUND(avg(value), 4) AS mean_value
+    oracle=f"""
+    SELECT event_type, {dround_sql("avg(value)", 4)} AS mean_value
     FROM events GROUP BY event_type ORDER BY event_type
     """,
 )
@@ -71,7 +73,11 @@ def x15c_pandas_udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf("double")
     def mean4(v: pd.Series) -> float:
-        return round(float(v.mean()), 4)
+        import math
+
+        # deterministic floor-idiom round (see functions.rounding): Python's
+        # round() is half-EVEN and diverges from the SQL twin on boundaries
+        return math.floor(float(v.mean()) * 1e4 + 0.5) / 1e4
 
     events = load(spark, sf_dir, "events")
     return (
@@ -83,9 +89,9 @@ def x15c_pandas_udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "x15d_apply_in_pandas",
-    oracle="""
+    oracle=f"""
     SELECT event_id, event_type,
-           ROUND(value - avg(value) OVER (PARTITION BY event_type), 4) AS centered
+           {dround_sql("value - avg(value) OVER (PARTITION BY event_type)", 4)} AS centered
     FROM events ORDER BY event_id
     """,
 )
@@ -96,7 +102,9 @@ def x15d_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def center(pdf: pd.DataFrame) -> pd.DataFrame:
         out = pdf[["event_id", "event_type"]].copy()
-        out["centered"] = (pdf["value"] - pdf["value"].mean()).round(4)
+        from ..functions.rounding import npround
+
+        out["centered"] = npround((pdf["value"] - pdf["value"].mean()).to_numpy(), 4)
         return out
 
     events = load(spark, sf_dir, "events")

@@ -116,10 +116,29 @@ class IncrementalTableSource:
         The returned DataFrame is a deterministic range filter (no LIMIT),
         so offset snapshot, count, and sink write agree on the row set even
         if each triggers a separate evaluation."""
+        batch, _, _ = self._poll(spark)
+        return batch
+
+    def _poll(self, spark: SparkSession):
+        """One poll, probe folded: returns ``(batch_df, commit_offset,
+        exact_n)``.
+
+        The capped probe (ascending TakeOrdered over the increment + one
+        agg) yields the page's boundary offset — and because the batch is
+        exactly ``last < offset <= boundary`` with the boundary row
+        included, the probe's max IS the batch's max offset. Committing it
+        directly removes the separate ``max_offset_of`` job the poll loop
+        used to run per page (4 driver jobs/page -> 2 for unique-offset
+        modes). The same probe agg counts the prefix; in ``incrementing``
+        and dual mode offsets are unique, so that count is the exact batch
+        size (``exact_n``) and the caller can skip its count job too. In
+        single-``timestamp`` mode boundary ties can inflate the batch past
+        the prefix, so ``exact_n`` is None and the caller counts.
+        """
         df = self._base_df(spark)
         last = self.last_offset()
         if self.mode == "timestamp+incrementing":
-            return self._read_increment_dual(df, last)
+            return self._poll_dual(df, last)
         if last is not None:
             lower = (
                 F.lit(last).cast("timestamp")
@@ -127,22 +146,28 @@ class IncrementalTableSource:
                 else F.lit(last)
             )
             df = df.filter(F.col(self.offset_column) > lower)
-        if self.batch_max_rows is not None:
-            # Probe the n-th smallest offset (1-row driver scalar), then cut
-            # the batch at that boundary INCLUSIVE — rows tied with the
-            # boundary are all emitted now, never stranded past a truncation.
-            probe = (
-                df.orderBy(self.offset_column)
-                .limit(self.batch_max_rows)
-                .agg(F.max(self.offset_column).alias("b"))
-                .collect()[0]["b"]
+        if self.batch_max_rows is None:
+            return df, None, None
+        # Probe the n-th smallest offset (1-row driver scalar), then cut
+        # the batch at that boundary INCLUSIVE — rows tied with the
+        # boundary are all emitted now, never stranded past a truncation.
+        probe = (
+            df.orderBy(self.offset_column)
+            .limit(self.batch_max_rows)
+            .agg(
+                F.max(self.offset_column).alias("b"),
+                F.count(F.lit(1)).alias("n"),
             )
-            if probe is None:
-                return df.limit(0)
-            df = df.filter(F.col(self.offset_column) <= F.lit(probe))
-        return df
+            .collect()[0]
+        )
+        if probe["b"] is None:
+            return df.limit(0), None, 0
+        batch = df.filter(F.col(self.offset_column) <= F.lit(probe["b"]))
+        commit = self._fmt_offset(probe["b"])
+        exact_n = int(probe["n"]) if self.mode == "incrementing" else None
+        return batch, commit, exact_n
 
-    def _read_increment_dual(self, df: DataFrame, last) -> DataFrame:
+    def _poll_dual(self, df: DataFrame, last):
         """``timestamp+incrementing`` (the reference JDBC source's dual
         mode): the offset is the COMPOSITE (timestamp, id), which is unique
         per row — so a capped poll can cut anywhere without the tie-group
@@ -155,18 +180,31 @@ class IncrementalTableSource:
         if last is not None:
             lts = F.lit(last["ts"]).cast("timestamp")
             df = df.filter((tsc > lts) | ((tsc == lts) & (idc > F.lit(last["id"]))))
-        if self.batch_max_rows is not None:
-            probe = (
-                df.orderBy(self.offset_column, self.incrementing_column)
-                .limit(self.batch_max_rows)
-                .agg(F.max(F.struct(tsc.alias("ts"), idc.alias("id"))).alias("b"))
-                .collect()[0]["b"]
+        if self.batch_max_rows is None:
+            return df, None, None
+        probe = (
+            df.orderBy(self.offset_column, self.incrementing_column)
+            .limit(self.batch_max_rows)
+            .agg(
+                F.max(F.struct(tsc.alias("ts"), idc.alias("id"))).alias("b"),
+                F.count(F.lit(1)).alias("n"),
             )
-            if probe is None:
-                return df.limit(0)
-            bts = F.lit(probe["ts"]).cast("timestamp")
-            df = df.filter((tsc < bts) | ((tsc == bts) & (idc <= F.lit(probe["id"]))))
-        return df
+            .collect()[0]
+        )
+        b = probe["b"]
+        if b is None:
+            return df.limit(0), None, 0
+        bts = F.lit(b["ts"]).cast("timestamp")
+        batch = df.filter((tsc < bts) | ((tsc == bts) & (idc <= F.lit(b["id"]))))
+        ts = b["ts"]
+        commit = {
+            "ts": ts.isoformat(sep=" ") if hasattr(ts, "isoformat") else ts,
+            "id": b["id"],
+        }
+        return batch, commit, int(probe["n"])
+
+    def _fmt_offset(self, m):
+        return m.isoformat(sep=" ") if hasattr(m, "isoformat") else m
 
     def max_offset_of(self, batch: DataFrame):
         if self.mode == "timestamp+incrementing":
@@ -189,7 +227,7 @@ class IncrementalTableSource:
         m = row["m"]
         if m is None:
             return None
-        return m.isoformat(sep=" ") if hasattr(m, "isoformat") else m
+        return self._fmt_offset(m)
 
     def run_once(
         self,
@@ -198,20 +236,32 @@ class IncrementalTableSource:
         transform: Callable[[DataFrame], DataFrame] | None = None,
     ) -> int:
         """poll -> transform chain -> sink -> commit offset. Returns rows
-        emitted (0 = caught up)."""
-        batch = self.read_increment(spark)
-        if self.batch_max_rows is not None:
-            # Bounded poll: the batch is already a deterministic range filter
-            # (see read_increment); cache purely to avoid re-scanning for the
-            # offset snapshot, count, and sink write.
+        emitted (0 = caught up).
+
+        Driver-job budget per capped page (the legacy S1/S2 poll loop's
+        scale cost): ONE probe job + ONE sink job when the offset is unique
+        (``incrementing`` / dual mode, no transform) — the probe already
+        yields both the commit offset and the exact batch size (see
+        ``_poll``). Single-``timestamp`` mode (tie inflation) or a
+        cardinality-changing ``transform`` adds one count job over the
+        cached batch."""
+        batch, commit, exact_n = self._poll(spark)
+        if commit is None and self.batch_max_rows is not None:
+            return 0  # capped poll, empty probe: caught up
+        need_count = exact_n is None or transform is not None
+        cache = need_count  # only multi-consumer batches benefit
+        if cache:
             batch = batch.cache()
-        new_offset = self.max_offset_of(batch)
-        if new_offset is None:
-            return 0
+        if commit is None:
+            commit = self.max_offset_of(batch)
+            if commit is None:
+                if cache:
+                    batch.unpersist()
+                return 0
         out = transform(batch) if transform is not None else batch
-        n = out.count()
+        n = out.count() if need_count else exact_n
         sink(out)
-        self.commit(new_offset)  # commit AFTER sink => at-least-once
-        if self.batch_max_rows is not None:
+        self.commit(commit)  # commit AFTER sink => at-least-once
+        if cache:
             batch.unpersist()
         return n

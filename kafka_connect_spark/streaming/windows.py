@@ -15,11 +15,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.rounding import dround
+
 
 def _aggs(value_col: str) -> list[Column]:
     return [
         F.count(F.lit(1)).alias("cnt"),
-        F.round(F.sum(F.col(value_col).cast("decimal(38,6)")).cast("double"), 4).alias(
+        dround(F.sum(F.col(value_col).cast("decimal(38,6)")).cast("double"), 4).alias(
             "sum_value"
         ),
     ]
@@ -81,7 +83,7 @@ def rate_agg(
     return (
         df.groupBy(win)
         .agg(
-            F.round(
+            dround(
                 (F.max(value_col) - F.min(value_col)) / F.lit(window_seconds), 6
             ).alias("rate_per_sec")
         )
@@ -151,7 +153,7 @@ def deriv_agg(
     return a.select(
         F.col("win.start").alias("w"),
         key_col,
-        F.round(
+        dround(
             F.col("num").cast("double") / F.col("den").cast("double") / F.lit(6000.0), 6
         ).alias("deriv_per_sec"),
     )
@@ -185,7 +187,7 @@ def predict_linear_agg(
         / F.lit(100.0)
     )
     return a.select(
-        F.col("win.start").alias("w"), key_col, F.round(pred, 6).alias("predicted")
+        F.col("win.start").alias("w"), key_col, dround(pred, 6).alias("predicted")
     )
 
 

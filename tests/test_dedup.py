@@ -123,3 +123,43 @@ def test_dup_clusters_long_chain_raises_on_nonconvergence(spark):
 
     got = {r["doc_id"]: r["cluster"] for r in dup_clusters(chain, max_iters=25).collect()}
     assert set(got.values()) == {0} and len(got) == 20
+
+
+def test_containment_cap_excludes_hot_shingle_keeps_sizes_exact(spark):
+    """The containment df-cap must (a) drop a hot shingle from the JOIN so
+    it can't produce O(N^2) pair rows, while (b) keeping |A| (the
+    containment denominator) computed from the UNCAPPED shingle set — the
+    one-sided lower-bound bias the docstring promises."""
+    from kafka_connect_spark.functions.dedupfns import ngram_containment_pairs
+
+    # every doc shares the hot 3-gram "x y z"; docs 0 and 1 additionally
+    # share their entire remaining text (true containment pair)
+    rows = [
+        (0, "x y z a b c d"),
+        (1, "x y z a b c d e"),
+        (2, "x y z q r s t"),
+        (3, "x y z u v w k"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    # uncapped: the hot shingle contributes to every pair's intersection
+    unc = {
+        (r["id_a"], r["id_b"]): (r["containment_a"], r["containment_b"])
+        for r in ngram_containment_pairs(df, threshold=0.0).collect()
+    }
+    # capped at 3 (< 4 docs): "x y z" leaves the join; pairs that only
+    # shared hot shingles disappear, and surviving intersections shrink
+    cap = {
+        (r["id_a"], r["id_b"]): (r["containment_a"], r["containment_b"])
+        for r in ngram_containment_pairs(
+            df, threshold=0.0, max_shingle_freq=3
+        ).collect()
+    }
+    assert set(cap) < set(unc)  # hot-only pairs pruned
+    assert (0, 1) in cap
+    # doc 0: 5 shingles uncapped; capped intersection with doc 1 loses ONLY
+    # the hot shingle (4 shared of 5) -> denominator must still be 5
+    assert cap[(0, 1)][0] == 0.8
+    # lower-bound bias: capped containment never exceeds uncapped
+    for k, (ca, cb) in cap.items():
+        assert ca <= unc[k][0] and cb <= unc[k][1]
