@@ -139,6 +139,55 @@ def validate_config(plugin_type: str, spec: dict) -> dict:
     }
 
 
+def task_configs(spec: dict) -> list[dict]:
+    """Connect's ``Connector.taskConfigs(maxTasks)`` analog: split a
+    multi-table source across tasks. The reference JDBC source connector
+    takes a table whitelist plus ``tasks.max`` (README.md:92 shows
+    ``tasks.max=1``; the Connect herder round-robins the whitelist across
+    ``min(len(tables), tasks.max)`` tasks, each polling its subset with
+    independent per-table offsets). Here: a source spec carrying
+    ``tables: [...]`` and ``tasks.max: N`` yields one task config per
+    group; a single-table spec yields the one task the r1-r5 herder always
+    modeled. Partitioning WITHIN a table stays Spark's job (the scan is
+    partition-parallel regardless) — tasks multiply only across tables."""
+    source = dict(spec.get("source") or {})
+    tables = source.get("tables")
+    if not tables:
+        return [dict(source, **{"task.class": "pipeline"})]
+    tasks_max = int(source.get("tasks.max", 1))
+    n = max(1, min(len(tables), tasks_max))
+    groups = [list(tables[i::n]) for i in range(n)]
+    return [
+        dict(source, tables=g, **{"task.class": "pipeline"}) for g in groups
+    ]
+
+
+def expand_table_spec(spec: dict, table: str) -> dict:
+    """Expand a multi-table pipeline spec into the single-table spec one
+    task runs for one of its tables: ``{table}`` placeholders in the source
+    and sink paths resolve to the table name (Connect's topic-per-table
+    routing analog), ``jdbc_incremental`` gets its ``table`` option set,
+    and ``state.dir`` gains a per-table subdirectory so every table's
+    offset advances independently — the Connect JDBC source keeps one
+    source-offset map entry per table for exactly this reason."""
+    sub = json.loads(json.dumps(spec))  # deep copy; specs are plain JSON
+    src = sub["source"]
+    src.pop("tables", None)
+    src.pop("tasks.max", None)
+    for key in ("path", "connection.url"):
+        if isinstance(src.get(key), str):
+            src[key] = src[key].replace("{table}", table)
+    if src.get("type") == "jdbc_incremental":
+        src["table"] = table
+    if isinstance(src.get("state.dir"), str):
+        src["state.dir"] = os.path.join(src["state.dir"], table)
+    sink = sub.get("sink") or {}
+    if isinstance(sink.get("path"), str):
+        sink["path"] = sink["path"].replace("{table}", table)
+    sub["name"] = f"{sub.get('name', 'pipeline')}-{table}"
+    return sub
+
+
 class Herder:
     def __init__(self, spark: SparkSession, config_dir: str) -> None:
         self.spark = spark
@@ -168,7 +217,19 @@ class Herder:
         """Create or update a pipeline config; (re)start streaming specs.
         Batch specs are stored and executed via ``run_once``."""
         spec = dict(spec, name=name)
-        Pipeline(spec)  # validate before persisting (fail-fast like Connect)
+        # validate before persisting (fail-fast like Connect); a
+        # multi-table spec validates via its first per-table expansion —
+        # the template spec itself isn't runnable until a table binds
+        tables = (spec.get("source") or {}).get("tables")
+        if tables:
+            if spec.get("streaming"):
+                raise ValueError(
+                    "tables/tasks.max applies to polled (batch) sources; "
+                    "streaming specs parallelize within the query"
+                )
+            Pipeline(expand_table_spec(spec, tables[0]))
+        else:
+            Pipeline(spec)
         with self._lock:
             self._stop_locked(name)
             tmp = self._config_path(name) + ".tmp"
@@ -188,8 +249,20 @@ class Herder:
         return self.status(name)
 
     def run_once(self, name: str) -> int:
-        """Execute a batch pipeline (one poll for incremental sources)."""
-        return Pipeline(self.get_config(name)).run(self.spark)
+        """Execute a batch pipeline (one poll for incremental sources).
+        A multi-table spec runs one poll per table across all its tasks —
+        every table's offset commits independently (per-table state dir,
+        see ``expand_table_spec``), so a failure mid-way re-polls only the
+        tables that hadn't committed, exactly Connect's per-table
+        source-offset contract."""
+        spec = self.get_config(name)
+        if not (spec.get("source") or {}).get("tables"):
+            return Pipeline(spec).run(self.spark)
+        total = 0
+        for tc in task_configs(spec):
+            for table in tc["tables"]:
+                total += Pipeline(expand_table_spec(spec, table)).run(self.spark)
+        return total
 
     def _stop_locked(self, name: str) -> bool:
         """Internal: caller holds self._lock."""
@@ -295,18 +368,18 @@ class Herder:
 
     def tasks(self, name: str) -> list[dict] | None:
         """GET /connectors/<name>/tasks analog (reference README.md:115-131
-        shows the task array inside the status payload; tasks.max=1 in the
-        walkthrough README.md:92): one task per pipeline, carrying the
-        compiled source config — a Structured Streaming query parallelizes
-        WITHIN the task via partitions instead of multiplying tasks."""
+        shows the task array inside the status payload; tasks.max in the
+        walkthrough README.md:92): one task per ``task_configs`` group — a
+        single-table pipeline keeps the one task the Connect walkthrough
+        shows, a ``tables``+``tasks.max`` spec fans out like the Connect
+        JDBC connector's whitelist split. Within a table, a Spark query
+        parallelizes via partitions instead of multiplying tasks."""
         if name not in self.list():
             return None
         spec = self.get_config(name)
         return [
-            {
-                "id": {"connector": name, "task": 0},
-                "config": dict(spec.get("source", {}), **{"task.class": "pipeline"}),
-            }
+            {"id": {"connector": name, "task": i}, "config": tc}
+            for i, tc in enumerate(task_configs(spec))
         ]
 
     def task_status(self, name: str, task_id: int) -> dict:

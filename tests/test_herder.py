@@ -249,3 +249,90 @@ def test_tasks_and_plugin_endpoints(spark, tmp_path, herder):
             get("/connectors/tk/tasks/5/status")
     finally:
         httpd.shutdown()
+
+
+def _multi_table_spec(tmp_path, tables, tasks_max):
+    return {
+        "source": {
+            "type": "incremental",
+            "path": str(tmp_path / "{table}.parquet"),
+            "tables": tables,
+            "tasks.max": tasks_max,
+            "offset.column": "id",
+            "state.dir": str(tmp_path / "state"),
+        },
+        "sink": {"type": "parquet", "path": str(tmp_path / "out" / "{table}")},
+    }
+
+
+def test_tasks_max_splits_whitelist(spark, tmp_path, herder):
+    """tasks.max > 1: a 3-table whitelist over 2 tasks round-robins into
+    groups of 2 and 1 (Connect JDBC connector's taskConfigs split;
+    reference README.md:92 tasks.max)."""
+    for t in ("ta", "tb", "tc"):
+        spark.createDataFrame([(1, t)], ["id", "v"]).write.parquet(
+            str(tmp_path / f"{t}.parquet")
+        )
+    herder.put("multi", _multi_table_spec(tmp_path, ["ta", "tb", "tc"], 2))
+    tasks = herder.tasks("multi")
+    assert [t["id"]["task"] for t in tasks] == [0, 1]
+    groups = [t["config"]["tables"] for t in tasks]
+    assert groups == [["ta", "tc"], ["tb"]]
+    # every table lands in exactly one task
+    assert sorted(sum(groups, [])) == ["ta", "tb", "tc"]
+    # tasks.max larger than the whitelist clamps to one task per table
+    herder.put("wide", _multi_table_spec(tmp_path, ["ta", "tb"], 8))
+    assert len(herder.tasks("wide")) == 2
+    st = herder.task_status("multi", 1)
+    assert st["id"] == 1 and st["state"] == "UNASSIGNED"  # batch spec
+
+
+def test_tasks_max_independent_offsets_survive_restart(spark, tmp_path):
+    """Per-table offsets: each table's poll commits its own offset file;
+    a NEW herder instance (restart) resumes every table from its own
+    committed position — only the table that grew re-emits rows."""
+    for t, n in (("ta", 2), ("tb", 3)):
+        spark.createDataFrame(
+            [(i, t) for i in range(1, n + 1)], ["id", "v"]
+        ).write.parquet(str(tmp_path / f"{t}.parquet"))
+    h1 = Herder(spark, str(tmp_path / "configs"))
+    try:
+        h1.put("mt", _multi_table_spec(tmp_path, ["ta", "tb"], 2))
+        assert h1.run_once("mt") == 5  # 2 + 3, both tables drained
+        assert h1.run_once("mt") == 0  # caught up
+        for t in ("ta", "tb"):
+            assert (tmp_path / "state" / t / "offset.json").exists()
+        assert json.loads((tmp_path / "state" / "ta" / "offset.json").read_text())[
+            "offset"
+        ] == 2
+        assert json.loads((tmp_path / "state" / "tb" / "offset.json").read_text())[
+            "offset"
+        ] == 3
+    finally:
+        h1.shutdown()
+    # grow only ta, restart the herder: only ta's increment is emitted
+    spark.createDataFrame([(7, "ta"), (8, "ta")], ["id", "v"]).write.mode(
+        "append"
+    ).parquet(str(tmp_path / "ta.parquet"))
+    h2 = Herder(spark, str(tmp_path / "configs"))
+    try:
+        assert h2.run_once("mt") == 2
+        assert json.loads((tmp_path / "state" / "ta" / "offset.json").read_text())[
+            "offset"
+        ] == 8
+        assert json.loads((tmp_path / "state" / "tb" / "offset.json").read_text())[
+            "offset"
+        ] == 3
+        # sink paths resolved per table
+        assert spark.read.parquet(str(tmp_path / "out" / "ta")).count() == 4
+        assert spark.read.parquet(str(tmp_path / "out" / "tb")).count() == 3
+    finally:
+        h2.shutdown()
+
+
+def test_tasks_max_streaming_rejected(spark, tmp_path, herder):
+    spec = _multi_table_spec(tmp_path, ["ta"], 2)
+    spec["streaming"] = True
+    with pytest.raises(ValueError, match="tables/tasks.max"):
+        herder.put("bad-mt", spec)
+    assert "bad-mt" not in herder.list()
