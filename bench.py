@@ -98,6 +98,17 @@ HEADLINE = [
     "x44_cross_source_dup_matrix",
     "x45_returned_revenue_q10",
     "x46_large_orders_q18",
+    # round 6 additions
+    "x47_priority_check_q4",
+    "x48_suppliers_kept_waiting_q21",
+    "x49_dormant_rich_customers_q22",
+    "x50_top_supplier_q15",
+    "x51_supplier_count_q16",
+    "x52_small_qty_revenue_q17",
+    "x53_unigram_lm_score",
+    "x54_bigram_lm_score",
+    "x55_temperature_mixture_weights",
+    "x56_time_range_rolling",
 ]
 
 

@@ -848,3 +848,43 @@ def x42_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("active_users"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+@query(
+    "x56_time_range_rolling",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ) AS DECIMAL(38,6)) AS rolling_1h
+    FROM events ORDER BY event_id
+    """,
+)
+def x56_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per-user rolling 1-hour sum, the frame
+    bounded by the TIMESTAMP DISTANCE (RANGE BETWEEN INTERVAL), not a row
+    count — irregular event spacing means ROWS frames are simply wrong
+    here. Spark expresses interval ranges as ``rangeBetween`` over the
+    epoch-seconds ordering key (bounds inclusive on both engines; ts ties
+    are frame peers in both). One shuffle on user_id, each partition sorts
+    once and the frame slides linearly; values accumulate in
+    DECIMAL(38,6) so the running sum is order-exact cross-engine."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .over(w)
+            .cast("decimal(38,6)")
+            .alias("rolling_1h"),
+        )
+        .orderBy("event_id")
+    )

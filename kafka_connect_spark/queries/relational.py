@@ -1128,3 +1128,287 @@ def x46_large_orders_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# X47-X52 — correlated-subquery TPC-H shapes (Q4/Q21/Q22/Q15/Q16/Q17).
+# The fixture schema has no l_commitdate/l_receiptdate, so "late" is
+# l_shipdate > o_orderdate + 60 days throughout; every float boundary
+# comparison is cross-multiplied into exact DECIMAL/BIGINT arithmetic so
+# set membership can never flip on a 1-ulp engine difference.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x47_priority_check_q4",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def x47_priority_check_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: order-priority checking — count orders in a window
+    that had at least one late-shipped line. The correlated EXISTS
+    decorrelates to a LEFT SEMI join on the order key with the lateness
+    predicate as a join-side condition: one shuffle on l_orderkey, the
+    date-window filter pushed into the orders scan, and the semi join
+    short-circuits per key (no row multiplication before the agg)."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    late = li["l_shipdate"] > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    return (
+        o.join(li, (o["o_orderkey"] == li["l_orderkey"]) & late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "x48_suppliers_kept_waiting_q21",
+    oracle="""
+    WITH base AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY AS late
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+    ),
+    cand AS (SELECT DISTINCT l_orderkey, l_suppkey FROM base WHERE late)
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM cand c JOIN supplier s ON c.l_suppkey = s.s_suppkey
+    WHERE EXISTS (SELECT 1 FROM base b
+                  WHERE b.l_orderkey = c.l_orderkey
+                    AND b.l_suppkey <> c.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM base b
+                      WHERE b.l_orderkey = c.l_orderkey
+                        AND b.l_suppkey <> c.l_suppkey AND b.late)
+    GROUP BY s.s_name ORDER BY numwait DESC, s.s_name LIMIT 10
+    """,
+)
+def x48_suppliers_kept_waiting_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on
+    multi-supplier finished orders. The two correlated subqueries
+    decorrelate to one LEFT SEMI (some other supplier participated) and
+    one LEFT ANTI (no other supplier was late) against the same derived
+    ``base`` — all three joins hash on l_orderkey, so at scale they run in
+    one partitioning (no re-shuffle between the semi and anti stages);
+    supplier is a broadcast dim. DISTINCT before the joins keeps the
+    candidate side |late (order,supp) pairs|, not |lineitem|."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    base = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias("late"),
+        )
+    )
+    cand = base.filter("late").select("l_orderkey", "l_suppkey").distinct()
+    other = base.select(
+        F.col("l_orderkey").alias("b_orderkey"), F.col("l_suppkey").alias("b_suppkey"), "late"
+    )
+    kept = (
+        cand.join(
+            other,
+            (F.col("l_orderkey") == F.col("b_orderkey"))
+            & (F.col("l_suppkey") != F.col("b_suppkey")),
+            "left_semi",
+        )
+        .join(
+            other.filter("late"),
+            (F.col("l_orderkey") == F.col("b_orderkey"))
+            & (F.col("l_suppkey") != F.col("b_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        kept.join(F.broadcast(s), kept["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )
+
+
+@query(
+    "x49_dormant_rich_customers_q22",
+    oracle="""
+    WITH pos AS (SELECT SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS s,
+                        CAST(COUNT(*) AS BIGINT) AS n
+                 FROM customer WHERE c_acctbal > 0)
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_custs,
+           SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS total_bal
+    FROM customer c CROSS JOIN pos
+    WHERE CAST(c.c_acctbal AS DECIMAL(38,6)) * pos.n > pos.s
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def x49_dormant_rich_customers_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape adapted to the fixture (every customer has SOME
+    order, so 'no orders at all' is empty): above-average-balance
+    customers with no RECENT order. The scalar AVG subquery broadcasts as
+    a 1-row cross join; the above-average test cross-multiplies
+    (bal * n > sum) in exact DECIMAL so the boundary can't flip on a
+    float division ulp; the NOT EXISTS decorrelates to a LEFT ANTI join
+    against date-filtered orders (filter pushed into the scan — the anti
+    side is |recent orders|, not |orders|)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    pos = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            F.sum(F.col("c_acctbal").cast("decimal(38,6)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return (
+        c.crossJoin(F.broadcast(pos))  # 1-row scalar
+        .filter(F.col("c_acctbal").cast("decimal(38,6)") * F.col("n") > F.col("s"))
+        .join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.sum(F.col("c_acctbal").cast("decimal(38,6)")).alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "x50_top_supplier_q15",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS r
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, {dround_sql("CAST(r AS DOUBLE)")} AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE r = (SELECT MAX(r) FROM rev)
+    ORDER BY s_suppkey
+    """,
+)
+def x50_top_supplier_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the revenue view + 'supplier(s) at the max'. The
+    view aggregates lineitem once (ship-window filter pushed to the scan);
+    the scalar MAX broadcasts back over the tiny aggregated view (|rev| =
+    |suppliers|), so lineitem is scanned exactly once. Revenue accumulates
+    in DECIMAL(38,6), making the r = MAX(r) equality exact — the classic
+    Q15 float-equality trap never fires."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(38,6)"
+                )
+            ).alias("r")
+        )
+    )
+    mx = rev.agg(F.max("r").alias("mr"))
+    return (
+        s.join(rev, s["s_suppkey"] == rev["l_suppkey"])
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("r") == F.col("mr"))
+        .select("s_suppkey", "s_name", dround(F.col("r").cast("double")).alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "x51_supplier_count_q16",
+    oracle="""
+    SELECT p_brand, p_size, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#45' AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_size ORDER BY n_supp DESC, p_brand, p_size
+    """,
+)
+def x51_supplier_count_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (partsupp stood in by lineitem's part-supplier
+    pairs): distinct supplier count per part attribute, excluding an
+    unwanted supplier set. The NOT IN subquery decorrelates to a LEFT
+    ANTI against the (tiny, broadcast) negative-balance supplier list —
+    s_suppkey is non-null in the fixture, so anti-join and NOT IN
+    semantics coincide; the part filters prune before the fact join."""
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    li = load(spark, sf_dir, "lineitem")
+    bad = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    return (
+        li.join(bad, "l_suppkey", "left_anti")
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("n_supp"))
+        .orderBy(F.desc("n_supp"), "p_brand", "p_size")
+    )
+
+
+@query(
+    "x52_small_qty_revenue_q17",
+    oracle=f"""
+    WITH pa AS (
+      SELECT l_partkey AS pk,
+             SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sq,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY l_partkey)
+    SELECT {dround_sql("CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7.0")} AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    JOIN pa ON pa.pk = l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND CAST(l_quantity AS DECIMAL(38,6)) * 5 * n < sq
+    """,
+)
+def x52_small_qty_revenue_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue lost to small-quantity orders. The
+    correlated 0.2*AVG(l_quantity) subquery decorrelates to a per-part
+    aggregate joined back to lineitem — both sides hash on l_partkey, one
+    shuffle. The quantity threshold cross-multiplies (qty*5*n < sum) in
+    exact DECIMAL/BIGINT so the 0.2*avg boundary is ulp-proof; the brand
+    filter broadcasts part to prune before the agg join."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("sq"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(pa, li["l_partkey"] == pa["pk"])
+        .filter(F.col("l_quantity").cast("decimal(38,6)") * 5 * F.col("n") < F.col("sq"))
+        .agg(
+            dround(
+                F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).cast("double")
+                / 7.0
+            ).alias("avg_yearly")
+        )
+    )

@@ -693,3 +693,170 @@ def x39_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_parallel(spark, sf_dir, "documents")
     merges, _ = bpe_train(d, num_merges=10)
     return merges.orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# X53-X55 — statistical LM scoring + mixture design (training-data curation:
+# perplexity-proxy quality filters and temperature-scaled domain weights).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x53_unigram_lm_score",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    vocab AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+              FROM tok GROUP BY token),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
+    scored AS (
+      SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             sum(CAST(ln(v.cnt) AS DECIMAL(38,6))) AS slc
+      FROM tok t JOIN vocab v ON t.token = v.token
+      GROUP BY t.doc_id)
+    SELECT doc_id, n_tokens,
+           {dround_sql("ln(total) - CAST(slc AS DOUBLE) / n_tokens")} AS lm_score
+    FROM scored CROSS JOIN tot ORDER BY doc_id
+    """,
+)
+def x53_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM negative-log-likelihood per document — the classic
+    perplexity-proxy quality filter (high score = tokens rare in this
+    corpus = gibberish or off-distribution). score = -avg ln p(tok)
+    = ln(N) - avg ln cnt(tok). Plan: one explode + one token hash-agg
+    builds the LM; the score join hashes on token (both sides partial-agg
+    first, so the shuffle carries |vocab| + |tokens|, never |docs|x|vocab|);
+    the corpus total broadcasts as a 1-row scalar. Per-token ln values
+    quantize to DECIMAL(38,6) before the sum so accumulation order can't
+    shift the last ulps between engines."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").alias("total"))
+    scored = (
+        tok.join(vocab, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.log(F.col("cnt").cast("double")).cast("decimal(38,6)")).alias("slc"),
+        )
+    )
+    return (
+        scored.crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "n_tokens",
+            dround(
+                F.log(F.col("total").cast("double"))
+                - F.col("slc").cast("double") / F.col("n_tokens")
+            ).alias("lm_score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "x54_bigram_lm_score",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    big AS (
+      SELECT doc_id, unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bg,
+             unnest([t[i] for i in range(1, len(t))]) AS w1
+      FROM toks WHERE len(t) >= 2),
+    bcnt AS (SELECT bg, CAST(count(*) AS BIGINT) AS cb FROM big GROUP BY bg),
+    ucnt AS (SELECT w1, CAST(count(*) AS BIGINT) AS cu FROM big GROUP BY w1),
+    scored AS (
+      SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             sum(CAST(ln(CAST(bc.cb AS DOUBLE) / uc.cu) AS DECIMAL(38,6))) AS s
+      FROM big b JOIN bcnt bc ON b.bg = bc.bg JOIN ucnt uc ON b.w1 = uc.w1
+      GROUP BY b.doc_id)
+    SELECT doc_id, n_bigrams,
+           {dround_sql("-CAST(s AS DOUBLE) / n_bigrams")} AS lm_score
+    FROM scored ORDER BY doc_id
+    """,
+)
+def x54_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM conditional NLL per document: score =
+    -avg ln [cnt(w1 w2) / cnt(w1 ·)], the next-token-surprise version of
+    x53 (catches shuffled-word salad that unigram stats miss). Bigrams
+    materialize as a JVM higher-order transform over the token array (no
+    Python UDF); counts and the two probability joins all hash on the
+    bigram/prefix keys with map-side partial aggregation. The count ratio
+    is formed per row from exact BIGINTs, then ln quantizes to decimal for
+    order-independent summation."""
+    d = load(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    big = (
+        d.select("doc_id", t.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - 2),
+                    lambda i: F.struct(
+                        F.concat(F.col("t")[i], F.lit(" "), F.col("t")[i + 1]).alias("bg"),
+                        F.col("t")[i].alias("w1"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.bg", "p.w1")
+    )
+    bcnt = big.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
+    ucnt = big.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
+    scored = (
+        big.join(bcnt, "bg")
+        .join(ucnt, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(
+                F.log(F.col("cb").cast("double") / F.col("cu")).cast("decimal(38,6)")
+            ).alias("s"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        dround(-F.col("s").cast("double") / F.col("n_bigrams")).alias("lm_score"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "x55_temperature_mixture_weights",
+    oracle=f"""
+    WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+    w AS (SELECT lang, n, sqrt(CAST(n AS DOUBLE)) AS raw FROM c),
+    z AS (SELECT sum(CAST(raw AS DECIMAL(38,6))) AS zsum FROM w)
+    SELECT lang, n, {dround_sql("raw / CAST(zsum AS DOUBLE)", 6)} AS weight,
+           CAST({dround_sql("raw / CAST(zsum AS DOUBLE) * 1000000", 0)} AS BIGINT)
+             AS samples_per_m
+    FROM w CROSS JOIN z ORDER BY lang
+    """,
+)
+def x55_temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixture (the multilingual-sampling rule
+    p_i ~ n_i^alpha with alpha = 0.5): upweights low-resource domains
+    relative to their raw share. sqrt is IEEE correctly-rounded in both
+    engines, so raw weights are bit-identical; the normalizer accumulates
+    in decimal. Emits both the normalized weight and an integer
+    samples-per-million quota (what a sampler actually consumes). The
+    whole query runs on the tiny per-domain count table — one hash-agg
+    over the corpus, then scalar broadcast arithmetic."""
+    d = load(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    w = c.select("lang", "n", F.sqrt(F.col("n").cast("double")).alias("raw"))
+    z = w.agg(F.sum(F.col("raw").cast("decimal(38,6)")).alias("zsum"))
+    return (
+        w.crossJoin(F.broadcast(z))
+        .select(
+            "lang",
+            "n",
+            dround(F.col("raw") / F.col("zsum").cast("double"), 6).alias("weight"),
+            dround(F.col("raw") / F.col("zsum").cast("double") * 1_000_000, 0)
+            .cast("bigint")
+            .alias("samples_per_m"),
+        )
+        .orderBy("lang")
+    )

@@ -27,6 +27,13 @@ def get_spark(
         # AQE: runtime partition coalescing + skew-join splitting. At 100 TB
         # these matter more than any static setting.
         .config("spark.sql.adaptive.enabled", "true")
+        # Heap: PySpark's default driver memory is 1g — far too small for a
+        # local[32] JVM that is simultaneously driver and all executors
+        # (scale probes at >= 4x sf0.1 OOM there). Must be set before the
+        # JVM launches; no-op for an already-running session.
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+        )
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle))

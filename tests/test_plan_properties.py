@@ -142,3 +142,55 @@ def test_x46_q18_aggregates_before_join(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2
     assert "TakeOrderedAndProject" in plan
     assert plan.index("Join") < plan.index("HashAggregate")
+
+
+def test_x47_q4_exists_is_semi_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "x47_priority_check_q4")
+    # correlated EXISTS decorrelated to a semi join carrying the lateness
+    # predicate — no row multiplication before the aggregate
+    assert "LeftSemi" in plan
+    assert "INTERVAL '60' DAY" in plan
+    assert plan.count("HashAggregate") >= 2  # partial+final
+    # the order-date window reaches the orders scan
+    assert "(o_orderdate" in plan[plan.index("FileScan") :]
+
+
+def test_x48_q21_semi_anti_share_orderkey_partitioning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "x48_suppliers_kept_waiting_q21")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "TakeOrderedAndProject" in plan  # top-10, no global sort
+    # supplier is a broadcast dim, never shuffled
+    assert "BroadcastHashJoin [l_suppkey" in plan
+
+
+def test_x49_q22_anti_side_prefiltered_scalar_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "x49_dormant_rich_customers_q22")
+    assert "LeftAnti" in plan
+    # the 1-row average broadcasts (identity mode), not a shuffled join
+    assert "IdentityBroadcastMode" in plan
+    # recent-orders date filter is pushed into the anti side's scan
+    assert "o_orderdate" in plan.split("LeftAnti", 1)[1]
+
+
+def test_x52_q17_decorrelated_avg_joins_on_partkey(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "x52_small_qty_revenue_q17")
+    # the 0.2*avg subquery became a per-part aggregate joined on l_partkey
+    assert "hashpartitioning(l_partkey" in plan
+    # brand filter pushed into the part scan before any join
+    assert "Brand#23" in plan
+    # boundary test runs in exact decimal, not double division
+    assert "decimal(38,6)" in plan
+
+
+def test_x56_range_frame_partitioned_per_user(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "x56_time_range_rolling")
+    assert "RangeFrame, -3600" in plan  # time-distance frame, not ROWS
+    assert "hashpartitioning(user_id" in plan  # per-series, never global
+
+
+def test_x53_lm_join_aggregates_before_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "x53_unigram_lm_score")
+    # vocab counts partial-aggregate map-side before the token shuffle
+    assert plan.count("partial_count") >= 1
+    # corpus total is a 1-row broadcast, not a shuffled join
+    assert "IdentityBroadcastMode" in plan
