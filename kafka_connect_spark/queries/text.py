@@ -860,3 +860,120 @@ def x55_temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "x57_weighted_sample",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, lang, n_chars,
+             CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+      FROM documents),
+    k AS (
+      SELECT doc_id, lang, n_chars,
+             ln((hv + 1.0) / 1152921504606846976.0) / n_chars AS key
+      FROM h),
+    r AS (SELECT doc_id, lang, n_chars,
+                 row_number() OVER (PARTITION BY lang ORDER BY key DESC, doc_id) AS rn
+          FROM k)
+    SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars, CAST(rn AS BIGINT) AS rank
+    FROM r WHERE rn <= 20 ORDER BY lang, rank
+    """,
+)
+def x57_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, k=20 per
+    language (Efraimidis-Spirakis exponential clocks): priority =
+    ln(u)/w with u a cross-engine md5 uniform and w = n_chars, top-k by
+    priority == a weight-proportional draw — reproducible across runs and
+    engines, no rand(). The per-group top-k is a rank window partitioned
+    on lang (WindowGroupLimit at scale); the priority itself is pure
+    map-side arithmetic. Deterministic u makes this an auditable sampler:
+    re-running the pipeline on the same corpus provably selects the same
+    documents (the property training-data lineage audits need)."""
+    from ..functions.dedupfns import token_hash60
+
+    d = load(spark, sf_dir, "documents")
+    u = (token_hash60(F.col("doc_id").cast("string")) + 1).cast("double") / F.lit(
+        float(1 << 60)
+    )
+    key = F.log(u) / F.col("n_chars")
+    r = (
+        d.select("lang", "doc_id", "n_chars", key.alias("key"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("lang").orderBy(F.desc("key"), "doc_id")
+            ),
+        )
+        .filter(F.col("rank") <= 20)
+    )
+    return r.select(
+        "lang", "doc_id", F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.col("rank").cast("bigint").alias("rank"),
+    ).orderBy("lang", "rank")
+
+
+@query(
+    "x58_length_decile_stats",
+    oracle="""
+    WITH d AS (SELECT doc_id, n_chars,
+                      ntile(10) OVER (ORDER BY n_chars, doc_id) AS decile
+               FROM documents)
+    SELECT CAST(decile AS INTEGER) AS decile, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM d GROUP BY decile ORDER BY decile
+    """,
+)
+def x58_length_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-decile curriculum stats (exact NTILE semantics) WITHOUT the
+    naive plan: ``ntile(10) OVER (ORDER BY ...)`` funnels the whole table
+    through one SinglePartition sort — the thing that dies first at
+    100 TB. Instead, exact two-phase ntile: (1) per-length counts with a
+    cumulative window over the TINY aggregated length domain (|distinct
+    lengths| rows, not |docs|); (2) rank-within-length via a window
+    hash-partitioned on n_chars; global rank = cumulative-before +
+    within-rank, then NTILE's exact allocation rule (first N%10 tiles get
+    ceil(N/10) rows) applied as integer arithmetic. The only
+    single-partition work is the length-domain cumsum; the oracle is the
+    plain window ntile, proving the decomposition IS ntile."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    per_len = d.groupBy("n_chars").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, -1)
+    cum = per_len.select(
+        "n_chars", F.coalesce(F.sum("cnt").over(wcum), F.lit(0)).alias("cum_before")
+    )
+    tot = d.agg(F.count(F.lit(1)).alias("n_total"))
+    win = Window.partitionBy("n_chars").orderBy("doc_id")
+    ranked = (
+        d.withColumn("rk_in", F.row_number().over(win))
+        .join(F.broadcast(cum), "n_chars")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("rk", F.col("cum_before") + F.col("rk_in"))
+    )
+    # NTILE(10) allocation: q = N div 10 rows per tile, the first r = N mod
+    # 10 tiles take one extra row.
+    q = F.col("n_total").cast("long") / F.lit(10)
+    tiled = ranked.selectExpr(
+        "n_chars",
+        "rk",
+        "n_total DIV 10 AS q",
+        "n_total % 10 AS r",
+    ).withColumn(
+        "decile",
+        F.when(
+            F.col("rk") <= (F.col("q") + 1) * F.col("r"),
+            F.expr("(rk - 1) DIV (q + 1) + 1"),
+        ).otherwise(F.expr("r + (rk - (q + 1) * r - 1) DIV q + 1")),
+    )
+    return (
+        tiled.groupBy(F.col("decile").cast("int").alias("decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .orderBy("decile")
+    )

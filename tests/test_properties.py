@@ -239,3 +239,41 @@ def test_incremental_dedup_keeps_subset_of_new(spark, docs):
     assert {r["doc_id"] for r in kept} <= new_ids
     assert not (set(kept_hashes) & ref_hashes)
     assert len(kept_hashes) == len(set(kept_hashes))
+
+
+def test_x58_ntile_rule_with_remainder(spark, tmp_path):
+    """The fixture doc counts are all divisible by 10, so the driver oracle
+    never exercises NTILE's remainder allocation (first N%10 tiles get one
+    extra row). Pin the decomposed integer rule against DuckDB's ntile on
+    an N=23 corpus, including tied lengths straddling tile boundaries."""
+    import duckdb
+
+    from kafka_connect_spark.queries import QUERIES
+
+    rows = [(i, "x" * 10, "en", "s", [30, 30, 30, 10, 20][i % 5] + i // 5) for i in range(23)]
+    sf = tmp_path / "mini"
+    sf.mkdir()
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).write.parquet(str(sf / "documents.parquet"))
+    got = {
+        r["decile"]: (r["n_docs"], r["min_chars"], r["max_chars"], r["sum_chars"])
+        for r in QUERIES["x58_length_decile_stats"](spark, str(sf)).collect()
+    }
+    con = duckdb.connect()
+    want = {
+        int(d): (n, mn, mx, s)
+        for d, n, mn, mx, s in con.sql(
+            f"""
+            WITH d AS (SELECT doc_id, n_chars,
+                              ntile(10) OVER (ORDER BY n_chars, doc_id) AS decile
+                       FROM '{sf}/documents.parquet/*.parquet')
+            SELECT decile, count(*), min(n_chars), max(n_chars), sum(n_chars)
+            FROM d GROUP BY decile
+            """
+        ).fetchall()
+    }
+    con.close()
+    assert got == want
+    # remainder rule visible: 23 = 3 tiles of 3 + 7 tiles of 2
+    assert sorted(n for n, *_ in got.values()) == [2] * 7 + [3] * 3
