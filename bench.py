@@ -109,6 +109,10 @@ HEADLINE = [
     "x54_bigram_lm_score",
     "x55_temperature_mixture_weights",
     "x56_time_range_rolling",
+    "x57_weighted_sample",
+    "x58_length_decile_stats",
+    "x59_scd2_history",
+    "x60_transition_matrix",
 ]
 
 

@@ -298,3 +298,58 @@ def x33_cdc_aggregate_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "x59_scd2_history",
+    oracle="""
+    WITH ch AS (
+      SELECT user_id, ts, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type,
+             event_id
+      FROM events),
+    changes AS (
+      SELECT user_id, ts, event_type, event_id FROM ch
+      WHERE prev_type IS NULL OR event_type <> prev_type)
+    SELECT user_id,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                AS BIGINT) AS version,
+           event_type, ts AS effective_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS effective_to,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             AS is_current
+    FROM changes ORDER BY user_id, version
+    """,
+)
+def x59_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 build from a change stream: collapse
+    consecutive duplicate states per key (lag), then derive each surviving
+    state's validity interval (effective_from = its ts, effective_to = the
+    NEXT state's ts, open interval = current row) and a version counter —
+    the standard CDC-to-warehouse dimension-history materialization
+    (Debezium topic -> SCD2 table; reference pipeline's postgres source
+    feeding an analytical sink). All three windows share one
+    hash-partitioning on user_id, so the whole build is a single shuffle
+    of the change stream — work tracks |changes|, never |dimension|;
+    (ts, event_id) ordering makes tie order total and engine-exact."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
+        .select("user_id", "ts", "event_type", "event_id")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        changes.select(
+            "user_id",
+            F.row_number().over(w2).cast("bigint").alias("version"),
+            "event_type",
+            F.col("ts").alias("effective_from"),
+            F.lead("ts").over(w2).alias("effective_to"),
+            F.lead("ts").over(w2).isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "version")
+    )

@@ -888,3 +888,48 @@ def x56_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "x60_transition_matrix",
+    oracle=f"""
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS to_type
+      FROM events),
+    c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+          FROM seq WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+    t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY from_type)
+    SELECT c.from_type, c.to_type, n,
+           {dround_sql("CAST(n AS DOUBLE) / tot", 6)} AS p
+    FROM c JOIN t USING (from_type)
+    ORDER BY from_type, to_type
+    """,
+)
+def x60_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-transition matrix: P(next event_type | event_type)
+    from per-user ordered sequences — the sequence-statistics primitive
+    under funnel discovery, Markov attribution, and behavioral anomaly
+    scoring. One lead window partitioned on user_id (sequences never cross
+    users, so no global order), then two hash aggs on the tiny type-pair
+    domain; the row-normalizing totals join broadcasts. Counts are exact
+    integers; the single probability division rounds deterministically."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    c = seq.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("from_type").agg(F.sum("n").alias("tot"))
+    return (
+        c.join(F.broadcast(t), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            dround(F.col("n").cast("double") / F.col("tot"), 6).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )

@@ -194,3 +194,17 @@ def test_x53_lm_join_aggregates_before_shuffle(spark, sf_dir):
     assert plan.count("partial_count") >= 1
     # corpus total is a 1-row broadcast, not a shuffled join
     assert "IdentityBroadcastMode" in plan
+
+
+def test_x59_scd2_single_user_partitioning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "x59_scd2_history")
+    # lag-collapse, version, and validity windows all share ONE
+    # hash-partitioning on user_id — a single shuffle of the change stream
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_x60_transition_totals_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "x60_transition_matrix")
+    assert "hashpartitioning(user_id" in plan  # per-user sequence window
+    assert "BroadcastHashJoin" in plan  # row totals broadcast, no re-shuffle
