@@ -113,6 +113,9 @@ HEADLINE = [
     "x58_length_decile_stats",
     "x59_scd2_history",
     "x60_transition_matrix",
+    "p17_clamp",
+    "p18_offset_delta",
+    "p19_absent",
 ]
 
 

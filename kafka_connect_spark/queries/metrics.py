@@ -933,3 +933,100 @@ def x60_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+@query(
+    "p17_clamp",
+    oracle="""
+    SELECT event_id, user_id, value,
+           greatest(least(value, 200.0), 50.0) AS clamped,
+           greatest(value, 50.0) AS clamp_min,
+           least(value, 200.0) AS clamp_max
+    FROM events ORDER BY event_id
+    """,
+)
+def p17_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL clamp()/clamp_min()/clamp_max(): pure map-side greatest/least
+    on identical input doubles — no arithmetic, engine-exact, fully
+    pushdown-transparent (stays inside WholeStageCodegen with the scan)."""
+    ev = load(spark, sf_dir, "events")
+    v = F.col("value")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.greatest(F.least(v, F.lit(200.0)), F.lit(50.0)).alias("clamped"),
+        F.greatest(v, F.lit(50.0)).alias("clamp_min"),
+        F.least(v, F.lit(200.0)).alias("clamp_max"),
+    ).orderBy("event_id")
+
+
+@query(
+    "p18_offset_delta",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id,
+             SUM(CAST(CASE WHEN ts >= TIMESTAMP '2024-01-30'
+                            AND ts < TIMESTAMP '2024-01-31'
+                           THEN value ELSE 0 END AS DECIMAL(38,6))) AS cur,
+             SUM(CAST(CASE WHEN ts >= TIMESTAMP '2024-01-29'
+                            AND ts < TIMESTAMP '2024-01-30'
+                           THEN value ELSE 0 END AS DECIMAL(38,6))) AS prev
+      FROM events GROUP BY user_id)
+    SELECT user_id, {dround_sql("CAST(cur AS DOUBLE)", 4)} AS sum_cur,
+           {dround_sql("CAST(prev AS DOUBLE)", 4)} AS sum_prev,
+           {dround_sql("CAST(cur - prev AS DOUBLE)", 4)} AS day_over_day
+    FROM s ORDER BY user_id
+    """,
+)
+def p18_offset_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL offset modifier: the same range expression evaluated now and
+    shifted back 24h, compared per series (day-over-day drift — the
+    alerting staple sum(x) - sum(x offset 1d)). ONE scan with two
+    conditional decimal sums — not two scans joined — so the offset costs
+    nothing extra; the difference is taken on exact decimals and rounded
+    once."""
+    ev = load(spark, sf_dir, "events")
+
+    def win_sum(lo: str, hi: str):
+        cond = (F.col("ts") >= F.lit(lo).cast("timestamp")) & (
+            F.col("ts") < F.lit(hi).cast("timestamp")
+        )
+        return F.sum(F.when(cond, F.col("value")).otherwise(0.0).cast("decimal(38,6)"))
+
+    s = ev.groupBy("user_id").agg(
+        win_sum("2024-01-30", "2024-01-31").alias("cur"),
+        win_sum("2024-01-29", "2024-01-30").alias("prev"),
+    )
+    return s.select(
+        "user_id",
+        dround(F.col("cur").cast("double"), 4).alias("sum_cur"),
+        dround(F.col("prev").cast("double"), 4).alias("sum_prev"),
+        dround((F.col("cur") - F.col("prev")).cast("double"), 4).alias("day_over_day"),
+    ).orderBy("user_id")
+
+
+@query(
+    "p19_absent",
+    oracle="""
+    SELECT user_id FROM events
+    GROUP BY user_id
+    HAVING max(CASE WHEN ts >= TIMESTAMP '2024-01-30' THEN 1 ELSE 0 END) = 0
+    ORDER BY user_id
+    """,
+)
+def p19_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL absent()-style staleness report: series that exist in the
+    corpus but produced NO samples in the current window (dead exporters —
+    the alert Prometheus fires when a scrape target disappears). One scan,
+    one hash agg with a conditional max — no join against an expected-set
+    table, because the expected set IS the historical key domain."""
+    ev = load(spark, sf_dir, "events")
+    in_win = (F.col("ts") >= F.lit("2024-01-30").cast("timestamp")).cast("int")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.max(in_win).alias("seen"))
+        .filter(F.col("seen") == 0)
+        .select("user_id")
+        .orderBy("user_id")
+    )
