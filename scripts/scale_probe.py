@@ -18,13 +18,28 @@ the workload's. (A naive text-suffix tag would leave near-identical
 cross-copy texts and inflate the true pair count quadratically,
 contaminating the measurement.)
 
-Synthetic data lands in a scratch dir (default /tmp/scale_probe) — never
-in the committed fixtures. Non-documents tables are not needed by the
-probed queries; the scratch dir holds only documents.parquet.
+Two families (--family):
+- ``docs``: token-tagged copies of documents.parquet (see above).
+- ``embeddings``: signed-permutation copies of embeddings.parquet (cyclic
+  dim shift + deterministic signs — orthogonal, so within-copy geometry is
+  exact; cross-copy cosines concentrate near 0). Probes the ANN top-k
+  family (fixed 30-query set against a growing corpus — linear work) and
+  strict-threshold (0.8) pair variants as COST-CURVE measurements: the
+  registry's 0.4 threshold sits ~3 sigma into the 64-dim random-cosine
+  tail, where the fixture's own "near-dup" workload is the quadratic tail
+  of a continuous distribution (920 pairs >= 0.4 at sf0.1, max cosine
+  0.60 — no planted-duplicate separation), so pair OUTPUT cannot be made
+  scale-linear by any replication scheme; at 0.8 output is exactly zero
+  and the measurement isolates candidate-generation cost.
+
+Synthetic data lands in a scratch dir (default /tmp/scale_probe_<family>)
+— never in the committed fixtures; the scratch dir holds only the one
+table the family reads.
 
 Usage:
-    python scripts/scale_probe.py                # K=1,2,4,8, default queries
+    python scripts/scale_probe.py                # docs family, K=1,2,4,8
     python scripts/scale_probe.py --mults 1,2,4 --queries x12c,x43
+    python scripts/scale_probe.py --family embeddings --mults 1,4,16
 """
 
 from __future__ import annotations
@@ -43,13 +58,52 @@ from kafka_connect_spark.session import get_spark
 from kafka_connect_spark.queries import QUERIES
 
 BASE = "/root/testdata/sf0.1"
-DEFAULT_QUERIES = ["x12c", "x12e", "x12h", "x12i", "x43", "x43b"]
+
+
+def _near_dup_strict(spark, sf_dir):
+    """Probe-local x12f variant at threshold 0.8. The registry's 0.4
+    threshold sits ~3.2 sigma into the random-pair cosine tail at 64 dims
+    (std ~ 1/8), so even decorrelated copies collide at ~3e-4 — a
+    quadratic noise floor that is a DATA property, not an engine one, and
+    would contaminate the scaling measurement. 0.8 is ~6.4 sigma: zero
+    random collisions, workload stays exactly linear in K."""
+    from kafka_connect_spark.functions.simfns import cosine_pairs_blocked
+
+    return cosine_pairs_blocked(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), threshold=0.8
+    )
+
+
+def _near_dup_lsh_strict(spark, sf_dir):
+    """Probe-local x12g (LSH) variant at threshold 0.8 — see above."""
+    from kafka_connect_spark.functions.simfns import lsh_cosine_pairs
+
+    return lsh_cosine_pairs(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), threshold=0.8
+    )
+
+
+PROBE_EXTRA = {
+    "near_dup_strict": _near_dup_strict,
+    "near_dup_lsh_strict": _near_dup_lsh_strict,
+}
+
+DEFAULT_QUERIES = {
+    "docs": ["x12c", "x12e", "x12h", "x12i", "x43", "x43b"],
+    "embeddings": ["x13", "x13b", "x13c", "near_dup_strict", "near_dup_lsh_strict"],
+}
 # registry names are prefixed (x12c_ngram_jaccard_pairs etc.); resolve by prefix
 def _resolve(short: str) -> str:
+    if short in PROBE_EXTRA:
+        return short
     hits = [k for k in QUERIES if k == short or k.startswith(short + "_")]
     if len(hits) != 1:
         raise SystemExit(f"query {short!r} resolves to {hits!r}")
     return hits[0]
+
+
+def _run(name: str):
+    return PROBE_EXTRA.get(name) or QUERIES[name]
 
 
 def build_scaled(spark, mult: int, scratch: str) -> str:
@@ -93,15 +147,69 @@ def build_scaled(spark, mult: int, scratch: str) -> str:
     return out_dir
 
 
+def build_scaled_embeddings(spark, mult: int, scratch: str) -> str:
+    """K x sf0.1 embeddings. Copy k applies a SIGNED PERMUTATION: a cyclic
+    shift of the 64 dimensions by 7k plus a deterministic per-(copy, dim)
+    sign. Signed permutations are orthogonal, so norms and all WITHIN-copy
+    inner products are preserved exactly; a CROSS-copy pair's cosine
+    becomes a shifted random-sign sum that concentrates near 0 — so true
+    near-dup pairs and top-k workload scale linearly in K, same argument
+    as the token tagging for documents. (Sign flips ALONE are not enough:
+    the fixture vectors concentrate mass on a few dimensions, and aligned
+    big dims keep |cos| above the 0.4 near-dup threshold; the shift
+    misaligns them.)"""
+    out_dir = os.path.join(scratch, f"m{mult}")
+    out = os.path.join(out_dir, "embeddings.parquet")
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out_dir
+    base = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    copies = []
+    for k in range(mult):
+        if k == 0:
+            copies.append(base)  # queries (vec_id < 500) stay a fixed set
+            continue
+        tag = F.lit(f"c{k}_")
+        shift = (7 * k) % 64
+        signed = F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: (
+                F.element_at(
+                    F.col("embedding"), ((i + F.lit(shift)) % 64 + 1).cast("int")
+                )
+                * (
+                    1
+                    - 2
+                    * F.pmod(F.xxhash64(F.concat(tag, i.cast("string"))), F.lit(2))
+                )
+            ).cast("float"),
+        )
+        copies.append(
+            base.select(
+                (F.col("vec_id") + F.lit(k * 1_000_000_000)).alias("vec_id"),
+                signed.alias("embedding"),
+                "label",
+            )
+        )
+    df = copies[0]
+    for c in copies[1:]:
+        df = df.unionAll(c)
+    df.repartition(32, "vec_id").write.mode("overwrite").parquet(out)
+    return out_dir
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mults", default="1,2,4,8")
-    ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
-    ap.add_argument("--scratch", default="/tmp/scale_probe")
+    ap.add_argument("--family", choices=sorted(DEFAULT_QUERIES), default="docs")
+    ap.add_argument("--queries", default=None)
+    ap.add_argument("--scratch", default=None)
     ap.add_argument("--reps", type=int, default=1)
     args = ap.parse_args()
     mults = [int(m) for m in args.mults.split(",")]
-    names = [_resolve(q) for q in args.queries.split(",")]
+    shorts = args.queries.split(",") if args.queries else DEFAULT_QUERIES[args.family]
+    names = [_resolve(q) for q in shorts]
+    scratch = args.scratch or f"/tmp/scale_probe_{args.family}"
+    build = build_scaled if args.family == "docs" else build_scaled_embeddings
 
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
     spark = get_spark()
@@ -110,12 +218,12 @@ def main() -> None:
     dirs = {}
     for m in mults:
         t0 = time.time()
-        dirs[m] = build_scaled(spark, m, args.scratch)
+        dirs[m] = build(spark, m, scratch)
         print(f"built m{m} in {time.time()-t0:.1f}s", flush=True)
 
     # warmup (JIT/codegen caches) on the smallest scale
     for name in names:
-        QUERIES[name](spark, dirs[mults[0]]).write.format("noop").mode(
+        _run(name)(spark, dirs[mults[0]]).write.format("noop").mode(
             "overwrite"
         ).save()
 
@@ -126,11 +234,11 @@ def main() -> None:
             best = math.inf
             for _ in range(args.reps):
                 t0 = time.time()
-                df = QUERIES[name](spark, dirs[m])
+                df = _run(name)(spark, dirs[m])
                 df.write.format("noop").mode("overwrite").save()
                 best = min(best, time.time() - t0)
             results[name][m] = best
-            rows_out[name][m] = QUERIES[name](spark, dirs[m]).count()
+            rows_out[name][m] = _run(name)(spark, dirs[m]).count()
             print(f"m{m} {name}: {best:.2f}s ({rows_out[name][m]} rows)", flush=True)
 
     # least-squares slope of log t vs log m = scaling exponent
