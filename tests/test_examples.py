@@ -140,3 +140,44 @@ def test_task5_filestream_tail_spec(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r["value"] for r in spark.read.parquet(str(tmp_path / "out")).collect())
     assert got == ["CENSORED", "hello world", "plain line"]
+
+
+def test_task6_multi_table_tasks_spec(spark, tmp_path):
+    """Multi-table whitelist spec: 3 tables across 2 tasks via the herder
+    (the Connect JDBC connector's table.whitelist + tasks.max shape);
+    per-table offsets and per-table routed sinks."""
+    from kafka_connect_spark.plans.herder import Herder, task_configs
+
+    tdir = tmp_path / "tables"
+    tdir.mkdir()
+    for i, t in enumerate(("users", "accounts", "audit_log")):
+        spark.createDataFrame(
+            [(j, f"{t}-{j}", "secret") for j in range(1, 3 + i)],
+            ["id", "name", "private_info"],
+        ).write.parquet(str(tdir / f"{t}.parquet"))
+    spec = _load_spec(
+        "task6_multi_table_tasks.json",
+        {
+            "table_dir": str(tdir),
+            "state_dir": str(tmp_path / "state"),
+            "out_dir": str(tmp_path / "out"),
+        },
+        tmp_path,
+    )
+    assert [tc["tables"] for tc in task_configs(spec)] == [
+        ["users", "audit_log"],
+        ["accounts"],
+    ]
+    h = Herder(spark, str(tmp_path / "configs"))
+    try:
+        h.put("multi", spec)
+        assert h.run_once("multi") == 2 + 3 + 4
+        assert h.run_once("multi") == 0  # all three tables caught up
+        assert len(h.tasks("multi")) == 2
+        masked = spark.read.parquet(str(tmp_path / "out" / "accounts"))
+        assert masked.count() == 3
+        assert {r["private_info"] for r in masked.collect()} == {"CENSORED"}
+        for t in ("users", "accounts", "audit_log"):
+            assert (tmp_path / "state" / t / "offset.json").exists()
+    finally:
+        h.shutdown()
