@@ -116,6 +116,7 @@ HEADLINE = [
     "p17_clamp",
     "p18_offset_delta",
     "p19_absent",
+    "x61_centroid_outliers",
 ]
 
 

@@ -113,3 +113,76 @@ def x35_embedding_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         head_sig.alias("head_sig"),
         F.size(F.filter("embedding", lambda v: v < F.lit(0.0))).alias("n_negative"),
     ).orderBy("vec_id")
+
+
+@query(
+    "x61_centroid_outliers",
+    oracle=f"""
+    WITH pos AS (
+      SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, range(1, 65) t(i)),
+    cen AS (SELECT label, i, SUM(CAST(x AS DECIMAL(38,6))) AS S
+            FROM pos GROUP BY label, i),
+    cn AS (SELECT label,
+                  SUM(CAST(CAST(S AS DOUBLE) * CAST(S AS DOUBLE)
+                           AS DECIMAL(38,12))) AS s2
+           FROM cen GROUP BY label),
+    pv AS (SELECT p.vec_id, p.label,
+                  SUM(CAST(p.x * CAST(c.S AS DOUBLE) AS DECIMAL(38,12))) AS dots,
+                  SUM(CAST(p.x * p.x AS DECIMAL(38,12))) AS v2
+           FROM pos p JOIN cen c ON p.label = c.label AND p.i = c.i
+           GROUP BY p.vec_id, p.label)
+    SELECT pv.vec_id, pv.label,
+           {dround_sql("CAST(dots AS DOUBLE) / (sqrt(CAST(v2 AS DOUBLE)) * sqrt(CAST(s2 AS DOUBLE)))", 6)}
+             AS cos_centroid,
+           {dround_sql("CAST(dots AS DOUBLE) / (sqrt(CAST(v2 AS DOUBLE)) * sqrt(CAST(s2 AS DOUBLE)))", 6)} < 0.5
+             AS is_outlier
+    FROM pv JOIN cn ON pv.label = cn.label
+    ORDER BY vec_id
+    """,
+)
+def x61_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space anomaly audit: cosine of every vector to its
+    LABEL's centroid, flagging low-cohesion outliers — the curation pass
+    that catches mislabeled/contaminated clusters before training. The
+    centroid is kept UNNORMALIZED as per-dimension decimal sums (cosine is
+    scale-invariant, so cos(v, S) == cos(v, S/n) — dividing by n would
+    only introduce a cross-engine decimal-division ulp). Plan: one
+    posexplode + two hash aggs on (label, dim) — never a vector×vector
+    join; the per-label norm table (|labels| rows) broadcasts. Every sum
+    quantizes products to DECIMAL so accumulation order is engine-exact;
+    the final cosine is one division of bit-identical doubles."""
+    e = load(spark, sf_dir, "embeddings")
+    pos = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("i", "xf")
+    ).select("vec_id", "label", "i", F.col("xf").cast("double").alias("x"))
+    cen = pos.groupBy("label", "i").agg(
+        F.sum(F.col("x").cast("decimal(38,6)")).alias("S")
+    )
+    sd = F.col("S").cast("double")
+    cn = cen.groupBy("label").agg(
+        F.sum((sd * sd).cast("decimal(38,12)")).alias("s2")
+    )
+    pv = (
+        pos.join(cen, ["label", "i"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum((F.col("x") * sd).cast("decimal(38,12)")).alias("dots"),
+            F.sum((F.col("x") * F.col("x")).cast("decimal(38,12)")).alias("v2"),
+        )
+    )
+    cos = dround(
+        F.col("dots").cast("double")
+        / (F.sqrt(F.col("v2").cast("double")) * F.sqrt(F.col("s2").cast("double"))),
+        6,
+    )
+    return (
+        pv.join(F.broadcast(cn), "label")
+        .select(
+            "vec_id",
+            "label",
+            cos.alias("cos_centroid"),
+            (cos < 0.5).alias("is_outlier"),
+        )
+        .orderBy("vec_id")
+    )
