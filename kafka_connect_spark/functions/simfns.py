@@ -298,6 +298,66 @@ def kmeans_centroids(
     return cents
 
 
+def kmeans_refine_distributed(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    iters: int = 2,
+) -> np.ndarray:
+    """Distributed Lloyd refinement of a centroid codebook over the WHOLE
+    corpus — the scale complement to ``kmeans_centroids``' bounded driver
+    sample (a 2048-row sample seeds well but its centroids only reflect
+    the sampled region; at 100 TB the sample is a vanishing fraction).
+
+    Per iteration: (1) a pandas-UDF batch matmul assigns every vector to
+    its max-cosine centroid (centroids closed over — broadcast-once);
+    (2) per-(cluster, dim) component sums via posexplode + hash agg with
+    map-side partials — the shuffle carries k*d partial rows, never
+    vectors; (3) the k*d sum/count table (bounded, independent of corpus
+    size) collects to the driver, which renormalizes. Component sums
+    quantize to DECIMAL so the refined codebook is bit-reproducible
+    run-to-run regardless of partitioning — the determinism the
+    correctness gate and any codebook-reuse pipeline need. Empty clusters
+    keep their previous centroid."""
+    cents = np.ascontiguousarray(centroids, dtype=np.float64)
+    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    for _ in range(iters):
+        cc = cents  # rebind: the UDF closes over THIS iteration's codebook
+
+        @pandas_udf("long")
+        def assign(emb: pd.Series) -> pd.Series:
+            mat = np.stack(emb.to_numpy()).astype(np.float64)
+            sims = mat @ cc.T / np.linalg.norm(mat, axis=1, keepdims=True)
+            return pd.Series(np.argmax(sims, axis=1).astype(np.int64))
+
+        tagged = corpus.select(
+            assign(F.col(vec_col).cast("array<double>")).alias("cl"),
+            F.posexplode(F.col(vec_col)).alias("i", "xf"),
+        )
+        sums = (
+            tagged.groupBy("cl", "i")
+            .agg(
+                F.sum(F.col("xf").cast("double").cast("decimal(38,12)")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()  # k*d rows — bounded by the codebook, not the corpus
+        )
+        new = cents.copy()
+        acc = np.zeros_like(cents)
+        cnt = np.zeros(len(cents), dtype=np.int64)
+        for r in sums:
+            acc[r["cl"], r["i"]] = float(r["s"])
+            cnt[r["cl"]] = r["n"]
+        for c in range(len(cents)):
+            if cnt[c]:
+                v = acc[c] / cnt[c]
+                nrm = np.linalg.norm(v)
+                if nrm > 0:
+                    new[c] = v / nrm
+        cents = new
+    return cents
+
+
 def ivf_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -308,6 +368,7 @@ def ivf_cosine_topk(
     n_probe: int = 8,
     seed: int = 42,
     centroids: np.ndarray | None = None,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF-style approximate top-k: partition the corpus into Voronoi cells
     around fixed centroids; a query searches only its ``n_probe`` nearest
@@ -321,6 +382,11 @@ def ivf_cosine_topk(
     pattern), never reconstructed per Arrow batch."""
     if centroids is None:
         centroids = kmeans_centroids(corpus, n_centroids, id_col, vec_col, seed)
+    if refine_iters:
+        # distributed Lloyd over the WHOLE corpus (see kmeans_refine_distributed)
+        centroids = kmeans_refine_distributed(
+            corpus, centroids, vec_col, iters=refine_iters
+        )
     cents = np.ascontiguousarray(centroids, dtype=np.float64)
     cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
 

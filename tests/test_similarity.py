@@ -83,3 +83,36 @@ def test_lsh_is_deterministic(spark, sf_dir):
     a = lsh_cosine_topk(emb, queries, k=3).toPandas()
     b = lsh_cosine_topk(emb, queries, k=3).toPandas()
     assert a.equals(b)
+
+
+def test_kmeans_refine_deterministic_and_recall(spark, sf_dir):
+    """Distributed Lloyd refinement: bit-reproducible run-to-run (decimal
+    component sums — partitioning can't shift the codebook) and IVF recall
+    with the refined whole-corpus codebook at least matches the
+    sample-only codebook."""
+    import numpy as np
+
+    from kafka_connect_spark.functions.simfns import (
+        kmeans_centroids,
+        kmeans_refine_distributed,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    base = kmeans_centroids(emb, 16)
+    r1 = kmeans_refine_distributed(emb, base, iters=2)
+    r2 = kmeans_refine_distributed(emb.repartition(7), base, iters=2)
+    assert np.array_equal(r1, r2)  # bit-identical despite repartitioning
+    assert not np.array_equal(r1, base)  # it actually moved the codebook
+
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(emb, queries, k=3).toPandas()
+    e = {(r.query_id, r.neighbor_id) for r in exact.itertuples()}
+
+    def recall(cents):
+        approx = ivf_cosine_topk(
+            emb, queries, k=3, centroids=cents, n_probe=8
+        ).toPandas()
+        a = {(r.query_id, r.neighbor_id) for r in approx.itertuples()}
+        return len(e & a) / len(e)
+
+    assert recall(r1) >= recall(base) - 0.05  # refinement never hurts (tol)
