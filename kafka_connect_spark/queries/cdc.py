@@ -353,3 +353,85 @@ def x59_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "version")
     )
+
+
+def scd2_apply_increment(existing: DataFrame, batch: DataFrame) -> DataFrame:
+    """Incremental SCD2 maintenance: fold one chronological chunk of
+    change events into an existing SCD2 table (the per-poll work of a
+    CDC-topic -> dimension-history pipeline; x59 is the full-recompute
+    twin and the correctness oracle — tests fold the fixture in chunks
+    and assert frame equality with the one-shot build).
+
+    ``existing``: (user_id, version, event_type, effective_from,
+    effective_to, is_current) — empty on the first poll. ``batch``:
+    (user_id, ts, event_type, event_id) with every ts >= the table's
+    horizon (chronological chunks, the incremental source's contract).
+
+    Algebra: sessionize the BATCH alone (lag-collapse, x59's window), then
+    reconcile at the boundary: a user's first batch state equal to their
+    open state merges into it (no new version — the cross-chunk
+    consecutive-duplicate collapse); otherwise the open interval CLOSES at
+    the first new state's timestamp. Versions continue from the per-user
+    max. Work tracks |batch| + |touched users| — untouched history rows
+    pass through by construction, so at scale this is a key-partitioned
+    join against only the CURRENT slice of the dimension."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    mini = (
+        batch.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .select(
+            "user_id",
+            "ts",
+            "event_type",
+            "event_id",
+            F.row_number().over(w).alias("bseq"),
+        )
+    )
+    cur = existing.filter("is_current").select(
+        "user_id",
+        F.col("event_type").alias("cur_type"),
+        F.col("version").alias("cur_version"),
+    )
+    # boundary merge: drop a leading batch state equal to the open state
+    first = mini.filter(F.col("bseq") == 1).select(
+        "user_id", F.col("event_type").alias("first_type")
+    )
+    merged = first.join(cur, "user_id", "left").withColumn(
+        "drop_first", F.col("cur_type").isNotNull() & (F.col("first_type") == F.col("cur_type"))
+    ).select("user_id", "drop_first")
+    keep = (
+        mini.join(merged, "user_id")
+        .filter(~(F.col("drop_first") & (F.col("bseq") == 1)))
+        .join(cur.select("user_id", "cur_version"), "user_id", "left")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_rows = keep.select(
+        "user_id",
+        (F.coalesce(F.col("cur_version"), F.lit(0)) + F.row_number().over(w2)).alias("version"),
+        "event_type",
+        F.col("ts").alias("effective_from"),
+        F.lead("ts").over(w2).alias("effective_to"),
+        F.lead("ts").over(w2).isNull().alias("is_current"),
+    )
+    # close each touched user's open interval at their first NEW state's ts
+    closes = keep.groupBy("user_id").agg(F.min("ts").alias("close_ts"))
+    closed = (
+        existing.join(closes, "user_id", "left")
+        .withColumn(
+            "effective_to",
+            F.when(
+                F.col("is_current") & F.col("close_ts").isNotNull(), F.col("close_ts")
+            ).otherwise(F.col("effective_to")),
+        )
+        .withColumn(
+            "is_current",
+            F.when(F.col("close_ts").isNotNull(), F.lit(False)).otherwise(
+                F.col("is_current")
+            ),
+        )
+        .drop("close_ts")
+    )
+    return closed.unionByName(new_rows)

@@ -137,3 +137,55 @@ def test_streaming_aggregate_maintenance_equals_batch(spark, sf_dir, tmp_path):
     assert set(latest) == set(batch)
     for k, v in batch.items():
         assert abs(latest[k] - v) < 1e-3, (k, latest[k], v)
+
+
+def test_scd2_incremental_equals_full_recompute(spark, sf_dir):
+    """Fold the events fixture into an SCD2 table in 4 chronological
+    chunks via scd2_apply_increment; the result must equal the one-shot
+    x59 build row-for-row (the incremental maintenance <-> full recompute
+    equivalence that makes the operator trustworthy as a CDC sink)."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_spark.catalog import load
+    from kafka_connect_spark.queries import QUERIES
+    from kafka_connect_spark.queries.cdc import scd2_apply_increment
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    # chronological chunks split on ts quantiles
+    cuts = ev.selectExpr(
+        "percentile(unix_micros(ts), array(0.25, 0.5, 0.75)) AS c"
+    ).collect()[0]["c"]
+    chunks = []
+    lo = None
+    for hi in [*cuts, None]:
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.unix_micros("ts") > lo)
+        if hi is not None:
+            cond = cond & (F.unix_micros("ts") <= hi)
+        chunks.append(ev.filter(cond))
+        lo = hi
+    schema = (
+        "user_id long, version long, event_type string, "
+        "effective_from timestamp, effective_to timestamp, is_current boolean"
+    )
+    table = spark.createDataFrame([], schema)
+    for ch in chunks:
+        table = scd2_apply_increment(table, ch)
+        table = spark.createDataFrame(  # materialize like a real sink would
+            table.collect(), table.schema
+        )
+    got = table.orderBy("user_id", "version").toPandas()
+    want = (
+        QUERIES["x59_scd2_history"](spark, sf_dir)
+        .orderBy("user_id", "version")
+        .toPandas()
+    )
+    assert len(got) == len(want)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False
+    )
