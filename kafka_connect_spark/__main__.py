@@ -39,6 +39,20 @@ def main(argv: list[str] | None = None) -> int:
 
         with open(rest[0]) as fh:
             spec = json.load(fh)
+        if (spec.get("source") or {}).get("tables"):
+            # multi-table whitelist spec (tasks.max shape): expand per
+            # table with independent offsets, like Herder.run_once
+            from kafka_connect_spark.plans.herder import (
+                expand_table_spec,
+                task_configs,
+            )
+
+            total = 0
+            for tc in task_configs(spec):
+                for table in tc["tables"]:
+                    total += Pipeline(expand_table_spec(spec, table)).run(spark)
+            print(json.dumps({"name": spec.get("name", "pipeline"), "rows": total}))
+            return 0
         p = Pipeline(spec)
         if cmd == "stream" or p.streaming:
             q = p.start_stream(spark)
