@@ -117,6 +117,13 @@ HEADLINE = [
     "p18_offset_delta",
     "p19_absent",
     "x61_centroid_outliers",
+    "x62_forecast_revenue_q6",
+    "x63_volume_shipping_q7",
+    "x64_market_share_q8",
+    "x65_product_profit_q9",
+    "x66_customer_distribution_q13",
+    "x67_promo_revenue_q14",
+    "x68_disjunctive_revenue_q19",
 ]
 
 

@@ -1412,3 +1412,319 @@ def x52_small_qty_revenue_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_yearly")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X62-X68 — the remaining TPC-H shapes expressible on the fixture schema
+# (Q6/Q7/Q8/Q9/Q13/Q14/Q19; the partsupp-dependent Q2/Q11/Q20 have no
+# fixture analog). Revenue/profit always accumulates in DECIMAL(38,6).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x62_forecast_revenue_q6",
+    oracle=f"""
+    SELECT {dsum_sql("l_extendedprice * l_discount")} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def x62_forecast_revenue_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: the pure filter-and-sum probe — every predicate reaches
+    the parquet scan (PushedFilters on date, discount range, quantity),
+    then one partial+final global agg. The canonical 'is pushdown
+    working' canary; at 100 TB this is an embarrassingly parallel scan
+    whose cost is decided entirely by how much the filters prune."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+
+
+@query(
+    "x63_volume_shipping_q7",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INTEGER) AS l_year,
+           {dsum_sql("l_extendedprice * (1 - l_discount)")} AS revenue
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON n1.n_nationkey = s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def x63_volume_shipping_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: bilateral trade volume between two nations per year. The
+    two nation dims broadcast with their name filters applied BEFORE the
+    fact joins, so the disjunctive nation-pair predicate prunes supplier
+    and customer rows early; the two fact joins hash on the lineitem
+    keys."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    names = ("NATION_1", "NATION_2")
+    n1 = n.filter(F.col("n_name").isin(*names)).select(
+        F.col("n_nationkey").alias("k1"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.filter(F.col("n_name").isin(*names)).select(
+        F.col("n_nationkey").alias("k2"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("k1"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("k2"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            dsum((F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            )
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "x64_market_share_q8",
+    oracle=f"""
+    WITH v AS (
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)) AS vol,
+             n1.n_name AS supp_nation
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON n1.n_nationkey = s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c_nationkey
+      JOIN region ON r_regionkey = n2.n_regionkey
+      WHERE r_name = 'EUROPE')
+    SELECT o_year,
+           {dround_sql("CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN vol ELSE 0 END) AS DOUBLE) / CAST(SUM(vol) AS DOUBLE)", 6)}
+             AS mkt_share
+    FROM v GROUP BY o_year ORDER BY o_year
+    """,
+)
+def x64_market_share_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: one supplier-nation's share of a region's customer
+    revenue per year — the conditional-sum-over-sum ratio computed in ONE
+    aggregation (no self-join): both numerator and denominator accumulate
+    as decimal conditional sums in the same hash agg, the ratio divides
+    two bit-identical doubles. Region/nation dims broadcast; the region
+    filter prunes the customer side before the fact join."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n1 = n.select(F.col("n_nationkey").alias("k1"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("k2"), F.col("n_regionkey").alias("rg"))
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)")
+    v = (
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("k1"))
+        .join(F.broadcast(n2), c["c_nationkey"] == F.col("k2"))
+        .join(F.broadcast(r), F.col("rg") == r["r_regionkey"])
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            vol.alias("vol"),
+            "supp_nation",
+        )
+    )
+    return (
+        v.groupBy("o_year")
+        .agg(
+            dround(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_7", F.col("vol")).otherwise(
+                        F.lit(0).cast("decimal(38,6)")
+                    )
+                ).cast("double")
+                / F.sum("vol").cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "x65_product_profit_q9",
+    oracle=f"""
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           {dsum_sql("l_extendedprice * (1 - l_discount) - 0.6 * p_retailprice * l_quantity")}
+             AS profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%gear%'
+    GROUP BY n_name, o_year ORDER BY nation, o_year DESC
+    """,
+)
+def x65_product_profit_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: per-nation-per-year profit on a part-name subset.
+    The fixture has no partsupp, so supply cost is modeled as
+    0.6 * p_retailprice (the SHAPE under test is the 4-way fact join +
+    name-pattern part filter + amount expression, not the cost constant).
+    Part filter broadcasts pre-join; profit accumulates in decimal."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders")
+    n = load(spark, sf_dir, "nation")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(dsum(amount).alias("profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@query(
+    "x66_customer_distribution_q13",
+    oracle="""
+    WITH co AS (
+      SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM co GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def x66_customer_distribution_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: how many customers placed k orders — INCLUDING k = 0,
+    which forces the LEFT join with the priority predicate INSIDE the
+    join condition (a WHERE would silently drop the zero-order
+    customers). count(o_orderkey) counts only matched rows, the exact
+    LEFT-join-count idiom; the second agg runs on the tiny per-customer
+    counts."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    co = (
+        c.join(
+            o,
+            (c["c_custkey"] == o["o_custkey"])
+            & (o["o_orderpriority"] != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        co.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "x67_promo_revenue_q14",
+    oracle=f"""
+    WITH v AS (
+      SELECT CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)) AS vol,
+             p_type
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+        AND l_shipdate < TIMESTAMP '1997-04-01')
+    SELECT {dround_sql("100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN vol ELSE 0 END) AS DOUBLE) / CAST(SUM(vol) AS DOUBLE)", 6)}
+             AS promo_revenue
+    FROM v
+    """,
+)
+def x67_promo_revenue_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo-class revenue share in a month — the same
+    one-agg conditional ratio as Q8 (numerator and denominator in one
+    hash agg, never a self-join); ship-window filter pushed to the scan,
+    part broadcast."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    p = load(spark, sf_dir, "part")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .select(vol.alias("vol"), "p_type")
+        .agg(
+            dround(
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", F.col("vol")).otherwise(
+                        F.lit(0).cast("decimal(38,6)")
+                    )
+                ).cast("double")
+                / F.sum("vol").cast("double"),
+                6,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@query(
+    "x68_disjunctive_revenue_q19",
+    oracle=f"""
+    SELECT {dsum_sql("l_extendedprice * (1 - l_discount)")} AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+)
+def x68_disjunctive_revenue_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: the disjunctive-predicate join (OR of three
+    brand/size/quantity clauses spanning BOTH tables). Catalyst extracts
+    the common single-table conjuncts from the OR — the part side prunes
+    to the three brands and the lineitem side to the quantity envelope
+    BEFORE the join — then applies the full disjunction post-join; the
+    part side broadcasts."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    q, b, sz = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    clause = (
+        ((b == "Brand#12") & sz.between(1, 5) & q.between(1, 11))
+        | ((b == "Brand#23") & sz.between(1, 10) & q.between(10, 20))
+        | ((b == "Brand#34") & sz.between(1, 15) & q.between(20, 30))
+    )
+    return j.filter(clause).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
