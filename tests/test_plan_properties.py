@@ -208,3 +208,37 @@ def test_x60_transition_totals_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "x60_transition_matrix")
     assert "hashpartitioning(user_id" in plan  # per-user sequence window
     assert "BroadcastHashJoin" in plan  # row totals broadcast, no re-shuffle
+
+
+def test_x62_q6_all_predicates_reach_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "x62_forecast_revenue_q6")
+    scan = plan[plan.index("FileScan") :]
+    # date window + discount band + quantity cap all pushed
+    assert "l_shipdate" in scan and "l_discount" in scan and "l_quantity" in scan
+    assert plan.count("HashAggregate") == 2  # partial + final, nothing else
+
+
+def test_x64_q8_ratio_is_one_aggregation(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "x64_market_share_q8")
+    # numerator (conditional) and denominator accumulate in the SAME agg
+    assert "CASE WHEN (supp_nation" in plan
+    # region filter pushed into its dim scan before broadcast
+    assert "(r_name" in plan and "EUROPE" in plan
+    # the fact table is scanned once (one lineitem FileScan)
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_x66_q13_left_join_keeps_zero_customers(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "x66_customer_distribution_q13")
+    assert "LeftOuter" in plan  # not Inner: zero-order customers survive
+    # the priority predicate filters the ORDERS side pre-join, not post-join
+    assert "o_orderpriority" in plan.split("LeftOuter", 1)[1]
+
+
+def test_x68_q19_disjunction_prunes_both_sides(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "x68_disjunctive_revenue_q19")
+    scans = plan[plan.index("FileScan") :]
+    # Catalyst extracts the common conjuncts: part pruned to the 3 brands,
+    # lineitem pruned to the quantity envelope, BEFORE the join
+    assert "p_brand" in scans
+    assert "l_quantity" in scans
