@@ -124,6 +124,7 @@ HEADLINE = [
     "x66_customer_distribution_q13",
     "x67_promo_revenue_q14",
     "x68_disjunctive_revenue_q19",
+    "p20_holt_winters",
 ]
 
 

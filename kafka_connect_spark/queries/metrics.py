@@ -1030,3 +1030,79 @@ def p19_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id")
         .orderBy("user_id")
     )
+
+
+@query(
+    "p20_holt_winters",
+    oracle=f"""
+    WITH RECURSIVE base AS (
+      SELECT user_id, list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS xs,
+             CAST(count(*) AS BIGINT) AS n_samples
+      FROM events GROUP BY user_id),
+    fold AS (
+      SELECT user_id, n_samples, xs, 1 AS i,
+             xs[1] AS s, CAST(0.0 AS DOUBLE) AS b
+      FROM base
+      UNION ALL
+      SELECT user_id, n_samples, xs, i + 1,
+             CAST(0.4 * xs[i+1] + 0.6 * (s + b) AS DOUBLE),
+             CAST(0.3 * ((0.4 * xs[i+1] + 0.6 * (s + b)) - s) + 0.7 * b AS DOUBLE)
+      FROM fold WHERE i < n_samples)
+    SELECT user_id, n_samples, {dround_sql("s", 6)} AS smoothed
+    FROM fold WHERE i = n_samples ORDER BY user_id
+    """,
+)
+def p20_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL holt_winters(v, 0.4, 0.3): double exponential smoothing per
+    series, emitting the smoothed level after the last sample. The
+    recurrence is inherently sequential, so each series folds ONCE over
+    its time-ordered samples via a JVM higher-order ``aggregate`` (struct
+    accumulator carrying level + trend) — no Python, no window
+    re-evaluation per row; the DuckDB twin is the same recurrence as a
+    recursive CTE, so every IEEE step sees identical operands in
+    identical order (init: level = first sample, trend = 0 in both
+    engines). NOT list_reduce: DuckDB's list_reduce rebinds accumulator
+    fields as each struct field is computed, so a lambda whose second
+    field reads acc.s observes the NEW level — a mutation quirk the
+    recursive-CTE formulation avoids. The
+    per-series array is bounded by the range window in practice (PromQL
+    evaluates over a range, not all history); ordering is made total by
+    (ts, event_id) before the fold."""
+    ev = load(spark, sf_dir, "events")
+    xs = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.unix_micros("ts").alias("t"),
+                    F.col("event_id").alias("e"),
+                    F.col("value").cast("double").alias("v"),
+                )
+            )
+        ),
+        lambda r: r["v"],
+    )
+    st = F.aggregate(
+        F.slice(F.col("xs"), 2, F.greatest(F.size("xs") - 1, F.lit(0))),
+        F.struct(
+            F.element_at(F.col("xs"), 1).alias("s"),
+            F.lit(0.0).alias("b"),
+        ),
+        lambda acc, v: F.struct(
+            (F.lit(0.4) * v + F.lit(0.6) * (acc["s"] + acc["b"])).alias("s"),
+            (
+                F.lit(0.3)
+                * ((F.lit(0.4) * v + F.lit(0.6) * (acc["s"] + acc["b"])) - acc["s"])
+                + F.lit(0.7) * acc["b"]
+            ).alias("b"),
+        ),
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(xs.alias("xs"), F.count(F.lit(1)).alias("n_samples"))
+        .select(
+            "user_id",
+            "n_samples",
+            dround(st["s"], 6).alias("smoothed"),
+        )
+        .orderBy("user_id")
+    )
