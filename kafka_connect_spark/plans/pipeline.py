@@ -235,6 +235,16 @@ def _k_upsert_jdbc(spec: dict):
     return lambda df: sink.apply_batch(df)
 
 
+@register_sink("scd2_parquet")
+def _k_scd2(spec: dict):
+    """SCD Type-2 history sink: fold each batch of change events into the
+    versioned dimension-history table (sinks/scd2.py)."""
+    from ..sinks.scd2 import Scd2ParquetSink
+
+    sink = Scd2ParquetSink(spec["path"], keep_versions=int(spec.get("keep.versions", 1)))
+    return lambda df: sink.apply_batch(df)
+
+
 @register_sink("noop")
 def _k_noop(spec: dict):
     return lambda df: df.write.format("noop").mode("overwrite").save()
