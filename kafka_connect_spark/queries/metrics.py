@@ -1106,3 +1106,182 @@ def p20_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "p21_changes",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, value,
+             lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv
+      FROM events)
+    SELECT user_id,
+           CAST(COALESCE(SUM(CASE WHEN pv IS NOT NULL AND value <> pv
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_changes
+    FROM o GROUP BY user_id ORDER BY user_id
+    """,
+)
+def p21_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL changes(v[range]): how many times each series' value CHANGED
+    (flapping detector — config reloads, leader elections). One lag window
+    per series + one hash agg; the comparison is raw-double equality on
+    the SAME stored bits in both engines, so no epsilon is needed — the
+    only hazard would be computed floats, and none are computed here."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select("user_id", "value", F.lag("value").over(w).alias("pv"))
+    return (
+        o.groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    (F.col("pv").isNotNull() & (F.col("value") != F.col("pv"))).cast(
+                        "long"
+                    )
+                ),
+                F.lit(0),
+            ).alias("n_changes")
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "p22_count_values",
+    oracle="""
+    WITH last AS (
+      SELECT user_id, value FROM (
+        SELECT user_id, value,
+               row_number() OVER
+                 (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1)
+    SELECT CAST(floor(value / 50.0) * 50 AS BIGINT) AS value_bucket,
+           CAST(count(*) AS BIGINT) AS n_series
+    FROM last GROUP BY value_bucket ORDER BY value_bucket
+    """,
+)
+def p22_count_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL count_values("le", v): histogram of the CURRENT instant
+    vector — how many series sit at each value right now (version-skew /
+    capacity panels). Composition of the p4 instant-read (max_by over a
+    (ts, event_id) struct — hash agg, no sort) and one more tiny hash agg
+    over the bucketed value; bucketing by floor-division is exact on
+    IEEE doubles in both engines."""
+    ev = load(spark, sf_dir, "events")
+    last = ev.groupBy("user_id").agg(
+        F.expr("max_by(value, struct(ts, event_id))").alias("value")
+    )
+    return (
+        last.select(
+            (F.floor(F.col("value") / F.lit(50.0)) * 50).cast("long").alias("value_bucket")
+        )
+        .groupBy("value_bucket")
+        .agg(F.count(F.lit(1)).alias("n_series"))
+        .orderBy("value_bucket")
+    )
+
+
+@query(
+    "p23_stddev_over_time",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, CAST(FLOOR(value * 100) AS BIGINT) AS y FROM events),
+    a AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM s GROUP BY user_id)
+    SELECT user_id,
+           {dround_sql("sqrt(CAST(n * syy - sy * sy AS DOUBLE)) / CAST(n AS DOUBLE) / 100.0", 6)} AS stddev,
+           {dround_sql("CAST(n * syy - sy * sy AS DOUBLE) / CAST(n * n AS DOUBLE) / 10000.0", 6)} AS stdvar
+    FROM a WHERE n >= 1 ORDER BY user_id
+    """,
+)
+def p23_stddev_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL stddev_over_time / stdvar_over_time: population deviation per
+    series, the dispersion half of the z-score alert (p12 consumes it).
+    Same integer-exact discipline as the p14 regression family: centi-
+    quantized values make n/sy/syy exact BIGINTs in both engines, so the
+    variance numerator n*syy - sy^2 is bit-identical; the final
+    sqrt-and-scale is IEEE-correctly-rounded from identical operands.
+    One partial+final hash agg — five-long state per series, no window."""
+    ev = load(spark, sf_dir, "events")
+    s = ev.select("user_id", F.floor(F.col("value") * 100).cast("long").alias("y"))
+    a = s.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return (
+        a.filter(F.col("n") >= 1)
+        .select(
+            "user_id",
+            dround(
+                F.sqrt(num) / F.col("n").cast("double") / F.lit(100.0), 6
+            ).alias("stddev"),
+            dround(
+                num / (F.col("n") * F.col("n")).cast("double") / F.lit(10000.0), 6
+            ).alias("stdvar"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "p24_range_aggregates",
+    oracle=f"""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           min(value) AS min_v, max(value) AS max_v,
+           {dsum_sql("value")} AS sum_v,
+           (SELECT e2.value FROM events e2 WHERE e2.user_id = e.user_id
+            ORDER BY e2.ts DESC, e2.event_id DESC LIMIT 1) AS last_v
+    FROM events e GROUP BY user_id ORDER BY user_id
+    """,
+)
+def p24_range_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL min/max/sum/count/last_over_time in ONE pass: the whole
+    *_over_time family shares a single partial+final hash agg (min and max
+    select stored doubles — exact; the sum accumulates in decimal; last is
+    the max_by instant-read). Five range functions, one shuffle — the
+    fused form a dashboard row of sparkline panels compiles to."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+            dsum(F.col("value")).alias("sum_v"),
+            F.expr("max_by(value, struct(ts, event_id))").alias("last_v"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "p25_hourly_profile",
+    oracle=f"""
+    SELECT CAST(hour(ts) AS INTEGER) AS hour_of_day, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           {dsum_sql("value")} AS sum_v
+    FROM events GROUP BY hour_of_day, event_type
+    ORDER BY hour_of_day, event_type
+    """,
+)
+def p25_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diurnal load profile: sample volume by hour-of-day x type — the
+    capacity-planning heatmap behind every traffic dashboard (and the
+    date-part half of the PromQL time-function family: hour()/
+    day_of_week() routed into a grouping key). Timestamps are UTC in both
+    engines (session.py pins spark.sql.session.timeZone), so the hour
+    extraction is engine-exact; one map-side-partial hash agg on a
+    48-key domain — at 100 TB this is the textbook near-free aggregate."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.hour("ts").alias("hour_of_day"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("sum_v"))
+        .orderBy("hour_of_day", "event_type")
+    )
