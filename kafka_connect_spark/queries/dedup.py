@@ -473,3 +473,82 @@ def x44_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("dup_pairs"))
         .orderBy("source_a", "source_b")
     )
+
+
+# The x12h component CTE, reused by the canonical-selection query below so
+# both ride the identical pair graph + connected components definition.
+_COMP_CTE = f"""
+    WITH RECURSIVE
+    tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS s
+           FROM tok WHERE len(t) >= 3),
+    ex AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    pairs AS (SELECT id_a, id_b FROM inter
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE {_J_SQL} >= 0.5),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(node, r) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT e.src, r.r FROM edges e JOIN reach r ON r.node = e.dst
+    ),
+    comp AS (SELECT node AS doc_id, CAST(LEAST(node, MIN(r)) AS BIGINT) AS cluster
+             FROM reach GROUP BY node)
+"""
+
+
+@query(
+    "x70_dedup_keep_best",
+    oracle=f"""
+    {_COMP_CTE},
+    allc AS (SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster, d.n_chars
+             FROM documents d LEFT JOIN comp c USING (doc_id)),
+    r AS (SELECT *, row_number() OVER (PARTITION BY cluster
+                                       ORDER BY n_chars DESC, doc_id) AS rn
+          FROM allc)
+    SELECT doc_id, cluster, CAST(n_chars AS BIGINT) AS n_chars,
+           (rn = 1) AS keep
+    FROM r ORDER BY doc_id
+    """,
+)
+def x70_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: every document assigned to its
+    near-dup cluster (x12h components; singletons form their own), then ONE
+    representative kept per cluster — the HIGHEST-quality member (here
+    n_chars as the quality proxy; ties to the lower doc_id), not merely the
+    first seen. This is the decision step a curation pipeline actually
+    ships: x12b's keep-first discards arbitrarily, keep-best discards the
+    worse copy. Plan: the pair graph + label propagation ride x12h
+    unchanged; the full-corpus assignment is one left join on doc_id and
+    the winner pick is one row_number window partitioned by cluster —
+    cluster cardinality bounds the sort runs, so the window never sees
+    more than a duplicate group at a time."""
+    from pyspark.sql import Window
+    from ..functions.dedupfns import dup_clusters
+
+    d = load_parallel(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.5)
+    comp = dup_clusters(pairs)
+    allc = (
+        d.select("doc_id", "n_chars")
+        .join(comp, "doc_id", "left")
+        .withColumn("cluster", F.coalesce(F.col("cluster"), F.col("doc_id")))
+    )
+    w = Window.partitionBy("cluster").orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        allc.withColumn("rn", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "cluster",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            (F.col("rn") == 1).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

@@ -977,3 +977,68 @@ def x58_length_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@query(
+    "x69_boilerplate_segments",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    segs AS (SELECT doc_id,
+               list_distinct([array_to_string(t[8*i+1 : 8*i+8], ' ')
+                              for i in range(0, CAST(len(t) // 8 AS INT))]) AS s
+             FROM tok WHERE len(t) >= 8),
+    ex AS (SELECT doc_id, unnest(s) AS seg FROM segs),
+    freq AS (SELECT seg, CAST(count(*) AS BIGINT) AS df FROM ex GROUP BY seg)
+    SELECT e.doc_id,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(COALESCE(SUM(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS n_hot,
+           {dround_sql("CAST(COALESCE(SUM(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END), 0) AS DOUBLE) / count(*)", 6)}
+             AS boilerplate_frac
+    FROM ex e JOIN freq f USING (seg)
+    GROUP BY e.doc_id ORDER BY doc_id
+    """,
+)
+def x69_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level boilerplate audit (the C4/RefinedWeb 'repeated lines
+    across documents' rule, adapted to the fixture's newline-free text):
+    each document is cut into NON-overlapping 8-token segments, segment
+    document-frequency is counted corpus-wide, and each doc reports the
+    fraction of its segments shared with at least one other document —
+    the per-doc removal/penalty signal. Distinct from x43 containment
+    (overlapping shingles, pairwise scores): this is corpus-global,
+    per-segment, and linear — explode + one wordcount-shaped hash agg +
+    one equi-join back on the segment key, no self-join anywhere, so at
+    100 TB it costs two shuffles of the segment table regardless of how
+    much boilerplate there is."""
+    d = load_parallel(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_seg = F.floor(F.size(toks) / F.lit(8)).cast("int")
+    segs = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), n_seg - F.lit(1)),
+            lambda i: F.array_join(F.slice(toks, i * F.lit(8) + F.lit(1), F.lit(8)), " "),
+        )
+    )
+    ex = (
+        d.filter(F.size(toks) >= 8)
+        .select("doc_id", F.explode(segs).alias("seg"))
+    )
+    freq = ex.groupBy("seg").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        ex.join(freq, "seg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.coalesce(F.sum((F.col("df") >= 2).cast("long")), F.lit(0)).alias("n_hot"),
+        )
+        .select(
+            "doc_id",
+            "n_segments",
+            "n_hot",
+            dround(
+                F.col("n_hot").cast("double") / F.col("n_segments"), 6
+            ).alias("boilerplate_frac"),
+        )
+        .orderBy("doc_id")
+    )
