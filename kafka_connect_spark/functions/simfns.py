@@ -494,3 +494,67 @@ def lsh_cosine_topk(
         )
     )
     return ranked.filter(F.col("rank") <= k).orderBy("query_id", "rank")
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    k-means the embedding space, then dedup WITHIN each cluster only —
+    greedy keep-first: a vector is dropped iff some lower-id vector in the
+    SAME cluster has cosine >= threshold. Returns (id, cluster, keep).
+
+    Why this shape survives 100 TB: the only all-pairs work is per-cluster
+    (one applyInPandas group per cluster computing its cosine sub-matrix
+    with a single float64 matmul), so compute is sum(n_c^2) — k is chosen
+    to cap n_c, exactly how the published pipeline ran on LAION-scale
+    corpora. The codebook comes from the bounded deterministic driver
+    sample (kmeans_centroids); assignment is one Arrow-batched map pass.
+    Within-cluster pairs are a SUBSET of the exact near-dup pair set, so
+    precision vs the exact twin is 1.0 by construction (asserted in
+    tests/test_similarity.py along with seed-determinism); recall is the
+    cross-cluster-miss tradeoff the method accepts for linearity.
+
+    For clusters too large for one task's memory, compose with the blocked
+    matmul (cosine_pairs_blocked within each cluster) — the fixture-scale
+    path keeps one group per cluster to stay readable."""
+    cents = kmeans_centroids(
+        df, n_clusters, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+
+    @pandas_udf("long")
+    def assign(emb: pd.Series) -> pd.Series:
+        mat = np.stack(emb.to_numpy()).astype(np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        return pd.Series(np.argmax(mat @ cents.T, axis=1).astype(np.int64))
+
+    tagged = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        assign(F.col(vec_col).cast("array<double>")).alias("cluster"),
+    )
+
+    def dedup_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id", ignore_index=True)
+        mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = npround(mat @ mat.T, 6)
+        # keep[i] = no kept j < i with sim >= threshold; greedy over the
+        # id-sorted order makes the kept set unique and order-independent
+        n = len(pdf)
+        keep = np.ones(n, dtype=bool)
+        for i in range(1, n):
+            if (sims[i, :i][keep[:i]] >= threshold).any():
+                keep[i] = False
+        return pd.DataFrame(
+            {"id": pdf["id"], "cluster": pdf["cluster"], "keep": keep}
+        )
+
+    return tagged.groupBy("cluster").applyInPandas(
+        dedup_cluster, "id long, cluster long, keep boolean"
+    )

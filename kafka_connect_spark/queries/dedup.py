@@ -552,3 +552,18 @@ def x70_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query("x71_semantic_dedup")  # kmeans codebook => not SQL-expressible; rows-only
+def x71_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication over the embeddings table: k-means
+    partition of the space, greedy keep-first within each cluster at
+    cosine >= 0.4 (the fixture's near-dup band, matching x12f). The
+    linear-cost semantic twin of the exact pair pipeline: precision-1.0
+    drops (every dropped vector provably has an exact near-neighbor —
+    asserted vs x12f's pair set in tests/test_similarity.py) with recall
+    traded for never materializing cross-cluster pairs."""
+    from ..functions.simfns import semantic_dedup
+
+    emb = load(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, 0.4, n_clusters=8).orderBy("id")

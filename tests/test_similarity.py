@@ -116,3 +116,34 @@ def test_kmeans_refine_deterministic_and_recall(spark, sf_dir):
         return len(e & a) / len(e)
 
     assert recall(r1) >= recall(base) - 0.05  # refinement never hurts (tol)
+
+
+def test_semantic_dedup_precision_determinism_recall(spark, sf_dir):
+    """semantic_dedup: (1) every dropped vector has a true lower-id
+    near-neighbor at the threshold (precision 1.0 — within-cluster pairs
+    are a subset of the exact pair set); (2) the kept set is
+    run-deterministic; (3) recall vs the exact greedy keep-first over ALL
+    pairs stays above the cross-cluster-miss floor."""
+    from kafka_connect_spark.functions.simfns import cosine_pairs, semantic_dedup
+
+    emb = load(spark, sf_dir, "embeddings")
+    out = semantic_dedup(emb, 0.4, n_clusters=8).toPandas().sort_values("id")
+    out2 = semantic_dedup(emb, 0.4, n_clusters=8).toPandas().sort_values("id")
+    assert out.reset_index(drop=True).equals(out2.reset_index(drop=True))
+
+    pairs = cosine_pairs(emb, 0.4).collect()
+    has_lower = {}
+    for r in pairs:  # id_a < id_b by contract
+        has_lower.setdefault(r.id_b, set()).add(r.id_a)
+    dropped = set(out[~out["keep"]]["id"])
+    for d in dropped:
+        assert d in has_lower, f"dropped {d} has no exact near-neighbor"
+
+    # exact greedy keep-first over the full pair graph = recall reference
+    exact_dropped = set()
+    for r in sorted(pairs, key=lambda r: (r.id_b, r.id_a)):
+        if r.id_a not in exact_dropped:
+            exact_dropped.add(r.id_b)
+    assert exact_dropped, "fixture must contain near-dup pairs at 0.4"
+    recall = len(dropped & exact_dropped) / len(exact_dropped)
+    assert recall >= 0.3, f"semantic dedup recall = {recall:.2f}"
