@@ -1285,3 +1285,91 @@ def p25_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("sum_v"))
         .orderBy("hour_of_day", "event_type")
     )
+
+
+@query(
+    "x73_downsample_tiers",
+    oracle=f"""
+    WITH t5 AS (
+      SELECT time_bucket(INTERVAL '5 minutes', ts) AS bucket_start, event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             SUM(CAST(value AS DECIMAL(38,6))) AS s,
+             min(value) AS min_v, max(value) AS max_v
+      FROM events GROUP BY bucket_start, event_type),
+    t1h AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start, event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             SUM(CAST(value AS DECIMAL(38,6))) AS s,
+             min(value) AS min_v, max(value) AS max_v
+      FROM events GROUP BY bucket_start, event_type),
+    t1d AS (
+      SELECT time_bucket(INTERVAL '1 day', ts) AS bucket_start, event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             SUM(CAST(value AS DECIMAL(38,6))) AS s,
+             min(value) AS min_v, max(value) AS max_v
+      FROM events GROUP BY bucket_start, event_type)
+    SELECT tier, bucket_start, event_type, n,
+           {dround_sql("CAST(s AS DOUBLE)", 4)} AS sum_v, min_v, max_v
+    FROM (
+      SELECT '5m' AS tier, * FROM t5
+      UNION ALL SELECT '1h', * FROM t1h
+      UNION ALL SELECT '1d', * FROM t1d)
+    ORDER BY tier, bucket_start, event_type
+    """,
+)
+def x73_downsample_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiered downsampling (the hypertable continuous-aggregate /
+    metrics-retention story): 5-minute rollups computed from raw events,
+    then the 1-hour tier RE-AGGREGATED FROM THE 5-MINUTE PARTIALS and the
+    1-day tier from the 1-hour tier — raw data is scanned exactly ONCE;
+    every coarser tier reads the tier below (count sums, decimal sums
+    add exactly, min/max fold), which is why a 100 TB metrics store can
+    afford all three tiers: the 5m tier is ~|raw|/300 rows, 1h is /12 of
+    that, and each rollup is a near-free hash agg on already-tiny input.
+    The DuckDB oracle computes every tier flat from raw — decomposable
+    aggregates make hierarchical == flat bit-exactly, which is precisely
+    the property the tiering relies on."""
+    ev = load(spark, sf_dir, "events")
+    dec = "decimal(38,6)"
+
+    t5 = ev.groupBy(
+        F.window("ts", "5 minutes")["start"].alias("bucket_start"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast(dec)).alias("s"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+    )
+
+    def rollup_from(lower: DataFrame, trunc: str) -> DataFrame:
+        return lower.groupBy(
+            F.date_trunc(trunc, "bucket_start").alias("bucket_start"),
+            "event_type",
+        ).agg(
+            F.sum("n").alias("n"),
+            F.sum("s").cast(dec).alias("s"),
+            F.min("min_v").alias("min_v"),
+            F.max("max_v").alias("max_v"),
+        )
+
+    t1h = rollup_from(t5, "hour")
+    t1d = rollup_from(t1h, "day")
+
+    def emit(df: DataFrame, tier: str) -> DataFrame:
+        return df.select(
+            F.lit(tier).alias("tier"),
+            "bucket_start",
+            "event_type",
+            "n",
+            dround(F.col("s").cast("double"), 4).alias("sum_v"),
+            "min_v",
+            "max_v",
+        )
+
+    return (
+        emit(t5, "5m")
+        .unionAll(emit(t1h, "1h"))
+        .unionAll(emit(t1d, "1d"))
+        .orderBy("tier", "bucket_start", "event_type")
+    )

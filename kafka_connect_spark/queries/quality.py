@@ -107,3 +107,54 @@ def x40_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c.check_name", "c.metric", "c.passed")
         .orderBy("check_name")
     )
+
+
+@query(
+    "x72_skew_report",
+    oracle=f"""
+    WITH k AS (SELECT l_suppkey AS key, CAST(count(*) AS BIGINT) AS n_rows
+               FROM lineitem GROUP BY l_suppkey),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                 CAST(sum(n_rows) AS BIGINT) AS total_rows,
+                 CAST(max(n_rows) AS BIGINT) AS max_rows
+          FROM k)
+    SELECT key, n_rows, n_keys, total_rows,
+           {dround_sql("n_rows * CAST(n_keys AS DOUBLE) / total_rows", 6)}
+             AS skew_ratio
+    FROM k, t
+    ORDER BY n_rows DESC, key LIMIT 10
+    """,
+)
+def x72_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew diagnostic: the heaviest join/agg keys of a fact table
+    with their load relative to a perfectly uniform distribution
+    (skew_ratio = rows_for_key / avg_rows_per_key). This is the report
+    you run BEFORE picking a strategy for a 100 TB join — ratio >> 1 on
+    the top keys says salt (functions/skew.salted_join) or isolate, ~1
+    says AQE alone is fine. One hash agg on the key, a 1-row global
+    summary broadcast back over it, and a top-k (TakeOrdered — never a
+    global sort)."""
+    li = load(spark, sf_dir, "lineitem")
+    k = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    t = k.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n_rows").alias("total_rows"),
+        F.max("n_rows").alias("max_rows"),
+    ).select("n_keys", "total_rows")
+    return (
+        k.crossJoin(F.broadcast(t))  # 1-row global summary
+        .select(
+            "key",
+            "n_rows",
+            "n_keys",
+            "total_rows",
+            dround(
+                F.col("n_rows") * F.col("n_keys").cast("double") / F.col("total_rows"),
+                6,
+            ).alias("skew_ratio"),
+        )
+        .orderBy(F.col("n_rows").desc(), "key")
+        .limit(10)
+    )
