@@ -286,3 +286,49 @@ def test_kafka_exactly_once_option_surface():
     base = kafka_sink_options("b:9092")
     assert "kafka.enable.idempotence" not in base
     assert "kafka.transactional.id" not in base
+
+
+def test_compact_parquet_flat(spark, tmp_path):
+    """Compaction: 40 tiny files -> few files, rows and values unchanged,
+    swap leaves no temp/backup dirs behind."""
+    import os
+
+    from kafka_connect_spark.sinks.file import compact_parquet, small_file_report
+
+    path = str(tmp_path / "frag")
+    df = spark.range(0, 10_000).selectExpr("id", "id % 7 AS k", "id * 1.5 AS v")
+    df.repartition(40).write.parquet(path)
+    before = small_file_report(spark, path)
+    assert before["n_files"] >= 40
+    checksum = spark.read.parquet(path).selectExpr(
+        "sum(hash(id, k, v)) AS h", "count(*) AS n"
+    ).collect()[0]
+
+    out = compact_parquet(spark, path, target_file_bytes=64 * 1024 * 1024)
+    after = out["after"]
+    assert after["n_rows"] == before["n_rows"]
+    assert after["n_files"] < before["n_files"]
+    post = spark.read.parquet(path).selectExpr(
+        "sum(hash(id, k, v)) AS h", "count(*) AS n"
+    ).collect()[0]
+    assert (post["h"], post["n"]) == (checksum["h"], checksum["n"])
+    assert not os.path.exists(path + ".compact.tmp")
+    assert not os.path.exists(path + ".compact.bak")
+
+
+def test_compact_parquet_partitioned(spark, tmp_path):
+    """Partitioned layout: each partition directory collapses to one file."""
+    import glob
+
+    from kafka_connect_spark.sinks.file import compact_parquet
+
+    path = str(tmp_path / "part")
+    df = spark.range(0, 5_000).selectExpr("id", "CAST(id % 4 AS INT) AS p")
+    df.repartition(25).write.partitionBy("p").parquet(path)
+    assert len(glob.glob(path + "/p=0/*.parquet")) > 1
+
+    compact_parquet(spark, path, partition_by=["p"])
+    for p in range(4):
+        files = glob.glob(path + f"/p={p}/*.parquet")
+        assert len(files) == 1, f"partition p={p} has {len(files)} files"
+    assert spark.read.parquet(path).count() == 5_000
