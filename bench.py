@@ -125,6 +125,16 @@ HEADLINE = [
     "x67_promo_revenue_q14",
     "x68_disjunctive_revenue_q19",
     "p20_holt_winters",
+    # round 6 session-2 additions
+    "p21_changes",
+    "p23_stddev_over_time",
+    "p24_range_aggregates",
+    "p25_hourly_profile",
+    "x69_boilerplate_segments",
+    "x70_dedup_keep_best",
+    "x71_semantic_dedup",
+    "x72_skew_report",
+    "x73_downsample_tiers",
 ]
 
 

@@ -1341,6 +1341,13 @@ def x73_downsample_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("min_v"),
         F.max("value").alias("max_v"),
     )
+    # the 5m tier feeds its own emit branch AND the 1h rollup (which feeds
+    # 1d): without a persist Catalyst expands each union branch into its own
+    # full raw scan (verified: 3x "Scan parquet", zero ReusedExchange even
+    # under AQE). Persisting the ~|raw|/300-row tier makes "raw scanned
+    # once" literally true — in a real retention pipeline each tier is
+    # written out as a table anyway, which is this persist's durable form.
+    t5 = t5.persist()
 
     def rollup_from(lower: DataFrame, trunc: str) -> DataFrame:
         return lower.groupBy(

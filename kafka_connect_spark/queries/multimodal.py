@@ -156,3 +156,50 @@ def mm_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return audio_frame_energy(attach_fake_audio(d)).orderBy("doc_id", "frame_idx")
+
+
+@query(
+    "mm_phash_clusters",
+    oracle="""
+    WITH RECURSIVE b AS (
+      SELECT doc_id,
+             [CAST('0x' || substr(md5(text), 2*j + 1, 2) AS BIGINT)
+              for j in range(0, 16)] AS px
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id,
+             list_sum([CASE WHEN px[j + 1] > list_sum(px) / 16.0
+                            THEN 2**j ELSE 0 END
+                       for j in range(0, 16)]) AS pattern
+      FROM b
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, c.doc_id AS id_b
+      FROM p a JOIN p c ON a.pattern = c.pattern AND a.doc_id < c.doc_id
+    ),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(node, r) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT e.src, r.r FROM edges e JOIN reach r ON r.node = e.dst
+    )
+    SELECT node AS doc_id, CAST(LEAST(node, MIN(r)) AS BIGINT) AS cluster
+    FROM reach GROUP BY node ORDER BY doc_id
+    """,
+)
+def mm_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image dedup end-to-end: perceptual-hash near-dup pairs (mm_phash_pairs'
+    decode -> 8x8 resize -> mean-threshold -> pigeonhole banding) fed into
+    the SAME hash-min label propagation the text pipeline uses (x12h) —
+    one dedup clustering engine across modalities, pairs being the only
+    modality-specific stage. The oracle recomputes the full path plus
+    connected components with a recursive CTE."""
+    from ..functions.dedupfns import dup_clusters
+    from ..functions.multimodalfns import attach_fake_media, perceptual_hash, phash_near_dup_pairs
+
+    d = load(spark, sf_dir, "documents")
+    hashes = perceptual_hash(attach_fake_media(d))
+    pairs = phash_near_dup_pairs(hashes, max_hamming=3, bands=4).select("id_a", "id_b")
+    return dup_clusters(pairs).orderBy("doc_id")
