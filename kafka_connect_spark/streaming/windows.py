@@ -229,3 +229,49 @@ def session_agg(
         "cnt",
         "sum_value",
     )
+
+
+def downsample_tier_stream(
+    sdf: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "5 minutes",
+    value_col: str = "value",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Continuous maintenance of the FINEST downsample tier (the streaming
+    half of queries.metrics.x73_downsample_tiers): tumbling event-time
+    windows with a watermark, emitting decomposable partials
+    (n, decimal sum, min, max) per closed window. Append mode + the
+    watermark bound the open-window state; each emitted row is final, so
+    the sink append IS the tier table and coarser tiers derive from it
+    batch-side via ``rollup_tier`` — raw events are aggregated exactly
+    once, in-flight, and never re-scanned."""
+    out = (
+        sdf.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("win"), key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(value_col).cast("decimal(38,6)")).alias("s"),
+            F.min(value_col).alias("min_v"),
+            F.max(value_col).alias("max_v"),
+        )
+    )
+    return out.select(
+        F.col("win.start").alias("bucket_start"), key_col, "n", "s", "min_v", "max_v"
+    )
+
+
+def rollup_tier(tier: DataFrame, trunc: str, key_col: str = "event_type") -> DataFrame:
+    """Derive a coarser tier from a finer one by re-aggregating its
+    decomposable partials (count sums, exact decimal sums, min/max fold) —
+    identical math to the batch x73 rollup, so streamed-then-rolled-up
+    equals batch-from-raw bit-for-bit."""
+    return tier.groupBy(
+        F.date_trunc(trunc, "bucket_start").alias("bucket_start"), key_col
+    ).agg(
+        F.sum("n").alias("n"),
+        F.sum("s").cast("decimal(38,6)").alias("s"),
+        F.min("min_v").alias("min_v"),
+        F.max("max_v").alias("max_v"),
+    )

@@ -581,3 +581,64 @@ def test_streaming_session_funnel_equals_batch(spark, sf_dir, tmp_path):
     assert len(full) > 0
     for uid in full:
         assert int(stream_conv[uid]) == int(batch.loc[uid, "n_converting"])
+
+
+def test_streaming_downsample_tier_equals_batch(spark, sf_dir, tmp_path):
+    """Continuous-aggregate maintenance: the streamed 5m tier (closed
+    windows only) matches the batch 5m aggregation exactly, and the 1h
+    tier ROLLED UP FROM THE STREAMED TIER matches the 1h aggregation
+    computed from raw — the decomposable-partials property x73 relies on,
+    proven across the batch/streaming boundary."""
+    from kafka_connect_spark.streaming.windows import (
+        downsample_tier_stream,
+        rollup_tier,
+    )
+
+    d, events = _replay_dir(spark, sf_dir, tmp_path)
+    sdf = file_replay_stream(spark, d, spark.read.parquet(d).schema)
+    tier_path = str(tmp_path / "tier5m")
+
+    q = (
+        downsample_tier_stream(sdf)
+        .writeStream.format("parquet")
+        .option("path", tier_path)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    streamed = spark.read.parquet(tier_path)
+    batch5 = (
+        events.groupBy(F.window("ts", "5 minutes").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)")).alias("s"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+        )
+        .select(F.col("win.start").alias("bucket_start"), "event_type",
+                "n", "s", "min_v", "max_v")
+    )
+    sp = streamed.toPandas().sort_values(["bucket_start", "event_type"], ignore_index=True)
+    bp = batch5.toPandas().sort_values(["bucket_start", "event_type"], ignore_index=True)
+    # closed-window subset: every streamed row must equal its batch twin
+    assert len(sp) > 0
+    merged = sp.merge(bp, on=["bucket_start", "event_type"], suffixes=("_s", "_b"))
+    assert len(merged) == len(sp)
+    for c in ("n", "s", "min_v", "max_v"):
+        assert (merged[f"{c}_s"] == merged[f"{c}_b"]).all(), c
+
+    # coarser tier from streamed partials == coarser tier from raw, over the
+    # hours whose 5m windows all closed
+    r1h = rollup_tier(streamed, "hour").toPandas()
+    b1h = rollup_tier(batch5, "hour").toPandas()
+    m = r1h.merge(b1h, on=["bucket_start", "event_type"], suffixes=("_s", "_b"))
+    closed_hours = set(
+        sp.groupby([sp["bucket_start"].dt.floor("h"), "event_type"])["bucket_start"].count().index
+    )
+    full = m[[(r["bucket_start"], r["event_type"]) in closed_hours
+              and r["n_s"] == r["n_b"] for _, r in m.iterrows()]]
+    assert len(full) > 0
+    assert (full["s_s"] == full["s_b"]).all()
