@@ -83,14 +83,29 @@ def _near_dup_lsh_strict(spark, sf_dir):
     )
 
 
+def _semantic_dedup_scaled(spark, sf_dir):
+    """Probe-local x71 with the published SemDeDup scaling discipline:
+    n_clusters grows with the corpus (k ~ n/640) so per-cluster size — and
+    therefore the within-cluster all-pairs matmul — stays bounded. The
+    registry query pins n_clusters=8 for fixture determinism; THIS is the
+    shape that runs at scale, and the probe measures it."""
+    from kafka_connect_spark.functions.simfns import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    return semantic_dedup(emb, 0.8, n_clusters=max(8, n // 640))
+
+
 PROBE_EXTRA = {
     "near_dup_strict": _near_dup_strict,
     "near_dup_lsh_strict": _near_dup_lsh_strict,
+    "semantic_dedup_scaled": _semantic_dedup_scaled,
 }
 
 DEFAULT_QUERIES = {
-    "docs": ["x12c", "x12e", "x12h", "x12i", "x43", "x43b"],
-    "embeddings": ["x13", "x13b", "x13c", "near_dup_strict", "near_dup_lsh_strict"],
+    "docs": ["x12c", "x12e", "x12h", "x12i", "x43", "x43b", "x69", "x70"],
+    "embeddings": ["x13", "x13b", "x13c", "near_dup_strict", "near_dup_lsh_strict",
+                   "semantic_dedup_scaled"],
 }
 # registry names are prefixed (x12c_ngram_jaccard_pairs etc.); resolve by prefix
 def _resolve(short: str) -> str:
