@@ -158,3 +158,73 @@ def x72_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_rows").desc(), "key")
         .limit(10)
     )
+
+
+@query(
+    "x74_distribution_drift_psi",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type,
+             CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+             CAST(SUM(CASE WHEN ts <  TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cb
+      FROM events GROUP BY event_type, bucket),
+    t AS (SELECT event_type, CAST(sum(ca) AS BIGINT) AS ta,
+                 CAST(sum(cb) AS BIGINT) AS tb
+          FROM b GROUP BY event_type),
+    terms AS (
+      SELECT b.event_type,
+             CAST((CAST(ca AS DOUBLE) / ta - CAST(cb AS DOUBLE) / tb)
+                  * ln((CAST(ca AS DOUBLE) * tb) / (CAST(cb AS DOUBLE) * ta))
+                  AS DECIMAL(38,6)) AS term
+      FROM b JOIN t ON b.event_type = t.event_type
+      WHERE ca > 0 AND cb > 0)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           {dround_sql("CAST(sum(term) AS DOUBLE)", 6)} AS psi
+    FROM terms GROUP BY event_type ORDER BY event_type
+    """,
+)
+def x74_distribution_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift report: per event_type, the PSI
+    between the value distribution of the first half of the month and the
+    second (PSI = sum (pA - pB) ln(pA/pB) over shared buckets; > 0.2 is
+    the standard 'distribution shifted, retrain/alert' threshold). The
+    production-ML data-quality gate between two snapshot windows. ONE
+    scan: both window counts come from conditional sums per (type,
+    bucket); per-type totals are a second tiny agg joined back; buckets
+    present in only one window are excluded (documented bias — the
+    standard alternative is Laplace smoothing, which needs a fixed bucket
+    domain). Each PSI term quantizes to DECIMAL(38,6) (x53's ln idiom)
+    so summation order can't move the result between engines."""
+    ev = load(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    b = ev.groupBy(
+        "event_type", F.floor(F.col("value") / 50.0).cast("long").alias("bucket")
+    ).agg(
+        F.sum((F.col("ts") < cut).cast("long")).alias("ca"),
+        F.sum((F.col("ts") >= cut).cast("long")).alias("cb"),
+    )
+    t = b.groupBy("event_type").agg(
+        F.sum("ca").alias("ta"), F.sum("cb").alias("tb")
+    )
+    ca, cb = F.col("ca").cast("double"), F.col("cb").cast("double")
+    ta, tb = F.col("ta"), F.col("tb")
+    term = (
+        (ca / ta - cb / tb) * F.log((ca * tb) / (cb * ta))
+    ).cast("decimal(38,6)")
+    terms = (
+        b.join(F.broadcast(t), "event_type")
+        .filter((F.col("ca") > 0) & (F.col("cb") > 0))
+        .select("event_type", term.alias("term"))
+    )
+    return (
+        terms.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            dround(F.sum("term").cast("double"), 6).alias("psi"),
+        )
+        .orderBy("event_type")
+    )
