@@ -1728,3 +1728,71 @@ def x68_disjunctive_revenue_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.filter(clause).agg(
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
     )
+
+
+@query(
+    "x75_asof_forward_tolerance",
+    oracle="""
+    WITH w AS (
+      SELECT event_id, user_id, ts, event_type,
+             min(CASE WHEN event_type = 'purchase'
+                      THEN CAST(epoch_us(ts) AS HUGEINT) * 10000000 + event_id END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS nxt_key
+      FROM events
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN nxt_key IS NOT NULL
+                 AND nxt_key // 10000000 - epoch_us(ts) <= 3600000000
+                THEN CAST(nxt_key % 10000000 AS BIGINT) END AS next_purchase_id,
+           CASE WHEN nxt_key IS NOT NULL
+                 AND nxt_key // 10000000 - epoch_us(ts) <= 3600000000
+                THEN CAST((nxt_key // 10000000 - epoch_us(ts)) // 1000000 AS BIGINT)
+           END AS secs_to_purchase
+    FROM w WHERE event_type = 'click' ORDER BY event_id
+    """,
+)
+def x75_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with tolerance (pandas merge_asof
+    direction='forward'): each click picks the user's NEXT purchase, but
+    only within 1 hour — the time-to-convert attribution query. Same
+    single-window as-of plan as x21 (one per-user sort-shuffle, no range
+    join): the forward scan is a min over a (ts, id)-packed integer key
+    on a CURRENT-TO-FOLLOWING frame; packing (epoch_us * 1e7 + event_id)
+    into one exact DECIMAL(38,0) (HUGEINT in DuckDB — int64 would
+    overflow) makes 'earliest (ts, id)' a plain integer min —
+    engine-exact, and the tolerance check unpacks the same integer. At
+    100 TB this stays one shuffle on user_id; tolerance is a map-side
+    filter after the window, never a join predicate."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    # pack (ts, id) into ONE exact 128-bit ordinal: int64 would overflow
+    # (epoch_us * 1e7 ~ 1.7e22), DECIMAL(38,0) / HUGEINT holds it exactly
+    pk = (
+        F.unix_micros("ts").cast("decimal(38,0)") * F.lit(10_000_000)
+        + F.col("event_id")
+    )
+    nxt = F.min(F.when(F.col("event_type") == "purchase", pk)).over(w)
+    dt_us = F.floor(F.col("nxt_key") / 10_000_000) - F.unix_micros("ts")
+    ok = F.col("nxt_key").isNotNull() & (dt_us <= 3_600_000_000)
+    return (
+        ev.select("event_id", "user_id", "event_type", "ts", nxt.alias("nxt_key"))
+        .filter(F.col("event_type") == "click")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.when(ok, F.pmod(F.col("nxt_key"), F.lit(10_000_000)).cast("long")).alias(
+                "next_purchase_id"
+            ),
+            F.when(ok, F.floor(dt_us / 1_000_000).cast("long")).alias(
+                "secs_to_purchase"
+            ),
+        )
+        .orderBy("event_id")
+    )
