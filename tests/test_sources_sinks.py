@@ -332,3 +332,39 @@ def test_compact_parquet_partitioned(spark, tmp_path):
         files = glob.glob(path + f"/p={p}/*.parquet")
         assert len(files) == 1, f"partition p={p} has {len(files)} files"
     assert spark.read.parquet(path).count() == 5_000
+
+
+def test_range_sorted_layout_skips_files(spark, tmp_path):
+    """Range-sorted layout: per-file key ranges are pairwise disjoint, a
+    point predicate touches exactly one file, and the same data written
+    hash-partitioned touches (nearly) all of them."""
+    from kafka_connect_spark.sinks.layout import (
+        file_key_ranges,
+        skipping_effectiveness,
+        write_range_sorted,
+    )
+
+    df = spark.range(0, 20_000).selectExpr("id AS k", "id * 2 AS v")
+    sorted_path = str(tmp_path / "sorted")
+    hashed_path = str(tmp_path / "hashed")
+    write_range_sorted(df, sorted_path, "k", n_files=8)
+    df.repartition(8, "k").write.parquet(hashed_path)
+
+    ranges = sorted(
+        (r["key_min"], r["key_max"]) for r in file_key_ranges(spark, sorted_path, "k").collect()
+    )
+    assert len(ranges) == 8
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
+        assert a_hi < b_lo, "file key ranges must be disjoint"
+
+    eff_sorted = skipping_effectiveness(spark, sorted_path, "k", 12_345)
+    eff_hashed = skipping_effectiveness(spark, hashed_path, "k", 12_345)
+    assert eff_sorted["n_needed"] == 1
+    assert eff_hashed["n_needed"] == eff_hashed["n_files"]
+
+    # range predicate: contiguous file subset
+    eff_range = skipping_effectiveness(spark, sorted_path, "k", 1_000, 6_000)
+    assert eff_range["n_needed"] <= 3
+
+    # the layout preserves the data
+    assert spark.read.parquet(sorted_path).count() == 20_000
