@@ -1042,3 +1042,40 @@ def x69_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "x76_heavy_hitter_bigrams",
+    oracle="""
+    WITH d AS (SELECT string_split(text, ' ') AS toks FROM documents),
+    g AS (SELECT toks[i] || ' ' || toks[i+1] AS term
+          FROM d, unnest(range(1, len(toks))) t(i)),
+    c AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY term),
+    n AS (SELECT count(*) AS n_total FROM g)
+    SELECT term, cnt FROM c, n WHERE cnt * 640 > n_total ORDER BY term
+    """,
+)
+def x76_heavy_hitter_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter bigrams (count × 640 > N) via per-partition Misra–Gries
+    candidates + exact rescore (functions/sketchfns.py). The oracle is the
+    naive full wordcount; the Spark plan is the sketch: at web-scale
+    vocabulary the naive plan shuffles billions of distinct n-grams for a
+    few hundred output rows, while MG shuffles ≤ capacity rows/partition
+    and the rescore semi-join broadcasts the candidate set. Exact output,
+    integer-exact threshold — hash-checked despite the approximate
+    intermediate."""
+    from ..functions.sketchfns import frequent_terms_exact
+
+    d = load_parallel(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - F.lit(2)),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i + F.lit(1)), F.element_at(toks, i + F.lit(2))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    terms = d.select(F.explode(grams).alias("term"))
+    return frequent_terms_exact(terms, "term", denom=640)
