@@ -567,3 +567,41 @@ def x71_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     return semantic_dedup(emb, 0.4, n_clusters=8).orderBy("id")
+
+
+@query(
+    "x77_winnow_fingerprint_pairs",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (SELECT doc_id, i - 1 AS pos, len(toks) - 4 AS ng,
+            CAST('0x' || substring(md5(array_to_string(toks[i:i+4], ' ')), 1, 15)
+                 AS BIGINT) AS h
+          FROM d, unnest(range(1, len(toks) - 3)) t(i)
+          WHERE len(toks) >= 8),
+    w AS (SELECT doc_id, pos, ng,
+            min(CAST(h AS HUGEINT) * 1048576 + (1048575 - pos))
+              OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS pk
+          FROM g),
+    f AS (SELECT DISTINCT doc_id, CAST(pk // 1048576 AS BIGINT) AS h
+          FROM w WHERE pos <= ng - 4),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(count(*) AS BIGINT) AS n_shared
+          FROM f a JOIN f b ON a.h = b.h AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+    SELECT doc_a, doc_b, n_shared FROM p WHERE n_shared >= 3
+    ORDER BY doc_a, doc_b
+    """,
+)
+def x77_winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate candidate pairs by shared winnowing (MOSS) fingerprints
+    — 5-token grams, window 4, >= 3 shared fingerprints. The sparse-index
+    alternative to full-shingle self-joins (functions/dedupfns.py:
+    winnow_fingerprints): ~2/(w+1) of the gram volume enters the join, with
+    the SIGMOD'03 guarantee that any shared run of >= w+k-1 = 8 tokens still
+    produces a shared fingerprint. Oracle mirrors the packed-ordinal
+    window-min construction (HUGEINT vs DECIMAL(38,0))."""
+    from ..functions.dedupfns import winnow_match_pairs
+
+    d = load_parallel(spark, sf_dir, "documents")
+    return winnow_match_pairs(d, k=5, w=4, min_shared=3).orderBy("doc_a", "doc_b")

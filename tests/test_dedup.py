@@ -163,3 +163,67 @@ def test_containment_cap_excludes_hot_shingle_keeps_sizes_exact(spark):
     # lower-bound bias: capped containment never exceeds uncapped
     for k, (ca, cb) in cap.items():
         assert ca <= unc[k][0] and cb <= unc[k][1]
+
+
+# ---------------------------------------------------------------- winnowing
+
+
+def _winnow_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_winnow_guarantee_shared_run(spark):
+    """SIGMOD'03 guarantee: a shared token run of >= w+k-1 (= 8 here)
+    tokens yields at least one shared fingerprint."""
+    from kafka_connect_spark.functions.dedupfns import winnow_match_pairs
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (1, "one two three " + shared + " four five six seven"),
+        (2, "red green blue " + shared + " cyan magenta yellow black"),
+        (3, "totally different words with no overlap at all here friend"),
+    ]
+    pairs = {
+        (r.doc_a, r.doc_b): r.n_shared
+        for r in winnow_match_pairs(
+            _winnow_docs(spark, rows), k=5, w=4, min_shared=1
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert all(3 not in p for p in pairs)
+
+
+def test_winnow_density_and_determinism(spark):
+    """Fingerprint density stays near 2/(w+1); selection is deterministic."""
+    from kafka_connect_spark.functions.dedupfns import winnow_fingerprints
+
+    words = [f"w{(i * 7919) % 997}" for i in range(400)]
+    df = _winnow_docs(spark, [(1, " ".join(words))])
+    fp1 = sorted(r.h for r in winnow_fingerprints(df, k=5, w=4).collect())
+    fp2 = sorted(r.h for r in winnow_fingerprints(df, k=5, w=4).collect())
+    assert fp1 == fp2
+    n_grams = 400 - 4
+    assert 0.2 * n_grams < len(fp1) < 0.65 * n_grams  # ~2/(w+1)=0.4 of grams
+
+
+def test_winnow_hot_hash_cap(spark):
+    """max_hash_freq drops fingerprints shared by too many docs (boilerplate)
+    before the self-join, so the ubiquitous-substring pair explosion is
+    bounded; genuinely similar pairs survive on their other fingerprints."""
+    from kafka_connect_spark.functions.dedupfns import winnow_match_pairs
+
+    boiler = " ".join(f"b{i}" for i in range(12))
+    rows = [(i, boiler + f" unique{i} filler{i} tail{i} x{i} y{i}") for i in range(6)]
+    # near-identical twin pair sharing much more than the boilerplate
+    rows += [
+        (100, "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10 s11 s12 s13 s14 s15 s16"),
+        (101, "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10 s11 s12 s13 s14 s15 s16 extra"),
+    ]
+    df = _winnow_docs(spark, rows)
+    unc = winnow_match_pairs(df, k=5, w=4, min_shared=1)
+    cap = winnow_match_pairs(df, k=5, w=4, min_shared=1, max_hash_freq=4)
+    unc_pairs = {(r.doc_a, r.doc_b) for r in unc.collect()}
+    cap_pairs = {(r.doc_a, r.doc_b) for r in cap.collect()}
+    assert len(unc_pairs) >= 15  # boilerplate all-pairs blowup: C(6,2) + twin
+    assert (100, 101) in cap_pairs  # real near-dup survives the cap
+    assert cap_pairs < unc_pairs  # boilerplate-only pairs pruned
