@@ -558,3 +558,117 @@ def semantic_dedup(
     return tagged.groupBy("cluster").applyInPandas(
         dedup_cluster, "id long, cluster long, keep boolean"
     )
+
+
+def mips_topk_brute(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by INNER PRODUCT (maximum-inner-product search): the
+    recommendation/retrieval scoring where vector length matters —
+    cosine's normalization is wrong there. Same broadcast nested-loop
+    shape as ``cosine_topk``; score = dot product rounded 6 before
+    ranking, ties by neighbor_id (the exact-arithmetic discipline all
+    checked rankings use). This is the ground-truth/verify stage; the
+    scale path is ``mips_topk_lsh``."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    pairs = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+    ip = dround(dot(F.col("qv"), F.col("v")), 6)
+    ranked = pairs.select("query_id", "neighbor_id", ip.alias("ip")).withColumn(
+        "rank",
+        F.row_number()
+        .over(
+            Window.partitionBy("query_id").orderBy(
+                F.col("ip").desc(), F.col("neighbor_id")
+            )
+        )
+        .cast("long"),
+    )
+    return ranked.filter(F.col("rank") <= k).orderBy("query_id", "rank")
+
+
+def mips_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 4,
+    n_tables: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate MIPS via the norm-augmentation reduction (Bachrach et
+    al., RecSys'14; Neyshabur & Srebro, ICML'15): append one dimension so
+    every corpus vector becomes unit-norm — x' = [x/M, sqrt(1-(|x|/M)^2)]
+    with M = max corpus norm, q' = [q, 0] — which makes augmented-cosine
+    ranking IDENTICAL to inner-product ranking. The existing
+    hyperplane-LSH candidate machinery then applies unchanged to MIPS:
+    bucket the augmented vectors, equi-join on (table, bucket), exact
+    inner-product rerank of candidates only. M comes from one scalar agg
+    over the corpus (a bounded driver probe, like the LSH auto-depth
+    count). Recall vs ``mips_topk_brute`` is asserted in
+    tests/test_similarity.py; candidates-only join is the 100 TB path."""
+    m_norm = corpus.select(
+        F.sqrt(F.max(dot(F.col(vec_col).cast("array<double>"), F.col(vec_col).cast("array<double>")))).alias("m")
+    ).collect()[0]["m"]
+    planes = np.random.RandomState(seed).randn(n_tables, n_planes, dim + 1)
+    bucketize = _bucket_udf(planes)
+
+    v = F.col(vec_col).cast("array<double>")
+    c_aug = F.concat(
+        F.transform(v, lambda x: x / F.lit(m_norm)),
+        F.array(
+            F.sqrt(F.greatest(F.lit(0.0), F.lit(1.0) - dot(v, v) / F.lit(m_norm * m_norm)))
+        ),
+    )
+    q_aug = F.concat(v, F.array(F.lit(0.0)))
+
+    def tag(df: DataFrame, aug, prefix: str) -> DataFrame:
+        tagged = df.withColumn("_buckets", bucketize(aug))
+        t = F.explode(
+            F.transform(
+                F.col("_buckets"),
+                lambda b, i: F.struct(i.alias("table"), b.alias("bucket")),
+            )
+        )
+        return tagged.select(F.col(id_col).alias(f"{prefix}_id"), t.alias("tb")).select(
+            f"{prefix}_id", "tb.table", "tb.bucket"
+        )
+
+    cand = (
+        tag(corpus, c_aug, "neighbor")
+        .join(tag(queries, q_aug, "query"), ["table", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), v.alias("v"))
+    q = queries.select(F.col(id_col).alias("query_id"), v.alias("qv"))
+    ip = dround(dot(F.col("qv"), F.col("v")), 6)
+    ranked = (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "neighbor_id", ip.alias("ip"))
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("ip").desc(), F.col("neighbor_id")
+                )
+            )
+            .cast("long"),
+        )
+    )
+    return ranked.filter(F.col("rank") <= k).orderBy("query_id", "rank")

@@ -1380,3 +1380,71 @@ def x73_downsample_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(emit(t1d, "1d"))
         .orderBy("tier", "bucket_start", "event_type")
     )
+
+
+@query(
+    "x78_series_correlation_matrix",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type AS et, CAST(FLOOR(epoch_ms(ts) / 600000) AS BIGINT) AS bk,
+             CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS HUGEINT) AS v
+      FROM events GROUP BY 1, 2),
+    j AS (SELECT a.et AS etype_a, b.et AS etype_b, a.v AS x, b.v AS y
+          FROM s a JOIN s b ON a.bk = b.bk AND a.et < b.et),
+    g AS (SELECT etype_a, etype_b, CAST(count(*) AS HUGEINT) AS n,
+                 SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+                 SUM(x*x) AS sxx, SUM(y*y) AS syy
+          FROM j GROUP BY 1, 2)
+    SELECT etype_a, etype_b, CAST(n AS BIGINT) AS n_buckets,
+           {dround_sql(
+               "CAST(n*sxy - sx*sy AS DOUBLE) / "
+               "sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE))",
+               6,
+           )} AS corr
+    FROM g ORDER BY etype_a, etype_b
+    """,
+)
+def x78_series_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation between metric series (the 'which
+    metrics move together' dashboard companion — PromQL has no corr();
+    TimescaleDB ships stats_agg/corr for exactly this). Series = per-type
+    10-minute rollups with integer-quantized values; all five correlation
+    sums (n, Σx, Σy, Σxy, Σx², Σy²) accumulate EXACTLY in DECIMAL(38,0)
+    (HUGEINT in DuckDB), so both engines feed bit-identical integers into
+    one IEEE sqrt/divide — the same discipline as p14/p15. Plan: one hash
+    agg to K×buckets rollup rows, one bucket-aligned self-join (K small —
+    output is inherently O(K²) pairs), one pair agg. At 100 TB the rollup
+    is the only pass over raw data."""
+    ev = load(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    s = (
+        ev.select(
+            F.col("event_type").alias("et"),
+            F.floor(F.unix_millis("ts") / F.lit(600_000)).cast("long").alias("bk"),
+            F.floor(F.col("value") * 100).cast("long").alias("y"),
+        )
+        .groupBy("et", "bk")
+        .agg(F.sum("y").cast(dec).alias("v"))
+    )
+    a, b = s.alias("a"), s.alias("b")
+    g = (
+        a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.et") < F.col("b.et")))
+        .groupBy(F.col("a.et").alias("etype_a"), F.col("b.et").alias("etype_b"))
+        .agg(
+            F.count(F.lit(1)).cast(dec).alias("n"),
+            F.sum(F.col("a.v")).alias("sx"),
+            F.sum(F.col("b.v")).alias("sy"),
+            F.sum(F.col("a.v") * F.col("b.v")).alias("sxy"),
+            F.sum(F.col("a.v") * F.col("a.v")).alias("sxx"),
+            F.sum(F.col("b.v") * F.col("b.v")).alias("syy"),
+        )
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    var_x = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    var_y = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return g.select(
+        "etype_a",
+        "etype_b",
+        F.col("n").cast("long").alias("n_buckets"),
+        dround(num / F.sqrt(var_x * var_y), 6).alias("corr"),
+    ).orderBy("etype_a", "etype_b")

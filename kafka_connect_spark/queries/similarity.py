@@ -186,3 +186,49 @@ def x61_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+_IP_SQL = dround_sql("list_dot_product(q.qv, e.v)", 6)
+
+
+@query(
+    "x79_mips_bruteforce_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    pairs AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {_IP_SQL} AS ip
+      FROM q, e WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, ip, rank FROM (
+      SELECT *, CAST(row_number() OVER
+        (PARTITION BY query_id ORDER BY ip DESC, neighbor_id) AS BIGINT) AS rank
+      FROM pairs
+    ) WHERE rank <= 3 ORDER BY query_id, rank
+    """,
+)
+def x79_mips_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact maximum-inner-product top-3 for query vectors vec_id < 10 —
+    the retrieval scoring where vector magnitude matters (cosine's
+    normalization would be wrong). Ground truth for the augmented-LSH
+    variant x79b."""
+    from ..functions.simfns import mips_topk_brute
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return mips_topk_brute(emb, queries, k=3)
+
+
+@query("x79b_mips_lsh_topk")  # seed-deterministic; rows-only check + recall test
+def x79b_mips_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIPS top-3 via the norm-augmentation reduction: one appended
+    dimension turns inner-product ranking into cosine ranking on
+    unit-norm vectors, so the hyperplane-LSH candidate machinery applies
+    to MIPS unchanged (functions/simfns.py: mips_topk_lsh). Candidates
+    bucket-join only; exact inner-product rerank."""
+    from ..functions.simfns import mips_topk_lsh
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return mips_topk_lsh(emb, queries, k=3, n_tables=16)

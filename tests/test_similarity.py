@@ -147,3 +147,49 @@ def test_semantic_dedup_precision_determinism_recall(spark, sf_dir):
     assert exact_dropped, "fixture must contain near-dup pairs at 0.4"
     recall = len(dropped & exact_dropped) / len(exact_dropped)
     assert recall >= 0.3, f"semantic dedup recall = {recall:.2f}"
+
+
+def test_mips_brute_vs_cosine_differ(spark):
+    """MIPS ranks by magnitude where cosine normalizes it away: a long
+    slightly-misaligned vector must beat a short perfectly-aligned one
+    under inner product, and lose under cosine."""
+    from kafka_connect_spark.functions.simfns import cosine_topk, mips_topk_brute
+
+    rows = [
+        (0, [1.0, 0.0]),       # query
+        (1, [0.5, 0.0]),       # short, perfectly aligned: cosine winner
+        (2, [10.0, 3.0]),      # long, slightly off-axis: MIPS winner
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") == 0)
+    ip = mips_topk_brute(df, q, k=1).collect()
+    cos = cosine_topk(df, q, k=1).collect()
+    assert ip[0].neighbor_id == 2 and ip[0].ip == 10.0
+    assert cos[0].neighbor_id == 1
+
+
+def test_mips_brute_ranks_descending(spark, sf_dir):
+    from kafka_connect_spark.functions.simfns import mips_topk_brute
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    ip = mips_topk_brute(emb, queries, k=3).toPandas()
+    assert len(ip) == 60
+    for _, grp in ip.groupby("query_id"):
+        assert list(grp["rank"]) == [1, 2, 3]
+        assert list(grp["ip"]) == sorted(grp["ip"], reverse=True)
+
+
+def test_mips_lsh_recall_and_determinism(spark, sf_dir):
+    from kafka_connect_spark.functions.simfns import mips_topk_brute, mips_topk_lsh
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = mips_topk_brute(emb, queries, k=3).toPandas()
+    a1 = mips_topk_lsh(emb, queries, k=3, n_tables=16).toPandas()
+    a2 = mips_topk_lsh(emb, queries, k=3, n_tables=16).toPandas()
+    assert a1.equals(a2)  # seed-deterministic
+    e = {(r.query_id, r.neighbor_id) for r in exact.itertuples()}
+    a = {(r.query_id, r.neighbor_id) for r in a1.itertuples()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"augmented-LSH MIPS recall@3 = {recall:.2f}"
