@@ -1448,3 +1448,67 @@ def x78_series_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("n").cast("long").alias("n_buckets"),
         dround(num / F.sqrt(var_x * var_y), 6).alias("corr"),
     ).orderBy("etype_a", "etype_b")
+
+
+@query(
+    "p26_quantile_across_series",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(FLOOR(epoch_ms(ts) / 3600000) AS BIGINT) AS bk, user_id,
+             CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2),
+    r AS (SELECT bk, v,
+                 row_number() OVER (PARTITION BY bk ORDER BY v, user_id) AS rn,
+                 count(*) OVER (PARTITION BY bk) AS n
+          FROM s)
+    SELECT bk, CAST(max(n) AS BIGINT) AS n_series,
+           min(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN v END) AS q50,
+           min(CASE WHEN rn = CAST(ceil(0.90 * n) AS BIGINT) THEN v END) AS q90,
+           min(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN v END) AS q99
+    FROM r GROUP BY bk ORDER BY bk
+    """,
+)
+def p26_quantile_across_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL quantile(phi, metric) by (bucket): the ACROSS-series
+    quantile (p10/p13 are along-time). Per-user hourly totals are the
+    series; each bucket reports nearest-rank (exact, discrete) q50/q90/q99
+    — value at row_number ceil(phi*n) ordered by (value, user_id), the
+    SAME explicit construction in both engines, so tie-handling and
+    interpolation can't diverge (quantile_disc/percentile built-ins
+    differ across engines on exactly those points). Integer-quantized
+    values => BIGINT all the way. Plan: one hash agg + one per-bucket
+    window sort + one final agg; at 100 TB the window partitions by
+    bucket — bounded by series count, never by raw rows."""
+    ev = load(spark, sf_dir, "events")
+    s = (
+        ev.select(
+            F.floor(F.unix_millis("ts") / F.lit(3_600_000)).cast("long").alias("bk"),
+            "user_id",
+            F.floor(F.col("value") * 100).cast("long").alias("y"),
+        )
+        .groupBy("bk", "user_id")
+        .agg(F.sum("y").alias("v"))
+    )
+    w = Window.partitionBy("bk").orderBy("v", "user_id")
+    r = s.select(
+        "bk",
+        "v",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("bk")).alias("n"),
+    )
+
+    def pick(phi: float):
+        return F.min(
+            F.when(F.col("rn") == F.ceil(F.lit(phi) * F.col("n")).cast("long"), F.col("v"))
+        )
+
+    return (
+        r.groupBy("bk")
+        .agg(
+            F.max("n").cast("long").alias("n_series"),
+            pick(0.50).alias("q50"),
+            pick(0.90).alias("q90"),
+            pick(0.99).alias("q99"),
+        )
+        .orderBy("bk")
+    )

@@ -19,8 +19,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -228,6 +230,85 @@ def emit_on_change(
             outputStructType=CHANGE_OUTPUT,
             stateStructType=CHANGE_STATE,
             outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+MG_OUTPUT = StructType(
+    [
+        StructField("shard", LongType()),
+        StructField("term", StringType()),
+        StructField("lb", LongType()),
+    ]
+)
+
+MG_STATE = StructType(
+    [
+        StructField("terms", ArrayType(StringType())),
+        StructField("counts", ArrayType(LongType())),
+    ]
+)
+
+
+def streaming_mg_candidates(
+    sdf: DataFrame,
+    term_col: str = "term",
+    capacity: int = 64,
+    n_shards: int = 16,
+) -> DataFrame:
+    """Streaming heavy-hitter candidates with BOUNDED state: the
+    continuous twin of functions/sketchfns.py (x76).
+
+    Terms are sharded by hash so each term lives wholly in one shard;
+    every shard keeps one Misra-Gries summary of at most ``capacity``
+    counters in checkpointed state (mergeable-summaries compaction on
+    each microbatch). A streaming wordcount's state grows with the
+    vocabulary — unbounded on a web-scale stream; this keeps exactly
+    n_shards x capacity counters total while preserving the MG guarantee
+    per shard: any term whose global count exceeds N_shard/(capacity+1)
+    is in that shard's survivors, and since a term's shard sees ALL its
+    occurrences, every global heavy hitter survives. Each microbatch
+    emits the owning shard's current survivors with their lower-bound
+    counts (update mode); the latest emission per shard IS its current
+    summary. Exact counts come from a rescore pass over the stored raw
+    stream, as in the batch operator."""
+    from pyspark.sql import functions as F
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            terms, counts = state.get
+            counters = dict(zip(terms, counts))
+        else:
+            counters = {}
+        for pdf in pdfs:
+            for t, c in pdf[term_col].value_counts().items():
+                counters[t] = counters.get(t, 0) + int(c)
+            if len(counters) > capacity:
+                delta = sorted(counters.values(), reverse=True)[capacity]
+                counters = {t: c - delta for t, c in counters.items() if c - delta > 0}
+        state.update((list(counters.keys()), [int(v) for v in counters.values()]))
+        yield pd.DataFrame(
+            {
+                "shard": [int(key[0])] * len(counters),
+                "term": list(counters.keys()),
+                "lb": [int(v) for v in counters.values()],
+            }
+        )
+
+    return (
+        sdf.select(
+            F.pmod(F.xxhash64(F.col(term_col)), F.lit(n_shards)).alias("shard"),
+            F.col(term_col).alias(term_col),
+        )
+        .groupBy("shard")
+        .applyInPandasWithState(
+            update,
+            outputStructType=MG_OUTPUT,
+            stateStructType=MG_STATE,
+            outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )

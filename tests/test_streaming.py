@@ -642,3 +642,72 @@ def test_streaming_downsample_tier_equals_batch(spark, sf_dir, tmp_path):
               and r["n_s"] == r["n_b"] for _, r in m.iterrows()]]
     assert len(full) > 0
     assert (full["s_s"] == full["s_b"]).all()
+
+
+def test_streaming_mg_heavy_hitters_equals_batch(spark, sf_dir, tmp_path):
+    """x76's streaming twin: sharded Misra-Gries summaries in checkpointed
+    state over a replayed token stream. The final per-shard summaries must
+    (a) stay within the bounded-state budget, (b) form a superset of the
+    true heavy hitters, and (c) after the exact rescore, equal the batch
+    operator's output exactly."""
+    from kafka_connect_spark.functions.sketchfns import frequent_terms_exact
+    from kafka_connect_spark.streaming.stateful import streaming_mg_candidates
+
+    docs = load(spark, sf_dir, "documents")
+    terms_batch = docs.select(F.explode(F.split("text", " ")).alias("term"))
+    d = str(tmp_path / "mg-replay")
+    # replay the exploded token stream in 4 files => >= 4 microbatches
+    write_replay_files(terms_batch.withColumn("ts", F.lit(0).cast("timestamp")), d, 4, "term")
+
+    capacity, n_shards = 8, 4  # vocab 31 > total capacity pressure per shard
+    sdf = file_replay_stream(spark, d, spark.read.parquet(d).schema)
+    out: list[pd.DataFrame] = []
+
+    def sink(df, bid):
+        pdf = df.toPandas()
+        pdf["bid"] = bid
+        out.append(pdf)
+
+    q = (
+        streaming_mg_candidates(sdf, "term", capacity=capacity, n_shards=n_shards)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt-mg"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = pd.concat(out, ignore_index=True)
+    # latest emission per shard is its current summary
+    last_bid = emitted.groupby("shard")["bid"].max()
+    final = emitted[
+        emitted["bid"] == emitted["shard"].map(last_bid)
+    ]
+    assert final.groupby("shard").size().max() <= capacity  # bounded state
+    cands = set(final["term"])
+
+    n = terms_batch.count()
+    denom = 9  # threshold n/9 ~ 3018: guarantee covers > N_shard/(cap+1)
+    truth = (
+        terms_batch.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") * denom > F.lit(n))
+        .toPandas()
+    )
+    assert set(truth["term"]) <= cands  # superset guarantee held on the stream
+
+    # exact rescore of streaming candidates == batch operator output
+    cand_df = spark.createDataFrame([(t,) for t in sorted(cands)], "term string")
+    rescored = (
+        terms_batch.join(F.broadcast(cand_df), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") * denom > F.lit(n))
+        .orderBy("term")
+        .toPandas()
+    )
+    batch = (
+        frequent_terms_exact(terms_batch, "term", denom=denom, capacity=capacity * n_shards)
+        .toPandas()
+    )
+    assert rescored.reset_index(drop=True).equals(batch.reset_index(drop=True))
