@@ -135,6 +135,15 @@ HEADLINE = [
     "x71_semantic_dedup",
     "x72_skew_report",
     "x73_downsample_tiers",
+    # round 6 session-3 additions
+    "x74_distribution_drift_psi",
+    "x75_asof_forward_tolerance",
+    "x76_heavy_hitter_bigrams",
+    "x77_winnow_fingerprint_pairs",
+    "x78_series_correlation_matrix",
+    "x79_mips_bruteforce_topk",
+    "x79b_mips_lsh_topk",
+    "p26_quantile_across_series",
 ]
 
 
