@@ -144,6 +144,9 @@ HEADLINE = [
     "x79_mips_bruteforce_topk",
     "x79b_mips_lsh_topk",
     "p26_quantile_across_series",
+    "p27_mad_anomalies",
+    "x80_inverted_index",
+    "x81_vocab_growth",
 ]
 
 

@@ -1512,3 +1512,72 @@ def p26_quantile_across_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bk")
     )
+
+
+@query(
+    "p27_mad_anomalies",
+    oracle="""
+    WITH s AS (
+      SELECT event_id, user_id, CAST(FLOOR(value * 100) AS BIGINT) AS y
+      FROM events),
+    r1 AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY y, event_id) AS rn,
+                    count(*) OVER (PARTITION BY user_id) AS n
+           FROM s),
+    med AS (SELECT user_id, min(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN y END) AS med
+            FROM r1 GROUP BY user_id),
+    d AS (SELECT s.event_id, s.user_id, s.y, med.med, abs(s.y - med.med) AS dev
+          FROM s JOIN med USING (user_id)),
+    r2 AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY dev, event_id) AS rn,
+                    count(*) OVER (PARTITION BY user_id) AS n
+           FROM d),
+    mad AS (SELECT user_id, min(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN dev END) AS mad
+            FROM r2 GROUP BY user_id)
+    SELECT d.event_id, d.user_id, d.y, d.med, mad.mad
+    FROM d JOIN mad USING (user_id)
+    WHERE d.dev > 3 * mad.mad
+    ORDER BY d.event_id
+    """,
+)
+def p27_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-series anomaly detection: |y - median| > 3 x MAD (median
+    absolute deviation). The robust twin of p12's z-score — mean/stddev
+    are themselves dragged by the outliers they're meant to flag; median/
+    MAD have a 50% breakdown point. Both medians are nearest-rank
+    (rank ceil(n/2) ordered by (value, event_id)) on integer-quantized
+    values — the same explicit construction in both engines, everything
+    BIGINT until the final comparison, so no float divergence is
+    possible. Plan: two per-series window sorts + one join back; at
+    100 TB both windows partition by series key, never a global sort."""
+    ev = load(spark, sf_dir, "events")
+    s = ev.select(
+        "event_id", "user_id", F.floor(F.col("value") * 100).cast("long").alias("y")
+    )
+
+    def nearest_rank_median(df: DataFrame, col: str, out: str) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(col, "event_id")
+        r = df.select(
+            "user_id",
+            F.col(col),
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n"),
+        )
+        return r.groupBy("user_id").agg(
+            F.min(
+                F.when(
+                    F.col("rn") == F.ceil(F.lit(0.5) * F.col("n")).cast("long"),
+                    F.col(col),
+                )
+            ).alias(out)
+        )
+
+    med = nearest_rank_median(s, "y", "med")
+    d = s.join(med, "user_id").withColumn("dev", F.abs(F.col("y") - F.col("med")))
+    mad = nearest_rank_median(
+        d.select("user_id", "dev", "event_id"), "dev", "mad"
+    )
+    return (
+        d.join(mad, "user_id")
+        .filter(F.col("dev") > 3 * F.col("mad"))
+        .select("event_id", "user_id", "y", "med", "mad")
+        .orderBy("event_id")
+    )

@@ -1079,3 +1079,107 @@ def x76_heavy_hitter_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.array().cast("array<string>"))
     terms = d.select(F.explode(grams).alias("term"))
     return frequent_terms_exact(terms, "term", denom=640)
+
+
+@query(
+    "x80_inverted_index",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                 FROM documents),
+    tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+           FROM tok GROUP BY term, doc_id)
+    SELECT term, CAST(count(*) AS BIGINT) AS df,
+           CAST(sum(tf) AS BIGINT) AS total_tf,
+           array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+    FROM tf GROUP BY term ORDER BY term
+    """,
+)
+def x80_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: term -> (document frequency, total term
+    frequency, sorted posting list). The retrieval-side complement of the
+    text-analysis family — explode + two hash aggs, with the posting list
+    materialized via sort_array(collect_list(...)) so the content is
+    deterministic under any partitioning (collect_list order is not),
+    serialized to a comma string because the hash harness compares scalar
+    columns.
+    At 100 TB hot terms need posting-list sharding (split postings at a
+    fixed length and emit (term, shard_no) rows) — the same hot-key
+    treatment as the shingle df-cap; the fixture-scale query emits full
+    lists so the oracle can hash-check array equality."""
+    d = load_parallel(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        tf.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("total_tf"),
+            F.array_join(F.sort_array(F.collect_list("doc_id")), ",").alias("postings"),
+        )
+        .orderBy("term")
+    )
+
+
+@query(
+    "x81_vocab_growth",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    tok AS (SELECT doc_id, array_to_string(toks[i:i+4], ' ') AS term
+            FROM d, unnest(range(1, len(toks) - 3)) t(i)
+            WHERE len(toks) >= 5),
+    fo AS (SELECT term, min(doc_id) AS first_doc FROM tok GROUP BY term),
+    mx AS (SELECT max(doc_id) AS md FROM documents),
+    b AS (SELECT CAST(first_doc * 10 // (md + 1) AS BIGINT) AS bucket,
+                 CAST(count(*) AS BIGINT) AS new_terms
+          FROM fo, mx GROUP BY 1)
+    SELECT bucket, new_terms,
+           CAST(sum(new_terms) OVER (ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_vocab
+    FROM b ORDER BY bucket
+    """,
+)
+def x81_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps'-law measurement) over 5-token
+    grams: per corpus decile (by doc_id), how many NEVER-BEFORE-SEEN
+    grams appear, and the running vocabulary size — the tokenizer-
+    coverage / corpus-diversity planning number (the fixture's unigram
+    vocabulary saturates in the first decile, so the curve is measured
+    on the 5-gram space, which keeps growing like real corpora do). First occurrence is one min-agg per term (no ordered scan);
+    deciles are integer arithmetic off the max doc id (one scalar agg,
+    broadcast); the cumulative sum runs over <= 10 rows. Three hash aggs
+    and a 10-row window — nothing scales with corpus size except the
+    term-level agg."""
+    d = load_parallel(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(4)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 5)),
+    )
+    fo = (
+        d.filter(F.size(toks) >= 5)
+        .select("doc_id", F.explode(grams).alias("term"))
+        .groupBy("term")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    mx = d.agg(F.max("doc_id").alias("md"))
+    b = (
+        fo.crossJoin(F.broadcast(mx))
+        .select(
+            F.floor(F.col("first_doc") * 10 / (F.col("md") + 1)).cast("long").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("new_terms"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        b.select(
+            "bucket",
+            "new_terms",
+            F.sum("new_terms").over(w).cast("long").alias("cum_vocab"),
+        )
+        .orderBy("bucket")
+    )
