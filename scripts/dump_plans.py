@@ -60,6 +60,15 @@ FLAGSHIPS = {
     "x70_dedup_keep_best": "components + left join + per-cluster row_number; window sees one duplicate group at a time",
     "x73_downsample_tiers": "tiered rollup: raw scanned once, coarser tiers re-aggregate the tier below",
     "x72_skew_report": "key histogram + 1-row broadcast summary + TakeOrdered top keys",
+    "x75_asof_forward_tolerance": "forward as-of: one per-user window on a packed 128-bit ordinal, no range join",
+    "x76_heavy_hitter_bigrams": "MG candidates via mapInPandas, broadcast semi-join rescore; vocabulary never shuffles",
+    "x77_winnow_fingerprint_pairs": "window-min fingerprint selection per doc partition; join carries the sparse 2/(w+1) set",
+    "x78_series_correlation_matrix": "rollup agg -> bucket-aligned self-join -> pair agg; raw events scanned once",
+    "x79_mips_bruteforce_topk": "broadcast queries, corpus never shuffles; per-query rank window",
+    "p26_quantile_across_series": "nearest-rank quantiles: per-bucket window over series rollups, not raw rows",
+    "p27_mad_anomalies": "two per-series window medians + join-back, all partitioned on user_id",
+    "x80_inverted_index": "explode + two hash aggs; posting list built by sort_array, no global sort",
+    "x81_vocab_growth": "first-occurrence min-agg per gram; decile bucketing off a 1-row broadcast scalar",
 }
 
 
