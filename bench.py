@@ -147,6 +147,9 @@ HEADLINE = [
     "p27_mad_anomalies",
     "x80_inverted_index",
     "x81_vocab_growth",
+    "x82_ordered_funnel",
+    "x83_top_session_paths",
+    "x84_decay_score",
 ]
 
 

@@ -1581,3 +1581,189 @@ def p27_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "y", "med", "mad")
         .orderBy("event_id")
     )
+
+
+_PK_SQL = "CAST(epoch_us(ts) AS HUGEINT) * 10000000 + event_id"
+
+
+@query(
+    "x82_ordered_funnel",
+    oracle=f"""
+    WITH e AS (SELECT user_id, event_type, ts, event_id, {_PK_SQL} AS pk FROM events),
+    s1 AS (SELECT user_id, min(pk) AS pk1 FROM e WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(pk) AS pk2 FROM e JOIN s1 USING (user_id)
+           WHERE event_type = 'click' AND pk > pk1 GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(pk) AS pk3 FROM e JOIN s2 USING (user_id)
+           WHERE event_type = 'purchase' AND pk > pk2 GROUP BY e.user_id)
+    SELECT u.user_id,
+           CAST(s1.user_id IS NOT NULL AS BIGINT) AS reached_view,
+           CAST(s2.user_id IS NOT NULL AS BIGINT) AS reached_click,
+           CAST(s3.user_id IS NOT NULL AS BIGINT) AS reached_purchase,
+           CAST(CASE WHEN s3.pk3 IS NOT NULL
+                THEN (s3.pk3 // 10000000 - s1.pk1 // 10000000) // 1000000 END AS BIGINT)
+             AS secs_to_convert
+    FROM (SELECT DISTINCT user_id FROM e) u
+    LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+    ORDER BY user_id
+    """,
+)
+def x82_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-step ORDERED funnel (ClickHouse windowFunnel shape): per user,
+    the earliest view, the earliest click strictly AFTER that view, the
+    earliest purchase strictly after that click — x41's two-step funnel
+    generalized to strict event-order chains. Each step is one min-agg
+    over a (ts, event_id)-packed DECIMAL(38,0) ordinal (the x75 idiom:
+    exact, total order, engine-identical tie-breaks), joined back on
+    user_id — three hash aggs + three joins all on the same key, which
+    at 100 TB is one partitioning reused across every step, never a
+    per-user sort or a range join."""
+    ev = load(spark, sf_dir, "events")
+    pk = (
+        F.unix_micros("ts").cast("decimal(38,0)") * F.lit(10_000_000) + F.col("event_id")
+    )
+    e = ev.select("user_id", "event_type", pk.alias("pk"))
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("pk").alias("pk1"))
+    )
+    s2 = (
+        e.join(s1, "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("pk") > F.col("pk1")))
+        .groupBy("user_id")
+        .agg(F.min("pk").alias("pk2"))
+    )
+    s3 = (
+        e.join(s2, "user_id")
+        .filter((F.col("event_type") == "purchase") & (F.col("pk") > F.col("pk2")))
+        .groupBy("user_id")
+        .agg(F.min("pk").alias("pk3"))
+    )
+    u = e.select("user_id").distinct()
+    out = (
+        u.join(s1, "user_id", "left")
+        .join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+    )
+    secs = F.floor(
+        (F.floor(F.col("pk3") / 10_000_000) - F.floor(F.col("pk1") / 10_000_000))
+        / 1_000_000
+    ).cast("long")
+    return out.select(
+        "user_id",
+        F.col("pk1").isNotNull().cast("long").alias("reached_view"),
+        F.col("pk2").isNotNull().cast("long").alias("reached_click"),
+        F.col("pk3").isNotNull().cast("long").alias("reached_purchase"),
+        F.when(F.col("pk3").isNotNull(), secs).alias("secs_to_convert"),
+    ).orderBy("user_id")
+
+
+@query(
+    "x83_top_session_paths",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  > 1800000000 THEN 1 ELSE 0 END AS brk
+      FROM events),
+    s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+          FROM e),
+    p AS (SELECT user_id, sess,
+                 string_agg(event_type, '->' ORDER BY ts, event_id) AS path
+          FROM s GROUP BY user_id, sess),
+    c AS (SELECT path, CAST(count(*) AS BIGINT) AS n_sessions FROM p GROUP BY path)
+    SELECT path, n_sessions FROM c
+    ORDER BY n_sessions DESC, path LIMIT 10
+    """,
+)
+def x83_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most common session event paths (path analysis): sessionize
+    on 30-minute inactivity gaps (the x41 lag+cumsum idiom, integer
+    microseconds), concatenate each session's event types in (ts,
+    event_id) order, count identical paths. Path assembly is
+    array_join(transform(array_sort(collect_list(struct(...))))) — the
+    struct sort key makes the order deterministic under any partitioning
+    (plain collect_list order is not). One user-partitioned window + two
+    hash aggs + TakeOrdered(10): nothing global except the 10-row sort."""
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = (
+        F.when(us - F.lag(us).over(w) > 1_800_000_000, F.lit(1)).otherwise(F.lit(0))
+    )
+    s = ev.select("user_id", "event_type", "ts", "event_id", brk.alias("brk")).select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("sess"),
+    )
+    p = (
+        s.groupBy("user_id", "sess")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.unix_micros("ts").alias("t"), F.col("event_id").alias("i"), F.col("event_type").alias("et")))
+                    ),
+                    lambda x: x["et"],
+                ),
+                "->",
+            ).alias("path")
+        )
+    )
+    return (
+        p.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(10)
+    )
+
+
+@query(
+    "x84_decay_score",
+    oracle="""
+    WITH e AS (SELECT user_id,
+                      CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS d
+               FROM events),
+    mx AS (SELECT max(d) AS md FROM e),
+    t AS (SELECT user_id, md - d AS age FROM e, mx WHERE md - d <= 40)
+    SELECT user_id,
+           CAST(sum(CAST(2 AS BIGINT) ** (40 - age)) AS BIGINT) AS score_scaled,
+           CAST(sum(CAST(2 AS BIGINT) ** (40 - age)) AS DOUBLE) / 1099511627776.0
+             AS score
+    FROM t GROUP BY user_id ORDER BY user_id
+    """,
+)
+def x84_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponential time-decay engagement score with a one-day
+    half-life: score = sum over events of 2^(-age_days), ages measured
+    from the corpus max day, cutoff at 40 days (older events contribute
+    0 — documented horizon). The decay sum is computed as an INTEGER:
+    sum of 2^(40-age) in BIGINT (exact, order-independent), divided by
+    2^40 once at the end — a dyadic rational that doubles represent
+    exactly, so both engines emit bit-identical scores with no decimal
+    machinery and no float-sum ordering hazard. One scalar max + one
+    hash agg; the decay weighting is map-side arithmetic."""
+    ev = load(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        F.floor(F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long").alias("d"),
+    )
+    mx = e.agg(F.max("d").alias("md"))
+    t = (
+        e.crossJoin(F.broadcast(mx))
+        .select("user_id", (F.col("md") - F.col("d")).alias("age"))
+        .filter(F.col("age") <= 40)
+    )
+    scaled = F.sum(F.pow(F.lit(2.0), (F.lit(40) - F.col("age")).cast("double")).cast("long"))
+    return (
+        t.groupBy("user_id")
+        .agg(
+            scaled.cast("long").alias("score_scaled"),
+            (scaled.cast("double") / F.lit(1_099_511_627_776.0)).alias("score"),
+        )
+        .orderBy("user_id")
+    )
