@@ -242,3 +242,48 @@ def test_x68_q19_disjunction_prunes_both_sides(spark, sf_dir):
     # lineitem pruned to the quantity envelope, BEFORE the join
     assert "p_brand" in scans
     assert "l_quantity" in scans
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
+    """100 TB evidence: with AQE runtime filtering on, a selective dim
+    filter induces a bloom_filter_agg on the dim side applied to the fact
+    scan BEFORE the shuffle join — the runtime analog of a static
+    partition prune. The size thresholds are lowered to model the
+    big-data regime (the stock 10GB application-side threshold exists
+    precisely so this only fires when the fact side is huge — which is
+    the regime the engine targets)."""
+    from kafka_connect_spark.catalog import load
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force the shuffle join
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load(spark, sf_dir, "lineitem")
+        o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderpriority").count()
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan or "BloomFilter" in plan
+        assert "might_contain" in plan  # the fact-side application
+        # and the result is still correct under the rewritten plan
+        got = {r["o_orderpriority"]: r["count"] for r in j.collect()}
+        want = {
+            r["o_orderpriority"]: r["count"]
+            for r in li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+            .collect()
+        }
+        assert got == want and sum(got.values()) > 0
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
