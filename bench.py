@@ -150,6 +150,7 @@ HEADLINE = [
     "x82_ordered_funnel",
     "x83_top_session_paths",
     "x84_decay_score",
+    "x85_fuzzy_name_pairs",
 ]
 
 

@@ -496,3 +496,69 @@ def winnow_match_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def deletion_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    max_pairs_per_variant: int | None = None,
+) -> DataFrame:
+    """Entity-resolution candidate pairs within edit distance 1 via
+    deletion-neighborhood blocking (FastSS, Bocek et al. 2007): the
+    variant set U(s) = {s} ∪ {s with one char deleted} has the property
+    that edit_distance(x, y) <= 1 implies U(x) ∩ U(y) != ∅ — a
+    substitution matches on the both-sides deletion, an insert/delete
+    matches the shorter string itself. Candidates come from ONE equi-join
+    on variant strings (|s|+1 variants per record, join keys hashed by
+    the engine), then exact ``levenshtein`` verifies — so output is
+    EXACT while the join never compares all pairs: the naive plan is
+    O(n²) string comparisons, this is O(n·L) join rows. The classic
+    Spark-native fuzzy-join blocking scheme for typo-level dedup of
+    names/emails/SKUs.
+
+    ``max_pairs_per_variant`` optionally drops variants whose block
+    exceeds the cap before the self-join (the same hot-key guardrail as
+    the shingle df-cap — e.g. the empty-string variant of 1-char names).
+    Returns (id_a, id_b, dist) with id_a < id_b, dist <= 1."""
+    name_len = F.length(F.col(name_col))
+    variants = F.array_distinct(
+        F.concat(
+            F.array(F.col(name_col)),
+            F.transform(
+                F.sequence(F.lit(1), name_len),
+                lambda i: F.concat(
+                    F.substring(F.col(name_col), F.lit(1), i - 1),
+                    F.substring(F.col(name_col), i + 1, name_len),
+                ),
+            ),
+        )
+    )
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.col(name_col).alias("nm"),
+        F.explode(variants).alias("var"),
+    )
+    if max_pairs_per_variant is not None:
+        hot = v.groupBy("var").agg(F.count(F.lit(1)).alias("df_"))
+        v = v.join(
+            F.broadcast(hot.filter(F.col("df_") > max_pairs_per_variant)),
+            "var",
+            "left_anti",
+        )
+    a, b = v.alias("a"), v.alias("b")
+    cands = (
+        a.join(b, (F.col("a.var") == F.col("b.var")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.nm").alias("nm_a"),
+            F.col("b.nm").alias("nm_b"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn("dist", F.levenshtein("nm_a", "nm_b").cast("long"))
+        .filter(F.col("dist") <= 1)
+        .select("id_a", "id_b", "dist")
+    )

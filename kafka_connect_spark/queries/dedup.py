@@ -605,3 +605,29 @@ def x77_winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_parallel(spark, sf_dir, "documents")
     return winnow_match_pairs(d, k=5, w=4, min_shared=3).orderBy("doc_a", "doc_b")
+
+
+@query(
+    "x85_fuzzy_name_pairs",
+    oracle="""
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+    FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    ORDER BY id_a, id_b
+    """,
+)
+def x85_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-level record linkage: customer pairs within edit distance 1,
+    found via deletion-neighborhood (FastSS) blocking — one equi-join on
+    deletion variants plus exact levenshtein verification
+    (functions/dedupfns.py: deletion_neighborhood_pairs), so the result
+    is EXACT but the engine never scores all O(n²) pairs. The oracle IS
+    the naive quadratic plan, which is the whole point of the blocking
+    scheme. Feed the pairs into dup_clusters for identity groups (unit-
+    tested on synthetic typos; this fixture's sequential names form one
+    Hamming-connected component, which is not an interesting cluster)."""
+    from ..functions.dedupfns import deletion_neighborhood_pairs
+
+    c = load(spark, sf_dir, "customer")
+    return deletion_neighborhood_pairs(c, "c_custkey", "c_name").orderBy("id_a", "id_b")

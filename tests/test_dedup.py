@@ -227,3 +227,65 @@ def test_winnow_hot_hash_cap(spark):
     assert len(unc_pairs) >= 15  # boilerplate all-pairs blowup: C(6,2) + twin
     assert (100, 101) in cap_pairs  # real near-dup survives the cap
     assert cap_pairs < unc_pairs  # boilerplate-only pairs pruned
+
+
+# ------------------------------------------------- deletion-neighborhood ER
+
+
+def test_fastss_finds_exactly_edit1_pairs(spark):
+    from kafka_connect_spark.functions.dedupfns import deletion_neighborhood_pairs
+
+    rows = [
+        (1, "jonathan"),
+        (2, "jonathon"),   # substitution       -> dist 1
+        (3, "jonathan "),  # insertion          -> dist 1 vs 1
+        (4, "jnathan"),    # deletion           -> dist 1 vs 1
+        (5, "johnatan"),   # transposition+     -> dist 2 vs 1: excluded
+        (6, "completely-different"),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in deletion_neighborhood_pairs(df, "id", "name").collect()
+    }
+    assert set(got) == {(1, 2), (1, 3), (1, 4)}
+    assert all(d == 1 for d in got.values())
+
+
+def test_fastss_pairs_cluster_into_identities(spark):
+    """Chaining the FastSS pairs into the SAME dup_clusters machinery the
+    text/image dedup families use yields identity groups."""
+    from kafka_connect_spark.functions.dedupfns import (
+        deletion_neighborhood_pairs,
+        dup_clusters,
+    )
+
+    rows = [
+        (1, "acme corp"),
+        (2, "acme corp."),   # 1 <-> 2
+        (3, "acme c0rp."),   # 2 <-> 3 (chain: {1,2,3})
+        (10, "globex"),
+        (11, "globexx"),     # {10,11}
+        (20, "initech"),     # singleton: no pair rows, absent from clusters
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    pairs = deletion_neighborhood_pairs(df, "id", "name").select(
+        F.col("id_a"), F.col("id_b")
+    )
+    got = {
+        (r["doc_id"], r["cluster"])
+        for r in dup_clusters(pairs.withColumnRenamed("id_a", "id_a")).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+
+def test_fastss_hot_variant_cap(spark):
+    from kafka_connect_spark.functions.dedupfns import deletion_neighborhood_pairs
+
+    # 1-char names: every deletion variant is "" — the degenerate hot block
+    rows = [(i, c) for i, c in enumerate("abcdefgh")]
+    df = spark.createDataFrame(rows, "id long, name string")
+    unc = deletion_neighborhood_pairs(df, "id", "name").count()
+    cap = deletion_neighborhood_pairs(df, "id", "name", max_pairs_per_variant=4).count()
+    assert unc == 8 * 7 // 2  # all pairs: every 1-char name is dist 1 from another
+    assert cap == 0  # the "" block (df=8) removed; singleton variants remain
