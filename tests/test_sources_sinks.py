@@ -368,3 +368,34 @@ def test_range_sorted_layout_skips_files(spark, tmp_path):
 
     # the layout preserves the data
     assert spark.read.parquet(sorted_path).count() == 20_000
+
+
+def test_zorder_layout_skips_on_both_dims(spark, tmp_path):
+    """Z-order layout: with two independent keys, a single-key range sort
+    skips perfectly on its key and not at all on the other; the Morton
+    layout gives substantial file-level skipping on BOTH keys."""
+    from kafka_connect_spark.sinks.layout import (
+        skipping_effectiveness,
+        write_range_sorted,
+        write_zorder,
+    )
+
+    # two independent dimensions (decorrelated via a multiplicative hash)
+    df = spark.range(0, 40_000).selectExpr(
+        "id AS x", "CAST((id * 2654435761) % 40000 AS BIGINT) AS y"
+    )
+    zpath, spath = str(tmp_path / "zorder"), str(tmp_path / "xsorted")
+    write_zorder(df, zpath, "x", "y", n_files=64, bits=8)
+    write_range_sorted(df, spath, "x", n_files=64)
+
+    # narrow range predicates on each dimension (1% of the domain)
+    ex_z_x = skipping_effectiveness(spark, zpath, "x", 10_000, 10_400)
+    ex_z_y = skipping_effectiveness(spark, zpath, "y", 10_000, 10_400)
+    ex_s_x = skipping_effectiveness(spark, spath, "x", 10_000, 10_400)
+    ex_s_y = skipping_effectiveness(spark, spath, "y", 10_000, 10_400)
+
+    assert ex_s_x["n_needed"] <= 3          # single-key sort: perfect on x...
+    assert ex_s_y["n_needed"] == 64         # ...useless on y
+    assert ex_z_x["skip_ratio"] >= 0.5      # z-order: skips most files on x
+    assert ex_z_y["skip_ratio"] >= 0.5      # AND on y
+    assert spark.read.parquet(zpath).count() == 40_000
