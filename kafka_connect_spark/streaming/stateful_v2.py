@@ -1,0 +1,93 @@
+"""Stateful streaming on the Spark 4 ``transformWithStateInPandas`` API
+(the state-v2 successor of ``applyInPandasWithState``): typed per-key state
+handles (ValueState/ListState/MapState), timers, and multiple state
+variables per processor — the engine-side analog of a Connect task's
+per-partition offset/position state (SURVEY.md §2.1), on the modern API.
+
+``inter_arrival_gaps`` is the sessionization primitive: for every event,
+the microseconds elapsed since the SAME key's previous event, with the
+last-seen timestamp carried across microbatches in a ValueState. The
+batch twin is one ``lag()`` window; the streaming version never re-reads
+history — state is one BIGINT per key regardless of stream length, and
+the replay test asserts stream == batch row-for-row."""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+# transformWithStateInPandas speaks protobuf to its per-query state server;
+# without the protobuf wheel the driver-side pre-init crashes. Gate the
+# integration path (same policy as live-Kafka paths): the processor LOGIC
+# is environment-free and unit-tested either way.
+try:  # pragma: no cover - environment probe
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+
+    HAS_TRANSFORM_WITH_STATE = True
+except ImportError:  # pragma: no cover
+    HAS_TRANSFORM_WITH_STATE = False
+
+GAP_OUTPUT = "user_id BIGINT, event_id BIGINT, gap_us BIGINT"
+
+
+class _GapProcessor(StatefulProcessor):
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        # one BIGINT of state per key: the last-seen (ts, event_id) packed
+        # microsecond ordinal (ts * 10^7 + event_id fits int64 well past 2200)
+        self._last = handle.getValueState("last", "last BIGINT")
+
+    def handleInputRows(
+        self, key: tuple, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(rows), ignore_index=True)
+        # deterministic processing order within the batch
+        pdf = pdf.sort_values(["ts_us", "event_id"], ignore_index=True)
+        prev = self._last.get()
+        prev_us = int(prev[0]) if prev is not None else None
+        ts = pdf["ts_us"].astype("int64")
+        gaps = ts.diff()
+        if prev_us is not None:
+            gaps.iloc[0] = ts.iloc[0] - prev_us
+        self._last.update((int(ts.iloc[-1]),))
+        out = pd.DataFrame(
+            {
+                "user_id": [int(key[0])] * len(pdf),
+                "event_id": pdf["event_id"].astype("int64"),
+                # first-ever event of a key: no gap (NULL)
+                "gap_us": gaps.astype("Int64"),
+            }
+        )
+        yield out
+
+    def close(self) -> None:
+        pass
+
+
+def inter_arrival_gaps(sdf: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """Per-key event gaps over a stream: ``transformWithStateInPandas``
+    with a single ValueState BIGINT per key. Scales with |keys|, not
+    |events|; the batch twin is lag() over (ts, event_id)."""
+    from pyspark.sql import functions as F
+
+    if not HAS_TRANSFORM_WITH_STATE:
+        raise RuntimeError(
+            "transformWithStateInPandas requires the protobuf package "
+            "(state-server protocol); not available in this environment"
+        )
+    prepared = sdf.select(
+        F.col(key_col).cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    return prepared.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_GapProcessor(),
+        outputStructType=GAP_OUTPUT,
+        outputMode="append",
+        timeMode="none",
+    )
