@@ -151,6 +151,7 @@ HEADLINE = [
     "x83_top_session_paths",
     "x84_decay_score",
     "x85_fuzzy_name_pairs",
+    "p28_label_join",
 ]
 
 

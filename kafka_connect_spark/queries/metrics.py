@@ -1767,3 +1767,26 @@ def x84_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "p28_label_join",
+    oracle="""
+    SELECT event_id,
+           event_type || '/' || CAST(user_id AS VARCHAR) AS series,
+           value
+    FROM events ORDER BY event_id
+    """,
+)
+def p28_label_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL label_join(v, dst, sep, src...): synthesize one label from
+    several — pure map-side string concat, codegen-resident, closing the
+    last named function in the PromQL surface (label_replace is p5)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.concat_ws("/", F.col("event_type"), F.col("user_id").cast("string")).alias(
+            "series"
+        ),
+        "value",
+    ).orderBy("event_id")
