@@ -152,6 +152,8 @@ HEADLINE = [
     "x84_decay_score",
     "x85_fuzzy_name_pairs",
     "p28_label_join",
+    "x86_snapshot_diff",
+    "x87_ann_pq_topk",
 ]
 
 

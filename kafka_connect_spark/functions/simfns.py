@@ -672,3 +672,152 @@ def mips_topk_lsh(
         )
     )
     return ranked.filter(F.col("rank") <= k).orderBy("query_id", "rank")
+
+
+def _pq_codebooks(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    n_codes: int,
+    seed: int,
+    sample_size: int = 2048,
+    iters: int = 8,
+) -> np.ndarray:
+    """Train product-quantization codebooks (Jégou, Douze & Schmid,
+    TPAMI'11): split the (unit-normalized) vector into ``m`` subspaces and
+    run plain L2 Lloyd per subspace on the bounded deterministic driver
+    sample (the kmeans_centroids policy). Returns (m, n_codes, dim/m)."""
+    rows = (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy("id")
+        .limit(sample_size)
+        .collect()
+    )
+    mat = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    d = mat.shape[1] // m
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, n_codes, d))
+    for j in range(m):
+        sub = mat[:, j * d : (j + 1) * d]
+        cents = sub[rng.choice(len(sub), size=min(n_codes, len(sub)), replace=False)].copy()
+        if len(cents) < n_codes:
+            cents = np.vstack([cents, rng.randn(n_codes - len(cents), d) * 0.01])
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(n_codes):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books[j] = cents
+    return books
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    n_codes: int = 16,
+    seed: int = 42,
+    oversample: int = 8,
+) -> DataFrame:
+    """Approximate cosine top-k via product quantization + asymmetric
+    distance computation (ADC), exact rerank of the survivors.
+
+    Why this is the third ANN scale path next to LSH (x13b) and IVF
+    (x13c): the corpus is ENCODED ONCE to ``m`` small codes per vector
+    (here 8 codes x 16 centroids = 8 x 4 bits — a 64x compression of the
+    64-dim float32 fixture vector), and the scan side of every query
+    touches only the code table: per Arrow batch, approximate scores are
+    ``m`` table lookups per vector (LUT built per query from the
+    codebooks — numpy fancy-indexing, no per-row Python), each batch
+    yields its local top candidates, one global rank keeps
+    ``k*oversample``, and only those few rows ever join back to the
+    full vectors for the exact rerank. At 100 TB the full-precision
+    vectors are read exactly twice (encode, rerank-subset) and never
+    shuffled. Seed-deterministic => rows-only check + recall tests."""
+    books = _pq_codebooks(corpus, id_col, vec_col, m, n_codes, seed)
+    d = books.shape[2]
+
+    @pandas_udf("array<int>")
+    def encode(emb: pd.Series) -> pd.Series:
+        mat = np.stack(emb.to_numpy()).astype(np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        codes = np.empty((len(mat), m), dtype=np.int32)
+        for j in range(m):
+            sub = mat[:, j * d : (j + 1) * d]
+            d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = np.argmin(d2, axis=1)
+        return pd.Series(list(codes))
+
+    coded = corpus.select(
+        F.col(id_col).alias("neighbor_id"), encode(F.col(vec_col).cast("array<double>")).alias("codes")
+    )
+
+    q_rows = (
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy("qid")
+        .collect()
+    )
+    q_ids = np.array([r["qid"] for r in q_rows])
+    q_mat = np.stack([np.asarray(r["v"], dtype=np.float64) for r in q_rows])
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    # ADC lookup tables: lut[q, j, c] = q_sub . codebook[j][c]
+    lut = np.einsum("qjd,jcd->qjc", q_mat.reshape(len(q_mat), m, d), books)
+    cap = k * oversample
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf["neighbor_id"].to_numpy()
+            codes = np.stack(pdf["codes"].to_numpy())  # (batch, m)
+            # approx[q, b] = sum_j lut[q, j, codes[b, j]]
+            approx = lut[:, np.arange(m)[None, :], codes].sum(axis=2)  # (nq, batch)
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(q_ids)):
+                mask = ids != q_ids[qi]
+                order = np.lexsort((ids[mask], -approx[qi][mask]))[:cap]
+                sel = np.flatnonzero(mask)[order]
+                out_q.append(np.full(len(sel), q_ids[qi]))
+                out_n.append(ids[sel])
+                out_s.append(approx[qi][sel])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "approx": np.concatenate(out_s),
+                }
+            )
+
+    local = coded.mapInPandas(score, "query_id long, neighbor_id long, approx double")
+    wg = Window.partitionBy("query_id").orderBy(F.col("approx").desc(), "neighbor_id")
+    cand = (
+        local.withColumn("arank", F.row_number().over(wg))
+        .filter(F.col("arank") <= cap)
+        .select("query_id", "neighbor_id")
+    )
+    c = with_vec(corpus, vec_col).select(F.col(id_col).alias("neighbor_id"), "v", "v_norm")
+    q = with_vec(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv"), F.col("v_norm").alias("q_norm")
+    )
+    cos = dround(dot(F.col("qv"), F.col("v")) / (F.col("q_norm") * F.col("v_norm")), 6)
+    ranked = (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "neighbor_id", cos.alias("cos_sim"))
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("cos_sim").desc(), F.col("neighbor_id")
+                )
+            )
+            .cast("long"),
+        )
+    )
+    return ranked.filter(F.col("rank") <= k).orderBy("query_id", "rank")

@@ -228,3 +228,70 @@ def x74_distribution_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "x86_snapshot_diff",
+    oracle="""
+    WITH old AS (SELECT o_orderkey AS k,
+                        md5(CAST(o_totalprice AS VARCHAR) || '|' || o_orderstatus) AS h
+                 FROM orders WHERE o_orderkey % 11 <> 0),
+    new AS (SELECT o_orderkey AS k,
+                   md5(CAST(CASE WHEN o_orderkey % 7 = 0
+                                 THEN o_totalprice + 1.0 ELSE o_totalprice END
+                            AS VARCHAR) || '|' || o_orderstatus) AS h
+            FROM orders WHERE o_orderkey % 13 <> 0),
+    d AS (SELECT COALESCE(old.k, new.k) AS k,
+                 CASE WHEN old.k IS NULL THEN 'added'
+                      WHEN new.k IS NULL THEN 'removed'
+                      WHEN old.h <> new.h THEN 'changed'
+                      ELSE 'unchanged' END AS change_type
+          FROM old FULL OUTER JOIN new ON old.k = new.k)
+    SELECT change_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(min(k) AS BIGINT) AS example_key
+    FROM d GROUP BY change_type ORDER BY change_type
+    """,
+)
+def x86_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table snapshot diff (the data-diff / reconciliation op every
+    migration and CDC backfill needs): full-outer join two snapshots on
+    the key, compare a row content hash, report added / removed /
+    changed / unchanged counts with an example key each. The two
+    'snapshots' are derived deterministically from orders in BOTH
+    engines (keys dropped by modulus, a subset of prices perturbed), so
+    the diff exercises every change class. At 100 TB this is ONE
+    key-partitioned full-outer join on (key, 16-byte row hash) — the
+    row hash is computed map-side so full rows never shuffle twice; for
+    append-only tables swap the full join for the x37 anti-join."""
+    o = load(spark, sf_dir, "orders")
+
+    def snap(perturb: bool, drop_mod: int) -> DataFrame:
+        price = (
+            F.when(F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1.0).otherwise(
+                F.col("o_totalprice")
+            )
+            if perturb
+            else F.col("o_totalprice")
+        )
+        return o.filter(F.col("o_orderkey") % drop_mod != 0).select(
+            F.col("o_orderkey").alias("k"),
+            F.md5(
+                F.concat_ws("|", price.cast("string"), F.col("o_orderstatus"))
+            ).alias("h"),
+        )
+
+    old = snap(False, 11).alias("old")
+    new = snap(True, 13).alias("new")
+    d = old.join(new, F.col("old.k") == F.col("new.k"), "full_outer").select(
+        F.coalesce(F.col("old.k"), F.col("new.k")).alias("k"),
+        F.when(F.col("old.k").isNull(), "added")
+        .when(F.col("new.k").isNull(), "removed")
+        .when(F.col("old.h") != F.col("new.h"), "changed")
+        .otherwise("unchanged")
+        .alias("change_type"),
+    )
+    return (
+        d.groupBy("change_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("k").alias("example_key"))
+        .orderBy("change_type")
+    )

@@ -232,3 +232,17 @@ def x79b_mips_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return mips_topk_lsh(emb, queries, k=3, n_tables=16)
+
+
+@query("x87_ann_pq_topk")  # seed-deterministic; rows-only check + recall test
+def x87_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-3 (8 subspaces x 16 codes + ADC
+    lookup-table scoring, exact rerank of k*8 survivors) — the
+    memory-bound ANN scale path next to LSH (x13b) and IVF (x13c): the
+    query-side scan reads 8 codes per vector instead of 64 floats
+    (functions/simfns.py: pq_topk)."""
+    from ..functions.simfns import pq_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return pq_topk(emb, queries, k=3)

@@ -193,3 +193,20 @@ def test_mips_lsh_recall_and_determinism(spark, sf_dir):
     a = {(r.query_id, r.neighbor_id) for r in a1.itertuples()}
     recall = len(e & a) / len(e)
     assert recall >= 0.5, f"augmented-LSH MIPS recall@3 = {recall:.2f}"
+
+
+def test_pq_recall_and_determinism(spark, sf_dir):
+    from kafka_connect_spark.functions.simfns import pq_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(emb, queries, k=3).toPandas()
+    a1 = pq_topk(emb, queries, k=3).toPandas()
+    a2 = pq_topk(emb, queries, k=3).toPandas()
+    assert a1.equals(a2)  # seeded codebooks + deterministic ADC/selection
+    e = {(r.query_id, r.neighbor_id) for r in exact.itertuples()}
+    a = {(r.query_id, r.neighbor_id) for r in a1.itertuples()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"PQ-ADC recall@3 = {recall:.2f}"
+    for _, grp in a1.groupby("query_id"):
+        assert list(grp["rank"]) == [1, 2, 3]
