@@ -154,6 +154,8 @@ HEADLINE = [
     "p28_label_join",
     "x86_snapshot_diff",
     "x87_ann_pq_topk",
+    "x88_scd2_asof",
+    "x89_join_size_precheck",
 ]
 
 

@@ -435,3 +435,54 @@ def scd2_apply_increment(existing: DataFrame, batch: DataFrame) -> DataFrame:
         .drop("close_ts")
     )
     return closed.unionByName(new_rows)
+
+
+@query(
+    "x88_scd2_asof",
+    oracle="""
+    WITH ch AS (
+      SELECT user_id, ts, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type,
+             event_id
+      FROM events),
+    changes AS (
+      SELECT user_id, ts, event_type, event_id FROM ch
+      WHERE prev_type IS NULL OR event_type <> prev_type),
+    hist AS (
+      SELECT user_id,
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  AS BIGINT) AS version,
+             event_type, ts AS effective_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS effective_to
+      FROM changes)
+    SELECT user_id, version, event_type AS state, effective_from
+    FROM hist
+    WHERE effective_from <= TIMESTAMP '2024-01-15 00:00:00'
+      AND (effective_to IS NULL OR effective_to > TIMESTAMP '2024-01-15 00:00:00')
+    ORDER BY user_id
+    """,
+)
+def x88_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF (time-travel) read over the SCD2 dimension history: the state
+    every key had at a fixed past instant — one interval-containment
+    filter over x59's validity intervals (effective_from <= T < 
+    effective_to, open interval = current). This is the query SCD2 exists
+    to answer ('what did the dimension look like when the model
+    trained?'); on a range-sorted layout (sinks/layout.py) the
+    effective_from predicate also prunes files. Exactly one row per key
+    active at T, by the non-overlapping-interval invariant x59's tests
+    pin."""
+    hist = x59_scd2_history.__wrapped__(spark, sf_dir) if hasattr(
+        x59_scd2_history, "__wrapped__"
+    ) else x59_scd2_history(spark, sf_dir)
+    t = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    return (
+        hist.filter(
+            (F.col("effective_from") <= t)
+            & (F.col("effective_to").isNull() | (F.col("effective_to") > t))
+        )
+        .select("user_id", "version", F.col("event_type").alias("state"), "effective_from")
+        .orderBy("user_id")
+    )

@@ -12,7 +12,7 @@ report costs one table scan + one key anti-join, and the result is always
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -294,4 +294,51 @@ def x86_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.groupBy("change_type")
         .agg(F.count(F.lit(1)).alias("n"), F.min("k").alias("example_key"))
         .orderBy("change_type")
+    )
+
+
+@query(
+    "x89_join_size_precheck",
+    oracle="""
+    WITH a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS na
+               FROM events WHERE event_type IN ('click', 'view') GROUP BY user_id),
+    b AS (SELECT user_id, CAST(count(*) AS BIGINT) AS nb
+          FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+    j AS (SELECT a.user_id, na, nb, na * nb AS contrib
+          FROM a JOIN b ON a.user_id = b.user_id)
+    SELECT CAST(user_id AS BIGINT) AS user_id, na, nb,
+           CAST(contrib AS BIGINT) AS contrib,
+           CAST(sum(contrib) OVER () AS BIGINT) AS join_total_rows
+    FROM j ORDER BY contrib DESC, user_id LIMIT 10
+    """,
+)
+def x89_join_size_precheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size precheck (the 'will this join explode?' ops tool, paired
+    with the x72 skew report): the EXACT output cardinality of an inner
+    equi-join is sum over keys of n_a(k) * n_b(k) — computable from two
+    key histograms WITHOUT materializing the join. Emits the top-10
+    contributing keys plus the total, which is the pre-flight number
+    that decides between a plain join, salting (x27), or a df-cap. Two
+    hash aggs + one tiny histogram join; cost is O(distinct keys), not
+    O(join output) — precisely why it's safe to run before the real
+    join at 100 TB."""
+    ev = load(spark, sf_dir, "events")
+    a = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("na"))
+    )
+    b = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("nb"))
+    )
+    j = a.join(b, "user_id").select(
+        "user_id", "na", "nb", (F.col("na") * F.col("nb")).alias("contrib")
+    )
+    return (
+        j.withColumn("join_total_rows", F.sum("contrib").over(Window.partitionBy()))
+        .orderBy(F.col("contrib").desc(), "user_id")
+        .limit(10)
+        .select("user_id", "na", "nb", "contrib", "join_total_rows")
     )
