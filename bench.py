@@ -156,6 +156,9 @@ HEADLINE = [
     "x87_ann_pq_topk",
     "x88_scd2_asof",
     "x89_join_size_precheck",
+    "x90_pmi_collocations",
+    "x91_rank_fusion",
+    "x92_leakage_safe_split",
 ]
 
 

@@ -631,3 +631,127 @@ def x85_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     c = load(spark, sf_dir, "customer")
     return deletion_neighborhood_pairs(c, "c_custkey", "c_name").orderBy("id_a", "id_b")
+
+
+@query(
+    "x92_leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE
+    tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS s
+           FROM tok WHERE len(t) >= 3),
+    ex AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    pairs AS (SELECT id_a, id_b FROM inter
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE {{J}} >= 0.5),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(node, r) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT e.src, r.r FROM edges e JOIN reach r ON r.node = e.dst
+    ),
+    comp AS (SELECT node AS doc_id, LEAST(node, MIN(r)) AS cluster
+             FROM reach GROUP BY node),
+    assign AS (
+      SELECT d.doc_id,
+             COALESCE(c.cluster, d.doc_id) AS grp
+      FROM documents d LEFT JOIN comp c USING (doc_id)),
+    splits AS (
+      SELECT doc_id,
+             CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 'train' ELSE 'val' END AS naive_split,
+             CASE WHEN substring(md5(CAST(grp AS VARCHAR)), 1, 1) < '8'
+                  THEN 'train' ELSE 'val' END AS safe_split
+      FROM assign),
+    leaks AS (
+      SELECT
+        CAST(sum(CASE WHEN sa.naive_split <> sb.naive_split THEN 1 ELSE 0 END)
+             AS BIGINT) AS naive_leaks,
+        CAST(sum(CASE WHEN sa.safe_split <> sb.safe_split THEN 1 ELSE 0 END)
+             AS BIGINT) AS safe_leaks
+      FROM pairs JOIN splits sa ON sa.doc_id = id_a
+                 JOIN splits sb ON sb.doc_id = id_b)
+    SELECT method, n_train, n_val, n_leaky_pairs FROM (
+      SELECT 'cluster' AS method,
+             CAST(count(*) FILTER (safe_split = 'train') AS BIGINT) AS n_train,
+             CAST(count(*) FILTER (safe_split = 'val') AS BIGINT) AS n_val,
+             (SELECT safe_leaks FROM leaks) AS n_leaky_pairs
+      FROM splits
+      UNION ALL
+      SELECT 'naive',
+             CAST(count(*) FILTER (naive_split = 'train') AS BIGINT),
+             CAST(count(*) FILTER (naive_split = 'val') AS BIGINT),
+             (SELECT naive_leaks FROM leaks)
+      FROM splits)
+    ORDER BY method
+    """.replace("{J}", _J_SQL),
+)
+def x92_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val split: assign whole NEAR-DUP CLUSTERS (x12h
+    components, singletons = their own group) to splits by a hash of the
+    GROUP id, and report, for both this and the naive per-doc hash
+    split, the split sizes and the number of near-dup pairs crossing the
+    boundary. Cluster-based assignment makes cross-split leakage zero BY
+    CONSTRUCTION (both endpoints of every pair share a component, hence
+    a split); the naive split's nonzero count is the contamination a
+    doc-level split silently ships into eval. The split hash is md5 of
+    the id in both engines — reproducible, order-free, and stable as the
+    corpus grows."""
+    from ..functions.dedupfns import dup_clusters, ngram_jaccard_pairs
+
+    d = load_parallel(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.5).select("id_a", "id_b")
+    comp = dup_clusters(pairs)
+    assign = (
+        d.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select("doc_id", F.coalesce(F.col("cluster"), F.col("doc_id")).alias("grp"))
+    )
+
+    def split_of(col):
+        return F.when(
+            F.substring(F.md5(col.cast("string")), 1, 1) < "8", "train"
+        ).otherwise("val")
+
+    splits = assign.select(
+        "doc_id",
+        split_of(F.col("doc_id")).alias("naive_split"),
+        split_of(F.col("grp")).alias("safe_split"),
+    )
+    sa = splits.select(F.col("doc_id").alias("id_a"), F.col("naive_split").alias("na"), F.col("safe_split").alias("sa"))
+    sb = splits.select(F.col("doc_id").alias("id_b"), F.col("naive_split").alias("nb"), F.col("safe_split").alias("sb"))
+    leaks = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .agg(
+            F.coalesce(F.sum((F.col("na") != F.col("nb")).cast("long")), F.lit(0)).alias("naive_leaks"),
+            F.coalesce(F.sum((F.col("sa") != F.col("sb")).cast("long")), F.lit(0)).alias("safe_leaks"),
+        )
+    )
+    counts = splits.agg(
+        F.sum((F.col("safe_split") == "train").cast("long")).alias("c_train"),
+        F.sum((F.col("safe_split") == "val").cast("long")).alias("c_val"),
+        F.sum((F.col("naive_split") == "train").cast("long")).alias("n_train_"),
+        F.sum((F.col("naive_split") == "val").cast("long")).alias("n_val_"),
+    )
+    both = counts.crossJoin(F.broadcast(leaks))
+    cluster_row = both.select(
+        F.lit("cluster").alias("method"),
+        F.col("c_train").alias("n_train"),
+        F.col("c_val").alias("n_val"),
+        F.col("safe_leaks").alias("n_leaky_pairs"),
+    )
+    naive_row = both.select(
+        F.lit("naive").alias("method"),
+        F.col("n_train_").alias("n_train"),
+        F.col("n_val_").alias("n_val"),
+        F.col("naive_leaks").alias("n_leaky_pairs"),
+    )
+    return cluster_row.unionAll(naive_row).orderBy("method")

@@ -1183,3 +1183,127 @@ def x81_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "x90_pmi_collocations",
+    oracle=f"""
+    WITH d AS (SELECT string_split(text, ' ') AS toks FROM documents),
+    bg AS (SELECT toks[i] AS w1, toks[i+1] AS w2
+           FROM d, unnest(range(1, len(toks))) t(i)),
+    cxy AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy
+            FROM bg GROUP BY w1, w2),
+    cx AS (SELECT w1, CAST(count(*) AS BIGINT) AS c_x FROM bg GROUP BY w1),
+    cy AS (SELECT w2, CAST(count(*) AS BIGINT) AS c_y FROM bg GROUP BY w2),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM bg)
+    SELECT w1, w2, c_xy,
+           {dround_sql("ln(total) + ln(c_xy) - ln(c_x) - ln(c_y)")} AS pmi
+    FROM cxy JOIN cx USING (w1) JOIN cy USING (w2) CROSS JOIN n
+    WHERE c_xy >= 5
+    ORDER BY pmi DESC, w1, w2 LIMIT 20
+    """,
+)
+def x90_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information (Church & Hanks
+    1990): pmi(x,y) = ln(N·c_xy / (c_x·c_y)) over adjacent token pairs,
+    top-20 with support >= 5 — the phrase/term-of-art detector a corpus
+    vocabulary pipeline runs before tokenizer training. Every output
+    value is ONE arithmetic expression of four integer counts through
+    single IEEE ln calls (no float accumulation at all), so engines
+    agree bit-for-bit. Plan: three hash aggs off one bigram explode +
+    two key joins + a broadcast scalar; TakeOrdered(20)."""
+    d = load_parallel(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    bg = d.filter(F.size(toks) >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.struct(
+                    F.element_at(toks, i).alias("w1"),
+                    F.element_at(toks, i + 1).alias("w2"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    cxy = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+    cx = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c_x"))
+    cy = bg.groupBy("w2").agg(F.count(F.lit(1)).alias("c_y"))
+    n = bg.agg(F.count(F.lit(1)).alias("total"))
+    pmi = dround(
+        F.log(F.col("total").cast("double"))
+        + F.log(F.col("c_xy").cast("double"))
+        - F.log(F.col("c_x").cast("double"))
+        - F.log(F.col("c_y").cast("double")),
+        4,
+    )
+    return (
+        cxy.join(cx, "w1")
+        .join(cy, "w2")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("c_xy") >= 5)
+        .select("w1", "w2", "c_xy", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(20)
+    )
+
+
+@query(
+    "x91_rank_fusion",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+      FROM documents),
+    m AS (SELECT doc_id, n_chars, n_tokens,
+                 n_distinct * 1000000000 // n_tokens AS diversity_ppb
+          FROM s),
+    r AS (SELECT doc_id,
+                 CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS r_len,
+                 CAST(row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS r_tok,
+                 CAST(row_number() OVER (ORDER BY diversity_ppb DESC, doc_id) AS BIGINT) AS r_div
+          FROM m)
+    SELECT doc_id, r_len, r_tok, r_div, r_len + r_tok + r_div AS fused,
+           CAST(row_number() OVER (ORDER BY r_len + r_tok + r_div, doc_id) AS BIGINT)
+             AS fused_rank
+    FROM r ORDER BY fused_rank LIMIT 50
+    """,
+)
+def x91_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-signal curation by rank fusion (Borda count): blend length,
+    token count and lexical diversity into one ordering by summing each
+    document's per-signal ranks — the scale-free way to combine quality
+    signals with incomparable units (no z-scores, no weight tuning; the
+    idiom behind reciprocal-rank fusion in retrieval). The diversity
+    signal ranks on an exact integer (n_distinct * 1e9 // n_tokens), so
+    every sort key in both engines is a BIGINT — ranks cannot diverge.
+    Ranks are global windows; at 100 TB swap row_number for the x58
+    two-phase exact-NTILE decomposition (same output contract) to avoid
+    the SinglePartition sort."""
+    d = load_parallel(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    m = d.select(
+        "doc_id",
+        "n_chars",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+    ).withColumn(
+        "diversity_ppb",
+        F.floor(F.col("n_distinct") * F.lit(1_000_000_000) / F.col("n_tokens")).cast("long"),
+    )
+    r = m.select(
+        "doc_id",
+        F.row_number().over(Window.orderBy(F.col("n_chars").desc(), "doc_id")).cast("long").alias("r_len"),
+        F.row_number().over(Window.orderBy(F.col("n_tokens").desc(), "doc_id")).cast("long").alias("r_tok"),
+        F.row_number().over(Window.orderBy(F.col("diversity_ppb").desc(), "doc_id")).cast("long").alias("r_div"),
+    )
+    fused = (F.col("r_len") + F.col("r_tok") + F.col("r_div")).alias("fused")
+    return (
+        r.select("doc_id", "r_len", "r_tok", "r_div", fused)
+        .withColumn(
+            "fused_rank",
+            F.row_number().over(Window.orderBy("fused", "doc_id")).cast("long"),
+        )
+        .filter(F.col("fused_rank") <= 50)
+        .orderBy("fused_rank")
+    )
