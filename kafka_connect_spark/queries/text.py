@@ -1307,3 +1307,54 @@ def x91_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("fused_rank") <= 50)
         .orderBy("fused_rank")
     )
+
+
+@query(
+    "x93_corpus_datasheet",
+    oracle="""
+    WITH s AS (
+      SELECT source,
+             n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             md5(text) AS h
+      FROM documents)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           CAST(count(DISTINCT h) AS BIGINT) AS n_unique,
+           CAST(count(*) - count(DISTINCT h) AS BIGINT) AS n_exact_dups,
+           CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+           CAST(sum(n_tokens) * 1000000 // count(*) AS BIGINT) AS tokens_per_doc_ppm
+    FROM s GROUP BY source ORDER BY source
+    """,
+)
+def x93_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source corpus datasheet (the 'datasheets for datasets'
+    summary a training-mix decision starts from): document / token /
+    char volumes, exact-duplicate counts off the 16-byte content hash,
+    token-length extrema, and mean tokens-per-doc as an exact
+    parts-per-million integer (sum*1e6 // count — no float division to
+    disagree on). ONE hash agg over one scan; every column is BIGINT.
+    At 100 TB this is the cheapest query in the curation family and the
+    first one you run."""
+    d = load_parallel(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    s = d.select("source", "n_chars", n_tokens.alias("n_tokens"), F.md5("text").alias("h"))
+    return (
+        s.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("n_chars").alias("n_chars"),
+            F.countDistinct("h").alias("n_unique"),
+            (F.count(F.lit(1)) - F.countDistinct("h")).alias("n_exact_dups"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.floor(F.sum("n_tokens") * F.lit(1_000_000) / F.count(F.lit(1)))
+            .cast("long")
+            .alias("tokens_per_doc_ppm"),
+        )
+        .orderBy("source")
+    )

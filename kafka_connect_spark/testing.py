@@ -34,6 +34,20 @@ def compare_frames(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]
     a, b = canon(spark_pdf), canon(duck_pdf)
     for c in a.columns:
         av, bv = a[c], b[c]
+        # representation guard (the x41/p14 bug class): DuckDB returns
+        # HUGEINT/unCAST wide aggregates as float64 while Spark emits int64
+        # — values can match here yet hash differently in the driver's
+        # representation-level check. Flag int-vs-float kind mixes unless
+        # the float side is only float because of NULL promotion.
+        ak, bk = av.dtype.kind, bv.dtype.kind
+        if {ak, bk} == {"i", "f"}:
+            floats = av if ak == "f" else bv
+            if not floats.isna().any():
+                problems.append(
+                    f"dtype kind mismatch in {c!r}: spark={av.dtype} duck={bv.dtype}"
+                    " (unCAST DuckDB HUGEINT? wrap the aggregate in CAST(... AS BIGINT))"
+                )
+                continue
         if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
             ok = np.allclose(
                 av.astype(float).fillna(-9e99),
