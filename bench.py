@@ -159,6 +159,8 @@ HEADLINE = [
     "x90_pmi_collocations",
     "x91_rank_fusion",
     "x92_leakage_safe_split",
+    "x93_corpus_datasheet",
+    "x94_conversion_chi2",
 ]
 
 

@@ -1790,3 +1790,88 @@ def p28_label_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "value",
     ).orderBy("event_id")
+
+
+def _chi2_sql_expr() -> str:
+    terms = []
+    for k in range(4):
+        for conv in ("a", "b"):  # converting / non-converting cells
+            o = f"CAST({conv}{k} AS DOUBLE)"
+            rowtot = "CAST(ta AS DOUBLE)" if conv == "a" else "CAST(tn - ta AS DOUBLE)"
+            e = f"(CAST(n{k} AS DOUBLE) * {rowtot} / CAST(tn AS DOUBLE))"
+            terms.append(f"(({o} - {e}) * ({o} - {e}) / {e})")
+    return " + ".join(terms)
+
+
+@query(
+    "x94_conversion_chi2",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id, CAST(user_id % 4 AS BIGINT) AS seg,
+             CAST(max(CASE WHEN event_type = 'purchase' AND value > 200
+                           THEN 1 ELSE 0 END) AS BIGINT)
+               AS conv
+      FROM events GROUP BY user_id),
+    w AS (SELECT
+        {", ".join(f"CAST(sum(CASE WHEN seg = {k} THEN conv ELSE 0 END) AS BIGINT) AS a{k}, "
+                   f"CAST(sum(CASE WHEN seg = {k} THEN 1 - conv ELSE 0 END) AS BIGINT) AS b{k}, "
+                   f"CAST(sum(CASE WHEN seg = {k} THEN 1 ELSE 0 END) AS BIGINT) AS n{k}"
+                   for k in range(4))},
+        CAST(sum(conv) AS BIGINT) AS ta, CAST(count(*) AS BIGINT) AS tn
+      FROM u)
+    SELECT tn AS n_users, ta AS n_converting,
+           {{CHI}} AS chi2, CAST(3 AS BIGINT) AS dof
+    FROM w
+    """.replace("{CHI}", f"round({_chi2_sql_expr()}, 6)"),
+)
+def x94_conversion_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square homogeneity test of conversion rate across four user
+    segments (the experiment-readout / cohort-drift significance number);
+    'conversion' is a deliberately rare event (high-value purchase) so
+    both contingency rows are populated.
+    Per-user conversion flags aggregate to a 2x4 contingency table in
+    ONE conditional-sum pass; the statistic is a single fixed-order
+    arithmetic expression over those 10 integers — the Spark and DuckDB
+    expression trees are generated from the SAME python loop, so the
+    IEEE evaluation order is identical and the rounded statistic is
+    engine-exact (no decimal machinery, no float aggregation). At
+    100 TB: one user-keyed agg + one 1-row reduction."""
+    ev = load(spark, sf_dir, "events")
+    u = (
+        ev.select(
+            "user_id",
+            (F.col("user_id") % 4).cast("long").alias("seg"),
+            ((F.col("event_type") == "purchase") & (F.col("value") > 200))
+            .cast("long")
+            .alias("is_p"),
+        )
+        .groupBy("user_id", "seg")
+        .agg(F.max("is_p").alias("conv"))
+    )
+    aggs = []
+    for k in range(4):
+        aggs += [
+            F.sum(F.when(F.col("seg") == k, F.col("conv")).otherwise(0)).alias(f"a{k}"),
+            F.sum(F.when(F.col("seg") == k, 1 - F.col("conv")).otherwise(0)).alias(f"b{k}"),
+            F.sum(F.when(F.col("seg") == k, 1).otherwise(0)).alias(f"n{k}"),
+        ]
+    aggs += [F.sum("conv").alias("ta"), F.count(F.lit(1)).alias("tn")]
+    w = u.agg(*aggs)
+    chi = None
+    for k in range(4):
+        for conv in ("a", "b"):
+            o = F.col(f"{conv}{k}").cast("double")
+            rowtot = (
+                F.col("ta").cast("double")
+                if conv == "a"
+                else (F.col("tn") - F.col("ta")).cast("double")
+            )
+            e = F.col(f"n{k}").cast("double") * rowtot / F.col("tn").cast("double")
+            term = (o - e) * (o - e) / e
+            chi = term if chi is None else chi + term
+    return w.select(
+        F.col("tn").alias("n_users"),
+        F.col("ta").alias("n_converting"),
+        F.round(chi, 6).alias("chi2"),
+        F.lit(3).cast("long").alias("dof"),
+    )
