@@ -161,6 +161,8 @@ HEADLINE = [
     "x92_leakage_safe_split",
     "x93_corpus_datasheet",
     "x94_conversion_chi2",
+    "x95_histogram_export",
+    "x96_session_entry_exit",
 ]
 
 

@@ -1875,3 +1875,111 @@ def x94_conversion_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi, 6).alias("chi2"),
         F.lit(3).cast("long").alias("dof"),
     )
+
+
+@query(
+    "x95_histogram_export",
+    oracle="""
+    WITH b AS (SELECT unnest([50, 100, 200, 400, 1000000]) AS le),
+    s AS (SELECT event_type, CAST(FLOOR(epoch_ms(ts) / 3600000) AS BIGINT) AS bk,
+                 value
+          FROM events)
+    SELECT event_type, bk, CAST(le AS BIGINT) AS le,
+           CAST(sum(CASE WHEN value <= le THEN 1 ELSE 0 END) AS BIGINT)
+             AS cumulative_count
+    FROM s CROSS JOIN b
+    GROUP BY event_type, bk, le
+    ORDER BY event_type, bk, le
+    """,
+)
+def x95_histogram_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus-histogram EXPORT: raw samples -> cumulative le-bucket
+    counts per (series, hour) — the inverse of p10's histogram_quantile
+    (which consumes exactly this shape) and the reference exporter's
+    missing histogram type (fastapi/main.py serves only gauge/counter).
+    The bucket list is a 5-row broadcast; counts are one conditional
+    hash agg — cumulative by construction (value <= le), so no window
+    pass is needed. Integer counts only."""
+    ev = load(spark, sf_dir, "events")
+    buckets = spark.createDataFrame([(50,), (100,), (200,), (400,), (1_000_000,)], "le long")
+    s = ev.select(
+        "event_type",
+        F.floor(F.unix_millis("ts") / F.lit(3_600_000)).cast("long").alias("bk"),
+        "value",
+    )
+    return (
+        s.crossJoin(F.broadcast(buckets))
+        .groupBy("event_type", "bk", "le")
+        .agg(
+            F.sum((F.col("value") <= F.col("le")).cast("long")).alias("cumulative_count")
+        )
+        .orderBy("event_type", "bk", "le")
+    )
+
+
+@query(
+    "x96_session_entry_exit",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  > 1800000000 THEN 1 ELSE 0 END AS brk
+      FROM events),
+    s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+          FROM e),
+    g AS (SELECT user_id, sess,
+                 CAST(count(*) AS BIGINT) AS n_events,
+                 min_by(event_type, CAST(epoch_us(ts) AS HUGEINT) * 10000000 + event_id)
+                   AS entry_type,
+                 max_by(event_type, CAST(epoch_us(ts) AS HUGEINT) * 10000000 + event_id)
+                   AS exit_type
+          FROM s GROUP BY user_id, sess)
+    SELECT entry_type, exit_type,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces
+    FROM g GROUP BY entry_type, exit_type
+    ORDER BY entry_type, exit_type
+    """,
+)
+def x96_session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session entry/exit matrix with bounce counts (the landing-page /
+    exit-page product report): sessionize on 30-minute gaps (the shared
+    x41/x83 idiom), take each session's first and last event type via
+    min_by/max_by on the exact (epoch_us, event_id) ordering tuple —
+    supported identically in Spark 4 and DuckDB, no collect/sort per
+    session — and aggregate to the entry x exit grid. One user-
+    partitioned window + two hash aggs."""
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = F.when(us - F.lag(us).over(w) > 1_800_000_000, F.lit(1)).otherwise(F.lit(0))
+    s = ev.select(
+        "user_id", "event_type", "ts", "event_id", brk.alias("brk")
+    ).select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.sum("brk")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("sess"),
+    )
+    ordk = (
+        F.unix_micros("ts").cast("decimal(38,0)") * F.lit(10_000_000) + F.col("event_id")
+    )
+    g = s.groupBy("user_id", "sess").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min_by("event_type", ordk).alias("entry_type"),
+        F.max_by("event_type", ordk).alias("exit_type"),
+    )
+    return (
+        g.groupBy("entry_type", "exit_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum((F.col("n_events") == 1).cast("long")).alias("n_bounces"),
+        )
+        .orderBy("entry_type", "exit_type")
+    )

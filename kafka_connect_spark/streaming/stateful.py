@@ -312,3 +312,84 @@ def streaming_mg_candidates(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_ordered_funnel(sdf, steps=("view", "click", "purchase")):
+    """Streaming twin of x82's three-step ordered funnel: per user, the
+    state is just the three earliest step ordinals found so far (pk1 <=
+    pk2 <= pk3, later steps only accepted strictly after the earlier
+    ones). Greedy earliest-chain is PREFIX-MONOTONE: feeding events in
+    chronological chunks can only ever fill a later slot, never change a
+    filled one, so the final state equals the batch answer regardless of
+    how the stream is micro-batched (the twin test replays the fixture
+    in 4 chunks and asserts exact equality with x82).
+
+    State per user: three int64s (ordinals stored as exact integers in
+    the state tuple). Emits the user's current (pk1, pk2, pk3) snapshot
+    every time it changes (update mode)."""
+    import pandas as pd
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("pk1", LongType()),
+            StructField("pk2", LongType()),
+            StructField("pk3", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("pk1", LongType()),
+            StructField("pk2", LongType()),
+            StructField("pk3", LongType()),
+        ]
+    )
+    s1, s2, s3 = steps
+
+    def update(key, pdfs, state: GroupState):
+        pk1, pk2, pk3 = state.get if state.exists else (None, None, None)
+        frames = [p for p in pdfs]
+        pdf = pd.concat(frames, ignore_index=True).sort_values(
+            ["pk", "event_type"], ignore_index=True
+        )
+        for _, row in pdf.iterrows():
+            et, pk = row["event_type"], int(row["pk"])
+            if et == s1 and pk1 is None:
+                pk1 = pk
+            elif et == s2 and pk1 is not None and pk2 is None and pk > pk1:
+                pk2 = pk
+            elif et == s3 and pk2 is not None and pk3 is None and pk > pk2:
+                pk3 = pk
+        state.update((pk1, pk2, pk3))
+        yield pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "pk1": pd.array([pk1], dtype="Int64"),
+                "pk2": pd.array([pk2], dtype="Int64"),
+                "pk3": pd.array([pk3], dtype="Int64"),
+            }
+        )
+
+    from pyspark.sql import functions as F
+
+    prepared = sdf.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "event_type",
+        # int64-safe packed ordinal: (epoch_us - base2020) * 10^4 +
+        # event_id % 10^4 — the base offset keeps the product < 2^63
+        # through ~2049; the mod only matters if one user logs two events
+        # in the same MICROSECOND with ids 10^4 apart
+        (
+            (F.unix_micros("ts") - F.lit(1_600_000_000_000_000)) * F.lit(10_000)
+            + F.pmod(F.col("event_id"), F.lit(10_000))
+        )
+        .cast("long")
+        .alias("pk"),
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

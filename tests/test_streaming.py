@@ -799,3 +799,46 @@ def test_gap_processor_logic_carries_state_across_batches():
     b2 = pd.DataFrame({"ts_us": [450], "event_id": [9]})
     out2 = next(p.handleInputRows((7,), iter([b2]), None))
     assert out2["gap_us"].iloc[0] == 150  # state carried: 450 - 300
+
+
+def test_streaming_ordered_funnel_equals_batch(spark, sf_dir, tmp_path):
+    """x82's streaming twin: the greedy earliest-chain funnel is
+    prefix-monotone, so per-user (pk1, pk2, pk3) state fed chronological
+    microbatches must end exactly where the batch operator lands —
+    reached flags AND conversion seconds."""
+    from kafka_connect_spark.queries.metrics import x82_ordered_funnel
+    from kafka_connect_spark.streaming.stateful import streaming_ordered_funnel
+
+    d, events = _replay_dir(spark, sf_dir, tmp_path)
+    sdf = file_replay_stream(spark, d, spark.read.parquet(d).schema)
+    out: list[pd.DataFrame] = []
+
+    def sink(df, bid):
+        pdf = df.toPandas()
+        pdf["bid"] = bid
+        out.append(pdf)
+
+    q = (
+        streaming_ordered_funnel(sdf)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt-funnel"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    emitted = pd.concat(out, ignore_index=True)
+    # last emission per user = final funnel state
+    last = emitted.loc[emitted.groupby("user_id")["bid"].idxmax()].set_index("user_id")
+
+    batch = x82_ordered_funnel(spark, sf_dir).toPandas().set_index("user_id")
+    assert set(last.index) == set(batch.index)
+    for uid in batch.index:
+        b, s = batch.loc[uid], last.loc[uid]
+        assert int(b["reached_view"]) == int(pd.notna(s["pk1"]))
+        assert int(b["reached_click"]) == int(pd.notna(s["pk2"]))
+        assert int(b["reached_purchase"]) == int(pd.notna(s["pk3"]))
+        if int(b["reached_purchase"]):
+            # unpack: ordinal // 1e4 = epoch_us - base (base cancels in diff)
+            secs = (int(s["pk3"]) // 10_000 - int(s["pk1"]) // 10_000) // 1_000_000
+            assert secs == int(b["secs_to_convert"])
