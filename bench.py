@@ -163,6 +163,8 @@ HEADLINE = [
     "x94_conversion_chi2",
     "x95_histogram_export",
     "x96_session_entry_exit",
+    "x97_tfidf_cosine_pairs",
+    "x98_rfm_segments",
 ]
 
 

@@ -1983,3 +1983,86 @@ def x96_session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("entry_type", "exit_type")
     )
+
+
+@query(
+    "x98_rfm_segments",
+    oracle="""
+    WITH mx AS (SELECT CAST(max(FLOOR(epoch_us(ts) / 86400000000)) AS BIGINT) AS md
+                FROM events),
+    u AS (SELECT user_id,
+                 md - CAST(max(FLOOR(epoch_us(ts) / 86400000000)) AS BIGINT)
+                   AS recency_days,
+                 CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS frequency,
+                 CAST(COALESCE(sum(CASE WHEN event_type = 'purchase'
+                                        THEN CAST(FLOOR(value * 100) AS BIGINT) END), 0)
+                      AS BIGINT) AS monetary_cents
+          FROM events CROSS JOIN mx GROUP BY user_id, md),
+    r AS (SELECT *,
+            CAST(ceil(row_number() OVER (ORDER BY recency_days, user_id) * 4.0
+                      / count(*) OVER ()) AS BIGINT) AS r_q,
+            CAST(ceil(row_number() OVER (ORDER BY frequency DESC, user_id) * 4.0
+                      / count(*) OVER ()) AS BIGINT) AS f_q,
+            CAST(ceil(row_number() OVER (ORDER BY monetary_cents DESC, user_id) * 4.0
+                      / count(*) OVER ()) AS BIGINT) AS m_q
+          FROM u)
+    SELECT user_id, recency_days, frequency, monetary_cents, r_q, f_q, m_q,
+           CAST(r_q AS VARCHAR) || '-' || CAST(f_q AS VARCHAR) || '-' ||
+             CAST(m_q AS VARCHAR) AS segment
+    FROM r ORDER BY user_id
+    """,
+)
+def x98_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary
+    quartiles — the workhorse marketing segmentation): per-user integer
+    metrics (days-since-last-event off the corpus max day, purchase
+    count, purchase cents), each quartiled by the EXPLICIT rank rule
+    ceil(rank * 4 / n) with (metric, user_id) total ordering — the exact
+    integer construction both engines compute identically, where ntile
+    built-ins differ on remainder placement. Best segment = 1-1-1. One
+    user agg + three rank windows over |users| rows (at 100 TB: the x58
+    two-phase decomposition replaces the global windows)."""
+    ev = load(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long")
+    mx = ev.agg(F.max(day).alias("md"))
+    u = (
+        ev.crossJoin(F.broadcast(mx))
+        .groupBy("user_id", "md")
+        .agg(
+            (F.col("md") - F.max(day)).alias("recency_days"),
+            F.sum((F.col("event_type") == "purchase").cast("long")).alias("frequency"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        F.floor(F.col("value") * 100).cast("long"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("monetary_cents"),
+        )
+        .drop("md")
+    )
+    n = Window.partitionBy()
+
+    def quart(order_cols, name):
+        rk = F.row_number().over(Window.orderBy(*order_cols))
+        return F.ceil(rk * 4.0 / F.count(F.lit(1)).over(n)).cast("long").alias(name)
+
+    r = u.select(
+        "*",
+        quart([F.col("recency_days"), F.col("user_id")], "r_q"),
+        quart([F.col("frequency").desc(), F.col("user_id")], "f_q"),
+        quart([F.col("monetary_cents").desc(), F.col("user_id")], "m_q"),
+    )
+    return r.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        "r_q",
+        "f_q",
+        "m_q",
+        F.concat_ws("-", "r_q", "f_q", "m_q").alias("segment"),
+    ).orderBy("user_id")

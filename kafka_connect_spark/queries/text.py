@@ -1358,3 +1358,83 @@ def x93_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "x97_tfidf_cosine_pairs",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (SELECT doc_id, array_to_string(toks[i:i+4], ' ') AS term
+          FROM d, unnest(range(1, len(toks) - 3)) t(i) WHERE len(toks) >= 5),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM g GROUP BY 1, 2),
+    df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+    w AS (SELECT doc_id, term,
+                 tf * CAST(ln(CAST(nd AS DOUBLE) / df) AS DECIMAL(18,6)) AS w
+          FROM tf JOIN df USING (term) CROSS JOIN n WHERE df < nd),
+    nrm AS (SELECT doc_id, sqrt(CAST(sum(w*w) AS DOUBLE)) AS nn FROM w GROUP BY 1),
+    dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    CAST(sum(a.w * b.w) AS DOUBLE) AS dd
+             FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+             GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           {dround_sql("dd / (na.nn * nb.nn)", 6)} AS cos_sim
+    FROM dots JOIN nrm na ON na.doc_id = doc_a JOIN nrm nb ON nb.doc_id = doc_b
+    WHERE {dround_sql("dd / (na.nn * nb.nn)", 6)} >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+)
+def x97_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine similarity pairs over 5-gram shingles — the
+    classic IR document-similarity measure, complementing the dense
+    embedding cosine (x12f) and unweighted Jaccard (x12c): rare shared
+    shingles count more than common ones. Exactness discipline: idf is a
+    single IEEE ln quantized to DECIMAL(18,6); every weight product and
+    both norms accumulate EXACTLY in decimal; only the final
+    sqrt/divide touch doubles (fixed expression order both engines).
+    Plan: token-keyed join of weighted postings (the x12c shuffle shape;
+    ubiquitous shingles with df = N are dropped — the natural stopword
+    cap, and max-df capping extends it for skew); one pair agg; two
+    tiny norm joins."""
+    d = load_parallel(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(4)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 5)),
+    )
+    g = d.filter(F.size(toks) >= 5).select("doc_id", F.explode(grams).alias("term"))
+    tf = g.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    nd = d.agg(F.count(F.lit(1)).alias("nd"))
+    w = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(nd))
+        .filter(F.col("df") < F.col("nd"))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf")
+                * F.log(F.col("nd").cast("double") / F.col("df")).cast("decimal(18,6)")
+            ).alias("w"),
+        )
+    )
+    nrm = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("nn")
+    )
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(b, (F.col("a.term") == F.col("b.term")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).cast("double").alias("dd"))
+    )
+    na = nrm.select(F.col("doc_id").alias("doc_a"), F.col("nn").alias("na_nn"))
+    nb = nrm.select(F.col("doc_id").alias("doc_b"), F.col("nn").alias("nb_nn"))
+    cos = dround(F.col("dd") / (F.col("na_nn") * F.col("nb_nn")), 6)
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    )
