@@ -165,6 +165,8 @@ HEADLINE = [
     "x96_session_entry_exit",
     "x97_tfidf_cosine_pairs",
     "x98_rfm_segments",
+    "x99_markov_eval",
+    "x100_bootstrap_ci",
 ]
 
 

@@ -2066,3 +2066,172 @@ def x98_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m_q",
         F.concat_ws("-", "r_q", "f_q", "m_q").alias("segment"),
     ).orderBy("user_id")
+
+
+@query(
+    "x99_markov_eval",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, ts, event_id,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type
+      FROM events),
+    t AS (SELECT event_type AS cur, next_type,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM e WHERE next_type IS NOT NULL GROUP BY 1, 2),
+    best AS (SELECT cur,
+                    min(next_type) FILTER (cnt = mx) AS predicted
+             FROM (SELECT *, max(cnt) OVER (PARTITION BY cur) AS mx FROM t)
+             GROUP BY cur),
+    scored AS (SELECT e.event_type AS cur, e.next_type, b.predicted
+               FROM e JOIN best b ON b.cur = e.event_type
+               WHERE e.next_type IS NOT NULL)
+    SELECT cur, predicted,
+           CAST(count(*) AS BIGINT) AS n_transitions,
+           CAST(sum(CASE WHEN next_type = predicted THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hits,
+           CAST(sum(CASE WHEN next_type = predicted THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS hit_rate_ppm
+    FROM scored GROUP BY cur, predicted ORDER BY cur
+    """,
+)
+def x99_markov_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine evaluation of the first-order Markov next-event model
+    (x60's transition matrix turned into a predictor): per current type,
+    predict the modal next type (ties to the lexicographically smallest —
+    an explicit, engine-identical argmax), then score top-1 accuracy over
+    every observed transition. Train and eval in one plan: the model is
+    a K x K count table (broadcast-sized for any real event taxonomy),
+    scoring is one join + one conditional agg, accuracy emitted as an
+    exact ppm integer. The shape generalizes to any 'aggregate a model,
+    join it back, score it' evaluation at 100 TB."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    t = e.groupBy(F.col("event_type").alias("cur"), "next_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    mx = t.withColumn("mx", F.max("cnt").over(Window.partitionBy("cur")))
+    best = (
+        mx.filter(F.col("cnt") == F.col("mx"))
+        .groupBy("cur")
+        .agg(F.min("next_type").alias("predicted"))
+    )
+    scored = e.join(F.broadcast(best), e.event_type == best.cur)
+    return (
+        scored.groupBy("cur", "predicted")
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.sum((F.col("next_type") == F.col("predicted")).cast("long")).alias("n_hits"),
+            F.floor(
+                F.sum((F.col("next_type") == F.col("predicted")).cast("long"))
+                * F.lit(1_000_000)
+                / F.count(F.lit(1))
+            )
+            .cast("long")
+            .alias("hit_rate_ppm"),
+        )
+        .orderBy("cur")
+    )
+
+
+# Poisson(1) inverse-CDF thresholds (cumulative), shared literal-for-literal
+# by both engines so the per-(row, replicate) weights are identical.
+_POIS = [
+    0.36787944117144233,
+    0.7357588823428846,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507642,
+    0.9999897508033253,
+]
+
+
+def _pois_case_sql(u: str) -> str:
+    cases = " ".join(
+        f"WHEN {u} < {t!r} THEN {k}" for k, t in enumerate(_POIS)
+    )
+    return f"(CASE {cases} ELSE 8 END)"
+
+
+@query(
+    "x100_bootstrap_ci",
+    oracle=f"""
+    WITH p AS (SELECT event_id, CAST(FLOOR(value * 100) AS BIGINT) AS y
+               FROM events WHERE event_type = 'purchase'),
+    r AS (SELECT p.event_id, p.y, b.b,
+                 CAST(CAST('0x' || substring(md5(CAST(p.event_id AS VARCHAR)
+                        || ':' || CAST(b.b AS VARCHAR)), 1, 13) AS BIGINT)
+                      AS DOUBLE) / 4503599627370496.0 AS u
+          FROM p CROSS JOIN (SELECT unnest(range(0, 32)) AS b) b),
+    wtd AS (SELECT b, y, {_pois_case_sql("u")} AS w FROM r),
+    reps AS (SELECT b, CAST(sum(w * y) AS BIGINT) AS swy,
+                    CAST(sum(w) AS BIGINT) AS sw
+             FROM wtd GROUP BY b),
+    means AS (SELECT b, CAST(swy AS DOUBLE) / sw AS m FROM reps),
+    ranked AS (SELECT m, row_number() OVER (ORDER BY m, b) AS rk FROM means),
+    pt AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(y) AS BIGINT) AS sy FROM p)
+    SELECT n,
+           {dround_sql("CAST(sy AS DOUBLE) / n", 6)} AS mean_cents,
+           {dround_sql("(SELECT min(CASE WHEN rk = 2 THEN m END) FROM ranked)", 6)} AS ci_lo,
+           {dround_sql("(SELECT min(CASE WHEN rk = 31 THEN m END) FROM ranked)", 6)} AS ci_hi
+    FROM pt
+    """,
+)
+def x100_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90% bootstrap confidence interval for the mean purchase value via
+    the POISSON bootstrap (Chamandy et al., the resampling scheme that
+    works in one distributed pass: each row's multiplicity in replicate
+    b is Poisson(1), independent per (row, replicate), so no global
+    resample index is ever materialized). Determinism: the uniform is 52
+    bits of md5(event_id:b) — exactly representable as a double — pushed
+    through a literal-for-literal shared inverse-CDF table, so both
+    engines draw IDENTICAL weights; replicate sums are pure integers and
+    each replicate mean is one exact-integer division. CI bounds are
+    nearest-rank over the 32 replicate means. At 100 TB: one explode by
+    B and one hash agg — the bootstrap without a driver in the loop."""
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.floor(F.col("value") * 100).cast("long").alias("y")
+    )
+    r = p.select(
+        "event_id", "y", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b")
+    ).withColumn(
+        "u",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("event_id"), F.col("b"))), 1, 13
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4503599627370496.0),
+    )
+    w = F.lit(8)
+    for k in range(len(_POIS) - 1, -1, -1):
+        w = F.when(F.col("u") < _POIS[k], k).otherwise(w)
+    reps = (
+        r.withColumn("w", w)
+        .groupBy("b")
+        .agg(F.sum(F.col("w") * F.col("y")).alias("swy"), F.sum("w").alias("sw"))
+        .select("b", (F.col("swy").cast("double") / F.col("sw")).alias("m"))
+    )
+    ranked = reps.select(
+        "m", F.row_number().over(Window.orderBy("m", "b")).alias("rk")
+    )
+    lohi = ranked.agg(
+        F.min(F.when(F.col("rk") == 2, F.col("m"))).alias("lo"),
+        F.min(F.when(F.col("rk") == 31, F.col("m"))).alias("hi"),
+    )
+    pt = p.agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("sy"))
+    return pt.crossJoin(F.broadcast(lohi)).select(
+        "n",
+        dround(F.col("sy").cast("double") / F.col("n"), 6).alias("mean_cents"),
+        dround(F.col("lo"), 6).alias("ci_lo"),
+        dround(F.col("hi"), 6).alias("ci_hi"),
+    )
