@@ -69,6 +69,13 @@ FLAGSHIPS = {
     "p27_mad_anomalies": "two per-series window medians + join-back, all partitioned on user_id",
     "x80_inverted_index": "explode + two hash aggs; posting list built by sort_array, no global sort",
     "x81_vocab_growth": "first-occurrence min-agg per gram; decile bucketing off a 1-row broadcast scalar",
+    "x82_ordered_funnel": "three chained min-aggs on one reused user_id partitioning, no per-user sort",
+    "x85_fuzzy_name_pairs": "deletion-variant equi-join + exact levenshtein verify; no all-pairs",
+    "x86_snapshot_diff": "map-side row hashes, one key-partitioned full-outer join",
+    "x89_join_size_precheck": "exact join cardinality from two key histograms, O(distinct keys)",
+    "x92_leakage_safe_split": "components + group-hash assignment; leak count via one pair join",
+    "x97_tfidf_cosine_pairs": "weighted posting join (x12c shuffle shape), decimal-exact dot/norms",
+    "x100_bootstrap_ci": "replicate explode + ONE hash agg; no driver in the resample loop",
 }
 
 
