@@ -73,7 +73,6 @@ FLAGSHIPS = {
     "x85_fuzzy_name_pairs": "deletion-variant equi-join + exact levenshtein verify; no all-pairs",
     "x86_snapshot_diff": "map-side row hashes, one key-partitioned full-outer join",
     "x89_join_size_precheck": "exact join cardinality from two key histograms, O(distinct keys)",
-    "x92_leakage_safe_split": "components + group-hash assignment; leak count via one pair join",
     "x97_tfidf_cosine_pairs": "weighted posting join (x12c shuffle shape), decimal-exact dot/norms",
     "x100_bootstrap_ci": "replicate explode + ONE hash agg; no driver in the resample loop",
 }
