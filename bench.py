@@ -167,6 +167,8 @@ HEADLINE = [
     "x98_rfm_segments",
     "x99_markov_eval",
     "x100_bootstrap_ci",
+    "x101_lead_lag_xcorr",
+    "x102_forecast_backtest",
 ]
 
 

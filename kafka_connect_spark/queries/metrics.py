@@ -2235,3 +2235,142 @@ def x100_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.col("lo"), 6).alias("ci_lo"),
         dround(F.col("hi"), 6).alias("ci_hi"),
     )
+
+
+@query(
+    "x101_lead_lag_xcorr",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type AS et, CAST(FLOOR(epoch_ms(ts) / 3600000) AS BIGINT) AS bk,
+             CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS HUGEINT) AS v
+      FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1, 2),
+    lags AS (SELECT unnest(range(-3, 4)) AS lag),
+    j AS (SELECT l.lag, a.v AS x, b.v AS y
+          FROM s a JOIN lags l ON a.et = 'click'
+          JOIN s b ON b.et = 'purchase' AND b.bk = a.bk + l.lag),
+    g AS (SELECT lag, CAST(count(*) AS HUGEINT) AS n,
+                 SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+                 SUM(x*x) AS sxx, SUM(y*y) AS syy
+          FROM j GROUP BY lag)
+    SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_buckets,
+           {dround_sql(
+               "CAST(n*sxy - sx*sy AS DOUBLE) / "
+               "sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE))",
+               6,
+           )} AS xcorr
+    FROM g ORDER BY lag
+    """,
+)
+def x101_lead_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between the click and purchase series:
+    corr(click[t], purchase[t+lag]) for lag in -3..+3 hours — the 'which
+    metric leads which' diagnostic behind alerts-cause analysis and
+    marketing-lag estimation (x78's correlation machinery swept across a
+    shifted-bucket join). Same exactness scheme: all five sums in
+    HUGEINT/DECIMAL, one IEEE sqrt per lag. The lag shift is pure key
+    arithmetic (bk + lag) — seven joins' worth of work expressed as one
+    join against a 7-row broadcast."""
+    ev = load(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    s = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            F.col("event_type").alias("et"),
+            F.floor(F.unix_millis("ts") / F.lit(3_600_000)).cast("long").alias("bk"),
+            F.floor(F.col("value") * 100).cast("long").alias("y"),
+        )
+        .groupBy("et", "bk")
+        .agg(F.sum("y").cast(dec).alias("v"))
+    )
+    lags = spark.range(-3, 4).select(F.col("id").alias("lag"))
+    a = s.filter(F.col("et") == "click").select(F.col("bk").alias("abk"), F.col("v").alias("x"))
+    b = s.filter(F.col("et") == "purchase").select(F.col("bk").alias("bbk"), F.col("v").alias("yv"))
+    j = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("bbk") == F.col("abk") + F.col("lag"))
+    )
+    g = j.groupBy("lag").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("yv").alias("sy"),
+        F.sum(F.col("x") * F.col("yv")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("yv") * F.col("yv")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return g.select(
+        F.col("lag").cast("long").alias("lag"),
+        F.col("n").cast("long").alias("n_buckets"),
+        dround(num / F.sqrt(vx * vy), 6).alias("xcorr"),
+    ).orderBy("lag")
+
+
+@query(
+    "x102_forecast_backtest",
+    oracle="""
+    WITH s AS (
+      SELECT event_type AS et, CAST(FLOOR(epoch_ms(ts) / 3600000) AS BIGINT) AS bk,
+             CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2),
+    w AS (SELECT et, bk, v,
+                 lag(v, 1)  OVER (PARTITION BY et ORDER BY bk) AS naive_pred,
+                 lag(v, 24) OVER (PARTITION BY et ORDER BY bk) AS seasonal_pred
+          FROM s),
+    e AS (SELECT et, abs(v - naive_pred) AS ae_n, abs(v - seasonal_pred) AS ae_s
+          FROM w WHERE naive_pred IS NOT NULL AND seasonal_pred IS NOT NULL)
+    SELECT et AS event_type,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(sum(ae_n) AS BIGINT) AS naive_abs_err,
+           CAST(sum(ae_s) AS BIGINT) AS seasonal_abs_err,
+           CAST(sum(ae_s) * 1000000 // sum(ae_n) AS BIGINT) AS mase_ppm
+    FROM e GROUP BY et ORDER BY et
+    """,
+)
+def x102_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine forecast backtest: one-step-ahead absolute error of the
+    seasonal-naive predictor (value 24 hours ago) against the naive
+    baseline (previous hour), per series — MASE-style ratio as an exact
+    ppm integer (the denominator IS the naive error, per Hyndman's MASE
+    definition). ppm < 1e6 means daily seasonality carries signal. All
+    arithmetic on integer-quantized hourly sums: two lag windows on one
+    per-series partitioning, one agg — a model-selection harness with no
+    model artifacts."""
+    ev = load(spark, sf_dir, "events")
+    s = (
+        ev.select(
+            F.col("event_type").alias("et"),
+            F.floor(F.unix_millis("ts") / F.lit(3_600_000)).cast("long").alias("bk"),
+            F.floor(F.col("value") * 100).cast("long").alias("y"),
+        )
+        .groupBy("et", "bk")
+        .agg(F.sum("y").alias("v"))
+    )
+    w = Window.partitionBy("et").orderBy("bk")
+    e = (
+        s.select(
+            "et",
+            "v",
+            F.lag("v", 1).over(w).alias("naive_pred"),
+            F.lag("v", 24).over(w).alias("seasonal_pred"),
+        )
+        .filter(F.col("naive_pred").isNotNull() & F.col("seasonal_pred").isNotNull())
+        .select(
+            "et",
+            F.abs(F.col("v") - F.col("naive_pred")).alias("ae_n"),
+            F.abs(F.col("v") - F.col("seasonal_pred")).alias("ae_s"),
+        )
+    )
+    return (
+        e.groupBy(F.col("et").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("ae_n").alias("naive_abs_err"),
+            F.sum("ae_s").alias("seasonal_abs_err"),
+            F.floor(F.sum("ae_s") * F.lit(1_000_000) / F.sum("ae_n"))
+            .cast("long")
+            .alias("mase_ppm"),
+        )
+        .orderBy("event_type")
+    )
