@@ -169,6 +169,9 @@ HEADLINE = [
     "x100_bootstrap_ci",
     "x101_lead_lag_xcorr",
     "x102_forecast_backtest",
+    "p29_alert_firing",
+    "x103_robust_trend",
+    "x104_burst_detection",
 ]
 
 

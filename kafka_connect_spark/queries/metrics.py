@@ -2374,3 +2374,212 @@ def x102_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "p29_alert_firing",
+    oracle="""
+    WITH s AS (
+      SELECT event_type AS et, CAST(FLOOR(epoch_ms(ts) / 600000) AS BIGINT) AS bk,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    breach AS (SELECT et, bk FROM s WHERE n >= 3),
+    runs AS (SELECT et, bk,
+                    bk - row_number() OVER (PARTITION BY et ORDER BY bk) AS grp
+             FROM breach),
+    firing AS (SELECT et, min(bk) AS pending_since, max(bk) AS last_bk,
+                      CAST(count(*) AS BIGINT) AS run_len
+               FROM runs GROUP BY et, grp)
+    SELECT et AS event_type, pending_since,
+           pending_since + 3 AS firing_from, last_bk, run_len
+    FROM firing WHERE run_len >= 4
+    ORDER BY event_type, pending_since
+    """,
+)
+def p29_alert_firing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL/Alertmanager 'for:' semantics — the alert-rule evaluator the
+    reference's Grafana stack implies but the dashboard JSON only hints
+    at: a rule (rate >= threshold) must hold for N CONSECUTIVE
+    evaluation intervals before it fires (pending -> firing). Contiguous
+    breach runs fall out of the classic gaps-and-islands trick
+    (bk - row_number is constant within a run — one per-series window,
+    no self-join); each run of >= 4 ten-minute buckets reports its
+    pending start, firing transition, and length. Integer bucket ids
+    only."""
+    ev = load(spark, sf_dir, "events")
+    s = (
+        ev.select(
+            F.col("event_type").alias("et"),
+            F.floor(F.unix_millis("ts") / F.lit(600_000)).cast("long").alias("bk"),
+        )
+        .groupBy("et", "bk")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    breach = s.filter(F.col("n") >= 3)
+    w = Window.partitionBy("et").orderBy("bk")
+    runs = breach.select(
+        "et", "bk", (F.col("bk") - F.row_number().over(w)).alias("grp")
+    )
+    firing = runs.groupBy("et", "grp").agg(
+        F.min("bk").alias("pending_since"),
+        F.max("bk").alias("last_bk"),
+        F.count(F.lit(1)).alias("run_len"),
+    )
+    return (
+        firing.filter(F.col("run_len") >= 4)
+        .select(
+            F.col("et").alias("event_type"),
+            "pending_since",
+            (F.col("pending_since") + 3).alias("firing_from"),
+            "last_bk",
+            "run_len",
+        )
+        .orderBy("event_type", "pending_since")
+    )
+
+
+@query(
+    "x103_robust_trend",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, CAST(FLOOR(epoch_ms(ts) / 3600000) AS BIGINT) AS bk,
+             CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2),
+    d AS (SELECT user_id, bk, v,
+                 lag(bk) OVER (PARTITION BY user_id ORDER BY bk) AS pbk,
+                 lag(v)  OVER (PARTITION BY user_id ORDER BY bk) AS pv
+          FROM s),
+    sl AS (SELECT user_id, bk,
+                  CAST(floor((v - pv) * 1000000.0 / (bk - pbk)) AS BIGINT)
+                    AS slope_ppm
+           FROM d WHERE pbk IS NOT NULL),
+    r AS (SELECT user_id, slope_ppm,
+                 row_number() OVER (PARTITION BY user_id ORDER BY slope_ppm, bk) AS rn,
+                 count(*) OVER (PARTITION BY user_id) AS n
+          FROM sl)
+    SELECT user_id, CAST(max(n) AS BIGINT) AS n_slopes,
+           CAST(min(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                         THEN slope_ppm END) AS BIGINT) AS median_slope_ppm
+    FROM r GROUP BY user_id ORDER BY user_id
+    """,
+)
+def x103_robust_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-series trend: the MEDIAN of successive-difference slopes
+    (a streaming-friendly cousin of the Theil-Sen estimator — resistant
+    to the spikes that drag p14's least-squares slope around). Slopes
+    are floor(dv * 1e6 / dt) on quantized hourly sums — the numerator is
+    exactly double-representable, so one IEEE divide + floor is
+    engine-identical (integer // is NOT: DuckDB truncates toward zero,
+    Spark's floor-div floors — they differ on every negative slope);
+    the median is the p26/p27 nearest-rank construction. Two windows on
+    one per-series partitioning."""
+    ev = load(spark, sf_dir, "events")
+    s = (
+        ev.select(
+            "user_id",
+            F.floor(F.unix_millis("ts") / F.lit(3_600_000)).cast("long").alias("bk"),
+            F.floor(F.col("value") * 100).cast("long").alias("y"),
+        )
+        .groupBy("user_id", "bk")
+        .agg(F.sum("y").alias("v"))
+    )
+    w = Window.partitionBy("user_id").orderBy("bk")
+    sl = (
+        s.select(
+            "user_id",
+            "bk",
+            "v",
+            F.lag("bk").over(w).alias("pbk"),
+            F.lag("v").over(w).alias("pv"),
+        )
+        .filter(F.col("pbk").isNotNull())
+        .select(
+            "user_id",
+            "bk",
+            F.floor((F.col("v") - F.col("pv")) * 1_000_000 / (F.col("bk") - F.col("pbk")))
+            .cast("long")
+            .alias("slope_ppm"),
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("slope_ppm", "bk")
+    r = sl.select(
+        "user_id",
+        "slope_ppm",
+        F.row_number().over(w2).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n"),
+    )
+    return (
+        r.groupBy("user_id")
+        .agg(
+            F.max("n").cast("long").alias("n_slopes"),
+            F.min(
+                F.when(
+                    F.col("rn") == F.ceil(F.lit(0.5) * F.col("n")).cast("long"),
+                    F.col("slope_ppm"),
+                )
+            )
+            .cast("long")
+            .alias("median_slope_ppm"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "x104_burst_detection",
+    oracle="""
+    WITH s AS (
+      SELECT event_type AS et, CAST(FLOOR(epoch_ms(ts) / 3600000) AS BIGINT) AS bk,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    l AS (SELECT et, bk, n,
+                 [lag(n, 1) OVER w, lag(n, 2) OVER w, lag(n, 3) OVER w,
+                  lag(n, 4) OVER w, lag(n, 5) OVER w, lag(n, 6) OVER w,
+                  lag(n, 7) OVER w, lag(n, 8) OVER w, lag(n, 9) OVER w,
+                  lag(n, 10) OVER w, lag(n, 11) OVER w, lag(n, 12) OVER w]
+                   AS tr
+          FROM s WINDOW w AS (PARTITION BY et ORDER BY bk)),
+    m AS (SELECT et, bk, n,
+                 list_sort(tr)[7] AS trailing_median
+          FROM l
+          WHERE len(list_filter(tr, x -> x IS NOT NULL)) = 12)
+    SELECT et AS event_type, bk, n, trailing_median
+    FROM m WHERE n > 2 * trailing_median
+    ORDER BY et, bk
+    """,
+)
+def x104_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection against a TRAILING median baseline: an hour fires
+    when its event count exceeds 2x the median of the previous 12 hours.
+    Neither engine has a median-over-frame window, so the frame is
+    materialized as a 12-element lag array and the median is one
+    array_sort + element_at — exact, engine-identical, and O(12 log 12)
+    per row instead of a quadratic frame re-aggregation. The trailing
+    (not centered) baseline is what makes it an ONLINE detector: the
+    same arithmetic runs in a streaming twin with a 12-slot state
+    ring."""
+    ev = load(spark, sf_dir, "events")
+    s = (
+        ev.select(
+            F.col("event_type").alias("et"),
+            F.floor(F.unix_millis("ts") / F.lit(3_600_000)).cast("long").alias("bk"),
+        )
+        .groupBy("et", "bk")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("et").orderBy("bk")
+    trailing = F.array(*[F.lag("n", k).over(w) for k in range(1, 13)])
+    l = s.select("et", "bk", "n", trailing.alias("trailing"))
+    m = l.filter(
+        F.size(F.filter(F.col("trailing"), lambda x: x.isNotNull())) == 12
+    ).select(
+        "et",
+        "bk",
+        "n",
+        F.element_at(F.array_sort("trailing"), 7).alias("trailing_median"),
+    )
+    return (
+        m.filter(F.col("n") > 2 * F.col("trailing_median"))
+        .select(F.col("et").alias("event_type"), "bk", "n", "trailing_median")
+        .orderBy("et", "bk")
+    )
