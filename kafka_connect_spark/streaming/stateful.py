@@ -393,3 +393,80 @@ def streaming_ordered_funnel(sdf, steps=("view", "click", "purchase")):
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_alert_for_duration(
+    sdf: DataFrame, threshold: int = 3, for_buckets: int = 4
+):
+    """Streaming twin of p29's alert 'for:' semantics — the form alerting
+    actually runs in. Input: a stream of per-(series, bucket) counts in
+    chronological order (the downsample-tier shape). State per series:
+    the current breach run (start bucket, last bucket, length). Emits a
+    'firing' row the moment a run reaches ``for_buckets`` consecutive
+    breached buckets, and a 'resolved' row when a run of any length ends
+    (non-breach bucket or bucket gap). State is three int64s per series;
+    the twin test replays batch-computed buckets in chunks and asserts
+    the fire log matches the batch gaps-and-islands runs exactly."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    out_schema = StructType(
+        [
+            StructField("et", StringType()),
+            StructField("bk", LongType()),
+            StructField("status", StringType()),
+            StructField("run_len", LongType()),
+            StructField("pending_since", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("start", LongType()),
+            StructField("last", LongType()),
+            StructField("len", LongType()),
+            StructField("fired", LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        start, last, length, fired = (
+            state.get if state.exists else (None, None, 0, 0)
+        )
+        out = {"et": [], "bk": [], "status": [], "run_len": [], "pending_since": []}
+
+        def emit(bk, status, run_len, since):
+            out["et"].append(key[0])
+            out["bk"].append(int(bk))
+            out["status"].append(status)
+            out["run_len"].append(int(run_len))
+            out["pending_since"].append(int(since))
+
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values("bk")
+        for _, row in pdf.iterrows():
+            bk, n = int(row["bk"]), int(row["n"])
+            breach = n >= threshold
+            contiguous = last is not None and bk == last + 1
+            if breach and contiguous:
+                last, length = bk, length + 1
+            elif breach:
+                if start is not None:
+                    emit(last, "resolved", length, start)
+                start, last, length, fired = bk, bk, 1, 0
+            else:
+                if start is not None:
+                    emit(last, "resolved", length, start)
+                start, last, length, fired = None, None, 0, 0
+                continue
+            if length == for_buckets and not fired:
+                emit(bk, "firing", length, start)
+                fired = 1
+        state.update((start, last, length, fired))
+        yield pd.DataFrame(out)
+
+    return sdf.groupBy("et").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -842,3 +842,58 @@ def test_streaming_ordered_funnel_equals_batch(spark, sf_dir, tmp_path):
             # unpack: ordinal // 1e4 = epoch_us - base (base cancels in diff)
             secs = (int(s["pk3"]) // 10_000 - int(s["pk1"]) // 10_000) // 1_000_000
             assert secs == int(b["secs_to_convert"])
+
+
+def test_streaming_alert_firing_equals_batch(spark, sf_dir, tmp_path):
+    """p29's streaming twin: replaying per-bucket counts through the
+    stateful for-duration evaluator must fire exactly the runs the batch
+    gaps-and-islands construction reports, at the same firing bucket.
+    (Thresholds are scaled to the test fixture; the registry query pins
+    the sf0.01 parameters.)"""
+    from pyspark.sql import Window
+
+    from kafka_connect_spark.streaming.stateful import streaming_alert_for_duration
+
+    THRESH, FOR_N = 1, 3
+
+    events = load(spark, sf_dir, "events")
+    buckets = (
+        events.select(
+            F.col("event_type").alias("et"),
+            F.floor(F.unix_millis("ts") / F.lit(600_000)).cast("long").alias("bk"),
+        )
+        .groupBy("et", "bk")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    d = str(tmp_path / "alert-replay")
+    write_replay_files(buckets.withColumn("ts", F.lit(0).cast("timestamp")), d, 4, "bk")
+    sdf = file_replay_stream(spark, d, spark.read.parquet(d).schema)
+    out: list[pd.DataFrame] = []
+    q = (
+        streaming_alert_for_duration(sdf, threshold=THRESH, for_buckets=FOR_N)
+        .writeStream.foreachBatch(lambda df, i: out.append(df.toPandas()))
+        .option("checkpointLocation", str(tmp_path / "ckpt-alert"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    emitted = pd.concat(out, ignore_index=True)
+    fires = {
+        (r.et, r.pending_since, r.bk)
+        for r in emitted[emitted["status"] == "firing"].itertuples()
+    }
+    breach = buckets.filter(F.col("n") >= THRESH)
+    wdw = Window.partitionBy("et").orderBy("bk")
+    runs = breach.select("et", "bk", (F.col("bk") - F.row_number().over(wdw)).alias("grp"))
+    batch = (
+        runs.groupBy("et", "grp")
+        .agg(F.min("bk").alias("pending_since"), F.count(F.lit(1)).alias("run_len"))
+        .filter(F.col("run_len") >= FOR_N)
+        .toPandas()
+    )
+    want = {
+        (r.et, r.pending_since, r.pending_since + FOR_N - 1)
+        for r in batch.itertuples()
+    }
+    assert fires == want and len(want) > 0
