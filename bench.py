@@ -172,6 +172,7 @@ HEADLINE = [
     "p29_alert_firing",
     "x103_robust_trend",
     "x104_burst_detection",
+    "p30_burn_rate",
 ]
 
 

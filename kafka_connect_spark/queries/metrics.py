@@ -2583,3 +2583,65 @@ def x104_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("et").alias("event_type"), "bk", "n", "trailing_median")
         .orderBy("et", "bk")
     )
+
+
+@query(
+    "p30_burn_rate",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(FLOOR(epoch_ms(ts) / 3600000) AS BIGINT) AS bk,
+             CAST(count(*) AS BIGINT) AS total,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+               AS errs
+      FROM events GROUP BY 1),
+    w AS (SELECT bk,
+                 errs * 1000000 // total AS short_ratio_ppm,
+                 CAST(sum(errs) OVER win * 1000000
+                      // sum(total) OVER win AS BIGINT) AS long_ratio_ppm,
+                 CAST(count(*) OVER win AS BIGINT) AS n_win
+          FROM s
+          WINDOW win AS (ORDER BY bk ROWS BETWEEN 5 PRECEDING AND CURRENT ROW))
+    SELECT bk, CAST(short_ratio_ppm AS BIGINT) AS short_ratio_ppm, long_ratio_ppm
+    FROM w
+    WHERE n_win = 6
+      AND short_ratio_ppm * 2 > 3 * 200000
+      AND long_ratio_ppm * 2 > 3 * 200000
+    ORDER BY bk
+    """,
+)
+def p30_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiwindow error-budget burn-rate alert (the Google SRE workbook
+    pattern): fire only when BOTH the fast window (1 h) and the slow
+    window (6 h) burn the 20% error budget at >= 1.5x — the fast window
+    gives low latency, the slow one suppresses blips. All ratios are
+    exact ppm integers (numerators and thresholds cross-multiplied, no
+    division compare); the 6-bucket frame is a ROWS window over the
+    hourly rollup — per-service partitions at scale (the global series
+    here is the single-service dashboard case)."""
+    ev = load(spark, sf_dir, "events")
+    s = (
+        ev.select(
+            F.floor(F.unix_millis("ts") / F.lit(3_600_000)).cast("long").alias("bk"),
+            (F.col("event_type") == "error").cast("long").alias("e"),
+        )
+        .groupBy("bk")
+        .agg(F.count(F.lit(1)).alias("total"), F.sum("e").alias("errs"))
+    )
+    win = Window.orderBy("bk").rowsBetween(-5, 0)
+    w = s.select(
+        "bk",
+        F.floor(F.col("errs") * 1_000_000 / F.col("total")).cast("long").alias("short_ratio_ppm"),
+        F.floor(F.sum("errs").over(win) * 1_000_000 / F.sum("total").over(win))
+        .cast("long")
+        .alias("long_ratio_ppm"),
+        F.count(F.lit(1)).over(win).alias("n_win"),
+    )
+    return (
+        w.filter(
+            (F.col("n_win") == 6)
+            & (F.col("short_ratio_ppm") * 2 > 3 * 200_000)
+            & (F.col("long_ratio_ppm") * 2 > 3 * 200_000)
+        )
+        .select("bk", "short_ratio_ppm", "long_ratio_ppm")
+        .orderBy("bk")
+    )
