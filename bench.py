@@ -173,6 +173,7 @@ HEADLINE = [
     "x103_robust_trend",
     "x104_burst_detection",
     "p30_burn_rate",
+    "x105_rolling_active_users",
 ]
 
 

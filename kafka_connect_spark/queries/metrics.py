@@ -2645,3 +2645,76 @@ def p30_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bk", "short_ratio_ppm", "long_ratio_ppm")
         .orderBy("bk")
     )
+
+
+@query(
+    "x105_rolling_active_users",
+    oracle="""
+    WITH pres AS (
+      SELECT DISTINCT user_id, CAST(FLOOR(epoch_ms(ts) / 3600000) AS BIGINT) AS bk
+      FROM events),
+    mx AS (SELECT min(bk) AS lo, max(bk) AS hi FROM pres),
+    isl AS (SELECT user_id, bk,
+                   CASE WHEN bk - lag(bk) OVER (PARTITION BY user_id ORDER BY bk) <= 23
+                        THEN 0 ELSE 1 END AS brk
+            FROM pres),
+    grp AS (SELECT user_id, bk,
+                   sum(brk) OVER (PARTITION BY user_id ORDER BY bk
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+            FROM isl),
+    cover AS (SELECT user_id, min(bk) AS s, max(bk) + 23 AS e
+              FROM grp GROUP BY user_id, g),
+    t AS (SELECT unnest(range(s, e + 1)) AS bk FROM cover)
+    SELECT t.bk, CAST(count(*) AS BIGINT) AS active_users
+    FROM t, mx WHERE t.bk BETWEEN lo + 23 AND hi
+    GROUP BY t.bk ORDER BY t.bk
+    """,
+)
+def x105_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT rolling 24-hour active users per hour — the sliding-window
+    DISTINCT count that resists naive windowing (per-bucket distincts
+    don't add; re-counting 24 buckets per output point re-scans the data
+    24x). The coverage-interval trick makes it one pass: a user's
+    presence hour covers windows [bk, bk+23]; presences within 23 hours
+    chain into disjoint coverage islands (gaps-and-islands window), each
+    island explodes to its covered hours, and because islands of one
+    user never overlap, a plain COUNT per hour IS the distinct-user
+    count. Work = presence rows + total coverage length (<= presences x
+    24, no distinct agg at the end); first/last-23 edge hours are
+    excluded as partial windows. The same shape answers rolling MAU/WAU
+    at any window length."""
+    ev = load(spark, sf_dir, "events")
+    pres = (
+        ev.select(
+            "user_id",
+            F.floor(F.unix_millis("ts") / F.lit(3_600_000)).cast("long").alias("bk"),
+        )
+        .distinct()
+    )
+    mx = pres.agg(F.min("bk").alias("lo"), F.max("bk").alias("hi"))
+    w = Window.partitionBy("user_id").orderBy("bk")
+    isl = pres.select(
+        "user_id",
+        "bk",
+        F.when(F.col("bk") - F.lag("bk").over(w) <= 23, 0).otherwise(1).alias("brk"),
+    )
+    grp = isl.select(
+        "user_id",
+        "bk",
+        F.sum("brk")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("g"),
+    )
+    cover = grp.groupBy("user_id", "g").agg(
+        F.min("bk").alias("s"), (F.max("bk") + 23).alias("e")
+    )
+    t = cover.select(
+        F.explode(F.sequence(F.col("s"), F.col("e"))).alias("bk")
+    )
+    return (
+        t.crossJoin(F.broadcast(mx))
+        .filter((F.col("bk") >= F.col("lo") + 23) & (F.col("bk") <= F.col("hi")))
+        .groupBy("bk")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+        .orderBy("bk")
+    )
