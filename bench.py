@@ -174,6 +174,7 @@ HEADLINE = [
     "x104_burst_detection",
     "p30_burn_rate",
     "x105_rolling_active_users",
+    "x106_trending_ngrams",
 ]
 
 

@@ -1438,3 +1438,79 @@ def x97_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_sim") >= 0.5)
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "x106_trending_ngrams",
+    oracle=f"""
+    WITH mx AS (SELECT max(doc_id) AS md FROM documents),
+    d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                 CASE WHEN doc_id * 2 <= md THEN 0 ELSE 1 END AS half
+          FROM documents CROSS JOIN mx),
+    bg AS (SELECT half, toks[i] || ' ' || toks[i+1] AS term
+           FROM d, unnest(range(1, len(toks))) t(i)),
+    c AS (SELECT term,
+                 CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                 CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+          FROM bg GROUP BY term),
+    n AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+                 CAST(count(*) AS BIGINT) AS v
+          FROM c)
+    SELECT term, c1, c2,
+           {dround_sql(
+               "ln(CAST(c2 + 1 AS DOUBLE)) - ln(CAST(n2 + v AS DOUBLE))"
+               " - ln(CAST(c1 + 1 AS DOUBLE)) + ln(CAST(n1 + v AS DOUBLE))", 6)}
+             AS trend_score
+    FROM c CROSS JOIN n
+    WHERE c1 + c2 >= 10
+    ORDER BY trend_score DESC, term LIMIT 15
+    """,
+)
+def x106_trending_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Emerging-term detection: bigrams whose add-1-smoothed log
+    probability rises most from the first corpus half to the second (by
+    doc_id — the snapshot ordering) — the 'what's new in this crawl'
+    report that complements x74's distribution-level PSI with term-level
+    attribution. Every score is four single IEEE ln calls on integers in
+    a fixed expression order; support filter keeps noise terms out. Two
+    conditional counts in ONE hash agg (no per-half scans), a 1-row
+    scalar broadcast, TakeOrdered(15)."""
+    d = load_parallel(spark, sf_dir, "documents")
+    mx = d.agg(F.max("doc_id").alias("md"))
+    toks = F.split("text", " ")
+    bg = (
+        d.crossJoin(F.broadcast(mx))
+        .filter(F.size(toks) >= 2)
+        .select(
+            F.when(F.col("doc_id") * 2 <= F.col("md"), 0).otherwise(1).alias("half"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                    ),
+                )
+            ).alias("term"),
+        )
+    )
+    c = bg.groupBy("term").agg(
+        F.sum((F.col("half") == 0).cast("long")).alias("c1"),
+        F.sum((F.col("half") == 1).cast("long")).alias("c2"),
+    )
+    n = c.agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2"), F.count(F.lit(1)).alias("v")
+    )
+    score = dround(
+        F.log((F.col("c2") + 1).cast("double"))
+        - F.log((F.col("n2") + F.col("v")).cast("double"))
+        - F.log((F.col("c1") + 1).cast("double"))
+        + F.log((F.col("n1") + F.col("v")).cast("double")),
+        6,
+    )
+    return (
+        c.crossJoin(F.broadcast(n))
+        .filter(F.col("c1") + F.col("c2") >= 10)
+        .select("term", "c1", "c2", score.alias("trend_score"))
+        .orderBy(F.col("trend_score").desc(), "term")
+        .limit(15)
+    )
