@@ -175,6 +175,7 @@ HEADLINE = [
     "p30_burn_rate",
     "x105_rolling_active_users",
     "x106_trending_ngrams",
+    "x107_curation_pipeline_v2",
 ]
 
 

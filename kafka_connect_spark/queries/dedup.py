@@ -755,3 +755,98 @@ def x92_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("naive_leaks").alias("n_leaky_pairs"),
     )
     return cluster_row.unionAll(naive_row).orderBy("method")
+
+
+@query(
+    "x107_curation_pipeline_v2",
+    oracle=f"""
+    WITH RECURSIVE
+    kept AS (
+      SELECT doc_id, text, n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 20
+        AND len(list_distinct(string_split(text, ' '))) * 1000000
+              >= 300000 * len(string_split(text, ' '))),
+    tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM kept),
+    sh AS (SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS s
+           FROM tok WHERE len(t) >= 3),
+    ex AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    pairs AS (SELECT id_a, id_b FROM inter
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE {{J}} >= 0.5),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(node, r) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT e.src, r.r FROM edges e JOIN reach r ON r.node = e.dst),
+    comp AS (SELECT node AS doc_id, LEAST(node, MIN(r)) AS cluster
+             FROM reach GROUP BY node),
+    assign AS (SELECT k.doc_id, k.n_tokens, k.n_chars, k.text,
+                      COALESCE(c.cluster, k.doc_id) AS grp
+               FROM kept k LEFT JOIN comp c USING (doc_id)),
+    split AS (SELECT *,
+                     CASE WHEN substring(md5(CAST(grp AS VARCHAR)), 1, 1) < '8'
+                          THEN 'train' ELSE 'val' END AS split
+              FROM assign)
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique
+    FROM split GROUP BY split ORDER BY split
+    """.replace("{J}", _J_SQL),
+)
+def x107_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline END-TO-END in one Spark plan: quality gate
+    (length + lexical-diversity floors, exact integer predicates) ->
+    near-dup clustering over the survivors (x12h components) ->
+    leakage-safe cluster-hash train/val split (x92) -> per-split
+    datasheet (x93's columns). This is the deliverable a training-data
+    run actually produces — and because it is ONE lazily-composed plan,
+    Catalyst sees the whole pipeline: the quality filter pushes into the
+    single documents scan that feeds shingling, clustering, splitting
+    and accounting alike. The oracle replays the identical composition
+    through the recursive-CTE component oracle."""
+    from ..functions.dedupfns import dup_clusters, ngram_jaccard_pairs
+
+    d = load_parallel(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    kept = d.filter(
+        (F.size(toks) >= 20)
+        & (
+            F.size(F.array_distinct(toks)).cast("long") * 1_000_000
+            >= 300_000 * F.size(toks).cast("long")
+        )
+    ).select("doc_id", "text", "n_chars", F.size(toks).cast("long").alias("n_tokens"))
+    pairs = ngram_jaccard_pairs(kept, n=3, threshold=0.5).select("id_a", "id_b")
+    comp = dup_clusters(pairs)
+    assign = kept.join(comp, "doc_id", "left").select(
+        "doc_id",
+        "text",
+        "n_chars",
+        "n_tokens",
+        F.coalesce(F.col("cluster"), F.col("doc_id")).alias("grp"),
+    )
+    split = assign.withColumn(
+        "split",
+        F.when(F.substring(F.md5(F.col("grp").cast("string")), 1, 1) < "8", "train")
+        .otherwise("val"),
+    )
+    return (
+        split.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("n_chars").alias("n_chars"),
+            F.countDistinct(F.md5("text")).alias("n_unique"),
+        )
+        .orderBy("split")
+    )
