@@ -75,6 +75,9 @@ FLAGSHIPS = {
     "x89_join_size_precheck": "exact join cardinality from two key histograms, O(distinct keys)",
     "x97_tfidf_cosine_pairs": "weighted posting join (x12c shuffle shape), decimal-exact dot/norms",
     "x100_bootstrap_ci": "replicate explode + ONE hash agg; no driver in the resample loop",
+    "p29_alert_firing": "for-duration runs via gaps-and-islands window; no self-join",
+    "x104_burst_detection": "trailing median as a 12-lag array sort; one per-series window",
+    "x105_rolling_active_users": "coverage islands -> explode -> plain count; sliding distinct in one pass",
 }
 
 
