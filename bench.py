@@ -176,6 +176,8 @@ HEADLINE = [
     "x105_rolling_active_users",
     "x106_trending_ngrams",
     "x107_curation_pipeline_v2",
+    "x108_distributed_median",
+    "x109_threshold_sensitivity",
 ]
 
 

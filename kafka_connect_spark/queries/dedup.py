@@ -850,3 +850,53 @@ def x107_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@query(
+    "x109_threshold_sensitivity",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS s
+           FROM tok WHERE len(t) >= 3),
+    ex AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    j AS (SELECT {{J}} AS jac FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b),
+    th AS (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold)
+    SELECT threshold,
+           CAST(count(*) FILTER (jac >= threshold) AS BIGINT) AS n_pairs
+    FROM th LEFT JOIN j ON TRUE
+    GROUP BY threshold ORDER BY threshold
+    """.replace("{J}", _J_SQL),
+)
+def x109_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold sensitivity curve: near-dup pair counts at five
+    Jaccard thresholds from ONE pair computation — the tuning table that
+    decides a dedup campaign's threshold (too low deletes paraphrases,
+    too high keeps boilerplate), produced without re-running the
+    pipeline per candidate value. The pair set is computed once (the
+    x12c join) and counted against a 5-row broadcast threshold table;
+    rounding-before-compare uses the same dround in both engines so
+    boundary pairs land identically."""
+    from ..functions.dedupfns import ngram_jaccard_pairs
+
+    d = load_parallel(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.0).select("jaccard")
+    th = spark.createDataFrame(
+        [(0.5,), (0.6,), (0.7,), (0.8,), (0.9,)], "threshold double"
+    )
+    return (
+        th.crossJoin(pairs)
+        .groupBy("threshold")
+        .agg(
+            F.coalesce(
+                F.sum((F.col("jaccard") >= F.col("threshold")).cast("long")), F.lit(0)
+            ).alias("n_pairs")
+        )
+        .orderBy("threshold")
+    )

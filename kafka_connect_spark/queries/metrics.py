@@ -2718,3 +2718,78 @@ def x105_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("active_users"))
         .orderBy("bk")
     )
+
+
+@query(
+    "x108_distributed_median",
+    oracle="""
+    WITH s AS (SELECT event_type AS et, CAST(FLOOR(value * 100) AS BIGINT) AS y
+               FROM events),
+    r AS (SELECT et, y,
+                 row_number() OVER (PARTITION BY et ORDER BY y) AS rn,
+                 count(*) OVER (PARTITION BY et) AS n
+          FROM s)
+    SELECT et AS event_type, CAST(max(n) AS BIGINT) AS n_samples,
+           CAST(min(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN y END)
+                AS BIGINT) AS median_cents
+    FROM r GROUP BY et ORDER BY et
+    """,
+)
+def x108_distributed_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global median per series WITHOUT a sort: two-pass histogram
+    refinement. Pass 1 buckets values into 1024-cent cells (one hash
+    agg) and walks the tiny per-series histogram to find the cell
+    holding rank ceil(n/2); pass 2 counts exact values inside only the
+    winning cells (a second hash agg over a broadcast-filtered slice)
+    and picks the rank within. Both passes are scans + aggs — no
+    row_number window, no per-series sort — which is the difference
+    between 'works' and 'works at 100 TB' for full-table medians (the
+    p26/p27 construction sorts inside each partition; this never sorts
+    at all). The ORACLE is the straightforward nearest-rank sort — the
+    two plans must agree exactly."""
+    ev = load(spark, sf_dir, "events")
+    s = ev.select(
+        F.col("event_type").alias("et"),
+        F.floor(F.col("value") * 100).cast("long").alias("y"),
+    )
+    # pass 1: coarse histogram + cumulative walk (per-series histograms are
+    # tiny: value domain / 1024 cells — collect-free via window over cells)
+    cells = s.groupBy("et", (F.floor(F.col("y") / 1024)).alias("cell")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wc = Window.partitionBy("et").orderBy("cell")
+    cum = cells.select(
+        "et",
+        "cell",
+        "c",
+        (F.sum("c").over(wc) - F.col("c")).alias("below"),
+        F.sum("c").over(Window.partitionBy("et")).alias("n"),
+    )
+    target = F.ceil(F.lit(0.5) * F.col("n")).cast("long")
+    win = cum.filter(
+        (F.col("below") < target) & (F.col("below") + F.col("c") >= target)
+    ).select("et", "cell", "below", "n")
+    # pass 2: exact counts inside winning cells only
+    sv = s.alias("sv")
+    wn = win.alias("wn")
+    inwin = sv.join(
+        F.broadcast(wn),
+        (F.col("sv.et") == F.col("wn.et"))
+        & (F.floor(F.col("sv.y") / 1024) == F.col("wn.cell")),
+    ).select(F.col("sv.et").alias("et"), F.col("sv.y").alias("y"), "below", "n")
+    vals = inwin.groupBy("et", "y", "below", "n").agg(F.count(F.lit(1)).alias("vc"))
+    wv = Window.partitionBy("et").orderBy("y")
+    ranked = vals.select(
+        "et",
+        "y",
+        "n",
+        (F.col("below") + F.sum("vc").over(wv)).alias("cum_rank"),
+    )
+    t2 = F.ceil(F.lit(0.5) * F.col("n")).cast("long")
+    return (
+        ranked.filter(F.col("cum_rank") >= t2)
+        .groupBy("et")
+        .agg(F.max("n").cast("long").alias("n_samples"), F.min("y").alias("median_cents"))
+        .select(F.col("et").alias("event_type"), "n_samples", "median_cents")
+        .orderBy("event_type")
+    )
