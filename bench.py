@@ -178,6 +178,7 @@ HEADLINE = [
     "x107_curation_pipeline_v2",
     "x108_distributed_median",
     "x109_threshold_sensitivity",
+    "x110_pareto_abc",
 ]
 
 

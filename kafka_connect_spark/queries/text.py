@@ -1514,3 +1514,57 @@ def x106_trending_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("trend_score").desc(), "term")
         .limit(15)
     )
+
+
+@query(
+    "x110_pareto_abc",
+    oracle="""
+    WITH s AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS vol
+               FROM documents GROUP BY source),
+    t AS (SELECT CAST(sum(vol) AS BIGINT) AS total FROM s),
+    r AS (SELECT source, vol,
+                 CAST(sum(vol) OVER (ORDER BY vol DESC, source
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS cum_vol
+          FROM s)
+    SELECT source, vol,
+           CAST(vol * 1000000 // total AS BIGINT) AS share_ppm,
+           CAST(cum_vol * 1000000 // total AS BIGINT) AS cum_share_ppm,
+           CASE WHEN (cum_vol - vol) * 10 < total * 8 THEN 'A'
+                WHEN (cum_vol - vol) * 100 < total * 95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM r CROSS JOIN t ORDER BY vol DESC, source
+    """,
+)
+def x110_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC contribution analysis over corpus sources: volume
+    share, cumulative share, and the classic A/B/C banding (A = sources
+    whose PRECEDING cumulative volume is under 80%, B = under 95%, C =
+    tail) — the 'which sources matter' table that prioritizes curation
+    effort. Shares are exact ppm integers; class boundaries compare
+    cross-multiplied integers, so banding can never flicker on float
+    rounding. One hash agg + a cumulative window over |sources| rows +
+    a 1-row scalar broadcast."""
+    d = load(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(F.sum("n_chars").alias("vol"))
+    t = s.agg(F.sum("vol").alias("total"))
+    w = Window.orderBy(F.col("vol").desc(), "source").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = s.select("source", "vol", F.sum("vol").over(w).alias("cum_vol"))
+    return (
+        r.crossJoin(F.broadcast(t))
+        .select(
+            "source",
+            "vol",
+            F.floor(F.col("vol") * 1_000_000 / F.col("total")).cast("long").alias("share_ppm"),
+            F.floor(F.col("cum_vol") * 1_000_000 / F.col("total"))
+            .cast("long")
+            .alias("cum_share_ppm"),
+            F.when((F.col("cum_vol") - F.col("vol")) * 10 < F.col("total") * 8, "A")
+            .when((F.col("cum_vol") - F.col("vol")) * 100 < F.col("total") * 95, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+        .orderBy(F.col("vol").desc(), "source")
+    )
