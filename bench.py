@@ -179,6 +179,8 @@ HEADLINE = [
     "x108_distributed_median",
     "x109_threshold_sensitivity",
     "x110_pareto_abc",
+    "x111_basket_lift",
+    "x112_changepoint",
 ]
 
 

@@ -2793,3 +2793,182 @@ def x108_distributed_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("et").alias("event_type"), "n_samples", "median_cents")
         .orderBy("event_type")
     )
+
+
+@query(
+    "x111_basket_lift",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  > 1800000000 THEN 1 ELSE 0 END AS brk
+      FROM events),
+    s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+          FROM e),
+    sid AS (SELECT DISTINCT user_id, sess, event_type FROM s),
+    n AS (SELECT CAST(count(DISTINCT (user_id, sess)) AS BIGINT) AS n_sess FROM s),
+    single AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM sid GROUP BY 1),
+    pair AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                    CAST(count(*) AS BIGINT) AS n_ab
+             FROM sid a JOIN sid b
+               ON a.user_id = b.user_id AND a.sess = b.sess
+              AND a.event_type < b.event_type
+             GROUP BY 1, 2)
+    SELECT type_a, type_b, n_ab,
+           CAST(n_ab * n_sess * 1000000 // (sa.n * sb.n) AS BIGINT) AS lift_ppm
+    FROM pair
+    JOIN single sa ON sa.event_type = type_a
+    JOIN single sb ON sb.event_type = type_b
+    CROSS JOIN n
+    WHERE n_ab >= 5
+    ORDER BY type_a, type_b
+    """,
+)
+def x111_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket lift between event types co-occurring in the SAME
+    session: lift = P(a,b) / (P(a)·P(b)) over session baskets — the
+    set-co-occurrence complement of x90's sequential PMI (PMI asks
+    'adjacent'; lift asks 'together at all'). Sessions are the x41/x83
+    30-minute-gap idiom; baskets are DISTINCT (session, type) rows so a
+    type spamming one session can't inflate support; lift is an exact
+    ppm integer (n_ab·N·1e6 // (n_a·n_b) — all BIGINT, no float). Plan:
+    one sessionize window, one distinct, one self-join on session key
+    (baskets are tiny: <= K types per session), two broadcast count
+    joins."""
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = F.when(us - F.lag(us).over(w) > 1_800_000_000, F.lit(1)).otherwise(F.lit(0))
+    s = ev.select("user_id", "event_type", "ts", "event_id", brk.alias("brk")).select(
+        "user_id",
+        "event_type",
+        F.sum("brk")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("sess"),
+    )
+    sid = s.select("user_id", "sess", "event_type").distinct()
+    n = s.select("user_id", "sess").distinct().agg(F.count(F.lit(1)).alias("n_sess"))
+    single = sid.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sid.alias("a"), sid.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.sess") == F.col("b.sess"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"), F.col("b.event_type").alias("type_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    sa = single.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))
+    sb = single.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb"))
+    return (
+        pair.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("n_ab") >= 5)
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            F.floor(
+                F.col("n_ab") * F.col("n_sess") * 1_000_000 / (F.col("na") * F.col("nb"))
+            )
+            .cast("long")
+            .alias("lift_ppm"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+@query(
+    "x112_changepoint",
+    oracle="""
+    WITH s AS (
+      SELECT event_type AS et, CAST(FLOOR(epoch_ms(ts) / 3600000) AS BIGINT) AS bk,
+             CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2),
+    r AS (SELECT et, bk, v,
+                 CAST(sum(v) OVER w AS BIGINT) AS pre_sum,
+                 row_number() OVER w AS t,
+                 CAST(sum(v) OVER (PARTITION BY et) AS BIGINT) AS tot,
+                 count(*) OVER (PARTITION BY et) AS n
+          FROM s WINDOW w AS (PARTITION BY et ORDER BY bk
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    sc AS (SELECT et, bk, t, n, pre_sum, tot,
+                  abs(CAST(pre_sum * (n - t) - (tot - pre_sum) * t AS DOUBLE))
+                    / (CAST(t AS DOUBLE) * (n - t)) AS score
+           FROM r WHERE t < n AND t >= 6 AND n - t >= 6),
+    best AS (SELECT et, bk, t, n, pre_sum, tot,
+                    row_number() OVER (PARTITION BY et ORDER BY score DESC, bk) AS rk
+             FROM sc)
+    SELECT et AS event_type, bk AS changepoint_bk,
+           CAST(t AS BIGINT) AS n_before, CAST(n - t AS BIGINT) AS n_after,
+           CAST(pre_sum * 100 // t AS BIGINT) AS mean_before_x100,
+           CAST((tot - pre_sum) * 100 // (n - t) AS BIGINT) AS mean_after_x100
+    FROM best WHERE rk = 1 ORDER BY event_type
+    """,
+)
+def x112_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-changepoint detection per series: the split hour maximizing
+    the mean-shift statistic |mean_before - mean_after| (binary
+    segmentation's scoring step, computed for EVERY candidate split from
+    one prefix-sum window — no per-candidate rescans; 6-point minimum
+    segments). The score ranks on a double built from exact sub-2^53
+    integers — identical in both engines — and ties break on the
+    earlier bucket; reported means are exact integer ratios. One
+    per-series cumulative window + one rank window."""
+    ev = load(spark, sf_dir, "events")
+    s = (
+        ev.select(
+            F.col("event_type").alias("et"),
+            F.floor(F.unix_millis("ts") / F.lit(3_600_000)).cast("long").alias("bk"),
+            F.floor(F.col("value") * 100).cast("long").alias("y"),
+        )
+        .groupBy("et", "bk")
+        .agg(F.sum("y").alias("v"))
+    )
+    w = Window.partitionBy("et").orderBy("bk").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wp = Window.partitionBy("et")
+    r = s.select(
+        "et",
+        "bk",
+        F.sum("v").over(w).alias("pre_sum"),
+        F.row_number().over(Window.partitionBy("et").orderBy("bk")).alias("t"),
+        F.sum("v").over(wp).alias("tot"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    sc = r.filter(
+        (F.col("t") < F.col("n")) & (F.col("t") >= 6) & (F.col("n") - F.col("t") >= 6)
+    ).withColumn(
+        "score",
+        F.abs(
+            (
+                F.col("pre_sum") * (F.col("n") - F.col("t"))
+                - (F.col("tot") - F.col("pre_sum")) * F.col("t")
+            ).cast("double")
+        )
+        / (F.col("t").cast("double") * (F.col("n") - F.col("t"))),
+    )
+    best = sc.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("et").orderBy(F.col("score").desc(), "bk")
+        ),
+    ).filter(F.col("rk") == 1)
+    return best.select(
+        F.col("et").alias("event_type"),
+        F.col("bk").alias("changepoint_bk"),
+        F.col("t").cast("long").alias("n_before"),
+        (F.col("n") - F.col("t")).cast("long").alias("n_after"),
+        F.floor(F.col("pre_sum") * 100 / F.col("t")).cast("long").alias("mean_before_x100"),
+        F.floor((F.col("tot") - F.col("pre_sum")) * 100 / (F.col("n") - F.col("t")))
+        .cast("long")
+        .alias("mean_after_x100"),
+    ).orderBy("event_type")
