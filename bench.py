@@ -181,6 +181,7 @@ HEADLINE = [
     "x110_pareto_abc",
     "x111_basket_lift",
     "x112_changepoint",
+    "x113_novelty_score",
 ]
 
 

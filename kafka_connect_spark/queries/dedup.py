@@ -900,3 +900,56 @@ def x109_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+@query(
+    "x113_novelty_score",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS s
+           FROM tok WHERE len(t) >= 3),
+    ex AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+    df AS (SELECT sh, CAST(count(*) AS BIGINT) AS df FROM ex GROUP BY sh),
+    j AS (SELECT ex.doc_id,
+                 CAST(count(*) AS BIGINT) AS n_shingles,
+                 CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+          FROM ex JOIN df USING (sh) GROUP BY ex.doc_id)
+    SELECT doc_id, n_shingles, n_novel,
+           CAST(n_novel * 1000000 // n_shingles AS BIGINT) AS novelty_ppm
+    FROM j ORDER BY doc_id
+    """,
+)
+def x113_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a document's distinct
+    3-gram shingles that appear in NO other document (df = 1) — the
+    inverse of the contamination/boilerplate signals: high novelty marks
+    content the corpus hasn't seen (keep), near-zero novelty marks pure
+    recombination (dedup/downweight candidates x12/x43 then adjudicate).
+    Exact ppm integers; the df table is the same shingle wordcount the
+    dedup family already computes, so at 100 TB this rides that
+    materialization — one explode, one df hash agg, one join-back."""
+    d = load_parallel(spark, sf_dir, "documents")
+    from ..functions.dedupfns import shingles
+
+    ex = d.select("doc_id", F.explode(shingles("text", 3)).alias("sh"))
+    df_ = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    j = (
+        ex.join(df_, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("df") == 1).cast("long")).alias("n_novel"),
+        )
+    )
+    return (
+        j.select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.floor(F.col("n_novel") * 1_000_000 / F.col("n_shingles"))
+            .cast("long")
+            .alias("novelty_ppm"),
+        )
+        .orderBy("doc_id")
+    )
