@@ -182,6 +182,9 @@ HEADLINE = [
     "x111_basket_lift",
     "x112_changepoint",
     "x113_novelty_score",
+    "x114_length_cutoff_sweep",
+    "x115_source_divergence",
+    "p31_alert_flap_report",
 ]
 
 

@@ -2972,3 +2972,63 @@ def x112_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("mean_after_x100"),
     ).orderBy("event_type")
+
+
+@query(
+    "p31_alert_flap_report",
+    oracle="""
+    WITH s AS (
+      SELECT event_type AS et, CAST(FLOOR(epoch_ms(ts) / 600000) AS BIGINT) AS bk,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    breach AS (SELECT et, bk FROM s WHERE n >= 3),
+    runs AS (SELECT et, bk,
+                    bk - row_number() OVER (PARTITION BY et ORDER BY bk) AS grp
+             FROM breach),
+    rl AS (SELECT et, CAST(count(*) AS BIGINT) AS run_len
+           FROM runs GROUP BY et, grp)
+    SELECT et AS event_type,
+           CAST(count(*) AS BIGINT) AS n_runs,
+           CAST(sum(CASE WHEN run_len >= 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_fired,
+           CAST(sum(CASE WHEN run_len < 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_flaps,
+           CAST(max(run_len) AS BIGINT) AS longest_run,
+           CAST(sum(CASE WHEN run_len < 4 THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS flap_ratio_ppm
+    FROM rl GROUP BY et ORDER BY et
+    """,
+)
+def p31_alert_flap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert-fatigue report over p29's breach runs: per series, how many
+    breach episodes fired (reached the for-duration) vs flapped
+    (resolved early), the longest episode, and the flap ratio in exact
+    ppm — the number that says whether the threshold or the
+    for-duration needs retuning. Same gaps-and-islands pass as p29 plus
+    one run-length agg."""
+    ev = load(spark, sf_dir, "events")
+    s = (
+        ev.select(
+            F.col("event_type").alias("et"),
+            F.floor(F.unix_millis("ts") / F.lit(600_000)).cast("long").alias("bk"),
+        )
+        .groupBy("et", "bk")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    breach = s.filter(F.col("n") >= 3)
+    w = Window.partitionBy("et").orderBy("bk")
+    runs = breach.select("et", "bk", (F.col("bk") - F.row_number().over(w)).alias("grp"))
+    rl = runs.groupBy("et", "grp").agg(F.count(F.lit(1)).alias("run_len"))
+    return (
+        rl.groupBy(F.col("et").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_runs"),
+            F.sum((F.col("run_len") >= 4).cast("long")).alias("n_fired"),
+            F.sum((F.col("run_len") < 4).cast("long")).alias("n_flaps"),
+            F.max("run_len").alias("longest_run"),
+            F.floor(
+                F.sum((F.col("run_len") < 4).cast("long")) * 1_000_000 / F.count(F.lit(1))
+            )
+            .cast("long")
+            .alias("flap_ratio_ppm"),
+        )
+        .orderBy("event_type")
+    )

@@ -1568,3 +1568,168 @@ def x110_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("vol").desc(), "source")
     )
+
+
+@query(
+    "x114_length_cutoff_sweep",
+    oracle="""
+    WITH d AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+               FROM documents),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS all_docs,
+                 CAST(sum(n_tokens) AS BIGINT) AS all_tokens FROM d),
+    cut AS (SELECT unnest([10, 20, 30, 40, 60]) AS min_tokens)
+    SELECT CAST(min_tokens AS BIGINT) AS min_tokens,
+           CAST(count(*) FILTER (n_tokens >= min_tokens) AS BIGINT) AS docs_kept,
+           CAST(COALESCE(sum(n_tokens) FILTER (n_tokens >= min_tokens), 0)
+                AS BIGINT) AS tokens_kept,
+           CAST(count(*) FILTER (n_tokens >= min_tokens) * 1000000 // max(all_docs)
+                AS BIGINT) AS docs_kept_ppm,
+           CAST(COALESCE(sum(n_tokens) FILTER (n_tokens >= min_tokens), 0) * 1000000
+                // max(all_tokens) AS BIGINT) AS tokens_kept_ppm
+    FROM cut CROSS JOIN d CROSS JOIN t
+    GROUP BY min_tokens ORDER BY min_tokens
+    """,
+)
+def x114_length_cutoff_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-cutoff sensitivity: documents and tokens retained at five
+    candidate minimum-length filters, from ONE scan (the x109 pattern
+    applied to the most-used quality gate) — the curve that turns 'pick
+    a min length' from folklore into a budget decision. Exact ppm
+    retention; cutoffs are a 5-row broadcast."""
+    d = load(spark, sf_dir, "documents")
+    n_tok = d.select(F.size(F.split("text", " ")).cast("long").alias("n_tokens"))
+    t = n_tok.agg(
+        F.count(F.lit(1)).alias("all_docs"), F.sum("n_tokens").alias("all_tokens")
+    )
+    cut = spark.createDataFrame([(10,), (20,), (30,), (40,), (60,)], "min_tokens long")
+    keep = (F.col("n_tokens") >= F.col("min_tokens")).cast("long")
+    return (
+        n_tok.crossJoin(F.broadcast(cut))
+        .crossJoin(F.broadcast(t))
+        .groupBy("min_tokens")
+        .agg(
+            F.sum(keep).alias("docs_kept"),
+            F.coalesce(F.sum(F.col("n_tokens") * keep), F.lit(0)).alias("tokens_kept"),
+            F.floor(F.sum(keep) * 1_000_000 / F.max("all_docs"))
+            .cast("long")
+            .alias("docs_kept_ppm"),
+            F.floor(
+                F.coalesce(F.sum(F.col("n_tokens") * keep), F.lit(0))
+                * 1_000_000
+                / F.max("all_tokens")
+            )
+            .cast("long")
+            .alias("tokens_kept_ppm"),
+        )
+        .orderBy("min_tokens")
+    )
+
+
+@query(
+    "x115_source_divergence",
+    oracle="""
+    WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS term
+                 FROM documents),
+    c AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
+          FROM tok GROUP BY 1, 2),
+    n AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY source),
+    pairs AS (SELECT a.source AS src_a, b.source AS src_b FROM n a, n b
+              WHERE a.source < b.source),
+    terms AS (SELECT p.src_a, p.src_b, t.term,
+                     COALESCE(ca.c, 0) AS ca, COALESCE(cb.c, 0) AS cb
+              FROM pairs p
+              CROSS JOIN (SELECT DISTINCT term FROM c) t
+              LEFT JOIN c ca ON ca.source = p.src_a AND ca.term = t.term
+              LEFT JOIN c cb ON cb.source = p.src_b AND cb.term = t.term),
+    contrib AS (
+      SELECT src_a, src_b, term,
+             CAST(CASE WHEN ca > 0 THEN ca * (
+               ln(CAST(2 AS DOUBLE)) + ln(CAST(ca AS DOUBLE)) + ln(CAST(na.n + nb.n AS DOUBLE))
+               - ln(CAST(na.n AS DOUBLE))
+               - ln(CAST(ca AS DOUBLE) * nb.n + CAST(cb AS DOUBLE) * na.n)
+             ) ELSE 0 END AS DECIMAL(38,6)) AS ta,
+             CAST(CASE WHEN cb > 0 THEN cb * (
+               ln(CAST(2 AS DOUBLE)) + ln(CAST(cb AS DOUBLE)) + ln(CAST(na.n + nb.n AS DOUBLE))
+               - ln(CAST(nb.n AS DOUBLE))
+               - ln(CAST(ca AS DOUBLE) * nb.n + CAST(cb AS DOUBLE) * na.n)
+             ) ELSE 0 END AS DECIMAL(38,6)) AS tb
+      FROM terms
+      JOIN n na ON na.source = src_a
+      JOIN n nb ON nb.source = src_b)
+    SELECT src_a, src_b,
+           {JSD} AS jsd
+    FROM contrib
+    JOIN n na2 ON na2.source = src_a
+    JOIN n nb2 ON nb2.source = src_b
+    GROUP BY src_a, src_b ORDER BY src_a, src_b
+    """.replace("{JSD}", dround_sql(
+        "CAST(sum(ta) AS DOUBLE) / 2 / max(na2.n)"
+        " + CAST(sum(tb) AS DOUBLE) / 2 / max(nb2.n)", 6)),
+)
+def x115_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between source token
+    distributions — 'which sources are interchangeable, which add
+    diversity' (the mixture-design companion of x74's temporal PSI and
+    x55's mixture weights). Per-term KL contributions are single-IEEE-ln
+    expressions of integer counts quantized to DECIMAL(38,6) BEFORE the
+    sum (the x53 discipline — accumulation order can't shift ulps); the
+    final scalar division rounds once and is emitted as DECIMAL so the
+    representation hash can't diverge. Plan: one token hash agg per
+    corpus scan, a K^2-pair broadcast expansion over the vocabulary —
+    bounded by |vocab| x pairs, never by raw tokens."""
+    d = load_parallel(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(F.split("text", " ")).alias("term"))
+    c = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    n = c.groupBy("source").agg(F.sum("c").alias("n"))
+    na = n.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    nb = n.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    pairs = na.crossJoin(nb).filter(F.col("src_a") < F.col("src_b"))
+    vocab = c.select("term").distinct()
+    grid = pairs.crossJoin(vocab)
+    ca = c.select(F.col("source").alias("src_a"), F.col("term"), F.col("c").alias("ca"))
+    cb = c.select(F.col("source").alias("src_b"), F.col("term"), F.col("c").alias("cb"))
+    t = (
+        grid.join(ca, ["src_a", "term"], "left")
+        .join(cb, ["src_b", "term"], "left")
+        .fillna({"ca": 0, "cb": 0})
+    )
+    ln = F.log
+    two, d_ = F.lit(2.0), "double"
+    mix = F.col("ca").cast(d_) * F.col("n_b") + F.col("cb").cast(d_) * F.col("n_a")
+    ta = F.when(
+        F.col("ca") > 0,
+        F.col("ca")
+        * (
+            ln(two)
+            + ln(F.col("ca").cast(d_))
+            + ln((F.col("n_a") + F.col("n_b")).cast(d_))
+            - ln(F.col("n_a").cast(d_))
+            - ln(mix)
+        ),
+    ).otherwise(0.0).cast("decimal(38,6)")
+    tb = F.when(
+        F.col("cb") > 0,
+        F.col("cb")
+        * (
+            ln(two)
+            + ln(F.col("cb").cast(d_))
+            + ln((F.col("n_a") + F.col("n_b")).cast(d_))
+            - ln(F.col("n_b").cast(d_))
+            - ln(mix)
+        ),
+    ).otherwise(0.0).cast("decimal(38,6)")
+    g = t.groupBy("src_a", "src_b").agg(
+        F.sum(ta).alias("sta"),
+        F.sum(tb).alias("stb"),
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+    )
+    return g.select(
+        "src_a",
+        "src_b",
+        dround(
+            F.col("sta").cast("double") / 2 / F.col("n_a")
+            + F.col("stb").cast("double") / 2 / F.col("n_b"),
+            6,
+        ).alias("jsd"),
+    ).orderBy("src_a", "src_b")
