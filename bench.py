@@ -185,6 +185,9 @@ HEADLINE = [
     "x114_length_cutoff_sweep",
     "x115_source_divergence",
     "p31_alert_flap_report",
+    "x116_token_budget_allocation",
+    "x117_dedup_savings",
+    "x118_ranked_retrieval",
 ]
 
 

@@ -1733,3 +1733,176 @@ def x115_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("jsd"),
     ).orderBy("src_a", "src_b")
+
+
+@query(
+    "x116_token_budget_allocation",
+    oracle="""
+    WITH s AS (SELECT source,
+                      CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+                           AS BIGINT) AS avail,
+                      CAST(sum(n_chars) AS BIGINT) AS quality_key
+               FROM documents GROUP BY source),
+    r AS (SELECT source, avail,
+                 CAST(COALESCE(sum(avail) OVER (ORDER BY quality_key DESC, source
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS BIGINT) AS cum_before
+          FROM s)
+    SELECT source, avail,
+           CAST(LEAST(avail, GREATEST(CAST(0 AS BIGINT), 20000 - cum_before))
+                AS BIGINT) AS allocated,
+           CAST(LEAST(avail, GREATEST(CAST(0 AS BIGINT), 20000 - cum_before))
+                * 1000000 // avail AS BIGINT) AS fill_ppm
+    FROM r ORDER BY source
+    """,
+)
+def x116_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget allocation across sources: rank sources by a
+    quality key, fill a fixed token budget in rank order, cap each
+    source at its availability — the mixture allocator that turns x110's
+    Pareto table and x55's weights into an actionable 'take this many
+    tokens from each source' plan. The greedy fill is CLOSED-FORM: each
+    source takes clamp(budget - cum_before, 0, avail), one cumulative
+    window over |sources| rows — no iteration, no driver loop. All
+    BIGINT."""
+    d = load_parallel(spark, sf_dir, "documents")
+    toks = F.size(F.split("text", " ")).cast("long")
+    s = d.groupBy("source").agg(
+        F.sum(toks).alias("avail"), F.sum("n_chars").alias("quality_key")
+    )
+    w = Window.orderBy(F.col("quality_key").desc(), "source").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    r = s.select(
+        "source",
+        "avail",
+        F.coalesce(F.sum("avail").over(w), F.lit(0)).alias("cum_before"),
+    )
+    alloc = F.least(
+        F.col("avail"), F.greatest(F.lit(0).cast("long"), F.lit(20_000) - F.col("cum_before"))
+    )
+    return r.select(
+        "source",
+        "avail",
+        alloc.alias("allocated"),
+        F.floor(alloc * 1_000_000 / F.col("avail")).cast("long").alias("fill_ppm"),
+    ).orderBy("source")
+
+
+@query(
+    "x117_dedup_savings",
+    oracle="""
+    WITH h AS (SELECT source, md5(text) AS hh,
+                      CAST(min(n_chars) AS BIGINT) AS keep_chars,
+                      CAST(sum(n_chars) AS BIGINT) AS all_chars,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM documents GROUP BY source, md5(text))
+    SELECT source,
+           CAST(sum(all_chars) AS BIGINT) AS total_chars,
+           CAST(sum(all_chars) - sum(keep_chars) AS BIGINT) AS chars_saved,
+           CAST((sum(all_chars) - sum(keep_chars)) * 1000000 // sum(all_chars)
+                AS BIGINT) AS saved_ppm,
+           CAST(sum(n) - count(*) AS BIGINT) AS docs_removed
+    FROM h GROUP BY source ORDER BY source
+    """,
+)
+def x117_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup savings forecast per source: storage (chars) and doc
+    count reclaimed by keep-one-per-content-hash — the cost-benefit
+    number that justifies (or kills) a dedup campaign before running it.
+    One hash agg on (source, md5) partials then one rollup: the shuffle
+    carries 16-byte hashes + three integers per group, never text."""
+    d = load(spark, sf_dir, "documents")
+    h = d.groupBy("source", F.md5("text").alias("hh")).agg(
+        F.min("n_chars").alias("keep_chars"),
+        F.sum("n_chars").alias("all_chars"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        h.groupBy("source")
+        .agg(
+            F.sum("all_chars").alias("total_chars"),
+            (F.sum("all_chars") - F.sum("keep_chars")).alias("chars_saved"),
+            F.floor(
+                (F.sum("all_chars") - F.sum("keep_chars"))
+                * 1_000_000
+                / F.sum("all_chars")
+            )
+            .cast("long")
+            .alias("saved_ppm"),
+            (F.sum("n") - F.count(F.lit(1))).alias("docs_removed"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "x118_ranked_retrieval",
+    oracle="""
+    WITH q AS (SELECT unnest(['table', 'stream', 'window']) AS term),
+    tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM tok GROUP BY 1, 2),
+    df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+    w AS (SELECT tf.doc_id, tf.term,
+                 tf.tf * CAST(ln(CAST(nd AS DOUBLE) / df) AS DECIMAL(18,6)) AS w
+          FROM tf JOIN df USING (term) CROSS JOIN n
+          WHERE tf.term IN (SELECT term FROM q) AND df < nd),
+    sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+                  CAST(sum(w) AS DECIMAL(38,6)) AS score
+           FROM w GROUP BY doc_id)
+    SELECT doc_id, n_terms_hit, CAST(score AS DECIMAL(18,6)) AS score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+    FROM sc ORDER BY rank LIMIT 5
+    """,
+)
+def x118_ranked_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked retrieval for a 3-term query — the mini search engine that
+    ties the IR components together: tf-idf weights (x97's decimal
+    discipline) summed over matched query terms, top-5 documents by
+    score with doc_id ties. The query-term filter pushes into the token
+    stream BEFORE any aggregation (only matching terms shuffle), idf is
+    a single quantized IEEE ln, the score accumulates exactly in
+    DECIMAL so both engines rank identically — and because scores are
+    emitted AS decimal, the representation hash cannot diverge. At
+    100 TB this reads the x80 inverted index instead of re-exploding
+    text; the plan shape (term filter -> postings join -> per-doc agg ->
+    TakeOrdered) is the same either way."""
+    d = load_parallel(spark, sf_dir, "documents")
+    q_terms = ["table", "stream", "window"]
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    nd = d.agg(F.count(F.lit(1)).alias("nd"))
+    w = (
+        tf.filter(F.col("term").isin(q_terms))
+        .join(df_, "term")
+        .crossJoin(F.broadcast(nd))
+        .filter(F.col("df") < F.col("nd"))
+        .select(
+            "doc_id",
+            (
+                F.col("tf")
+                * F.log(F.col("nd").cast("double") / F.col("df")).cast("decimal(18,6)")
+            ).alias("w"),
+        )
+    )
+    sc = w.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms_hit"),
+        F.sum("w").cast("decimal(38,6)").alias("score"),
+    )
+    return (
+        sc.select(
+            "doc_id",
+            "n_terms_hit",
+            F.col("score").cast("decimal(18,6)").alias("score"),
+            F.row_number()
+            .over(Window.orderBy(F.col("score").desc(), "doc_id"))
+            .cast("long")
+            .alias("rank"),
+        )
+        .filter(F.col("rank") <= 5)
+        .orderBy("rank")
+    )
