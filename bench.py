@@ -188,6 +188,9 @@ HEADLINE = [
     "x116_token_budget_allocation",
     "x117_dedup_savings",
     "x118_ranked_retrieval",
+    "p32_scrape_gaps",
+    "x119_embedding_quality_audit",
+    "x120_lang_source_independence",
 ]
 
 

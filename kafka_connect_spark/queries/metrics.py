@@ -3032,3 +3032,47 @@ def p31_alert_flap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "p32_scrape_gaps",
+    oracle="""
+    WITH s AS (SELECT DISTINCT event_type AS et,
+                      CAST(FLOOR(epoch_ms(ts) / 600000) AS BIGINT) AS bk
+               FROM events),
+    g AS (SELECT et, bk,
+                 lag(bk) OVER (PARTITION BY et ORDER BY bk) AS pbk
+          FROM s)
+    SELECT et AS event_type, pbk + 1 AS gap_start, bk - 1 AS gap_end,
+           CAST(bk - pbk - 1 AS BIGINT) AS missed_intervals
+    FROM g WHERE bk - pbk > 3
+    ORDER BY event_type, gap_start
+    """,
+)
+def p32_scrape_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series data-gap report: stretches of more than 3 consecutive
+    10-minute intervals with NO samples — the scrape-outage /
+    ingestion-stall diagnostic that complements p19's absent() (which
+    asks about NOW; this audits history). One distinct + one lag per
+    series partition; gap bounds are pure integer arithmetic on the
+    bucket ids."""
+    ev = load(spark, sf_dir, "events")
+    s = (
+        ev.select(
+            F.col("event_type").alias("et"),
+            F.floor(F.unix_millis("ts") / F.lit(600_000)).cast("long").alias("bk"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("et").orderBy("bk")
+    g = s.select("et", "bk", F.lag("bk").over(w).alias("pbk"))
+    return (
+        g.filter(F.col("bk") - F.col("pbk") > 3)
+        .select(
+            F.col("et").alias("event_type"),
+            (F.col("pbk") + 1).alias("gap_start"),
+            (F.col("bk") - 1).alias("gap_end"),
+            (F.col("bk") - F.col("pbk") - 1).alias("missed_intervals"),
+        )
+        .orderBy("event_type", "gap_start")
+    )

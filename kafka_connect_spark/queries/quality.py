@@ -342,3 +342,67 @@ def x89_join_size_precheck(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("user_id", "na", "nb", "contrib", "join_total_rows")
     )
+
+
+@query(
+    "x120_lang_source_independence",
+    oracle="""
+    WITH o AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS obs
+               FROM documents GROUP BY lang, source),
+    rt AS (SELECT lang, CAST(sum(obs) AS BIGINT) AS row_tot FROM o GROUP BY lang),
+    ct AS (SELECT source, CAST(sum(obs) AS BIGINT) AS col_tot FROM o GROUP BY source),
+    n AS (SELECT CAST(sum(obs) AS BIGINT) AS total FROM o),
+    grid AS (SELECT rt.lang, ct.source, rt.row_tot, ct.col_tot, n.total,
+                    COALESCE(o.obs, 0) AS obs
+             FROM rt CROSS JOIN ct CROSS JOIN n
+             LEFT JOIN o ON o.lang = rt.lang AND o.source = ct.source),
+    cells AS (SELECT lang, source,
+                     CAST((CAST(obs AS DOUBLE) - CAST(row_tot AS DOUBLE) * col_tot / total)
+                          * (CAST(obs AS DOUBLE) - CAST(row_tot AS DOUBLE) * col_tot / total)
+                          / (CAST(row_tot AS DOUBLE) * col_tot / total)
+                          AS DECIMAL(38,6)) AS term
+              FROM grid),
+    dims AS (SELECT CAST(count(DISTINCT lang) AS BIGINT) AS k1,
+                    CAST(count(DISTINCT source) AS BIGINT) AS k2
+             FROM documents)
+    SELECT CAST(sum(term) AS DECIMAL(18,6)) AS chi2,
+           CAST((k1 - 1) * (k2 - 1) AS BIGINT) AS dof
+    FROM cells CROSS JOIN dims GROUP BY k1, k2
+    """,
+)
+def x120_lang_source_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test between language and source over the
+    full KxM contingency grid (x94 handled a FIXED 2x4 table with a
+    generated expression; this scales to any dimensions by quantizing
+    each cell's (o-e)^2/e to DECIMAL(38,6) and summing exactly — the sum
+    is order-free, so no expression-ordering gymnastics needed). Large
+    chi2 = languages are concentrated in particular sources, which is
+    exactly what stratified sampling (x24) and mixture weights (x55)
+    must then correct for. Emitted as DECIMAL so the representation
+    hash is stable. Plan: one contingency hash agg + broadcast
+    marginals over a KxM grid."""
+    d = load(spark, sf_dir, "documents")
+    o = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("obs"))
+    rt = o.groupBy("lang").agg(F.sum("obs").alias("row_tot"))
+    ct = o.groupBy("source").agg(F.sum("obs").alias("col_tot"))
+    n = o.agg(F.sum("obs").alias("total"))
+    grid = (
+        rt.crossJoin(ct)
+        .crossJoin(F.broadcast(n))
+        .join(o, ["lang", "source"], "left")
+        .fillna({"obs": 0})
+    )
+    e = F.col("row_tot").cast("double") * F.col("col_tot") / F.col("total")
+    term = ((F.col("obs").cast("double") - e) * (F.col("obs").cast("double") - e) / e).cast(
+        "decimal(38,6)"
+    )
+    dims = d.agg(
+        F.countDistinct("lang").alias("k1"), F.countDistinct("source").alias("k2")
+    )
+    return (
+        grid.select(term.alias("term"))
+        .crossJoin(F.broadcast(dims))
+        .groupBy("k1", "k2")
+        .agg(F.sum("term").cast("decimal(18,6)").alias("chi2"))
+        .select("chi2", ((F.col("k1") - 1) * (F.col("k2") - 1)).cast("long").alias("dof"))
+    )

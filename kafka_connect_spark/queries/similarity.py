@@ -7,7 +7,7 @@ given its seed, checked rows-only + recall-tested in tests/test_similarity.py.""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -246,3 +246,81 @@ def x87_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return pq_topk(emb, queries, k=3)
+
+
+@query(
+    "x119_embedding_quality_audit",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    m AS (SELECT label, vec_id,
+                 CAST(FLOOR(sqrt(list_dot_product(v, v)) * 1000) AS BIGINT)
+                   AS norm_mils,
+                 CAST(len(list_filter(v, x -> x = 0)) AS BIGINT) AS n_zero_dims,
+                 CAST(len(v) AS BIGINT) AS dim
+          FROM e),
+    r AS (SELECT *, row_number() OVER (PARTITION BY label ORDER BY norm_mils, vec_id)
+                   AS rn,
+                 count(*) OVER (PARTITION BY label) AS n
+          FROM m)
+    SELECT label, CAST(max(n) AS BIGINT) AS n_vectors,
+           CAST(max(dim) AS BIGINT) AS dim,
+           CAST(min(norm_mils) AS BIGINT) AS min_norm_mils,
+           CAST(max(norm_mils) AS BIGINT) AS max_norm_mils,
+           CAST(min(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                         THEN norm_mils END) AS BIGINT) AS median_norm_mils,
+           CAST(sum(CASE WHEN norm_mils = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_degenerate,
+           CAST(sum(n_zero_dims) AS BIGINT) AS total_zero_dims
+    FROM r GROUP BY label ORDER BY label
+    """,
+)
+def x119_embedding_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table quality gate (the x40 constraint-report idea for
+    vector columns): per label — vector counts, dimensionality, norm
+    extrema and nearest-rank median (norms quantized to integer mils so
+    the median construction is BIGINT-exact), degenerate zero-norm
+    vectors, and dead (zero) dimensions. The checks every similarity/
+    ANN pipeline should run before trusting cosine math: zero norms
+    divide by zero downstream, dead dims waste index bits. One map pass
+    + one per-label window + one agg."""
+    emb = load(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    from ..functions.simfns import dot
+
+    m = emb.select(
+        "label",
+        "vec_id",
+        F.floor(F.sqrt(dot(v, v)) * 1000).cast("long").alias("norm_mils"),
+        F.size(F.filter(v, lambda x: x == 0)).cast("long").alias("n_zero_dims"),
+        F.size(v).cast("long").alias("dim"),
+    )
+    wr = Window.partitionBy("label").orderBy("norm_mils", "vec_id")
+    r = m.select(
+        "label",
+        "norm_mils",
+        "n_zero_dims",
+        "dim",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("label")).alias("n"),
+    )
+    return (
+        r.groupBy("label")
+        .agg(
+            F.max("n").cast("long").alias("n_vectors"),
+            F.max("dim").alias("dim"),
+            F.min("norm_mils").alias("min_norm_mils"),
+            F.max("norm_mils").alias("max_norm_mils"),
+            F.min(
+                F.when(
+                    F.col("rn") == F.ceil(F.lit(0.5) * F.col("n")).cast("long"),
+                    F.col("norm_mils"),
+                )
+            )
+            .cast("long")
+            .alias("median_norm_mils"),
+            F.sum((F.col("norm_mils") == 0).cast("long")).alias("n_degenerate"),
+            F.sum("n_zero_dims").alias("total_zero_dims"),
+        )
+        .orderBy("label")
+    )
