@@ -191,6 +191,7 @@ HEADLINE = [
     "p32_scrape_gaps",
     "x119_embedding_quality_audit",
     "x120_lang_source_independence",
+    "x121_session_length_histogram",
 ]
 
 

@@ -3076,3 +3076,46 @@ def p32_scrape_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "gap_start")
     )
+
+
+@query(
+    "x121_session_length_histogram",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  > 1800000000 THEN 1 ELSE 0 END AS brk
+      FROM events),
+    s AS (SELECT user_id,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+          FROM e),
+    sl AS (SELECT CAST(count(*) AS BIGINT) AS session_len
+           FROM s GROUP BY user_id, sess)
+    SELECT session_len, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM sl GROUP BY session_len ORDER BY session_len
+    """,
+)
+def x121_session_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-length distribution (count of sessions per event count) —
+    the engagement-shape histogram behind bounce analysis (x96) and
+    session-window sizing (x11c's gap parameter should sit past the
+    histogram's knee). The count-of-counts double aggregation: sessions
+    from the shared 30-minute-gap idiom, then two hash aggs."""
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = F.when(us - F.lag(us).over(w) > 1_800_000_000, F.lit(1)).otherwise(F.lit(0))
+    s = ev.select("user_id", "ts", "event_id", brk.alias("brk")).select(
+        "user_id",
+        F.sum("brk")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("sess"),
+    )
+    sl = s.groupBy("user_id", "sess").agg(F.count(F.lit(1)).alias("session_len"))
+    return (
+        sl.groupBy("session_len")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy("session_len")
+    )
