@@ -192,6 +192,7 @@ HEADLINE = [
     "x119_embedding_quality_audit",
     "x120_lang_source_independence",
     "x121_session_length_histogram",
+    "x122_zipf_fit",
 ]
 
 

@@ -1906,3 +1906,70 @@ def x118_ranked_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .orderBy("rank")
     )
+
+
+@query(
+    "x122_zipf_fit",
+    oracle="""
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+    c AS (SELECT term, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY term),
+    r AS (SELECT freq,
+                 CAST(row_number() OVER (ORDER BY freq DESC, term) AS BIGINT) AS rank
+          FROM c),
+    q AS (SELECT CAST(ln(CAST(rank AS DOUBLE)) AS DECIMAL(18,6)) AS x,
+                 CAST(ln(CAST(freq AS DOUBLE)) AS DECIMAL(18,6)) AS y
+          FROM r),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS DECIMAL(38,6)) AS sx,
+                 CAST(sum(y) AS DECIMAL(38,6)) AS sy,
+                 CAST(sum(x*y) AS DECIMAL(38,12)) AS sxy,
+                 CAST(sum(x*x) AS DECIMAL(38,12)) AS sxx
+          FROM q)
+    SELECT n AS vocab_size,
+           CAST(floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * 1000000)
+                AS BIGINT) AS zipf_slope_ppm
+    FROM s
+    """,
+)
+def x122_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit: the log-log rank-frequency regression slope of the
+    token distribution (natural language sits near -1; generated or
+    templated text deviates — a corpus-authenticity screen next to the
+    quality filters). ln(rank) and ln(freq) quantize to DECIMAL(18,6)
+    so all regression sums accumulate exactly (the x53/x78 discipline);
+    the slope divides two exactly-derived doubles once and emits as a
+    floored ppm integer. One token hash agg + one rank window over
+    |vocab| + a 1-row reduce."""
+    d = load_parallel(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("term"))
+    c = tok.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+    r = c.select(
+        "freq",
+        F.row_number()
+        .over(Window.orderBy(F.col("freq").desc(), "term"))
+        .cast("long")
+        .alias("rank"),
+    )
+    q = r.select(
+        F.log(F.col("rank").cast("double")).cast("decimal(18,6)").alias("x"),
+        F.log(F.col("freq").cast("double")).cast("decimal(18,6)").alias("y"),
+    )
+    s = q.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("decimal(38,6)").alias("sx"),
+        F.sum("y").cast("decimal(38,6)").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,12)").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,12)").alias("sxx"),
+    )
+    slope = (
+        F.col("n").cast("double") * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / (
+        F.col("n").cast("double") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    return s.select(
+        F.col("n").alias("vocab_size"),
+        F.floor(slope * 1_000_000).cast("long").alias("zipf_slope_ppm"),
+    )
