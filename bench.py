@@ -193,6 +193,8 @@ HEADLINE = [
     "x120_lang_source_independence",
     "x121_session_length_histogram",
     "x122_zipf_fit",
+    "x123_heaps_fit",
+    "x124_source_lm_profile",
 ]
 
 

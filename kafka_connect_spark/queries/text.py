@@ -1973,3 +1973,167 @@ def x122_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("vocab_size"),
         F.floor(slope * 1_000_000).cast("long").alias("zipf_slope_ppm"),
     )
+
+
+@query(
+    "x123_heaps_fit",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    tok AS (SELECT doc_id, array_to_string(toks[i:i+4], ' ') AS term
+            FROM d, unnest(range(1, len(toks) - 3)) t(i)
+            WHERE len(toks) >= 5),
+    fo AS (SELECT term, min(doc_id) AS first_doc FROM tok GROUP BY term),
+    mx AS (SELECT max(doc_id) AS md FROM documents),
+    nt AS (SELECT doc_id, CAST(len(toks) - 4 AS BIGINT) AS n_grams FROM d
+           WHERE len(toks) >= 5),
+    b AS (SELECT CAST(first_doc * 10 // (md + 1) AS BIGINT) AS bucket,
+                 CAST(count(*) AS BIGINT) AS new_terms
+          FROM fo, mx GROUP BY 1),
+    tb AS (SELECT CAST(doc_id * 10 // (md + 1) AS BIGINT) AS bucket,
+                  CAST(sum(n_grams) AS BIGINT) AS toks_in_bucket
+           FROM nt, mx GROUP BY 1),
+    cum AS (SELECT b.bucket,
+                   CAST(sum(new_terms) OVER w AS BIGINT) AS cum_vocab,
+                   CAST(sum(toks_in_bucket) OVER w AS BIGINT) AS cum_tokens
+            FROM b JOIN tb USING (bucket)
+            WINDOW w AS (ORDER BY b.bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    q AS (SELECT CAST(ln(CAST(cum_tokens AS DOUBLE)) AS DECIMAL(18,6)) AS x,
+                 CAST(ln(CAST(cum_vocab AS DOUBLE)) AS DECIMAL(18,6)) AS y
+          FROM cum),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS DECIMAL(38,6)) AS sx,
+                 CAST(sum(y) AS DECIMAL(38,6)) AS sy,
+                 CAST(sum(x*y) AS DECIMAL(38,12)) AS sxy,
+                 CAST(sum(x*x) AS DECIMAL(38,12)) AS sxx
+          FROM q)
+    SELECT n AS n_points,
+           CAST(floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * 1000000)
+                AS BIGINT) AS heaps_beta_ppm
+    FROM s
+    """,
+)
+def x123_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law exponent fit: vocabulary ~ tokens^beta, estimated as the
+    log-log regression slope over x81's cumulative (tokens, vocabulary)
+    decile curve — the single number that predicts how fast NEW 5-gram
+    types keep arriving as the corpus grows (flat beta = the crawl is
+    recycling content; natural corpora sit around 0.5-0.8). Same
+    decimal-exact regression discipline as x122, over 10 points."""
+    d = load_parallel(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(4)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 5)),
+    )
+    base = d.filter(F.size(toks) >= 5)
+    fo = (
+        base.select("doc_id", F.explode(grams).alias("term"))
+        .groupBy("term")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    mx = d.agg(F.max("doc_id").alias("md"))
+    nt = base.select("doc_id", (F.size(toks) - 4).cast("long").alias("n_grams"))
+    b = (
+        fo.crossJoin(F.broadcast(mx))
+        .select(F.floor(F.col("first_doc") * 10 / (F.col("md") + 1)).cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("new_terms"))
+    )
+    tb = (
+        nt.crossJoin(F.broadcast(mx))
+        .select(
+            F.floor(F.col("doc_id") * 10 / (F.col("md") + 1)).cast("long").alias("bucket"),
+            "n_grams",
+        )
+        .groupBy("bucket")
+        .agg(F.sum("n_grams").alias("toks_in_bucket"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = b.join(tb, "bucket").select(
+        F.sum("new_terms").over(w).alias("cum_vocab"),
+        F.sum("toks_in_bucket").over(w).alias("cum_tokens"),
+    )
+    q = cum.select(
+        F.log(F.col("cum_tokens").cast("double")).cast("decimal(18,6)").alias("x"),
+        F.log(F.col("cum_vocab").cast("double")).cast("decimal(18,6)").alias("y"),
+    )
+    s = q.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("decimal(38,6)").alias("sx"),
+        F.sum("y").cast("decimal(38,6)").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,12)").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,12)").alias("sxx"),
+    )
+    slope = (
+        F.col("n").cast("double") * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / (
+        F.col("n").cast("double") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    return s.select(
+        F.col("n").alias("n_points"),
+        F.floor(slope * 1_000_000).cast("long").alias("heaps_beta_ppm"),
+    )
+
+
+@query(
+    "x124_source_lm_profile",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+      FROM documents),
+    vocab AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+              FROM tok GROUP BY token),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
+    doc AS (SELECT t.doc_id, t.source,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(CAST(ln(v.cnt) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS slc
+            FROM tok t JOIN vocab v ON t.token = v.token
+            GROUP BY t.doc_id, t.source)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           {dround_sql(
+               "ln(max(total)) - CAST(sum(slc) AS DOUBLE) / sum(n_tokens)", 6)}
+             AS mean_lm_score
+    FROM doc CROSS JOIN tot
+    GROUP BY source ORDER BY source
+    """,
+)
+def x124_source_lm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language-model quality profile: the token-weighted mean
+    unigram NLL (x53's perplexity-proxy aggregated to the mixture-design
+    level) — sources whose text is systematically off-distribution
+    surface here before any per-document filtering. ln-count terms
+    quantize to decimal before EVERY sum (doc-level and source-level),
+    so the two-level aggregation is order-free; one final IEEE divide
+    through the shared floor rounding."""
+    d = load_parallel(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "source", F.explode(F.split("text", " ")).alias("token"))
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").alias("total"))
+    doc = (
+        tok.join(vocab, "token")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.log(F.col("cnt").cast("double")).cast("decimal(38,6)"))
+            .cast("decimal(38,6)")
+            .alias("slc"),
+        )
+    )
+    return (
+        doc.crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            dround(
+                F.log(F.max("total").cast("double"))
+                - F.sum("slc").cast("double") / F.sum("n_tokens"),
+                6,
+            ).alias("mean_lm_score"),
+        )
+        .orderBy("source")
+    )
