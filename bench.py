@@ -195,6 +195,8 @@ HEADLINE = [
     "x122_zipf_fit",
     "x123_heaps_fit",
     "x124_source_lm_profile",
+    "x125_source_rank_movers",
+    "x126_subset_edges",
 ]
 
 

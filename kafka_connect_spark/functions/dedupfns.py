@@ -562,3 +562,46 @@ def deletion_neighborhood_pairs(
         .filter(F.col("dist") <= 1)
         .select("id_a", "id_b", "dist")
     )
+
+
+def subset_edges(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    containment_num: int = 9,
+    containment_den: int = 10,
+) -> DataFrame:
+    """Directed near-subset edges: A -> B where >= 90% of A's shingles are
+    inside B but B is > 2x bigger than the overlap — quote/extract/
+    derivative detection, the ORIENTED refinement of symmetric
+    containment (ngram_containment_pairs). Predicates are
+    cross-multiplied integers; same shingle-join machinery and the same
+    df-cap options apply at scale."""
+    ex = docs.select(
+        F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("sh")
+    )
+    sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("nsh"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") != F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("nsh").alias("n_contained"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("nsh").alias("n_container"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(
+            (F.col("inter") * containment_den >= F.col("n_contained") * containment_num)
+            & (F.col("inter") * 2 < F.col("n_container"))
+        )
+        .select(
+            F.col("id_a").alias("contained_doc"),
+            F.col("id_b").alias("container_doc"),
+            "inter",
+            "n_contained",
+            "n_container",
+        )
+    )

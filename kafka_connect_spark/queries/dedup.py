@@ -953,3 +953,43 @@ def x113_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "x126_subset_edges",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS s
+           FROM tok WHERE len(t) >= 3),
+    ex AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ex GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(count(*) AS BIGINT) AS inter
+              FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+              GROUP BY 1, 2)
+    SELECT id_a AS contained_doc, id_b AS container_doc,
+           inter, sa.n AS n_contained, sb.n AS n_container
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE inter * 10 >= sa.n * 9
+      AND inter * 2 < sb.n
+    ORDER BY contained_doc, container_doc
+    """,
+)
+def x126_subset_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTED near-subset edges: document A is (mostly) contained in a
+    substantially larger document B — quote, extract, or derivative-work
+    detection, which symmetric Jaccard (x12c) and symmetric containment
+    (x43) both blur (x43 keeps the pair; this orients it). The asymmetry
+    predicate is pure cross-multiplied integers (|A∩B|·10 >= |A|·9 and
+    |A∩B|·2 < |B|) on the same shingle-join machinery; the ordered
+    (contained -> container) pair is the provenance edge a lineage graph
+    ingests. (Zero rows on this fixture — its duplicates are twins, not
+    subsets; the planted-subset unit test in test_dedup.py is the
+    behavioral evidence.)"""
+    from ..functions.dedupfns import subset_edges
+
+    d = load_parallel(spark, sf_dir, "documents")
+    return subset_edges(d).orderBy("contained_doc", "container_doc")

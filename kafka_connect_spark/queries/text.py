@@ -2137,3 +2137,65 @@ def x124_source_lm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "x125_source_rank_movers",
+    oracle="""
+    WITH mx AS (SELECT max(doc_id) AS md FROM documents),
+    h AS (SELECT source,
+                 CAST(sum(CASE WHEN doc_id * 2 <= md THEN n_chars ELSE 0 END)
+                      AS BIGINT) AS v1,
+                 CAST(sum(CASE WHEN doc_id * 2 > md THEN n_chars ELSE 0 END)
+                      AS BIGINT) AS v2
+          FROM documents CROSS JOIN mx GROUP BY source),
+    r AS (SELECT source, v1, v2,
+                 CAST(row_number() OVER (ORDER BY v1 DESC, source) AS BIGINT) AS rank1,
+                 CAST(row_number() OVER (ORDER BY v2 DESC, source) AS BIGINT) AS rank2
+          FROM h)
+    SELECT source, v1, v2, rank1, rank2,
+           CAST(rank1 - rank2 AS BIGINT) AS rank_delta
+    FROM r WHERE rank1 <> rank2
+    ORDER BY abs(rank1 - rank2) DESC, source
+    """,
+)
+def x125_source_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Risers and fallers: sources whose volume RANK changed between the
+    first and second corpus half (by doc_id — the snapshot ordering).
+    Rank deltas are robust where raw volume deltas mislead (everything
+    grows in a growing crawl; what matters is relative position). Both
+    halves aggregate in ONE conditional pass; two rank windows over
+    |sources| rows."""
+    d = load(spark, sf_dir, "documents")
+    mx = d.agg(F.max("doc_id").alias("md"))
+    h = (
+        d.crossJoin(F.broadcast(mx))
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.when(F.col("doc_id") * 2 <= F.col("md"), F.col("n_chars")).otherwise(0)
+            ).alias("v1"),
+            F.sum(
+                F.when(F.col("doc_id") * 2 > F.col("md"), F.col("n_chars")).otherwise(0)
+            ).alias("v2"),
+        )
+    )
+    r = h.select(
+        "source",
+        "v1",
+        "v2",
+        F.row_number().over(Window.orderBy(F.col("v1").desc(), "source")).cast("long").alias("rank1"),
+        F.row_number().over(Window.orderBy(F.col("v2").desc(), "source")).cast("long").alias("rank2"),
+    )
+    return (
+        r.filter(F.col("rank1") != F.col("rank2"))
+        .select(
+            "source",
+            "v1",
+            "v2",
+            "rank1",
+            "rank2",
+            (F.col("rank1") - F.col("rank2")).alias("rank_delta"),
+        )
+        .orderBy(F.abs(F.col("rank1") - F.col("rank2")).desc(), "source")
+    )

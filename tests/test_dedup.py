@@ -289,3 +289,27 @@ def test_fastss_hot_variant_cap(spark):
     cap = deletion_neighborhood_pairs(df, "id", "name", max_pairs_per_variant=4).count()
     assert unc == 8 * 7 // 2  # all pairs: every 1-char name is dist 1 from another
     assert cap == 0  # the "" block (df=8) removed; singleton variants remain
+
+
+def test_subset_edges_detects_planted_extract(spark):
+    """x126's behavioral evidence (the fixture has twins, not subsets):
+    a document embedded verbatim inside a much larger one must produce
+    exactly the directed contained->container edge, and twins must NOT."""
+    from kafka_connect_spark.functions.dedupfns import subset_edges
+
+    extract = " ".join(f"w{i}" for i in range(20))
+    container = " ".join(f"pre{i}" for i in range(40)) + " " + extract + " " + " ".join(
+        f"post{i}" for i in range(40)
+    )
+    twin_a = " ".join(f"t{i}" for i in range(30))
+    twin_b = twin_a + " tail"
+    df = spark.createDataFrame(
+        [(1, extract), (2, container), (3, twin_a), (4, twin_b)],
+        "doc_id long, text string",
+    )
+    edges = {
+        (r.contained_doc, r.container_doc) for r in subset_edges(df).collect()
+    }
+    assert (1, 2) in edges          # the planted extract is found, oriented
+    assert (2, 1) not in edges      # and never reversed
+    assert not any(3 in e or 4 in e for e in edges)  # twins are not subsets
