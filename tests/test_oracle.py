@@ -59,3 +59,12 @@ def test_repetition_score_values(spark):
     )
     for r in df.select(repetition_score("t").alias("got"), "want").collect():
         assert abs(r["got"] - r["want"]) < 1e-6
+
+
+def test_no_sql_line_comments_in_oracles():
+    """The registry normalizes oracle SQL to one line, so a `--` comment
+    would swallow everything after it — including WHERE predicates (the
+    x126 near-miss: its second predicate vanished and the check happily
+    compared against the wrong semantics). Ban line comments outright."""
+    offenders = [name for name, sql in ORACLE.items() if "--" in sql]
+    assert not offenders, f"line comments in oracle SQL: {offenders}"
