@@ -197,6 +197,7 @@ HEADLINE = [
     "x124_source_lm_profile",
     "x125_source_rank_movers",
     "x126_subset_edges",
+    "x127_pair_signal_panel",
 ]
 
 

@@ -993,3 +993,91 @@ def x126_subset_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_parallel(spark, sf_dir, "documents")
     return subset_edges(d).orderBy("contained_doc", "container_doc")
+
+
+@query(
+    "x127_pair_signal_panel",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS s
+           FROM tok WHERE len(t) >= 3),
+    ex AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ex GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(count(*) AS BIGINT) AS inter
+              FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    hh AS (SELECT doc_id, CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT) AS h
+           FROM tk),
+    vv AS (SELECT doc_id, {_votes} FROM hh GROUP BY doc_id),
+    sim AS (SELECT doc_id, CAST({_pack} AS BIGINT) AS simhash FROM vv),
+    pairs AS (SELECT id_a, id_b, inter, sa.n AS n_a, sb.n AS n_b,
+                     {_J_SQL} AS jaccard
+              FROM inter
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b)
+    SELECT id_a, id_b, inter, n_a, n_b, jaccard,
+           {dround_sql("inter / CAST(n_a AS DOUBLE)", 6)} AS containment_a,
+           {dround_sql("inter / CAST(n_b AS DOUBLE)", 6)} AS containment_b,
+           CAST(bit_count(xor(pa.simhash, pb.simhash)) AS BIGINT)
+             AS simhash_hamming
+    FROM pairs
+    JOIN sim pa ON pa.doc_id = id_a
+    JOIN sim pb ON pb.doc_id = id_b
+    WHERE jaccard >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
+def x127_pair_signal_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup adjudication panel: for every candidate pair, ALL the
+    signal families side by side — shingle intersection and sizes,
+    Jaccard, both containments, and SimHash Hamming distance — the
+    table a human (or a downstream rule) reads to decide drop vs keep
+    vs extract when the signals disagree (high containment + low
+    Jaccard = extract; low Hamming + low Jaccard = template). One
+    shingle self-join feeds every set metric; SimHash joins in as two
+    64-bit columns and one bit_count(xor). The integration matters:
+    three families computed consistently on one pass, not three
+    pipelines."""
+    from ..functions.dedupfns import shingles, simhash
+
+    d = load_parallel(spark, sf_dir, "documents")
+    ex = d.select("doc_id", F.explode(shingles("text", 3)).alias("sh"))
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
+    sim = simhash(d, bits=_SIMHASH_BITS)
+    pa = sim.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sim_a"))
+    pb = sim.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sim_b"))
+    p = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            dround(F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .join(pa, "id_a")
+        .join(pb, "id_b")
+    )
+    return p.select(
+        "id_a",
+        "id_b",
+        "inter",
+        "n_a",
+        "n_b",
+        "jaccard",
+        dround(F.col("inter") / F.col("n_a"), 6).alias("containment_a"),
+        dround(F.col("inter") / F.col("n_b"), 6).alias("containment_b"),
+        F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("long").alias(
+            "simhash_hamming"
+        ),
+    ).orderBy("id_a", "id_b")
