@@ -198,6 +198,9 @@ HEADLINE = [
     "x125_source_rank_movers",
     "x126_subset_edges",
     "x127_pair_signal_panel",
+    "x128_purchase_cadence",
+    "x129_quality_flag_panel",
+    "x130_cosine_histogram",
 ]
 
 

@@ -3119,3 +3119,71 @@ def x121_session_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count(F.lit(1)).alias("n_sessions"))
         .orderBy("session_len")
     )
+
+
+@query(
+    "x128_purchase_cadence",
+    oracle="""
+    WITH p AS (SELECT user_id, CAST(user_id % 4 AS BIGINT) AS seg, ts, event_id
+               FROM events WHERE event_type = 'purchase'),
+    g AS (SELECT seg,
+                 epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+          FROM p),
+    gaps AS (SELECT seg, CAST(gap_us // 1000000 AS BIGINT) AS gap_s
+             FROM g WHERE gap_us IS NOT NULL),
+    r AS (SELECT seg, gap_s,
+                 row_number() OVER (PARTITION BY seg ORDER BY gap_s) AS rn,
+                 count(*) OVER (PARTITION BY seg) AS n
+          FROM gaps)
+    SELECT seg, CAST(max(n) AS BIGINT) AS n_gaps,
+           CAST(min(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN gap_s END)
+                AS BIGINT) AS p50_gap_s,
+           CAST(min(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN gap_s END)
+                AS BIGINT) AS p90_gap_s
+    FROM r GROUP BY seg ORDER BY seg
+    """,
+)
+def x128_purchase_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase-cadence profile per user segment: nearest-rank p50/p90 of
+    the time between a user's consecutive purchases — the repeat-buying
+    rhythm behind replenishment campaigns and churn windows (a customer
+    past their segment's p90 gap is the churn-risk definition). Gaps in
+    whole seconds (integer floor of non-negative microseconds — no
+    truncate/floor divergence possible); quantiles by the shared
+    explicit rank rule. One per-user lag window + one per-segment rank
+    window."""
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        (F.col("user_id") % 4).cast("long").alias("seg"),
+        "ts",
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = p.select(
+        "seg", (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    gaps = g.select("seg", F.floor(F.col("gap_us") / 1_000_000).cast("long").alias("gap_s"))
+    wr = Window.partitionBy("seg").orderBy("gap_s")
+    r = gaps.select(
+        "seg",
+        "gap_s",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("seg")).alias("n"),
+    )
+
+    def pick(phi):
+        return F.min(
+            F.when(F.col("rn") == F.ceil(F.lit(phi) * F.col("n")).cast("long"), F.col("gap_s"))
+        ).cast("long")
+
+    return (
+        r.groupBy("seg")
+        .agg(
+            F.max("n").cast("long").alias("n_gaps"),
+            pick(0.5).alias("p50_gap_s"),
+            pick(0.9).alias("p90_gap_s"),
+        )
+        .orderBy("seg")
+    )

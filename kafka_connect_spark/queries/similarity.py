@@ -324,3 +324,43 @@ def x119_embedding_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "x130_cosine_histogram",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    p AS (SELECT {dround_sql(
+        "list_dot_product(a.v, b.v) / "
+        "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))", 6)}
+             AS c
+          FROM e a JOIN e b ON a.vec_id < b.vec_id)
+    SELECT CAST(FLOOR(c * 10) AS BIGINT) AS cos_bucket,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM p GROUP BY 1 ORDER BY cos_bucket
+    """,
+)
+def x130_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise-cosine distribution histogram (0.1-wide buckets over all
+    embedding pairs) — the separation plot that says whether a near-dup
+    threshold EXISTS at all: planted duplicates show as a detached
+    high-cosine mode; a continuous right tail (this fixture, per
+    docs/SCALING.md) means any threshold is a quantile choice, not a
+    gap. Exact all-pairs is the fixture-scale plan; at 100 TB the same
+    histogram comes from a uniform pair SAMPLE (x57's deterministic
+    sampler) since the distribution, not the pairs, is the deliverable.
+    Bucketing floors the shared-rounded cosine — engine-exact."""
+    from ..functions.simfns import dot, with_vec
+
+    emb = load(spark, sf_dir, "embeddings")
+    v = with_vec(emb)
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("v_norm").alias("na"))
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("v_norm").alias("nb"))
+    cos = dround(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(F.floor(cos * 10).cast("long").alias("cos_bucket"))
+        .groupBy("cos_bucket")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("cos_bucket")
+    )

@@ -2199,3 +2199,64 @@ def x125_source_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.abs(F.col("rank1") - F.col("rank2")).desc(), "source")
     )
+
+
+@query(
+    "x129_quality_flag_panel",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+      FROM documents),
+    f AS (SELECT doc_id,
+                 CASE WHEN n_tokens < 20 THEN 1 ELSE 0 END AS flag_short,
+                 CASE WHEN n_distinct * 10 < n_tokens * 3 THEN 1 ELSE 0 END
+                   AS flag_low_diversity,
+                 CASE WHEN n_tokens > 45 THEN 1 ELSE 0 END AS flag_long
+          FROM s)
+    SELECT doc_id, flag_short, flag_low_diversity, flag_long,
+           CAST(flag_short + flag_low_diversity + flag_long AS BIGINT) AS n_flags,
+           CAST(flag_short * 4 + flag_low_diversity * 2 + flag_long AS BIGINT)
+             AS flag_mask
+    FROM f WHERE flag_short + flag_low_diversity + flag_long >= 1
+    ORDER BY doc_id
+    """,
+)
+def x129_quality_flag_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality flag panel: every document tripping at least one quality
+    rule, with the individual flags, the flag count, and a bitmask —
+    the x127 adjudication idea applied to the quality family (a doc
+    flagged by ONE rule is a judgment call; by two or more it's a
+    drop). Rules are exact integer predicates (diversity via
+    cross-multiplication); the bitmask makes downstream routing a
+    single integer compare. Pure map-side, codegen-resident — the
+    cheapest per-row query in the curation family."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    s = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+    )
+    f = s.select(
+        "doc_id",
+        (F.col("n_tokens") < 20).cast("long").alias("flag_short"),
+        (F.col("n_distinct") * 10 < F.col("n_tokens") * 3).cast("long").alias("flag_low_diversity"),
+        (F.col("n_tokens") > 45).cast("long").alias("flag_long"),
+    )
+    n_flags = F.col("flag_short") + F.col("flag_low_diversity") + F.col("flag_long")
+    return (
+        f.select(
+            "doc_id",
+            "flag_short",
+            "flag_low_diversity",
+            "flag_long",
+            n_flags.cast("long").alias("n_flags"),
+            (F.col("flag_short") * 4 + F.col("flag_low_diversity") * 2 + F.col("flag_long"))
+            .cast("long")
+            .alias("flag_mask"),
+        )
+        .filter(F.col("n_flags") >= 1)
+        .orderBy("doc_id")
+    )
