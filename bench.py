@@ -201,6 +201,9 @@ HEADLINE = [
     "x128_purchase_cadence",
     "x129_quality_flag_panel",
     "x130_cosine_histogram",
+    "p33_counter_sanity",
+    "x131_cluster_source_purity",
+    "x132_seasonality_strength",
 ]
 
 

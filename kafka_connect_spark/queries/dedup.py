@@ -1081,3 +1081,78 @@ def x127_pair_signal_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "simhash_hamming"
         ),
     ).orderBy("id_a", "id_b")
+
+
+@query(
+    "x131_cluster_source_purity",
+    oracle=f"""
+    WITH RECURSIVE
+    tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS s
+           FROM tok WHERE len(t) >= 3),
+    ex AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    pairs AS (SELECT id_a, id_b FROM inter
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE {{J}} >= 0.5),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(node, r) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT e.src, r.r FROM edges e JOIN reach r ON r.node = e.dst),
+    comp AS (SELECT node AS doc_id, LEAST(node, MIN(r)) AS cluster
+             FROM reach GROUP BY node),
+    cm AS (SELECT c.cluster, d.source, CAST(count(*) AS BIGINT) AS n
+           FROM comp c JOIN documents d USING (doc_id)
+           GROUP BY c.cluster, d.source),
+    agg AS (SELECT cluster,
+                   CAST(sum(n) AS BIGINT) AS cluster_size,
+                   CAST(count(*) AS BIGINT) AS n_sources,
+                   CAST(max(n) AS BIGINT) AS majority_n
+            FROM cm GROUP BY cluster)
+    SELECT cluster, cluster_size, n_sources,
+           CAST(majority_n * 1000000 // cluster_size AS BIGINT) AS purity_ppm
+    FROM agg ORDER BY cluster
+    """.replace("{{J}}", "{J}").replace("{J}", _J_SQL),
+)
+def x131_cluster_source_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster SOURCE purity: per near-dup cluster, how many
+    sources it spans and the majority-source share — pure clusters mean
+    intra-source duplication (re-posts, pagination); impure ones mean
+    cross-source copying (syndication, scraping), which changes both the
+    dedup keep-policy (x70) and the provenance story (x44 aggregates
+    this per source PAIR; this is the per-cluster view). Rides x12h's
+    components + one join to source + two hash aggs; purity is an exact
+    ppm integer."""
+    from ..functions.dedupfns import dup_clusters, ngram_jaccard_pairs
+
+    d = load_parallel(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.5).select("id_a", "id_b")
+    comp = dup_clusters(pairs)
+    cm = (
+        comp.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("cluster", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    agg = cm.groupBy("cluster").agg(
+        F.sum("n").alias("cluster_size"),
+        F.count(F.lit(1)).alias("n_sources"),
+        F.max("n").alias("majority_n"),
+    )
+    return (
+        agg.select(
+            "cluster",
+            "cluster_size",
+            "n_sources",
+            F.floor(F.col("majority_n") * 1_000_000 / F.col("cluster_size"))
+            .cast("long")
+            .alias("purity_ppm"),
+        )
+        .orderBy("cluster")
+    )

@@ -3187,3 +3187,138 @@ def x128_purchase_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg")
     )
+
+
+@query(
+    "p33_counter_sanity",
+    oracle="""
+    WITH s AS (SELECT user_id, ts, event_id,
+                      CAST(FLOOR(value * 100) AS BIGINT) AS y,
+                      lag(CAST(FLOOR(value * 100) AS BIGINT))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id) AS py
+               FROM events WHERE event_type = 'counter' OR event_type = 'click'),
+    d AS (SELECT user_id, event_id, y, py FROM s WHERE py IS NOT NULL AND y < py)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_decreases,
+           CAST(sum(CASE WHEN y * 2 >= py THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_suspect_jitter,
+           CAST(sum(CASE WHEN y * 2 < py THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_likely_resets
+    FROM d GROUP BY user_id
+    HAVING sum(CASE WHEN y * 2 >= py THEN 1 ELSE 0 END) > 0
+    ORDER BY user_id
+    """,
+)
+def p33_counter_sanity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counter-monotonicity audit: for counter-like series, classify every
+    decrease as a LIKELY RESET (drop below half the previous value — the
+    process-restart signature rate()/increase() already handle) or
+    SUSPECT JITTER (a small decrease, which monotonic counters must
+    never legitimately do: clock skew, duplicate-with-stale-value, or a
+    mislabeled gauge). Series with any jitter are the rows an SRE
+    actually has to look at — p11 counts resets; this separates the
+    benign ones from the data bugs. Integer comparisons only."""
+    ev = load(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type").isin("counter", "click"))
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.floor(F.col("value") * 100).cast("long").alias("y"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = (
+        s.withColumn("py", F.lag("y").over(w))
+        .filter(F.col("py").isNotNull() & (F.col("y") < F.col("py")))
+    )
+    return (
+        d.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_decreases"),
+            F.sum((F.col("y") * 2 >= F.col("py")).cast("long")).alias("n_suspect_jitter"),
+            F.sum((F.col("y") * 2 < F.col("py")).cast("long")).alias("n_likely_resets"),
+        )
+        .filter(F.col("n_suspect_jitter") > 0)
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "x132_seasonality_strength",
+    oracle="""
+    WITH s AS (
+      SELECT event_type AS et,
+             CAST(FLOOR(epoch_ms(ts) / 3600000) AS BIGINT) AS bk,
+             CAST(FLOOR(epoch_ms(ts) / 3600000) % 24 AS BIGINT) AS hod,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2, 3),
+    tot AS (SELECT et, CAST(count(*) AS HUGEINT) AS k,
+                   CAST(sum(n) AS HUGEINT) AS sn,
+                   CAST(sum(n*n) AS HUGEINT) AS snn
+            FROM s GROUP BY et),
+    prof AS (SELECT et, hod, CAST(count(*) AS HUGEINT) AS kc,
+                    CAST(sum(n) AS HUGEINT) AS snc
+             FROM s GROUP BY et, hod),
+    bet AS (SELECT et, CAST(sum(snc * snc * 1000000 // kc) AS HUGEINT) AS ssb_scaled
+            FROM prof GROUP BY et)
+    SELECT t.et AS event_type, CAST(t.k AS BIGINT) AS n_buckets,
+           CAST((b.ssb_scaled - t.sn * t.sn * 1000000 // t.k)
+                * 1000000
+                // (t.snn * 1000000 - t.sn * t.sn * 1000000 // t.k)
+                AS BIGINT) AS seasonality_ppm
+    FROM tot t JOIN bet b ON b.et = t.et
+    ORDER BY event_type
+    """,
+)
+def x132_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-seasonality strength per series: the fraction of hourly-count
+    variance explained by the hour-of-day profile (the one-way-ANOVA
+    R^2, between-group sum of squares over total) — near 1 means p25's
+    hourly profile IS the signal and x102's seasonal-naive will win;
+    near 0 means 'seasonality' panels are reading noise. Computed
+    entirely in HUGEINT/DECIMAL integer arithmetic (sums of squares
+    scaled by 1e6 before the integer divisions, all values
+    non-negative so // is engine-identical) — an exact ppm with no
+    float anywhere. Two hash aggs over the hourly rollup."""
+    ev = load(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    s = (
+        ev.select(
+            F.col("event_type").alias("et"),
+            F.floor(F.unix_millis("ts") / F.lit(3_600_000)).cast("long").alias("bk"),
+        )
+        .withColumn("hod", F.pmod(F.col("bk"), F.lit(24)))
+        .groupBy("et", "bk", "hod")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = s.groupBy("et").agg(
+        F.count(F.lit(1)).cast(dec).alias("k"),
+        F.sum("n").cast(dec).alias("sn"),
+        F.sum(F.col("n") * F.col("n")).cast(dec).alias("snn"),
+    )
+    prof = s.groupBy("et", "hod").agg(
+        F.count(F.lit(1)).cast(dec).alias("kc"), F.sum("n").cast(dec).alias("snc")
+    )
+    bet = prof.groupBy("et").agg(
+        F.sum(F.floor(F.col("snc") * F.col("snc") * 1_000_000 / F.col("kc"))).alias(
+            "ssb_scaled"
+        )
+    )
+    grand = F.floor(F.col("sn") * F.col("sn") * 1_000_000 / F.col("k"))
+    return (
+        tot.join(bet, "et")
+        .select(
+            F.col("et").alias("event_type"),
+            F.col("k").cast("long").alias("n_buckets"),
+            F.floor(
+                (F.col("ssb_scaled") - grand)
+                * 1_000_000
+                / (F.col("snn") * 1_000_000 - grand)
+            )
+            .cast("long")
+            .alias("seasonality_ppm"),
+        )
+        .orderBy("event_type")
+    )
