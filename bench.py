@@ -204,6 +204,9 @@ HEADLINE = [
     "p33_counter_sanity",
     "x131_cluster_source_purity",
     "x132_seasonality_strength",
+    "x133_retention_half_life",
+    "x134_tokenizer_efficiency",
+    "x135_crossmodal_agreement",
 ]
 
 

@@ -3322,3 +3322,70 @@ def x132_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "x133_retention_half_life",
+    oracle="""
+    WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    first AS (SELECT user_id, MIN(day) AS cohort_day FROM act GROUP BY user_id),
+    off AS (SELECT CAST(date_diff('day', cohort_day, day) AS BIGINT) AS day_offset,
+                   a.user_id
+            FROM act a JOIN first USING (user_id)),
+    curve AS (SELECT day_offset, CAST(count(DISTINCT user_id) AS BIGINT) AS active
+              FROM off WHERE day_offset BETWEEN 1 AND 14 GROUP BY day_offset),
+    q AS (SELECT CAST(day_offset AS DECIMAL(18,6)) AS x,
+                 CAST(ln(CAST(active AS DOUBLE)) AS DECIMAL(18,6)) AS y
+          FROM curve WHERE active > 0),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS DECIMAL(38,6)) AS sx,
+                 CAST(sum(y) AS DECIMAL(38,6)) AS sy,
+                 CAST(sum(x*y) AS DECIMAL(38,12)) AS sxy,
+                 CAST(sum(x*x) AS DECIMAL(38,12)) AS sxx
+          FROM q)
+    SELECT n AS n_points,
+           CAST(floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * 1000000)
+                AS BIGINT) AS decay_ppm
+    FROM s
+    """,
+)
+def x133_retention_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention decay fit: the exponential-decay rate of the aggregate
+    day-1..14 retention curve (ln(active) vs day-offset regression — the
+    half-life is ln(2)/|rate|), collapsing x42's cohort matrix to THE
+    retention number product teams track. Same decimal-exact regression
+    skeleton as x122/x123."""
+    ev = load(spark, sf_dir, "events")
+    act = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    first = act.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    off = act.join(first, "user_id").select(
+        F.datediff("day", "cohort_day").cast("long").alias("day_offset"), "user_id"
+    )
+    curve = (
+        off.filter((F.col("day_offset") >= 1) & (F.col("day_offset") <= 14))
+        .groupBy("day_offset")
+        .agg(F.countDistinct("user_id").alias("active"))
+    )
+    q = curve.filter(F.col("active") > 0).select(
+        F.col("day_offset").cast("decimal(18,6)").alias("x"),
+        F.log(F.col("active").cast("double")).cast("decimal(18,6)").alias("y"),
+    )
+    s = q.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("decimal(38,6)").alias("sx"),
+        F.sum("y").cast("decimal(38,6)").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,12)").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,12)").alias("sxx"),
+    )
+    slope = (
+        F.col("n").cast("double") * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / (
+        F.col("n").cast("double") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    return s.select(
+        F.col("n").alias("n_points"),
+        F.floor(slope * 1_000_000).cast("long").alias("decay_ppm"),
+    )

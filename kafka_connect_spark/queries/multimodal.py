@@ -8,9 +8,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import load, load_parallel
 from ..functions.multimodalfns import attach_fake_media, extract_features, sample_frames
-from .registry import query
+from .registry import dround_sql, query
 
 
 @query(
@@ -203,3 +203,82 @@ def mm_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes = perceptual_hash(attach_fake_media(d))
     pairs = phash_near_dup_pairs(hashes, max_hamming=3, bands=4).select("id_a", "id_b")
     return dup_clusters(pairs).orderBy("doc_id")
+
+
+@query(
+    "x135_crossmodal_agreement",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS s
+           FROM tok WHERE len(t) >= 3),
+    ex AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    tpairs AS (SELECT id_a, id_b FROM inter
+               JOIN sizes sa ON sa.doc_id = id_a
+               JOIN sizes sb ON sb.doc_id = id_b
+               WHERE {{J}} >= 0.5),
+    b AS (SELECT doc_id,
+             [CAST('0x' || substr(md5(text), 2*j + 1, 2) AS BIGINT)
+              for j in range(0, 16)] AS px
+          FROM documents),
+    p AS (SELECT doc_id,
+             list_sum([CASE WHEN px[j + 1] > list_sum(px) / 16.0
+                            THEN 2**j ELSE 0 END
+                       for j in range(0, 16)]) AS pattern
+          FROM b),
+    ipairs AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b
+               FROM p a JOIN p c ON a.pattern = c.pattern AND a.doc_id < c.doc_id),
+    u AS (SELECT id_a, id_b,
+                 CASE WHEN t.ta IS NOT NULL THEN 1 ELSE 0 END AS in_text,
+                 CASE WHEN i.ia IS NOT NULL THEN 1 ELSE 0 END AS in_image
+          FROM (SELECT id_a, id_b FROM tpairs UNION SELECT id_a, id_b FROM ipairs) pr
+          LEFT JOIN (SELECT id_a AS ta, id_b AS tb FROM tpairs) t
+            ON t.ta = pr.id_a AND t.tb = pr.id_b
+          LEFT JOIN (SELECT id_a AS ia, id_b AS ib FROM ipairs) i
+            ON i.ia = pr.id_a AND i.ib = pr.id_b)
+    SELECT CAST(sum(CASE WHEN in_text = 1 AND in_image = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_both,
+           CAST(sum(CASE WHEN in_text = 1 AND in_image = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_text_only,
+           CAST(sum(CASE WHEN in_text = 0 AND in_image = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_image_only
+    FROM u
+    """.replace("{J}", dround_sql("inter / (sa.n + sb.n - inter)", 6)),
+)
+def x135_crossmodal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modality dedup consistency: of all near-dup pairs found by
+    EITHER modality, how many agree (text shingle-Jaccard >= 0.5 AND
+    image pHash band match) vs are single-modality only — the audit
+    that catches a drifting image pipeline (text-only pairs rising) or
+    caption-swapped images (image-only pairs rising). On this fixture
+    the report itself demonstrates the failure mode it exists to catch:
+    the fake codec derives pixels from EXACT text bytes, so textual
+    near-dups (edited copies) get unrelated images and the modalities
+    disagree completely (n_both = 0) — exactly the divergence signature
+    a real caption-image mismatch produces. Full outer union of the two
+    pair sets + one conditional agg."""
+    from ..functions.dedupfns import ngram_jaccard_pairs
+
+    d = load_parallel(spark, sf_dir, "documents")
+    tp = ngram_jaccard_pairs(d, n=3, threshold=0.5).select("id_a", "id_b")
+    from ..functions.multimodalfns import perceptual_hash, phash_near_dup_pairs
+
+    hashes = perceptual_hash(attach_fake_media(d))
+    ip = phash_near_dup_pairs(hashes, max_hamming=3, bands=4).select("id_a", "id_b")
+    pr = tp.unionByName(ip).distinct()
+    t = tp.withColumn("in_text", F.lit(1))
+    i = ip.withColumn("in_image", F.lit(1))
+    u = (
+        pr.join(t, ["id_a", "id_b"], "left")
+        .join(i, ["id_a", "id_b"], "left")
+        .fillna({"in_text": 0, "in_image": 0})
+    )
+    return u.agg(
+        F.sum(((F.col("in_text") == 1) & (F.col("in_image") == 1)).cast("long")).alias("n_both"),
+        F.sum(((F.col("in_text") == 1) & (F.col("in_image") == 0)).cast("long")).alias("n_text_only"),
+        F.sum(((F.col("in_text") == 0) & (F.col("in_image") == 1)).cast("long")).alias("n_image_only"),
+    )

@@ -2260,3 +2260,39 @@ def x129_quality_flag_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_flags") >= 1)
         .orderBy("doc_id")
     )
+
+
+@query(
+    "x134_tokenizer_efficiency",
+    oracle="""
+    WITH s AS (SELECT source, lang,
+                      CAST(sum(n_chars) AS BIGINT) AS chars,
+                      CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+                           AS BIGINT) AS toks
+               FROM documents GROUP BY source, lang)
+    SELECT source, lang, chars, toks,
+           CAST(chars * 1000000 // toks AS BIGINT) AS chars_per_token_ppm
+    FROM s ORDER BY source, lang
+    """,
+)
+def x134_tokenizer_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-efficiency grid: characters per token by (source, lang)
+    as an exact ppm — the compression-cost table that prices each slice
+    of the mixture in actual context-window budget (a lang/source whose
+    text tokenizes fat costs proportionally more per character of
+    content; the input to x116's allocator when the budget is tokens
+    but the value is characters). One hash agg."""
+    d = load(spark, sf_dir, "documents")
+    s = d.groupBy("source", "lang").agg(
+        F.sum("n_chars").alias("chars"),
+        F.sum(F.size(F.split("text", " ")).cast("long")).alias("toks"),
+    )
+    return s.select(
+        "source",
+        "lang",
+        "chars",
+        "toks",
+        F.floor(F.col("chars") * 1_000_000 / F.col("toks")).cast("long").alias(
+            "chars_per_token_ppm"
+        ),
+    ).orderBy("source", "lang")
