@@ -207,6 +207,7 @@ HEADLINE = [
     "x133_retention_half_life",
     "x134_tokenizer_efficiency",
     "x135_crossmodal_agreement",
+    "x136_corpus_summary",
 ]
 
 

@@ -2296,3 +2296,62 @@ def x134_tokenizer_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chars_per_token_ppm"
         ),
     ).orderBy("source", "lang")
+
+
+@query(
+    "x136_corpus_summary",
+    oracle="""
+    WITH d AS (SELECT doc_id, text, source, lang, n_chars,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+               FROM documents),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                 CAST(sum(n_chars) AS BIGINT) AS n_chars,
+                 CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+                 CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+                 CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+          FROM d),
+    v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vocab
+          FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents))
+    SELECT n_docs, n_tokens, n_chars, n_unique, n_sources, n_langs, vocab,
+           CAST((n_docs - n_unique) * 1000000 // n_docs AS BIGINT)
+             AS exact_dup_ppm,
+           CAST(n_tokens * 1000000 // n_docs AS BIGINT) AS tokens_per_doc_ppm
+    FROM t CROSS JOIN v
+    """,
+)
+def x136_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus front page: one row of headline KPIs (docs, tokens,
+    chars, distinct contents, sources, languages, vocabulary, exact-dup
+    ppm, mean doc length) — the number set every drill-down query in
+    the curation family starts from and reconciles back to. Two scans
+    (doc-level agg + token distinct), everything BIGINT."""
+    d = load(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    t = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tokens).alias("n_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    v = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .agg(F.countDistinct("tok").alias("vocab"))
+    )
+    return t.crossJoin(F.broadcast(v)).select(
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        "n_unique",
+        "n_sources",
+        "n_langs",
+        "vocab",
+        F.floor((F.col("n_docs") - F.col("n_unique")) * 1_000_000 / F.col("n_docs"))
+        .cast("long")
+        .alias("exact_dup_ppm"),
+        F.floor(F.col("n_tokens") * 1_000_000 / F.col("n_docs"))
+        .cast("long")
+        .alias("tokens_per_doc_ppm"),
+    )
