@@ -208,6 +208,7 @@ HEADLINE = [
     "x134_tokenizer_efficiency",
     "x135_crossmodal_agreement",
     "x136_corpus_summary",
+    "x137_dup_distance_audit",
 ]
 
 

@@ -1156,3 +1156,57 @@ def x131_cluster_source_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+@query(
+    "x137_dup_distance_audit",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS s
+           FROM tok WHERE len(t) >= 3),
+    ex AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    pairs AS (SELECT id_a, id_b FROM inter
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE {{J}} >= 0.5),
+    mx AS (SELECT max(doc_id) AS md FROM documents),
+    d AS (SELECT CASE
+            WHEN (id_b - id_a) * 100 <= md THEN 'within_1pct'
+            WHEN (id_b - id_a) * 10 <= md THEN 'within_10pct'
+            ELSE 'far' END AS distance_band
+          FROM pairs CROSS JOIN mx)
+    SELECT distance_band, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM d GROUP BY distance_band ORDER BY distance_band
+    """.replace("{{J}}", "{J}").replace("{J}", _J_SQL),
+)
+def x137_dup_distance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-locality audit: how far apart in crawl order (doc_id
+    distance, banded at 1% / 10% of the corpus span) near-dup pairs sit
+    — THE scale-planning input for dedup: if duplicates cluster within
+    1%, a sliding-window dedup over the ingest order replaces the
+    global self-join (a 100x cheaper plan); a heavy 'far' band means
+    only the global bucketed join is sound. Band bounds are
+    cross-multiplied integers off a 1-row broadcast scalar."""
+    from ..functions.dedupfns import ngram_jaccard_pairs
+
+    d = load_parallel(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.5).select("id_a", "id_b")
+    mx = d.agg(F.max("doc_id").alias("md"))
+    dist = F.col("id_b") - F.col("id_a")
+    band = (
+        F.when(dist * 100 <= F.col("md"), "within_1pct")
+        .when(dist * 10 <= F.col("md"), "within_10pct")
+        .otherwise("far")
+    )
+    return (
+        pairs.crossJoin(F.broadcast(mx))
+        .select(band.alias("distance_band"))
+        .groupBy("distance_band")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("distance_band")
+    )
