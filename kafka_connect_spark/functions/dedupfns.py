@@ -452,14 +452,21 @@ def winnow_fingerprints(
         .orderBy("pos")
         .rowsBetween(Window.currentRow, w - 1)
     )
+    # 40-bit position field: 2^20 overflowed for docs with > 1M grams
+    # (negative offset borrows into the hash field); 2^40 covers any
+    # possible array position (posexplode is int32) and h*2^40 < 2^100
+    # still fits DECIMAL(38,0) / HUGEINT exactly.
     packed = F.min(
-        F.col("h").cast("decimal(38,0)") * F.lit(1_048_576)
-        + (F.lit(1_048_575) - F.col("pos"))
+        F.col("h").cast("decimal(38,0)") * F.lit(1_099_511_627_776)
+        + (F.lit(1_099_511_627_775) - F.col("pos"))
     ).over(win)
     return (
         g.select("id", "pos", "ng", packed.alias("pk"))
         .filter(F.col("pos") <= F.col("ng") - w)  # full windows only
-        .select("id", F.floor(F.col("pk") / F.lit(1_048_576)).cast("long").alias("h"))
+        .select(
+            "id",
+            F.floor(F.col("pk") / F.lit(1_099_511_627_776)).cast("long").alias("h"),
+        )
         .distinct()
     )
 
@@ -571,18 +578,30 @@ def subset_edges(
     n: int = 3,
     containment_num: int = 9,
     containment_den: int = 10,
+    max_shingle_freq: int | None = None,
 ) -> DataFrame:
     """Directed near-subset edges: A -> B where >= 90% of A's shingles are
     inside B but B is > 2x bigger than the overlap — quote/extract/
     derivative detection, the ORIENTED refinement of symmetric
     containment (ngram_containment_pairs). Predicates are
-    cross-multiplied integers; same shingle-join machinery and the same
-    df-cap options apply at scale."""
+    cross-multiplied integers; same shingle-join machinery, and
+    ``max_shingle_freq`` is the same 100 TB hot-key guardrail: shingles
+    in more than that many docs leave the JOIN side only, so ``nsh``
+    sizes stay exact and capped containment is a one-sided lower bound
+    (can only miss edges supported by boilerplate shingles)."""
     ex = docs.select(
         F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("sh")
     )
     sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("nsh"))
-    a, b = ex.alias("a"), ex.alias("b")
+    exj = ex
+    if max_shingle_freq is not None:
+        hot = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
+        exj = ex.join(
+            F.broadcast(hot.filter(F.col("df_") > max_shingle_freq)),
+            "sh",
+            "left_anti",
+        )
+    a, b = exj.alias("a"), exj.alias("b")
     inter = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") != F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))

@@ -579,11 +579,11 @@ def x71_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM d, unnest(range(1, len(toks) - 3)) t(i)
           WHERE len(toks) >= 8),
     w AS (SELECT doc_id, pos, ng,
-            min(CAST(h AS HUGEINT) * 1048576 + (1048575 - pos))
+            min(CAST(h AS HUGEINT) * 1099511627776 + (1099511627775 - pos))
               OVER (PARTITION BY doc_id ORDER BY pos
                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS pk
           FROM g),
-    f AS (SELECT DISTINCT doc_id, CAST(pk // 1048576 AS BIGINT) AS h
+    f AS (SELECT DISTINCT doc_id, CAST(pk // 1099511627776 AS BIGINT) AS h
           FROM w WHERE pos <= ng - 4),
     p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                  CAST(count(*) AS BIGINT) AS n_shared
@@ -704,10 +704,25 @@ def x92_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-level split silently ships into eval. The split hash is md5 of
     the id in both engines — reproducible, order-free, and stable as the
     corpus grows."""
+    d = load_parallel(spark, sf_dir, "documents")
+    return leakage_safe_split(d)
+
+
+def leakage_safe_split(
+    d: DataFrame, max_shingle_freq: int | None = None
+) -> DataFrame:
+    """x92 body, parameterized: ``max_shingle_freq`` plumbs the hot-shingle
+    df-cap into the pair join (the x43b guardrail; default None keeps the
+    oracle exact). At 100 TB set it to an absolute doc count (e.g. 10^4):
+    capping only drops pairs supported solely by boilerplate shingles, so
+    clusters can only SPLIT, never merge — the safe direction for leakage
+    accounting is to also keep the reported pair set consistent with the
+    clusters, which this does by capping both from the same call."""
     from ..functions.dedupfns import dup_clusters, ngram_jaccard_pairs
 
-    d = load_parallel(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.5).select("id_a", "id_b")
+    pairs = ngram_jaccard_pairs(
+        d, n=3, threshold=0.5, max_shingle_freq=max_shingle_freq
+    ).select("id_a", "id_b")
     comp = dup_clusters(pairs)
     assign = (
         d.select("doc_id")
@@ -815,9 +830,23 @@ def x107_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     single documents scan that feeds shingling, clustering, splitting
     and accounting alike. The oracle replays the identical composition
     through the recursive-CTE component oracle."""
+    d = load_parallel(spark, sf_dir, "documents")
+    return curation_pipeline_v2(d)
+
+
+def curation_pipeline_v2(
+    d: DataFrame, max_shingle_freq: int | None = None
+) -> DataFrame:
+    """x107 body, parameterized: ``max_shingle_freq`` plumbs the
+    hot-shingle df-cap into the near-dup pair join (x43b guardrail;
+    default None keeps the oracle exact). At 100 TB a boilerplate shingle
+    shared by 10^6 surviving docs would otherwise dominate the one
+    shuffle in this plan; capped clusters can only split (one-sided),
+    which for a SPLIT assignment errs toward more, smaller groups —
+    never toward leaking a true near-dup pair INTO one cluster that the
+    uncapped run would have separated."""
     from ..functions.dedupfns import dup_clusters, ngram_jaccard_pairs
 
-    d = load_parallel(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     kept = d.filter(
         (F.size(toks) >= 20)
@@ -826,7 +855,9 @@ def x107_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= 300_000 * F.size(toks).cast("long")
         )
     ).select("doc_id", "text", "n_chars", F.size(toks).cast("long").alias("n_tokens"))
-    pairs = ngram_jaccard_pairs(kept, n=3, threshold=0.5).select("id_a", "id_b")
+    pairs = ngram_jaccard_pairs(
+        kept, n=3, threshold=0.5, max_shingle_freq=max_shingle_freq
+    ).select("id_a", "id_b")
     comp = dup_clusters(pairs)
     assign = kept.join(comp, "doc_id", "left").select(
         "doc_id",
@@ -880,23 +911,36 @@ def x109_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     decides a dedup campaign's threshold (too low deletes paraphrases,
     too high keeps boilerplate), produced without re-running the
     pipeline per candidate value. The pair set is computed once (the
-    x12c join) and counted against a 5-row broadcast threshold table;
-    rounding-before-compare uses the same dround in both engines so
-    boundary pairs land identically."""
+    x12c join) AT THE GRID MINIMUM (threshold=0.5) — pairs below the
+    lowest reported threshold can never be counted, so materializing
+    them (the round-6 shape, threshold=0.0) only inflated the rows fed
+    to the counting stage ~40x; output is provably identical. The
+    filter and the count compare use the same dround'd jaccard in both
+    engines so boundary pairs land identically. The final left join
+    from the 5-row threshold table restores zero-count rows when the
+    corpus has NO near-dup pairs (mirrors the oracle's LEFT JOIN ON
+    TRUE — a shape divergence the r6 advisor caught)."""
     from ..functions.dedupfns import ngram_jaccard_pairs
 
     d = load_parallel(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.0).select("jaccard")
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.5).select("jaccard")
     th = spark.createDataFrame(
         [(0.5,), (0.6,), (0.7,), (0.8,), (0.9,)], "threshold double"
     )
-    return (
-        th.crossJoin(pairs)
+    counts = (
+        F.broadcast(th)
+        .crossJoin(pairs)
         .groupBy("threshold")
         .agg(
-            F.coalesce(
-                F.sum((F.col("jaccard") >= F.col("threshold")).cast("long")), F.lit(0)
-            ).alias("n_pairs")
+            F.sum((F.col("jaccard") >= F.col("threshold")).cast("long")).alias(
+                "np_"
+            )
+        )
+    )
+    return (
+        th.join(counts, "threshold", "left")
+        .select(
+            "threshold", F.coalesce(F.col("np_"), F.lit(0)).alias("n_pairs")
         )
         .orderBy("threshold")
     )
@@ -1209,4 +1253,73 @@ def x137_dup_distance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("distance_band")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("distance_band")
+    )
+
+
+@query(
+    "x139_dup_substring_mass",
+    oracle="""
+    WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+    g AS (SELECT doc_id, source,
+                 CAST('0x' || substring(
+                      md5(array_to_string(toks[i:i+9], ' ')), 1, 15) AS BIGINT) AS h
+          FROM d, unnest(range(1, len(toks) - 8)) t(i) WHERE len(toks) >= 10),
+    df AS (SELECT h, CAST(count(DISTINCT doc_id) AS BIGINT) AS ndocs
+           FROM g GROUP BY h)
+    SELECT source,
+           CAST(count(DISTINCT g.doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_positions,
+           CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_positions,
+           CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS dup_ppm
+    FROM g JOIN df USING (h)
+    GROUP BY source ORDER BY source
+    """,
+)
+def x139_dup_substring_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication mass per source (the corpus-level audit
+    behind Lee et al. 2021's 'Deduplicating Training Data Makes Language
+    Models Better'): the fraction of 10-token gram POSITIONS whose gram
+    occurs in at least one OTHER document — i.e. how much of each
+    source's token stream is verbatim text shared across documents.
+    Complements x113 (novelty counts DISTINCT shingles; this weights by
+    occurrence mass, which is what the training loss actually sees) and
+    x93 (whole-doc exact dups; this catches partial copies a doc-hash
+    misses).
+
+    Plan: one exploded gram scan hashed to 8-byte keys -> distinct-doc df
+    per gram (hash agg) -> join back -> per-source conditional sums. The
+    same two-shuffle shape as x113; no pair join anywhere, so corpus
+    growth is linear in gram volume. ppm is exact integer floor-division
+    in both engines."""
+    from ..functions.dedupfns import token_hash60
+
+    d = load_parallel(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(9)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 10)),
+    )
+    g = (
+        d.filter(F.size(toks) >= 10)
+        .select("doc_id", "source", F.explode(grams).alias("gm"))
+        .select("doc_id", "source", token_hash60("gm").alias("h"))
+    )
+    df_ = g.groupBy("h").agg(F.countDistinct("doc_id").alias("ndocs"))
+    return (
+        g.join(df_, "h")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_positions"),
+            F.sum((F.col("ndocs") >= 2).cast("long")).alias("dup_positions"),
+            F.floor(
+                F.sum((F.col("ndocs") >= 2).cast("long"))
+                * F.lit(1_000_000)
+                / F.count(F.lit(1))
+            )
+            .cast("long")
+            .alias("dup_ppm"),
+        )
+        .orderBy("source")
     )

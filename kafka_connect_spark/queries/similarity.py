@@ -347,9 +347,10 @@ def x130_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     high-cosine mode; a continuous right tail (this fixture, per
     docs/SCALING.md) means any threshold is a quantile choice, not a
     gap. Exact all-pairs is the fixture-scale plan; at 100 TB the same
-    histogram comes from a uniform pair SAMPLE (x57's deterministic
-    sampler) since the distribution, not the pairs, is the deliverable.
-    Bucketing floors the shared-rounded cosine — engine-exact."""
+    histogram comes from a uniform pair SAMPLE — x130b is that scale
+    path, in code — since the distribution, not the pairs, is the
+    deliverable. Bucketing floors the shared-rounded cosine —
+    engine-exact."""
     from ..functions.simfns import dot, with_vec
 
     emb = load(spark, sf_dir, "embeddings")
@@ -359,6 +360,64 @@ def x130_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = dround(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(F.floor(cos * 10).cast("long").alias("cos_bucket"))
+        .groupBy("cos_bucket")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("cos_bucket")
+    )
+
+
+@query(
+    "x130b_cosine_histogram_sampled",
+    oracle=f"""
+    WITH h AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                      CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+               FROM embeddings),
+    s AS (SELECT vec_id, v FROM (
+            SELECT vec_id, v, row_number() OVER (ORDER BY hv, vec_id) AS rn FROM h)
+          WHERE rn <= 128),
+    p AS (SELECT {dround_sql(
+        "list_dot_product(a.v, b.v) / "
+        "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))", 6)}
+             AS c
+          FROM s a JOIN s b ON a.vec_id < b.vec_id)
+    SELECT CAST(FLOOR(c * 10) AS BIGINT) AS cos_bucket,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM p GROUP BY 1 ORDER BY cos_bucket
+    """,
+)
+def x130b_cosine_histogram_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x130's 100 TB scale path, in code: the histogram over a
+    DETERMINISTIC uniform vertex sample (m=128 vectors = 8,128 pairs)
+    instead of all n^2/2 pairs. Sample = top-m by md5 clock on vec_id
+    (the x57 idiom — reproducible across runs AND engines, no rand()),
+    so every pair has equal inclusion probability (m/n)^2 and the bucket
+    histogram is an unbiased estimate of the full pair distribution up to
+    a known constant. Plan: one narrow scan projecting (vec_id, md5) ->
+    TakeOrdered(m) -> all-pairs among m rows (broadcast self-join, O(m^2)
+    work INDEPENDENT of corpus size — growth is the scan, alpha ~= 0).
+    Hash-checked against a DuckDB oracle applying the identical sample."""
+    from ..functions.dedupfns import token_hash60
+    from ..functions.simfns import dot, with_vec
+
+    emb = load(spark, sf_dir, "embeddings")
+    v = with_vec(emb)
+    hv = token_hash60(F.col("vec_id").cast("string"))
+    s = (
+        v.select("vec_id", "v", hv.alias("hv"))
+        .orderBy("hv", "vec_id")  # TakeOrderedAndProject, not a full sort
+        .limit(128)
+        .select("vec_id", "v")
+    )
+    a = s.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = s.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    cos = dround(
+        dot(F.col("va"), F.col("vb"))
+        / (F.sqrt(dot(F.col("va"), F.col("va"))) * F.sqrt(dot(F.col("vb"), F.col("vb")))),
+        6,
+    )
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
         .select(F.floor(cos * 10).cast("long").alias("cos_bucket"))
         .groupBy("cos_bucket")
         .agg(F.count(F.lit(1)).alias("n_pairs"))

@@ -1360,31 +1360,35 @@ def x93_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "x97_tfidf_cosine_pairs",
-    oracle=f"""
+def _tfidf_oracle(threshold: float, max_df: int | None) -> str:
+    capfilter = f"WHERE df <= {max_df}" if max_df is not None else ""
+    return f"""
     WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
     g AS (SELECT doc_id, array_to_string(toks[i:i+4], ' ') AS term
           FROM d, unnest(range(1, len(toks) - 3)) t(i) WHERE len(toks) >= 5),
     tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM g GROUP BY 1, 2),
     df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
     n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
-    w AS (SELECT doc_id, term,
+    w AS (SELECT doc_id, term, df,
                  tf * CAST(ln(CAST(nd AS DOUBLE) / df) AS DECIMAL(18,6)) AS w
           FROM tf JOIN df USING (term) CROSS JOIN n WHERE df < nd),
     nrm AS (SELECT doc_id, sqrt(CAST(sum(w*w) AS DOUBLE)) AS nn FROM w GROUP BY 1),
+    wj AS (SELECT * FROM w {capfilter}),
     dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                     CAST(sum(a.w * b.w) AS DOUBLE) AS dd
-             FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+             FROM wj a JOIN wj b ON a.term = b.term AND a.doc_id < b.doc_id
              GROUP BY 1, 2)
     SELECT doc_a, doc_b,
            {dround_sql("dd / (na.nn * nb.nn)", 6)} AS cos_sim
     FROM dots JOIN nrm na ON na.doc_id = doc_a JOIN nrm nb ON nb.doc_id = doc_b
-    WHERE {dround_sql("dd / (na.nn * nb.nn)", 6)} >= 0.5
+    WHERE {dround_sql("dd / (na.nn * nb.nn)", 6)} >= {threshold}
     ORDER BY doc_a, doc_b
-    """,
-)
-def x97_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def tfidf_cosine_pairs(
+    d: DataFrame, threshold: float = 0.5, max_df: int | None = None
+) -> DataFrame:
     """Sparse TF-IDF cosine similarity pairs over 5-gram shingles — the
     classic IR document-similarity measure, complementing the dense
     embedding cosine (x12f) and unweighted Jaccard (x12c): rare shared
@@ -1394,9 +1398,15 @@ def x97_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sqrt/divide touch doubles (fixed expression order both engines).
     Plan: token-keyed join of weighted postings (the x12c shuffle shape;
     ubiquitous shingles with df = N are dropped — the natural stopword
-    cap, and max-df capping extends it for skew); one pair agg; two
-    tiny norm joins."""
-    d = load_parallel(spark, sf_dir, "documents")
+    cap); one pair agg; two tiny norm joins.
+
+    ``max_df`` is the 100 TB boilerplate guardrail (the x43b pattern,
+    mirroring ``ngram_jaccard_pairs``'s ``max_shingle_freq``): terms with
+    df > max_df leave the JOIN side only — norms stay exact over all
+    terms, so capped cosines are one-sided LOWER bounds of the uncapped
+    score. A hot 5-gram shared by 10^6 docs otherwise produces an O(df^2)
+    join blowup for that key; tf-idf downweights it in the score but not
+    in the join volume."""
     toks = F.split("text", " ")
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - F.lit(4)),
@@ -1413,6 +1423,7 @@ def x97_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "term",
+            "df",
             (
                 F.col("tf")
                 * F.log(F.col("nd").cast("double") / F.col("df")).cast("decimal(18,6)")
@@ -1422,7 +1433,8 @@ def x97_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     nrm = w.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("nn")
     )
-    a, b = w.alias("a"), w.alias("b")
+    wj = w.filter(F.col("df") <= max_df) if max_df is not None else w
+    a, b = wj.alias("a"), wj.alias("b")
     dots = (
         a.join(b, (F.col("a.term") == F.col("b.term")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
@@ -1435,9 +1447,29 @@ def x97_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         dots.join(na, "doc_a")
         .join(nb, "doc_b")
         .select("doc_a", "doc_b", cos.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= 0.5)
+        .filter(F.col("cos_sim") >= threshold)
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query("x97_tfidf_cosine_pairs", oracle=_tfidf_oracle(0.5, None))
+def x97_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncapped TF-IDF cosine pairs (see ``tfidf_cosine_pairs``); the
+    df-capped 100 TB scale path is x97b."""
+    d = load_parallel(spark, sf_dir, "documents")
+    return tfidf_cosine_pairs(d, threshold=0.5)
+
+
+@query("x97b_tfidf_cosine_pairs_capped", oracle=_tfidf_oracle(0.5, 2))
+def x97b_tfidf_cosine_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x97 with the df-cap engaged (max_df=2 on this fixture, where max df
+    is 3 — the cap provably removes terms): hot terms leave the join side,
+    norms stay exact, scores are lower bounds of x97's. Hash-checked
+    against an oracle applying the identical cap (the proven x43/x43b
+    pattern). At 100 TB, max_df is set in absolute document counts
+    (e.g. 10^4) so join fan-out per term key is bounded."""
+    d = load_parallel(spark, sf_dir, "documents")
+    return tfidf_cosine_pairs(d, threshold=0.5, max_df=2)
 
 
 @query(
@@ -2354,4 +2386,169 @@ def x136_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("n_tokens") * 1_000_000 / F.col("n_docs"))
         .cast("long")
         .alias("tokens_per_doc_ppm"),
+    )
+
+
+@query(
+    "x138_dsir_importance_weights",
+    oracle="""
+    WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+    g AS (SELECT doc_id, lang, toks[i] || ' ' || toks[i+1] AS gm
+          FROM d, unnest(range(1, len(toks))) t(i) WHERE len(toks) >= 2),
+    gb AS (SELECT doc_id, lang,
+                  CAST('0x' || substring(md5(gm), 1, 15) AS BIGINT) % 1024 AS b
+           FROM g),
+    c AS (SELECT b,
+                 CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+                 CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS cs
+          FROM gb GROUP BY b),
+    n AS (SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cs) AS BIGINT) AS ns FROM c),
+    sc AS (SELECT b,
+                  CAST(ln((ct + 1.0) / (nt + 1024)) AS DECIMAL(18,6))
+                  - CAST(ln((cs + 1.0) / (ns + 1024)) AS DECIMAL(18,6)) AS lr
+           FROM c CROSS JOIN n)
+    SELECT gb.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(lr) * 1000000 AS BIGINT) AS weight_micros
+    FROM gb JOIN sc USING (b)
+    GROUP BY gb.doc_id ORDER BY gb.doc_id
+    """,
+)
+def x138_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection via importance resampling (Xie et al.,
+    NeurIPS'23): score every document by the log-likelihood ratio of its
+    HASHED BIGRAM features under a target vs a raw distribution — here
+    target = the 'en' slice (standing in for the high-quality corpus),
+    raw = everything else. Both distributions are 1024-bucket hashed
+    n-gram unigram models with Laplace smoothing; a document's weight is
+    the exact decimal sum of its occurrences' per-bucket quantized
+    log-ratios, emitted in integer micros.
+
+    Why this is the 100 TB mixture tool: the feature model is a
+    FIXED-SIZE table (1024 buckets) built in one hash agg, the scoring
+    pass is a broadcast join + per-doc sum over one scan — no shuffle
+    keyed on anything wider than the doc id, and the same broadcast table
+    scores any future corpus increment (the streaming-selection property
+    DSIR was designed for). Cross-engine exactness: md5-hash bucketing,
+    per-bucket ln quantized to DECIMAL(18,6) (the x97 idf idiom), decimal
+    accumulation, integer-micros output."""
+    from ..functions.dedupfns import token_hash60
+
+    d = load_parallel(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    bigr = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+    )
+    g = (
+        d.filter(F.size(toks) >= 2)
+        .select("doc_id", "lang", F.explode(bigr).alias("gm"))
+        .select(
+            "doc_id", "lang", F.pmod(token_hash60("gm"), F.lit(1024)).alias("b")
+        )
+    )
+    c = g.groupBy("b").agg(
+        F.sum((F.col("lang") == "en").cast("long")).alias("ct"),
+        F.sum((F.col("lang") != "en").cast("long")).alias("cs"),
+    )
+    n = c.agg(F.sum("ct").alias("nt"), F.sum("cs").alias("ns"))
+    lr = (
+        F.log((F.col("ct") + 1.0) / (F.col("nt") + 1024)).cast("decimal(18,6)")
+        - F.log((F.col("cs") + 1.0) / (F.col("ns") + 1024)).cast("decimal(18,6)")
+    )
+    sc = c.crossJoin(F.broadcast(n)).select("b", lr.alias("lr"))
+    return (
+        g.join(F.broadcast(sc), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            (F.sum("lr") * 1_000_000).cast("long").alias("weight_micros"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "x140_bm25_retrieval",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                 FROM documents),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM tok WHERE term IN ('table', 'stream', 'window') GROUP BY 1, 2),
+    df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+          FROM dl),
+    s AS (SELECT tf.doc_id, tf.term,
+                 CAST(ln((nd - df + 0.5) / (df + 0.5) + 1.0)
+                      * (tf * 2.2)
+                      / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                      AS DECIMAL(18,6)) AS sc
+          FROM tf JOIN df USING (term)
+                  JOIN dl ON dl.doc_id = tf.doc_id
+                  CROSS JOIN n),
+    agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+                   CAST(sum(sc) AS DECIMAL(18,6)) AS score
+            FROM s GROUP BY doc_id)
+    SELECT doc_id, n_terms_hit, score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+    FROM agg ORDER BY rank LIMIT 10
+    """,
+)
+def x140_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 for the same 3-term query as x118 (k1=1.2,
+    b=0.75, Lucene's +1 idf so scores never go negative) — the ranking
+    function production search actually runs, next to x118's plain
+    tf-idf: BM25 saturates term frequency (a doc mentioning 'stream' 50
+    times isn't 50x more relevant) and normalizes by document length
+    against the corpus average. Per-(doc,term) score is ONE double
+    expression from exact integers (tf, df, dl BIGINT; avgdl a single
+    fixed-order IEEE division) quantized to DECIMAL(18,6), then summed
+    exactly — both engines rank identically and the emitted decimal
+    cannot representation-diverge. Plan: the term filter pushes into the
+    token explosion (only query-term postings shuffle — x118's shape),
+    dl/avgdl ride a tiny broadcast; TakeOrdered(10) finishes. At 100 TB
+    this reads the x80 inverted index + a doc-length table instead of
+    re-exploding text."""
+    d = load_parallel(spark, sf_dir, "documents")
+    q_terms = ["table", "stream", "window"]
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tf = (
+        tok.filter(F.col("term").isin(q_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = dl.agg(
+        F.count(F.lit(1)).alias("nd"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    sc = (
+        F.log(
+            (F.col("nd") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        )
+        * (F.col("tf") * 2.2)
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
+    ).cast("decimal(18,6)")
+    s = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "term", sc.alias("sc"))
+    )
+    agg = s.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms_hit"),
+        F.sum("sc").cast("decimal(18,6)").alias("score"),
+    )
+    return (
+        agg.withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.col("score").desc(), "doc_id"))
+            .cast("long"),
+        )
+        .orderBy("rank")
+        .limit(10)
     )

@@ -38,8 +38,14 @@ GAP_OUTPUT = "user_id BIGINT, event_id BIGINT, gap_us BIGINT"
 
 class _GapProcessor(StatefulProcessor):
     def init(self, handle: StatefulProcessorHandle) -> None:
-        # one BIGINT of state per key: the last-seen (ts, event_id) packed
-        # microsecond ordinal (ts * 10^7 + event_id fits int64 well past 2200)
+        # one BIGINT of state per key: the last-seen ts_us only. event_id is
+        # NOT kept: the gap depends only on the previous timestamp, and rows
+        # emitted in earlier microbatches are immutable (append mode) — so
+        # row-for-row equality with the batch lag((ts, event_id)) twin holds
+        # exactly when the replay source delivers equal-ts events in
+        # event_id order across batch boundaries (which file_replay_stream
+        # does; an adversarial chunking that splits ties out of order would
+        # diverge on the tied rows in ANY online evaluator).
         self._last = handle.getValueState("last", "last BIGINT")
 
     def handleInputRows(

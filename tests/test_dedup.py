@@ -313,3 +313,81 @@ def test_subset_edges_detects_planted_extract(spark):
     assert (1, 2) in edges          # the planted extract is found, oriented
     assert (2, 1) not in edges      # and never reversed
     assert not any(3 in e or 4 in e for e in edges)  # twins are not subsets
+
+
+def test_curation_pipeline_shingle_cap_plumbed(spark):
+    """Verdict r6 item #6: the composite curation ops must expose the
+    hot-shingle df-cap. A boilerplate shingle shared by every doc makes
+    two otherwise-unrelated docs a near-dup pair uncapped; with the cap
+    the pair (and its shared cluster) must disappear while genuinely
+    identical docs still cluster together."""
+    from kafka_connect_spark.queries.dedup import curation_pipeline_v2
+
+    boiler = " ".join(f"b{i}" for i in range(25))
+    # two docs that are >= 50% boilerplate shingles, otherwise disjoint
+    d1 = boiler + " " + " ".join(f"u{i}" for i in range(10))
+    d2 = boiler + " " + " ".join(f"v{i}" for i in range(10))
+    # an exact twin pair that must survive capping (their shared shingles
+    # are NOT corpus-hot: df=2 <= cap)
+    twin = " ".join(f"t{i}" for i in range(30))
+    # a third boilerplate carrier makes the boiler shingles corpus-hot
+    # (df=3 > cap=2) without being a near-dup of docs 1/2 itself
+    d5 = boiler + " " + " ".join(f"w{i}" for i in range(60))
+    rows = [(1, d1), (2, d2), (3, twin), (4, twin), (5, d5)] + [
+        (10 + i, " ".join(f"z{i}_{j}" for j in range(30))) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "n_chars", F.length("text").cast("long")
+    )
+    unc = curation_pipeline_v2(df).agg(F.sum("n_unique")).collect()[0][0]
+    cap = curation_pipeline_v2(df, max_shingle_freq=2)
+    # capping changes no accounting columns' SEMANTICS, only which docs
+    # share a cluster; verify via the leakage helper where pairs surface
+    from kafka_connect_spark.queries.dedup import leakage_safe_split
+
+    uncapped_pairs = leakage_safe_split(df)
+    capped_pairs = leakage_safe_split(df, max_shingle_freq=2)
+    # smoke: both composites execute with the cap engaged
+    assert cap.count() >= 1 and capped_pairs.count() == 2
+    assert unc is not None and uncapped_pairs.count() == 2
+
+    # the direct evidence: the boilerplate pair exists uncapped, vanishes
+    # capped; the twin pair survives both
+    unc_p = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(df, threshold=0.5).collect()
+    }
+    cap_p = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(
+            df, threshold=0.5, max_shingle_freq=2
+        ).collect()
+    }
+    assert (1, 2) in unc_p and (3, 4) in unc_p
+    assert (1, 2) not in cap_p and (3, 4) in cap_p
+
+
+def test_subset_edges_cap_drops_boilerplate_edge(spark):
+    """subset_edges' new max_shingle_freq: an extract->container edge
+    supported only by a corpus-hot run of shingles must vanish under the
+    cap, while an edge from unique content survives; sizes stay exact."""
+    from kafka_connect_spark.functions.dedupfns import subset_edges
+
+    hot = " ".join(f"h{i}" for i in range(20))
+    uniq = " ".join(f"w{i}" for i in range(20))
+    rows = [
+        (1, hot),  # contained entirely by the hot run
+        (2, hot + " " + " ".join(f"p{i}" for i in range(80))),
+        (3, uniq),  # contained by unique content
+        (4, uniq + " " + " ".join(f"q{i}" for i in range(80))),
+        # make the hot run corpus-hot (df > 2 on its shingles)
+        (5, hot + " " + " ".join(f"r{i}" for i in range(80))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    unc = {(r.contained_doc, r.container_doc) for r in subset_edges(df).collect()}
+    cap = {
+        (r.contained_doc, r.container_doc)
+        for r in subset_edges(df, max_shingle_freq=2).collect()
+    }
+    assert (1, 2) in unc and (3, 4) in unc
+    assert (1, 2) not in cap and (3, 4) in cap
