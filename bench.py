@@ -215,6 +215,12 @@ HEADLINE = [
     "x138_dsir_importance_weights",
     "x139_dup_substring_mass",
     "x140_bm25_retrieval",
+    "x141_rank_agreement",
+    "x142_stratified_eval_sample",
+    "x143_benford_audit",
+    "x144_bot_likeness_panel",
+    "x145_knn_label_consistency",
+    "x146_dsir_ess",
 ]
 
 

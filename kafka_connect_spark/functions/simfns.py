@@ -740,7 +740,16 @@ def pq_topk(
     ``k*oversample``, and only those few rows ever join back to the
     full vectors for the exact rerank. At 100 TB the full-precision
     vectors are read exactly twice (encode, rerank-subset) and never
-    shuffled. Seed-deterministic => rows-only check + recall tests."""
+    shuffled. Seed-deterministic => rows-only check + recall tests.
+
+    Parameter discipline (measured, docs/SCALING.md round-7 recall
+    probe): recall's binding constraint is CODE RESOLUTION, not the
+    candidate pool — 4-bit codes cap recall@3 at ~0.43 on the 64-dim
+    fixture while 8-bit codes (``n_codes=256``, the PQ-paper default)
+    reach 0.90; ``oversample`` must also grow with the corpus
+    (~ n/2000). The 16-code default here exists because the fixture's
+    500-vector table cannot train 256-centroid subspace codebooks
+    non-degenerately; at production scale use m=8 x 256 codes."""
     books = _pq_codebooks(corpus, id_col, vec_col, m, n_codes, seed)
     d = books.shape[2]
 

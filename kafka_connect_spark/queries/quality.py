@@ -406,3 +406,153 @@ def x120_lang_source_independence(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.sum("term").cast("decimal(18,6)").alias("chi2"))
         .select("chi2", ((F.col("k1") - 1) * (F.col("k2") - 1)).cast("long").alias("dof"))
     )
+
+
+@query(
+    "x143_benford_audit",
+    oracle="""
+    WITH v AS (SELECT CAST(floor(value * 1000000) AS BIGINT) AS m
+               FROM events WHERE value > 0),
+    d AS (SELECT CAST(substring(CAST(m AS VARCHAR), 1, 1) AS BIGINT) AS digit
+          FROM v WHERE m > 0),
+    c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM d GROUP BY digit),
+    t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS total FROM c)
+    SELECT digit, n_obs,
+           CAST(n_obs * 1000000 // total AS BIGINT) AS obs_ppm,
+           CAST(floor(log10(1.0 + 1.0 / digit) * 1000000) AS BIGINT) AS benford_ppm,
+           CAST(n_obs * 1000000 // total
+                - CAST(floor(log10(1.0 + 1.0 / digit) * 1000000) AS BIGINT)
+                AS BIGINT) AS dev_ppm
+    FROM c CROSS JOIN t ORDER BY digit
+    """,
+)
+def x143_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit (Benford) audit of the metric stream — the
+    classic fabricated/synthetic-data detector: natural multiplicative
+    processes put ~30.1% of leading digits at 1, while generated or
+    clipped values show flat or spiked digit histograms. One conditional
+    scan + a 9-row report of observed vs Benford-expected frequency.
+
+    Engine-exactness: the leading digit is NEVER taken from a
+    double's string form (engines format doubles differently) — values
+    are scaled to exact integers (floor(v*10^6), identical IEEE multiply
+    both sides) and the digit comes from the INTEGER's decimal string;
+    expectations are floor-quantized log10 of small-integer ratios.
+    Map-side digit extraction, 9-group agg: scan-bound at any scale."""
+    d = load(spark, sf_dir, "events")
+    m = F.floor(F.col("value") * 1_000_000).cast("long")
+    dig = (
+        d.filter(F.col("value") > 0)
+        .select(m.alias("m"))
+        .filter(F.col("m") > 0)
+        .select(F.substring(F.col("m").cast("string"), 1, 1).cast("long").alias("digit"))
+    )
+    c = dig.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    t = c.agg(F.sum("n_obs").alias("total"))
+    benford = F.floor(F.log10(1.0 + 1.0 / F.col("digit")) * 1_000_000).cast("long")
+    obs = F.floor(F.col("n_obs") * 1_000_000 / F.col("total")).cast("long")
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            "n_obs",
+            obs.alias("obs_ppm"),
+            benford.alias("benford_ppm"),
+            (obs - benford).alias("dev_ppm"),
+        )
+        .orderBy("digit")
+    )
+
+
+@query(
+    "x144_bot_likeness_panel",
+    oracle="""
+    WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+               FROM events),
+    g AS (SELECT user_id,
+                 ts_us - lag(ts_us) OVER (PARTITION BY user_id
+                                          ORDER BY ts_us, event_id) AS gap
+          FROM e),
+    gs AS (SELECT user_id,
+                  CAST(count(gap) AS BIGINT) AS ng,
+                  CAST(sum(CAST(gap AS HUGEINT)) AS HUGEINT) AS s1,
+                  CAST(sum(CAST(gap AS HUGEINT) * CAST(gap AS HUGEINT)) AS HUGEINT) AS s2
+           FROM g WHERE gap IS NOT NULL GROUP BY user_id),
+    tc AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+           FROM e GROUP BY 1, 2),
+    tn AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+                  CAST(sum(c * CAST(ln(CAST(c AS DOUBLE)) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sl
+           FROM tc GROUP BY user_id)
+    SELECT gs.user_id,
+           gs.ng + 1 AS n_events,
+           CAST(floor(sqrt(CAST(gs.ng * gs.s2 - gs.s1 * gs.s1 AS DOUBLE))
+                      / CAST(gs.s1 AS DOUBLE) * 1000000) AS BIGINT) AS gap_cv_ppm,
+           CAST(floor((ln(CAST(tn.n AS DOUBLE))
+                       - CAST(tn.sl AS DOUBLE) / tn.n) * 1000000) AS BIGINT)
+             AS type_entropy_micronats
+    FROM gs JOIN tn ON tn.user_id = gs.user_id
+    WHERE gs.ng >= 5 AND gs.s1 > 0
+    ORDER BY gs.user_id
+    """,
+)
+def x144_bot_likeness_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user bot-likeness signals — the spam/automation filter a
+    training-data pipeline runs over behavioral streams before trusting
+    engagement-derived labels: (a) inter-event gap REGULARITY as the
+    coefficient of variation in ppm (metronome-like bots have near-zero
+    CV; humans are bursty, CV >~ 1) and (b) event-type ENTROPY in
+    micronats (single-action scripts pin near 0; organic sessions mix).
+    Consumers threshold the two columns; this op reports signals, not
+    verdicts (the x129 adjudication pattern).
+
+    Exactness: gap moments accumulate in HUGEINT/DECIMAL(38,0) (gap^2
+    reaches 10^26 — int64 would overflow silently), entropy uses the
+    quantized-ln dot product (x138's idiom: per-type ln quantized to
+    DECIMAL(18,6), multiplied by exact integer counts, summed exactly),
+    and only the final sqrt/divide touch doubles in fixed order. Plan:
+    one lag window + two hash aggs, all partitioned by user_id —
+    embarrassingly parallel at 100 TB."""
+    d = load(spark, sf_dir, "events")
+    e = d.select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    g = e.select(
+        "user_id", (F.col("ts_us") - F.lag("ts_us").over(w)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    gd = F.col("gap").cast("decimal(38,0)")
+    gs = g.groupBy("user_id").agg(
+        F.count("gap").alias("ng"),
+        F.sum(gd).alias("s1"),
+        F.sum(gd * gd).alias("s2"),
+    )
+    tc = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    tn = tc.groupBy("user_id").agg(
+        F.sum("c").alias("n"),
+        F.sum(
+            F.col("c") * F.log(F.col("c").cast("double")).cast("decimal(18,6)")
+        ).alias("sl"),
+    )
+    cv = F.floor(
+        F.sqrt((F.col("ng") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double"))
+        / F.col("s1").cast("double")
+        * 1_000_000
+    ).cast("long")
+    ent = F.floor(
+        (
+            F.log(F.col("n").cast("double"))
+            - F.col("sl").cast("double") / F.col("n")
+        )
+        * 1_000_000
+    ).cast("long")
+    return (
+        gs.join(tn, "user_id")
+        .filter((F.col("ng") >= 5) & (F.col("s1") > 0))
+        .select(
+            "user_id",
+            (F.col("ng") + 1).cast("long").alias("n_events"),
+            cv.alias("gap_cv_ppm"),
+            ent.alias("type_entropy_micronats"),
+        )
+        .orderBy("user_id")
+    )

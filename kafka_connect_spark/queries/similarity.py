@@ -423,3 +423,80 @@ def x130b_cosine_histogram_sampled(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("cos_bucket")
     )
+
+
+@query(
+    "x145_knn_label_consistency",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    p AS (SELECT a.vec_id AS qid, a.label AS ql, b.label AS nl,
+                 {dround_sql(
+                     "list_dot_product(a.v, b.v) / "
+                     "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))", 6)}
+                   AS c,
+                 b.vec_id AS nid
+          FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+    r AS (SELECT qid, ql, nl,
+                 row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rk
+          FROM p),
+    k AS (SELECT qid, ql,
+                 CAST(sum(CASE WHEN nl = ql THEN 1 ELSE 0 END) AS BIGINT) AS agree
+          FROM r WHERE rk <= 5 GROUP BY qid, ql)
+    SELECT ql AS label,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(sum(agree) AS BIGINT) AS sum_agree,
+           CAST(sum(agree) * 1000000 // (count(*) * 5) AS BIGINT) AS consistency_ppm
+    FROM k GROUP BY ql ORDER BY label
+    """,
+)
+def x145_knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise audit via k-nearest-neighbor label agreement: for every
+    vector, how many of its 5 exact cosine neighbors share its label,
+    rolled up per label as an exact ppm — the standard embedding-space
+    diagnostic that separates mislabeled points (low agreement inside an
+    otherwise-tight class) from genuinely diffuse classes (uniformly
+    mediocre agreement). Runs the full exact neighbor ranking at fixture
+    scale (this is the audit/ground-truth stage, like x13 vs x13b); at
+    100 TB the identical per-label rollup consumes ANN candidates
+    (LSH/IVF/PQ) instead of the all-pairs ranking — the agreement ppm
+    then carries the measured recall bound from docs/SCALING.md's
+    round-7 probe. Ranks use the shared dround + neighbor-id tie-break,
+    so both engines pick identical neighbor sets."""
+    from ..functions.simfns import dot, with_vec
+
+    emb = load(spark, sf_dir, "embeddings")
+    v = with_vec(emb)
+    a = v.select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("ql"),
+        F.col("v").alias("qv"), F.col("v_norm").alias("qn"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("nid"), F.col("label").alias("nl"),
+        F.col("v").alias("nv"), F.col("v_norm").alias("nn"),
+    )
+    cos = dround(dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), 6)
+    r = (
+        a.join(b, F.col("qid") != F.col("nid"))
+        .select("qid", "ql", "nl", cos.alias("c"), "nid")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.col("c").desc(), "nid")
+            ),
+        )
+        .filter(F.col("rk") <= 5)
+    )
+    k = r.groupBy("qid", "ql").agg(
+        F.sum((F.col("nl") == F.col("ql")).cast("long")).alias("agree")
+    )
+    return (
+        k.groupBy(F.col("ql").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum("agree").alias("sum_agree"),
+            F.floor(F.sum("agree") * 1_000_000 / (F.count(F.lit(1)) * 5))
+            .cast("long")
+            .alias("consistency_ppm"),
+        )
+        .orderBy("label")
+    )

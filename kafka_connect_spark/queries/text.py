@@ -2429,25 +2429,39 @@ def x138_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass is a broadcast join + per-doc sum over one scan — no shuffle
     keyed on anything wider than the doc id, and the same broadcast table
     scores any future corpus increment (the streaming-selection property
-    DSIR was designed for). Cross-engine exactness: md5-hash bucketing,
-    per-bucket ln quantized to DECIMAL(18,6) (the x97 idf idiom), decimal
-    accumulation, integer-micros output."""
+    DSIR was designed for — tests/test_curation_ops.py replays documents
+    as a file stream and shows per-microbatch ``dsir_score_docs`` with a
+    FROZEN model equals this batch output row-for-row). Cross-engine
+    exactness: md5-hash bucketing, per-bucket ln quantized to
+    DECIMAL(18,6) (the x97 idf idiom), decimal accumulation,
+    integer-micros output."""
+    d = load_parallel(spark, sf_dir, "documents")
+    return dsir_score_docs(d, dsir_bucket_scores(d)).orderBy("doc_id")
+
+
+def _dsir_grams(d: DataFrame) -> DataFrame:
     from ..functions.dedupfns import token_hash60
 
-    d = load_parallel(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     bigr = F.transform(
         F.sequence(F.lit(1), F.size(toks) - 1),
         lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
     )
-    g = (
+    return (
         d.filter(F.size(toks) >= 2)
         .select("doc_id", "lang", F.explode(bigr).alias("gm"))
         .select(
             "doc_id", "lang", F.pmod(token_hash60("gm"), F.lit(1024)).alias("b")
         )
     )
-    c = g.groupBy("b").agg(
+
+
+def dsir_bucket_scores(d: DataFrame) -> DataFrame:
+    """The DSIR feature model: a 1024-row (bucket, log-ratio) table built
+    in one hash agg over the training corpus. Freeze (or persist) it and
+    score any later corpus increment with ``dsir_score_docs`` — the model
+    never grows with the data."""
+    c = _dsir_grams(d).groupBy("b").agg(
         F.sum((F.col("lang") == "en").cast("long")).alias("ct"),
         F.sum((F.col("lang") != "en").cast("long")).alias("cs"),
     )
@@ -2456,15 +2470,22 @@ def x138_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.log((F.col("ct") + 1.0) / (F.col("nt") + 1024)).cast("decimal(18,6)")
         - F.log((F.col("cs") + 1.0) / (F.col("ns") + 1024)).cast("decimal(18,6)")
     )
-    sc = c.crossJoin(F.broadcast(n)).select("b", lr.alias("lr"))
+    return c.crossJoin(F.broadcast(n)).select("b", lr.alias("lr"))
+
+
+def dsir_score_docs(d: DataFrame, sc: DataFrame) -> DataFrame:
+    """Score documents against a (frozen) DSIR bucket model: broadcast
+    join + per-doc exact decimal sum. Stateless per document, so it runs
+    identically on a batch frame or inside each streaming microbatch
+    (foreachBatch) — no cross-batch state to carry."""
     return (
-        g.join(F.broadcast(sc), "b")
+        _dsir_grams(d)
+        .join(F.broadcast(sc), "b")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
             (F.sum("lr") * 1_000_000).cast("long").alias("weight_micros"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -2551,4 +2572,312 @@ def x140_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
         .limit(10)
+    )
+
+
+@query(
+    "x141_rank_agreement",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                 FROM documents),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM tok WHERE term IN ('table', 'stream', 'window') GROUP BY 1, 2),
+    df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+          FROM dl),
+    s AS (SELECT tf.doc_id,
+                 CAST(tf.tf * CAST(ln(CAST(nd AS DOUBLE) / df) AS DECIMAL(18,6))
+                      AS DECIMAL(18,6)) AS w_tfidf,
+                 CAST(ln((nd - df + 0.5) / (df + 0.5) + 1.0)
+                      * (tf * 2.2)
+                      / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                      AS DECIMAL(18,6)) AS w_bm25
+          FROM tf JOIN df USING (term)
+                  JOIN dl ON dl.doc_id = tf.doc_id
+                  CROSS JOIN n),
+    agg AS (SELECT doc_id,
+                   CAST(sum(w_tfidf) AS DECIMAL(18,6)) AS s_tfidf,
+                   CAST(sum(w_bm25) AS DECIMAL(18,6)) AS s_bm25
+            FROM s GROUP BY doc_id),
+    r AS (SELECT doc_id,
+                 CAST(row_number() OVER (ORDER BY s_tfidf DESC, doc_id) AS BIGINT) AS r_tfidf,
+                 CAST(row_number() OVER (ORDER BY s_bm25 DESC, doc_id) AS BIGINT) AS r_bm25
+          FROM agg)
+    SELECT CAST(count(*) AS BIGINT) AS n_matched,
+           CAST(sum(CASE WHEN r_tfidf <= 10 AND r_bm25 <= 10 THEN 1 ELSE 0 END)
+                AS BIGINT) AS overlap_at_10,
+           CAST(sum(abs(r_tfidf - r_bm25)) AS BIGINT) AS footrule_sum,
+           CAST(sum(abs(r_tfidf - r_bm25)) * 1000000
+                // GREATEST(count(*) * count(*) // 2, 1) AS BIGINT)
+             AS footrule_ppm
+    FROM r
+    """,
+)
+def x141_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-agreement audit between the two retrieval scorers (x118
+    tf-idf vs x140 BM25) on the same query: Spearman FOOTRULE distance
+    (sum of |rank difference| over the matched-doc set, normalized ppm
+    against the permutation maximum ~m^2/2) plus top-10 overlap. The
+    meta-eval a ranker swap ships with — footrule is rank-correlation
+    you can compute in ONE linear pass (no concordant/discordant pair
+    join, unlike Kendall tau), so at 100 TB it runs over the full
+    matched set; both rankings derive from quantized-decimal scores with
+    doc_id tie-breaks, so ranks — and therefore the audit — are
+    engine-exact. Plan: the two scorers share one postings scan (single
+    tf CTE feeds both weight columns), two rank windows over the tiny
+    matched set, one final agg."""
+    d = load_parallel(spark, sf_dir, "documents")
+    q_terms = ["table", "stream", "window"]
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tf = (
+        tok.filter(F.col("term").isin(q_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = dl.agg(
+        F.count(F.lit(1)).alias("nd"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    w_tfidf = (
+        F.col("tf")
+        * F.log(F.col("nd").cast("double") / F.col("df")).cast("decimal(18,6)")
+    ).cast("decimal(18,6)")
+    w_bm25 = (
+        F.log((F.col("nd") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+        * (F.col("tf") * 2.2)
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
+    ).cast("decimal(18,6)")
+    s = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", w_tfidf.alias("w_tfidf"), w_bm25.alias("w_bm25"))
+    )
+    agg = s.groupBy("doc_id").agg(
+        F.sum("w_tfidf").cast("decimal(18,6)").alias("s_tfidf"),
+        F.sum("w_bm25").cast("decimal(18,6)").alias("s_bm25"),
+    )
+    r = agg.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("s_tfidf").desc(), "doc_id"))
+        .cast("long")
+        .alias("r_tfidf"),
+        F.row_number()
+        .over(Window.orderBy(F.col("s_bm25").desc(), "doc_id"))
+        .cast("long")
+        .alias("r_bm25"),
+    )
+    fr = F.sum(F.abs(F.col("r_tfidf") - F.col("r_bm25")))
+    m = F.count(F.lit(1))
+    return r.agg(
+        m.alias("n_matched"),
+        F.sum(
+            ((F.col("r_tfidf") <= 10) & (F.col("r_bm25") <= 10)).cast("long")
+        ).alias("overlap_at_10"),
+        fr.alias("footrule_sum"),
+        F.floor(
+            fr * F.lit(1_000_000)
+            / F.greatest(F.floor(m * m / 2), F.lit(1))
+        )
+        .cast("long")
+        .alias("footrule_ppm"),
+    )
+
+
+@query(
+    "x142_stratified_eval_sample",
+    oracle="""
+    WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+    q AS (SELECT lang, n,
+                 CAST(100 * n // total AS BIGINT) AS base,
+                 CAST(100 * n % total AS BIGINT) AS rem
+          FROM c CROSS JOIN t),
+    b AS (SELECT CAST(sum(base) AS BIGINT) AS sum_base FROM q),
+    a AS (SELECT lang, n,
+                 base + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang)
+                                  <= 100 - sum_base THEN 1 ELSE 0 END AS alloc
+          FROM q CROSS JOIN b),
+    h AS (SELECT doc_id, lang,
+                 CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+          FROM documents),
+    r AS (SELECT doc_id, lang, hv,
+                 row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn
+          FROM h)
+    SELECT r.lang, CAST(a.alloc AS BIGINT) AS lang_quota, r.doc_id,
+           CAST(r.rn AS BIGINT) AS rank
+    FROM r JOIN a ON a.lang = r.lang
+    WHERE r.rn <= a.alloc
+    ORDER BY r.lang, r.rn
+    """,
+)
+def x142_stratified_eval_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified eval-set construction: apportion a fixed
+    budget of 100 eval slots across language strata by LARGEST-REMAINDER
+    (Hamilton) apportionment — floor quotas plus one extra slot per
+    largest fractional remainder, ties by lang — then fill each stratum
+    with its md5-clock sample (the x57 deterministic-uniform idiom). The
+    op an eval-pipeline runs at every corpus refresh: exact proportional
+    representation with NO floating-point quota (quotas compare integer
+    numerators 100*n mod N), reproducible doc selection, and an output
+    an auditor can re-derive by hand.
+
+    Plan at 100 TB: stratum counts are one hash agg (|langs| rows,
+    broadcast everywhere after); the apportionment window runs over that
+    tiny table; the fill is one per-stratum rank window that
+    WindowGroupLimit caps at the quota — the corpus scan never shuffles
+    more than (lang, doc_id, 8-byte clock)."""
+    from ..functions.dedupfns import token_hash60
+
+    d = load_parallel(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    q = c.crossJoin(F.broadcast(t)).select(
+        "lang",
+        "n",
+        F.floor(F.lit(100) * F.col("n") / F.col("total")).cast("long").alias("base"),
+        (F.lit(100) * F.col("n") % F.col("total")).alias("rem"),
+    )
+    b = q.agg(F.sum("base").alias("sum_base"))
+    a = (
+        q.crossJoin(F.broadcast(b))
+        .withColumn(
+            "rn_", F.row_number().over(Window.orderBy(F.col("rem").desc(), "lang"))
+        )
+        .select(
+            "lang",
+            (
+                F.col("base")
+                + (F.col("rn_") <= F.lit(100) - F.col("sum_base")).cast("long")
+            ).alias("alloc"),
+        )
+    )
+    h = d.select(
+        "doc_id", "lang", token_hash60(F.col("doc_id").cast("string")).alias("hv")
+    )
+    r = h.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("lang").orderBy("hv", "doc_id"))
+    )
+    return (
+        r.join(F.broadcast(a), "lang")
+        .filter(F.col("rn") <= F.col("alloc"))
+        .select(
+            "lang",
+            F.col("alloc").cast("long").alias("lang_quota"),
+            "doc_id",
+            F.col("rn").cast("long").alias("rank"),
+        )
+        .orderBy("lang", "rank")
+    )
+
+
+@query(
+    "x146_dsir_ess",
+    oracle="""
+    WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+    g AS (SELECT doc_id, lang, toks[i] || ' ' || toks[i+1] AS gm
+          FROM d, unnest(range(1, len(toks))) t(i) WHERE len(toks) >= 2),
+    gb AS (SELECT doc_id, lang,
+                  CAST('0x' || substring(md5(gm), 1, 15) AS BIGINT) % 1024 AS b
+           FROM g),
+    c AS (SELECT b,
+                 CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+                 CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS cs
+          FROM gb GROUP BY b),
+    n AS (SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cs) AS BIGINT) AS ns FROM c),
+    sc AS (SELECT b,
+                  CAST(ln((ct + 1.0) / (nt + 1024)) AS DECIMAL(18,6))
+                  - CAST(ln((cs + 1.0) / (ns + 1024)) AS DECIMAL(18,6)) AS lr
+           FROM c CROSS JOIN n),
+    dw AS (SELECT gb.doc_id,
+                  CAST(count(*) AS BIGINT) AS ng,
+                  CAST(sum(lr) * 1000000 AS BIGINT) AS w_micros
+           FROM gb JOIN sc USING (b) GROUP BY gb.doc_id),
+    r AS (SELECT doc_id,
+                 exp(CAST(w_micros // ng AS DOUBLE) / 1000000.0) AS w
+          FROM dw),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(CAST(floor(w * 1000000) AS BIGINT)) AS HUGEINT) AS s1,
+                 CAST(sum(CAST(floor(w * 1000000) AS HUGEINT)
+                          * CAST(floor(w * 1000000) AS HUGEINT)) AS HUGEINT) AS s2
+          FROM r)
+    SELECT n_docs,
+           CAST(CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT) // s2 AS BIGINT) AS ess,
+           CAST(floor((CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT) // s2)
+                      * 1000000.0 / n_docs) AS BIGINT) AS ess_ratio_ppm
+    FROM m
+    """,
+)
+def x146_dsir_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective sample size of the DSIR importance weights (x138) — the
+    go/no-go diagnostic importance resampling ships with: if
+    ESS = (Σw)² / Σw² collapses relative to n, the target distribution
+    is so far from the raw corpus that resampling would repeat a tiny
+    subset (and you should mix gradually instead). Weights are
+    length-normalized (per-gram mean log-ratio, exact integer division
+    of the x138 micros by the gram count) then exponentiated once;
+    weight sums accumulate as exact integers (floor(w*10^6) in
+    BIGINT/HUGEINT, Σw² reaches 10^25 — int64 would overflow), so the
+    final ESS is integer arithmetic both engines agree on bit-for-bit.
+    Plan: x138's broadcast-scored scan + one 1-row agg — the diagnostic
+    is free on top of the scoring pass."""
+    from ..functions.dedupfns import token_hash60
+
+    d = load_parallel(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    bigr = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+    )
+    g = (
+        d.filter(F.size(toks) >= 2)
+        .select("doc_id", "lang", F.explode(bigr).alias("gm"))
+        .select(
+            "doc_id", "lang", F.pmod(token_hash60("gm"), F.lit(1024)).alias("b")
+        )
+    )
+    c = g.groupBy("b").agg(
+        F.sum((F.col("lang") == "en").cast("long")).alias("ct"),
+        F.sum((F.col("lang") != "en").cast("long")).alias("cs"),
+    )
+    n = c.agg(F.sum("ct").alias("nt"), F.sum("cs").alias("ns"))
+    lr = (
+        F.log((F.col("ct") + 1.0) / (F.col("nt") + 1024)).cast("decimal(18,6)")
+        - F.log((F.col("cs") + 1.0) / (F.col("ns") + 1024)).cast("decimal(18,6)")
+    )
+    sc = c.crossJoin(F.broadcast(n)).select("b", lr.alias("lr"))
+    dw = (
+        g.join(F.broadcast(sc), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("ng"),
+            (F.sum("lr") * 1_000_000).cast("long").alias("w_micros"),
+        )
+    )
+    w = F.exp(
+        F.floor(F.col("w_micros") / F.col("ng")).cast("double") / 1_000_000.0
+    )
+    wi = F.floor(w * 1_000_000).cast("decimal(38,0)")
+    r = dw.select(wi.alias("wi"))
+    m = r.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("wi").alias("s1"),
+        F.sum(F.col("wi") * F.col("wi")).alias("s2"),
+    )
+    # exact truncating big-int division: Spark decimal `/` rounds HALF_UP
+    # at the result scale, so floor(a/b) can disagree with DuckDB's `//`
+    # by 1; subtracting pmod first makes the quotient an exact integer.
+    a = F.col("s1") * F.col("s1")
+    ess = ((a - F.pmod(a, F.col("s2"))) / F.col("s2")).cast("long")
+    return m.select(
+        "n_docs",
+        ess.alias("ess"),
+        F.floor(ess * F.lit(1_000_000).cast("double") / F.col("n_docs"))
+        .cast("long")
+        .alias("ess_ratio_ppm"),
     )

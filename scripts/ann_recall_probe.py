@@ -100,6 +100,11 @@ def main() -> None:
                 n_probe=max(8, n // 1280),
             ),
             "pq_fixed": lambda: pq_topk(emb, queries, k=k),
+            # scaled discipline: the ADC candidate pool must grow with the
+            # corpus (fixed k*oversample survivors compete against n)
+            "pq_scaled": lambda: pq_topk(
+                emb, queries, k=k, oversample=max(8, n // 2000)
+            ),
             "mips_lsh_fixed": lambda: mips_topk_lsh(emb, queries, k=k),
         }
         for name, fn in paths.items():

@@ -78,6 +78,9 @@ FLAGSHIPS = {
     "p29_alert_firing": "for-duration runs via gaps-and-islands window; no self-join",
     "x104_burst_detection": "trailing median as a 12-lag array sort; one per-series window",
     "x105_rolling_active_users": "coverage islands -> explode -> plain count; sliding distinct in one pass",
+    "x130b_cosine_histogram_sampled": "md5-clock TakeOrdered(128) sample -> broadcast NL all-pairs; O(m^2) independent of n",
+    "x138_dsir_importance_weights": "1024-bucket model broadcast to the gram stream; partial+final per-doc sum",
+    "x140_bm25_retrieval": "query-term filter prunes postings pre-agg; df/avgdl broadcast; TakeOrdered(10)",
 }
 
 

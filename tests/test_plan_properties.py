@@ -287,3 +287,35 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_x138_bucket_model_broadcast_score_join(spark, sf_dir):
+    """DSIR scoring must join the exploded gram stream to the 1024-bucket
+    score table via BROADCAST (the model is fixed-size by construction) —
+    a shuffle-hash join here would re-shuffle the whole token stream."""
+    plan = _plan(spark, sf_dir, "x138_dsir_importance_weights")
+    assert "BroadcastHashJoin" in plan
+    # the per-doc weight agg is partial+final (map-side combine)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_x140_bm25_broadcasts_stats_and_takeordered(spark, sf_dir):
+    """BM25's df table (|query terms| rows) and the (nd, avgdl) scalar
+    must broadcast; top-10 must be TakeOrdered, not global sort+limit;
+    and the query-term filter must prune the token stream BEFORE the
+    tf aggregation (only matching postings shuffle)."""
+    plan = _plan(spark, sf_dir, "x140_bm25_retrieval")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    opt = _optimized(spark, sf_dir, "x140_bm25_retrieval")
+    assert "table" in opt and "Filter" in opt
+
+
+def test_x130b_sample_is_takeordered_then_broadcast(spark, sf_dir):
+    """The sampled histogram's whole point is O(m^2) independent of n:
+    the md5-clock sample must be TakeOrdered(128) over a narrow
+    projection (never a full sort) and the m-row pair join must be a
+    broadcast nested loop, not a shuffle."""
+    plan = _plan(spark, sf_dir, "x130b_cosine_histogram_sampled")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan
