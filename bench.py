@@ -221,6 +221,12 @@ HEADLINE = [
     "x144_bot_likeness_panel",
     "x145_knn_label_consistency",
     "x146_dsir_ess",
+    "p34_histogram_quantile",
+    "x147_dup_degree_histogram",
+    "x148_context_fit_report",
+    "x149_dim_robust_stats",
+    "x150_minhash_calibration",
+    "x151_mixture_plan",
 ]
 
 

@@ -1323,3 +1323,148 @@ def x139_dup_substring_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "x147_dup_degree_histogram",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS s
+           FROM tok WHERE len(t) >= 3),
+    ex AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    pairs AS (SELECT id_a, id_b FROM inter
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE {{J}} >= 0.5),
+    deg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS degree FROM (
+              SELECT id_a AS doc_id FROM pairs
+              UNION ALL SELECT id_b FROM pairs) GROUP BY doc_id)
+    SELECT degree,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(degree) AS BIGINT) AS edge_endpoints
+    FROM deg GROUP BY degree ORDER BY degree
+    """.replace("{J}", _J_SQL),
+)
+def x147_dup_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the near-dup pair graph (x12c, threshold
+    0.5): how many documents have exactly k near-duplicates. The graph
+    shape diagnostic that separates benign PAIRWISE duplication (mass at
+    degree 1-2: mirrored posts) from boilerplate HUBS (a heavy tail:
+    one template matched by thousands — the input that motivates every
+    df-cap in this family and the first thing to inspect when x12h's
+    cluster sizes explode). Plan: the x12c pair join, one explode of
+    each edge into its two endpoints, two hash aggs — degree never
+    requires a second pair pass. Output is |distinct degrees| rows."""
+    from ..functions.dedupfns import ngram_jaccard_pairs
+
+    d = load_parallel(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.5).select("id_a", "id_b")
+    ends = pairs.select(F.col("id_a").alias("doc_id")).unionAll(
+        pairs.select(F.col("id_b").alias("doc_id"))
+    )
+    deg = ends.groupBy("doc_id").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        deg.groupBy("degree")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("degree").alias("edge_endpoints"),
+        )
+        .orderBy("degree")
+    )
+
+
+@query(
+    "x150_minhash_calibration",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS s
+           FROM tok WHERE len(t) >= 3),
+    ex AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    pairs AS (SELECT id_a, id_b,
+                     CAST(floor({{J}} * 1000000) AS BIGINT) AS jac_ppm
+              FROM inter
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE {{J}} >= 0.3),
+    sig AS (SELECT doc_id, i,
+                   CAST(min(CAST('0x' || substring(
+                        md5(CAST(i AS VARCHAR) || ':' || sh), 1, 15) AS BIGINT))
+                     AS BIGINT) AS mh
+            FROM ex CROSS JOIN unnest(range(0, 64)) t(i)
+            GROUP BY doc_id, i),
+    est AS (SELECT p.id_a, p.id_b, p.jac_ppm,
+                   CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS BIGINT) AS m
+            FROM pairs p
+            JOIN sig sa ON sa.doc_id = p.id_a
+            JOIN sig sb ON sb.doc_id = p.id_b AND sb.i = sa.i
+            GROUP BY 1, 2, 3)
+    SELECT CAST(jac_ppm // 100000 AS BIGINT) AS jac_decile,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(abs(m * 1000000 // 64 - jac_ppm)) // count(*) AS BIGINT)
+             AS mean_abs_err_ppm,
+           CAST(max(abs(m * 1000000 // 64 - jac_ppm)) AS BIGINT) AS max_abs_err_ppm
+    FROM est GROUP BY 1 ORDER BY jac_decile
+    """.replace("{J}", _J_SQL),
+)
+def x150_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration, fully oracle-checked: for every
+    exact-Jaccard pair >= 0.3, compute the 64-hash MinHash ESTIMATE
+    (fraction of agreeing signature components) with an md5 hash family
+    both engines share, and report mean/max absolute estimation error in
+    ppm per exact-Jaccard decile. This closes the evidence loop around
+    the rows-only LSH family: x12e's recall tests show the BUCKETING
+    finds the pairs; this query hash-checks the ESTIMATOR mathematics
+    (E[match fraction] = J, binomial sd ~ sqrt(J(1-J)/64) ~ 6% at J=0.5)
+    that the banding thresholds are derived from. The production kernel
+    (minhash_signatures) keeps xxhash64 permutations — cheaper per
+    shingle; md5 here exists to be engine-replicable, the estimator
+    distribution is hash-family-independent. Plan: one shingle explode
+    x 64 hash ids -> per-(doc, i) min agg; the error join touches only
+    the (tiny) exact pair set."""
+    from ..functions.dedupfns import ngram_jaccard_pairs, shingles, token_hash60
+
+    d = load_parallel(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.3).select(
+        "id_a", "id_b",
+        F.floor(F.col("jaccard") * 1_000_000).cast("long").alias("jac_ppm"),
+    )
+    ex = d.select("doc_id", F.explode(shingles("text", 3)).alias("sh"))
+    sig = (
+        ex.select("doc_id", "sh", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("i"))
+        .select(
+            "doc_id", "i",
+            token_hash60(
+                F.concat(F.col("i").cast("string"), F.lit(":"), F.col("sh"))
+            ).alias("h"),
+        )
+        .groupBy("doc_id", "i")
+        .agg(F.min("h").alias("mh"))
+    )
+    sa = sig.select(F.col("doc_id").alias("id_a"), "i", F.col("mh").alias("mha"))
+    sb = sig.select(F.col("doc_id").alias("id_b"), "i", F.col("mh").alias("mhb"))
+    est = (
+        pairs.join(sa, "id_a")
+        .join(sb, ["id_b", "i"])
+        .groupBy("id_a", "id_b", "jac_ppm")
+        .agg(F.sum((F.col("mha") == F.col("mhb")).cast("long")).alias("m"))
+    )
+    err = F.abs(F.floor(F.col("m") * 1_000_000 / 64) - F.col("jac_ppm"))
+    return (
+        est.groupBy(F.floor(F.col("jac_ppm") / 100_000).cast("long").alias("jac_decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.floor(F.sum(err) / F.count(F.lit(1))).cast("long").alias("mean_abs_err_ppm"),
+            F.max(err).cast("long").alias("max_abs_err_ppm"),
+        )
+        .orderBy("jac_decile")
+    )

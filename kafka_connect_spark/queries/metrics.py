@@ -3389,3 +3389,88 @@ def x133_retention_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_points"),
         F.floor(slope * 1_000_000).cast("long").alias("decay_ppm"),
     )
+
+
+_P34_CASE = """CASE
+             WHEN 10 * c1 >= 9 * total THEN
+               0.0 + (10.0 - 0.0) * (0.9 * total - 0) / c1
+             WHEN 10 * c2 >= 9 * total THEN
+               10.0 + (25.0 - 10.0) * (0.9 * total - c1) / (c2 - c1)
+             WHEN 10 * c3 >= 9 * total THEN
+               25.0 + (50.0 - 25.0) * (0.9 * total - c2) / (c3 - c2)
+             WHEN 10 * c4 >= 9 * total THEN
+               50.0 + (100.0 - 50.0) * (0.9 * total - c3) / (c4 - c3)
+             WHEN 10 * c5 >= 9 * total THEN
+               100.0 + (250.0 - 100.0) * (0.9 * total - c4) / (c5 - c4)
+             ELSE 250.0 END"""
+
+
+@query(
+    "p34_histogram_quantile",
+    oracle=f"""
+    WITH b AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS total,
+             CAST(sum(CASE WHEN value <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN value <= 25 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+             CAST(sum(CASE WHEN value <= 50 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+             CAST(sum(CASE WHEN value <= 100 THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+             CAST(sum(CASE WHEN value <= 250 THEN 1 ELSE 0 END) AS BIGINT) AS c5
+      FROM events GROUP BY user_id)
+    SELECT user_id, total, c1, c2, c3, c4, c5,
+           {dround_sql(_P34_CASE, 6)} AS p90
+    FROM b ORDER BY user_id
+    """,
+)
+def p34_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``histogram_quantile(0.9, ...)`` over classic cumulative
+    le-buckets, built and inverted in ONE pass: per-series bucket counts
+    are conditional sums (map-side partial agg — the histogram never
+    exists as rows), and the quantile inverts the cumulative counts with
+    Prometheus's linear within-bucket interpolation, falling back to the
+    highest finite bound when the quantile lands in +Inf (the documented
+    histogram_quantile behavior). The bucket pick compares exact integers
+    (10*cum >= 9*total — no float threshold), and the interpolation is
+    one fixed-order double expression from exact counts, rounded with the
+    shared dround. At 100 TB: one hash agg keyed by series, a wide
+    conditional-sum row per series, O(|buckets|) CASE per row — the same
+    cost as a plain per-series count."""
+    ev = load(spark, sf_dir, "events")
+    b = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("total"),
+        *[
+            F.sum((F.col("value") <= le).cast("long")).alias(f"c{i+1}")
+            for i, le in enumerate([10, 25, 50, 100, 250])
+        ],
+    )
+    return b.select(
+        "user_id", "total", "c1", "c2", "c3", "c4", "c5",
+        dround(histogram_quantile_expr(), 6).alias("p90"),
+    ).orderBy("user_id")
+
+
+def histogram_quantile_expr(
+    les: tuple[float, ...] = (10.0, 25.0, 50.0, 100.0, 250.0),
+    q_num: int = 9,
+    q_den: int = 10,
+):
+    """The histogram_quantile inversion ladder over cumulative bucket
+    columns c1..cN + total: bucket pick by exact integer compare
+    (q_den*cum >= q_num*total), Prometheus linear interpolation inside
+    the bucket, highest finite bound for +Inf. Shared by batch p34 and
+    the streaming windowed twin — bucket counts are decomposable sums,
+    so the SAME expression closes each streaming window."""
+    t = F.col("total")
+    bounds = [0.0] + list(les)
+    cums = [F.lit(0)] + [F.col(f"c{i}") for i in range(1, len(les) + 1)]
+    phi = q_num / q_den
+    expr = F.lit(bounds[-1])
+    # build the CASE ladder bottom-up so the FIRST satisfied bucket wins
+    for i in range(len(les), 0, -1):
+        lo, hi = bounds[i - 1], bounds[i]
+        clo, chi = cums[i - 1], cums[i]
+        interp = F.lit(lo) + (F.lit(hi) - F.lit(lo)) * (
+            F.lit(phi) * t - clo
+        ) / (chi - clo)
+        expr = F.when(q_den * chi >= q_num * t, interp).otherwise(expr)
+    return expr

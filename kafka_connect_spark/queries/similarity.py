@@ -500,3 +500,88 @@ def x145_knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "x149_dim_robust_stats",
+    oracle="""
+    WITH pos AS (SELECT vec_id, i - 1 AS dim,
+                        CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS mils
+                 FROM embeddings, range(1, 65) t(i)),
+    r AS (SELECT dim, mils,
+                 row_number() OVER (PARTITION BY dim ORDER BY mils, vec_id) AS rn,
+                 count(*) OVER (PARTITION BY dim) AS n
+          FROM pos),
+    med AS (SELECT dim, CAST(max(n) AS BIGINT) AS n,
+                   CAST(min(CASE WHEN rn = (n + 1) // 2 THEN mils END) AS BIGINT) AS med_mils
+            FROM r GROUP BY dim),
+    dev AS (SELECT pos.dim, abs(pos.mils - med.med_mils) AS adev, pos.vec_id
+            FROM pos JOIN med ON med.dim = pos.dim),
+    r2 AS (SELECT dim, adev,
+                  row_number() OVER (PARTITION BY dim ORDER BY adev, vec_id) AS rn,
+                  count(*) OVER (PARTITION BY dim) AS n
+           FROM dev)
+    SELECT med.dim AS dim, med.n, med.med_mils,
+           CAST(min(CASE WHEN r2.rn = (r2.n + 1) // 2 THEN r2.adev END) AS BIGINT)
+             AS mad_mils
+    FROM r2 JOIN med ON med.dim = r2.dim
+    GROUP BY med.dim, med.n, med.med_mils
+    ORDER BY med.dim
+    """,
+)
+def x149_dim_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension robust location/scale of the embedding table —
+    nearest-rank median and MAD (median absolute deviation) in exact
+    integer mils — the outlier-immune statistics a whitening/clipping
+    stage needs (x119's mean/min/max audit is moment-based; one corrupt
+    vector with a 10^6 coordinate drags a mean but not a median).
+    Nearest-rank (not interpolated) so both engines pick the identical
+    element; values quantize to mils BEFORE ranking (the shared floor
+    idiom). Plan: one posexplode to (dim, mils) rows, rank windows
+    partitioned by dim (64 independent partitions), a broadcast med
+    join, second rank pass for MAD. At 100 TB per-dim medians come from
+    a per-dim histogram agg (values are bounded mils integers — exact
+    median from counts, no global sort); the window form here is the
+    fixture-exact twin of that plan."""
+    emb = load(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x")
+    ).select(
+        "vec_id", "dim", F.floor(F.col("x") * 1000).cast("long").alias("mils")
+    )
+    wr = Window.partitionBy("dim").orderBy("mils", "vec_id")
+    wc = Window.partitionBy("dim")
+    r = pos.select(
+        "dim", "mils",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    med = r.groupBy("dim").agg(
+        F.max("n").alias("n"),
+        F.min(
+            F.when(
+                F.col("rn") == F.floor((F.col("n") + 1) / 2), F.col("mils")
+            )
+        ).cast("long").alias("med_mils"),
+    )
+    dev = pos.join(F.broadcast(med.select("dim", "med_mils")), "dim").select(
+        "dim", "vec_id", F.abs(F.col("mils") - F.col("med_mils")).alias("adev")
+    )
+    wr2 = Window.partitionBy("dim").orderBy("adev", "vec_id")
+    r2 = dev.select(
+        "dim", "adev",
+        F.row_number().over(wr2).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n2"),
+    )
+    mad = r2.groupBy("dim").agg(
+        F.min(
+            F.when(
+                F.col("rn") == F.floor((F.col("n2") + 1) / 2), F.col("adev")
+            )
+        ).cast("long").alias("mad_mils"),
+    )
+    return (
+        med.join(mad, "dim")
+        .select("dim", "n", "med_mils", "mad_mils")
+        .orderBy("dim")
+    )

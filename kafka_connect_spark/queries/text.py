@@ -2799,7 +2799,8 @@ def x142_stratified_eval_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                   CAST(sum(lr) * 1000000 AS BIGINT) AS w_micros
            FROM gb JOIN sc USING (b) GROUP BY gb.doc_id),
     r AS (SELECT doc_id,
-                 exp(CAST(w_micros // ng AS DOUBLE) / 1000000.0) AS w
+                 exp(CAST(floor(CAST(w_micros AS DOUBLE) / ng) AS DOUBLE)
+                     / 1000000.0) AS w
           FROM dw),
     m AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
                  CAST(sum(CAST(floor(w * 1000000) AS BIGINT)) AS HUGEINT) AS s1,
@@ -2880,4 +2881,177 @@ def x146_dsir_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(ess * F.lit(1_000_000).cast("double") / F.col("n_docs"))
         .cast("long")
         .alias("ess_ratio_ppm"),
+    )
+
+
+@query(
+    "x148_context_fit_report",
+    oracle="""
+    WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+               FROM documents),
+    ctx AS (SELECT unnest([128, 256, 512, 1024]) AS ctx)
+    SELECT CAST(ctx AS BIGINT) AS ctx,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum((n_tokens + ctx - 1) // ctx) AS BIGINT) AS n_chunks,
+           CAST(sum((n_tokens + ctx - 1) // ctx) * ctx - sum(n_tokens) AS BIGINT)
+             AS pad_tokens,
+           CAST((sum((n_tokens + ctx - 1) // ctx) * ctx - sum(n_tokens)) * 1000000
+                // (sum((n_tokens + ctx - 1) // ctx) * ctx) AS BIGINT) AS waste_ppm
+    FROM d CROSS JOIN ctx
+    GROUP BY ctx ORDER BY ctx
+    """,
+)
+def x148_context_fit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste report across candidate context lengths (128-1024):
+    if every document is split into ceil(tokens/ctx) fixed-size chunks
+    (the no-packing baseline a dataloader falls back to), what fraction
+    of compute slots is padding? The table that justifies a
+    sequence-packing stage (x29) or a context-length choice — waste_ppm
+    vs ctx is the curve you trade against long-range dependency needs.
+    All exact integer ceil-division arithmetic; ONE documents scan
+    crossed with a 4-row broadcast ctx table, one hash agg. At 100 TB
+    the scan reads one int column (token counts ride the x93 datasheet
+    scan in practice)."""
+    d = load_parallel(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    ctxs = spark.createDataFrame([(128,), (256,), (512,), (1024,)], "ctx long")
+    j = d.select(n_tokens.alias("n_tokens")).crossJoin(F.broadcast(ctxs))
+    chunks = F.floor((F.col("n_tokens") + F.col("ctx") - 1) / F.col("ctx"))
+    agg = j.groupBy("ctx").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum(chunks).alias("n_chunks"),
+    )
+    slots = F.col("n_chunks") * F.col("ctx")
+    return (
+        agg.select(
+            "ctx",
+            "n_docs",
+            "total_tokens",
+            "n_chunks",
+            (slots - F.col("total_tokens")).alias("pad_tokens"),
+            F.floor((slots - F.col("total_tokens")) * 1_000_000 / slots)
+            .cast("long")
+            .alias("waste_ppm"),
+        )
+        .orderBy("ctx")
+    )
+
+
+@query(
+    "x151_mixture_plan",
+    oracle="""
+    WITH d AS (SELECT doc_id, source, lang, string_split(text, ' ') AS toks FROM documents),
+    g AS (SELECT doc_id, lang, toks[i] || ' ' || toks[i+1] AS gm
+          FROM d, unnest(range(1, len(toks))) t(i) WHERE len(toks) >= 2),
+    gb AS (SELECT doc_id, lang,
+                  CAST('0x' || substring(md5(gm), 1, 15) AS BIGINT) % 1024 AS b
+           FROM g),
+    c AS (SELECT b,
+                 CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+                 CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS cs
+          FROM gb GROUP BY b),
+    n AS (SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cs) AS BIGINT) AS ns FROM c),
+    sc AS (SELECT b,
+                  CAST(ln((ct + 1.0) / (nt + 1024)) AS DECIMAL(18,6))
+                  - CAST(ln((cs + 1.0) / (ns + 1024)) AS DECIMAL(18,6)) AS lr
+           FROM c CROSS JOIN n),
+    dw AS (SELECT gb.doc_id, CAST(count(*) AS BIGINT) AS ng,
+                  CAST(sum(lr) * 1000000 AS BIGINT) AS w_micros
+           FROM gb JOIN sc USING (b) GROUP BY gb.doc_id),
+    src AS (SELECT d.source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len(toks)) AS BIGINT) AS tokens,
+                   CAST(floor(CAST(sum(CAST(floor(CAST(dw.w_micros AS DOUBLE) / dw.ng)
+                                             AS BIGINT)) AS DOUBLE) / count(*))
+                        AS BIGINT) AS mean_w_micros
+            FROM d JOIN dw ON dw.doc_id = d.doc_id
+            GROUP BY d.source),
+    scr AS (SELECT source, n_docs, tokens, mean_w_micros,
+                   CAST(floor(exp(0.7 * ln(CAST(tokens AS DOUBLE))
+                                  + CAST(mean_w_micros AS DOUBLE) / 1000000.0)
+                              * 1000000) AS BIGINT) AS score_micros
+            FROM src),
+    tot AS (SELECT CAST(sum(score_micros) AS HUGEINT) AS sum_score,
+                   CAST(sum(tokens) AS BIGINT) AS total_tokens
+            FROM scr)
+    SELECT source, n_docs, tokens, mean_w_micros, score_micros,
+           CAST(CAST(score_micros AS HUGEINT) * 1000000 // sum_score AS BIGINT) AS p_ppm,
+           CAST(CAST(score_micros AS HUGEINT) * total_tokens // sum_score AS BIGINT)
+             AS alloc_tokens,
+           CAST(CAST(CAST(score_micros AS HUGEINT) * total_tokens // sum_score
+                     AS HUGEINT) * 1000000 // tokens AS BIGINT) AS epochs_ppm
+    FROM scr CROSS JOIN tot ORDER BY source
+    """,
+)
+def x151_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixture PLAN — the table a pretraining data committee actually
+    signs off on: per source, allocate a one-epoch-equivalent token
+    budget by temperature-scaled size x DSIR quality,
+    score_s = exp(0.7 * ln(tokens_s) + mean_dsir_weight_s). Temperature
+    0.7 (the multilingual-sampling standard) upweights small sources;
+    the DSIR term (x138's frozen model, length-normalized per doc)
+    upweights target-like ones. Outputs sampling probability (ppm),
+    allocated tokens, and the implied per-source epoch count in ppm —
+    epochs_ppm > 1e6 means that source repeats, the number the
+    repetition-harm literature wants surfaced, not hidden.
+
+    Exactness: one transcendental expression per source quantized ONCE
+    to integer micros (fewer floor-boundary events than composing
+    quantized pow and exp); every division after that is exact big-int
+    floor division (the x146 pmod idiom; products reach 10^22).
+    Plan: x138's scoring pass + a |sources|-row plan table — the whole
+    planner is one extra tiny agg on the scan the datasheet already
+    pays for."""
+    d = load_parallel(spark, sf_dir, "documents")
+    dw = dsir_score_docs(d, dsir_bucket_scores(d))
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    src = (
+        d.select("doc_id", "source", n_tokens.alias("ntok"))
+        .join(dw, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ntok").alias("tokens"),
+            F.floor(
+                F.sum(F.floor(F.col("weight_micros") / F.col("n_grams")))
+                / F.count(F.lit(1))
+            )
+            .cast("long")
+            .alias("mean_w_micros"),
+        )
+    )
+    score = F.floor(
+        F.exp(
+            F.lit(0.7) * F.log(F.col("tokens").cast("double"))
+            + F.col("mean_w_micros").cast("double") / F.lit(1_000_000.0)
+        )
+        * 1_000_000
+    ).cast("long")
+    scr = src.select(
+        "source", "n_docs", "tokens", "mean_w_micros", score.alias("score_micros")
+    )
+    tot = scr.agg(
+        F.sum(F.col("score_micros").cast("decimal(38,0)")).alias("sum_score"),
+        F.sum("tokens").alias("total_tokens"),
+    )
+
+    def exdiv(a, b):
+        # exact truncating big-int division (x146 idiom)
+        return ((a - F.pmod(a, b)) / b).cast("long")
+
+    sm = F.col("score_micros").cast("decimal(38,0)")
+    alloc = exdiv(sm * F.col("total_tokens"), F.col("sum_score"))
+    return (
+        scr.crossJoin(F.broadcast(tot))
+        .select(
+            "source", "n_docs", "tokens", "mean_w_micros", "score_micros",
+            exdiv(sm * 1_000_000, F.col("sum_score")).alias("p_ppm"),
+            alloc.alias("alloc_tokens"),
+            exdiv(
+                alloc.cast("decimal(38,0)") * 1_000_000, F.col("tokens")
+            ).alias("epochs_ppm"),
+        )
+        .orderBy("source")
     )

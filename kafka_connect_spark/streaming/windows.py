@@ -275,3 +275,41 @@ def rollup_tier(tier: DataFrame, trunc: str, key_col: str = "event_type") -> Dat
         F.min("min_v").alias("min_v"),
         F.max("max_v").alias("max_v"),
     )
+
+
+def windowed_histogram_quantile(
+    sdf: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    les: tuple[float, ...] = (10.0, 25.0, 50.0, 100.0, 250.0),
+    q_num: int = 9,
+    q_den: int = 10,
+) -> DataFrame:
+    """Streaming ``histogram_quantile`` over tumbling event-time windows —
+    the Prometheus recording-rule shape (bucketed counters -> quantile)
+    as ONE stateful aggregation: per window, cumulative le-bucket counts
+    are plain conditional sums (decomposable, so they fold incrementally
+    across microbatches with watermark-bounded state), and the window
+    closes through the SAME inversion ladder as batch p34
+    (queries.metrics.histogram_quantile_expr) — stream equals batch
+    bit-for-bit because counts are exact integers and the interpolation
+    is one fixed-order double expression. State per window = |buckets|+1
+    longs, regardless of event volume."""
+    from ..queries.metrics import histogram_quantile_expr
+
+    aggs = [F.count(F.lit(1)).alias("total")] + [
+        F.sum((F.col(value_col) <= le).cast("long")).alias(f"c{i+1}")
+        for i, le in enumerate(les)
+    ]
+    b = (
+        sdf.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("win"))
+        .agg(*aggs)
+    )
+    return b.select(
+        F.col("win.start").alias("bucket_start"),
+        "total",
+        dround(histogram_quantile_expr(les, q_num, q_den), 6).alias("p"),
+    )

@@ -148,3 +148,57 @@ def test_x138_streaming_scoring_equals_batch(spark, sf_dir, tmp_path):
         .sort_values("doc_id", ignore_index=True)
     )
     assert got.equals(want)
+
+
+def test_p34_streaming_windowed_histogram_quantile_equals_batch(spark, sf_dir, tmp_path):
+    """The streaming histogram_quantile twin closes each tumbling window
+    to the SAME value as running the batch expression over that window's
+    rows — counts are decomposable and the inversion is shared code."""
+    import pandas as pd
+
+    from kafka_connect_spark.catalog import load
+    from kafka_connect_spark.queries.metrics import histogram_quantile_expr
+    from kafka_connect_spark.queries.registry import dround
+    from kafka_connect_spark.sources.replay import file_replay_stream, write_replay_files
+    from kafka_connect_spark.streaming.windows import windowed_histogram_quantile
+
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    rdir = str(tmp_path / "ev-replay")
+    write_replay_files(ev, rdir, n_files=4, order_col="ts")
+    sdf = file_replay_stream(spark, rdir, ev.schema)
+    out: list[pd.DataFrame] = []
+    q = (
+        windowed_histogram_quantile(sdf, window="6 hours", watermark="12 hours")
+        .writeStream.foreachBatch(lambda df, i: out.append(df.toPandas()))
+        .option("checkpointLocation", str(tmp_path / "ckpt-hq"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = (
+        pd.concat(out, ignore_index=True)
+        .sort_values("bucket_start", ignore_index=True)
+    )
+    aggs = [F.count(F.lit(1)).alias("total")] + [
+        F.sum((F.col("value") <= le).cast("long")).alias(f"c{i+1}")
+        for i, le in enumerate([10.0, 25.0, 50.0, 100.0, 250.0])
+    ]
+    want = (
+        ev.groupBy(F.window("ts", "6 hours").alias("win"))
+        .agg(*aggs)
+        .select(
+            F.col("win.start").alias("bucket_start"),
+            "total",
+            dround(histogram_quantile_expr(), 6).alias("p"),
+        )
+        .orderBy("bucket_start")
+        .toPandas()
+    )
+    # append mode only emits watermark-CLOSED windows: the final windows
+    # are withheld at stream end; everything emitted must match batch.
+    merged = got.merge(want, on="bucket_start", suffixes=("_s", "_b"))
+    assert len(merged) == len(got) > 0
+    assert len(got) >= len(want) - 4  # only the tail can be withheld
+    assert (merged["total_s"] == merged["total_b"]).all()
+    assert (merged["p_s"] == merged["p_b"]).all()
