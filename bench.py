@@ -227,6 +227,13 @@ HEADLINE = [
     "x149_dim_robust_stats",
     "x150_minhash_calibration",
     "x151_mixture_plan",
+    "x152_dim_truncation_fidelity",
+    "x153_audience_overlap",
+    "x154_dim_correlation",
+    "x155_curriculum_plan",
+    "x156_char_entropy_profile",
+    "x157_label_silhouette",
+    "x158_view_purchase_attribution",
 ]
 
 

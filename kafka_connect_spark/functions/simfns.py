@@ -830,3 +830,56 @@ def pq_topk(
         )
     )
     return ranked.filter(F.col("rank") <= k).orderBy("query_id", "rank")
+
+
+def covariance_partials(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Single-pass X^T X partials for full d x d covariance/correlation —
+    the 100 TB physical shape behind queries/similarity.py::x154 (which
+    pins the semantics on 8 dims with exact decimal sums).
+
+    Each Arrow batch contributes one (n, sum-vector, flattened X^T X)
+    row via a numpy matmul; partials are pure sums, so the driver (or a
+    final single-row agg) combines #partitions tiny rows into the exact
+    moment matrix no matter how the corpus was partitioned — one scan,
+    no shuffle of vector data, d^2 doubles per partition on the wire.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def part(batches):
+        n = 0
+        s = None
+        ss = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            n += x.shape[0]
+            s = x.sum(axis=0) if s is None else s + x.sum(axis=0)
+            g = x.T @ x
+            ss = g if ss is None else ss + g
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "ss": [ss.reshape(-1).tolist()]}
+            )
+
+    return df.select(vec_col).mapInPandas(
+        part, "n long, s array<double>, ss array<double>"
+    )
+
+
+def correlation_matrix(df: DataFrame, vec_col: str = "embedding"):
+    """Combine :func:`covariance_partials` into the full d x d Pearson
+    correlation matrix (numpy, driver-side — the partial table is
+    #partitions rows of d^2 doubles, bounded and tiny)."""
+    import numpy as np
+
+    parts = covariance_partials(df, vec_col).toPandas()
+    n = int(parts["n"].sum())
+    s = np.add.reduce([np.asarray(v) for v in parts["s"]])
+    ss = np.add.reduce([np.asarray(v) for v in parts["ss"]])
+    d = s.shape[0]
+    g = ss.reshape(d, d)
+    cov = g - np.outer(s, s) / n
+    std = np.sqrt(np.diag(cov))
+    return cov / np.outer(std, std), n

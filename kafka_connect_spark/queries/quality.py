@@ -556,3 +556,78 @@ def x144_bot_likeness_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "x153_audience_overlap",
+    oracle=f"""
+    WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+    t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS users FROM d
+          GROUP BY event_type),
+    p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                 CAST(count(*) AS BIGINT) AS both_users
+          FROM d a JOIN d b
+            ON a.user_id = b.user_id AND a.event_type < b.event_type
+          GROUP BY type_a, type_b)
+    SELECT p.type_a, p.type_b,
+           ta.users AS users_a, tb.users AS users_b, p.both_users,
+           {dround_sql(
+               "CAST(p.both_users AS DOUBLE) / (ta.users + tb.users - p.both_users)",
+               6)} AS jaccard
+    FROM p JOIN t ta ON ta.event_type = p.type_a
+           JOIN t tb ON tb.event_type = p.type_b
+    ORDER BY type_a, type_b
+    """,
+)
+def x153_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: for every pair of event types, how many
+    distinct users do BOTH, plus per-type totals and user-set Jaccard —
+    the segment-overlap report behind funnel design and feature-flag
+    targeting. Plan shape for 100 TB: ONE distinct (user, type) hash agg,
+    then per-user type sets via collect_set (bounded: |event_types| is
+    single digits), and the pair counts are generated INSIDE each user row
+    with a JVM higher-order transform — no user-keyed self-join ever
+    materializes the |users| x |types|^2 blowup; the only shuffles are the
+    distinct and the final tiny pair agg. The oracle uses the equivalent
+    self-join formulation DuckDB optimizes fine at fixture scale."""
+    e = load(spark, sf_dir, "events")
+    d = e.select("user_id", "event_type").distinct()
+    t = d.groupBy("event_type").agg(F.count(F.lit(1)).alias("users"))
+    per_user = d.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("ts")
+    )
+    pairs = (
+        per_user.select(
+            F.explode(
+                F.expr(
+                    """
+                    flatten(transform(ts, (a, i) ->
+                      transform(slice(ts, i + 2, size(ts)), b ->
+                        struct(a AS type_a, b AS type_b))))
+                    """
+                )
+            ).alias("p")
+        )
+        .select("p.type_a", "p.type_b")
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("both_users"))
+    )
+    ta = t.select(F.col("event_type").alias("type_a"), F.col("users").alias("users_a"))
+    tb = t.select(F.col("event_type").alias("type_b"), F.col("users").alias("users_b"))
+    return (
+        pairs.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "users_a",
+            "users_b",
+            "both_users",
+            dround(
+                F.col("both_users").cast("double")
+                / (F.col("users_a") + F.col("users_b") - F.col("both_users")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -1796,3 +1796,59 @@ def x75_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "x158_view_purchase_attribution",
+    oracle="""
+    SELECT v.user_id,
+           v.event_id AS view_id,
+           p.event_id AS purchase_id,
+           CAST((epoch_us(p.ts) - epoch_us(v.ts)) // 1000000 AS BIGINT)
+             AS gap_sec
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND v.ts <= p.ts
+     AND v.ts >= p.ts - INTERVAL 30 MINUTE
+    ORDER BY purchase_id, view_id
+    """,
+)
+def x158_view_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View->purchase attribution pairs: every view by the same user in the
+    30 minutes before a purchase (multi-touch attribution's raw pair set;
+    x41's funnel counts sessions, this emits the evidence rows). The batch
+    twin of the STREAM-STREAM interval join in streaming/joins.py — same
+    condition, same output, and tests/test_streaming.py pins replayed
+    streaming == this batch plan row-for-row. Plan: equi-join on user_id
+    with the interval as a join-level range predicate; at 100 TB both
+    sides shuffle-partition by user_id once (or co-locate via bucketing)
+    and the per-user sort-merge keeps the range scan linear per key — the
+    streaming variant instead holds only O(watermark + 30 min) of state
+    per key, which is the reason it exists."""
+    e = load(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("vts")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+    )
+    return (
+        v.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("vts") <= F.col("pts"))
+            & (F.col("vts") >= F.col("pts") - F.expr("INTERVAL 30 MINUTES")),
+        )
+        .select(
+            "user_id",
+            "view_id",
+            "purchase_id",
+            F.expr("(unix_micros(pts) - unix_micros(vts)) DIV 1000000").alias(
+                "gap_sec"
+            ),
+        )
+        .orderBy("purchase_id", "view_id")
+    )

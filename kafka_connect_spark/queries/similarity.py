@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..functions.simfns import cosine_topk, ivf_cosine_topk, lsh_cosine_topk
-from .registry import dround, dround_sql, query
+from .registry import davg, davg_sql, dround, dround_sql, dsum, dsum_sql, query
 
 
 _COS_SQL = dround_sql(
@@ -584,4 +584,264 @@ def x149_dim_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         med.join(mad, "dim")
         .select("dim", "n", "med_mils", "mad_mils")
         .orderBy("dim")
+    )
+
+
+@query(
+    "x152_dim_truncation_fidelity",
+    oracle=f"""
+    WITH h AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                      CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+               FROM embeddings),
+    s AS (SELECT vec_id, v, v[1:32] AS vh FROM (
+            SELECT vec_id, v, row_number() OVER (ORDER BY hv, vec_id) AS rn FROM h)
+          WHERE rn <= 128),
+    p AS (SELECT
+            {dround_sql(
+                "list_dot_product(a.v, b.v) / "
+                "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))", 6)}
+              AS cf,
+            {dround_sql(
+                "list_dot_product(a.vh, b.vh) / "
+                "(sqrt(list_dot_product(a.vh, a.vh)) * sqrt(list_dot_product(b.vh, b.vh)))", 6)}
+              AS ch
+          FROM s a JOIN s b ON a.vec_id < b.vec_id)
+    SELECT CAST(FLOOR(cf * 10) AS BIGINT) AS cos_bucket,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           {davg_sql("round(abs(cf - ch), 6)", 6)} AS avg_abs_err,
+           {dround_sql("max(round(abs(cf - ch), 6))", 6)} AS max_abs_err
+    FROM p GROUP BY cos_bucket ORDER BY cos_bucket
+    """,
+)
+def x152_dim_truncation_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka / truncated-dimension fidelity audit: how well does cosine
+    on the FIRST 32 of 64 dimensions track full-dimension cosine? Modern
+    embedding models are trained so prefixes stay usable (MRL,
+    arXiv:2205.13147); before switching an ANN index to truncated vectors
+    at 100 TB (half the bytes, twice the cache hit rate) this query
+    measures what that costs: per full-cosine decile, the mean and max
+    absolute cosine error of the truncated variant. Same deterministic
+    md5-clock vertex sample as x130b (m=128 => 8,128 pairs, O(m^2) work
+    independent of corpus size; the only corpus-size-dependent cost is the
+    narrow (vec_id, md5) scan feeding TakeOrdered). Hash-checked against a
+    DuckDB oracle applying the identical sample and slicing."""
+    from ..functions.dedupfns import token_hash60
+    from ..functions.simfns import dot, with_vec
+
+    emb = load(spark, sf_dir, "embeddings")
+    v = with_vec(emb)
+    hv = token_hash60(F.col("vec_id").cast("string"))
+    s = (
+        v.select("vec_id", "v", hv.alias("hv"))
+        .orderBy("hv", "vec_id")  # TakeOrderedAndProject, not a full sort
+        .limit(128)
+        .select("vec_id", "v", F.slice("v", 1, 32).alias("vh"))
+    )
+    a = s.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("vh").alias("ha")
+    )
+    b = s.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("vh").alias("hb")
+    )
+    cf = dround(
+        dot(F.col("va"), F.col("vb"))
+        / (F.sqrt(dot(F.col("va"), F.col("va"))) * F.sqrt(dot(F.col("vb"), F.col("vb")))),
+        6,
+    )
+    ch = dround(
+        dot(F.col("ha"), F.col("hb"))
+        / (F.sqrt(dot(F.col("ha"), F.col("ha"))) * F.sqrt(dot(F.col("hb"), F.col("hb")))),
+        6,
+    )
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select(cf.alias("cf"), ch.alias("ch"))
+        .select(
+            F.floor(F.col("cf") * 10).cast("long").alias("cos_bucket"),
+            F.col("cf"),
+            dround(F.abs(F.col("cf") - F.col("ch")), 6).alias("err"),
+        )
+        .groupBy("cos_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            davg(F.col("err"), 6).alias("avg_abs_err"),
+            dround(F.max("err"), 6).alias("max_abs_err"),
+        )
+        .orderBy("cos_bucket")
+    )
+
+
+@query(
+    "x154_dim_correlation",
+    oracle=f"""
+    WITH u AS (SELECT vec_id, generate_subscripts(v8, 1) - 1 AS d, unnest(v8) AS val
+               FROM (SELECT vec_id, CAST(embedding AS DOUBLE[])[1:8] AS v8
+                     FROM embeddings)),
+    p AS (SELECT a.d AS dim_i, b.d AS dim_j, a.val AS x, b.val AS y
+          FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.d < b.d),
+    g AS (SELECT dim_i, dim_j, CAST(count(*) AS DOUBLE) AS n,
+                 {dsum_sql("x", 6)} AS sx, {dsum_sql("y", 6)} AS sy,
+                 {dsum_sql("x * y", 6)} AS sxy,
+                 {dsum_sql("x * x", 6)} AS sxx, {dsum_sql("y * y", 6)} AS syy
+          FROM p GROUP BY dim_i, dim_j)
+    SELECT dim_i, dim_j,
+           {dround_sql(
+               "(n * sxy - sx * sy) / "
+               "(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))", 6)} AS corr
+    FROM g ORDER BY dim_i, dim_j
+    """,
+)
+def x154_dim_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation between embedding dimensions (the
+    redundancy diagnostic behind PCA/whitening decisions: highly correlated
+    dims waste index bits and distort L2 neighborhoods). Checked on the
+    first 8 dims (28 pairs) with the exact-decimal dsum idiom so Spark and
+    DuckDB agree bit-for-bit; the full d x d version is the SAME single
+    pass with d(d-1)/2 accumulators — at 100 TB the right physical shape
+    is mapInPandas partial X^T X per Arrow batch (one (d,d) numpy matmul
+    per batch, d^2 doubles per partition shuffled, corpus scanned once),
+    which tests/test_similarity.py exercises against this query's numbers.
+    No self-join anywhere: pair products are generated per row inside a
+    JVM higher-order transform, so the only shuffle is the 28-group agg."""
+    emb = load(spark, sf_dir, "embeddings")
+    ds = F.slice(F.col("embedding").cast("array<double>"), 1, 8)
+    pairs = (
+        emb.select(ds.alias("ds"))
+        .select(
+            F.explode(
+                F.expr(
+                    """
+                    flatten(transform(sequence(0, 6), i ->
+                      transform(sequence(i + 1, 7), j -> struct(
+                        i AS dim_i, j AS dim_j,
+                        element_at(ds, i + 1) AS x,
+                        element_at(ds, j + 1) AS y))))
+                    """
+                )
+            ).alias("p")
+        )
+        .select("p.dim_i", "p.dim_j", "p.x", "p.y")
+    )
+    g = pairs.groupBy("dim_i", "dim_j").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(F.col("x"), 6).alias("sx"),
+        dsum(F.col("y"), 6).alias("sy"),
+        dsum(F.col("x") * F.col("y"), 6).alias("sxy"),
+        dsum(F.col("x") * F.col("x"), 6).alias("sxx"),
+        dsum(F.col("y") * F.col("y"), 6).alias("syy"),
+    )
+    corr = dround(
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (
+            F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        ),
+        6,
+    )
+    return (
+        g.select(
+            F.col("dim_i").cast("long").alias("dim_i"),
+            F.col("dim_j").cast("long").alias("dim_j"),
+            corr.alias("corr"),
+        ).orderBy("dim_i", "dim_j")
+    )
+
+
+@query(
+    "x157_label_silhouette",
+    oracle="""
+    WITH u AS (SELECT vec_id, label,
+                      generate_subscripts(v, 1) - 1 AS dim,
+                      CAST(floor(unnest(v) * 1000000) AS BIGINT) AS val_u
+               FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                     FROM embeddings)),
+    c AS (SELECT label AS clabel, dim,
+                 CAST((sum(val_u) - ((sum(val_u) % count(*) + count(*))
+                       % count(*))) // count(*) AS BIGINT) AS cval_u
+          FROM u GROUP BY label, dim),
+    d AS (SELECT u.vec_id, u.label, c.clabel,
+                 sum((u.val_u - c.cval_u) * (u.val_u - c.cval_u)) AS dist2
+          FROM u JOIN c ON c.dim = u.dim
+          GROUP BY u.vec_id, u.label, c.clabel),
+    ab AS (SELECT vec_id, label,
+                  min(CASE WHEN clabel = label THEN dist2 END) AS own,
+                  min(CASE WHEN clabel <> label THEN dist2 END) AS other
+           FROM d GROUP BY vec_id, label),
+    s AS (SELECT vec_id, label,
+                 round(CAST(CAST(other - own AS DOUBLE)
+                       / greatest(own, other) AS DOUBLE), 6) AS sil
+          FROM ab)
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+           round(CAST(CAST(SUM(CAST(sil AS DECIMAL(38,6))) AS DOUBLE)
+                 / COUNT(*) AS DOUBLE), 4) AS avg_silhouette,
+           CAST(sum(CASE WHEN sil < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_misplaced
+    FROM s GROUP BY label ORDER BY label
+    """,
+)
+def x157_label_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label silhouette audit on the embedding table (squared-L2
+    variant): own-centroid distance vs nearest-other-centroid distance,
+    s = (b - a) / max(a, b). The cluster-coherence gate to run before
+    trusting `label` for stratified sampling / mixture planning (x142,
+    x151) — a label with low or negative silhouette is not a usable
+    stratum. All math is exact integer micro-units (coordinates floored
+    to 1e-6, centroids by exact BIGINT floor-division, distances as
+    BIGINT sums) so Spark and DuckDB agree bit-for-bit. Scale shape:
+    centroids are a k x d aggregate (tiny — 10x64 here) broadcast into a
+    zip_with fold per vector, so the corpus is scanned once with NO
+    n x k x d shuffle; at 100 TB that is one narrow map pass plus a
+    per-label agg."""
+    emb = load(spark, sf_dir, "embeddings")
+    vu = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.floor(x * F.lit(1_000_000.0)).cast("long"),
+    )
+    base = emb.select("vec_id", "label", vu.alias("vu"))
+    pos = base.select(
+        "label", F.posexplode("vu").alias("dim", "val_u")
+    )
+    # exact floor-division (both engines): (s - ((s % n + n) % n)) / n
+    cent = (
+        pos.groupBy("label", "dim")
+        .agg(F.sum("val_u").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("label").alias("clabel"),
+            "dim",
+            F.expr("CAST((s - ((s % n + n) % n)) DIV n AS BIGINT)").alias("cval_u"),
+        )
+    )
+    carr = (
+        cent.groupBy("clabel")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "cval_u"))).alias("ps"))
+        .select("clabel", F.expr("transform(ps, t -> t.cval_u)").alias("cu"))
+    )
+    d = base.crossJoin(F.broadcast(carr)).select(
+        "vec_id",
+        "label",
+        "clabel",
+        F.aggregate(
+            F.zip_with(F.col("vu"), F.col("cu"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        ).alias("dist2"),
+    )
+    ab = d.groupBy("vec_id", "label").agg(
+        F.min(F.when(F.col("clabel") == F.col("label"), F.col("dist2"))).alias("own"),
+        F.min(F.when(F.col("clabel") != F.col("label"), F.col("dist2"))).alias("other"),
+    )
+    sil = dround(
+        (F.col("other") - F.col("own")).cast("double")
+        / F.greatest(F.col("own"), F.col("other")),
+        6,
+    )
+    return (
+        ab.select("label", sil.alias("sil"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            davg(F.col("sil"), 4).alias("avg_silhouette"),
+            F.sum((F.col("sil") < 0).cast("long")).alias("n_misplaced"),
+        )
+        .orderBy("label")
     )

@@ -3055,3 +3055,130 @@ def x151_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "x155_curriculum_plan",
+    oracle="""
+    WITH t AS (SELECT doc_id, source, n_chars,
+                      len(string_split(text, ' ')) AS n_tokens
+               FROM documents),
+    p AS (SELECT *, ntile(4) OVER (ORDER BY n_tokens, doc_id) AS phase FROM t)
+    SELECT CAST(phase AS BIGINT) AS phase,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM p GROUP BY phase ORDER BY phase
+    """,
+)
+def x155_curriculum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-ordered curriculum phases: rank the corpus by token count
+    (short -> long, the classic curriculum-learning schedule) and cut it
+    into 4 equal-count phases, reporting each phase's doc count and token
+    budget — the plan a trainer consumes to schedule data loading. ntile
+    over a global total order is the checked semantic; at 100 TB the same
+    cut points come from an approx-quantile pass (4 boundaries) followed
+    by a stateless map assigning phases — no global sort materializes, and
+    the per-phase budgets aggregate map-side. Deterministic: the order key
+    (n_tokens, doc_id) is a total order, so both engines build the same
+    tiles."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "n_chars",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    p = t.withColumn(
+        "phase",
+        F.ntile(4).over(Window.orderBy("n_tokens", "doc_id")).cast("long"),
+    )
+    return (
+        p.groupBy("phase")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.min("n_tokens").cast("long").alias("min_tokens"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("phase")
+    )
+
+
+@query(
+    "x156_char_entropy_profile",
+    oracle="""
+    WITH c AS (SELECT doc_id, source, ch, CAST(count(*) AS BIGINT) AS c
+               FROM (SELECT doc_id, source,
+                            unnest(string_split(text, '')) AS ch
+                     FROM documents)
+               WHERE ch <> '' GROUP BY doc_id, source, ch),
+    e AS (SELECT doc_id, source,
+                 greatest(CAST(floor((ln(CAST(sum(c) AS DOUBLE))
+                       - CAST(sum(c * CAST(ln(CAST(c AS DOUBLE))
+                                           AS DECIMAL(18,6))) AS DOUBLE)
+                         / sum(c)) * 1000000) AS BIGINT), 0) AS ent
+          FROM c GROUP BY doc_id, source)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST((sum(ent) - ((sum(ent) % count(*) + count(*)) % count(*)))
+                // count(*) AS BIGINT) AS avg_entropy_micronats,
+           CAST(min(ent) AS BIGINT) AS min_entropy_micronats,
+           CAST(max(ent) AS BIGINT) AS max_entropy_micronats,
+           CAST(sum(CASE WHEN ent < 2500000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_low_entropy
+    FROM e GROUP BY source ORDER BY source
+    """,
+)
+def x156_char_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-unigram entropy per document, profiled per source — the
+    gibberish/boilerplate detector quality pipelines run alongside
+    stopword/punctuation ratios (x14c): natural text sits near 2.8-3.1
+    nats, repeated-template or single-char spam collapses toward 0, and
+    random bytes push past 4. Exactness is the x138/x144 quantized-ln
+    idiom: entropy = ln(n) - (sum c*ln c)/n with each ln quantized to
+    DECIMAL(18,6) and multiplied by EXACT integer counts, so accumulation
+    is order-free in both engines; the per-source average is an exact
+    BIGINT floor-division. Plan: explode chars -> (doc, char) hash agg
+    (combines map-side: the alphabet is tiny so partial maps stay small)
+    -> per-doc agg -> per-source agg; linear, no joins, and at 100 TB the
+    char agg is the wordcount shape with a ~100-key alphabet per doc."""
+    d = load_parallel(spark, sf_dir, "documents")
+    c = (
+        d.select("doc_id", "source", F.explode(F.split("text", "")).alias("ch"))
+        .filter(F.col("ch") != "")
+        .groupBy("doc_id", "source", "ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    e = c.groupBy("doc_id", "source").agg(
+        F.greatest(
+            F.floor(
+                (
+                    F.log(F.sum("c").cast("double"))
+                    - F.sum(
+                        F.col("c")
+                        * F.log(F.col("c").cast("double")).cast("decimal(18,6)")
+                    ).cast("double")
+                    / F.sum("c")
+                )
+                * 1_000_000
+            ).cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("ent")
+    )
+    return (
+        e.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr(
+                "CAST((sum(ent) - ((sum(ent) % count(*) + count(*)) % count(*)))"
+                " DIV count(*) AS BIGINT)"
+            ).alias("avg_entropy_micronats"),
+            F.min("ent").alias("min_entropy_micronats"),
+            F.max("ent").alias("max_entropy_micronats"),
+            F.sum((F.col("ent") < 2_500_000).cast("long")).alias("n_low_entropy"),
+        )
+        .orderBy("source")
+    )

@@ -106,6 +106,7 @@ DEFAULT_QUERIES = {
     "docs": ["x12c", "x12e", "x12h", "x12i", "x43", "x43b", "x69", "x70"],
     "embeddings": ["x13", "x13b", "x13c", "near_dup_strict", "near_dup_lsh_strict",
                    "semantic_dedup_scaled"],
+    "events": ["x153", "x158"],
 }
 # registry names are prefixed (x12c_ngram_jaccard_pairs etc.); resolve by prefix
 def _resolve(short: str) -> str:
@@ -212,6 +213,38 @@ def build_scaled_embeddings(spark, mult: int, scratch: str) -> str:
     return out_dir
 
 
+def build_scaled_events(spark, mult: int, scratch: str) -> str:
+    """K x sf0.1 events. Copy k offsets user_id AND event_id by k * 10^9
+    with timestamps untouched: the per-user temporal structure (gaps,
+    sessions, view->purchase sequences) is preserved verbatim inside each
+    copy while user sets are disjoint ACROSS copies — so user-keyed joins
+    (x158's interval join, x153's overlap matrix) gain exactly K x the
+    true workload and any superlinear wall-time is the engine's."""
+    out_dir = os.path.join(scratch, f"m{mult}")
+    out = os.path.join(out_dir, "events.parquet")
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out_dir
+    base = spark.read.parquet(f"{BASE}/events.parquet")
+    copies = []
+    for k in range(mult):
+        off = F.lit(k * 1_000_000_000)
+        copies.append(
+            base.select(
+                (F.col("event_id") + off).alias("event_id"),
+                "ts",
+                (F.col("user_id") + off).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+        )
+    df = copies[0]
+    for c in copies[1:]:
+        df = df.unionAll(c)
+    df.repartition(32, "event_id").write.mode("overwrite").parquet(out)
+    return out_dir
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mults", default="1,2,4,8")
@@ -224,7 +257,11 @@ def main() -> None:
     shorts = args.queries.split(",") if args.queries else DEFAULT_QUERIES[args.family]
     names = [_resolve(q) for q in shorts]
     scratch = args.scratch or f"/tmp/scale_probe_{args.family}"
-    build = build_scaled if args.family == "docs" else build_scaled_embeddings
+    build = {
+        "docs": build_scaled,
+        "embeddings": build_scaled_embeddings,
+        "events": build_scaled_events,
+    }[args.family]
 
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
     spark = get_spark()

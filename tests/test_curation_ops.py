@@ -202,3 +202,40 @@ def test_p34_streaming_windowed_histogram_quantile_equals_batch(spark, sf_dir, t
     assert len(got) >= len(want) - 4  # only the tail can be withheld
     assert (merged["total_s"] == merged["total_b"]).all()
     assert (merged["p_s"] == merged["p_b"]).all()
+
+
+def test_x156_char_entropy_separates_spam(spark):
+    """A constant-character doc must land at exactly 0 micronats; natural
+    mixed text sits in the 2-4 nat band — the threshold (2.5 nats) the
+    query's n_low_entropy column uses must separate the two."""
+    rows = [
+        (1, "a" * 400, "en", "spam", 400),
+        (2, "the quick brown fox jumps over the lazy dog while "
+            "seventy wizards quietly mix bright hexagonal potions", "en",
+         "web", 101),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    import kafka_connect_spark.catalog as cat
+    import kafka_connect_spark.queries.text as t
+
+    orig = cat.load
+    try:
+        cat.load = lambda s, d, name: df if name == "documents" else orig(s, d, name)
+        t.load = cat.load
+        t.load_parallel = lambda s, d, name, **kw: df
+        out = {
+            r["source"]: r
+            for r in QUERIES["x156_char_entropy_profile"](spark, "unused").collect()
+        }
+    finally:
+        cat.load = orig
+        t.load = orig
+        from kafka_connect_spark.catalog import load_parallel as lp
+
+        t.load_parallel = lp
+    assert out["spam"]["avg_entropy_micronats"] == 0
+    assert out["spam"]["n_low_entropy"] == 1
+    assert out["web"]["avg_entropy_micronats"] > 2_500_000
+    assert out["web"]["n_low_entropy"] == 0

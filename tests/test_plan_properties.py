@@ -319,3 +319,46 @@ def test_x130b_sample_is_takeordered_then_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "x130b_cosine_histogram_sampled")
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_x153_overlap_has_no_user_self_join(spark, sf_dir):
+    """x153's pair counts must come from per-user type SETS expanded by a
+    higher-order transform — never a user-keyed self-join (the |users| x
+    |types|^2 blowup the docstring rules out). Joins in the plan are only
+    the two broadcast total lookups on the tiny per-type table."""
+    plan = _plan(spark, sf_dir, "x153_audience_overlap")
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "Generate explode" in plan or "Generate" in plan
+    assert plan.count("BroadcastHashJoin") == 2
+
+
+def test_x154_correlation_is_joinless(spark, sf_dir):
+    """Dimension-pair products are generated inside each row (JVM
+    higher-order transform) and aggregated — the single-pass moment-matrix
+    shape. ANY join in this plan means an accidental self-join crept in."""
+    plan = _plan(spark, sf_dir, "x154_dim_correlation")
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+              "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert j not in plan, j
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_x157_centroids_broadcast_not_shuffled(spark, sf_dir):
+    """The k x d centroid table must BROADCAST into the per-vector distance
+    pass (zip_with fold) — the corpus is scanned once and never shuffled
+    by (vector, label). The only wide exchanges are the tiny centroid agg
+    and the per-label rollup."""
+    plan = _plan(spark, sf_dir, "x157_label_silhouette")
+    assert "BroadcastNestedLoopJoin" in plan  # broadcast crossJoin of 10 rows
+    assert "SortMergeJoin" not in plan
+
+
+def test_x158_interval_join_is_user_keyed(spark, sf_dir):
+    """The attribution range join must key on user_id (co-partitioned
+    equi-join with the interval as a range predicate), not degenerate into
+    a cartesian/broadcast-nested-loop over the whole table."""
+    plan = _plan(spark, sf_dir, "x158_view_purchase_attribution")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "user_id" in plan

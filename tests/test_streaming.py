@@ -897,3 +897,47 @@ def test_streaming_alert_firing_equals_batch(spark, sf_dir, tmp_path):
         for r in batch.itertuples()
     }
     assert fires == want and len(want) > 0
+
+
+def test_stream_stream_interval_join_equals_batch(spark, sf_dir, tmp_path):
+    """Watermarked stream-stream INNER interval join (streaming/joins.py)
+    == the batch range join (x158), row-for-row: replay the events fixture
+    in event order (zero lateness), join views to purchases within 30
+    minutes per user on two streaming readers over the same replay dir,
+    and compare the emitted pair set to the registered batch twin."""
+    from kafka_connect_spark.queries.relational import x158_view_purchase_attribution
+    from kafka_connect_spark.streaming.joins import interval_join_attribution
+
+    d, _ = _replay_dir(spark, sf_dir, tmp_path, n_files=6)
+    schema = spark.read.parquet(d).schema
+    views = file_replay_stream(spark, d, schema).filter(
+        F.col("event_type") == "view"
+    )
+    purchases = file_replay_stream(spark, d, schema).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = interval_join_attribution(
+        views, purchases, window_minutes=30, watermark="60 minutes"
+    )
+
+    out: list[pd.DataFrame] = []
+    q = (
+        joined.writeStream.foreachBatch(lambda df, i: out.append(df.toPandas()))
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = (
+        pd.concat(out, ignore_index=True)
+        .sort_values(["purchase_id", "view_id"], ignore_index=True)
+        if out
+        else pd.DataFrame()
+    )
+    want = x158_view_purchase_attribution(spark, sf_dir).toPandas()
+    assert len(got) == len(want) > 0
+    for col in ["user_id", "view_id", "purchase_id", "gap_sec"]:
+        assert (
+            got[col].astype("int64").values == want[col].astype("int64").values
+        ).all(), col
