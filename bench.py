@@ -234,6 +234,13 @@ HEADLINE = [
     "x156_char_entropy_profile",
     "x157_label_silhouette",
     "x158_view_purchase_attribution",
+    "x159_cms_token_frequency",
+    "x160_kmv_distinct_calibration",
+    "x161_contamination_closure",
+    "x162_unattributed_purchases",
+    "x163_bloom_filter_calibration",
+    "x164_dup_graph_triangles",
+    "x165_readability_profile",
 ]
 
 

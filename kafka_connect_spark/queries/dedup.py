@@ -1468,3 +1468,160 @@ def x150_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("jac_decile")
     )
+
+
+@query(
+    "x161_contamination_closure",
+    oracle=f"""
+    WITH RECURSIVE
+    tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ')
+                            for i in range(1, len(t) - 1)]) AS s
+           FROM tok WHERE len(t) >= 3),
+    ex AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    pairs AS (SELECT id_a, id_b FROM inter
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE {dround_sql("inter / (sa.n + sb.n - inter)", 6)} >= 0.5),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL
+              SELECT id_b AS src, id_a AS dst FROM pairs),
+    reach(doc_id, hops) AS (
+      SELECT doc_id, 0 FROM documents WHERE doc_id < 10
+      UNION ALL
+      SELECT e.dst, r.hops + 1 FROM reach r
+      JOIN edges e ON e.src = r.doc_id
+      WHERE r.hops < 3
+    )
+    SELECT doc_id, CAST(min(hops) AS BIGINT) AS hops
+    FROM reach GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def x161_contamination_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRANSITIVE benchmark-contamination closure via a recursive CTE
+    (Spark 4 WITH RECURSIVE): seed docs (doc_id < 10 standing in for the
+    eval set) expand through the exact near-dup pair graph (x12c, word-
+    3-gram Jaccard >= 0.5) up to 3 hops, reporting each reachable doc
+    with its minimum hop count — the "remove everything a contaminated
+    doc leaks into" sweep (decontamination needs the closure, not just
+    direct matches: A~eval, B~A, B leaks eval phrasing without matching
+    it). The depth cap both bounds recursion state AND is the policy knob
+    (hop-3 guilt-by-association is already aggressive). UNION ALL
+    recursion enumerates bounded-length paths and the final min-hop agg
+    dedups, so cycles in the undirected pair graph cannot loop — the
+    formulation both engines execute identically. Scale path: the SAME
+    3 self-join rounds on the banded pair table (each a key-partitioned
+    equi-join); x12h's label propagation is the UNBOUNDED-diameter tool —
+    this op is the bounded-policy variant."""
+    from ..functions.dedupfns import ngram_jaccard_pairs
+
+    d = load_parallel(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.5).select("id_a", "id_b")
+    edges = pairs.union(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).toDF("src", "dst")
+    edges.createOrReplaceTempView("x161_edges")
+    d.select("doc_id").filter(F.col("doc_id") < 10).createOrReplaceTempView(
+        "x161_seeds"
+    )
+    return spark.sql(
+        """
+        WITH RECURSIVE reach(doc_id, hops) AS (
+          SELECT doc_id, 0 FROM x161_seeds
+          UNION ALL
+          SELECT e.dst, r.hops + 1 FROM reach r
+          JOIN x161_edges e ON e.src = r.doc_id
+          WHERE r.hops < 3
+        )
+        SELECT doc_id, CAST(min(hops) AS BIGINT) AS hops
+        FROM reach GROUP BY doc_id ORDER BY doc_id
+        """
+    )
+
+
+@query(
+    "x164_dup_graph_triangles",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ')
+                            for i in range(1, len(t) - 1)]) AS s
+           FROM tok WHERE len(t) >= 3),
+    ex AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    e AS (SELECT id_a, id_b FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE {dround_sql("inter / (sa.n + sb.n - inter)", 6)} >= 0.5),
+    tri AS (SELECT count(*) AS n_triangles
+            FROM e e1 JOIN e e2 ON e2.id_a = e1.id_b
+                      JOIN e e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b),
+    deg AS (SELECT doc_id, count(*) AS d FROM (
+              SELECT id_a AS doc_id FROM e UNION ALL SELECT id_b FROM e)
+            GROUP BY doc_id),
+    wed AS (SELECT sum(d * (d - 1) // 2) AS n_wedges FROM deg)
+    SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+           CAST(tri.n_triangles AS BIGINT) AS n_triangles,
+           CAST(wed.n_wedges AS BIGINT) AS n_wedges,
+           {dround_sql(
+               "CASE WHEN wed.n_wedges = 0 THEN 0.0 "
+               "ELSE 3.0 * tri.n_triangles / wed.n_wedges END", 6)}
+             AS clustering_coeff
+    FROM tri, wed
+    """,
+)
+def x164_dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census + global clustering coefficient of the near-dup
+    graph (x12c edges at jaccard >= 0.5): distinguishes CLIQUE-shaped
+    duplication (exact re-posts — every pair similar, coefficient -> 1)
+    from STAR/CHAIN-shaped template drift (hub page with many variants
+    that differ pairwise, coefficient -> 0) — the diagnostic that decides
+    whether keep-one-per-cluster (cliques) or hierarchical merge (chains)
+    is the right dedup policy. Plan: edges stay id_a < id_b (each
+    triangle counted once as a < b < c), triangle count is two
+    equi-joins on the ORIENTED edge list — the standard bound of
+    O(sum of d(v)^2) work that survives at 100 TB when edges are
+    pre-bucketed by vertex, far from the naive 3-way cross join; wedges
+    are one degree agg. Zero-edge corpora yield the 0-triangle/0-wedge
+    row with coefficient 0 in both engines."""
+    from ..functions.dedupfns import ngram_jaccard_pairs
+
+    d = load_parallel(spark, sf_dir, "documents")
+    e = ngram_jaccard_pairs(d, n=3, threshold=0.5).select("id_a", "id_b").cache()
+    e1 = e.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    e2 = e.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
+    e3 = e.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    deg = (
+        e.select(F.col("id_a").alias("doc_id"))
+        .union(e.select(F.col("id_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wed = deg.agg(
+        F.coalesce(F.sum(F.expr("d * (d - 1) DIV 2")), F.lit(0)).alias("n_wedges")
+    )
+    ne = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    cc = F.when(F.col("n_wedges") == 0, F.lit(0.0)).otherwise(
+        dround(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6)
+    )
+    return (
+        ne.crossJoin(tri)
+        .crossJoin(wed)
+        .select(
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            cc.alias("clustering_coeff"),
+        )
+    )

@@ -631,3 +631,80 @@ def x153_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@query(
+    "x160_kmv_distinct_calibration",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT event_type,
+                       CAST(user_id AS VARCHAR) || ':' || strftime(ts, '%Y-%m-%d')
+                         AS entity
+                FROM events),
+    sc AS (SELECT event_type AS scope, entity FROM ud
+           UNION
+           SELECT '*union*' AS scope, entity FROM ud),
+    h AS (SELECT scope, entity,
+                 CAST('0x' || substring(md5(entity), 1, 15) AS BIGINT) AS hv
+          FROM sc),
+    r AS (SELECT scope, hv,
+                 row_number() OVER (PARTITION BY scope ORDER BY hv, entity) AS rn,
+                 count(*) OVER (PARTITION BY scope) AS n
+          FROM h),
+    k AS (SELECT scope, CAST(max(n) AS BIGINT) AS exact_count,
+                 CAST(min(CASE WHEN rn = 64 THEN hv END) AS BIGINT) AS h64
+          FROM r GROUP BY scope)
+    SELECT scope, exact_count, h64,
+           CAST(floor(63.0 * (1152921504606846976.0 / h64)) AS BIGINT)
+             AS kmv_estimate
+    FROM k ORDER BY scope
+    """,
+)
+def x160_kmv_distinct_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count calibration over active user-days
+    (entity = user:date) per event type plus the all-types union: keep the
+    k=64 smallest 60-bit md5 hashes per scope, estimate
+    |D| ~ (k-1) * 2^60 / h_(k) (Bar-Yossef et al. 2002 / theta-sketch
+    family), and report it against the exact count. The property that
+    matters at 100 TB is MERGEABILITY: per-partition top-64-min lists
+    merge by min-merge (associative, 64 BIGINTs per partition on the
+    wire), and — unlike HLL — two scopes' sketches UNION by the same
+    min-merge, which is how the '*union*' row is really computed at
+    scale; here both sides are built from the same exact distinct pass so
+    the ESTIMATOR (not the plumbing) is what's being calibrated.
+    Deterministic: md5 hashing, no RNG, exact integer k-th order
+    statistic via row_number."""
+    from ..functions.dedupfns import token_hash60
+
+    e = load(spark, sf_dir, "events")
+    ud = e.select(
+        "event_type",
+        F.concat(
+            F.col("user_id").cast("string"),
+            F.lit(":"),
+            F.date_format("ts", "yyyy-MM-dd"),
+        ).alias("entity"),
+    ).distinct()
+    sc = ud.select(F.col("event_type").alias("scope"), "entity").union(
+        ud.select(F.lit("*union*").alias("scope"), "entity").distinct()
+    )
+    h = sc.select("scope", "entity", token_hash60(F.col("entity")).alias("hv"))
+    w = Window.partitionBy("scope").orderBy("hv", "entity")
+    wc = Window.partitionBy("scope")
+    r = h.select(
+        "scope",
+        "hv",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    k = r.groupBy("scope").agg(
+        F.max("n").cast("long").alias("exact_count"),
+        F.min(F.when(F.col("rn") == 64, F.col("hv"))).cast("long").alias("h64"),
+    )
+    return k.select(
+        "scope",
+        "exact_count",
+        "h64",
+        F.floor(63.0 * (F.lit(1152921504606846976.0) / F.col("h64")))
+        .cast("long")
+        .alias("kmv_estimate"),
+    ).orderBy("scope")

@@ -1852,3 +1852,48 @@ def x158_view_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("purchase_id", "view_id")
     )
+
+
+@query(
+    "x162_unattributed_purchases",
+    oracle="""
+    SELECT p.user_id, p.event_id AS purchase_id
+    FROM events p
+    WHERE p.event_type = 'purchase'
+      AND NOT EXISTS (
+        SELECT 1 FROM events v
+        WHERE v.event_type = 'view'
+          AND v.user_id = p.user_id
+          AND v.ts <= p.ts
+          AND v.ts >= p.ts - INTERVAL 30 MINUTE)
+    ORDER BY purchase_id
+    """,
+)
+def x162_unattributed_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complement of x158: purchases with NO view by the same user in
+    the preceding 30 minutes — the "dark conversions" the attribution
+    model can't explain (organic/external traffic). Batch plan: left ANTI
+    join on user_id with the interval as the join predicate — one
+    user-keyed shuffle, same co-location story as x158. Streaming twin:
+    the stream-stream LEFT OUTER interval join (streaming/joins.py emits
+    null-matched purchases once the watermark proves no view can still
+    arrive); tests/test_streaming.py pins the outer join's matched AND
+    null rows against x158/x162 on the emitted region."""
+    e = load(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("vts")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("pts")
+    )
+    return (
+        p.join(
+            v,
+            (F.col("user_id") == F.col("v_user"))
+            & (F.col("vts") <= F.col("pts"))
+            & (F.col("vts") >= F.col("pts") - F.expr("INTERVAL 30 MINUTES")),
+            "left_anti",
+        )
+        .select("user_id", "purchase_id")
+        .orderBy("purchase_id")
+    )

@@ -3182,3 +3182,250 @@ def x156_char_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "x159_cms_token_frequency",
+    oracle="""
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+    ex AS (SELECT token, CAST(count(*) AS BIGINT) AS exact_cnt FROM tok
+           GROUP BY token),
+    ks AS (SELECT token, exact_cnt, s.salt,
+                  CAST('0x' || substring(md5(CAST(s.salt AS VARCHAR) || ':' || token),
+                       1, 15) AS BIGINT) % 1024 AS bucket
+           FROM ex, (SELECT unnest([0, 1, 2, 3]) AS salt) s),
+    cms AS (SELECT salt, bucket, sum(exact_cnt) AS cnt
+            FROM ks GROUP BY salt, bucket),
+    top AS (SELECT token, exact_cnt FROM ex
+            ORDER BY exact_cnt DESC, token LIMIT 20),
+    est AS (SELECT t.token, t.exact_cnt, min(c.cnt) AS cms_est
+            FROM top t
+            JOIN ks k ON k.token = t.token
+            JOIN cms c ON c.salt = k.salt AND c.bucket = k.bucket
+            GROUP BY t.token, t.exact_cnt)
+    SELECT token, exact_cnt, CAST(cms_est AS BIGINT) AS cms_est,
+           CAST(cms_est - exact_cnt AS BIGINT) AS overcount
+    FROM est ORDER BY exact_cnt DESC, token
+    """,
+)
+def x159_cms_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch calibration on corpus token frequencies: a 4 x 1024
+    CMS (depth 4 salted md5 rows, width-1024 buckets) vs exact counts for
+    the top-20 tokens, reporting the sketch's one-sided overcount. The
+    mergeable-sketch companion to x76's Misra-Gries: MG answers "which
+    tokens are heavy", CMS answers point queries for ANY token in O(d)
+    bounded memory — at 100 TB each partition builds its own 4x1024 grid
+    map-side (the insert stream collapses to per-token partial counts
+    first, which is exactly the map-side combine) and grids merge by
+    cellwise addition; the shuffle carries 4,096 cells per partition no
+    matter the vocabulary. CMS guarantees est >= exact always and
+    est <= exact + eps*N w.h.p.; the overcount column is the measured
+    error. Deterministic cross-engine: salted md5 bucket hashing, no RNG."""
+    from ..functions.dedupfns import token_hash60
+
+    d = load_parallel(spark, sf_dir, "documents")
+    ex = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    ks = ex.select(
+        "token",
+        "exact_cnt",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("salt"),
+    ).withColumn(
+        "bucket",
+        F.pmod(
+            token_hash60(
+                F.concat(F.col("salt").cast("string"), F.lit(":"), F.col("token"))
+            ),
+            F.lit(1024),
+        ),
+    )
+    cms = ks.groupBy("salt", "bucket").agg(F.sum("exact_cnt").alias("cnt"))
+    top = ex.orderBy(F.col("exact_cnt").desc(), "token").limit(20)
+    est = (
+        top.join(ks.select("token", "salt", "bucket"), "token")
+        .join(cms, ["salt", "bucket"])
+        .groupBy("token", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    return est.select(
+        "token",
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
+    ).orderBy(F.col("exact_cnt").desc(), "token")
+
+
+@query(
+    "x163_bloom_filter_calibration",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                 FROM documents),
+    ins AS (SELECT DISTINCT token FROM tok WHERE doc_id % 2 = 0),
+    probe AS (SELECT token || '#p' AS token FROM (SELECT DISTINCT token FROM tok)
+              WHERE token || '#p' NOT IN (SELECT token FROM ins)),
+    ib AS (SELECT DISTINCT s.salt,
+                  CAST('0x' || substring(md5(CAST(s.salt AS VARCHAR) || ':' || token),
+                       1, 15) AS BIGINT) % 65536 AS bucket
+           FROM ins, (SELECT unnest([0, 1, 2, 3]) AS salt) s),
+    pb AS (SELECT token, s.salt,
+                  CAST('0x' || substring(md5(CAST(s.salt AS VARCHAR) || ':' || token),
+                       1, 15) AS BIGINT) % 65536 AS bucket
+           FROM probe, (SELECT unnest([0, 1, 2, 3]) AS salt) s),
+    hits AS (SELECT pb.token, count(*) AS nhit
+             FROM pb JOIN ib ON ib.salt = pb.salt AND ib.bucket = pb.bucket
+             GROUP BY pb.token),
+    agg AS (SELECT
+              (SELECT count(*) FROM ins) AS n_inserted,
+              (SELECT count(*) FROM ib) AS n_bits_set,
+              (SELECT count(*) FROM probe) AS n_probes,
+              (SELECT count(*) FROM hits WHERE nhit = 4) AS n_false_positives)
+    SELECT CAST(n_inserted AS BIGINT) AS n_inserted,
+           CAST(n_bits_set AS BIGINT) AS n_bits_set,
+           CAST(n_probes AS BIGINT) AS n_probes,
+           CAST(n_false_positives AS BIGINT) AS n_false_positives,
+           CAST(floor(n_false_positives * 1000000.0 / n_probes) AS BIGINT)
+             AS fpr_ppm,
+           CAST(floor((CAST(n_bits_set AS DOUBLE) / 65536)
+                      * (CAST(n_bits_set AS DOUBLE) / 65536)
+                      * (CAST(n_bits_set AS DOUBLE) / 65536)
+                      * (CAST(n_bits_set AS DOUBLE) / 65536) * 1000000)
+                AS BIGINT) AS theory_ppm
+    FROM agg
+    """,
+)
+def x163_bloom_filter_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter false-positive calibration, the sketch behind every
+    join-pruning decision (the AQE runtime bloom this repo pins in
+    tests/test_plan_properties.py is the same math): insert the even-doc
+    vocabulary into a 65,536-bit / 4-hash salted-md5 filter, probe with
+    a disjoint synthetic vocabulary (every distinct token suffixed '#p',
+    anti-joined against the inserted set so probes are PROVEN
+    non-members — the fixture's organic vocabulary is fully shared
+    between doc-id parities, so held-out-doc probes don't exist), and
+    report
+    the measured FP rate against the theoretical (b/m)^k given the
+    realized bit density. At 100 TB the filter builds map-side as
+    per-partition distinct (salt, bucket) sets OR-merged by a distinct
+    union — 64 KiB per partition on the wire regardless of vocabulary —
+    and ships to the probe side as a broadcast. Deterministic: salted
+    md5, no RNG; theory uses the realized b (an integer), not exp(),
+    so both engines floor identical doubles."""
+    from ..functions.dedupfns import token_hash60
+
+    d = load_parallel(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    ins = tok.filter(F.col("doc_id") % 2 == 0).select("token").distinct()
+    probe = (
+        tok.select("token")
+        .distinct()
+        .select(F.concat("token", F.lit("#p")).alias("token"))
+        .join(ins, "token", "left_anti")
+    )
+    salts = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("salt")
+
+    def bucketed(df):
+        return df.select("token", salts).withColumn(
+            "bucket",
+            F.pmod(
+                token_hash60(
+                    F.concat(F.col("salt").cast("string"), F.lit(":"), F.col("token"))
+                ),
+                F.lit(65536),
+            ),
+        )
+
+    ib = bucketed(ins).select("salt", "bucket").distinct()
+    pb = bucketed(probe)
+    hits = (
+        pb.join(ib, ["salt", "bucket"])
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("nhit"))
+        .filter(F.col("nhit") == 4)
+    )
+    counts = (
+        ins.agg(F.count(F.lit(1)).alias("n_inserted"))
+        .crossJoin(ib.agg(F.count(F.lit(1)).alias("n_bits_set")))
+        .crossJoin(probe.agg(F.count(F.lit(1)).alias("n_probes")))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_false_positives")))
+    )
+    dens = F.col("n_bits_set").cast("double") / F.lit(65536.0)
+    return counts.select(
+        "n_inserted",
+        "n_bits_set",
+        "n_probes",
+        "n_false_positives",
+        F.floor(F.col("n_false_positives") * 1_000_000.0 / F.col("n_probes"))
+        .cast("long")
+        .alias("fpr_ppm"),
+        F.floor(dens * dens * dens * dens * F.lit(1_000_000.0))
+        .cast("long")
+        .alias("theory_ppm"),
+    )
+
+
+@query(
+    "x165_readability_profile",
+    oracle="""
+    WITH m AS (SELECT source,
+                      len(string_split(text, ' ')) AS w,
+                      greatest(1, length(regexp_replace(text, '[^.!?]', '', 'g')))
+                        AS s,
+                      len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS syl
+               FROM documents),
+    g AS (SELECT source,
+                 CAST(floor((0.39e0 * w / s + 11.8e0 * syl / w - 15.59e0) * 1000)
+                      AS BIGINT) AS grade_milli
+          FROM m WHERE w > 0)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST((sum(grade_milli) - ((sum(grade_milli) % count(*) + count(*))
+                 % count(*))) // count(*) AS BIGINT) AS avg_grade_milli,
+           CAST(min(grade_milli) AS BIGINT) AS min_grade_milli,
+           CAST(max(grade_milli) AS BIGINT) AS max_grade_milli
+    FROM g GROUP BY source ORDER BY source
+    """,
+)
+def x165_readability_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid grade-level profile per source (0.39 * words/sentence
+    + 11.8 * syllables/word - 15.59, syllables approximated as vowel
+    groups — the standard fast heuristic): the readability axis of
+    quality filtering (FineWeb-Edu-style curation scores "educational,
+    readable" text; pathologically high grades flag run-on boilerplate,
+    negative grades flag fragment spam). All per-doc math is doubles
+    over exact integers floored to milli-units, per-source averages are
+    exact BIGINT floor-division — cross-engine bit-stable, same idiom as
+    x156. Plan: one map pass (split/regexp are JVM codegen) + one hash
+    agg; embarrassingly parallel at any scale."""
+    d = load_parallel(spark, sf_dir, "documents")
+    w = F.size(F.split("text", " "))
+    sents = F.greatest(
+        F.lit(1), F.length(F.regexp_replace("text", "[^.!?]", ""))
+    )
+    syl = F.size(F.expr("regexp_extract_all(text, '[aeiouyAEIOUY]+', 0)"))
+    g = d.select(
+        "source",
+        F.floor(
+            (
+                0.39 * w.cast("double") / sents.cast("double")
+                + 11.8 * syl.cast("double") / w.cast("double")
+                - 15.59
+            )
+            * 1000
+        ).alias("grade_milli"),
+    ).filter(w > 0)
+    return (
+        g.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr(
+                "CAST((sum(grade_milli) - ((sum(grade_milli) % count(*) + count(*))"
+                " % count(*))) DIV count(*) AS BIGINT)"
+            ).alias("avg_grade_milli"),
+            F.min("grade_milli").alias("min_grade_milli"),
+            F.max("grade_milli").alias("max_grade_milli"),
+        )
+        .orderBy("source")
+    )

@@ -27,6 +27,7 @@ def interval_join_attribution(
     purchases: DataFrame,
     window_minutes: int = 30,
     watermark: str = "60 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """All (view, purchase) pairs per user with the view at most
     ``window_minutes`` before the purchase.
@@ -48,18 +49,26 @@ def interval_join_attribution(
         F.col("event_id").alias("purchase_id"),
         F.col("ts").alias("pts"),
     ).withWatermark("pts", watermark)
-    joined = v.join(
-        p,
-        F.expr(
-            f"""
-            v_user = p_user AND
-            vts <= pts AND
-            vts >= pts - INTERVAL {int(window_minutes)} MINUTES
-            """
-        ),
+    cond = F.expr(
+        f"""
+        v_user = p_user AND
+        vts <= pts AND
+        vts >= pts - INTERVAL {int(window_minutes)} MINUTES
+        """
     )
+    if how == "inner":
+        joined = v.join(p, cond)
+    elif how == "right_outer":
+        # LEFT-OUTER SEMANTICS ON THE PURCHASE SIDE: purchases with no view
+        # in-window emit with NULL view columns once the watermark proves no
+        # matching view can still arrive (the "dark conversions" stream —
+        # batch twin x162). Expressed as views RIGHT OUTER purchases so the
+        # preserved side is the purchase stream.
+        joined = v.join(p, cond, "right_outer")
+    else:  # pragma: no cover - guarded surface
+        raise ValueError(f"unsupported join mode: {how}")
     return joined.select(
-        F.col("v_user").alias("user_id"),
+        F.coalesce(F.col("v_user"), F.col("p_user")).alias("user_id"),
         "view_id",
         "purchase_id",
         F.expr("(unix_micros(pts) - unix_micros(vts)) DIV 1000000").alias("gap_sec"),

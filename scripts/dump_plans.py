@@ -81,6 +81,13 @@ FLAGSHIPS = {
     "x130b_cosine_histogram_sampled": "md5-clock TakeOrdered(128) sample -> broadcast NL all-pairs; O(m^2) independent of n",
     "x138_dsir_importance_weights": "1024-bucket model broadcast to the gram stream; partial+final per-doc sum",
     "x140_bm25_retrieval": "query-term filter prunes postings pre-agg; df/avgdl broadcast; TakeOrdered(10)",
+    "x153_audience_overlap": "per-user type sets + in-row pair transform; NO user self-join, 2 broadcast lookups",
+    "x154_dim_correlation": "joinless moment matrix: in-row pair products -> one partial+final agg",
+    "x157_label_silhouette": "k x d centroids broadcast into a zip_with fold; corpus scanned once",
+    "x158_view_purchase_attribution": "user-keyed sort-merge range join (stream twin holds O(watermark) state)",
+    "x161_contamination_closure": "recursive CTE: <= 3 key-partitioned join rounds, UnionLoop bounded by hop cap",
+    "x163_bloom_filter_calibration": "filter = distinct (salt,bucket) set; probe joins the 64 Kibit broadcast",
+    "x164_dup_graph_triangles": "oriented edge list joined twice (a<b<c); wedges from one degree agg",
 }
 
 

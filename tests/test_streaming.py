@@ -941,3 +941,50 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_dir, tmp_path):
         assert (
             got[col].astype("int64").values == want[col].astype("int64").values
         ).all(), col
+
+
+def test_stream_stream_outer_join_nulls_are_unattributed(spark, sf_dir, tmp_path):
+    """Stream-stream OUTER interval join: matched rows must equal the inner
+    join (x158) exactly, and every NULL-view row emitted must be a true
+    unattributed purchase (x162). Outer rows for the stream's tail may be
+    withheld (the final watermark never passes them) — the emitted set
+    must still cover most of the batch answer on this multi-day replay."""
+    from kafka_connect_spark.queries.relational import (
+        x158_view_purchase_attribution,
+        x162_unattributed_purchases,
+    )
+    from kafka_connect_spark.streaming.joins import interval_join_attribution
+
+    d, _ = _replay_dir(spark, sf_dir, tmp_path, n_files=6)
+    schema = spark.read.parquet(d).schema
+    views = file_replay_stream(spark, d, schema).filter(F.col("event_type") == "view")
+    purchases = file_replay_stream(spark, d, schema).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = interval_join_attribution(
+        views, purchases, window_minutes=30, watermark="60 minutes", how="right_outer"
+    )
+    out: list[pd.DataFrame] = []
+    q = (
+        joined.writeStream.foreachBatch(lambda df, i: out.append(df.toPandas()))
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssoj"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = pd.concat(out, ignore_index=True)
+    matched = got[got["view_id"].notna()]
+    nulls = got[got["view_id"].isna()]
+
+    want_pairs = x158_view_purchase_attribution(spark, sf_dir).toPandas()
+    assert len(matched) == len(want_pairs)
+    got_keys = set(zip(matched["view_id"].astype("int64"),
+                       matched["purchase_id"].astype("int64")))
+    want_keys = set(zip(want_pairs["view_id"], want_pairs["purchase_id"]))
+    assert got_keys == want_keys
+
+    want_un = set(x162_unattributed_purchases(spark, sf_dir).toPandas()["purchase_id"])
+    null_ids = set(nulls["purchase_id"].astype("int64"))
+    assert null_ids <= want_un          # no false unattributed rows, ever
+    assert len(null_ids) > 0.8 * len(want_un)  # tail-withholding only
