@@ -241,6 +241,7 @@ HEADLINE = [
     "x163_bloom_filter_calibration",
     "x164_dup_graph_triangles",
     "x165_readability_profile",
+    "x166_cdc_join_maintenance",
 ]
 
 

@@ -423,9 +423,10 @@ def winnow_fingerprints(
 
     Selection is ONE window-min per gram, no per-window subquery: the
     (hash, position) pair packs into an exact DECIMAL(38,0) ordinal
-    ``h * 2^20 + (2^20-1 - pos)`` (60-bit hash × 20-bit position would
-    overflow int64; HUGEINT on the DuckDB side), so "min hash, rightmost
-    tie" is a plain integer MIN over a CURRENT..w-1 FOLLOWING frame.
+    ``h * 2^40 + (2^40-1 - pos)`` (60-bit hash × 40-bit position — wide
+    enough for any int32 posexplode offset, and > int64 so it rides
+    DECIMAL/HUGEINT), so "min hash, rightmost tie" is a plain integer
+    MIN over a CURRENT..w-1 FOLLOWING frame.
     At 100 TB this is one per-doc sort partition (no shuffle beyond the
     doc repartition) and the output is the sparse fingerprint set.
 

@@ -486,3 +486,69 @@ def x88_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "version", F.col("event_type").alias("state"), "effective_from")
         .orderBy("user_id")
     )
+
+
+@query(
+    "x166_cdc_join_maintenance",
+    oracle="""
+    WITH live AS (
+      SELECT user_id, event_type,
+             SUM(CASE event_id % 4 WHEN 2 THEN -1 WHEN 1 THEN 0 ELSE 1 END)
+               AS n_live
+      FROM events
+      WHERE event_type IN ('click', 'view')
+      GROUP BY user_id, event_type),
+    ab AS (SELECT user_id,
+                  coalesce(min(CASE WHEN event_type = 'click' THEN n_live END), 0)
+                    AS clicks_live,
+                  coalesce(min(CASE WHEN event_type = 'view' THEN n_live END), 0)
+                    AS views_live
+           FROM live GROUP BY user_id)
+    SELECT user_id,
+           CAST(clicks_live AS BIGINT) AS clicks_live,
+           CAST(views_live AS BIGINT) AS views_live,
+           CAST(clicks_live * views_live AS BIGINT) AS join_rows
+    FROM ab ORDER BY user_id
+    """,
+)
+def x166_cdc_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN maintenance under CDC — the bilinear companion to
+    x33's aggregate maintenance: for the per-user equi-join of live click
+    rows with live view rows, the maintained quantity is the join
+    CARDINALITY |A_u| x |B_u|, and under change streams it moves by the
+    product rule d(ab) = da*b + a*db + da*db (the DBSP / differential-
+    dataflow bilinear operator; each term joins a DELTA against state or
+    delta, never base x base). That rule is what keeps a 100 TB
+    materained join current with work proportional to the change stream;
+    tests/test_cdc_materialize.py replays the envelope in 3 microbatches,
+    folds the product rule batch-by-batch, and pins the folded state to
+    this query's direct evaluation row-for-row. The batch registry shape
+    folds row-liveness deltas (insert +1 / update 0 / delete -1) per
+    side, then takes the product — one change-stream scan, one hash agg,
+    no join of the base tables anywhere."""
+    env = cdc_envelope(spark, sf_dir)
+    etype = F.coalesce(F.col("after.event_type"), F.col("before.event_type"))
+    key = F.coalesce(F.col("after.user_id"), F.col("before.user_id"))
+    live_delta = (
+        F.when(F.col("op") == "d", F.lit(-1))
+        .when(F.col("op") == "u", F.lit(0))
+        .otherwise(F.lit(1))
+    )
+    ab = (
+        env.filter(etype.isin("click", "view"))
+        .groupBy(key.alias("user_id"))
+        .agg(
+            F.coalesce(
+                F.sum(F.when(etype == "click", live_delta)), F.lit(0)
+            ).alias("clicks_live"),
+            F.coalesce(
+                F.sum(F.when(etype == "view", live_delta)), F.lit(0)
+            ).alias("views_live"),
+        )
+    )
+    return ab.select(
+        "user_id",
+        "clicks_live",
+        "views_live",
+        (F.col("clicks_live") * F.col("views_live")).alias("join_rows"),
+    ).orderBy("user_id")

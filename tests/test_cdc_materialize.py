@@ -232,3 +232,53 @@ def test_scd2_sink_spec_end_to_end(spark, sf_dir, tmp_path):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False
     )
+
+
+def test_x166_product_rule_equals_direct(spark, sf_dir):
+    """The bilinear join-maintenance rule d(ab) = da*b + a*db + da*db,
+    folded over 3 microbatches of the CDC envelope, must land on exactly
+    the direct evaluation (x166) — per user, for both side counts and the
+    maintained join cardinality. This is the incremental path the x166
+    docstring claims; the batch registry query is its fixpoint."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_spark.queries.cdc import cdc_envelope, x166_cdc_join_maintenance
+
+    env = cdc_envelope(spark, sf_dir)
+    etype = F.coalesce(F.col("after.event_type"), F.col("before.event_type"))
+    key = F.coalesce(F.col("after.user_id"), F.col("before.user_id"))
+    eid = F.coalesce(F.col("after.event_id"), F.col("before.event_id"))
+    live = (
+        F.when(F.col("op") == "d", F.lit(-1))
+        .when(F.col("op") == "u", F.lit(0))
+        .otherwise(F.lit(1))
+    )
+    deltas = (
+        env.filter(etype.isin("click", "view"))
+        .select(
+            key.alias("user_id"),
+            (eid % 3).alias("batch"),
+            F.when(etype == "click", live).otherwise(F.lit(0)).alias("da"),
+            F.when(etype == "view", live).otherwise(F.lit(0)).alias("db"),
+        )
+        .groupBy("batch", "user_id")
+        .agg(F.sum("da").alias("da"), F.sum("db").alias("db"))
+        .toPandas()
+    )
+    a: dict[int, int] = {}
+    b: dict[int, int] = {}
+    ab: dict[int, int] = {}
+    for batch in sorted(deltas["batch"].unique()):
+        for _, r in deltas[deltas["batch"] == batch].iterrows():
+            u, da, db = int(r["user_id"]), int(r["da"]), int(r["db"])
+            ao, bo = a.get(u, 0), b.get(u, 0)
+            ab[u] = ab.get(u, 0) + da * bo + ao * db + da * db  # product rule
+            a[u] = ao + da
+            b[u] = bo + db
+    want = x166_cdc_join_maintenance(spark, sf_dir).toPandas()
+    assert len(want) == len(ab)
+    for _, r in want.iterrows():
+        u = int(r["user_id"])
+        assert a.get(u, 0) == r["clicks_live"], u
+        assert b.get(u, 0) == r["views_live"], u
+        assert ab.get(u, 0) == r["join_rows"], u
