@@ -171,6 +171,206 @@ def cosine_pairs_blocked(
     )
 
 
+def seq_dot_block(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """All-pairs dot products with EXACTLY the left-to-right fold order of
+    :func:`dot` (``F.aggregate``) and DuckDB's ``list_dot_product``: one
+    vectorized multiply-add per dimension, so every (i, j) cell evaluates
+    ``((0 + a0*b0) + a1*b1) + ...`` with the same IEEE-754 rounding at each
+    step as the scalar folds. float32-sourced doubles make each product
+    exact (24-bit x 24-bit significands fit in 53), so results are
+    BIT-IDENTICAL to the JVM/DuckDB kernels — verified over all 124,750
+    sf0.01 pairs — while running at numpy speed. (BLAS ``A @ B.T`` reorders
+    the summation and is NOT bit-stable across engines; use this kernel
+    wherever the cosine feeds a hash-checked rank or bucket.)"""
+    acc = np.zeros((a.shape[0], b.shape[0]))
+    for i in range(a.shape[1]):
+        acc += a[:, i, None] * b[None, :, i]
+    return acc
+
+
+def seq_self_dot(a: np.ndarray) -> np.ndarray:
+    """Per-row self dot product with the same sequential fold order as
+    :func:`seq_dot_block` — the numpy twin of ``with_vec``'s norm."""
+    acc = np.zeros(a.shape[0])
+    for i in range(a.shape[1]):
+        acc += a[:, i] * a[:, i]
+    return acc
+
+
+def _replicate_block_pairs(
+    df: DataFrame, id_col: str, vec_col: str, n_blocks: int, extra_cols: list[str]
+) -> DataFrame:
+    """Hash rows into ``n_blocks`` blocks and replicate each row to every
+    unordered block pair (bi <= bj) it participates in — the distributed
+    all-pairs layout shared by the blocked cosine kernels: each
+    applyInPandas group then holds two complete blocks and computes its
+    sub-matrix locally, Arrow transfer is n_blocks x |corpus| vectors,
+    compute is O(n^2 / n_blocks^2) per task, and no driver collect ever
+    happens."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("blk"),
+        *extra_cols,
+    )
+    other = F.sequence(F.lit(0), F.lit(n_blocks - 1))
+    return (
+        base.select("*", F.explode(other).alias("ob"))
+        .select(
+            "id",
+            "v",
+            "blk",
+            *extra_cols,
+            F.least("blk", "ob").alias("bi"),
+            F.greatest("blk", "ob").alias("bj"),
+        )
+        .dropDuplicates(["id", "bi", "bj"])
+    )
+
+
+def _auto_blocks(df: DataFrame, n_blocks: int | None) -> int:
+    """Pick the block count from corpus size when unspecified: at least 8
+    blocks (36 unordered pairs — keeps every core busy), growing as
+    ~n/1500 so a block-pair submatrix stays ~1500x1500 regardless of
+    corpus size (the round-6 auto-depth-LSH lesson: any FIXED partition
+    parameter turns into a serial bottleneck at some multiple). Capped at
+    64 since replication — and therefore Arrow transfer — is n_blocks x
+    corpus bytes. The count() probe is one narrow column scan."""
+    if n_blocks is not None:
+        return n_blocks
+    n = df.count()
+    return max(8, min(64, -(-n // 1500)))
+
+
+def cosine_bucket_histogram(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int | None = None,
+    bucket_scale: int = 10,
+) -> DataFrame:
+    """Exact all-pairs cosine bucket histogram — ``floor(c * scale)`` over
+    every unordered pair (id_a < id_b), c shared-rounded to 6 decimals —
+    computed as per-block-pair partial histograms over the sequential-fold
+    kernel, then one tiny global sum. The histogram (21 rows) is the only
+    thing shuffled; the n^2 pair set never materializes as rows anywhere.
+    Bit-identical to the JVM fold + DuckDB list_dot_product plan it
+    replaces (see :func:`seq_dot_block`)."""
+    n_blocks = _auto_blocks(df, n_blocks)
+    replicated = _replicate_block_pairs(df, id_col, vec_col, n_blocks, [])
+    empty = pd.DataFrame({"cos_bucket": pd.Series([], dtype="int64"),
+                          "n_pairs": pd.Series([], dtype="int64")})
+
+    def block_hist(pdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = int(pdf["bi"].iloc[0]), int(pdf["bj"].iloc[0])
+        a = pdf[pdf["blk"] == bi].sort_values("id")
+        if a.empty:
+            return empty
+        ma = np.stack(a["v"].to_numpy()).astype("float64")
+        na = np.sqrt(seq_self_dot(ma))
+        if bi == bj:
+            c = seq_dot_block(ma, ma) / (na[:, None] * na[None, :])
+            iu, ju = np.triu_indices(len(a), k=1)
+            cos = c[iu, ju]
+        else:
+            b = pdf[pdf["blk"] == bj].sort_values("id")
+            if b.empty:
+                return empty
+            mb = np.stack(b["v"].to_numpy()).astype("float64")
+            nb = np.sqrt(seq_self_dot(mb))
+            cos = (seq_dot_block(ma, mb) / (na[:, None] * nb[None, :])).ravel()
+        buckets = np.floor(npround(cos, 6) * bucket_scale).astype("int64")
+        vals, counts = np.unique(buckets, return_counts=True)
+        return pd.DataFrame({"cos_bucket": vals, "n_pairs": counts.astype("int64")})
+
+    partials = replicated.groupBy("bi", "bj").applyInPandas(
+        block_hist, "cos_bucket long, n_pairs long"
+    )
+    return (
+        partials.groupBy("cos_bucket")
+        .agg(F.sum("n_pairs").alias("n_pairs"))
+        .orderBy("cos_bucket")
+    )
+
+
+def knn_candidates_blocked(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int | None = None,
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-vector exact k-nearest-cosine-neighbor candidates via the
+    block-pair layout: each group emits every member row's LOCAL top-k
+    against the opposite block (self-pairs excluded), and the global top-k
+    is a second, tiny rank over <= k * n_blocks candidates per vector —
+    the classic distributed brute-force kNN merge. Cosines ride the
+    bit-exact sequential-fold kernel; local top-k uses the same
+    (c desc, neighbor_id asc) order as the global rank, so the global
+    winner set is exactly the all-pairs answer. Output columns: qid, nid,
+    c (+ ``<col>_q``/``<col>_n`` for each requested extra column)."""
+    extra = list(extra_cols or [])
+    n_blocks = _auto_blocks(df, n_blocks)
+    replicated = _replicate_block_pairs(df, id_col, vec_col, n_blocks, extra)
+    out_cols = (
+        ["qid", "nid", "c"]
+        + [f"{c}_q" for c in extra]
+        + [f"{c}_n" for c in extra]
+    )
+    schema = ", ".join(
+        ["qid long", "nid long", "c double"]
+        + [f"{c}_q long" for c in extra]
+        + [f"{c}_n long" for c in extra]
+    )
+    empty = pd.DataFrame({c: [] for c in out_cols})
+
+    def one_side(qpdf, npdf, sims):
+        # local top-k per row of sims: ties by neighbor id ascending —
+        # columns are pre-sorted by id, stable argsort preserves that.
+        cr = npround(sims, 6)
+        kk = min(k, cr.shape[1])
+        order = np.argsort(-cr, axis=1, kind="stable")[:, :kk]
+        rows = np.repeat(np.arange(cr.shape[0]), kk)
+        cols = order.ravel()
+        keep = np.isfinite(cr[rows, cols])  # drop -inf self-pair sentinels
+        rows, cols = rows[keep], cols[keep]
+        out = {
+            "qid": qpdf["id"].to_numpy()[rows].astype("int64"),
+            "nid": npdf["id"].to_numpy()[cols].astype("int64"),
+            "c": cr[rows, cols],
+        }
+        for c in qpdf.columns.intersection(extra):
+            out[f"{c}_q"] = qpdf[c].to_numpy()[rows].astype("int64")
+            out[f"{c}_n"] = npdf[c].to_numpy()[cols].astype("int64")
+        return pd.DataFrame(out)
+
+    def block_knn(pdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = int(pdf["bi"].iloc[0]), int(pdf["bj"].iloc[0])
+        a = pdf[pdf["blk"] == bi].sort_values("id")
+        if a.empty:
+            return empty
+        ma = np.stack(a["v"].to_numpy()).astype("float64")
+        na = np.sqrt(seq_self_dot(ma))
+        if bi == bj:
+            if len(a) < 2:
+                return empty
+            sims = seq_dot_block(ma, ma) / (na[:, None] * na[None, :])
+            np.fill_diagonal(sims, -np.inf)  # exclude self-pairs
+            return one_side(a, a, sims)
+        b = pdf[pdf["blk"] == bj].sort_values("id")
+        if b.empty:
+            return empty
+        mb = np.stack(b["v"].to_numpy()).astype("float64")
+        nb = np.sqrt(seq_self_dot(mb))
+        sims = seq_dot_block(ma, mb) / (na[:, None] * nb[None, :])
+        return pd.concat(
+            [one_side(a, b, sims), one_side(b, a, sims.T)], ignore_index=True
+        )
+
+    return replicated.groupBy("bi", "bj").applyInPandas(block_knn, schema)
+
+
 def lsh_cosine_pairs(
     df: DataFrame,
     threshold: float,

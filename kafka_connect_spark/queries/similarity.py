@@ -349,22 +349,17 @@ def x130_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap. Exact all-pairs is the fixture-scale plan; at 100 TB the same
     histogram comes from a uniform pair SAMPLE — x130b is that scale
     path, in code — since the distribution, not the pairs, is the
-    deliverable. Bucketing floors the shared-rounded cosine —
-    engine-exact."""
-    from ..functions.simfns import dot, with_vec
+    deliverable. The pair sweep runs as block-pair partial histograms
+    over the bit-exact sequential-fold numpy kernel
+    (simfns.seq_dot_block — same IEEE rounding sequence as the JVM fold
+    and DuckDB's list_dot_product, verified bit-equal on all sf0.01
+    pairs), so only 21 histogram rows ever shuffle and the n^2 pair set
+    never materializes as rows. Bucketing floors the shared-rounded
+    cosine — engine-exact."""
+    from ..functions.simfns import cosine_bucket_histogram
 
     emb = load(spark, sf_dir, "embeddings")
-    v = with_vec(emb)
-    a = v.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("v_norm").alias("na"))
-    b = v.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("v_norm").alias("nb"))
-    cos = dround(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select(F.floor(cos * 10).cast("long").alias("cos_bucket"))
-        .groupBy("cos_bucket")
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
-        .orderBy("cos_bucket")
-    )
+    return cosine_bucket_histogram(emb)
 
 
 @query(
@@ -460,25 +455,19 @@ def x145_knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the identical per-label rollup consumes ANN candidates
     (LSH/IVF/PQ) instead of the all-pairs ranking — the agreement ppm
     then carries the measured recall bound from docs/SCALING.md's
-    round-7 probe. Ranks use the shared dround + neighbor-id tie-break,
+    round-7 probe. Execution is the distributed brute-force kNN merge:
+    block-pair groups emit per-query LOCAL top-5 candidates over the
+    bit-exact sequential-fold kernel (simfns.knn_candidates_blocked),
+    and a second rank over <= 5 * n_blocks candidates per query picks
+    the global set — identical to the all-pairs window by top-k
+    containment. Ranks use the shared dround + neighbor-id tie-break,
     so both engines pick identical neighbor sets."""
-    from ..functions.simfns import dot, with_vec
+    from ..functions.simfns import knn_candidates_blocked
 
     emb = load(spark, sf_dir, "embeddings")
-    v = with_vec(emb)
-    a = v.select(
-        F.col("vec_id").alias("qid"), F.col("label").alias("ql"),
-        F.col("v").alias("qv"), F.col("v_norm").alias("qn"),
-    )
-    b = v.select(
-        F.col("vec_id").alias("nid"), F.col("label").alias("nl"),
-        F.col("v").alias("nv"), F.col("v_norm").alias("nn"),
-    )
-    cos = dround(dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), 6)
+    cand = knn_candidates_blocked(emb, k=5, extra_cols=["label"])
     r = (
-        a.join(b, F.col("qid") != F.col("nid"))
-        .select("qid", "ql", "nl", cos.alias("c"), "nid")
-        .withColumn(
+        cand.withColumn(
             "rk",
             F.row_number().over(
                 Window.partitionBy("qid").orderBy(F.col("c").desc(), "nid")
@@ -486,8 +475,8 @@ def x145_knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rk") <= 5)
     )
-    k = r.groupBy("qid", "ql").agg(
-        F.sum((F.col("nl") == F.col("ql")).cast("long")).alias("agree")
+    k = r.groupBy("qid", F.col("label_q").alias("ql")).agg(
+        F.sum((F.col("label_n") == F.col("label_q")).cast("long")).alias("agree")
     )
     return (
         k.groupBy(F.col("ql").alias("label"))
