@@ -242,6 +242,11 @@ HEADLINE = [
     "x164_dup_graph_triangles",
     "x165_readability_profile",
     "x166_cdc_join_maintenance",
+    "x167_copurchase_lift",
+    "x168_dup_graph_pagerank",
+    "x169_daily_anomaly_flags",
+    "x170_rrf_rank_fusion",
+    "x171_hll_distinct_calibration",
 ]
 
 

@@ -1625,3 +1625,97 @@ def x164_dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             cc.alias("clustering_coeff"),
         )
     )
+
+
+@query(
+    "x168_dup_graph_pagerank",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ')
+                            for i in range(1, len(t) - 1)]) AS s
+           FROM tok WHERE len(t) >= 3),
+    ex AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    e0 AS (SELECT id_a, id_b FROM inter
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+           WHERE {dround_sql("inter / (sa.n + sb.n - inter)", 6)} >= 0.5),
+    ed AS (SELECT id_a AS src, id_b AS dst FROM e0
+           UNION ALL SELECT id_b, id_a FROM e0),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM ed GROUP BY src),
+    p0 AS (SELECT src AS node, CAST(1000000000000 AS BIGINT) AS pr FROM deg),
+    c0 AS (SELECT ed.dst AS node, SUM(p0.pr // deg.deg) AS s
+           FROM ed JOIN p0 ON p0.node = ed.src JOIN deg ON deg.src = ed.src
+           GROUP BY ed.dst),
+    p1 AS (SELECT node, 150000000000 + (85 * s) // 100 AS pr FROM c0),
+    c1 AS (SELECT ed.dst AS node, SUM(p1.pr // deg.deg) AS s
+           FROM ed JOIN p1 ON p1.node = ed.src JOIN deg ON deg.src = ed.src
+           GROUP BY ed.dst),
+    p2 AS (SELECT node, 150000000000 + (85 * s) // 100 AS pr FROM c1),
+    c2 AS (SELECT ed.dst AS node, SUM(p2.pr // deg.deg) AS s
+           FROM ed JOIN p2 ON p2.node = ed.src JOIN deg ON deg.src = ed.src
+           GROUP BY ed.dst),
+    p3 AS (SELECT node, 150000000000 + (85 * s) // 100 AS pr FROM c2)
+    SELECT p3.node AS doc_id, deg.deg,
+           CAST(p3.pr AS BIGINT) AS pagerank_e12
+    FROM p3 JOIN deg ON deg.src = p3.node
+    ORDER BY doc_id
+    """,
+)
+def x168_dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the near-dup graph (x12c edges at jaccard >= 0.5,
+    damping 0.85, 3 iterations) — centrality separates the CANONICAL
+    document of a duplication neighborhood (the hub every variant links
+    to) from its derivatives, a keep-best signal that, unlike x70's
+    per-doc quality score, uses the graph STRUCTURE. Arithmetic is pure
+    integers so an iterative float algorithm becomes hash-checkable: pr
+    lives at scale 1e12, per-neighbor contribution is exact integer
+    division pr div deg, and the update is 0.15e12 + (85 * s) div 100 —
+    bit-identical in Spark (`div`) and DuckDB (`//`), no
+    summation-order hazard since integer addition commutes. Fixed depth
+    makes the oracle expressible by unrolling (the x161 lesson, minus
+    the recursion). Plan: each iteration is one join of the pr vector
+    with the degree-annotated edge list + one vertex-keyed hash agg; at
+    100 TB both sides pre-partition by vertex once and every iteration
+    reuses that exchange (no resort), total work 3 x |E| — the same
+    bounded-iteration discipline as x12h's label propagation."""
+    from ..functions.dedupfns import ngram_jaccard_pairs
+
+    d = load_parallel(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.5).select("id_a", "id_b")
+    ed = (
+        pairs.selectExpr("id_a AS src", "id_b AS dst")
+        .unionAll(pairs.selectExpr("id_b AS src", "id_a AS dst"))
+        # materialize the edge list ONCE: every iteration joins against it,
+        # and without lineage truncation the shingle pair-build would re-run
+        # per iteration (the x12h label-propagation discipline)
+        .localCheckpoint(eager=True)
+    )
+    deg = ed.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    pr = deg.select(F.col("src").alias("node"), F.lit(10**12).alias("pr"))
+    for _ in range(3):
+        contrib = pr.join(deg, pr["node"] == deg["src"]).select(
+            "node", F.expr("pr div deg").alias("c")
+        )
+        s = (
+            ed.join(contrib, ed["src"] == contrib["node"])
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        pr = s.select(
+            F.col("dst").alias("node"),
+            (F.lit(150_000_000_000) + F.expr("(85 * s) div 100")).alias("pr"),
+        )
+    return (
+        pr.join(deg, pr["node"] == deg["src"])
+        .select(
+            F.col("node").alias("doc_id"),
+            "deg",
+            F.col("pr").cast("long").alias("pagerank_e12"),
+        )
+        .orderBy("doc_id")
+    )

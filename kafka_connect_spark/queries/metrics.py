@@ -3474,3 +3474,63 @@ def histogram_quantile_expr(
         ) / (chi - clo)
         expr = F.when(q_den * chi >= q_num * t, interp).otherwise(expr)
     return expr
+
+
+@query(
+    "x169_daily_anomaly_flags",
+    oracle="""
+    WITH day AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                        CAST(count(*) AS BIGINT) AS n_events
+                 FROM events GROUP BY 1, 2),
+    st AS (SELECT event_type,
+                  CAST(count(*) AS BIGINT) AS n_days,
+                  CAST(sum(n_events) AS BIGINT) AS s,
+                  CAST(sum(n_events * n_events) AS BIGINT) AS ss
+           FROM day GROUP BY event_type)
+    SELECT day.event_type, day.day, day.n_events,
+           CAST((day.n_events * st.n_days - st.s)
+                * (day.n_events * st.n_days - st.s) AS BIGINT) AS dev2_n2,
+           CAST(4 * (st.n_days * st.ss - st.s * st.s) AS BIGINT) AS thresh_n2
+    FROM day JOIN st USING (event_type)
+    WHERE (day.n_events * st.n_days - st.s)
+          * (day.n_events * st.n_days - st.s)
+          > 4 * (st.n_days * st.ss - st.s * st.s)
+    ORDER BY event_type, day
+    """,
+)
+def x169_daily_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily volume anomaly flags per event type: days whose count sits
+    more than 2 sigma from that type's across-days mean — the on-call
+    "traffic cliff / bot spike" report. The z-test runs ENTIRELY in
+    integers: (x - mean)^2 > (2 sigma)^2 is multiplied through by
+    n_days^2 into (x*N - S)^2 > 4*(N*SS - S^2) over the exact count
+    sums, so there is no float mean/stddev to representation-diverge
+    and the flag is engine-exact (both squared sides are emitted for
+    auditability). BIGINT holds to ~3e9 events/day; beyond that the
+    same identity runs in DECIMAL(38,0). Plan: one (type, day) hash agg
+    — partial-aggregated map-side — then a broadcast of the per-type
+    stats (|event_types| rows) back onto the day rows; nothing else
+    shuffles at any scale."""
+    e = load(spark, sf_dir, "events")
+    day = e.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    st = day.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n_events").alias("s"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("ss"),
+    )
+    dev = F.col("n_events") * F.col("n_days") - F.col("s")
+    thresh = 4 * (F.col("n_days") * F.col("ss") - F.col("s") * F.col("s"))
+    return (
+        day.join(F.broadcast(st), "event_type")
+        .filter(dev * dev > thresh)
+        .select(
+            "event_type",
+            "day",
+            "n_events",
+            (dev * dev).cast("long").alias("dev2_n2"),
+            thresh.cast("long").alias("thresh_n2"),
+        )
+        .orderBy("event_type", "day")
+    )

@@ -708,3 +708,143 @@ def x160_kmv_distinct_calibration(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("long")
         .alias("kmv_estimate"),
     ).orderBy("scope")
+
+
+@query(
+    "x171_hll_distinct_calibration",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT event_type,
+                       CAST(user_id AS VARCHAR) || ':' || strftime(ts, '%Y-%m-%d')
+                         AS entity
+                FROM events),
+    h AS (SELECT event_type,
+                 CAST('0x' || substring(md5(entity), 1, 15) AS BIGINT) AS hv
+          FROM ud),
+    reg AS (SELECT event_type, hv % 1024 AS bucket, hv // 1024 AS w FROM h),
+    rho AS (SELECT event_type, bucket,
+                   CASE WHEN w = 0 THEN 51
+                        ELSE 51 - length(bin(w)) END AS rho
+            FROM reg),
+    mx AS (SELECT event_type, bucket, CAST(max(rho) AS BIGINT) AS m
+           FROM rho GROUP BY 1, 2),
+    et AS (SELECT DISTINCT event_type FROM ud),
+    full_reg AS (SELECT et.event_type, t.b AS bucket,
+                        coalesce(mx.m, 0) AS m
+                 FROM et CROSS JOIN (SELECT unnest(range(0, 1024)) AS b) t
+                 LEFT JOIN mx ON mx.event_type = et.event_type
+                             AND mx.bucket = t.b),
+    z AS (SELECT event_type,
+                 CAST(sum(CAST(2251799813685248 AS HUGEINT) * 2 // (2 ** m))
+                   AS HUGEINT) AS z_den,
+                 CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+          FROM full_reg GROUP BY event_type),
+    ex AS (SELECT event_type, CAST(count(*) AS BIGINT) AS exact_count
+           FROM ud GROUP BY event_type),
+    est AS (SELECT z.event_type, ex.exact_count, z.v,
+                   CAST(CAST('1701329333966688515960864768' AS HUGEINT)
+                        // z.z_den // 1000000 AS BIGINT) AS raw_est
+            FROM z JOIN ex USING (event_type)),
+    fin AS (SELECT event_type, exact_count, v,
+                   CASE WHEN v > 0 AND raw_est <= 2560
+                        THEN CAST(floor(1024 * CAST(ln(1024.0 / v)
+                                                    AS DECIMAL(18,6))) AS BIGINT)
+                        ELSE raw_est END AS hll_estimate
+            FROM est)
+    SELECT event_type, exact_count, v AS empty_buckets, hll_estimate,
+           CAST(abs(hll_estimate - exact_count) * 1000000 // exact_count
+                AS BIGINT) AS err_ppm
+    FROM fin ORDER BY event_type
+    """,
+)
+def x171_hll_distinct_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count calibration on the SAME user-day
+    statistic as x160's KMV sketch — the algorithm behind Spark's own
+    approx_count_distinct, rebuilt deterministically so the estimator
+    itself is hash-checkable: p=10 (1024 registers), 60-bit md5 hash
+    split into bucket (low 10 bits) and a 50-bit word w whose
+    leading-zero rank rho = 51 - bitlen(w) feeds a per-bucket MAX. The
+    harmonic mean runs in EXACT integers — each register contributes
+    2^(51-m), so Z_den = sum fits (and commutes) in 62 bits, and the
+    raw estimate alpha_1024 * m^2 * 2^51 / Z_den is one HUGEINT/DECIMAL
+    floor-division chain; the small-range branch (V empty registers,
+    raw <= 2.5m) switches to linear counting m*ln(m/V) through the
+    quantized-ln idiom x118/x140 already rely on. Registers are a
+    FIXED 1024 BIGINTs per scope merged by MAX — the flat-at-any-scale
+    sketch contract (cf. docs/SCALING.md x159/x160/x163 probes), and
+    the reason approx_count_distinct survives 100 TB while exact
+    distinct shuffles the world. err_ppm closes the loop: measured
+    error vs the ~3.25% theoretical RSE at m=1024."""
+    from ..functions.dedupfns import token_hash60
+
+    e = load(spark, sf_dir, "events")
+    ud = e.select(
+        "event_type",
+        F.concat(
+            F.col("user_id").cast("string"),
+            F.lit(":"),
+            F.date_format("ts", "yyyy-MM-dd"),
+        ).alias("entity"),
+    ).distinct()
+    h = ud.select("event_type", token_hash60(F.col("entity")).alias("hv"))
+    reg = h.select(
+        "event_type",
+        (F.col("hv") % 1024).alias("bucket"),
+        F.expr("hv div 1024").alias("w"),
+    )
+    rho = reg.select(
+        "event_type",
+        "bucket",
+        F.when(F.col("w") == 0, F.lit(51))
+        .otherwise(F.lit(51) - F.length(F.bin("w")))
+        .alias("rho"),
+    )
+    mx = rho.groupBy("event_type", "bucket").agg(
+        F.max("rho").cast("long").alias("m")
+    )
+    et = ud.select("event_type").distinct()
+    buckets = et.select(
+        "event_type", F.explode(F.sequence(F.lit(0), F.lit(1023))).alias("bucket")
+    )
+    full_reg = buckets.join(mx, ["event_type", "bucket"], "left").select(
+        "event_type", "bucket", F.coalesce(F.col("m"), F.lit(0)).alias("m")
+    )
+    z = full_reg.groupBy("event_type").agg(
+        F.sum(F.expr("CAST(2251799813685248 AS BIGINT) * 2 div CAST(pow(2, m) AS BIGINT)"))
+        .alias("z_den"),
+        F.sum((F.col("m") == 0).cast("long")).alias("v"),
+    )
+    ex = ud.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_count"))
+    est = z.join(ex, "event_type").select(
+        "event_type",
+        "exact_count",
+        "v",
+        F.expr(
+            "CAST(CAST('1701329333966688515960864768' AS DECIMAL(38,0)) div z_den"
+            " AS DECIMAL(38,0)) div 1000000"
+        )
+        .cast("long")
+        .alias("raw_est"),
+    )
+    fin = est.select(
+        "event_type",
+        "exact_count",
+        "v",
+        F.when(
+            (F.col("v") > 0) & (F.col("raw_est") <= 2560),
+            F.floor(
+                1024
+                * F.log(1024.0 / F.col("v")).cast("decimal(18,6)")
+            ).cast("long"),
+        )
+        .otherwise(F.col("raw_est"))
+        .alias("hll_estimate"),
+    )
+    return fin.select(
+        "event_type",
+        "exact_count",
+        F.col("v").alias("empty_buckets"),
+        "hll_estimate",
+        F.expr("abs(hll_estimate - exact_count) * 1000000 div exact_count")
+        .cast("long")
+        .alias("err_ppm"),
+    ).orderBy("event_type")

@@ -1897,3 +1897,90 @@ def x162_unattributed_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "purchase_id")
         .orderBy("purchase_id")
     )
+
+
+@query(
+    "x167_copurchase_lift",
+    oracle="""
+    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM d),
+    pc AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_orders_with FROM d
+           GROUP BY l_partkey),
+    p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                 CAST(count(*) AS BIGINT) AS n_both
+          FROM d a JOIN d b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2)
+    SELECT part_a, part_b, n_both,
+           ca.n_orders_with AS n_a, cb.n_orders_with AS n_b,
+           CAST(n_both * n_orders * 1000000 // (ca.n_orders_with * cb.n_orders_with)
+                AS BIGINT) AS lift_ppm
+    FROM p JOIN pc ca ON ca.l_partkey = part_a
+           JOIN pc cb ON cb.l_partkey = part_b
+           CROSS JOIN n
+    WHERE n_both >= 2
+    ORDER BY n_both DESC, lift_ppm DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def x167_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-purchase lift: for every pair of parts appearing
+    in the same order, support (co-order count) and lift — the
+    association signal behind recommendation candidates and inventory
+    co-location, exact in ppm integers (floor(n_ab * N * 1e6 / (n_a *
+    n_b)); >1e6 means the pair co-occurs more than independence
+    predicts). Plan shape for 100 TB: pair generation happens INSIDE
+    each order row — distinct (order, part), collect_set per order, then
+    a JVM higher-order transform emits the pairs (the x153 idiom) — so
+    join volume is sum-of-basket-squared, bounded by TPC-H's ~7-line
+    orders, never |lineitem|^2; part totals ride a broadcast; the final
+    top-20 is TakeOrdered. The oracle states the equivalent self-join
+    formulation."""
+    li = load(spark, sf_dir, "lineitem")
+    d = li.select("l_orderkey", "l_partkey").distinct()
+    n = d.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    pc = d.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_orders_with"))
+    per_order = d.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    pairs = (
+        per_order.select(
+            F.explode(
+                F.expr(
+                    """
+                    flatten(transform(ps, (a, i) ->
+                      transform(slice(ps, i + 2, size(ps)), b ->
+                        struct(a AS part_a, b AS part_b))))
+                    """
+                )
+            ).alias("p")
+        )
+        .select("p.part_a", "p.part_b")
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= 2)
+    )
+    ca = pc.select(F.col("l_partkey").alias("part_a"), F.col("n_orders_with").alias("n_a"))
+    cb = pc.select(F.col("l_partkey").alias("part_b"), F.col("n_orders_with").alias("n_b"))
+    return (
+        pairs.join(ca, "part_a")
+        .join(cb, "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.floor(
+                F.col("n_both") * F.col("n_orders") * 1_000_000
+                / (F.col("n_a") * F.col("n_b"))
+            )
+            .cast("long")
+            .alias("lift_ppm"),
+        )
+        .orderBy(
+            F.col("n_both").desc(), F.col("lift_ppm").desc(), "part_a", "part_b"
+        )
+        .limit(20)
+    )

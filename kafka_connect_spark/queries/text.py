@@ -3429,3 +3429,154 @@ def x165_readability_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "x170_rrf_rank_fusion",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                 FROM documents),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM tok WHERE term IN ('table', 'stream', 'window') GROUP BY 1, 2),
+    df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+                 CAST((SELECT sum(dl) FROM dl) AS DOUBLE)
+                   / CAST(count(*) AS BIGINT) AS avgdl
+          FROM documents),
+    bs AS (SELECT tf.doc_id,
+                  CAST(sum(CAST(ln((nd - df + 0.5) / (df + 0.5) + 1.0)
+                       * (tf * 2.2)
+                       / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                       AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS score
+           FROM tf JOIN df USING (term)
+                   JOIN dl ON dl.doc_id = tf.doc_id
+                   CROSS JOIN n
+           GROUP BY tf.doc_id),
+    bm AS (SELECT doc_id,
+                  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+                    AS r
+           FROM bs),
+    ts AS (SELECT tf.doc_id,
+                  CAST(sum(tf.tf * CAST(ln(CAST(nd AS DOUBLE) / df)
+                                        AS DECIMAL(18,6))) AS DECIMAL(38,6))
+                    AS score
+           FROM tf JOIN df USING (term) CROSS JOIN n
+           WHERE df < nd
+           GROUP BY tf.doc_id),
+    ti AS (SELECT doc_id,
+                  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+                    AS r
+           FROM ts),
+    f AS (SELECT coalesce(bm.doc_id, ti.doc_id) AS doc_id,
+                 CAST(coalesce(bm.r, 0) AS BIGINT) AS bm25_rank,
+                 CAST(coalesce(ti.r, 0) AS BIGINT) AS tfidf_rank,
+                 CAST(coalesce(1000000000 // (60 + bm.r), 0)
+                      + coalesce(1000000000 // (60 + ti.r), 0) AS BIGINT)
+                   AS rrf_ppb
+          FROM bm FULL JOIN ti ON ti.doc_id = bm.doc_id)
+    SELECT doc_id, bm25_rank, tfidf_rank, rrf_ppb,
+           CAST(row_number() OVER (ORDER BY rrf_ppb DESC, doc_id) AS BIGINT)
+             AS rank
+    FROM f ORDER BY rank LIMIT 10
+    """,
+)
+def x170_rrf_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the two retrieval rankings the registry
+    already trusts — BM25 (x140) and tf-idf (x118) over the same 3-term
+    query — the standard way production search (and RAG retrieval
+    pipelines) combines lexically different scorers without calibrating
+    their score scales: each list contributes 1/(60+rank), ranks only.
+    The fused score is computed in EXACT integers (floor(1e9/(60+r)),
+    `div` in Spark, `//` in DuckDB) so fusion cannot
+    representation-diverge even though the underlying scores are
+    decimal-quantized doubles. Docs absent from one list (tf-idf drops
+    ubiquitous-term-only matches, rank reported as 0) simply contribute
+    nothing — RRF's usual top-N truncation semantic. Plan: both
+    rankings share ONE postings scan (the q-term tf table), each rank
+    is a TakeOrdered-sized window, and the fusion is a full outer join
+    of two |hits|-row frames — at 100 TB this consumes the x80
+    inverted index like its parents."""
+    d = load_parallel(spark, sf_dir, "documents")
+    q_terms = ["table", "stream", "window"]
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tf = (
+        tok.filter(F.col("term").isin(q_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("nd")).crossJoin(
+        dl.agg((F.sum("dl").cast("double")).alias("sdl"))
+    ).select("nd", (F.col("sdl") / F.col("nd")).alias("avgdl"))
+    bm_sc = (
+        F.log((F.col("nd") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+        * (F.col("tf") * 2.2)
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
+    ).cast("decimal(18,6)")
+    bs = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", bm_sc.alias("sc"))
+        .groupBy("doc_id")
+        .agg(F.sum("sc").cast("decimal(38,6)").alias("score"))
+    )
+    bm = bs.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), "doc_id"))
+        .cast("long")
+        .alias("r"),
+    )
+    ts = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("df") < F.col("nd"))
+        .select(
+            "doc_id",
+            (
+                F.col("tf")
+                * F.log(F.col("nd").cast("double") / F.col("df")).cast(
+                    "decimal(18,6)"
+                )
+            ).alias("w"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("w").cast("decimal(38,6)").alias("score"))
+    )
+    ti = ts.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), "doc_id"))
+        .cast("long")
+        .alias("r"),
+    )
+    f = (
+        bm.withColumnRenamed("r", "bm_r")
+        .join(ti.withColumnRenamed("r", "ti_r"), "doc_id", "full")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("bm_r"), F.lit(0)).alias("bm25_rank"),
+            F.coalesce(F.col("ti_r"), F.lit(0)).alias("tfidf_rank"),
+            (
+                F.coalesce(F.expr("1000000000 div (60 + bm_r)"), F.lit(0))
+                + F.coalesce(F.expr("1000000000 div (60 + ti_r)"), F.lit(0))
+            ).alias("rrf_ppb"),
+        )
+    )
+    return (
+        f.select(
+            "doc_id",
+            "bm25_rank",
+            "tfidf_rank",
+            "rrf_ppb",
+            F.row_number()
+            .over(Window.orderBy(F.col("rrf_ppb").desc(), "doc_id"))
+            .cast("long")
+            .alias("rank"),
+        )
+        .filter(F.col("rank") <= 10)
+        .orderBy("rank")
+    )

@@ -1,0 +1,107 @@
+"""Round-7 fifth wave (x167-x171): engine-independent refolds.
+
+The DuckDB oracles prove Spark<->DuckDB parity; these tests prove the
+SPEC is what the docstrings claim, by recomputing each result with plain
+Python/pandas folds that share no code with either engine."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from kafka_connect_spark.catalog import load
+from kafka_connect_spark.functions.dedupfns import ngram_jaccard_pairs
+from kafka_connect_spark.queries.dedup import x168_dup_graph_pagerank
+from kafka_connect_spark.queries.metrics import x169_daily_anomaly_flags
+from kafka_connect_spark.queries.quality import x171_hll_distinct_calibration
+from kafka_connect_spark.queries.relational import x167_copurchase_lift
+
+
+def test_x168_matches_pure_python_integer_pagerank(spark, sf_dir):
+    """3 iterations of the integer update rule folded in Python dicts
+    must equal the distributed query row-for-row — same discipline as the
+    x166 product-rule test."""
+    d = load(spark, sf_dir, "documents")
+    pairs = [
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(d, n=3, threshold=0.5).collect()
+    ]
+    assert pairs, "fixture should contain near-dup edges"
+    nbrs: dict[int, list[int]] = defaultdict(list)
+    for a, b in pairs:
+        nbrs[a].append(b)
+        nbrs[b].append(a)
+    pr = {v: 10**12 for v in nbrs}
+    for _ in range(3):
+        contrib = {v: pr[v] // len(nbrs[v]) for v in nbrs}
+        nxt = {}
+        for v in nbrs:
+            s = sum(contrib[u] for u in nbrs[v])
+            nxt[v] = 150_000_000_000 + (85 * s) // 100
+        pr = nxt
+    got = {r["doc_id"]: (r["deg"], r["pagerank_e12"])
+           for r in x168_dup_graph_pagerank(spark, sf_dir).collect()}
+    assert set(got) == set(nbrs)
+    for v in nbrs:
+        assert got[v] == (len(nbrs[v]), pr[v]), v
+
+
+def test_x167_lift_recomputed_from_baskets(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = defaultdict(set)
+    for r in li.collect():
+        baskets[r["l_orderkey"]].add(r["l_partkey"])
+    n_orders = len(baskets)
+    part_ct: dict[int, int] = defaultdict(int)
+    pair_ct: dict[tuple[int, int], int] = defaultdict(int)
+    for ps in baskets.values():
+        s = sorted(ps)
+        for p in s:
+            part_ct[p] += 1
+        for i, a in enumerate(s):
+            for b in s[i + 1:]:
+                pair_ct[(a, b)] += 1
+    for r in x167_copurchase_lift(spark, sf_dir).collect():
+        a, b = r["part_a"], r["part_b"]
+        assert pair_ct[(a, b)] == r["n_both"] >= 2
+        assert part_ct[a] == r["n_a"] and part_ct[b] == r["n_b"]
+        want = r["n_both"] * n_orders * 1_000_000 // (r["n_a"] * r["n_b"])
+        assert want == r["lift_ppm"]
+
+
+def test_x169_flags_are_exactly_the_2_sigma_days(spark, sf_dir):
+    e = load(spark, sf_dir, "events").select(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    )
+    counts: dict[tuple[str, str], int] = defaultdict(int)
+    for r in e.collect():
+        counts[(r["event_type"], r["day"])] += 1
+    per_type = defaultdict(list)
+    for (t, day), n in counts.items():
+        per_type[t].append((day, n))
+    want = set()
+    for t, days in per_type.items():
+        n_days = len(days)
+        s = sum(n for _, n in days)
+        ss = sum(n * n for _, n in days)
+        for day, n in days:
+            if (n * n_days - s) ** 2 > 4 * (n_days * ss - s * s):
+                want.add((t, day, n))
+    got = {
+        (r["event_type"], r["day"], r["n_events"])
+        for r in x169_daily_anomaly_flags(spark, sf_dir).collect()
+    }
+    assert got == want and want
+
+
+def test_x171_hll_error_within_sketch_tolerance(spark, sf_dir):
+    """m=1024 HLL has ~3.25% relative standard error; anything past 15%
+    means the estimator (bucketing, rho, harmonic mean, LC branch) broke."""
+    rows = x171_hll_distinct_calibration(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["err_ppm"] < 150_000, r
+        # the two branches partition correctly: LC only fires with empties
+        if r["empty_buckets"] == 0:
+            assert r["hll_estimate"] > 2560
