@@ -247,6 +247,11 @@ HEADLINE = [
     "x169_daily_anomaly_flags",
     "x170_rrf_rank_fusion",
     "x171_hll_distinct_calibration",
+    "x172_cusum_changepoint",
+    "x173_good_turing_unseen",
+    "x174_ks_length_distance",
+    "x175_event_transition_matrix",
+    "x176_token_gini",
 ]
 
 

@@ -3534,3 +3534,165 @@ def x169_daily_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@query(
+    "x172_cusum_changepoint",
+    oracle="""
+    WITH day AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                        CAST(count(*) AS BIGINT) AS n_events
+                 FROM events GROUP BY 1, 2),
+    st AS (SELECT event_type,
+                  CAST(count(*) AS BIGINT) AS n_days,
+                  CAST(sum(n_events) AS BIGINT) AS s,
+                  CAST(sum(n_events * n_events) AS BIGINT) AS ss
+           FROM day GROUP BY event_type),
+    y AS (SELECT day.event_type, day.day, day.n_events,
+                 day.n_events * st.n_days - st.s AS yv,
+                 16 * (st.n_days * st.ss - st.s * st.s) AS thresh2
+          FROM day JOIN st USING (event_type)),
+    c AS (SELECT event_type, day, n_events, thresh2,
+                 sum(yv) OVER (PARTITION BY event_type ORDER BY day
+                               ROWS UNBOUNDED PRECEDING) AS cum
+          FROM y),
+    s2 AS (SELECT event_type, day, n_events, thresh2, cum,
+                  least(CAST(0 AS BIGINT),
+                        min(cum) OVER (PARTITION BY event_type ORDER BY day
+                                       ROWS UNBOUNDED PRECEDING)) AS lo,
+                  greatest(CAST(0 AS BIGINT),
+                           max(cum) OVER (PARTITION BY event_type ORDER BY day
+                                          ROWS UNBOUNDED PRECEDING)) AS hi
+           FROM c),
+    g AS (SELECT event_type, day, n_events,
+                 CAST(cum - lo AS BIGINT) AS cusum_up,
+                 CAST(hi - cum AS BIGINT) AS cusum_down,
+                 thresh2
+          FROM s2)
+    SELECT event_type, day, n_events, cusum_up, cusum_down,
+           CAST(CASE WHEN cusum_up * cusum_up > thresh2 THEN 1 ELSE 0 END
+                AS BIGINT) AS alarm_up,
+           CAST(CASE WHEN cusum_down * cusum_down > thresh2 THEN 1 ELSE 0 END
+                AS BIGINT) AS alarm_down
+    FROM g
+    WHERE cusum_up * cusum_up > thresh2 OR cusum_down * cusum_down > thresh2
+    ORDER BY event_type, day
+    """,
+)
+def x172_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection on daily event volume — the
+    level-SHIFT detector that catches what x169's pointwise z-test
+    cannot: a sustained small drift (each day under 2 sigma) that
+    accumulates. The max(0, S+y) recursion is not window-expressible,
+    but its closed form IS: S_t = C_t - min(0, min_{j<=t} C_j) for the
+    upward side (and the mirror for downward), where C is the plain
+    cumulative sum of scaled deviations y_t = x_t * N - S — so the
+    whole detector is two integer window chains, no recursion, no
+    floats; the alarm S_t > 4*sigma_scaled squares through to
+    S_t^2 > 16*(N*SS - S^2), the x169 idiom. Emits alarm days with
+    both one-sided statistics. Plan: one (type, day) agg, a broadcast
+    of per-type stats, then per-type ordered windows over ~365 rows per
+    type-year — partition count = |types|, each tiny at any corpus
+    scale because days, not events, are the window rows."""
+    e = load(spark, sf_dir, "events")
+    day = e.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    st = day.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n_events").alias("s"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("ss"),
+    )
+    y = day.join(F.broadcast(st), "event_type").select(
+        "event_type",
+        "day",
+        "n_events",
+        (F.col("n_events") * F.col("n_days") - F.col("s")).alias("yv"),
+        (16 * (F.col("n_days") * F.col("ss") - F.col("s") * F.col("s"))).alias(
+            "thresh2"
+        ),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = y.withColumn("cum", F.sum("yv").over(w))
+    s2 = c.select(
+        "event_type",
+        "day",
+        "n_events",
+        "thresh2",
+        "cum",
+        F.least(F.lit(0).cast("long"), F.min("cum").over(w)).alias("lo"),
+        F.greatest(F.lit(0).cast("long"), F.max("cum").over(w)).alias("hi"),
+    )
+    g = s2.select(
+        "event_type",
+        "day",
+        "n_events",
+        (F.col("cum") - F.col("lo")).alias("cusum_up"),
+        (F.col("hi") - F.col("cum")).alias("cusum_down"),
+        "thresh2",
+    )
+    up = F.col("cusum_up") * F.col("cusum_up") > F.col("thresh2")
+    down = F.col("cusum_down") * F.col("cusum_down") > F.col("thresh2")
+    return (
+        g.filter(up | down)
+        .select(
+            "event_type",
+            "day",
+            "n_events",
+            "cusum_up",
+            "cusum_down",
+            up.cast("long").alias("alarm_up"),
+            down.cast("long").alias("alarm_down"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@query(
+    "x175_event_transition_matrix",
+    oracle="""
+    WITH o AS (SELECT user_id, event_type, ts, event_id,
+                      lead(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS nxt
+               FROM events),
+    big AS (SELECT event_type AS cur, nxt, CAST(count(*) AS BIGINT) AS n
+            FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2),
+    tot AS (SELECT cur, CAST(sum(n) AS BIGINT) AS n_cur FROM big GROUP BY cur)
+    SELECT big.cur, big.nxt, big.n, tot.n_cur,
+           CAST(big.n * 1000000 // tot.n_cur AS BIGINT) AS p_ppm
+    FROM big JOIN tot USING (cur)
+    ORDER BY cur, nxt
+    """,
+)
+def x175_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams
+    (next-event given current, ordered by (ts, event_id)) — the behavior
+    model behind next-action prediction, funnel-shortcut discovery, and
+    bot fingerprinting (bots have near-deterministic rows; humans
+    don't). Probabilities are exact ppm integers (n_ab * 1e6 // n_a).
+    Plan: ONE user-keyed window (the same partitioning every session op
+    reuses) emits bigrams via lead — no self-join — then a tiny
+    |types|^2 agg; at 100 TB the window rides the events table's
+    user-bucketed layout and only the matrix shuffles."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = e.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    big = o.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    tot = big.groupBy("cur").agg(F.sum("n").alias("n_cur"))
+    return (
+        big.join(F.broadcast(tot), "cur")
+        .select(
+            "cur",
+            "nxt",
+            "n",
+            "n_cur",
+            F.expr("n * 1000000 div n_cur").cast("long").alias("p_ppm"),
+        )
+        .orderBy("cur", "nxt")
+    )

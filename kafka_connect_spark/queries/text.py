@@ -3580,3 +3580,199 @@ def x170_rrf_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .orderBy("rank")
     )
+
+
+@query(
+    "x173_good_turing_unseen",
+    oracle="""
+    WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS term
+                 FROM documents),
+    c AS (SELECT source, term, CAST(count(*) AS BIGINT) AS freq
+          FROM tok GROUP BY 1, 2)
+    SELECT source,
+           CAST(sum(freq) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS vocab,
+           CAST(sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+           CAST(sum(CASE WHEN freq = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+           CAST(sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) * 1000000
+                // sum(freq) AS BIGINT) AS unseen_mass_ppm
+    FROM c GROUP BY source ORDER BY source
+    """,
+)
+def x173_good_turing_unseen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing unseen-vocabulary mass per source: the probability
+    that the NEXT token drawn from a source is a type never seen before,
+    estimated by the singleton fraction f1/N (Good 1953) — the
+    curation signal for 'is this source exhausted or still yielding new
+    content', and the sanity bound for vocabulary-dependent ops (a
+    source with unseen-mass 20% will blow up a frozen tokenizer's OOV
+    rate). f2 rides along for the full Simple-GT smoothing. Exact ppm
+    integers over one (source, term) wordcount — the same partial-agg
+    shape as every frequency op here; nothing else shuffles."""
+    d = load_parallel(spark, sf_dir, "documents")
+    c = (
+        d.select("source", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return (
+        c.groupBy("source")
+        .agg(
+            F.sum("freq").alias("n_tokens"),
+            F.count(F.lit(1)).alias("vocab"),
+            F.sum((F.col("freq") == 1).cast("long")).alias("f1"),
+            F.sum((F.col("freq") == 2).cast("long")).alias("f2"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "vocab",
+            "f1",
+            "f2",
+            F.expr("f1 * 1000000 div n_tokens").cast("long").alias(
+                "unseen_mass_ppm"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "x174_ks_length_distance",
+    oracle="""
+    WITH v AS (SELECT CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END AS side,
+                      n_chars AS x
+               FROM documents),
+    n AS (SELECT CAST(sum(CASE WHEN side = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS na,
+                 CAST(sum(CASE WHEN side = 'other' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS nb
+          FROM v),
+    cx AS (SELECT x,
+                  CAST(sum(CASE WHEN side = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                    AS ca,
+                  CAST(sum(CASE WHEN side = 'other' THEN 1 ELSE 0 END) AS BIGINT)
+                    AS cb
+           FROM v GROUP BY x),
+    cum AS (SELECT x,
+                   sum(ca) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS fa,
+                   sum(cb) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS fb
+            FROM cx),
+    d AS (SELECT CAST(max(abs(fa * n.nb - fb * n.na)) AS BIGINT) AS d_scaled
+          FROM cum, n)
+    SELECT n.na, n.nb,
+           CAST(d.d_scaled * 1000000 // (n.na * n.nb) AS BIGINT) AS ks_ppm,
+           CAST(floor(1358000 * sqrt((n.na + n.nb)
+                                     / CAST(n.na * n.nb AS DOUBLE)))
+                AS BIGINT) AS crit_ppm_5pct,
+           CAST(CASE WHEN d.d_scaled * 1000000 // (n.na * n.nb)
+                          > floor(1358000 * sqrt((n.na + n.nb)
+                                  / CAST(n.na * n.nb AS DOUBLE)))
+                     THEN 1 ELSE 0 END AS BIGINT) AS reject_same_dist
+    FROM d, n
+    """,
+)
+def x174_ks_length_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the document-length
+    distributions of English vs non-English docs — the distribution-shift
+    test a curation pipeline runs when a filter tuned on one segment is
+    applied to another (PSI, x-family, bins first; KS is the
+    bin-free exact complement). The statistic is EXACT integers: at each
+    distinct length x, |F_a - F_b| scales to |cumA * Nb - cumB * Na|, the
+    max is one window chain, and ks_ppm floors through 1e6/(Na*Nb). The
+    5% critical value 1.358*sqrt((Na+Nb)/(Na*Nb)) uses only IEEE sqrt
+    (correctly rounded by the standard, so engine-identical — unlike ln,
+    which we quantize elsewhere). Plan: one (length, side) agg, a single
+    ordered window over |distinct lengths| rows, one broadcast of the
+    2-row totals — the D statistic never touches row-level data after
+    the first agg."""
+    d = load_parallel(spark, sf_dir, "documents")
+    v = d.select(
+        F.when(F.col("lang") == "en", "en").otherwise("other").alias("side"),
+        F.col("n_chars").alias("x"),
+    )
+    n = v.agg(
+        F.sum((F.col("side") == "en").cast("long")).alias("na"),
+        F.sum((F.col("side") == "other").cast("long")).alias("nb"),
+    )
+    cx = v.groupBy("x").agg(
+        F.sum((F.col("side") == "en").cast("long")).alias("ca"),
+        F.sum((F.col("side") == "other").cast("long")).alias("cb"),
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = cx.select(
+        "x", F.sum("ca").over(w).alias("fa"), F.sum("cb").over(w).alias("fb")
+    )
+    dmax = cum.crossJoin(F.broadcast(n)).agg(
+        F.max(F.abs(F.col("fa") * F.col("nb") - F.col("fb") * F.col("na"))).alias(
+            "d_scaled"
+        )
+    )
+    ks = F.expr("d_scaled * 1000000 div (na * nb)").cast("long")
+    crit = F.floor(
+        1358000
+        * F.sqrt((F.col("na") + F.col("nb")) / (F.col("na") * F.col("nb")).cast("double"))
+    ).cast("long")
+    return (
+        dmax.crossJoin(F.broadcast(n))
+        .select(
+            "na",
+            "nb",
+            ks.alias("ks_ppm"),
+            crit.alias("crit_ppm_5pct"),
+            (ks > crit).cast("long").alias("reject_same_dist"),
+        )
+    )
+
+
+@query(
+    "x176_token_gini",
+    oracle="""
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+    c AS (SELECT term, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY term),
+    r AS (SELECT freq,
+                 CAST(row_number() OVER (ORDER BY freq, term) AS BIGINT) AS rk
+          FROM c),
+    agg AS (SELECT CAST(count(*) AS BIGINT) AS v,
+                   CAST(sum(freq) AS BIGINT) AS n,
+                   CAST(sum(rk * freq) AS BIGINT) AS swf
+            FROM r)
+    SELECT v AS vocab, n AS n_tokens,
+           CAST((2 * swf - (v + 1) * n) * 1000000 // (v * n) AS BIGINT)
+             AS gini_ppm
+    FROM agg
+    """,
+)
+def x176_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the token frequency distribution — the
+    single-number concentration audit next to x122's Zipf exponent: 0 =
+    every type equally common, ->1 = a few stopwords carry all the mass.
+    Tracked over time it flags template/boilerplate creep (Gini rises)
+    before dedup metrics move. Computed by the exact rank formula
+    G = (2*sum(i*f_i) - (V+1)*N) / (V*N) over frequencies ranked
+    ascending (ties broken by term, identical in both engines), emitted
+    as a floored ppm integer. Plan: wordcount agg, ONE global ordered
+    window for ranks (at 100 TB: range-partitioned sort — the same sort
+    x122's rank-frequency fit already pays), 3-number reduce."""
+    d = load_parallel(spark, sf_dir, "documents")
+    c = (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    r = c.select(
+        "freq",
+        F.row_number().over(Window.orderBy("freq", "term")).cast("long").alias("rk"),
+    )
+    agg = r.agg(
+        F.count(F.lit(1)).alias("v"),
+        F.sum("freq").alias("n"),
+        F.sum(F.col("rk") * F.col("freq")).alias("swf"),
+    )
+    return agg.select(
+        F.col("v").alias("vocab"),
+        F.col("n").alias("n_tokens"),
+        F.expr("(2 * swf - (v + 1) * n) * 1000000 div (v * n)")
+        .cast("long")
+        .alias("gini_ppm"),
+    )

@@ -105,3 +105,95 @@ def test_x171_hll_error_within_sketch_tolerance(spark, sf_dir):
         # the two branches partition correctly: LC only fires with empties
         if r["empty_buckets"] == 0:
             assert r["hll_estimate"] > 2560
+
+
+def test_x172_cusum_closed_form_equals_recursion(spark, sf_dir):
+    """The windowed closed form S_t = C_t - min(0, min C_j) must equal the
+    textbook max(0, S+y) recursion, per type, both directions."""
+    from kafka_connect_spark.queries.metrics import x172_cusum_changepoint
+
+    e = load(spark, sf_dir, "events").select(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    )
+    counts: dict[tuple[str, str], int] = defaultdict(int)
+    for r in e.collect():
+        counts[(r["event_type"], r["day"])] += 1
+    per_type = defaultdict(list)
+    for (t, day), n in counts.items():
+        per_type[t].append((day, n))
+    want = {}
+    for t, days in per_type.items():
+        days.sort()
+        n_days = len(days)
+        s = sum(n for _, n in days)
+        ss = sum(n * n for _, n in days)
+        thresh2 = 16 * (n_days * ss - s * s)
+        su = sd = 0
+        for day, n in days:
+            y = n * n_days - s
+            su = max(0, su + y)  # textbook recursion
+            sd = max(0, sd - y)
+            if su * su > thresh2 or sd * sd > thresh2:
+                want[(t, day)] = (
+                    n, su, sd, int(su * su > thresh2), int(sd * sd > thresh2)
+                )
+    got = {
+        (r["event_type"], r["day"]): (
+            r["n_events"], r["cusum_up"], r["cusum_down"],
+            r["alarm_up"], r["alarm_down"],
+        )
+        for r in x172_cusum_changepoint(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_x175_transition_rows_sum_to_one(spark, sf_dir):
+    from kafka_connect_spark.queries.metrics import x175_event_transition_matrix
+
+    rows = x175_event_transition_matrix(spark, sf_dir).collect()
+    assert rows
+    by_cur = defaultdict(list)
+    for r in rows:
+        by_cur[r["cur"]].append(r)
+    for cur, rs in by_cur.items():
+        n_cur = rs[0]["n_cur"]
+        assert sum(r["n"] for r in rs) == n_cur
+        # floored ppm rows sum to 1e6 within |row| ulps
+        assert 1_000_000 - len(rs) <= sum(r["p_ppm"] for r in rs) <= 1_000_000
+
+
+def test_x174_ks_matches_scipy_style_fold(spark, sf_dir):
+    from kafka_connect_spark.queries.text import x174_ks_length_distance
+
+    d = load(spark, sf_dir, "documents").select("lang", "n_chars").collect()
+    a = sorted(r["n_chars"] for r in d if r["lang"] == "en")
+    b = sorted(r["n_chars"] for r in d if r["lang"] != "en")
+    na, nb = len(a), len(b)
+    xs = sorted(set(a) | set(b))
+    import bisect
+
+    dmax = max(
+        abs(bisect.bisect_right(a, x) * nb - bisect.bisect_right(b, x) * na)
+        for x in xs
+    )
+    row = x174_ks_length_distance(spark, sf_dir).collect()[0]
+    assert (row["na"], row["nb"]) == (na, nb)
+    assert row["ks_ppm"] == dmax * 1_000_000 // (na * nb)
+
+
+def test_x176_gini_bounds_and_fold(spark, sf_dir):
+    from kafka_connect_spark.queries.text import x176_token_gini
+
+    d = load(spark, sf_dir, "documents").select("text").collect()
+    freq: dict[str, int] = defaultdict(int)
+    for r in d:
+        for t in r["text"].split(" "):
+            freq[t] += 1
+    ranked = sorted(freq.items(), key=lambda kv: (kv[1], kv[0]))
+    v = len(ranked)
+    n = sum(freq.values())
+    swf = sum((i + 1) * f for i, (_, f) in enumerate(ranked))
+    want = (2 * swf - (v + 1) * n) * 1_000_000 // (v * n)
+    row = x176_token_gini(spark, sf_dir).collect()[0]
+    assert (row["vocab"], row["n_tokens"], row["gini_ppm"]) == (v, n, want)
+    assert 0 <= row["gini_ppm"] < 1_000_000
