@@ -252,6 +252,9 @@ HEADLINE = [
     "x174_ks_length_distance",
     "x175_event_transition_matrix",
     "x176_token_gini",
+    "x177_weighted_sample",
+    "x178_windowed_hll_users",
+    "x179_theil_sen_trend",
 ]
 
 

@@ -3696,3 +3696,85 @@ def x175_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cur", "nxt")
     )
+
+
+@query(
+    "x179_theil_sen_trend",
+    oracle="""
+    WITH day AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+                        CAST(count(*) AS BIGINT) AS n
+                 FROM events GROUP BY 1),
+    ix AS (SELECT day, n,
+                  CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i
+           FROM day),
+    sl AS (SELECT a.i AS i, b.i AS j,
+                  CAST(((b.n - a.n) * 1000000
+                        + 1125899906842624 * (b.i - a.i)) // (b.i - a.i)
+                       - 1125899906842624 AS BIGINT) AS slope_ppm
+           FROM ix a JOIN ix b ON a.i < b.i),
+    r AS (SELECT slope_ppm,
+                 row_number() OVER (ORDER BY slope_ppm, i, j) AS rn,
+                 count(*) OVER () AS np
+          FROM sl)
+    SELECT CAST(max(np) AS BIGINT) AS n_pairs,
+           CAST(min(CASE WHEN rn = (np + 1) // 2 THEN slope_ppm END)
+                AS BIGINT) AS theil_sen_slope_ppm,
+           CAST(min(CASE WHEN rn = np // 2 + 1 THEN slope_ppm END)
+                AS BIGINT) AS upper_median_ppm
+    FROM r
+    """,
+)
+def x179_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily event volume: the median of all
+    pairwise slopes — the trend estimate that (unlike OLS, p14/p15)
+    shrugs off the outlier days x169 flags, with a 29% breakdown point;
+    the go-to 'is traffic actually growing' number when the series has
+    incident spikes. Slopes are exact scaled integers
+    (floor((n_j - n_i) * 1e6 / (j - i)) over day INDICES, so gaps in
+    the calendar do not skew the x-axis) computed through a +2^50
+    offset shift keeping division operands non-negative — Spark's
+    `div` truncates toward zero while DuckDB's `//` floors, and they
+    only agree on non-negative operands (the x177 lesson). Both
+    medians come from the registry's exact rank idiom (x149). The pair set is |days|^2/2 —
+    days, not events: at 100 TB of raw data this is still ~66K pairs
+    per year of daily series, a broadcast-size problem riding one
+    (day) pre-agg; the heavy lifting is the same single hash agg every
+    daily rollup here shares."""
+    e = load(spark, sf_dir, "events")
+    day = e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    ix = day.select(
+        "n", F.row_number().over(Window.orderBy("day")).cast("long").alias("i")
+    )
+    a = ix.select(F.col("i").alias("ia"), F.col("n").alias("na"))
+    b = ix.select(F.col("i").alias("jb"), F.col("n").alias("nb"))
+    sl = (
+        a.join(F.broadcast(b), F.col("ia") < F.col("jb"))
+        .select(
+            "ia",
+            "jb",
+            F.expr(
+                "((nb - na) * 1000000 + 1125899906842624 * (jb - ia))"
+                " div (jb - ia) - 1125899906842624"
+            ).alias("slope_ppm"),
+        )
+    )
+    r = sl.select(
+        "slope_ppm",
+        F.row_number()
+        .over(Window.orderBy("slope_ppm", "ia", "jb"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("np"),
+    )
+    return r.agg(
+        F.max("np").cast("long").alias("n_pairs"),
+        F.min(
+            F.when(F.col("rn") == F.expr("(np + 1) div 2"), F.col("slope_ppm"))
+        )
+        .cast("long")
+        .alias("theil_sen_slope_ppm"),
+        F.min(F.when(F.col("rn") == F.expr("np div 2 + 1"), F.col("slope_ppm")))
+        .cast("long")
+        .alias("upper_median_ppm"),
+    )

@@ -848,3 +848,224 @@ def x171_hll_distinct_calibration(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("long")
         .alias("err_ppm"),
     ).orderBy("event_type")
+
+
+@query(
+    "x177_weighted_sample",
+    oracle="""
+    WITH h AS (SELECT doc_id, n_chars,
+                      CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                           AS BIGINT) AS hv
+               FROM documents
+               WHERE n_chars > 0),
+    k AS (SELECT doc_id, n_chars,
+                 CAST(-CAST(ln(hv / 1152921504606846976.0) AS DECIMAL(18,6))
+                      * 1000000 AS BIGINT) // n_chars AS key_scaled
+          FROM h),
+    r AS (SELECT doc_id, n_chars, key_scaled,
+                 row_number() OVER (ORDER BY key_scaled, doc_id) AS rn
+          FROM k)
+    SELECT doc_id, n_chars, CAST(key_scaled AS BIGINT) AS key_scaled,
+           CAST(rn AS BIGINT) AS rank
+    FROM r WHERE rn <= 20 ORDER BY rank
+    """,
+)
+def x177_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis 2006,
+    the A-ES scheme production pipelines use for quality- or
+    length-weighted corpus subsampling): each item draws u in (0,1) and
+    the k largest u^(1/w) win — equivalently the k SMALLEST ln(u)/w,
+    which is what both engines rank. Reproducibility replaces RNG: u is
+    the doc's 60-bit md5 clock over 2^60 (the x57/x130b idiom), so the
+    sample is identical across engines, runs, and (critically) across
+    INCREMENTS — re-running on a grown corpus preserves previously
+    selected survivors' keys, giving a mergeable weighted reservoir:
+    per-partition local top-k, then merge-min — the same flat
+    communication contract as the KMV sketch. The selection key is the
+    POSITIVE -ln(u)/w ranked ascending (equivalent to largest
+    u^(1/w)), quantized decimal ln then exact integer floor-division by
+    the weight — kept positive deliberately: Spark's `div` truncates
+    toward zero while DuckDB's `//` floors, and the two only agree on
+    non-negative operands. Weight = n_chars. Plan: one narrow scan,
+    TakeOrdered(20) — no shuffle of the corpus."""
+    d = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    k = d.select(
+        "doc_id",
+        "n_chars",
+        F.expr(
+            "CAST(-CAST(ln({h} / 1152921504606846976.0) AS DECIMAL(18,6))"
+            " * 1000000 AS BIGINT) div n_chars".format(
+                h="CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+            )
+        ).alias("key_scaled"),
+    )
+    r = k.select(
+        "doc_id",
+        "n_chars",
+        "key_scaled",
+        F.row_number()
+        .over(Window.orderBy("key_scaled", "doc_id"))
+        .cast("long")
+        .alias("rank"),
+    )
+    return r.filter(F.col("rank") <= 20).orderBy("rank")
+
+
+@query(
+    "x178_windowed_hll_users",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day, user_id
+                FROM events),
+    days AS (SELECT DISTINCT day FROM ud),
+    h AS (SELECT day, user_id,
+                 CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                      AS BIGINT) AS hv
+          FROM ud),
+    reg AS (SELECT day, hv % 1024 AS bucket,
+                   CAST(max(CASE WHEN hv // 1024 = 0 THEN 51
+                            ELSE 51 - length(bin(hv // 1024)) END) AS BIGINT)
+                     AS m
+            FROM h GROUP BY 1, 2),
+    tgt AS (SELECT reg.bucket, reg.m,
+                   strftime(CAST(reg.day AS DATE) + INTERVAL (t.i) DAY,
+                            '%Y-%m-%d') AS wday
+            FROM reg CROSS JOIN (SELECT unnest(range(0, 7)) AS i) t),
+    merged AS (SELECT wday AS day, bucket, CAST(max(m) AS BIGINT) AS m
+               FROM tgt WHERE wday IN (SELECT day FROM days)
+               GROUP BY 1, 2),
+    z AS (SELECT day,
+                 CAST(sum(CAST(2251799813685248 AS HUGEINT) * 2 // (2 ** m))
+                      + (1024 - count(*)) * CAST(4503599627370496 AS HUGEINT)
+                   AS HUGEINT) AS z_den,
+                 CAST(1024 - count(*) AS BIGINT) AS v
+          FROM merged GROUP BY day),
+    exact AS (SELECT d2.day, CAST(count(DISTINCT ud.user_id) AS BIGINT)
+                       AS exact_users
+              FROM days d2 JOIN ud
+                ON CAST(ud.day AS DATE) <= CAST(d2.day AS DATE)
+               AND CAST(ud.day AS DATE) >= CAST(d2.day AS DATE) - INTERVAL 6 DAY
+              GROUP BY d2.day),
+    est AS (SELECT z.day, exact.exact_users, z.v,
+                   CAST(CAST('1701329333966688515960864768' AS HUGEINT)
+                        // z.z_den // 1000000 AS BIGINT) AS raw_est
+            FROM z JOIN exact USING (day)),
+    fin AS (SELECT day, exact_users, v,
+                   CASE WHEN v > 0 AND raw_est <= 2560
+                        THEN CAST(floor(1024 * CAST(ln(1024.0 / v)
+                                                    AS DECIMAL(18,6))) AS BIGINT)
+                        ELSE raw_est END AS hll_estimate
+            FROM est)
+    SELECT day, exact_users, hll_estimate,
+           CAST(abs(hll_estimate - exact_users) * 1000000 // exact_users
+                AS BIGINT) AS err_ppm
+    FROM fin ORDER BY day
+    """,
+)
+def x178_windowed_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day via HLL register MERGE —
+    the pattern that actually runs at 100 TB: registers are built ONCE
+    per (day, bucket) from that day's users, and every window answer is
+    a per-bucket MAX over the window's daily sketches; the raw user
+    stream is never rescanned or recounted per window (exact sliding
+    distinct would re-shuffle every user-day 7 times — here only the
+    <= 1024-row daily sketches replicate). Same deterministic p=10
+    estimator as x171 (integer harmonic mean, LC branch), so the whole
+    windowed pipeline is hash-checked against a per-window exact
+    distinct. Replication uses the explode-to-target-days trick every
+    sliding op here rides; partial per-day registers also merge
+    across PARTITIONS by the same max, which is the sketch's
+    decomposable-agg contract."""
+    from ..functions.dedupfns import token_hash60
+
+    e = load(spark, sf_dir, "events")
+    ud = e.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
+    ).distinct()
+    days = ud.select("day").distinct()
+    h = ud.select("day", token_hash60(F.col("user_id").cast("string")).alias("hv"))
+    reg = (
+        h.select(
+            "day",
+            (F.col("hv") % 1024).alias("bucket"),
+            F.expr("hv div 1024").alias("w"),
+        )
+        .select(
+            "day",
+            "bucket",
+            F.when(F.col("w") == 0, F.lit(51))
+            .otherwise(F.lit(51) - F.length(F.bin("w")))
+            .alias("rho"),
+        )
+        .groupBy("day", "bucket")
+        .agg(F.max("rho").cast("long").alias("m"))
+    )
+    tgt = reg.select(
+        "bucket",
+        "m",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+        F.col("day"),
+    ).select(
+        F.date_format(F.date_add(F.to_date("day"), F.col("i")), "yyyy-MM-dd").alias(
+            "day"
+        ),
+        "bucket",
+        "m",
+    )
+    merged = (
+        tgt.join(F.broadcast(days), "day")
+        .groupBy("day", "bucket")
+        .agg(F.max("m").alias("m"))
+    )
+    z = merged.groupBy("day").agg(
+        (
+            F.sum(
+                F.expr(
+                    "CAST(2251799813685248 AS BIGINT) * 2 div CAST(pow(2, m) AS BIGINT)"
+                )
+            )
+            + (1024 - F.count(F.lit(1))) * F.lit(4503599627370496)
+        ).alias("z_den"),
+        (1024 - F.count(F.lit(1))).cast("long").alias("v"),
+    )
+    d2 = days.select(F.col("day").alias("wday"))
+    exact = (
+        ud.join(
+            F.broadcast(d2),
+            (F.to_date("day") <= F.to_date("wday"))
+            & (F.to_date("day") >= F.date_sub(F.to_date("wday"), 6)),
+        )
+        .groupBy("wday")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+        .select(F.col("wday").alias("day"), "exact_users")
+    )
+    est = z.join(exact, "day").select(
+        "day",
+        "exact_users",
+        "v",
+        F.expr(
+            "CAST(CAST('1701329333966688515960864768' AS DECIMAL(38,0)) div z_den"
+            " AS DECIMAL(38,0)) div 1000000"
+        )
+        .cast("long")
+        .alias("raw_est"),
+    )
+    fin = est.select(
+        "day",
+        "exact_users",
+        F.when(
+            (F.col("v") > 0) & (F.col("raw_est") <= 2560),
+            F.floor(1024 * F.log(1024.0 / F.col("v")).cast("decimal(18,6)")).cast(
+                "long"
+            ),
+        )
+        .otherwise(F.col("raw_est"))
+        .alias("hll_estimate"),
+    )
+    return fin.select(
+        "day",
+        "exact_users",
+        "hll_estimate",
+        F.expr("abs(hll_estimate - exact_users) * 1000000 div exact_users")
+        .cast("long")
+        .alias("err_ppm"),
+    ).orderBy("day")

@@ -197,3 +197,53 @@ def test_x176_gini_bounds_and_fold(spark, sf_dir):
     row = x176_token_gini(spark, sf_dir).collect()[0]
     assert (row["vocab"], row["n_tokens"], row["gini_ppm"]) == (v, n, want)
     assert 0 <= row["gini_ppm"] < 1_000_000
+
+
+def test_x177_weighted_sample_is_biased_toward_weight_and_deterministic(spark, sf_dir):
+    from kafka_connect_spark.queries.quality import x177_weighted_sample
+
+    got1 = x177_weighted_sample(spark, sf_dir).collect()
+    got2 = x177_weighted_sample(spark, sf_dir).collect()
+    assert [r.asDict() for r in got1] == [r.asDict() for r in got2]
+    assert len(got1) == 20
+    corpus_mean = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") > 0)
+        .agg(F.avg("n_chars"))
+        .collect()[0][0]
+    )
+    sample_mean = sum(r["n_chars"] for r in got1) / len(got1)
+    # A-ES with weight=n_chars must oversample long docs
+    assert sample_mean > corpus_mean
+
+
+def test_x178_windowed_hll_within_tolerance(spark, sf_dir):
+    from kafka_connect_spark.queries.quality import x178_windowed_hll_users
+
+    rows = x178_windowed_hll_users(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["err_ppm"] < 150_000, r
+
+
+def test_x179_theil_sen_matches_python_fold(spark, sf_dir):
+    from kafka_connect_spark.queries.metrics import x179_theil_sen_trend
+
+    e = load(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day")
+    )
+    counts: dict[str, int] = defaultdict(int)
+    for r in e.collect():
+        counts[r["day"]] += 1
+    days = [n for _, n in sorted(counts.items())]
+    slopes = []
+    for i in range(len(days)):
+        for j in range(i + 1, len(days)):
+            num = (days[j] - days[i]) * 1_000_000
+            slopes.append(num // (j - i))  # python // IS floor division
+    slopes.sort()
+    np_ = len(slopes)
+    row = x179_theil_sen_trend(spark, sf_dir).collect()[0]
+    assert row["n_pairs"] == np_
+    assert row["theil_sen_slope_ppm"] == slopes[(np_ + 1) // 2 - 1]
+    assert row["upper_median_ppm"] == slopes[np_ // 2]
