@@ -1,0 +1,107 @@
+"""Streaming twins of the drift/sketch operators (x171/x178 registers,
+x172 CUSUM).
+
+Reference parity: the reference's runtime is a continuously-polling
+connector (JdbcSourceTask poll loop); our batch registry computes these
+statistics over a full table, and these operators compute the SAME values
+incrementally over the stream, with bounded state — pinned row-for-row to
+their batch twins by tests/test_streaming_drift.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..functions.dedupfns import token_hash60
+
+CUSUM_OUTPUT = (
+    "event_type STRING, day STRING, n_events BIGINT, "
+    "cusum_up BIGINT, cusum_down BIGINT, alarm_up BIGINT, alarm_down BIGINT"
+)
+CUSUM_STATE = "su BIGINT, sd BIGINT"
+
+
+def hll_registers(df: DataFrame, scope_col: str, entity_col: str) -> DataFrame:
+    """p=10 HLL registers as ONE aggregation — (scope, bucket) -> max rho.
+
+    Works identically on a batch frame and a streaming frame: max is the
+    canonical mergeable sketch update, so the streaming state is exactly
+    the register table (<= 1024 BIGINTs per scope — bounded regardless of
+    stream length), every microbatch folds its rows in by the same MAX,
+    and the final streaming state equals the batch registers bit-for-bit.
+    This is the incremental path behind x171/x178: at 100 TB the stream
+    maintains registers forever and any window/union answer is a register
+    merge, never a recount of entities."""
+    hv = token_hash60(F.col(entity_col))
+    w = F.expr("hv div 1024")
+    return (
+        df.select(F.col(scope_col).alias("scope"), hv.alias("hv"))
+        .select(
+            "scope",
+            (F.col("hv") % 1024).alias("bucket"),
+            F.when(w == 0, F.lit(51))
+            .otherwise(F.lit(51) - F.length(F.bin(w)))
+            .alias("rho"),
+        )
+        .groupBy("scope", "bucket")
+        .agg(F.max("rho").cast("long").alias("m"))
+    )
+
+
+def streaming_cusum(
+    day_counts: DataFrame,
+    calibration: dict[str, tuple[int, int, int]],
+) -> DataFrame:
+    """Continuous CUSUM over a per-day count stream, the online twin of
+    x172: the textbook recursion S_up = max(0, S_up + y),
+    S_down = max(0, S_down - y) carried in two BIGINTs of checkpointed
+    state per type — which is why CUSUM (not the z-test) is the detector
+    you can actually RUN on a stream: state is O(1) and each day folds in
+    once.
+
+    ``calibration`` maps event_type -> (n_days, s, thresh2) frozen from a
+    historical window (production CUSUM always runs against a calibrated
+    reference; x172's batch form self-calibrates because it sees the whole
+    series). With the calibration x172 derives from the same data, the
+    emitted alarm rows match x172 exactly (tests pin this). Input rows
+    must arrive day-ordered across microbatches, which the replay harness
+    guarantees and an event-time-sorted upstream window provides in
+    production."""
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        etype = key[0]
+        n_days, s, thresh2 = calibration.get(etype, (0, 0, 0))
+        su, sd = state.get if state.exists else (0, 0)
+        out = []
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values("day")
+        for _, r in rows.iterrows():
+            n = int(r["n_events"])
+            y = n * n_days - s
+            su = max(0, su + y)
+            sd = max(0, sd - y)
+            au, ad = int(su * su > thresh2), int(sd * sd > thresh2)
+            if au or ad:
+                out.append((etype, r["day"], n, su, sd, au, ad))
+        state.update((int(su), int(sd)))
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "event_type", "day", "n_events",
+                "cusum_up", "cusum_down", "alarm_up", "alarm_down",
+            ],
+        )
+
+    return day_counts.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=CUSUM_OUTPUT,
+        stateStructType=CUSUM_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

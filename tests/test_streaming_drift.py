@@ -1,0 +1,102 @@
+"""Streaming drift/sketch twins (streaming/drift.py) pinned to their
+batch registry queries."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from kafka_connect_spark.catalog import load
+from kafka_connect_spark.sources.replay import file_replay_stream, write_replay_files
+from kafka_connect_spark.streaming.drift import hll_registers, streaming_cusum
+
+
+def _user_days(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        "event_type",
+        F.concat(
+            F.col("user_id").cast("string"),
+            F.lit(":"),
+            F.date_format("ts", "yyyy-MM-dd"),
+        ).alias("entity"),
+    )
+
+
+def test_streaming_hll_registers_equal_batch_and_ignore_duplicates(
+    spark, sf_dir, tmp_path
+):
+    """The streaming register table after replaying the RAW (duplicated)
+    entity stream must equal the batch registers over the DISTINCT
+    entities — sketch idempotence is what lets the stream skip the
+    unbounded-state dropDuplicates a naive distinct-count would need."""
+    raw = _user_days(spark, sf_dir)
+    batch = (
+        hll_registers(raw.distinct(), "event_type", "entity")
+        .toPandas()
+        .sort_values(["scope", "bucket"], ignore_index=True)
+    )
+    d = str(tmp_path / "hll-replay")
+    write_replay_files(raw, d, 4, "entity")
+    sdf = file_replay_stream(spark, d, spark.read.parquet(d).schema)
+    out: list[pd.DataFrame] = []
+    q = (
+        hll_registers(sdf, "event_type", "entity")
+        .writeStream.foreachBatch(lambda df, bid: out.append(df.toPandas()))
+        .option("checkpointLocation", str(tmp_path / "ckpt-hll"))
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    final = out[-1].sort_values(["scope", "bucket"], ignore_index=True)
+    pd.testing.assert_frame_equal(final, batch, check_dtype=False)
+    # bounded state: <= 1024 registers per scope
+    assert final.groupby("scope").size().max() <= 1024
+
+
+def test_streaming_cusum_alarms_equal_x172(spark, sf_dir, tmp_path):
+    """Replaying the day-count series through the stateful recursion with
+    x172's own calibration must emit exactly x172's alarm rows."""
+    from kafka_connect_spark.queries.metrics import x172_cusum_changepoint
+
+    e = load(spark, sf_dir, "events")
+    day = e.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    cal = {}
+    for r in (
+        day.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("n_events").alias("s"),
+            F.sum(F.col("n_events") * F.col("n_events")).alias("ss"),
+        )
+        .collect()
+    ):
+        thresh2 = 16 * (r["n_days"] * r["ss"] - r["s"] * r["s"])
+        cal[r["event_type"]] = (r["n_days"], r["s"], thresh2)
+
+    d = str(tmp_path / "cusum-replay")
+    write_replay_files(day, d, 3, "day")
+    sdf = file_replay_stream(spark, d, spark.read.parquet(d).schema)
+    out: list[pd.DataFrame] = []
+    q = (
+        streaming_cusum(sdf, cal)
+        .writeStream.foreachBatch(lambda df, bid: out.append(df.toPandas()))
+        .option("checkpointLocation", str(tmp_path / "ckpt-cusum"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        pd.concat(out, ignore_index=True)
+        .sort_values(["event_type", "day"], ignore_index=True)
+    )
+    want = (
+        x172_cusum_changepoint(spark, sf_dir)
+        .toPandas()
+        .sort_values(["event_type", "day"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
