@@ -88,6 +88,15 @@ FLAGSHIPS = {
     "x161_contamination_closure": "recursive CTE: <= 3 key-partitioned join rounds, UnionLoop bounded by hop cap",
     "x163_bloom_filter_calibration": "filter = distinct (salt,bucket) set; probe joins the 64 Kibit broadcast",
     "x164_dup_graph_triangles": "oriented edge list joined twice (a<b<c); wedges from one degree agg",
+    "x130_cosine_histogram": "block-pair applyInPandas over the bit-exact seq-fold kernel; only 21 histogram rows shuffle",
+    "x145_knn_label_consistency": "distributed brute-force kNN: per-block local top-5 + tiny global re-rank",
+    "x167_copurchase_lift": "in-row basket pair transform (bounded by basket size); part totals broadcast",
+    "x168_dup_graph_pagerank": "3 bounded iterations over a checkpointed edge list; vertex-keyed join+agg each",
+    "x171_hll_distinct_calibration": "fixed 1024-register agg per scope; estimate is one integer division chain",
+    "x172_cusum_changepoint": "per-type windows over DAY rows (post-agg), broadcast per-type stats",
+    "x175_event_transition_matrix": "one user-keyed lead window -> |types|^2 agg; no self-join",
+    "x178_windowed_hll_users": "daily sketches replicate to 7 windows; raw users never recounted per window",
+    "x179_theil_sen_trend": "pairwise slopes over broadcast DAY table; medians via exact rank",
 }
 
 
