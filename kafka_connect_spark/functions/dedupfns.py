@@ -528,6 +528,17 @@ def deletion_neighborhood_pairs(
     ``max_pairs_per_variant`` optionally drops variants whose block
     exceeds the cap before the self-join (the same hot-key guardrail as
     the shingle df-cap — e.g. the empty-string variant of 1-char names).
+
+    The join key is xxhash64(variant), not the variant string: candidates
+    only ever feed the exact levenshtein verify, so a hash collision can
+    only ADD a candidate that verification then scores exactly —
+    completeness is untouched (equal variants imply equal hashes) and the
+    output is provably identical, while the shuffle carries 8-byte longs
+    instead of name-length strings. Names likewise stay OUT of the
+    self-join: the join moves (id, hash) only, the pair set dedupes as
+    bare id pairs, and names re-attach by two id-keyed joins against the
+    input — at 100 TB that is two hash joins on the record key vs
+    shipping every string L+1 times through the widest shuffle.
     Returns (id_a, id_b, dist) with id_a < id_b, dist <= 1."""
     name_len = F.length(F.col(name_col))
     variants = F.array_distinct(
@@ -544,29 +555,27 @@ def deletion_neighborhood_pairs(
     )
     v = df.select(
         F.col(id_col).alias("id"),
-        F.col(name_col).alias("nm"),
         F.explode(variants).alias("var"),
-    )
+    ).select("id", F.xxhash64("var").alias("hv"))
     if max_pairs_per_variant is not None:
-        hot = v.groupBy("var").agg(F.count(F.lit(1)).alias("df_"))
+        hot = v.groupBy("hv").agg(F.count(F.lit(1)).alias("df_"))
         v = v.join(
             F.broadcast(hot.filter(F.col("df_") > max_pairs_per_variant)),
-            "var",
+            "hv",
             "left_anti",
         )
     a, b = v.alias("a"), v.alias("b")
     cands = (
-        a.join(b, (F.col("a.var") == F.col("b.var")) & (F.col("a.id") < F.col("b.id")))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.nm").alias("nm_a"),
-            F.col("b.nm").alias("nm_b"),
-        )
+        a.join(b, (F.col("a.hv") == F.col("b.hv")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    na = df.select(F.col(id_col).alias("id_a"), F.col(name_col).alias("nm_a"))
+    nb = df.select(F.col(id_col).alias("id_b"), F.col(name_col).alias("nm_b"))
     return (
-        cands.withColumn("dist", F.levenshtein("nm_a", "nm_b").cast("long"))
+        cands.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("dist", F.levenshtein("nm_a", "nm_b").cast("long"))
         .filter(F.col("dist") <= 1)
         .select("id_a", "id_b", "dist")
     )
