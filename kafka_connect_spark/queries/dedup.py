@@ -720,9 +720,14 @@ def leakage_safe_split(
     clusters, which this does by capping both from the same call."""
     from ..functions.dedupfns import dup_clusters, ngram_jaccard_pairs
 
-    pairs = ngram_jaccard_pairs(
-        d, n=3, threshold=0.5, max_shingle_freq=max_shingle_freq
-    ).select("id_a", "id_b")
+    pairs = (
+        ngram_jaccard_pairs(d, n=3, threshold=0.5, max_shingle_freq=max_shingle_freq)
+        .select("id_a", "id_b")
+        # materialize ONCE: the pair set feeds both the component build and
+        # the leak count — without truncation the shingle self-join (the
+        # expensive stage) re-executes for the second consumer
+        .localCheckpoint(eager=True)
+    )
     comp = dup_clusters(pairs)
     assign = (
         d.select("doc_id")
