@@ -532,13 +532,20 @@ def deletion_neighborhood_pairs(
     The join key is xxhash64(variant), not the variant string: candidates
     only ever feed the exact levenshtein verify, so a hash collision can
     only ADD a candidate that verification then scores exactly —
-    completeness is untouched (equal variants imply equal hashes) and the
-    output is provably identical, while the shuffle carries 8-byte longs
-    instead of name-length strings. Names likewise stay OUT of the
-    self-join: the join moves (id, hash) only, the pair set dedupes as
-    bare id pairs, and names re-attach by two id-keyed joins against the
-    input — at 100 TB that is two hash joins on the record key vs
-    shipping every string L+1 times through the widest shuffle.
+    completeness is untouched (equal variants imply equal hashes) and,
+    with ``max_pairs_per_variant=None``, the output is provably identical
+    to the string-keyed join, while the shuffle carries 8-byte longs
+    instead of name-length strings. With the cap SET the guarantee is
+    only probabilistic: a collision merges two variants' block counts and
+    can push a block over the cap, dropping true dist<=1 pairs — so the
+    cap counts on (length(variant), xxhash64(variant)), which requires a
+    same-length 64-bit collision to misfire (the bare-hash birthday bound
+    bites around ~4e9 variants, i.e. exactly the 100 TB regime the cap
+    exists for). Names likewise stay OUT of the self-join: the join
+    moves (id, hash) only, the pair set dedupes as bare id pairs, and
+    names re-attach by two id-keyed joins against the input — at 100 TB
+    that is two hash joins on the record key vs shipping every string
+    L+1 times through the widest shuffle.
     Returns (id_a, id_b, dist) with id_a < id_b, dist <= 1."""
     name_len = F.length(F.col(name_col))
     variants = F.array_distinct(
@@ -556,14 +563,15 @@ def deletion_neighborhood_pairs(
     v = df.select(
         F.col(id_col).alias("id"),
         F.explode(variants).alias("var"),
-    ).select("id", F.xxhash64("var").alias("hv"))
+    ).select("id", F.xxhash64("var").alias("hv"), F.length("var").alias("lv"))
     if max_pairs_per_variant is not None:
-        hot = v.groupBy("hv").agg(F.count(F.lit(1)).alias("df_"))
+        hot = v.groupBy("hv", "lv").agg(F.count(F.lit(1)).alias("df_"))
         v = v.join(
             F.broadcast(hot.filter(F.col("df_") > max_pairs_per_variant)),
-            "hv",
+            ["hv", "lv"],
             "left_anti",
         )
+    v = v.drop("lv")
     a, b = v.alias("a"), v.alias("b")
     cands = (
         a.join(b, (F.col("a.hv") == F.col("b.hv")) & (F.col("a.id") < F.col("b.id")))

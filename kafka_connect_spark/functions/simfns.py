@@ -309,7 +309,8 @@ def knn_candidates_blocked(
     bit-exact sequential-fold kernel; local top-k uses the same
     (c desc, neighbor_id asc) order as the global rank, so the global
     winner set is exactly the all-pairs answer. Output columns: qid, nid,
-    c (+ ``<col>_q``/``<col>_n`` for each requested extra column)."""
+    c (+ ``<col>_q``/``<col>_n`` for each requested extra column, each
+    keeping its source Spark type)."""
     extra = list(extra_cols or [])
     n_blocks = _auto_blocks(df, n_blocks)
     replicated = _replicate_block_pairs(df, id_col, vec_col, n_blocks, extra)
@@ -318,10 +319,11 @@ def knn_candidates_blocked(
         + [f"{c}_q" for c in extra]
         + [f"{c}_n" for c in extra]
     )
+    extra_types = {c: df.schema[c].dataType.simpleString() for c in extra}
     schema = ", ".join(
         ["qid long", "nid long", "c double"]
-        + [f"{c}_q long" for c in extra]
-        + [f"{c}_n long" for c in extra]
+        + [f"{c}_q {extra_types[c]}" for c in extra]
+        + [f"{c}_n {extra_types[c]}" for c in extra]
     )
     empty = pd.DataFrame({c: [] for c in out_cols})
 
@@ -341,8 +343,10 @@ def knn_candidates_blocked(
             "c": cr[rows, cols],
         }
         for c in qpdf.columns.intersection(extra):
-            out[f"{c}_q"] = qpdf[c].to_numpy()[rows].astype("int64")
-            out[f"{c}_n"] = npdf[c].to_numpy()[cols].astype("int64")
+            # keep the source dtype — Arrow coerces to the declared Spark
+            # type per-column, so strings/doubles survive unmolested
+            out[f"{c}_q"] = qpdf[c].to_numpy()[rows]
+            out[f"{c}_n"] = npdf[c].to_numpy()[cols]
         return pd.DataFrame(out)
 
     def block_knn(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -3734,7 +3734,12 @@ def x179_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     the calendar do not skew the x-axis) computed through a +2^50
     offset shift keeping division operands non-negative — Spark's
     `div` truncates toward zero while DuckDB's `//` floors, and they
-    only agree on non-negative operands (the x177 lesson). Both
+    only agree on non-negative operands (the x177 lesson). Validity
+    bound of the shift: operands stay non-negative only while
+    |n_j - n_i| * 1e6 <= 2^50 * (j - i), i.e. a day-over-day swing of
+    up to ~1.125e9 events per unit of index gap — an asserted guard
+    column trips past it rather than silently diverging from the
+    oracle (a wider offset or decimal(38,0) would be the fix). Both
     medians come from the registry's exact rank idiom (x149). The pair set is |days|^2/2 —
     days, not events: at 100 TB of raw data this is still ~66K pairs
     per year of daily series, a broadcast-size problem riding one
@@ -3755,8 +3760,12 @@ def x179_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ia",
             "jb",
             F.expr(
-                "((nb - na) * 1000000 + 1125899906842624 * (jb - ia))"
-                " div (jb - ia) - 1125899906842624"
+                "CASE WHEN abs(nb - na) * 1000000 > 1125899906842624 * (jb - ia)"
+                " THEN raise_error('x179_theil_sen_trend: |n_j-n_i|*1e6 exceeds"
+                " the +2^50 offset validity bound (~1.125e9 events/day per"
+                " index gap); widen the offset or move to decimal(38,0)')"
+                " ELSE ((nb - na) * 1000000 + 1125899906842624 * (jb - ia))"
+                " div (jb - ia) - 1125899906842624 END"
             ).alias("slope_ppm"),
         )
     )

@@ -1972,12 +1972,13 @@ def x167_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_both",
             "n_a",
             "n_b",
-            F.floor(
-                F.col("n_both") * F.col("n_orders") * 1_000_000
-                / (F.col("n_a") * F.col("n_b"))
-            )
-            .cast("long")
-            .alias("lift_ppm"),
+            # Integer `div` through decimal(38,0), matching the oracle's
+            # exact `//` (HUGEINT): double division floors wrong past 2^53
+            # and the raw long product overflows far earlier than decimal.
+            F.expr(
+                "cast(cast(n_both as decimal(38,0)) * n_orders * 1000000"
+                " div (cast(n_a as decimal(38,0)) * n_b) as bigint)"
+            ).alias("lift_ppm"),
         )
         .orderBy(
             F.col("n_both").desc(), F.col("lift_ppm").desc(), "part_a", "part_b"

@@ -247,3 +247,26 @@ def test_x152_truncation_err_nonnegative(spark, sf_dir):
     assert got["n_pairs"].sum() == 128 * 127 // 2
     assert (got["avg_abs_err"] >= 0).all()
     assert (got["max_abs_err"] >= got["avg_abs_err"] - 1e-9).all()
+
+
+def test_knn_candidates_blocked_nonint_extra_cols(spark, sf_dir):
+    """extra_cols with string/double types keep their source Spark type
+    (regression: the output schema used to hard-code long)."""
+    from kafka_connect_spark.functions.simfns import knn_candidates_blocked
+
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .limit(64)
+        .withColumn("tag", F.concat(F.lit("g"), (F.col("label") % 3).cast("string")))
+        .withColumn("w", F.col("label") * 0.5)
+    )
+    out = knn_candidates_blocked(
+        emb, k=3, extra_cols=["tag", "w"], n_blocks=4
+    )
+    types = dict(out.dtypes)
+    assert types["tag_q"] == "string" and types["tag_n"] == "string"
+    assert types["w_q"] == "double" and types["w_n"] == "double"
+    pdf = out.toPandas()
+    assert len(pdf) > 0
+    assert set(pdf["tag_q"]) <= {"g0", "g1", "g2"}
+    assert (pdf["w_q"] * 2 % 1 == 0).all()
