@@ -700,6 +700,28 @@ def lsh_cosine_topk(
     return ranked.filter(F.col("rank") <= k).orderBy("query_id", "rank")
 
 
+def _norm_rows(mat: np.ndarray) -> np.ndarray:
+    """Row-normalize with the sequential-fold norm (``seq_self_dot``) so
+    every path that feeds the greedy keep decision shares bit-identical
+    per-row arithmetic — normalization is elementwise, so a row's unit
+    vector is the same whether it is met in the one-group path, a
+    domination check, or a within-block matmul."""
+    return mat / np.sqrt(seq_self_dot(mat))[:, None]
+
+
+def _greedy_keep(sims: np.ndarray, threshold: float) -> np.ndarray:
+    """keep[i] = no kept j < i with sims[i, j] >= threshold; greedy over
+    the (pre-sorted) id order makes the kept set unique and
+    order-independent — the lexicographically-first maximal independent
+    set of the >=threshold similarity graph."""
+    n = sims.shape[0]
+    keep = np.ones(n, dtype=bool)
+    for i in range(1, n):
+        if (sims[i, :i][keep[:i]] >= threshold).any():
+            keep[i] = False
+    return keep
+
+
 def semantic_dedup(
     df: DataFrame,
     threshold: float,
@@ -707,26 +729,42 @@ def semantic_dedup(
     vec_col: str = "embedding",
     n_clusters: int = 8,
     seed: int = 42,
+    max_cluster_rows: int = 4096,
+    block_rows: int = 2048,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
     k-means the embedding space, then dedup WITHIN each cluster only —
     greedy keep-first: a vector is dropped iff some lower-id vector in the
     SAME cluster has cosine >= threshold. Returns (id, cluster, keep).
 
-    Why this shape survives 100 TB: the only all-pairs work is per-cluster
-    (one applyInPandas group per cluster computing its cosine sub-matrix
-    with a single float64 matmul), so compute is sum(n_c^2) — k is chosen
-    to cap n_c, exactly how the published pipeline ran on LAION-scale
-    corpora. The codebook comes from the bounded deterministic driver
-    sample (kmeans_centroids); assignment is one Arrow-batched map pass.
-    Within-cluster pairs are a SUBSET of the exact near-dup pair set, so
-    precision vs the exact twin is 1.0 by construction (asserted in
-    tests/test_similarity.py along with seed-determinism); recall is the
-    cross-cluster-miss tradeoff the method accepts for linearity.
+    Why this shape survives 100 TB: the only all-pairs work is per-cluster,
+    so compute is sum(n_c^2) — k is chosen to cap the AVERAGE n_c, exactly
+    how the published pipeline ran on LAION-scale corpora. The codebook
+    comes from the bounded deterministic driver sample (kmeans_centroids);
+    assignment is one Arrow-batched map pass. Within-cluster pairs are a
+    SUBSET of the exact near-dup pair set, so precision vs the exact twin
+    is 1.0 by construction (asserted in tests/test_similarity.py along
+    with seed-determinism); recall is the cross-cluster-miss tradeoff the
+    method accepts for linearity.
 
-    For clusters too large for one task's memory, compose with the blocked
-    matmul (cosine_pairs_blocked within each cluster) — the fixture-scale
-    path keeps one group per cluster to stay readable."""
+    Skew path: a cluster whose size exceeds ``max_cluster_rows`` — a
+    boilerplate template with millions of near-identical docs is dedup's
+    EXPECTED adversarial input — no longer lands one unbounded
+    applyInPandas task. Oversized clusters run a block-sequential greedy:
+    rows are id-ordered and cut into ``block_rows`` blocks; each round,
+    (a) block-vs-kept-prefix domination is a distributed block x chunk
+    matmul fan-out (every task holds <= 2 x block_rows vectors), (b) the
+    survivors' within-block greedy is one bounded local group, and (c)
+    newly kept rows append to the kept prefix as a new bounded chunk
+    (localCheckpoint'ed per round to cap lineage). Driver rounds =
+    ceil(max n_c / block_rows) — sequential in rounds because greedy
+    keep-first is (it is the lex-first MIS, P-complete in general), but
+    every round's work is fully distributed and memory-bounded. On the
+    adversarial near-clique the kept prefix stays tiny, so each round is
+    one cheap block x 1-chunk check. All cosine cells ride the bit-exact
+    sequential-fold kernel (``seq_dot_block``) in BOTH paths, so the
+    blocked path provably reproduces the one-group keep set (asserted in
+    tests/test_similarity.py by forcing a fixture cluster through it)."""
     cents = kmeans_centroids(
         df, n_clusters, id_col=id_col, vec_col=vec_col, seed=seed
     )
@@ -745,23 +783,136 @@ def semantic_dedup(
 
     def dedup_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("id", ignore_index=True)
-        mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-        sims = npround(mat @ mat.T, 6)
-        # keep[i] = no kept j < i with sim >= threshold; greedy over the
-        # id-sorted order makes the kept set unique and order-independent
-        n = len(pdf)
-        keep = np.ones(n, dtype=bool)
-        for i in range(1, n):
-            if (sims[i, :i][keep[:i]] >= threshold).any():
-                keep[i] = False
+        mat = _norm_rows(np.stack(pdf["v"].to_numpy()).astype(np.float64))
+        keep = _greedy_keep(npround(seq_dot_block(mat, mat), 6), threshold)
         return pd.DataFrame(
             {"id": pdf["id"], "cluster": pdf["cluster"], "keep": keep}
         )
 
-    return tagged.groupBy("cluster").applyInPandas(
-        dedup_cluster, "id long, cluster long, keep boolean"
+    out_schema = "id long, cluster long, keep boolean"
+    # bounded probe: n_clusters rows — which clusters exceed the cap
+    sizes = tagged.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_c"))
+    big_ids = [
+        r["cluster"]
+        for r in sizes.filter(F.col("n_c") > max_cluster_rows).collect()
+    ]
+    small = tagged
+    if big_ids:
+        small = tagged.filter(~F.col("cluster").isin(big_ids))
+    small_out = small.groupBy("cluster").applyInPandas(dedup_cluster, out_schema)
+    if not big_ids:
+        return small_out
+    return small_out.unionByName(
+        _semantic_dedup_blocked(
+            tagged.filter(F.col("cluster").isin(big_ids)),
+            threshold,
+            block_rows,
+        )
     )
+
+
+def _semantic_dedup_blocked(
+    tagged: DataFrame, threshold: float, block_rows: int
+) -> DataFrame:
+    """Block-parallel greedy keep-first over oversized clusters; input is
+    (id, v, cluster). Produces the exact keep set of the one-group greedy
+    with every task bounded at <= 2 x block_rows vectors.
+
+    Round structure (the part that makes the adversarial near-clique
+    CHEAP, not just safe): each round first domination-checks EVERY still-
+    undecided row against the whole kept prefix in one distributed
+    block x chunk fan-out — dominated rows are decided keep=False
+    immediately, wherever they sit in the id order — and only then runs
+    the local greedy on the FIRST surviving block per cluster. On a mega-
+    cluster of near-identical rows, round 1 keeps one row and round 2
+    dominates everything else at once: 2 rounds total, independent of
+    cluster size. The worst case (an oversized cluster with NO similar
+    pairs) degrades to ceil(n_c / block_rows) rounds of distributed
+    all-pairs checks — which is the irreducible work of exact greedy
+    dedup on such input, just never concentrated on one task."""
+    w = Window.partitionBy("cluster").orderBy("id")
+    undecided = tagged.withColumn(
+        "blk", ((F.row_number().over(w) - 1) / block_rows).cast("int")
+    ).localCheckpoint(eager=True)
+
+    dom_schema = "id long, dom boolean"
+
+    def dom_check(pdf: pd.DataFrame) -> pd.DataFrame:
+        c = pdf[pdf["role"] == "c"].sort_values("id")
+        k = pdf[pdf["role"] == "k"]
+        if c.empty or k.empty:
+            return pd.DataFrame({"id": c["id"].astype("int64"), "dom": False})
+        mc = _norm_rows(np.stack(c["v"].to_numpy()).astype(np.float64))
+        mk = _norm_rows(np.stack(k["v"].to_numpy()).astype(np.float64))
+        sims = npround(seq_dot_block(mc, mk), 6)
+        return pd.DataFrame(
+            {
+                "id": c["id"].to_numpy().astype("int64"),
+                "dom": (sims >= threshold).any(axis=1),
+            }
+        )
+
+    def local_greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id", ignore_index=True)
+        mat = _norm_rows(np.stack(pdf["v"].to_numpy()).astype(np.float64))
+        keep = _greedy_keep(npround(seq_dot_block(mat, mat), 6), threshold)
+        return pd.DataFrame(
+            {"id": pdf["id"], "cluster": pdf["cluster"], "keep": keep}
+        )
+
+    kept: DataFrame | None = None  # (cluster, id, v, kc) — kc = chunk idx
+    acc: DataFrame | None = None
+    rnd = 0
+    while not undecided.isEmpty():
+        cand = undecided.select("cluster", "blk", "id", "v")
+        if kept is not None:
+            # fan every undecided row out to every kept chunk of its
+            # cluster; each (cluster, kc) group holds <= 2 blocks of rows
+            chunks = kept.select("cluster", "kc").distinct()
+            crep = cand.join(chunks, "cluster").select(
+                "cluster", "kc", "id", "v", F.lit("c").alias("role")
+            )
+            krep = kept.select(
+                "cluster", "kc", "id", "v", F.lit("k").alias("role")
+            )
+            dom = (
+                crep.unionByName(krep)
+                .groupBy("cluster", "kc")
+                .applyInPandas(dom_check, dom_schema)
+                .groupBy("id")
+                .agg(F.max("dom").alias("dom"))
+            )
+            cand = cand.join(dom, "id", "left").withColumn(
+                "dom", F.coalesce("dom", F.lit(False))
+            )
+        else:
+            cand = cand.withColumn("dom", F.lit(False))
+        dominated = cand.filter("dom").select(
+            "id", "cluster", F.lit(False).alias("keep")
+        )
+        survivors = cand.filter("NOT dom").drop("dom")
+        # the first surviving block per cluster is fully decidable now:
+        # every lower-id row is either kept (checked above) or dropped
+        head = survivors.join(
+            survivors.groupBy("cluster").agg(F.min("blk").alias("blk")),
+            ["cluster", "blk"],
+        )
+        decided = head.select("cluster", "id", "v").groupBy("cluster").applyInPandas(
+            local_greedy, "id long, cluster long, keep boolean"
+        )
+        round_out = decided.unionByName(dominated).localCheckpoint(eager=True)
+        acc = round_out if acc is None else acc.unionByName(round_out)
+        new_kept = head.join(
+            round_out.filter("keep").select("id"), "id", "left_semi"
+        ).select("cluster", "id", "v", F.lit(rnd).alias("kc"))
+        kept = (
+            new_kept if kept is None else kept.unionByName(new_kept)
+        ).localCheckpoint(eager=True)
+        undecided = undecided.join(
+            round_out.select("id"), "id", "left_anti"
+        ).localCheckpoint(eager=True)
+        rnd += 1
+    return acc.select("id", "cluster", "keep")
 
 
 def mips_topk_brute(

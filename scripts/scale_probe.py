@@ -96,10 +96,47 @@ def _semantic_dedup_scaled(spark, sf_dir):
     return semantic_dedup(emb, 0.8, n_clusters=max(8, n // 640))
 
 
+def _semantic_dedup_skewed(spark, sf_dir):
+    """Probe-local x71 ADVERSARIAL workload: the corpus is the scaled
+    embeddings table PLUS an equally-sized near-clique — one template
+    direction with per-row 1e-3 jitter, i.e. the boilerplate-duplicate
+    mega-cluster that semantic dedup exists to catch. k-means lands the
+    whole clique in one cluster, which blows past max_cluster_rows and
+    exercises the block-parallel greedy (_semantic_dedup_blocked): the
+    kept prefix stays ~1 row, so the round count is O(1) in clique size
+    and measured wall time should stay ~linear in K (alpha ~ 1), never
+    the one-task OOM the one-group path would hit."""
+    from kafka_connect_spark.functions.simfns import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    clique = emb.select(
+        (F.col("vec_id") + 10_000_000_000).alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: (
+                F.lit(1.0)
+                + F.pmod(F.xxhash64(F.col("vec_id"), i.cast("string")), F.lit(997))
+                / 997000.0
+            ).cast("float"),
+        ).alias("embedding"),
+        "label",
+    )
+    corpus = emb.unionByName(clique)
+    n = corpus.count()
+    return semantic_dedup(
+        corpus,
+        0.8,
+        n_clusters=max(8, n // 640),
+        max_cluster_rows=2048,
+        block_rows=2048,
+    )
+
+
 PROBE_EXTRA = {
     "near_dup_strict": _near_dup_strict,
     "near_dup_lsh_strict": _near_dup_lsh_strict,
     "semantic_dedup_scaled": _semantic_dedup_scaled,
+    "semantic_dedup_skewed": _semantic_dedup_skewed,
 }
 
 DEFAULT_QUERIES = {

@@ -270,3 +270,27 @@ def test_knn_candidates_blocked_nonint_extra_cols(spark, sf_dir):
     assert len(pdf) > 0
     assert set(pdf["tag_q"]) <= {"g0", "g1", "g2"}
     assert (pdf["w_q"] * 2 % 1 == 0).all()
+
+
+def test_semantic_dedup_blocked_path_reproduces_one_group_keep_set(spark, sf_dir):
+    """Forcing fixture clusters through the oversized-cluster block path
+    (max_cluster_rows far below every cluster size) yields the EXACT keep
+    set of the one-group greedy — the skew path is a plan change, not a
+    semantics change."""
+    from kafka_connect_spark.functions.simfns import semantic_dedup
+
+    emb = load(spark, sf_dir, "embeddings")
+    one = sorted(
+        tuple(r) for r in semantic_dedup(emb, 0.4, n_clusters=8).collect()
+    )
+    blk = sorted(
+        tuple(r)
+        for r in semantic_dedup(
+            emb, 0.4, n_clusters=8, max_cluster_rows=30, block_rows=16
+        ).collect()
+    )
+    assert one == blk
+    assert len(one) == emb.count()
+    # the forced run really exercised multi-round blocking: clusters of
+    # 500/8 ~ 62 rows cut into 16-row blocks => >= 2 rounds
+    assert any(not k for (_, _, k) in one)
