@@ -211,12 +211,93 @@ def _merge_pair_in_syms(syms: Column, left: str, right: str) -> Column:
     )
 
 
+def _select_merge_batch(
+    ranked: list,
+    budget: tuple[int, int, bool],  # (soft batch cap, hard cap, collect-limit hit)
+    min_freq: int,
+    symbols: set[str],
+) -> list:
+    """Pick the longest PREFIX of the (cnt desc, l, r)-ranked pair list
+    that is provably safe to apply in one round while reproducing the
+    sequential trainer's merge sequence EXACTLY:
+
+    - Adjacency-level non-interaction (not mere symbol-sharing): merging
+      (a, b) changes cnt(c, d) only if d==a (pattern c,a,b destroys
+      (c,a)), c==b (pattern a,b,y destroys (b,y)), (c,d)==(a,b), or
+      (c,d) touches the merged symbol — so e.g. (e,</w>) and (s,</w>)
+      batch together (a </w> has ONE left neighbor) while (t,h)/(h,e)
+      conflict. Each selected pair's count is therefore invariant under
+      every earlier selected merge, and the sequential trainer would
+      record the identical count at its step.
+    - Merged-string freshness: l+r must not equal an existing symbol or
+      another selected merged string, else the merge would BOOST an
+      existing pair's count above the selection-time ranking (the
+      "a+bc vs ab+c = 'abc'" concat collision).
+    - Prefix-only (stop at the first failing pair, never skip): every
+      unselected pair then ranks strictly below the whole batch, so
+      neither it nor any pair the batch creates (each bounded by a
+      conflicting — hence unselected — parent's count) can overtake a
+      selected pair in the sequential order.
+    - Strict boundary: trailing selected pairs whose count ties the
+      first unselected row are dropped, turning all the above "<="
+      bounds into "<". If that empties the batch, the caller falls back
+      to a single merge, which is sequential by definition.
+    """
+    soft, hard, exhausted = budget
+    sel: list = []
+    used_m: set[str] = set()
+    last_cnt = None
+    for row in ranked:
+        lft, rgt, cnt = row["l"], row["r"], int(row["cnt"])
+        if cnt < min_freq or len(sel) >= hard:
+            break
+        # the soft (batch-size) cap may be exceeded to COMPLETE a count-tie
+        # group: a fully selected tie group is ordered by the same
+        # (cnt desc, lex) rule the sequential argmax uses, and stopping
+        # mid-group would force the strict-boundary trim to drop it all
+        if len(sel) >= soft and cnt != last_cnt:
+            break
+        merged = lft + rgt
+        conflict = merged in symbols or merged in used_m
+        for plft, prgt, pm in sel:
+            if (
+                rgt == plft
+                or lft == prgt
+                or (lft, rgt) == (plft, prgt)
+                or lft == pm
+                or rgt == pm
+            ):
+                conflict = True
+                break
+        if conflict:
+            break
+        sel.append((lft, rgt, merged))
+        used_m.add(merged)
+        last_cnt = cnt
+    if len(ranked) > len(sel):
+        boundary = int(ranked[len(sel)]["cnt"])
+    elif exhausted:
+        # collect limit hit and everything selected: the next pair's count
+        # is unknown but can only tie sel[-1] — treat it as a tie
+        boundary = int(ranked[-1]["cnt"]) if sel else 0
+    else:
+        boundary = -1  # pair table exhausted: nothing below the batch
+    while sel:
+        row = ranked[len(sel) - 1]
+        if int(row["cnt"]) > boundary:
+            break
+        sel.pop()
+    return sel
+
+
 def bpe_train(
     df,
     text_col: str = "text",
     num_merges: int = 10,
     min_freq: int = 2,
     end_of_word: str = "</w>",
+    batch_merges: int = 16,
+    stats: dict | None = None,
 ):
     """Learn BPE merges from a corpus — the tokenizer-FITTING side of the
     x14k tokenizer (reference pipelines ship a fixed vocab; a training-data
@@ -226,13 +307,26 @@ def bpe_train(
     one corpus-sized job here is the initial word count (hash agg, Zipf
     makes the result small); every merge round then runs on |vocab| rows —
     explode adjacent symbol pairs weighted by word freq, one partial+final
-    sum agg, and a 1-ROW driver collect of the argmax pair (ties broken
-    lexicographically for determinism). The merge application is a pure
-    higher-order fold (map-side, no shuffle). Plan depth from the
+    sum agg, and a bounded driver collect of the top-ranked pairs (ties
+    broken lexicographically for determinism). The merge application is a
+    pure higher-order fold (map-side, no shuffle). Plan depth from the
     iterative withColumn chain is capped with a periodic localCheckpoint
     (the dup_clusters lesson). Returns (merges DataFrame(rank, left,
     right, merged, cnt), final word-symbol table).
-    """
+
+    ``batch_merges``: up to this many merges are applied per driver round
+    (the public batched-merge trick — a real 32K-merge vocabulary cannot
+    afford one count+argmax Spark job per merge). The batch is chosen by
+    :func:`_select_merge_batch`, whose prefix/non-interaction/strict-
+    boundary rules make the batched trainer's merge TABLE (order, pairs,
+    counts) provably identical to ``batch_merges=1`` — equality is
+    asserted in tests/test_bpe_train.py on both the classic corpus and
+    the fixture. Set 1 to force the sequential oracle path. Batch yield
+    is corpus-shaped: dispersed alphabets (many non-interacting frequent
+    pairs, e.g. CJK-like single-symbol tokens) fill whole batches, while
+    heavily chained top pairs (the '(e,r)/(r,</w>)' shape of Latin text)
+    cap rounds nearer ~1.4x — exactness is never traded for batch size.
+    ``stats``, if a dict, receives {'rounds': driver rounds used}."""
     spark = df.sparkSession
     t = F.col(text_col)
     words = (
@@ -254,10 +348,19 @@ def bpe_train(
         .persist()
     )
     words.count()  # materialize once; rounds iterate on this table
+    batch_merges = max(1, batch_merges)
+    # driver-maintained symbol-string set for the concat-collision guard:
+    # initial alphabet (bounded) + every merged string applied so far
+    symbols: set[str] = {
+        r["s"]
+        for r in words.select(F.explode("syms").alias("s")).distinct().collect()
+    }
     merges: list[tuple] = []
+    since_ckpt = rounds = 0
     try:
         cur = words
-        for rank in range(num_merges):
+        while len(merges) < num_merges:
+            rounds += 1
             pair_structs = F.transform(
                 F.sequence(F.lit(1), F.size("syms") - 1),
                 lambda i: F.struct(
@@ -265,24 +368,47 @@ def bpe_train(
                     F.element_at(F.col("syms"), i + 1).alias("r"),
                 ),
             )
-            top = (
+            soft = min(batch_merges, num_merges - len(merges))
+            hard = num_merges - len(merges)
+            # over-collect past the batch size so selection can run THROUGH
+            # a count-tie group; the strict-boundary trim then only fires
+            # when a tie group genuinely straddles the selected edge
+            limit = min(hard, batch_merges * 4) + 8
+            ranked = (
                 cur.filter(F.size("syms") >= 2)
                 .select(F.explode(pair_structs).alias("p"), "freq")
                 .groupBy("p.l", "p.r")
                 .agg(F.sum("freq").alias("cnt"))
                 .orderBy(F.desc("cnt"), "l", "r")
-                .limit(1)
+                .limit(limit)
                 .collect()
             )
-            if not top or top[0]["cnt"] < min_freq:
+            if not ranked or ranked[0]["cnt"] < min_freq:
                 break
-            left, right, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
-            merges.append((rank, left, right, left + right, cnt))
-            nxt = cur.withColumn("syms", _merge_pair_in_syms(F.col("syms"), left, right))
-            if (rank + 1) % 4 == 0:
-                nxt = nxt.localCheckpoint(eager=True)
-            cur = nxt
+            sel = _select_merge_batch(
+                ranked, (soft, hard, len(ranked) == limit), min_freq, symbols
+            )
+            if not sel:
+                # tie at the batch boundary: one merge is always exact
+                sel = [(ranked[0]["l"], ranked[0]["r"], ranked[0]["l"] + ranked[0]["r"])]
+            cnt_by_pair = {(r["l"], r["r"]): int(r["cnt"]) for r in ranked}
+            syms_col = F.col("syms")
+            for lft, rgt, merged in sel:
+                merges.append(
+                    (len(merges), lft, rgt, merged, cnt_by_pair[(lft, rgt)])
+                )
+                symbols.add(merged)
+                # ordered fold: identical to applying the merges one job
+                # at a time, minus the driver round-trips
+                syms_col = _merge_pair_in_syms(syms_col, lft, rgt)
+            cur = cur.withColumn("syms", syms_col)
+            since_ckpt += len(sel)
+            if since_ckpt >= 4:
+                cur = cur.localCheckpoint(eager=True)
+                since_ckpt = 0
         schema = "rank int, left string, right string, merged string, cnt bigint"
+        if stats is not None:
+            stats["rounds"] = rounds
         return spark.createDataFrame(merges, schema), cur
     finally:
         words.unpersist(blocking=False)

@@ -98,3 +98,43 @@ def test_bpe_merge_is_greedy_left_to_right(spark):
     assert (left, right) == ("a", "a")
     syms = {r["w"]: r["syms"] for r in words.collect()}
     assert syms["aaaa"] == ["aa", "aa", "</w>"]
+
+
+def test_bpe_train_batched_equals_sequential_on_fixture(spark, sf_dir):
+    """The batched trainer (batch_merges>1) reproduces the sequential
+    merge table exactly — order, pairs, counts — while using fewer
+    driver rounds (the prefix/non-interaction/strict-boundary selection
+    is exactness-preserving by construction)."""
+    d = load(spark, sf_dir, "documents")
+    s_stats, b_stats = {}, {}
+    m_seq, _ = bpe_train(d, num_merges=25, batch_merges=1, stats=s_stats)
+    m_bat, _ = bpe_train(d, num_merges=25, batch_merges=16, stats=b_stats)
+    seq = [tuple(r) for r in m_seq.orderBy("rank").collect()]
+    bat = [tuple(r) for r in m_bat.orderBy("rank").collect()]
+    assert seq == bat
+    assert b_stats["rounds"] < s_stats["rounds"]
+
+
+def test_bpe_train_batched_rounds_collapse_on_dispersed_corpus(spark):
+    """On a dispersed-alphabet corpus (single-symbol words, no adjacency
+    chaining — the CJK-like shape) the exact batch fills completely:
+    32 merges land in ~10x fewer driver rounds than sequential, with the
+    identical merge table."""
+    chars = [chr(0x3041 + i) for i in range(40)]
+    text = " ".join(
+        " ".join([c] * (500 - 7 * i)) for i, c in enumerate(chars)
+    )
+    df = spark.createDataFrame([(text,)], ["text"])
+    s_stats, b_stats = {}, {}
+    m_seq, _ = bpe_train(
+        df, num_merges=32, min_freq=1, batch_merges=1, stats=s_stats
+    )
+    m_bat, _ = bpe_train(
+        df, num_merges=32, min_freq=1, batch_merges=32, stats=b_stats
+    )
+    seq = [tuple(r) for r in m_seq.orderBy("rank").collect()]
+    bat = [tuple(r) for r in m_bat.orderBy("rank").collect()]
+    assert seq == bat
+    assert len(seq) == 32
+    assert s_stats["rounds"] >= 32
+    assert b_stats["rounds"] * 10 <= s_stats["rounds"]
