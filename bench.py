@@ -255,6 +255,14 @@ HEADLINE = [
     "x177_weighted_sample",
     "x178_windowed_hll_users",
     "x179_theil_sen_trend",
+    # round 8 additions
+    "x180_retrieval_ndcg",
+    "x181_k_anonymity_audit",
+    "x182_join_key_skew_audit",
+    "x183_source_lang_mi",
+    "x184_calibration_curve",
+    "x185_cohens_kappa",
+    "x186_kaplan_meier_conversion",
 ]
 
 
@@ -335,6 +343,21 @@ def main() -> None:
     def poll_sink(df) -> None:
         run_noop(to_json_envelope(mask_fields(df, ["o_orderpriority"])))
 
+    # untimed warmup loop: the incremental-source machinery is JIT-cold on
+    # its first pass and a 5-rep isolation run (round 8) measured the cold
+    # rep at 31K rows/s vs 70-76K warm — the r6->r7 "-6.7% drift" was this
+    # noise band, not a regression; warming before the timed reps pins the
+    # metric to the steady state the baseline comparison wants
+    warm = IncrementalTableSource(
+        f"{sf_dir}/orders.parquet",
+        "o_orderkey",
+        "incrementing",
+        tempfile.mkdtemp(prefix="bench-inc-warm-"),
+        batch_max_rows=25_000,
+    )
+    while warm.run_once(spark, poll_sink) > 0:
+        pass
+
     runs, polled = [], 0
     for _ in range(reps):
         inc = IncrementalTableSource(
@@ -376,6 +399,9 @@ def main() -> None:
         # on a 60-query-hot JVM and is NOT comparable to these
         "throughput_position": "post-warmup",
         "poll_page_rows": 25_000,
+        # r8: one untimed poll loop precedes the timed reps (cold-JIT rep
+        # measured 2.2x slower than steady state; see comment at the loop)
+        "poll_warmup_loop": True,
         "excluded": excluded_map(),
     }
     # every registry query is either benched or excluded-with-reason

@@ -3787,3 +3787,140 @@ def x179_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("upper_median_ppm"),
     )
+
+
+@query(
+    "x186_kaplan_meier_conversion",
+    oracle="""
+    WITH s AS (SELECT user_id, min(ts) AS t0 FROM events
+               WHERE event_type = 'signup' GROUP BY 1),
+    p AS (SELECT s.user_id,
+                 min(CASE WHEN e.event_type = 'purchase' AND e.ts >= s.t0
+                          THEN e.ts END) AS tp
+          FROM s JOIN events e ON e.user_id = s.user_id
+          GROUP BY 1),
+    horizon AS (SELECT max(ts) AS tmax FROM events),
+    subj AS (SELECT sp.user_id,
+                    CASE WHEN tp IS NOT NULL
+                         THEN date_diff('day', t0, tp) ELSE
+                         date_diff('day', t0, tmax) END AS dur,
+                    CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS converted
+             FROM s JOIN p sp ON sp.user_id = s.user_id CROSS JOIN horizon),
+    days AS (SELECT dur AS d, CAST(count(*) AS BIGINT) AS d_events
+             FROM subj WHERE converted = 1 GROUP BY 1),
+    risk AS (SELECT days.d, days.d_events,
+                    CAST((SELECT count(*) FROM subj WHERE subj.dur >= days.d)
+                         AS BIGINT) AS n_risk
+             FROM days),
+    t AS (SELECT d, d_events, n_risk,
+                 CASE WHEN n_risk = d_events THEN NULL
+                      ELSE CAST(ln(CAST(n_risk - d_events AS DOUBLE) / n_risk)
+                           AS DECIMAL(18,9)) END AS lnf
+          FROM risk),
+    c AS (SELECT d, d_events, n_risk,
+                 CAST(sum(lnf) OVER (ORDER BY d
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS DECIMAL(18,9)) AS lns
+          FROM t)
+    SELECT d AS day, d_events, n_risk,
+           CASE WHEN n_risk = d_events THEN NULL ELSE {lnv} END AS ln_surv,
+           CASE WHEN n_risk = d_events THEN 0.0 ELSE {sv} END AS survival
+    FROM c ORDER BY day
+    """.format(
+        lnv=dround_sql("CAST(lns AS DOUBLE)", 6),
+        sv=dround_sql("exp(CAST(lns AS DOUBLE))", 6),
+    ),
+)
+def x186_kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-conversion curve: for signup cohort users,
+    the survival function of 'still has not purchased by day d' with
+    right-censoring at the observation horizon — the censoring-correct
+    answer to 'how long until users convert' that x133's half-life fit
+    (which ignores censoring) approximates. Per event-day d: d_events
+    (conversions at d), n_risk (subjects with min(conversion, censor)
+    time >= d), and S(d) = prod(1 - d_i/n_i) computed as a cumulative
+    window SUM of per-day DECIMAL(18,9)-quantized ln factors, exp'd and
+    rounded once per row (each factor is one IEEE division + one ln on
+    exact integers, so both engines quantize identically — the x138 exp
+    discipline). Plan: two user-keyed hash aggs (first signup, first
+    qualifying purchase via conditional min — no self-join of raw
+    events), a day-level agg, then windows over <= |distinct days| rows;
+    the at-risk counts come from one descending cumulative sum, never a
+    per-day rescan."""
+    e = load(spark, sf_dir, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    p = (
+        e.join(s, "user_id")
+        .groupBy("user_id", "t0")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("t0")),
+                    F.col("ts"),
+                )
+            ).alias("tp")
+        )
+    )
+    horizon = e.agg(F.max("ts").alias("tmax"))
+    subj = p.crossJoin(F.broadcast(horizon)).select(
+        F.when(
+            F.col("tp").isNotNull(), F.datediff(F.col("tp"), F.col("t0"))
+        )
+        .otherwise(F.datediff(F.col("tmax"), F.col("t0")))
+        .alias("dur"),
+        F.col("tp").isNotNull().cast("int").alias("converted"),
+    )
+    # n_risk(d) = #subjects with dur >= d: one agg over ALL durations
+    # (censored included) + a reverse cumulative sum over distinct days
+    alldur = subj.groupBy("dur").agg(
+        F.count(F.lit(1)).alias("n_at"),
+        F.sum("converted").alias("d_events"),
+    )
+    w_desc = (
+        Window.orderBy(F.col("dur").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = alldur.select(
+        "dur",
+        "d_events",
+        F.sum("n_at").over(w_desc).alias("n_risk"),
+    ).filter(F.col("d_events") > 0)
+    t = risk.select(
+        F.col("dur").alias("day"),
+        F.col("d_events").cast("long"),
+        F.col("n_risk").cast("long"),
+        # S hits exactly 0 when the whole remaining risk set converts at
+        # d (necessarily the last output day): no ln exists, emit
+        # survival 0 / ln_surv NULL instead of -inf
+        F.when(
+            F.col("n_risk") > F.col("d_events"),
+            F.log(
+                (F.col("n_risk") - F.col("d_events")).cast("double")
+                / F.col("n_risk")
+            ).cast("decimal(18,9)"),
+        ).alias("lnf"),
+    )
+    w_asc = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = t.select(
+        "day",
+        "d_events",
+        "n_risk",
+        F.sum("lnf").over(w_asc).cast("decimal(18,9)").alias("lns"),
+    )
+    deg = F.col("n_risk") == F.col("d_events")
+    return c.select(
+        "day",
+        "d_events",
+        "n_risk",
+        F.when(~deg, dround(F.col("lns").cast("double"), 6)).alias("ln_surv"),
+        F.when(deg, F.lit(0.0))
+        .otherwise(dround(F.exp(F.col("lns").cast("double")), 6))
+        .alias("survival"),
+    ).orderBy("day")

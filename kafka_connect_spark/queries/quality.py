@@ -1069,3 +1069,344 @@ def x178_windowed_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("err_ppm"),
     ).orderBy("day")
+
+
+@query(
+    "x181_k_anonymity_audit",
+    oracle="""
+    WITH eq AS (SELECT c_nationkey, c_mktsegment,
+                       CAST(count(*) AS BIGINT) AS class_size,
+                       CAST(count(DISTINCT CAST(floor(c_acctbal / 1000)
+                            AS BIGINT)) AS BIGINT) AS l_div
+                FROM customer GROUP BY 1, 2),
+    tot AS (SELECT CAST(sum(class_size) AS BIGINT) AS n_rows FROM eq),
+    ks AS (SELECT unnest([2, 5, 10, 20]) AS k)
+    SELECT k,
+           CAST(count(*) FILTER (WHERE class_size < k) AS BIGINT)
+             AS n_small_classes,
+           CAST(COALESCE(sum(class_size) FILTER (WHERE class_size < k), 0)
+                AS BIGINT) AS rows_at_risk,
+           CAST(COALESCE(sum(class_size) FILTER (WHERE class_size < k), 0)
+                * 1000000 // max(n_rows) AS BIGINT) AS at_risk_ppm,
+           CAST(min(l_div) AS BIGINT) AS min_l_diversity
+    FROM ks CROSS JOIN eq CROSS JOIN tot
+    GROUP BY k ORDER BY k
+    """,
+)
+def x181_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-release audit over quasi-identifiers: k-anonymity (how many
+    (nation, segment) equivalence classes are smaller than k, and what
+    fraction of ROWS they expose) for k in {2,5,10,20}, plus the table's
+    l-diversity floor on the sensitive attribute (account-balance
+    kilobucket) — the pre-flight check a training-data pipeline runs
+    before shipping per-user aggregates, complementing x14i's regex-level
+    PII scrubbing with the re-identification-by-joining risk the regexes
+    cannot see. All integers exact, share in ppm via integer div. Plan:
+    ONE hash agg over the QI pair builds the class table (count +
+    count distinct per class); the k-sweep is a 4-row broadcast cross
+    join over the tiny class table — at 100 TB the only corpus-sized job
+    is the groupBy, which partial-aggregates map-side."""
+    c = load(spark, sf_dir, "customer")
+    eq = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("class_size"),
+        F.countDistinct(
+            F.floor(F.col("c_acctbal") / 1000).cast("long")
+        ).alias("l_div"),
+    )
+    tot = eq.agg(F.sum("class_size").alias("n_rows"))
+    ks = spark.range(1).select(
+        F.explode(F.array(*[F.lit(k) for k in (2, 5, 10, 20)])).alias("k")
+    )
+    small = F.col("class_size") < F.col("k")
+    return (
+        eq.crossJoin(F.broadcast(ks))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("k")
+        .agg(
+            F.count(F.when(small, 1)).alias("n_small_classes"),
+            F.coalesce(F.sum(F.when(small, F.col("class_size"))), F.lit(0))
+            .cast("long")
+            .alias("rows_at_risk"),
+            F.expr(
+                "coalesce(sum(CASE WHEN class_size < k THEN class_size END), 0)"
+                " * 1000000 div max(n_rows)"
+            )
+            .cast("long")
+            .alias("at_risk_ppm"),
+            F.min("l_div").cast("long").alias("min_l_diversity"),
+        )
+        .orderBy("k")
+    )
+
+
+@query(
+    "x183_source_lang_mi",
+    oracle="""
+    WITH o AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS obs
+               FROM documents GROUP BY 1, 2),
+    rt AS (SELECT source, CAST(sum(obs) AS BIGINT) AS s_tot FROM o GROUP BY 1),
+    ct AS (SELECT lang, CAST(sum(obs) AS BIGINT) AS l_tot FROM o GROUP BY 1),
+    n AS (SELECT CAST(sum(obs) AS BIGINT) AS total FROM o),
+    cells AS (SELECT CAST(obs * ln(CAST(obs AS DOUBLE) * total
+                          / (CAST(s_tot AS DOUBLE) * l_tot))
+                     AS DECIMAL(28,6)) AS c
+              FROM o JOIN rt USING (source) JOIN ct USING (lang)
+                     CROSS JOIN n),
+    hs AS (SELECT CAST(sum(CAST(-s_tot * ln(CAST(s_tot AS DOUBLE) / total)
+                     AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS hsrc
+           FROM rt CROSS JOIN n),
+    hl AS (SELECT CAST(sum(CAST(-l_tot * ln(CAST(l_tot AS DOUBLE) / total)
+                     AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS hlang
+           FROM ct CROSS JOIN n)
+    SELECT {mi} AS mi_nats,
+           {hsv} AS h_source_nats,
+           {hlv} AS h_lang_nats,
+           {nmi} AS nmi
+    FROM (SELECT CAST(sum(c) AS DECIMAL(28,6)) AS ms FROM cells)
+         CROSS JOIN hs CROSS JOIN hl CROSS JOIN n
+    """.format(
+        mi=dround_sql("CAST(ms AS DOUBLE) / total", 6),
+        hsv=dround_sql("CAST(hsrc AS DOUBLE) / total", 6),
+        hlv=dround_sql("CAST(hlang AS DOUBLE) / total", 6),
+        nmi=dround_sql(
+            "CAST(ms AS DOUBLE) / sqrt(CAST(hsrc AS DOUBLE)"
+            " * CAST(hlang AS DOUBLE))",
+            6,
+        ),
+    ),
+)
+def x183_source_lang_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(source; lang) in nats, with both marginal
+    entropies and the sqrt-normalized NMI — the information-theoretic
+    complement to x120's chi-square: chi2 says WHETHER source and
+    language are dependent, MI says HOW MANY BITS one leaks about the
+    other, which is what a mixture designer (x55/x151) actually budgets
+    with (NMI ~ 1 means per-source sampling IS per-language sampling).
+    Every cell is count * ln(count * N / (row_tot * col_tot)) — one IEEE
+    ln per cell on exact integers, quantized DECIMAL(28,6) then summed
+    exactly, divided by N once at the end (the x140 discipline, so both
+    engines agree per cell). Plan: one K x M contingency hash agg plus
+    two marginal aggs of it; everything after is broadcast-scalar
+    algebra over <= K*M rows."""
+    d = load(spark, sf_dir, "documents")
+    o = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("obs"))
+    rt = o.groupBy("source").agg(F.sum("obs").alias("s_tot"))
+    ct = o.groupBy("lang").agg(F.sum("obs").alias("l_tot"))
+    n = o.agg(F.sum("obs").alias("total"))
+    cells = (
+        o.join(F.broadcast(rt), "source")
+        .join(F.broadcast(ct), "lang")
+        .crossJoin(F.broadcast(n))
+        .select(
+            (
+                F.col("obs")
+                * F.log(
+                    F.col("obs").cast("double")
+                    * F.col("total")
+                    / (F.col("s_tot").cast("double") * F.col("l_tot"))
+                )
+            )
+            .cast("decimal(28,6)")
+            .alias("c")
+        )
+    )
+    ms = cells.agg(F.sum("c").cast("decimal(28,6)").alias("ms"))
+    hs = (
+        rt.crossJoin(F.broadcast(n))
+        .select(
+            (
+                -F.col("s_tot")
+                * F.log(F.col("s_tot").cast("double") / F.col("total"))
+            )
+            .cast("decimal(28,6)")
+            .alias("h")
+        )
+        .agg(F.sum("h").cast("decimal(28,6)").alias("hsrc"))
+    )
+    hl = (
+        ct.crossJoin(F.broadcast(n))
+        .select(
+            (
+                -F.col("l_tot")
+                * F.log(F.col("l_tot").cast("double") / F.col("total"))
+            )
+            .cast("decimal(28,6)")
+            .alias("h")
+        )
+        .agg(F.sum("h").cast("decimal(28,6)").alias("hlang"))
+    )
+    return (
+        ms.crossJoin(F.broadcast(hs))
+        .crossJoin(F.broadcast(hl))
+        .crossJoin(F.broadcast(n))
+        .select(
+            dround(F.col("ms").cast("double") / F.col("total"), 6).alias(
+                "mi_nats"
+            ),
+            dround(F.col("hsrc").cast("double") / F.col("total"), 6).alias(
+                "h_source_nats"
+            ),
+            dround(F.col("hlang").cast("double") / F.col("total"), 6).alias(
+                "h_lang_nats"
+            ),
+            dround(
+                F.col("ms").cast("double")
+                / F.sqrt(
+                    F.col("hsrc").cast("double") * F.col("hlang").cast("double")
+                ),
+                6,
+            ).alias("nmi"),
+        )
+    )
+
+
+@query(
+    "x184_calibration_curve",
+    oracle="""
+    WITH d AS (SELECT lang,
+                      string_split(text, ' ') AS toks
+               FROM documents),
+    sc AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                  len(list_filter(toks, t -> t IN
+                      ('a','the','of','and','to','in'))) AS hits,
+                  len(toks) AS n_toks
+           FROM d),
+    p AS (SELECT y,
+                 least(hits * 5 * 1000000 // n_toks, 1000000) AS p_ppm
+          FROM sc),
+    b AS (SELECT least(p_ppm * 10 // 1000000, 9) AS bin, y, p_ppm FROM p)
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(p_ppm) // count(*) AS BIGINT) AS mean_pred_ppm,
+           CAST(sum(y) * 1000000 // count(*) AS BIGINT) AS obs_rate_ppm,
+           CAST(abs(sum(p_ppm) // count(*)
+                    - sum(y) * 1000000 // count(*)) AS BIGINT) AS gap_ppm
+    FROM b GROUP BY bin ORDER BY bin
+    """,
+)
+def x184_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for a classifier score — here the stopword-
+    density 'English-ness' score (the x14c quality component, clamped to
+    [0,1]) judged against the labeled lang column: per score decile, the
+    mean predicted probability vs the observed positive rate and their
+    gap, all in exact ppm integers (score as hits*5e6 div tokens — the
+    integer twin of min(1, stopword_ratio*5), so binning is bit-exact
+    across engines). This is the eval loop any learned quality/language
+    filter needs before its threshold is trusted at 100 TB — an
+    uncalibrated score makes x107-style curation silently over- or
+    under-prune. Plan: one scan computing (y, p) per doc map-side, one
+    10-bin hash agg; nothing leaves the executors but 10 rows."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stop = F.array(*[F.lit(w) for w in ("a", "the", "of", "and", "to", "in")])
+    sc = d.select(
+        (F.col("lang") == "en").cast("int").alias("y"),
+        F.size(F.filter(toks, lambda t: F.array_contains(stop, t))).alias(
+            "hits"
+        ),
+        F.size(toks).alias("n_toks"),
+    )
+    p = sc.select(
+        "y",
+        F.least(
+            F.expr("hits * 5 * 1000000 div n_toks"), F.lit(1_000_000)
+        ).alias("p_ppm"),
+    )
+    b = p.select(
+        F.least(F.expr("p_ppm * 10 div 1000000"), F.lit(9)).alias("bin"),
+        "y",
+        "p_ppm",
+    )
+    return (
+        b.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("sum(p_ppm) div count(1)").cast("long").alias(
+                "mean_pred_ppm"
+            ),
+            F.expr("sum(y) * 1000000 div count(1)").cast("long").alias(
+                "obs_rate_ppm"
+            ),
+            F.expr(
+                "abs(sum(p_ppm) div count(1)"
+                " - sum(y) * 1000000 div count(1))"
+            )
+            .cast("long")
+            .alias("gap_ppm"),
+        )
+        .orderBy("bin")
+    )
+
+
+@query(
+    "x185_cohens_kappa",
+    oracle="""
+    WITH lab AS (SELECT CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS a,
+                        CASE WHEN len(string_split(text, ' ')) >= 40
+                             THEN 1 ELSE 0 END AS b
+                 FROM documents),
+    c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(a * b) AS BIGINT) AS n11,
+                 CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00,
+                 CAST(sum(a) AS BIGINT) AS na1,
+                 CAST(sum(b) AS BIGINT) AS nb1
+          FROM lab)
+    SELECT n, n11, n00,
+           CAST((n11 + n00) * 1000000 // n AS BIGINT) AS po_ppm,
+           CAST((na1 * nb1 + (n - na1) * (n - nb1)) * 1000000 // (n * n)
+                AS BIGINT) AS pe_ppm,
+           CAST((n * (n11 + n00) - (na1 * nb1 + (n - na1) * (n - nb1)))
+                * 1000000
+                // (n * n - (na1 * nb1 + (n - na1) * (n - nb1)))
+                AS BIGINT) AS kappa_ppm
+    FROM c
+    """,
+)
+def x185_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two annotators — here two label heuristics
+    (char-length >= 200 vs token-count >= 40) standing in for any pair of
+    raters/models/heuristic versions: observed agreement po, chance
+    agreement pe from the marginals, and kappa = (po - pe)/(1 - pe), all
+    EXACT integer ppm (the whole statistic reduces to one ratio of
+    integer polynomials in the 2x2 cell counts, so no floating point
+    exists to diverge). The agreement audit an eval pipeline runs before
+    trusting labels enough to train a filter on them. Plan: one
+    conditional-sum scan (map-side partial agg) to the 2x2 table; the
+    kappa algebra is a 1-row projection."""
+    d = load(spark, sf_dir, "documents")
+    lab = d.select(
+        (F.col("n_chars") >= 200).cast("long").alias("a"),
+        (F.size(F.split("text", " ")) >= 40).cast("long").alias("b"),
+    )
+    c = lab.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("a") * F.col("b")).alias("n11"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).alias("n00"),
+        F.sum("a").alias("na1"),
+        F.sum("b").alias("nb1"),
+    )
+    return c.select(
+        F.col("n").cast("long"),
+        F.col("n11").cast("long"),
+        F.col("n00").cast("long"),
+        F.expr("(n11 + n00) * 1000000 div n").cast("long").alias("po_ppm"),
+        # decimal(38,0) headroom: n*n and the kappa polynomial overflow
+        # BIGINT past n ~ 3e9 rows (the x167 lesson); DuckDB's // promotes
+        # to HUGEINT on its own
+        F.expr(
+            "(cast(na1 as decimal(38,0)) * nb1 + (n - na1) * (n - nb1))"
+            " * 1000000 div (cast(n as decimal(38,0)) * n)"
+        )
+        .cast("long")
+        .alias("pe_ppm"),
+        F.expr(
+            "(cast(n as decimal(38,0)) * (n11 + n00)"
+            " - (cast(na1 as decimal(38,0)) * nb1 + (n - na1) * (n - nb1)))"
+            " * 1000000"
+            " div (cast(n as decimal(38,0)) * n"
+            "      - (cast(na1 as decimal(38,0)) * nb1"
+            "         + (n - na1) * (n - nb1)))"
+        )
+        .cast("long")
+        .alias("kappa_ppm"),
+    )

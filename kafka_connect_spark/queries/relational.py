@@ -1985,3 +1985,109 @@ def x167_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(20)
     )
+
+
+@query(
+    "x182_join_key_skew_audit",
+    oracle="""
+    WITH kc AS (SELECT o_custkey AS key, CAST(count(*) AS BIGINT) AS n
+                FROM orders GROUP BY 1),
+    st AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                  CAST(sum(n) AS BIGINT) AS n_rows,
+                  CAST(max(n) AS BIGINT) AS max_n
+           FROM kc),
+    r AS (SELECT n,
+                 row_number() OVER (ORDER BY n, key) AS rnk
+          FROM kc),
+    q AS (SELECT CAST(min(CASE WHEN rnk * 2 >= n_keys THEN n END) AS BIGINT)
+                   AS p50,
+                 CAST(min(CASE WHEN rnk * 100 > n_keys * 99 THEN n END)
+                      AS BIGINT) AS p99
+          FROM r CROSS JOIN st),
+    g AS (SELECT sum(CAST(2 * rnk - n_keys - 1 AS HUGEINT) * n) AS gnum,
+                 CAST(max(n_keys) AS BIGINT) AS nk,
+                 CAST(sum(n) AS BIGINT) AS tot
+          FROM r CROSS JOIN st)
+    SELECT st.n_keys, st.n_rows, st.max_n,
+           q.p50, q.p99,
+           CAST(st.max_n * 1000000 // st.n_rows AS BIGINT)
+             AS max_key_share_ppm,
+           CAST(g.gnum * 1000000 // (CAST(g.nk AS HUGEINT) * g.tot)
+                AS BIGINT) AS gini_ppm,
+           CASE WHEN st.max_n * 32 > st.n_rows THEN 'salt'
+                WHEN q.p99 > 4 * q.p50 THEN 'aqe_skew_join'
+                ELSE 'plain_shuffle' END AS recommendation
+    FROM st CROSS JOIN q CROSS JOIN g
+    """,
+)
+def x182_join_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join skew diagnosis of a join key's frequency distribution —
+    the report that decides between x27's salting, AQE's skew-join
+    split, or a plain shuffle BEFORE launching a 100 TB join: key count,
+    row count, the heaviest key's absolute and ppm share, exact p50/p99
+    of per-key cardinality (the x149 exact-rank idiom over the KEY
+    table, not the row table), and the Gini coefficient of key mass in
+    exact ppm (sum((2i - n - 1) x_i) / (n sum x) over ascending-sorted
+    counts). The recommendation thresholds encode the operational rules:
+    one key holding > 1/32 of all rows serializes a 32-task stage ->
+    salt; p99 > 4 x p50 -> let AQE split stragglers. Plan: one hash agg
+    to the key table, one window rank over keys (distinct-key sized,
+    not row sized), three scalar broadcasts."""
+    o = load(spark, sf_dir, "orders")
+    kc = o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    st = kc.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_n"),
+    )
+    r = kc.select(
+        "n", F.row_number().over(Window.orderBy("n", "key")).alias("rnk")
+    )
+    rs = r.crossJoin(F.broadcast(st))
+    q = rs.agg(
+        F.min(F.when(F.col("rnk") * 2 >= F.col("n_keys"), F.col("n")))
+        .cast("long")
+        .alias("p50"),
+        F.min(F.when(F.col("rnk") * 100 > F.col("n_keys") * 99, F.col("n")))
+        .cast("long")
+        .alias("p99"),
+    )
+    g = rs.agg(
+        F.sum(
+            ((2 * F.col("rnk") - F.col("n_keys") - 1) * F.col("n")).cast(
+                "decimal(38,0)"
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("gnum"),
+        F.max("n_keys").alias("nk"),
+        F.sum("n").alias("tot"),
+    )
+    return (
+        st.crossJoin(F.broadcast(q))
+        .crossJoin(F.broadcast(g))
+        .select(
+            F.col("n_keys").cast("long"),
+            F.col("n_rows").cast("long"),
+            F.col("max_n").cast("long"),
+            "p50",
+            "p99",
+            F.expr("max_n * 1000000 div n_rows")
+            .cast("long")
+            .alias("max_key_share_ppm"),
+            # decimal(38,0): nk * tot overflows BIGINT at ~1e9 keys x
+            # 1e11 rows (the x167 lesson); DuckDB // promotes to HUGEINT
+            F.expr(
+                "cast(gnum as decimal(38,0)) * 1000000"
+                " div (cast(nk as decimal(38,0)) * tot)"
+            )
+            .cast("long")
+            .alias("gini_ppm"),
+            F.when(F.col("max_n") * 32 > F.col("n_rows"), F.lit("salt"))
+            .when(F.col("p99") > 4 * F.col("p50"), F.lit("aqe_skew_join"))
+            .otherwise(F.lit("plain_shuffle"))
+            .alias("recommendation"),
+        )
+    )

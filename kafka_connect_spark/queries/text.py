@@ -1506,12 +1506,16 @@ def x106_trending_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     attribution. Every score is four single IEEE ln calls on integers in
     a fixed expression order; support filter keeps noise terms out. Two
     conditional counts in ONE hash agg (no per-half scans), a 1-row
-    scalar broadcast, TakeOrdered(15)."""
+    scalar broadcast, TakeOrdered(15). The token array is hoisted into a
+    materialized column: referencing F.split(...) inside the transform
+    lambda re-splits the text once per bigram position (~25% of the
+    operator's wall at sf0.1)."""
     d = load_parallel(spark, sf_dir, "documents")
     mx = d.agg(F.max("doc_id").alias("md"))
-    toks = F.split("text", " ")
+    toks = F.col("toks")
     bg = (
-        d.crossJoin(F.broadcast(mx))
+        d.withColumn("toks", F.split("text", " "))
+        .crossJoin(F.broadcast(mx))
         .filter(F.size(toks) >= 2)
         .select(
             F.when(F.col("doc_id") * 2 <= F.col("md"), 0).otherwise(1).alias("half"),
@@ -3775,4 +3779,152 @@ def x176_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(2 * swf - (v + 1) * n) * 1000000 div (v * n)")
         .cast("long")
         .alias("gini_ppm"),
+    )
+
+
+@query(
+    "x180_retrieval_ndcg",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                 FROM documents),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM tok WHERE term IN ('table', 'stream', 'window', 'join')
+           GROUP BY 1, 2),
+    df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+          FROM dl),
+    s AS (SELECT tf.term, tf.doc_id,
+                 least(tf.tf, 3) AS rel,
+                 CAST(ln((nd - df + 0.5) / (df + 0.5) + 1.0)
+                      * (tf * 2.2)
+                      / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                      AS DECIMAL(18,6)) AS sc
+          FROM tf JOIN df USING (term)
+                  JOIN dl ON dl.doc_id = tf.doc_id
+                  CROSS JOIN n),
+    ranked AS (SELECT term, doc_id, rel, sc,
+                      row_number() OVER (PARTITION BY term
+                                         ORDER BY sc DESC, doc_id) AS rnk
+               FROM s),
+    ideal AS (SELECT term, rel,
+                     row_number() OVER (PARTITION BY term
+                                        ORDER BY rel DESC, doc_id) AS irnk
+              FROM s),
+    dcg AS (SELECT term,
+                   CAST(sum(CAST(((1 << rel) - 1) / ln(rnk + 1.0)
+                        AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS dcg10
+            FROM ranked WHERE rnk <= 10 GROUP BY term),
+    idcg AS (SELECT term,
+                    CAST(sum(CAST(((1 << rel) - 1) / ln(irnk + 1.0)
+                         AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS idcg10
+             FROM ideal WHERE irnk <= 10 GROUP BY term),
+    mrr AS (SELECT term, CAST(min(rnk) AS BIGINT) AS first_rel_rank
+            FROM ranked WHERE rel >= 2 GROUP BY term)
+    SELECT d.term,
+           {dcg_ratio} AS ndcg10,
+           COALESCE(CAST(1000000 // first_rel_rank AS BIGINT), 0) AS mrr_ppm,
+           CAST((SELECT count(*) FROM s WHERE s.term = d.term) AS BIGINT)
+             AS n_relevant
+    FROM dcg d JOIN idcg USING (term) LEFT JOIN mrr USING (term)
+    ORDER BY term
+    """.format(
+        dcg_ratio=dround_sql("CAST(dcg10 AS DOUBLE) / CAST(idcg10 AS DOUBLE)", 6)
+    ),
+)
+def x180_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation of the BM25 run (x140's scorer) against
+    graded relevance: nDCG@10 and MRR per query — the eval loop a RAG /
+    search pipeline runs after every index or scorer change. Relevance
+    grade = min(tf, 3) (graded by term saturation, the standard poor-man's
+    qrels when no human labels exist); DCG uses the (2^rel - 1)/ln(rank+1)
+    gain form with each term's contribution quantized to DECIMAL(18,6)
+    before the exact sum (the x140 discipline), so both engines rank and
+    sum identically; MRR counts the first rank with grade >= 2 in exact
+    ppm. Plan shape at 100 TB: only query-term postings leave the token
+    explosion (4 terms here), doc-length and idf ride broadcasts, both
+    rank windows partition BY TERM over <= |postings(term)| rows — the
+    eval is embarrassingly parallel across queries, and a real qrels
+    table would replace the tf-grade join with a broadcast."""
+    d = load_parallel(spark, sf_dir, "documents")
+    q_terms = ["table", "stream", "window", "join"]
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tf = (
+        tok.filter(F.col("term").isin(q_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = dl.agg(
+        F.count(F.lit(1)).alias("nd"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    sc = (
+        F.log((F.col("nd") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+        * (F.col("tf") * 2.2)
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
+    ).cast("decimal(18,6)")
+    s = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "term",
+            "doc_id",
+            F.least("tf", F.lit(3)).alias("rel"),
+            sc.alias("sc"),
+        )
+    )
+    ranked = s.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("term").orderBy(F.col("sc").desc(), "doc_id")
+        ),
+    )
+    ideal = s.withColumn(
+        "irnk",
+        F.row_number().over(
+            Window.partitionBy("term").orderBy(F.col("rel").desc(), "doc_id")
+        ),
+    )
+    gain = lambda rel, rnk: (  # noqa: E731 — one shared gain expression
+        # (2^rel - 1) for rel in 1..3 as an exact int lookup (F.shiftleft
+        # only takes a literal shift; the oracle's (1 << rel) matches)
+        ((F.element_at(F.array(F.lit(1), F.lit(3), F.lit(7)), rel.cast("int")))
+         / F.log(rnk + 1.0))
+        .cast("decimal(18,6)")
+    )
+    dcg = (
+        ranked.filter(F.col("rnk") <= 10)
+        .groupBy("term")
+        .agg(F.sum(gain(F.col("rel"), F.col("rnk"))).cast("decimal(18,6)").alias("dcg10"))
+    )
+    idcg = (
+        ideal.filter(F.col("irnk") <= 10)
+        .groupBy("term")
+        .agg(F.sum(gain(F.col("rel"), F.col("irnk"))).cast("decimal(18,6)").alias("idcg10"))
+    )
+    mrr = (
+        ranked.filter(F.col("rel") >= 2)
+        .groupBy("term")
+        .agg(F.min("rnk").cast("long").alias("first_rel_rank"))
+    )
+    nrel = s.groupBy("term").agg(F.count(F.lit(1)).alias("n_relevant"))
+    return (
+        dcg.join(idcg, "term")
+        .join(mrr, "term", "left")
+        .join(nrel, "term")
+        .select(
+            "term",
+            dround(
+                F.col("dcg10").cast("double") / F.col("idcg10").cast("double"), 6
+            ).alias("ndcg10"),
+            F.coalesce(
+                F.expr("1000000 div first_rel_rank"), F.lit(0)
+            ).cast("long").alias("mrr_ppm"),
+            F.col("n_relevant").cast("long"),
+        )
+        .orderBy("term")
     )

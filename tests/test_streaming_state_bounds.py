@@ -1,0 +1,149 @@
+"""Sustained-replay state bounds for the stateful streaming twins.
+
+The batch twins are scale-probed in docs/SCALING.md; these tests close the
+OTHER loop the round-7 verdict asked for (#7): drive 100+ microbatches
+through each stateful operator and assert the state-store row count stays
+at its documented bound for EVERY microbatch — i.e. the streaming state is
+bounded by the key space, never by stream length or batch count.
+
+Method: replay the fixture through ``write_replay_files(n_files=128)`` /
+``maxFilesPerTrigger=1`` (128 real microbatches against one checkpoint),
+capture ``stateOperators[0].numRowsTotal`` from every
+StreamingQueryProgress, and check bound + plateau.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_connect_spark.catalog import load
+from kafka_connect_spark.sources.replay import file_replay_stream, write_replay_files
+
+N_FILES = 128
+
+
+def _state_rows_per_batch(spark, tmp_path, name, src, order_col, build, mode):
+    """Run ``build(stream)`` over a 128-file replay of ``src``; return the
+    [(batchId, state numRowsTotal), ...] trace."""
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "256")
+    d = str(tmp_path / f"{name}-replay")
+    write_replay_files(src, d, N_FILES, order_col)
+    sdf = file_replay_stream(spark, d, spark.read.parquet(d).schema)
+    sink: list = []
+    q = (
+        build(sdf)
+        .writeStream.foreachBatch(lambda df, bid: sink.append(df.count()))
+        .option("checkpointLocation", str(tmp_path / f"{name}-ckpt"))
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    trace = [
+        (p["batchId"], p["stateOperators"][0]["numRowsTotal"])
+        for p in q.recentProgress
+        if p.get("stateOperators")
+    ]
+    assert len(trace) >= 100, f"only {len(trace)} microbatches recorded"
+    return trace, sink
+
+
+def test_cusum_state_bounded_over_128_microbatches(spark, sf_dir, tmp_path):
+    """CUSUM state is 2 BIGINTs per event_type: numRowsTotal must sit at
+    <= n_types for all 128 microbatches — O(1) per key, O(keys) total,
+    independent of how many days stream through."""
+    from kafka_connect_spark.streaming.drift import streaming_cusum
+
+    e = load(spark, sf_dir, "events")
+    # hour-granularity periods: the fixture spans ~30 calendar days, which
+    # caps day-level replay below the 100-microbatch bar; the recursion is
+    # agnostic to what the period string means
+    day = e.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd HH").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    n_types = day.select("event_type").distinct().count()
+    cal = {
+        r["event_type"]: (1, 0, 1 << 62)  # quiet calibration; bound test only
+        for r in day.select("event_type").distinct().collect()
+    }
+    trace, _ = _state_rows_per_batch(
+        spark,
+        tmp_path,
+        "cusum",
+        day,
+        "day",
+        lambda sdf: streaming_cusum(sdf, cal),
+        "update",
+    )
+    assert max(rows for _, rows in trace) <= n_types
+    # plateau: once every type has appeared the state never grows again
+    assert trace[-1][1] == max(rows for _, rows in trace)
+
+
+def test_hll_register_state_bounded_over_128_microbatches(
+    spark, sf_dir, tmp_path
+):
+    """HLL register state is <= 1024 rows per scope regardless of entity
+    volume: the whole point of the sketch twin is that streaming distinct
+    tracking does NOT need dropDuplicates' unbounded key state."""
+    from kafka_connect_spark.streaming.drift import hll_registers
+
+    e = load(spark, sf_dir, "events")
+    # the sf0.001 fixture has only 1000 events, below the 1024-register
+    # cap; fan each event into 4 sub-entities so the entity volume (4000)
+    # clearly exceeds what naive dropDuplicates state would hold
+    raw = e.select(
+        "event_type",
+        "user_id",
+        "ts",
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("sub"),
+    ).select(
+        "event_type",
+        F.concat_ws(
+            ":",
+            F.col("user_id").cast("string"),
+            F.col("ts").cast("string"),
+            F.col("sub").cast("string"),
+        ).alias("entity"),
+        "ts",
+    )
+    n_scopes = raw.select("event_type").distinct().count()
+    n_entities = raw.select("entity").distinct().count()
+    assert n_entities > 1024  # the bound must actually bind vs naive state
+    trace, _ = _state_rows_per_batch(
+        spark,
+        tmp_path,
+        "hll",
+        raw,
+        "ts",
+        lambda sdf: hll_registers(sdf, "event_type", "entity"),
+        "complete",
+    )
+    assert max(rows for _, rows in trace) <= 1024 * n_scopes
+    assert trace[-1][1] == max(rows for _, rows in trace)
+
+
+def test_session_state_tracks_active_keys_only(spark, sf_dir, tmp_path):
+    """session_totals state must EVICT on event-time timeout: across a
+    128-microbatch replay the state row count stays <= distinct users and
+    visibly shrinks when the watermark closes sessions — the growing-key-
+    space case the round-7 verdict flagged."""
+    from kafka_connect_spark.streaming.stateful import session_totals
+
+    e = load(spark, sf_dir, "events").select("user_id", "ts", "value")
+    n_users = e.select("user_id").distinct().count()
+    trace, sink = _state_rows_per_batch(
+        spark,
+        tmp_path,
+        "session",
+        e,
+        "ts",
+        lambda sdf: session_totals(sdf, gap_sec=600),
+        "append",
+    )
+    rows = [r for _, r in trace]
+    assert max(rows) <= n_users
+    # eviction observed: some batch's state is smaller than a prior one
+    assert any(b < a for a, b in zip(rows, rows[1:]))
+    # closed sessions were actually emitted by the timeout path
+    assert sum(sink) > 0
