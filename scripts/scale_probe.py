@@ -132,11 +132,43 @@ def _semantic_dedup_skewed(spark, sf_dir):
     )
 
 
+def _boilerplate_docs(spark, sf_dir):
+    """Scaled docs with a PLANTED corpus-wide hot term: every document
+    gains the same boilerplate token, so one term's posting list spans
+    the whole corpus — the x97 join's worst case (that term alone
+    contributes |corpus|^2/2 candidate pairs)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.withColumn(
+        "text", F.concat(F.col("text"), F.lit(" zzboilerplate"))
+    )
+
+
+def _tfidf_uncapped_hot(spark, sf_dir):
+    """x97 (no df cap) on the boilerplate-planted corpus: expected
+    superlinear — the planted term's pair fan-out is quadratic in K."""
+    from kafka_connect_spark.queries.text import tfidf_cosine_pairs
+
+    return tfidf_cosine_pairs(_boilerplate_docs(spark, sf_dir), threshold=0.5)
+
+
+def _tfidf_capped_hot(spark, sf_dir):
+    """x97b (max_df cap) on the same corpus: the planted term exceeds any
+    absolute df cap and leaves the JOIN side, so growth should match the
+    unplanted x97 curve — the guardrail the cap exists for, measured."""
+    from kafka_connect_spark.queries.text import tfidf_cosine_pairs
+
+    d = _boilerplate_docs(spark, sf_dir)
+    n = d.count()
+    return tfidf_cosine_pairs(d, threshold=0.5, max_df=max(3, n // 100))
+
+
 PROBE_EXTRA = {
     "near_dup_strict": _near_dup_strict,
     "near_dup_lsh_strict": _near_dup_lsh_strict,
     "semantic_dedup_scaled": _semantic_dedup_scaled,
     "semantic_dedup_skewed": _semantic_dedup_skewed,
+    "tfidf_uncapped_hot": _tfidf_uncapped_hot,
+    "tfidf_capped_hot": _tfidf_capped_hot,
 }
 
 DEFAULT_QUERIES = {
