@@ -268,7 +268,7 @@ HEADLINE = [
 
 # Registry queries NOT swept by the bench, with the reason — kept total
 # (main() asserts HEADLINE + EXCLUDED == the whole registry) so the
-# 219-vs-279 gap is auditable from the bench artifact alone.
+# HEADLINE-vs-registry gap is auditable from the bench artifact alone.
 _EXCLUDED_SPECIAL = {
     "x39_bpe_train": "iterative_trainer_fixed_overhead",
     "s3b_jdbc_live_roundtrip": "side_effecting_embedded_derby",
@@ -325,6 +325,11 @@ def main() -> None:
                    "postgresql-jdbc-bulk-", "lineitem"),
         key_cols=["l_orderkey"] if "l_orderkey" in li.columns else None,
     )
+    # untimed warmup run: same steady-state methodology as the poll loop
+    # (r8 pinned the poll analog's cold-rep 2.2x effect; the r8 verdict
+    # flagged the pipeline analog drifting the same way — median-of-3 only
+    # half-hides a cold first rep)
+    run_noop(pipe)
     runs = []
     for _ in range(reps):
         t0 = time.time()
@@ -402,6 +407,9 @@ def main() -> None:
         # r8: one untimed poll loop precedes the timed reps (cold-JIT rep
         # measured 2.2x slower than steady state; see comment at the loop)
         "poll_warmup_loop": True,
+        # r9: the pipeline analog gets the same treatment — one untimed
+        # run before the timed reps
+        "pipeline_warmup_run": True,
         "excluded": excluded_map(),
     }
     # every registry query is either benched or excluded-with-reason

@@ -838,6 +838,11 @@ def _semantic_dedup_blocked(
     dom_schema = "id long, dom boolean"
 
     def dom_check(pdf: pd.DataFrame) -> pd.DataFrame:
+        # self-enforcing task bound: one candidate block + one kept chunk
+        assert len(pdf) <= 2 * block_rows, (
+            f"dom_check group of {len(pdf)} rows violates the"
+            f" <= 2 x block_rows ({2 * block_rows}) bound"
+        )
         c = pdf[pdf["role"] == "c"].sort_values("id")
         k = pdf[pdf["role"] == "k"]
         if c.empty or k.empty:
@@ -866,18 +871,24 @@ def _semantic_dedup_blocked(
     while not undecided.isEmpty():
         cand = undecided.select("cluster", "blk", "id", "v")
         if kept is not None:
-            # fan every undecided row out to every kept chunk of its
-            # cluster; each (cluster, kc) group holds <= 2 blocks of rows
+            # fan every undecided BLOCK out to every kept chunk of its
+            # cluster: candidates keep their blk, kept chunks replicate
+            # across the cluster's candidate blocks, and the dom check
+            # groups on (cluster, blk, kc) — one candidate block + one
+            # kept chunk per task, <= 2 x block_rows rows, even when one
+            # mega-cluster holds every undecided row (the round-2
+            # adversarial near-clique)
             chunks = kept.select("cluster", "kc").distinct()
+            blks = cand.select("cluster", "blk").distinct()
             crep = cand.join(chunks, "cluster").select(
-                "cluster", "kc", "id", "v", F.lit("c").alias("role")
+                "cluster", "blk", "kc", "id", "v", F.lit("c").alias("role")
             )
-            krep = kept.select(
-                "cluster", "kc", "id", "v", F.lit("k").alias("role")
+            krep = kept.join(blks, "cluster").select(
+                "cluster", "blk", "kc", "id", "v", F.lit("k").alias("role")
             )
             dom = (
                 crep.unionByName(krep)
-                .groupBy("cluster", "kc")
+                .groupBy("cluster", "blk", "kc")
                 .applyInPandas(dom_check, dom_schema)
                 .groupBy("id")
                 .agg(F.max("dom").alias("dom"))

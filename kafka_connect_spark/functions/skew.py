@@ -60,3 +60,89 @@ def plan_has_shuffle(df: DataFrame) -> bool:
     exchanges don't count) — test helper for asserting co-located joins."""
     plan = df._jdf.queryExecution().executedPlan().toString()
     return "Exchange hashpartitioning" in plan or "Exchange rangepartitioning" in plan
+
+
+def distributed_rank(
+    df: DataFrame,
+    order_cols,
+    rank_name: str = "rank",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Exact global ``row_number() OVER (ORDER BY order_cols)`` WITHOUT the
+    SinglePartition sort that a global window funnels every row through —
+    the thing that dies first when the ranked set is corpus-sized at
+    100 TB (the x58/x182 two-phase idiom handles small VALUE domains;
+    this is the twin for near-unique keys like retrieval scores, where
+    per-value aggregation wins nothing).
+
+    Plan: (1) ``repartitionByRange`` on the order columns — ranges are
+    ordered, so partition i's rows all precede partition i+1's; (2)
+    ``row_number`` within each range partition (window partitioned on
+    ``spark_partition_id()``, so no single task ever sees more than one
+    range); (3) global rank = within-rank + the cumulative row count of
+    earlier partitions — a ``num_partitions``-row cumsum, the only
+    single-partition work. Exactness does not depend on range boundaries
+    (sampling skew only unbalances tasks, never reorders ranks), and the
+    order columns must make rows unique (include a tiebreak id, exactly
+    as a deterministic global window already requires). Costs one extra
+    full shuffle vs the naive window — the price of not serializing the
+    corpus through one task.
+
+    ``order_cols``: list of Column expressions WITH sort order (e.g.
+    ``[F.col("score").desc(), F.col("doc_id")]``) — passed identically to
+    the range partitioner and the within-partition window."""
+    from pyspark.sql import Window
+
+    d = df.repartitionByRange(num_partitions, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    counts = d.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    # num_partitions rows — the bounded single-partition cumsum
+    offs = counts.select(
+        "__pid",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_in = Window.partitionBy("__pid").orderBy(*order_cols)
+    return (
+        d.withColumn("__rin", F.row_number().over(w_in))
+        .join(F.broadcast(offs), "__pid")
+        .withColumn(
+            rank_name, (F.col("__off") + F.col("__rin")).cast("long")
+        )
+        .drop("__pid", "__rin", "__off")
+    )
+
+
+def distributed_ntile(
+    df: DataFrame,
+    n_tiles: int,
+    order_cols,
+    tile_name: str = "tile",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Exact global ``ntile(n) OVER (ORDER BY order_cols)`` via
+    ``distributed_rank`` + NTILE's allocation rule in integer arithmetic
+    (q = N div n rows per tile; the first N mod n tiles take one extra) —
+    same contract and caveats as ``distributed_rank``."""
+    ranked = distributed_rank(
+        df, order_cols, rank_name="__rk", num_partitions=num_partitions
+    )
+    tot = ranked.agg(F.count(F.lit(1)).alias("__n"))
+    # all-integer allocation (exact at any N): q = N div n, r = N mod n;
+    # rank rk lands in tile (rk-1) div (q+1) while inside the first
+    # r*(q+1) rows, else r + (rk - r*(q+1) - 1) div q. CASE guards the
+    # q=0 (N < n) corner: every row is then in the WHEN branch.
+    expr = (
+        f"cast(CASE WHEN __rk <= (__n % {n_tiles}) * ((__n div {n_tiles}) + 1)"
+        f" THEN (__rk - 1) div ((__n div {n_tiles}) + 1)"
+        f" ELSE (__n % {n_tiles})"
+        f"  + (__rk - (__n % {n_tiles}) * ((__n div {n_tiles}) + 1) - 1)"
+        f"    div (__n div {n_tiles})"
+        f" END + 1 as int)"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .withColumn(tile_name, F.expr(expr))
+        .drop("__rk", "__n")
+    )

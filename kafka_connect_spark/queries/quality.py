@@ -1309,7 +1309,10 @@ def x184_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = sc.select(
         "y",
         F.least(
-            F.expr("hits * 5 * 1000000 div n_toks"), F.lit(1_000_000)
+            # promote BEFORE the multiply: hits is a 32-bit int (F.size),
+            # so ~430+ stopword hits would overflow hits*5e6 under ANSI
+            F.expr("cast(hits as bigint) * 5000000 div n_toks"),
+            F.lit(1_000_000),
         ).alias("p_ppm"),
     )
     b = p.select(

@@ -2031,8 +2031,19 @@ def x182_join_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts). The recommendation thresholds encode the operational rules:
     one key holding > 1/32 of all rows serializes a 32-task stage ->
     salt; p99 > 4 x p50 -> let AQE split stragglers. Plan: one hash agg
-    to the key table, one window rank over keys (distinct-key sized,
-    not row sized), three scalar broadcasts."""
+    to the key table, then the x58 two-phase decomposition taken one
+    step further — NO per-key rank at all: ranks over (n, key) are
+    contiguous within each distinct count value n, so both percentile
+    picks (the rank condition is monotone, so a value qualifies iff its
+    TOP rank cb+c does) and the Gini numerator (sum_{i=C+1}^{C+c}
+    (2i-N-1)*v = v*c*(2C+c-N), exact integer identity) collapse onto
+    the count-of-counts table. The only single-partition work is a
+    cumsum over |distinct per-key counts| rows — a power-law key table
+    with billions of keys still has only ~thousands of distinct counts.
+    The oracle computes the naive per-row window rank, proving the
+    decomposition IS that rank. All Gini products ride decimal(38,0)
+    from the first multiply (the x167 lesson, applied to numerator AND
+    denominator)."""
     o = load(spark, sf_dir, "orders")
     kc = o.groupBy(F.col("o_custkey").alias("key")).agg(
         F.count(F.lit(1)).alias("n")
@@ -2042,28 +2053,35 @@ def x182_join_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n_rows"),
         F.max("n").alias("max_n"),
     )
-    r = kc.select(
-        "n", F.row_number().over(Window.orderBy("n", "key")).alias("rnk")
+    cc = kc.groupBy("n").agg(F.count(F.lit(1)).alias("c"))
+    wcum = Window.orderBy("n").rowsBetween(Window.unboundedPreceding, -1)
+    cum = cc.select(
+        "n", "c", F.coalesce(F.sum("c").over(wcum), F.lit(0)).alias("cb")
     )
-    rs = r.crossJoin(F.broadcast(st))
-    q = rs.agg(
-        F.min(F.when(F.col("rnk") * 2 >= F.col("n_keys"), F.col("n")))
+    cs = cum.crossJoin(F.broadcast(st))
+    top_rnk = F.col("cb") + F.col("c")  # the value-group's highest rank
+    q = cs.agg(
+        F.min(F.when(top_rnk * 2 >= F.col("n_keys"), F.col("n")))
         .cast("long")
         .alias("p50"),
-        F.min(F.when(F.col("rnk") * 100 > F.col("n_keys") * 99, F.col("n")))
+        F.min(F.when(top_rnk * 100 > F.col("n_keys") * 99, F.col("n")))
         .cast("long")
         .alias("p99"),
     )
-    g = rs.agg(
+    g = cs.agg(
         F.sum(
-            ((2 * F.col("rnk") - F.col("n_keys") - 1) * F.col("n")).cast(
+            F.col("n").cast("decimal(38,0)")
+            * F.col("c").cast("decimal(38,0)")
+            * (2 * F.col("cb") + F.col("c") - F.col("n_keys")).cast(
                 "decimal(38,0)"
             )
         )
         .cast("decimal(38,0)")
         .alias("gnum"),
         F.max("n_keys").alias("nk"),
-        F.sum("n").alias("tot"),
+        F.sum(F.col("n").cast("decimal(38,0)") * F.col("c"))
+        .cast("decimal(38,0)")
+        .alias("tot"),
     )
     return (
         st.crossJoin(F.broadcast(q))

@@ -255,3 +255,79 @@ def test_exposition_datasource_plugin(spark, tmp_path):
     assert rows[0]["name"] == "num_input_rows"
     assert 'query="q0"' in rows[0]["labels"]
     assert df.rdd.getNumPartitions() == 2  # one partition per scrape file
+
+
+def test_distributed_rank_matches_global_window(spark, sf_dir):
+    """distributed_rank (range-repartition + within-range rank + P-row
+    offset cumsum) is bit-identical to the naive SinglePartition global
+    window on every rank — including desc keys and heavy ties broken by
+    id — at several partition counts (boundary placement must never
+    change ranks)."""
+    from pyspark.sql import Window
+
+    from kafka_connect_spark.catalog import load
+    from kafka_connect_spark.functions.skew import distributed_rank
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars", "lang")
+    order = [F.col("n_chars").desc(), F.col("doc_id")]
+    naive = {
+        r["doc_id"]: r["rk"]
+        for r in d.select(
+            "doc_id", F.row_number().over(Window.orderBy(*order)).alias("rk")
+        ).collect()
+    }
+    for nparts in (1, 7, 32):
+        got = {
+            r["doc_id"]: r["rank"]
+            for r in distributed_rank(d, order, num_partitions=nparts)
+            .select("doc_id", "rank")
+            .collect()
+        }
+        assert got == naive, f"rank mismatch at num_partitions={nparts}"
+
+
+def test_distributed_ntile_matches_global_window(spark, sf_dir):
+    """distributed_ntile reproduces window NTILE's exact allocation rule
+    (first N%n tiles take the extra row), including n > distinct-key
+    corners and N not divisible by n."""
+    from pyspark.sql import Window
+
+    from kafka_connect_spark.catalog import load
+    from kafka_connect_spark.functions.skew import distributed_ntile
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .limit(403)  # force N % n != 0
+    )
+    order = [F.col("n_chars"), F.col("doc_id")]
+    for n_tiles in (4, 10):
+        naive = {
+            r["doc_id"]: r["t"]
+            for r in d.select(
+                "doc_id",
+                F.ntile(n_tiles).over(Window.orderBy(*order)).alias("t"),
+            ).collect()
+        }
+        got = {
+            r["doc_id"]: r["tile"]
+            for r in distributed_ntile(d, n_tiles, order, num_partitions=7)
+            .select("doc_id", "tile")
+            .collect()
+        }
+        assert got == naive, f"ntile mismatch at n_tiles={n_tiles}"
+
+
+def test_distributed_rank_window_is_partitioned(spark, sf_dir):
+    """The corpus-sized Window in distributed_rank's plan is partitioned
+    on the range-partition id — the full data NEVER crosses a
+    SinglePartition exchange (the only SinglePartition work is the
+    P-row offset cumsum over the counts aggregate)."""
+    from kafka_connect_spark.catalog import load
+    from kafka_connect_spark.functions.skew import distributed_rank
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = distributed_rank(d, [F.col("n_chars").desc(), F.col("doc_id")])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange rangepartitioning" in plan
+    assert "partitionBy=[__pid]" in plan.replace(" ", "") or "__pid" in plan
