@@ -263,6 +263,14 @@ HEADLINE = [
     "x184_calibration_curve",
     "x185_cohens_kappa",
     "x186_kaplan_meier_conversion",
+    # round 9 additions
+    "x187_quality_auc",
+    "x188_spearman_signals",
+    "x189_theta_sketch_overlap",
+    "x190_mcnemar_lid",
+    "x191_vocab_richness",
+    "x192_vocab_coverage_curve",
+    "x193_wasserstein_length_shift",
 ]
 
 

@@ -3924,3 +3924,138 @@ def x186_kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(dround(F.exp(F.col("lns").cast("double")), 6))
         .alias("survival"),
     ).orderBy("day")
+
+
+@query(
+    "x189_theta_sketch_overlap",
+    oracle="""
+    WITH u AS (SELECT DISTINCT event_type, user_id FROM events
+               WHERE event_type IN ('view', 'purchase')),
+    h AS (SELECT event_type, user_id,
+                 CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                      AS BIGINT) AS hv
+          FROM u),
+    rk AS (SELECT event_type, hv,
+                  row_number() OVER (PARTITION BY event_type ORDER BY hv)
+                    AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS n_set
+           FROM h),
+    smp AS (SELECT event_type, hv, n_set FROM rk WHERE rn <= 256),
+    th AS (SELECT event_type,
+                  CAST(max(n_set) AS BIGINT) AS n_set,
+                  CASE WHEN max(n_set) >= 256 THEN CAST(max(hv) AS BIGINT)
+                       ELSE 1152921504606846976 END AS theta
+           FROM smp GROUP BY event_type),
+    tmin AS (SELECT CAST(min(theta) AS BIGINT) AS theta FROM th),
+    common AS (SELECT CAST(count(*) AS BIGINT) AS c
+               FROM smp a JOIN smp b
+                 ON a.hv = b.hv AND a.event_type = 'view'
+                    AND b.event_type = 'purchase'
+               CROSS JOIN tmin WHERE a.hv < tmin.theta),
+    exact AS (SELECT CAST(count(*) AS BIGINT) AS both
+              FROM (SELECT user_id FROM u WHERE event_type = 'view'
+                    INTERSECT
+                    SELECT user_id FROM u WHERE event_type = 'purchase')),
+    na AS (SELECT CAST(n_set AS BIGINT) AS n_view FROM th
+           WHERE event_type = 'view'),
+    nb AS (SELECT CAST(n_set AS BIGINT) AS n_purchase FROM th
+           WHERE event_type = 'purchase')
+    SELECT na.n_view, nb.n_purchase, exact.both AS exact_both,
+           CAST(CAST(common.c AS HUGEINT) * 1152921504606846976
+                // tmin.theta AS BIGINT) AS est_both,
+           CAST(abs(CAST(common.c AS HUGEINT) * 1152921504606846976
+                    // tmin.theta - exact.both) * 1000000
+                // greatest(exact.both, 1) AS BIGINT) AS err_ppm
+    FROM na CROSS JOIN nb CROSS JOIN exact CROSS JOIN common CROSS JOIN tmin
+    """,
+)
+def x189_theta_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch (KMV-family) set-intersection estimate of the
+    view/purchase audience overlap, audited against the exact distinct
+    intersection — the sketch that answers 'how many users did BOTH'
+    from two fixed-size samples when the user sets live on different
+    clusters or arrive at different times (HLL unions but cannot
+    intersect without inclusion-exclusion blowup; the theta sketch
+    intersects by construction). k = 256 smallest 60-bit md5 hashes per
+    set; theta = min of the two set thresholds (a set smaller than k is
+    exact, theta = 2^60); estimate = |common hashes below theta| *
+    2^60 div theta — deterministic integers end-to-end (the x178 hash
+    idiom), so the ESTIMATE itself is oracle-checkable, and err_ppm
+    records the sketch error against truth. 100 TB shape: each set's
+    sample is a per-type top-k over hashes (partitioned window +
+    mergeable min-k, the x177 reservoir contract) — 256 rows per set
+    cross the wire, never the user sets."""
+    k = 256
+    two60 = 1_152_921_504_606_846_976
+    e = load(spark, sf_dir, "events")
+    u = (
+        e.filter(F.col("event_type").isin("view", "purchase"))
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    h = u.select(
+        "event_type",
+        F.expr(
+            "cast(conv(substring(md5(cast(user_id as string)), 1, 15),"
+            " 16, 10) as bigint)"
+        ).alias("hv"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("hv")
+    wc = Window.partitionBy("event_type")
+    rk = h.select(
+        "event_type",
+        "hv",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n_set"),
+    )
+    smp = rk.filter(F.col("rn") <= k)
+    th = smp.groupBy("event_type").agg(
+        F.max("n_set").cast("long").alias("n_set"),
+        F.when(F.max("n_set") >= k, F.max("hv"))
+        .otherwise(F.lit(two60))
+        .cast("long")
+        .alias("theta"),
+    )
+    tmin = th.agg(F.min("theta").cast("long").alias("theta"))
+    sa = smp.filter(F.col("event_type") == "view").select(
+        F.col("hv").alias("ha")
+    )
+    sb = smp.filter(F.col("event_type") == "purchase").select(
+        F.col("hv").alias("hb")
+    )
+    common = (
+        sa.join(sb, F.col("ha") == F.col("hb"))
+        .crossJoin(F.broadcast(tmin))
+        .filter(F.col("ha") < F.col("theta"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    ev = u.filter(F.col("event_type") == "view").select("user_id")
+    ep = u.filter(F.col("event_type") == "purchase").select("user_id")
+    exact = (
+        ev.intersect(ep).agg(F.count(F.lit(1)).cast("long").alias("both"))
+    )
+    na = th.filter(F.col("event_type") == "view").select(
+        F.col("n_set").alias("n_view")
+    )
+    nb = th.filter(F.col("event_type") == "purchase").select(
+        F.col("n_set").alias("n_purchase")
+    )
+    est = F.expr(
+        "cast(c as decimal(38,0)) * {t} div theta".format(t=two60)
+    )
+    return (
+        na.crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(common))
+        .crossJoin(F.broadcast(tmin))
+        .select(
+            "n_view",
+            "n_purchase",
+            F.col("both").alias("exact_both"),
+            est.cast("long").alias("est_both"),
+            F.expr(
+                "cast(abs(cast(c as decimal(38,0)) * {t} div theta - both)"
+                " * 1000000 div greatest(both, 1) as bigint)".format(t=two60)
+            ).alias("err_ppm"),
+        )
+    )

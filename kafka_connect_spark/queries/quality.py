@@ -899,16 +899,16 @@ def x177_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("key_scaled"),
     )
-    r = k.select(
-        "doc_id",
-        "n_chars",
-        "key_scaled",
+    # top-20 as sort-limit (TakeOrderedAndProject — per-partition local
+    # top-k, driver merge: the mergeable-reservoir contract from the
+    # docstring, literally); the rank window then covers 20 rows only
+    top = k.orderBy("key_scaled", "doc_id").limit(20)
+    return top.withColumn(
+        "rank",
         F.row_number()
         .over(Window.orderBy("key_scaled", "doc_id"))
-        .cast("long")
-        .alias("rank"),
-    )
-    return r.filter(F.col("rank") <= 20).orderBy("rank")
+        .cast("long"),
+    ).orderBy("rank")
 
 
 @query(
@@ -1412,4 +1412,261 @@ def x185_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("kappa_ppm"),
+    )
+
+
+@query(
+    "x187_quality_auc",
+    oracle="""
+    WITH d AS (SELECT lang, string_split(text, ' ') AS toks FROM documents),
+    sc AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                  least(CAST(len(list_filter(toks, t -> t IN
+                            ('a','the','of','and','to','in'))) AS BIGINT)
+                        * 5000000 // len(toks), 1000000) AS p
+           FROM d),
+    r AS (SELECT y,
+                 2 * (rank() OVER (ORDER BY p) - 1)
+                   + count(*) OVER (PARTITION BY p) + 1 AS mr2
+          FROM sc),
+    a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(y) AS BIGINT) AS npos,
+                 CAST(count(*) - sum(y) AS BIGINT) AS nneg,
+                 CAST(sum(CASE WHEN y = 1 THEN mr2 ELSE 0 END) AS HUGEINT)
+                   AS rpos2
+          FROM r)
+    SELECT n, npos, nneg,
+           CAST((rpos2 - CAST(npos AS HUGEINT) * (npos + 1)) * 1000000
+                // (2 * CAST(npos AS HUGEINT) * nneg) AS BIGINT) AS auc_ppm
+    FROM a
+    """,
+)
+def x187_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of the stopword-density 'English-ness' score against the
+    lang label — the threshold-free companion to x184's calibration
+    curve (calibration says the score's VALUES are honest; AUC says its
+    ORDERING separates the classes at all). Computed as the exact
+    Mann-Whitney U with midrank tie handling — and the ranks never
+    materialize per row: ranks over a score value are contiguous, so the
+    positives' midrank sum collapses onto the count-of-counts table
+    (doubled midrank of value group = 2*cum_before + count + 1; carrying
+    2x keeps every term integral), the x182/x176 decomposition. The only
+    ordered window runs over |distinct score values| <= 1e6 rows by
+    construction (the score is an integer ppm); products ride
+    decimal(38,0). The oracle computes per-row window midranks, proving
+    the closed form IS the midrank sum."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stop = F.array(*[F.lit(w) for w in ("a", "the", "of", "and", "to", "in")])
+    sc = d.select(
+        (F.col("lang") == "en").cast("long").alias("y"),
+        F.least(
+            F.expr(
+                "cast(size(filter(split(text, ' '),"
+                " t -> array_contains(array('a','the','of','and','to','in'), t)))"
+                " as bigint) * 5000000 div size(split(text, ' '))"
+            ),
+            F.lit(1_000_000).cast("bigint"),
+        ).alias("p"),
+    )
+    cc = sc.groupBy("p").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("y").alias("pos")
+    )
+    wcum = Window.orderBy("p").rowsBetween(Window.unboundedPreceding, -1)
+    cum = cc.select(
+        "p",
+        "c",
+        "pos",
+        F.coalesce(F.sum("c").over(wcum), F.lit(0)).alias("cb"),
+    )
+    a = cum.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("npos"),
+        F.sum(F.col("c") - F.col("pos")).cast("long").alias("nneg"),
+        F.sum(
+            F.col("pos").cast("decimal(38,0)")
+            * (2 * F.col("cb") + F.col("c") + 1).cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("rpos2"),
+    )
+    return a.select(
+        "n",
+        "npos",
+        "nneg",
+        F.expr(
+            "(rpos2 - cast(npos as decimal(38,0)) * (npos + 1)) * 1000000"
+            " div (2 * cast(npos as decimal(38,0)) * nneg)"
+        )
+        .cast("long")
+        .alias("auc_ppm"),
+    )
+
+
+@query(
+    "x188_spearman_signals",
+    oracle="""
+    WITH s AS (SELECT n_chars,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+               FROM documents),
+    r AS (SELECT 2 * (rank() OVER (ORDER BY n_chars) - 1)
+                   + count(*) OVER (PARTITION BY n_chars) + 1 AS rx,
+                 2 * (rank() OVER (ORDER BY n_toks) - 1)
+                   + count(*) OVER (PARTITION BY n_toks) + 1 AS ry
+          FROM s),
+    a AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                 CAST(sum(rx) AS HUGEINT) AS sx,
+                 CAST(sum(ry) AS HUGEINT) AS sy,
+                 CAST(sum(CAST(rx AS HUGEINT) * ry) AS HUGEINT) AS sxy,
+                 CAST(sum(CAST(rx AS HUGEINT) * rx) AS HUGEINT) AS sxx,
+                 CAST(sum(CAST(ry AS HUGEINT) * ry) AS HUGEINT) AS syy
+          FROM r)
+    SELECT CAST(n AS BIGINT) AS n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS rho
+    FROM a
+    """,
+)
+def x188_spearman_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between two document signals (n_chars
+    vs token count) with exact midrank tie handling — the monotone-
+    association audit a curation pipeline runs before treating two
+    quality signals as independent evidence (x91 fuses ranks assuming
+    they add information; rho ~ 1 says one of them is redundant).
+    Scale shape: NO per-row rank window — each signal's midrank is a
+    function of its VALUE, so the rank maps are value-domain aggregates
+    (|distinct n_chars| and |distinct token counts| rows) broadcast back
+    onto the corpus; doubled midranks keep all sums integral in
+    decimal(38,0) (Spearman is invariant to the 2x affine scale), and
+    only the final rho divides as a double, rounded once to 1e-6 (the
+    x183 discipline)."""
+    d = load(spark, sf_dir, "documents")
+    s = d.select(
+        "n_chars", F.size(F.split("text", " ")).cast("long").alias("n_toks")
+    )
+
+    def mr2_map(col: str):
+        cc = s.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        wcum = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return cc.select(
+            col,
+            (
+                2 * F.coalesce(F.sum("c").over(wcum), F.lit(0))
+                + F.col("c")
+                + 1
+            ).alias(f"mr2_{col}"),
+        )
+
+    j = s.join(F.broadcast(mr2_map("n_chars")), "n_chars").join(
+        F.broadcast(mr2_map("n_toks")), "n_toks"
+    )
+    rx = F.col("mr2_n_chars").cast("decimal(38,0)")
+    ry = F.col("mr2_n_toks").cast("decimal(38,0)")
+    a = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(rx).cast("decimal(38,0)").alias("sx"),
+        F.sum(ry).cast("decimal(38,0)").alias("sy"),
+        F.sum(rx * ry).cast("decimal(38,0)").alias("sxy"),
+        F.sum(rx * rx).cast("decimal(38,0)").alias("sxx"),
+        F.sum(ry * ry).cast("decimal(38,0)").alias("syy"),
+    )
+    num = F.expr("cast(n as decimal(38,0)) * sxy - sx * sy").cast("double")
+    den = F.sqrt(
+        F.expr("cast(n as decimal(38,0)) * sxx - sx * sx").cast("double")
+        * F.expr("cast(n as decimal(38,0)) * syy - sy * sy").cast("double")
+    )
+    return a.select("n", F.round(num / den, 6).alias("rho"))
+
+
+@query(
+    "x190_mcnemar_lid",
+    oracle="""
+    WITH d AS (SELECT lang, string_split(text, ' ') AS toks FROM documents),
+    p AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                 CASE WHEN CAST(len(list_filter(toks, t -> t IN
+                          ('a','the','of','and','to','in'))) AS BIGINT)
+                      * 5000000 // len(toks) >= 500000
+                      THEN 1 ELSE 0 END AS a,
+                 CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END AS b
+          FROM d),
+    c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN a = y THEN 1 ELSE 0 END) AS BIGINT)
+                   AS a_ok,
+                 CAST(sum(CASE WHEN b = y THEN 1 ELSE 0 END) AS BIGINT)
+                   AS b_ok,
+                 CAST(sum(CASE WHEN a = y AND b <> y THEN 1 ELSE 0 END)
+                      AS BIGINT) AS b01,
+                 CAST(sum(CASE WHEN a <> y AND b = y THEN 1 ELSE 0 END)
+                      AS BIGINT) AS b10
+          FROM p)
+    SELECT n,
+           CAST(a_ok * 1000000 // n AS BIGINT) AS a_acc_ppm,
+           CAST(b_ok * 1000000 // n AS BIGINT) AS b_acc_ppm,
+           b01, b10,
+           CASE WHEN b01 + b10 = 0 THEN 0
+                ELSE CAST(greatest(abs(b01 - b10) - 1, 0)
+                          * greatest(abs(b01 - b10) - 1, 0) * 1000000
+                          // (b01 + b10) AS BIGINT)
+           END AS mcnemar_chi2_ppm
+    FROM c
+    """,
+)
+def x190_mcnemar_lid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test (continuity-corrected) between two language-ID
+    heuristics judged against the lang label: stopword-density >= 0.1
+    (classifier A, the x184/x187 score thresholded) vs contains-'the'
+    (classifier B). Kappa (x185) asks whether two raters AGREE; McNemar
+    asks whether two classifiers have DIFFERENT accuracy — it looks only
+    at the discordant cells (A right & B wrong vs the reverse), which is
+    the statistically-correct paired comparison for 'did the new filter
+    version actually improve?' on the same eval set. All integer: the
+    2x2 discordance counts come from one conditional-sum scan, the
+    statistic (|b01-b10|-1)^2 / (b01+b10) is emitted as floored ppm with
+    an explicit 0 guard for no-discordance. Plan: one map-side partial
+    agg to 5 counters; the algebra is a 1-row projection."""
+    d = load(spark, sf_dir, "documents")
+    p = d.select(
+        (F.col("lang") == "en").cast("long").alias("y"),
+        (
+            F.expr(
+                "cast(size(filter(split(text, ' '),"
+                " t -> array_contains(array('a','the','of','and','to','in'), t)))"
+                " as bigint) * 5000000 div size(split(text, ' '))"
+            )
+            >= 500000
+        )
+        .cast("long")
+        .alias("a"),
+        F.array_contains(F.split("text", " "), "the").cast("long").alias("b"),
+    )
+    c = p.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("a") == F.col("y")).cast("long")).alias("a_ok"),
+        F.sum((F.col("b") == F.col("y")).cast("long")).alias("b_ok"),
+        F.sum(
+            ((F.col("a") == F.col("y")) & (F.col("b") != F.col("y"))).cast(
+                "long"
+            )
+        ).alias("b01"),
+        F.sum(
+            ((F.col("a") != F.col("y")) & (F.col("b") == F.col("y"))).cast(
+                "long"
+            )
+        ).alias("b10"),
+    )
+    return c.select(
+        "n",
+        F.expr("a_ok * 1000000 div n").cast("long").alias("a_acc_ppm"),
+        F.expr("b_ok * 1000000 div n").cast("long").alias("b_acc_ppm"),
+        "b01",
+        "b10",
+        F.when(F.col("b01") + F.col("b10") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.expr(
+                "greatest(abs(b01 - b10) - 1, 0)"
+                " * greatest(abs(b01 - b10) - 1, 0) * 1000000"
+                " div (b01 + b10)"
+            ).cast("long")
+        )
+        .alias("mcnemar_chi2_ppm"),
     )

@@ -1277,9 +1277,12 @@ def x91_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     idiom behind reciprocal-rank fusion in retrieval). The diversity
     signal ranks on an exact integer (n_distinct * 1e9 // n_tokens), so
     every sort key in both engines is a BIGINT — ranks cannot diverge.
-    Ranks are global windows; at 100 TB swap row_number for the x58
-    two-phase exact-NTILE decomposition (same output contract) to avoid
-    the SinglePartition sort."""
+    The three corpus-sized ranks ride ``distributed_rank`` (range
+    repartition + within-range rank + P-row offset cumsum — no
+    SinglePartition sort ever sees the corpus); the fused top-50 is a
+    plain sort-limit, which Spark executes as TakeOrderedAndProject
+    (per-partition top-k, driver merge of 50-row heads), and the final
+    rank window runs over those 50 rows only."""
     d = load_parallel(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     m = d.select(
@@ -1291,22 +1294,26 @@ def x91_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "diversity_ppb",
         F.floor(F.col("n_distinct") * F.lit(1_000_000_000) / F.col("n_tokens")).cast("long"),
     )
-    r = m.select(
-        "doc_id",
-        F.row_number().over(Window.orderBy(F.col("n_chars").desc(), "doc_id")).cast("long").alias("r_len"),
-        F.row_number().over(Window.orderBy(F.col("n_tokens").desc(), "doc_id")).cast("long").alias("r_tok"),
-        F.row_number().over(Window.orderBy(F.col("diversity_ppb").desc(), "doc_id")).cast("long").alias("r_div"),
-    )
+    from kafka_connect_spark.functions.skew import distributed_rank
+
+    r = m
+    for name, order in (
+        ("r_len", [F.col("n_chars").desc(), F.col("doc_id")]),
+        ("r_tok", [F.col("n_tokens").desc(), F.col("doc_id")]),
+        ("r_div", [F.col("diversity_ppb").desc(), F.col("doc_id")]),
+    ):
+        r = distributed_rank(r, order, rank_name=name)
     fused = (F.col("r_len") + F.col("r_tok") + F.col("r_div")).alias("fused")
-    return (
+    top = (
         r.select("doc_id", "r_len", "r_tok", "r_div", fused)
-        .withColumn(
-            "fused_rank",
-            F.row_number().over(Window.orderBy("fused", "doc_id")).cast("long"),
-        )
-        .filter(F.col("fused_rank") <= 50)
-        .orderBy("fused_rank")
+        .orderBy("fused", "doc_id")
+        .limit(50)
     )
+    # 50-row global window — bounded by the limit above
+    return top.withColumn(
+        "fused_rank",
+        F.row_number().over(Window.orderBy("fused", "doc_id")).cast("long"),
+    ).orderBy("fused_rank")
 
 
 @query(
@@ -1929,19 +1936,24 @@ def x118_ranked_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_terms_hit"),
         F.sum("w").cast("decimal(38,6)").alias("score"),
     )
-    return (
+    # top-5 as sort-limit (TakeOrderedAndProject: per-partition heads,
+    # driver merge — no corpus-sized global window), then the rank
+    # window runs over exactly 5 rows
+    top = (
         sc.select(
             "doc_id",
             "n_terms_hit",
             F.col("score").cast("decimal(18,6)").alias("score"),
-            F.row_number()
-            .over(Window.orderBy(F.col("score").desc(), "doc_id"))
-            .cast("long")
-            .alias("rank"),
         )
-        .filter(F.col("rank") <= 5)
-        .orderBy("rank")
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(5)
     )
+    return top.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), "doc_id"))
+        .cast("long"),
+    ).orderBy("rank")
 
 
 @query(
@@ -1975,18 +1987,17 @@ def x122_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality filters). ln(rank) and ln(freq) quantize to DECIMAL(18,6)
     so all regression sums accumulate exactly (the x53/x78 discipline);
     the slope divides two exactly-derived doubles once and emits as a
-    floored ppm integer. One token hash agg + one rank window over
-    |vocab| + a 1-row reduce."""
+    floored ppm integer. One token hash agg + a ``distributed_rank``
+    over the vocab (range repartition + within-range rank + P-row offset
+    cumsum — no SinglePartition sort over |vocab|) + a 1-row reduce."""
     d = load_parallel(spark, sf_dir, "documents")
     tok = d.select(F.explode(F.split("text", " ")).alias("term"))
     c = tok.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
-    r = c.select(
-        "freq",
-        F.row_number()
-        .over(Window.orderBy(F.col("freq").desc(), "term"))
-        .cast("long")
-        .alias("rank"),
-    )
+    from kafka_connect_spark.functions.skew import distributed_rank
+
+    r = distributed_rank(
+        c, [F.col("freq").desc(), F.col("term")], rank_name="rank"
+    ).select("freq", "rank")
     q = r.select(
         F.log(F.col("rank").cast("double")).cast("decimal(18,6)").alias("x"),
         F.log(F.col("freq").cast("double")).cast("decimal(18,6)").alias("y"),
@@ -2567,16 +2578,15 @@ def x140_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_terms_hit"),
         F.sum("sc").cast("decimal(18,6)").alias("score"),
     )
-    return (
-        agg.withColumn(
-            "rank",
-            F.row_number()
-            .over(Window.orderBy(F.col("score").desc(), "doc_id"))
-            .cast("long"),
-        )
-        .orderBy("rank")
-        .limit(10)
-    )
+    # top-10 as sort-limit (TakeOrderedAndProject — no corpus-sized
+    # global window); the rank window then runs over 10 rows only
+    top = agg.orderBy(F.col("score").desc(), "doc_id").limit(10)
+    return top.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), "doc_id"))
+        .cast("long"),
+    ).orderBy("rank")
 
 
 @query(
@@ -2665,17 +2675,19 @@ def x141_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("w_tfidf").cast("decimal(18,6)").alias("s_tfidf"),
         F.sum("w_bm25").cast("decimal(18,6)").alias("s_bm25"),
     )
-    r = agg.select(
-        "doc_id",
-        F.row_number()
-        .over(Window.orderBy(F.col("s_tfidf").desc(), "doc_id"))
-        .cast("long")
-        .alias("r_tfidf"),
-        F.row_number()
-        .over(Window.orderBy(F.col("s_bm25").desc(), "doc_id"))
-        .cast("long")
-        .alias("r_bm25"),
-    )
+    # both corpus-sized ranks ride distributed_rank (range repartition +
+    # within-range rank + P-row offset cumsum) — no SinglePartition sort
+    from kafka_connect_spark.functions.skew import distributed_rank
+
+    r = distributed_rank(
+        distributed_rank(
+            agg,
+            [F.col("s_tfidf").desc(), F.col("doc_id")],
+            rank_name="r_tfidf",
+        ),
+        [F.col("s_bm25").desc(), F.col("doc_id")],
+        rank_name="r_bm25",
+    ).select("doc_id", "r_tfidf", "r_bm25")
     fr = F.sum(F.abs(F.col("r_tfidf") - F.col("r_bm25")))
     m = F.count(F.lit(1))
     return r.agg(
@@ -3081,23 +3093,24 @@ def x155_curriculum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-ordered curriculum phases: rank the corpus by token count
     (short -> long, the classic curriculum-learning schedule) and cut it
     into 4 equal-count phases, reporting each phase's doc count and token
-    budget — the plan a trainer consumes to schedule data loading. ntile
-    over a global total order is the checked semantic; at 100 TB the same
-    cut points come from an approx-quantile pass (4 boundaries) followed
-    by a stateless map assigning phases — no global sort materializes, and
-    the per-phase budgets aggregate map-side. Deterministic: the order key
-    (n_tokens, doc_id) is a total order, so both engines build the same
-    tiles."""
+    budget — the plan a trainer consumes to schedule data loading. The
+    tiling is EXACT window-NTILE semantics but runs scale-safe:
+    ``distributed_ntile`` (range repartition + within-range rank + P-row
+    offset cumsum + NTILE's integer allocation rule) — no SinglePartition
+    sort ever sees the corpus, and the oracle's plain window ntile proves
+    the decomposition. Deterministic: the order key (n_tokens, doc_id) is
+    a total order, so both engines build the same tiles."""
     d = load(spark, sf_dir, "documents")
     t = d.select(
         "doc_id",
         "n_chars",
         F.size(F.split("text", " ")).alias("n_tokens"),
     )
-    p = t.withColumn(
-        "phase",
-        F.ntile(4).over(Window.orderBy("n_tokens", "doc_id")).cast("long"),
-    )
+    from kafka_connect_spark.functions.skew import distributed_ntile
+
+    p = distributed_ntile(
+        t, 4, [F.col("n_tokens"), F.col("doc_id")], tile_name="phase"
+    ).withColumn("phase", F.col("phase").cast("long"))
     return (
         p.groupBy("phase")
         .agg(
@@ -3527,13 +3540,11 @@ def x170_rrf_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("sc").cast("decimal(38,6)").alias("score"))
     )
-    bm = bs.select(
-        "doc_id",
-        F.row_number()
-        .over(Window.orderBy(F.col("score").desc(), "doc_id"))
-        .cast("long")
-        .alias("r"),
-    )
+    from kafka_connect_spark.functions.skew import distributed_rank
+
+    bm = distributed_rank(
+        bs, [F.col("score").desc(), F.col("doc_id")], rank_name="r"
+    ).select("doc_id", "r")
     ts = (
         tf.join(F.broadcast(df_), "term")
         .crossJoin(F.broadcast(n))
@@ -3550,13 +3561,9 @@ def x170_rrf_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("w").cast("decimal(38,6)").alias("score"))
     )
-    ti = ts.select(
-        "doc_id",
-        F.row_number()
-        .over(Window.orderBy(F.col("score").desc(), "doc_id"))
-        .cast("long")
-        .alias("r"),
-    )
+    ti = distributed_rank(
+        ts, [F.col("score").desc(), F.col("doc_id")], rank_name="r"
+    ).select("doc_id", "r")
     f = (
         bm.withColumnRenamed("r", "bm_r")
         .join(ti.withColumnRenamed("r", "ti_r"), "doc_id", "full")
@@ -3570,20 +3577,15 @@ def x170_rrf_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rrf_ppb"),
         )
     )
-    return (
-        f.select(
-            "doc_id",
-            "bm25_rank",
-            "tfidf_rank",
-            "rrf_ppb",
-            F.row_number()
-            .over(Window.orderBy(F.col("rrf_ppb").desc(), "doc_id"))
-            .cast("long")
-            .alias("rank"),
-        )
-        .filter(F.col("rank") <= 10)
-        .orderBy("rank")
-    )
+    # top-10 as sort-limit (TakeOrderedAndProject); the rank window then
+    # runs over 10 rows only
+    top = f.orderBy(F.col("rrf_ppb").desc(), "doc_id").limit(10)
+    return top.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.col("rrf_ppb").desc(), "doc_id"))
+        .cast("long"),
+    ).orderBy("rank")
 
 
 @query(
@@ -3755,28 +3757,48 @@ def x176_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     before dedup metrics move. Computed by the exact rank formula
     G = (2*sum(i*f_i) - (V+1)*N) / (V*N) over frequencies ranked
     ascending (ties broken by term, identical in both engines), emitted
-    as a floored ppm integer. Plan: wordcount agg, ONE global ordered
-    window for ranks (at 100 TB: range-partitioned sort — the same sort
-    x122's rank-frequency fit already pays), 3-number reduce."""
+    as a floored ppm integer. Plan: wordcount agg, then NO per-term rank
+    at all — the x182 count-of-counts decomposition: ranks over
+    (freq, term) are contiguous within each distinct freq value, and
+    sum(rk*freq) only needs each tie-group's rank SUM, which has the
+    exact closed form freq * (c*C + c(c+1)/2) for a group of c terms
+    with C lower-ranked terms. The only ordered window runs over
+    |distinct freq values| rows (a power-law vocab has ~thousands), and
+    every product rides decimal(38,0) — rk*freq in BIGINT overflows
+    inside the 100 TB regime."""
     d = load_parallel(spark, sf_dir, "documents")
     c = (
         d.select(F.explode(F.split("text", " ")).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    r = c.select(
-        "freq",
-        F.row_number().over(Window.orderBy("freq", "term")).cast("long").alias("rk"),
+    cc = c.groupBy("freq").agg(F.count(F.lit(1)).alias("cf"))
+    wcum = Window.orderBy("freq").rowsBetween(Window.unboundedPreceding, -1)
+    cum = cc.select(
+        "freq", "cf", F.coalesce(F.sum("cf").over(wcum), F.lit(0)).alias("cb")
     )
-    agg = r.agg(
-        F.count(F.lit(1)).alias("v"),
-        F.sum("freq").alias("n"),
-        F.sum(F.col("rk") * F.col("freq")).alias("swf"),
+    # DOUBLED rank-sum of a tie group: 2*(cf*cb + cf*(cf+1)/2) =
+    # 2*cf*cb + cf*(cf+1) — carrying 2*swf keeps everything integral in
+    # decimal(38,0), no fractional scale ever appears
+    grp_rank_sum_2x = F.col("cf").cast("decimal(38,0)") * (
+        2 * F.col("cb") + F.col("cf") + 1
+    ).cast("decimal(38,0)")
+    agg = cum.agg(
+        F.sum("cf").cast("long").alias("v"),
+        F.sum(F.col("freq").cast("decimal(38,0)") * F.col("cf"))
+        .cast("long")
+        .alias("n"),
+        F.sum(F.col("freq").cast("decimal(38,0)") * grp_rank_sum_2x)
+        .cast("decimal(38,0)")
+        .alias("swf2"),
     )
     return agg.select(
         F.col("v").alias("vocab"),
         F.col("n").alias("n_tokens"),
-        F.expr("(2 * swf - (v + 1) * n) * 1000000 div (v * n)")
+        F.expr(
+            "(swf2 - (cast(v as decimal(38,0)) + 1) * n) * 1000000"
+            " div (cast(v as decimal(38,0)) * n)"
+        )
         .cast("long")
         .alias("gini_ppm"),
     )
@@ -3927,4 +3949,303 @@ def x180_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_relevant").cast("long"),
         )
         .orderBy("term")
+    )
+
+
+@query(
+    "x191_vocab_richness",
+    oracle="""
+    WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS term
+                 FROM documents),
+    c AS (SELECT source, term, CAST(count(*) AS BIGINT) AS freq
+          FROM tok GROUP BY 1, 2)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS vocab,
+           CAST(sum(freq) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+           CAST(sum(CASE WHEN freq = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+           CAST(count(*)
+                + CAST(sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+                  * (sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) - 1)
+                  // (2 * (sum(CASE WHEN freq = 2 THEN 1 ELSE 0 END) + 1))
+                AS BIGINT) AS chao1,
+           CAST(sum(CASE WHEN freq <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+             AS v_rare,
+           CAST(sum(CASE WHEN freq <= 10 THEN freq ELSE 0 END) AS BIGINT)
+             AS n_rare
+    FROM c GROUP BY source ORDER BY source
+    """,
+)
+def x191_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary richness: the bias-corrected Chao1 estimate
+    of TRUE vocabulary size, V + f1*(f1-1)/(2*(f2+1)) — how many types
+    the corpus would reveal with unbounded sampling — plus the rare-type
+    mass (freq <= 10) that the ACE family conditions on. The capture-
+    recapture complement to x173's Good-Turing UNSEEN-MASS estimate:
+    Good-Turing prices the next token being novel, Chao1 sizes the
+    whole undiscovered tail — together they tell a tokenizer/vocab
+    planner whether a source is near lexical saturation or still
+    yielding types linearly (scrape more vs done). Everything derives
+    from the frequency-of-frequencies, so the plan is the x173 shape:
+    one (source, term) hash agg, one per-source conditional-sum agg —
+    integer-exact, no windows at all."""
+    d = load_parallel(spark, sf_dir, "documents")
+    c = (
+        d.select("source", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    f1 = F.sum((F.col("freq") == 1).cast("long"))
+    f2 = F.sum((F.col("freq") == 2).cast("long"))
+    return (
+        c.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("vocab"),
+            F.sum("freq").cast("long").alias("n_tokens"),
+            f1.alias("f1"),
+            f2.alias("f2"),
+            (
+                F.count(F.lit(1))
+                # f1*(f1-1) overflows BIGINT past f1 ~ 3e9 singletons —
+                # decimal(38,0) from the first multiply (x167 lesson)
+                + F.expr(
+                    "cast(sum(cast(freq = 1 as long)) as decimal(38,0))"
+                    " * (sum(cast(freq = 1 as long)) - 1)"
+                    " div (2 * (sum(cast(freq = 2 as long)) + 1))"
+                )
+            )
+            .cast("long")
+            .alias("chao1"),
+            F.sum((F.col("freq") <= 10).cast("long")).alias("v_rare"),
+            F.sum(F.when(F.col("freq") <= 10, F.col("freq")).otherwise(0))
+            .cast("long")
+            .alias("n_rare"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "x192_vocab_coverage_curve",
+    oracle="""
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term
+                 FROM documents),
+    c AS (SELECT term, CAST(count(*) AS BIGINT) AS freq
+          FROM tok GROUP BY term),
+    r AS (SELECT freq,
+                 row_number() OVER (ORDER BY freq DESC, term) AS rn
+          FROM c),
+    n AS (SELECT CAST(sum(freq) AS BIGINT) AS total,
+                 CAST(count(*) AS BIGINT) AS vocab FROM c),
+    k AS (SELECT unnest([100, 1000, 10000]) AS k)
+    SELECT k.k AS k,
+           CAST(least(k.k, n.vocab) AS BIGINT) AS kept_types,
+           CAST(coalesce(sum(CASE WHEN r.rn <= k.k THEN r.freq END), 0)
+                AS BIGINT) AS covered_tokens,
+           CAST(max(n.total) AS BIGINT) AS total_tokens,
+           CAST(coalesce(sum(CASE WHEN r.rn <= k.k THEN r.freq END), 0)
+                * 1000000 // max(n.total) AS BIGINT) AS coverage_ppm
+    FROM k CROSS JOIN n CROSS JOIN r
+    GROUP BY k.k, n.vocab ORDER BY k.k
+    """,
+)
+def x192_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: what fraction of total token mass the
+    top-K most frequent types carry, at K = 100 / 1k / 10k — THE
+    tokenizer-budget planning number (a vocab of K covers this much of
+    the stream; the remainder falls to subword/byte fallback, which
+    multiplies sequence length). Zipf (x122) fits the shape; this emits
+    the operational integrals. Scale shape: NO per-term rank — top-K
+    membership by (freq desc, term) splits only inside one tie group, so
+    the covered mass is cum_mass_before + (K - types_before) * freq for
+    the straddling frequency value (tie-break-invariant: any K types of
+    equal freq carry the same mass), all on the count-of-counts table
+    with its |distinct freq| cumsum. The oracle ranks every term
+    naively, proving the closed form."""
+    d = load_parallel(spark, sf_dir, "documents")
+    c = (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    cc = c.groupBy("freq").agg(F.count(F.lit(1)).alias("cf"))
+    wcum = (
+        Window.orderBy(F.col("freq").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = cc.select(
+        "freq",
+        "cf",
+        F.coalesce(F.sum("cf").over(wcum), F.lit(0)).alias("tb"),
+        F.coalesce(
+            F.sum(F.col("freq").cast("decimal(38,0)") * F.col("cf")).over(
+                wcum
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("mb"),
+    )
+    tot = cc.agg(
+        F.sum(F.col("freq").cast("decimal(38,0)") * F.col("cf"))
+        .cast("decimal(38,0)")
+        .alias("total"),
+        F.sum("cf").cast("long").alias("vocab"),
+    )
+    ks = spark.createDataFrame([(100,), (1000,), (10000,)], ["k"])
+    j = (
+        cum.crossJoin(F.broadcast(ks))
+        .crossJoin(F.broadcast(tot))
+        # the group straddling K, or fully-covered groups
+        .withColumn(
+            "cov_grp",
+            F.when(
+                F.col("tb") + F.col("cf") <= F.col("k"),
+                F.col("freq").cast("decimal(38,0)") * F.col("cf"),
+            ).when(
+                F.col("tb") < F.col("k"),
+                F.col("freq").cast("decimal(38,0)")
+                * (F.col("k") - F.col("tb")),
+            ).otherwise(F.lit(0).cast("decimal(38,0)")),
+        )
+    )
+    return (
+        j.groupBy("k")
+        .agg(
+            F.least(F.max("k").cast("long"), F.max("vocab")).alias(
+                "kept_types"
+            ),
+            F.sum("cov_grp").cast("long").alias("covered_tokens"),
+            F.max("total").cast("long").alias("total_tokens"),
+            F.expr(
+                "cast(sum(cov_grp) * 1000000 div max(total) as bigint)"
+            ).alias("coverage_ppm"),
+        )
+        .orderBy("k")
+        .select(
+            F.col("k").cast("long"),
+            "kept_types",
+            "covered_tokens",
+            "total_tokens",
+            "coverage_ppm",
+        )
+    )
+
+
+@query(
+    "x193_wasserstein_length_shift",
+    oracle="""
+    WITH src AS (SELECT source, n_chars FROM documents),
+    cnt AS (SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c
+            FROM src GROUP BY 1, 2),
+    tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+    pairs AS (SELECT a.source AS src_a, b.source AS src_b,
+                     a.n AS na, b.n AS nb
+              FROM tot a, tot b WHERE a.source < b.source),
+    sup AS (SELECT DISTINCT n_chars FROM src),
+    grid AS (SELECT p.src_a, p.src_b, p.na, p.nb, s.n_chars,
+                    lead(s.n_chars) OVER (PARTITION BY p.src_a, p.src_b
+                                          ORDER BY s.n_chars) AS nxt,
+                    CAST(coalesce(sum(ca.c) OVER (
+                        PARTITION BY p.src_a, p.src_b
+                        ORDER BY s.n_chars), 0) AS HUGEINT) AS cum_a,
+                    CAST(coalesce(sum(cb.c) OVER (
+                        PARTITION BY p.src_a, p.src_b
+                        ORDER BY s.n_chars), 0) AS HUGEINT) AS cum_b
+             FROM pairs p
+             CROSS JOIN sup s
+             LEFT JOIN cnt ca ON ca.source = p.src_a
+                             AND ca.n_chars = s.n_chars
+             LEFT JOIN cnt cb ON cb.source = p.src_b
+                             AND cb.n_chars = s.n_chars)
+    SELECT src_a, src_b,
+           CAST(sum(abs(cum_a * nb - cum_b * na) * (nxt - n_chars)) * 1000
+                // (CAST(max(na) AS HUGEINT) * max(nb)) AS BIGINT)
+             AS emd_millichars
+    FROM grid WHERE nxt IS NOT NULL
+    GROUP BY src_a, src_b ORDER BY src_a, src_b
+    """,
+)
+def x193_wasserstein_length_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-D Wasserstein-1 (earth-mover) distance between every
+    source pair's document-length distributions, in milli-characters —
+    the magnitude-aware companion to x174's KS statistic (KS is the max
+    CDF gap and saturates; W1 integrates |CDF_a - CDF_b| over the
+    support, so it keeps responding as a drifted source drifts further —
+    the drift number a mixture rebalancer actually budgets with).
+    Integer-exact: with counts over the merged length support,
+    |cum_a * n_b - cum_b * n_a| * gap summed then floor-divided by
+    n_a*n_b — no floats anywhere. Scale shape: all windows partition by
+    source pair over the |distinct n_chars| support table (value-domain
+    sized, the x174 contract); the corpus is touched once by the
+    (source, n_chars) hash agg. Products ride decimal(38,0)."""
+    d = load(spark, sf_dir, "documents")
+    cnt = d.groupBy("source", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("source").agg(F.sum("c").alias("n"))
+    pairs = (
+        tot.alias("a")
+        .crossJoin(tot.alias("b"))
+        .filter(F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+    )
+    sup = d.select("n_chars").distinct()
+    w = Window.partitionBy("src_a", "src_b").orderBy("n_chars")
+    grid = (
+        pairs.crossJoin(sup)
+        .join(
+            cnt.select(
+                F.col("source").alias("src_a"),
+                "n_chars",
+                F.col("c").alias("ca"),
+            ),
+            ["src_a", "n_chars"],
+            "left",
+        )
+        .join(
+            cnt.select(
+                F.col("source").alias("src_b"),
+                "n_chars",
+                F.col("c").alias("cb"),
+            ),
+            ["src_b", "n_chars"],
+            "left",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "na",
+            "nb",
+            "n_chars",
+            F.lead("n_chars").over(w).alias("nxt"),
+            F.coalesce(
+                F.sum("ca").over(
+                    w.rowsBetween(Window.unboundedPreceding, 0)
+                ),
+                F.lit(0),
+            ).alias("cum_a"),
+            F.coalesce(
+                F.sum("cb").over(
+                    w.rowsBetween(Window.unboundedPreceding, 0)
+                ),
+                F.lit(0),
+            ).alias("cum_b"),
+        )
+        .filter(F.col("nxt").isNotNull())
+    )
+    return (
+        grid.groupBy("src_a", "src_b")
+        .agg(
+            F.expr(
+                "cast(sum({t}) * 1000"
+                " div (cast(max(na) as decimal(38,0)) * max(nb)) as bigint)".format(
+                    t="abs(cast(cum_a as decimal(38,0)) * nb"
+                    " - cast(cum_b as decimal(38,0)) * na)"
+                    " * cast(nxt - n_chars as decimal(38,0))"
+                )
+            ).alias("emd_millichars")
+        )
+        .orderBy("src_a", "src_b")
     )

@@ -133,13 +133,25 @@ def _semantic_dedup_skewed(spark, sf_dir):
 
 
 def _boilerplate_docs(spark, sf_dir):
-    """Scaled docs with a PLANTED corpus-wide hot term: every document
-    gains the same boilerplate token, so one term's posting list spans
-    the whole corpus — the x97 join's worst case (that term alone
-    contributes |corpus|^2/2 candidate pairs)."""
+    """Scaled docs with a PLANTED hot SHINGLE: 90% of documents gain the
+    same 6-token boilerplate phrase, creating two 5-gram shingles whose
+    posting lists span ~0.9 of the corpus — the x97 join's worst case
+    (each contributes (0.9 |corpus|)^2/2 candidate pairs). Two
+    deliberate choices: (a) the phrase is 6 TOKENS, because x97 shingles
+    on 5-token windows — a single appended token (the first version of
+    this probe) creates NO shared shingle at all, every 5-gram
+    containing it also contains doc-specific tokens; (b) 90%, not 100%,
+    of docs, because a df = N term is dropped by the query's built-in
+    ubiquitous-shingle filter before the join — the adversarial regime
+    is df huge but < N, where only the max_df cap stands between the
+    plan and a quadratic join."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    phrase = " zzb1 zzb2 zzb3 zzb4 zzb5 zzb6"
     return d.withColumn(
-        "text", F.concat(F.col("text"), F.lit(" zzboilerplate"))
+        "text",
+        F.when(
+            F.col("doc_id") % 10 != 0, F.concat(F.col("text"), F.lit(phrase))
+        ).otherwise(F.col("text")),
     )
 
 
