@@ -271,6 +271,8 @@ HEADLINE = [
     "x191_vocab_richness",
     "x192_vocab_coverage_curve",
     "x193_wasserstein_length_shift",
+    "x194_gain_chart",
+    "x195_brier_score",
 ]
 
 

@@ -775,11 +775,17 @@ def semantic_dedup(
         mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
         return pd.Series(np.argmax(mat @ cents.T, axis=1).astype(np.int64))
 
+    # one assignment pass, shared: the size probe below and the dedup
+    # path(s) all read `tagged`, and without a checkpoint each would
+    # re-run the Arrow assign UDF over the full corpus (the r8->r9 x71
+    # bench regression). localCheckpoint stores the same (id, v,
+    # cluster) bytes the groupBy shuffle moves anyway — executor-local,
+    # partition-parallel, no driver involvement.
     tagged = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
         assign(F.col(vec_col).cast("array<double>")).alias("cluster"),
-    )
+    ).localCheckpoint(eager=True)
 
     def dedup_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("id", ignore_index=True)

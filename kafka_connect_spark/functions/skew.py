@@ -76,25 +76,37 @@ def distributed_rank(
     per-value aggregation wins nothing).
 
     Plan: (1) ``repartitionByRange`` on the order columns — ranges are
-    ordered, so partition i's rows all precede partition i+1's; (2)
-    ``row_number`` within each range partition (window partitioned on
-    ``spark_partition_id()``, so no single task ever sees more than one
-    range); (3) global rank = within-rank + the cumulative row count of
-    earlier partitions — a ``num_partitions``-row cumsum, the only
-    single-partition work. Exactness does not depend on range boundaries
-    (sampling skew only unbalances tasks, never reorders ranks), and the
-    order columns must make rows unique (include a tiebreak id, exactly
-    as a deterministic global window already requires). Costs one extra
-    full shuffle vs the naive window — the price of not serializing the
-    corpus through one task.
+    ordered, so partition i's rows all precede partition i+1's — then
+    ``sortWithinPartitions`` (post-shuffle, so partition-internal order
+    never depends on how the exchange delivered blocks); (2) within-
+    partition position via ``monotonically_increasing_id`` decomposed as
+    (partition_id << 33) + row_index — a NARROW projection in the same
+    stage as the sort, no second shuffle and no Window exec at all; (3)
+    global rank = within-position + the cumulative row count of earlier
+    partitions — a ``num_partitions``-row cumsum (the only single-
+    partition work; its input is the map-side-combined per-partition
+    counts, bytes ~ num_partitions) broadcast-joined back. Exactness does
+    not depend on range boundaries (sampling skew only unbalances tasks,
+    never reorders ranks; the explicit numPartitions also pins the
+    exchange against AQE re-planning), and the order columns must make
+    rows unique (include a tiebreak id, exactly as a deterministic global
+    window already requires). Total cost over the unsafe global window:
+    the range exchange replaces the SinglePartition exchange — same
+    bytes moved, spread over num_partitions tasks instead of one.
 
     ``order_cols``: list of Column expressions WITH sort order (e.g.
     ``[F.col("score").desc(), F.col("doc_id")]``) — passed identically to
-    the range partitioner and the within-partition window."""
+    the range partitioner and the within-partition sort."""
     from pyspark.sql import Window
 
-    d = df.repartitionByRange(num_partitions, *order_cols).withColumn(
-        "__pid", F.spark_partition_id()
+    d = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__mid", F.monotonically_increasing_id())
+        .withColumn("__pid", F.shiftright("__mid", 33))
+        .withColumn(
+            "__rin", F.col("__mid") - F.shiftleft(F.col("__pid"), 33) + 1
+        )
     )
     counts = d.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
@@ -103,14 +115,12 @@ def distributed_rank(
         "__pid",
         F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
     )
-    w_in = Window.partitionBy("__pid").orderBy(*order_cols)
     return (
-        d.withColumn("__rin", F.row_number().over(w_in))
-        .join(F.broadcast(offs), "__pid")
+        d.join(F.broadcast(offs), "__pid")
         .withColumn(
             rank_name, (F.col("__off") + F.col("__rin")).cast("long")
         )
-        .drop("__pid", "__rin", "__off")
+        .drop("__pid", "__rin", "__off", "__mid")
     )
 
 

@@ -1623,50 +1623,170 @@ def x190_mcnemar_lid(spark: SparkSession, sf_dir: str) -> DataFrame:
     2x2 discordance counts come from one conditional-sum scan, the
     statistic (|b01-b10|-1)^2 / (b01+b10) is emitted as floored ppm with
     an explicit 0 guard for no-discordance. Plan: one map-side partial
-    agg to 5 counters; the algebra is a 1-row projection."""
+    agg to 5 counters; the algebra is a 1-row projection. The counters
+    are commutative sums, so the SAME aggregation (functions/evalfns.py)
+    runs as the streaming twin — an O(1)-state complete-mode monitor
+    pinned to this row in tests/test_streaming_eval.py."""
+    from ..functions.evalfns import confusion_mcnemar, lid_labels
+
     d = load(spark, sf_dir, "documents")
-    p = d.select(
+    return confusion_mcnemar(lid_labels(d))
+
+
+@query(
+    "x194_gain_chart",
+    oracle="""
+    WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+               FROM documents),
+    sc AS (SELECT doc_id,
+                  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                  least(CAST(len(list_filter(toks, t -> t IN
+                            ('a','the','of','and','to','in'))) AS BIGINT)
+                        * 5000000 // len(toks), 1000000) AS p
+           FROM d),
+    t AS (SELECT y, ntile(10) OVER (ORDER BY p DESC, doc_id) AS decile
+          FROM sc),
+    g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(y) AS BIGINT) AS npos
+          FROM t GROUP BY decile),
+    c AS (SELECT decile, n, npos,
+                 CAST(sum(n) OVER (ORDER BY decile) AS BIGINT) AS cum_n,
+                 CAST(sum(npos) OVER (ORDER BY decile) AS BIGINT) AS cum_pos,
+                 CAST(sum(n) OVER () AS BIGINT) AS tot_n,
+                 CAST(sum(npos) OVER () AS BIGINT) AS tot_pos
+          FROM g)
+    SELECT decile, n, npos, cum_pos,
+           CAST(cum_pos * 1000000 // tot_pos AS BIGINT) AS gain_ppm,
+           CAST(CAST(cum_pos AS HUGEINT) * tot_n * 1000000
+                // (CAST(cum_n AS HUGEINT) * tot_pos) AS BIGINT) AS lift_ppm
+    FROM c ORDER BY decile
+    """,
+)
+def x194_gain_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift chart of the stopword-density score
+    against the lang label: rank the corpus by score descending, cut
+    into exact deciles, and report per decile the positives captured so
+    far (gain) and the capture rate vs random (lift) — the curve that
+    tells a curation operator 'score-filter the top 30% and you keep
+    92% of the English docs'. AUC (x187) summarizes this curve to one
+    number; operators threshold on the curve itself. Scale shape: the
+    corpus-sized decile assignment rides ``distributed_ntile`` (exact
+    window-NTILE semantics, no SinglePartition sort — the oracle's
+    plain window ntile proves it); the cumulative stage is a 10-row
+    window. Lift products ride decimal(38,0) (cum_pos * tot_n overflows
+    BIGINT past ~3e9 x 3e9)."""
+    from ..functions.skew import distributed_ntile
+
+    d = load(spark, sf_dir, "documents")
+    sc = d.select(
+        "doc_id",
         (F.col("lang") == "en").cast("long").alias("y"),
-        (
+        F.least(
             F.expr(
                 "cast(size(filter(split(text, ' '),"
                 " t -> array_contains(array('a','the','of','and','to','in'), t)))"
                 " as bigint) * 5000000 div size(split(text, ' '))"
-            )
-            >= 500000
-        )
-        .cast("long")
-        .alias("a"),
-        F.array_contains(F.split("text", " "), "the").cast("long").alias("b"),
+            ),
+            F.lit(1_000_000).cast("bigint"),
+        ).alias("p"),
     )
-    c = p.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum((F.col("a") == F.col("y")).cast("long")).alias("a_ok"),
-        F.sum((F.col("b") == F.col("y")).cast("long")).alias("b_ok"),
-        F.sum(
-            ((F.col("a") == F.col("y")) & (F.col("b") != F.col("y"))).cast(
-                "long"
-            )
-        ).alias("b01"),
-        F.sum(
-            ((F.col("a") != F.col("y")) & (F.col("b") == F.col("y"))).cast(
-                "long"
-            )
-        ).alias("b10"),
+    t = distributed_ntile(
+        sc, 10, [F.col("p").desc(), F.col("doc_id")], tile_name="decile"
+    )
+    g = t.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("npos")
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = g.select(
+        "decile",
+        "n",
+        "npos",
+        F.sum("n").over(wc).alias("cum_n"),
+        F.sum("npos").over(wc).alias("cum_pos"),
+        F.sum("n").over(wt).alias("tot_n"),
+        F.sum("npos").over(wt).alias("tot_pos"),
     )
     return c.select(
-        "n",
-        F.expr("a_ok * 1000000 div n").cast("long").alias("a_acc_ppm"),
-        F.expr("b_ok * 1000000 div n").cast("long").alias("b_acc_ppm"),
-        "b01",
-        "b10",
-        F.when(F.col("b01") + F.col("b10") == 0, F.lit(0).cast("long"))
-        .otherwise(
-            F.expr(
-                "greatest(abs(b01 - b10) - 1, 0)"
-                " * greatest(abs(b01 - b10) - 1, 0) * 1000000"
-                " div (b01 + b10)"
-            ).cast("long")
+        F.col("decile").cast("int"),
+        F.col("n").cast("long"),
+        F.col("npos").cast("long"),
+        F.col("cum_pos").cast("long"),
+        F.expr("cum_pos * 1000000 div tot_pos").cast("long").alias(
+            "gain_ppm"
+        ),
+        F.expr(
+            "cast(cum_pos as decimal(38,0)) * tot_n * 1000000"
+            " div (cast(cum_n as decimal(38,0)) * tot_pos)"
         )
-        .alias("mcnemar_chi2_ppm"),
+        .cast("long")
+        .alias("lift_ppm"),
+    ).orderBy("decile")
+
+
+@query(
+    "x195_brier_score",
+    oracle="""
+    WITH d AS (SELECT lang, string_split(text, ' ') AS toks FROM documents),
+    sc AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                  least(CAST(len(list_filter(toks, t -> t IN
+                            ('a','the','of','and','to','in'))) AS BIGINT)
+                        * 5000000 // len(toks), 1000000) AS p
+           FROM d)
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST((p - y * 1000000) * (p - y * 1000000) AS HUGEINT))
+                // count(*) AS BIGINT) AS brier_ppt,
+           CAST(sum(CASE WHEN y = 1
+                         THEN CAST((1000000 - p) * (1000000 - p) AS HUGEINT)
+                         ELSE 0 END)
+                // greatest(sum(y), 1) AS BIGINT) AS brier_pos_ppt,
+           CAST(sum(CASE WHEN y = 0 THEN CAST(p * p AS HUGEINT)
+                         ELSE 0 END)
+                // greatest(count(*) - sum(y), 1) AS BIGINT) AS brier_neg_ppt
+    FROM sc
+    """,
+)
+def x195_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score of the stopword-density probability against the lang
+    label, overall and per class — the strictly-proper scoring rule that
+    completes the r9 eval panel: AUC (x187) grades the ORDERING,
+    calibration (x184) grades the VALUES bin-by-bin, Brier grades both
+    at once in one number, and its per-class split exposes the failure
+    mode (a score can be sharp on positives and useless on negatives).
+    All integer: with p in ppm, (p - y*1e6)^2 is exact, per-doc <= 1e12,
+    summed in decimal(38,0) and floor-divided by the class count —
+    emitted as parts-per-trillion. Plan: one map-side conditional-sum
+    scan; 1-row projection; no windows, no joins."""
+    d = load(spark, sf_dir, "documents")
+    sc = d.select(
+        (F.col("lang") == "en").cast("long").alias("y"),
+        F.least(
+            F.expr(
+                "cast(size(filter(split(text, ' '),"
+                " t -> array_contains(array('a','the','of','and','to','in'), t)))"
+                " as bigint) * 5000000 div size(split(text, ' '))"
+            ),
+            F.lit(1_000_000).cast("bigint"),
+        ).alias("p"),
+    )
+    sq = "cast((p - y * 1000000) as decimal(38,0))"
+    return sc.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr(
+            f"cast(sum({sq} * {sq}) div count(1) as bigint)"
+        ).alias("brier_ppt"),
+        F.expr(
+            "cast(sum(case when y = 1 then"
+            " cast((1000000 - p) as decimal(38,0))"
+            " * cast((1000000 - p) as decimal(38,0)) else 0 end)"
+            " div greatest(sum(y), 1) as bigint)"
+        ).alias("brier_pos_ppt"),
+        F.expr(
+            "cast(sum(case when y = 0 then"
+            " cast(p as decimal(38,0)) * cast(p as decimal(38,0))"
+            " else 0 end)"
+            " div greatest(count(1) - sum(y), 1) as bigint)"
+        ).alias("brier_neg_ppt"),
     )

@@ -174,7 +174,31 @@ def _tfidf_capped_hot(spark, sf_dir):
     return tfidf_cosine_pairs(d, threshold=0.5, max_df=max(3, n // 100))
 
 
+def _distributed_rank_probe(spark, sf_dir):
+    """Full-corpus exact global rank via distributed_rank (range
+    repartition + sorted-partition monotonic ids + P-row offset cumsum)
+    ranking every scaled doc by (n_chars desc, doc_id) — the operation
+    the naive global window serializes through one task. Expected alpha
+    ~ 1 (one range shuffle + narrow passes); the aggregate keeps the
+    probe's noop sink from writing the corpus back out."""
+    from pyspark.sql import functions as FF
+
+    from kafka_connect_spark.functions.skew import distributed_rank
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    r = distributed_rank(
+        d, [FF.col("n_chars").desc(), FF.col("doc_id")], rank_name="rank"
+    )
+    # checksum-style reduce: forces every rank to materialize
+    return r.agg(
+        FF.count(FF.lit(1)).alias("n"),
+        FF.sum(FF.col("rank").cast("decimal(38,0)")).alias("rank_sum"),
+        FF.max(FF.col("rank")).alias("max_rank"),
+    )
+
+
 PROBE_EXTRA = {
+    "distributed_rank_probe": _distributed_rank_probe,
     "near_dup_strict": _near_dup_strict,
     "near_dup_lsh_strict": _near_dup_lsh_strict,
     "semantic_dedup_scaled": _semantic_dedup_scaled,

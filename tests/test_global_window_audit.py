@@ -70,6 +70,8 @@ AUDITED = {
         "agg:count-of-counts — |distinct freq values| rows (closed-form rank sums)",
     ("queries/quality.py", "x177_weighted_sample"):
         "rows<=20 — TakeOrdered top-20 precedes the rank window",
+    ("queries/quality.py", "x194_gain_chart"):
+        "agg:deciles — 10-row cumulative window",
     ("queries/quality.py", "x187_quality_auc"):
         "agg:distinct score values — <= 1e6 rows (integer ppm score) cumsum",
     ("queries/quality.py", "mr2_map"):
