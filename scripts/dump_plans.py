@@ -97,6 +97,12 @@ FLAGSHIPS = {
     "x175_event_transition_matrix": "one user-keyed lead window -> |types|^2 agg; no self-join",
     "x178_windowed_hll_users": "daily sketches replicate to 7 windows; raw users never recounted per window",
     "x179_theil_sen_trend": "pairwise slopes over broadcast DAY table; medians via exact rank",
+    "x182_join_key_skew_audit": "count-of-counts closed forms: no per-key rank; one tiny-domain cumsum",
+    "x122_zipf_fit": "distributed_rank: range exchange + sorted-partition ids, no SinglePartition corpus sort",
+    "x187_quality_auc": "Mann-Whitney midranks collapsed onto the score-value domain; one corpus scan",
+    "x192_vocab_coverage_curve": "top-K mass via count-of-counts straddle logic; vocab never rank-sorted",
+    "x193_wasserstein_length_shift": "per-pair CDF merge over the length support; corpus touched by one hash agg",
+    "x194_gain_chart": "distributed_ntile deciles (range exchange), 10-row cumulative window",
 }
 
 
