@@ -273,6 +273,9 @@ HEADLINE = [
     "x193_wasserstein_length_shift",
     "x194_gain_chart",
     "x195_brier_score",
+    "x196_cliffs_delta_length",
+    "x197_length_qq_profile",
+    "x198_vocab_overlap",
 ]
 
 

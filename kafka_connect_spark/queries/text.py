@@ -4249,3 +4249,318 @@ def x193_wasserstein_length_shift(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("src_a", "src_b")
     )
+
+
+@query(
+    "x196_cliffs_delta_length",
+    oracle="""
+    WITH cnt AS (SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c
+                 FROM documents GROUP BY 1, 2),
+    tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+    pairs AS (SELECT a.source AS src_a, b.source AS src_b,
+                     a.n AS na, b.n AS nb
+              FROM tot a, tot b WHERE a.source < b.source),
+    sup AS (SELECT DISTINCT n_chars FROM documents),
+    grid AS (SELECT p.src_a, p.src_b, p.na, p.nb, s.n_chars,
+                    CAST(coalesce(ca.c, 0) AS HUGEINT) AS ca,
+                    CAST(coalesce(cb.c, 0) AS HUGEINT) AS cb,
+                    CAST(coalesce(sum(cb.c) OVER (
+                        PARTITION BY p.src_a, p.src_b
+                        ORDER BY s.n_chars), 0) AS HUGEINT) AS cum_b
+             FROM pairs p
+             CROSS JOIN sup s
+             LEFT JOIN cnt ca ON ca.source = p.src_a
+                             AND ca.n_chars = s.n_chars
+             LEFT JOIN cnt cb ON cb.source = p.src_b
+                             AND cb.n_chars = s.n_chars)
+    SELECT src_a, src_b,
+           CAST(sum(ca * (cum_b - cb)) AS BIGINT) AS gt_pairs,
+           CAST(sum(ca * (nb - cum_b)) AS BIGINT) AS lt_pairs,
+           CAST((sum(ca * (cum_b - cb)) - sum(ca * (nb - cum_b))) * 1000000
+                // (CAST(max(na) AS HUGEINT) * max(nb)) AS BIGINT)
+             AS cliffs_delta_ppm
+    FROM grid GROUP BY src_a, src_b ORDER BY src_a, src_b
+    """,
+)
+def x196_cliffs_delta_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta effect size between every source pair's length
+    distributions: P(X > Y) - P(X < Y) over all cross pairs, exact —
+    the nonparametric effect-size number that belongs NEXT to a
+    significance test (x174's KS says the distributions differ; delta
+    says by HOW MUCH in rank terms, robust to outliers and sample-size
+    inflation, the standard companion to Mann-Whitney). All integer:
+    the dominance counts collapse onto the merged length support —
+    gt += c_a(v) * cum_b(< v) per support value — so nothing bigger
+    than |distinct n_chars| is ever windowed (the x193 grid, reused),
+    and the corpus is touched once by the (source, n_chars) hash agg.
+    Emitted as floored ppm of n_a * n_b with decimal(38,0) products."""
+    d = load(spark, sf_dir, "documents")
+    cnt = d.groupBy("source", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("source").agg(F.sum("c").alias("n"))
+    pairs = (
+        tot.alias("a")
+        .crossJoin(tot.alias("b"))
+        .filter(F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+    )
+    sup = d.select("n_chars").distinct()
+    w = Window.partitionBy("src_a", "src_b").orderBy("n_chars")
+    grid = (
+        pairs.crossJoin(sup)
+        .join(
+            cnt.select(
+                F.col("source").alias("src_a"),
+                "n_chars",
+                F.col("c").alias("ca_"),
+            ),
+            ["src_a", "n_chars"],
+            "left",
+        )
+        .join(
+            cnt.select(
+                F.col("source").alias("src_b"),
+                "n_chars",
+                F.col("c").alias("cb_"),
+            ),
+            ["src_b", "n_chars"],
+            "left",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "na",
+            "nb",
+            F.coalesce("ca_", F.lit(0)).cast("decimal(38,0)").alias("ca"),
+            F.coalesce("cb_", F.lit(0)).cast("decimal(38,0)").alias("cb"),
+            F.coalesce(
+                F.sum("cb_").over(
+                    w.rowsBetween(Window.unboundedPreceding, 0)
+                ),
+                F.lit(0),
+            )
+            .cast("decimal(38,0)")
+            .alias("cum_b"),
+        )
+    )
+    return (
+        grid.groupBy("src_a", "src_b")
+        .agg(
+            F.sum(F.col("ca") * (F.col("cum_b") - F.col("cb")))
+            .cast("long")
+            .alias("gt_pairs"),
+            F.sum(F.col("ca") * (F.col("nb") - F.col("cum_b")))
+            .cast("long")
+            .alias("lt_pairs"),
+            F.expr(
+                "cast((sum(ca * (cum_b - cb)) - sum(ca * (nb - cum_b)))"
+                " * 1000000"
+                " div (cast(max(na) as decimal(38,0)) * max(nb)) as bigint)"
+            ).alias("cliffs_delta_ppm"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+@query(
+    "x197_length_qq_profile",
+    oracle="""
+    WITH cnt AS (SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c
+                 FROM documents GROUP BY 1, 2),
+    tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+    cum AS (SELECT source, n_chars,
+                   CAST(sum(c) OVER (PARTITION BY source
+                                     ORDER BY n_chars) AS BIGINT) AS cm
+            FROM cnt),
+    dec AS (SELECT unnest([1,2,3,4,5,6,7,8,9]) AS d),
+    srcq AS (SELECT c.source, dec.d,
+                    CAST(min(CASE WHEN c.cm * 10 >= dec.d * t.n
+                                  THEN c.n_chars END) AS BIGINT) AS src_q
+             FROM cum c JOIN tot t ON c.source = t.source
+             CROSS JOIN dec GROUP BY 1, 2),
+    gcnt AS (SELECT n_chars, CAST(count(*) AS BIGINT) AS c
+             FROM documents GROUP BY 1),
+    gtot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM gcnt),
+    gcum AS (SELECT n_chars,
+                    CAST(sum(c) OVER (ORDER BY n_chars) AS BIGINT) AS cm
+             FROM gcnt),
+    gq AS (SELECT dec.d,
+                  CAST(min(CASE WHEN g.cm * 10 >= dec.d * t.n
+                                THEN g.n_chars END) AS BIGINT) AS corpus_q
+           FROM gcum g CROSS JOIN gtot t CROSS JOIN dec GROUP BY 1)
+    SELECT s.source, CAST(s.d AS BIGINT) AS decile, s.src_q, g.corpus_q,
+           s.src_q - g.corpus_q AS shift_chars
+    FROM srcq s JOIN gq g ON s.d = g.d
+    ORDER BY s.source, s.d
+    """,
+)
+def x197_length_qq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-quantile profile of each source's length distribution
+    against the whole corpus: the exact d1..d9 deciles side by side with
+    the corpus deciles and their signed shift — WHERE a drifted source
+    differs (short-form head vs long-tail body), which the one-number
+    summaries (x174 KS, x193 W1, x196 delta) deliberately compress away.
+    Exact nearest-rank deciles via the value-domain idiom: per-source
+    cumsums partition by source over |distinct n_chars| rows, the corpus
+    cumsum is the same domain unpartitioned, and each decile is a min
+    over qualifying support values — no per-doc ranks anywhere. All
+    integer (cm * 10 >= d * n avoids division entirely)."""
+    d = load(spark, sf_dir, "documents")
+    cnt = d.groupBy("source", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("source").agg(F.sum("c").alias("n"))
+    wsrc = (
+        Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = cnt.select(
+        "source", "n_chars", F.sum("c").over(wsrc).alias("cm")
+    )
+    dec = spark.createDataFrame([(i,) for i in range(1, 10)], ["d"])
+    srcq = (
+        cum.join(tot, "source")
+        .crossJoin(F.broadcast(dec))
+        .groupBy("source", "d")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cm") * 10 >= F.col("d") * F.col("n"),
+                    F.col("n_chars"),
+                )
+            )
+            .cast("long")
+            .alias("src_q")
+        )
+    )
+    gcnt = d.groupBy("n_chars").agg(F.count(F.lit(1)).alias("c"))
+    gtot = gcnt.agg(F.sum("c").alias("n"))
+    wg = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
+    gcum = gcnt.select("n_chars", F.sum("c").over(wg).alias("cm"))
+    gq = (
+        gcum.crossJoin(F.broadcast(gtot))
+        .crossJoin(F.broadcast(dec))
+        .groupBy("d")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cm") * 10 >= F.col("d") * F.col("n"),
+                    F.col("n_chars"),
+                )
+            )
+            .cast("long")
+            .alias("corpus_q")
+        )
+    )
+    return (
+        srcq.join(F.broadcast(gq), "d")
+        .select(
+            "source",
+            F.col("d").cast("long").alias("decile"),
+            "src_q",
+            "corpus_q",
+            (F.col("src_q") - F.col("corpus_q")).alias("shift_chars"),
+        )
+        .orderBy("source", "decile")
+    )
+
+
+@query(
+    "x198_vocab_overlap",
+    oracle="""
+    WITH c AS (SELECT source, term, CAST(count(*) AS BIGINT) AS f
+               FROM (SELECT source, unnest(string_split(text, ' ')) AS term
+                     FROM documents)
+               GROUP BY 1, 2),
+    v AS (SELECT source, CAST(count(*) AS BIGINT) AS vsize,
+                 CAST(sum(f) AS BIGINT) AS mass
+          FROM c GROUP BY 1),
+    i AS (SELECT a.source AS src_a, b.source AS src_b,
+                 CAST(count(*) AS BIGINT) AS inter,
+                 CAST(sum(least(a.f, b.f)) AS BIGINT) AS min_mass
+          FROM c a JOIN c b ON a.term = b.term AND a.source < b.source
+          GROUP BY 1, 2)
+    SELECT i.src_a, i.src_b, i.inter,
+           va.vsize + vb.vsize - i.inter AS union_size,
+           CAST(i.inter * 1000000 // (va.vsize + vb.vsize - i.inter)
+                AS BIGINT) AS jaccard_ppm,
+           CAST(CAST(i.min_mass AS HUGEINT) * 1000000
+                // (va.mass + vb.mass - i.min_mass) AS BIGINT)
+             AS ruzicka_ppm
+    FROM i JOIN v va ON i.src_a = va.source
+           JOIN v vb ON i.src_b = vb.source
+    ORDER BY i.src_a, i.src_b
+    """,
+)
+def x198_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary overlap between every source pair: set Jaccard over
+    the type sets AND the frequency-weighted Ruzicka similarity
+    (sum min(f_a, f_b) / sum max(f_a, f_b)) — the lexical-redundancy
+    matrix a mixture planner reads before weighting sources (x115's JS
+    divergence measures distributional SHAPE; this measures shared
+    SUBSTANCE — two sources can share every word yet use them at
+    different rates, and vice versa). Scale shape: the only join is the
+    term-keyed intersection of the per-source vocab tables (bucketed by
+    term, vocab-sized — never the corpus), and Ruzicka's denominator
+    needs no union join at all: sum max = mass_a + mass_b - sum min,
+    an identity over the union. Integer-exact ppm; the min-mass product
+    rides decimal(38,0)."""
+    d = load_parallel(spark, sf_dir, "documents")
+    c = (
+        d.select("source", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    v = c.groupBy("source").agg(
+        F.count(F.lit(1)).alias("vsize"), F.sum("f").alias("mass")
+    )
+    i = (
+        c.alias("a")
+        .join(
+            c.alias("b"),
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.sum(F.least(F.col("a.f"), F.col("b.f"))).alias("min_mass"),
+        )
+    )
+    va = v.select(
+        F.col("source").alias("src_a"),
+        F.col("vsize").alias("va_size"),
+        F.col("mass").alias("va_mass"),
+    )
+    vb = v.select(
+        F.col("source").alias("src_b"),
+        F.col("vsize").alias("vb_size"),
+        F.col("mass").alias("vb_mass"),
+    )
+    return (
+        i.join(F.broadcast(va), "src_a")
+        .join(F.broadcast(vb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("inter").cast("long"),
+            (F.col("va_size") + F.col("vb_size") - F.col("inter"))
+            .cast("long")
+            .alias("union_size"),
+            F.expr(
+                "cast(inter * 1000000 div (va_size + vb_size - inter)"
+                " as bigint)"
+            ).alias("jaccard_ppm"),
+            F.expr(
+                "cast(cast(min_mass as decimal(38,0)) * 1000000"
+                " div (va_mass + vb_mass - min_mass) as bigint)"
+            ).alias("ruzicka_ppm"),
+        )
+        .orderBy("src_a", "src_b")
+    )

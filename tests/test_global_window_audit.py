@@ -76,6 +76,8 @@ AUDITED = {
         "agg:distinct score values — <= 1e6 rows (integer ppm score) cumsum",
     ("queries/quality.py", "mr2_map"):
         "agg:signal value domain — |distinct n_chars| / |distinct n_toks| rows",
+    ("queries/text.py", "x197_length_qq_profile"):
+        "agg:distinct n_chars — corpus-decile cumsum over the length value domain",
     ("queries/text.py", "x192_vocab_coverage_curve"):
         "agg:count-of-counts — |distinct freq values| cumsum (closed-form top-K mass)",
     ("functions/skew.py", "distributed_rank"):
