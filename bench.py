@@ -276,6 +276,7 @@ HEADLINE = [
     "x196_cliffs_delta_length",
     "x197_length_qq_profile",
     "x198_vocab_overlap",
+    "x199_entropy_rate",
 ]
 
 

@@ -3867,10 +3867,18 @@ def x180_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ppm. Plan shape at 100 TB: only query-term postings leave the token
     explosion (4 terms here), doc-length and idf ride broadcasts, both
     rank windows partition BY TERM over <= |postings(term)| rows — the
-    eval is embarrassingly parallel across queries, and a real qrels
-    table would replace the tf-grade join with a broadcast."""
+    eval is embarrassingly parallel across queries (measured: the
+    retrieval_eval_scaled probe in docs/SCALING.md grows the corpus AND
+    the query set together), and a real qrels table would replace the
+    tf-grade join with a broadcast."""
     d = load_parallel(spark, sf_dir, "documents")
-    q_terms = ["table", "stream", "window", "join"]
+    return retrieval_ndcg(d, ["table", "stream", "window", "join"])
+
+
+def retrieval_ndcg(d: DataFrame, q_terms: list) -> DataFrame:
+    """x180's scoring body over an arbitrary documents frame and query-term
+    set — shared by the registry entry (fixed 4-term query set) and the
+    scale probe (query set grows with the scaled corpus)."""
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     tf = (
@@ -4563,4 +4571,130 @@ def x198_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ruzicka_ppm"),
         )
         .orderBy("src_a", "src_b")
+    )
+
+
+@query(
+    "x199_entropy_rate",
+    oracle=f"""
+    WITH toks AS (SELECT source, string_split(text, ' ') AS t
+                  FROM documents),
+    uni AS (SELECT source, unnest(t) AS w FROM toks),
+    uc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS cy
+           FROM uni GROUP BY 1, 2),
+    u1 AS (SELECT source, CAST(sum(cy) AS BIGINT) AS n1,
+                  CAST(sum(cy * CAST(ln(cy) AS DECIMAL(28,6)))
+                       AS DECIMAL(38,6)) AS slc
+           FROM uc GROUP BY source),
+    big AS (SELECT source,
+                   unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))])
+                     AS bg,
+                   unnest([t[i] for i in range(1, len(t))]) AS w1
+            FROM toks WHERE len(t) >= 2),
+    bc AS (SELECT source, bg, w1, CAST(count(*) AS BIGINT) AS cxy
+           FROM big GROUP BY 1, 2, 3),
+    pc AS (SELECT source, w1, CAST(sum(cxy) AS BIGINT) AS cx
+           FROM bc GROUP BY 1, 2),
+    b1 AS (SELECT bc.source, CAST(sum(bc.cxy) AS BIGINT) AS n2,
+                  CAST(sum(bc.cxy *
+                       CAST(ln(CAST(pc.cx AS DOUBLE) / bc.cxy)
+                            AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS sh
+           FROM bc JOIN pc ON bc.source = pc.source AND bc.w1 = pc.w1
+           GROUP BY bc.source)
+    SELECT u1.source, b1.n2 AS n_bigrams,
+           {dround_sql("ln(u1.n1) - CAST(u1.slc AS DOUBLE) / u1.n1", 6)}
+             AS h_uni,
+           {dround_sql("CAST(b1.sh AS DOUBLE) / b1.n2", 6)} AS h_cond,
+           {dround_sql(
+               "(ln(u1.n1) - CAST(u1.slc AS DOUBLE) / u1.n1)"
+               " - CAST(b1.sh AS DOUBLE) / b1.n2", 6)} AS info_gain
+    FROM u1 JOIN b1 ON u1.source = b1.source
+    ORDER BY u1.source
+    """,
+)
+def x199_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token entropy vs bigram conditional entropy (entropy
+    RATE), in nats: H(Y) says how diverse a source's vocabulary is;
+    H(Y|X) says how PREDICTABLE the next token is given the current one;
+    their gap (the information the current token carries about the next)
+    is the sequence-level templatedness signal — boilerplate-heavy or
+    machine-generated sources show a large gap even when their unigram
+    entropy looks healthy (x156/x124 measure the unigram side only, x54
+    scores individual DOCS by bigram surprise; this profiles SOURCES).
+    Exactness discipline: every ln runs on exact integer counts (or
+    their exact ratio), quantizes to DECIMAL(28,6), multiplies by the
+    exact count and sums as DECIMAL(38,6) — order-independent — with ONE
+    double division per output, rounded once (the x183/x124 rule). Plan:
+    bigrams as a JVM higher-order transform, counts and the prefix join
+    all hash on (source, bigram/prefix) with map-side partials; nothing
+    wider than the bigram vocab shuffles."""
+    d = load_parallel(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    uni = d.select("source", F.explode(t).alias("w"))
+    uc = uni.groupBy("source", "w").agg(F.count(F.lit(1)).alias("cy"))
+    u1 = uc.groupBy("source").agg(
+        F.sum("cy").alias("n1"),
+        F.sum(
+            (
+                F.col("cy")
+                * F.log(F.col("cy").cast("double")).cast("decimal(28,6)")
+            ).cast("decimal(38,6)")
+        )
+        .cast("decimal(38,6)")
+        .alias("slc"),
+    )
+    big = (
+        d.select("source", t.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - 2),
+                    lambda i: F.struct(
+                        F.concat(
+                            F.col("t")[i], F.lit(" "), F.col("t")[i + 1]
+                        ).alias("bg"),
+                        F.col("t")[i].alias("w1"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select("source", F.col("p.bg").alias("bg"), F.col("p.w1").alias("w1"))
+    )
+    bc = big.groupBy("source", "bg", "w1").agg(
+        F.count(F.lit(1)).alias("cxy")
+    )
+    pc = bc.groupBy("source", "w1").agg(F.sum("cxy").alias("cx"))
+    b1 = (
+        bc.join(pc, ["source", "w1"])
+        .groupBy("source")
+        .agg(
+            F.sum("cxy").alias("n2"),
+            F.sum(
+                (
+                    F.col("cxy")
+                    * F.log(
+                        F.col("cx").cast("double") / F.col("cxy")
+                    ).cast("decimal(28,6)")
+                ).cast("decimal(38,6)")
+            )
+            .cast("decimal(38,6)")
+            .alias("sh"),
+        )
+    )
+    h_uni = F.log(F.col("n1").cast("double")) - F.col("slc").cast(
+        "double"
+    ) / F.col("n1")
+    h_cond = F.col("sh").cast("double") / F.col("n2")
+    return (
+        u1.join(b1, "source")
+        .select(
+            "source",
+            F.col("n2").cast("long").alias("n_bigrams"),
+            dround(h_uni, 6).alias("h_uni"),
+            dround(h_cond, 6).alias("h_cond"),
+            dround(h_uni - h_cond, 6).alias("info_gain"),
+        )
+        .orderBy("source")
     )

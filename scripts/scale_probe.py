@@ -197,8 +197,30 @@ def _distributed_rank_probe(spark, sf_dir):
     )
 
 
+def _retrieval_eval_scaled(spark, sf_dir):
+    """x180's nDCG/MRR eval with the query set scaled WITH the corpus:
+    copy k's tokens are tagged c<k>x, so querying the same 4 base terms
+    under every copy's tag grows queries linearly with K while each
+    query's postings stay the base corpus's — the 'embarrassingly
+    parallel across queries' claim x180's docstring makes, measured.
+    Expected alpha ~ 1: per-term windows never see more rows per
+    partition, only more partitions."""
+    from kafka_connect_spark.queries.text import retrieval_ndcg
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # recover K from the copy offset in doc_id (bounded 1-row probe)
+    k = d.agg(F.max(F.expr("doc_id div 1000000000"))).collect()[0][0] + 1
+    q_terms = [
+        f"c{i}x{t}"
+        for i in range(int(k))
+        for t in ("table", "stream", "window", "join")
+    ]
+    return retrieval_ndcg(d, q_terms)
+
+
 PROBE_EXTRA = {
     "distributed_rank_probe": _distributed_rank_probe,
+    "retrieval_eval_scaled": _retrieval_eval_scaled,
     "near_dup_strict": _near_dup_strict,
     "near_dup_lsh_strict": _near_dup_lsh_strict,
     "semantic_dedup_scaled": _semantic_dedup_scaled,

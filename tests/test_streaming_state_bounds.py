@@ -123,6 +123,67 @@ def test_hll_register_state_bounded_over_128_microbatches(
     assert trace[-1][1] == max(rows for _, rows in trace)
 
 
+def test_mg_state_bounded_over_128_microbatches(spark, sf_dir, tmp_path):
+    """Misra-Gries heavy-hitter state is one row per SHARD (the whole
+    summary rides in that row's two array columns, itself compacted to
+    <= capacity counters every microbatch): numRowsTotal must sit at
+    <= n_shards for all 128 microbatches even though the streamed
+    vocabulary is far larger than n_shards x capacity — the unbounded
+    wordcount-state case the operator exists to avoid. The emitted
+    survivor rows per batch are likewise <= n_shards x capacity."""
+    from kafka_connect_spark.streaming.stateful import streaming_mg_candidates
+
+    # the sf0.001 synthetic text has a ~31-term vocabulary; keep
+    # n_shards x capacity well below it so the MG compaction actually
+    # binds (asserted below) instead of degenerating to exact wordcount
+    capacity, n_shards = 3, 4
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    vocab = toks.select("term").distinct().count()
+    assert vocab > capacity * n_shards  # the cap must actually bind
+    trace, sink = _state_rows_per_batch(
+        spark,
+        tmp_path,
+        "mg",
+        toks,
+        "doc_id",
+        lambda sdf: streaming_mg_candidates(
+            sdf, capacity=capacity, n_shards=n_shards
+        ),
+        "update",
+    )
+    assert max(rows for _, rows in trace) <= n_shards
+    assert trace[-1][1] == max(rows for _, rows in trace)
+    # each batch's emission is the current summaries: <= shards x capacity
+    assert max(sink) <= n_shards * capacity
+
+
+def test_funnel_state_bounded_over_128_microbatches(spark, sf_dir, tmp_path):
+    """Ordered-funnel state is exactly three int64 ordinals per user:
+    numRowsTotal must sit at <= distinct users across a 128-microbatch
+    replay and plateau once every user has appeared — stream length and
+    per-user event volume never grow it."""
+    from kafka_connect_spark.streaming.stateful import streaming_ordered_funnel
+
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts"
+    )
+    n_users = e.select("user_id").distinct().count()
+    trace, _ = _state_rows_per_batch(
+        spark,
+        tmp_path,
+        "funnel",
+        e,
+        "ts",
+        streaming_ordered_funnel,
+        "update",
+    )
+    assert max(rows for _, rows in trace) <= n_users
+    assert trace[-1][1] == max(rows for _, rows in trace)
+
+
 def test_session_state_tracks_active_keys_only(spark, sf_dir, tmp_path):
     """session_totals state must EVICT on event-time timeout: across a
     128-microbatch replay the state row count stays <= distinct users and
