@@ -277,6 +277,13 @@ HEADLINE = [
     "x197_length_qq_profile",
     "x198_vocab_overlap",
     "x199_entropy_rate",
+    "x200_quantile_sketch",
+    "x201_volume_autocorrelation",
+    "x202_interarrival_profile",
+    "x203_power_iteration_pc1",
+    "x204_mann_kendall_trend",
+    "x205_conversion_wilson_ci",
+    "x206_source_jsd",
 ]
 
 

@@ -4059,3 +4059,389 @@ def x189_theta_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("err_ppm"),
         )
     )
+
+
+@query(
+    "x201_volume_autocorrelation",
+    oracle=f"""
+    WITH day AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                        CAST(count(*) AS BIGINT) AS c
+                 FROM events GROUP BY 1, 2),
+    st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(c) AS BIGINT) AS s
+           FROM day GROUP BY event_type),
+    dev AS (SELECT day.event_type, day.day,
+                   day.c * st.n - st.s AS d
+            FROM day JOIN st USING (event_type)),
+    den AS (SELECT event_type,
+                   CAST(sum(CAST(d AS HUGEINT) * d) AS HUGEINT) AS den
+            FROM dev GROUP BY event_type),
+    lags AS (SELECT unnest(range(1, 8)) AS lag_days),
+    p AS (SELECT a.event_type, lags.lag_days,
+                 CAST(count(*) AS BIGINT) AS n_pairs,
+                 CAST(sum(CAST(a.d AS HUGEINT) * b.d) AS HUGEINT) AS num
+          FROM dev a CROSS JOIN lags
+          JOIN dev b ON b.event_type = a.event_type
+                    AND b.day = a.day + CAST(lags.lag_days AS INTEGER)
+          GROUP BY 1, 2)
+    SELECT p.event_type, CAST(p.lag_days AS BIGINT) AS lag_days, p.n_pairs,
+           {dround_sql("CAST(num AS DOUBLE) / CAST(den AS DOUBLE)", 6)} AS acf
+    FROM p JOIN den USING (event_type)
+    ORDER BY p.event_type, lag_days
+    """,
+)
+def x201_volume_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of daily event volume at lags 1..7 per event type —
+    the weekly-seasonality / burst-persistence diagnostic (x132's ANOVA
+    asks "does day-of-week explain variance"; the ACF asks "how long does
+    a deviation PERSIST", which is what capacity planning and anomaly
+    windows key on; lag-7 spikes = weekly cycle). Exactness: deviations
+    are multiplied through by n_days (d_t = c_t*n - S, the x169 identity,
+    so no float mean), numerator and denominator accumulate exact
+    128-bit/decimal products — cast BEFORE the multiply (the x167/x182
+    overflow lesson) — and the single double division per row is rounded
+    once. Lag pairing joins day d with day d+k on the calendar, so gap
+    days pair with nothing rather than silently shifting the series.
+    Plan: one (type, day) hash agg, then everything runs on the
+    |types| x |days| day table — broadcast joins, bounded shuffles; the
+    corpus is scanned exactly once at any scale."""
+    e = load(spark, sf_dir, "events")
+    day = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    st = day.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("c").alias("s")
+    )
+    dev = day.join(F.broadcast(st), "event_type").select(
+        "event_type",
+        "day",
+        (F.col("c") * F.col("n") - F.col("s")).alias("d"),
+    )
+    den = dev.groupBy("event_type").agg(
+        F.sum(F.col("d").cast("decimal(38,0)") * F.col("d")).alias("den")
+    )
+    a = dev.select(
+        "event_type",
+        "day",
+        F.col("d").alias("da"),
+        F.explode(F.sequence(F.lit(1), F.lit(7))).alias("lag_days"),
+    )
+    b = dev.select(
+        "event_type", F.col("day").alias("day_b"), F.col("d").alias("db")
+    )
+    p = (
+        a.join(
+            b,
+            (a["event_type"] == b["event_type"])
+            & (F.col("day_b") == F.date_add(F.col("day"), F.col("lag_days"))),
+        )
+        .drop(b["event_type"])
+        .groupBy("event_type", "lag_days")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("da").cast("decimal(38,0)") * F.col("db")).alias("num"),
+        )
+    )
+    return (
+        p.join(F.broadcast(den), "event_type")
+        .select(
+            "event_type",
+            F.col("lag_days").cast("long").alias("lag_days"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            dround(
+                F.col("num").cast("double") / F.col("den").cast("double"), 6
+            ).alias("acf"),
+        )
+        .orderBy("event_type", "lag_days")
+    )
+
+
+@query(
+    "x202_interarrival_profile",
+    oracle="""
+    WITH g AS (SELECT event_type,
+                      (epoch_us(ts) - epoch_us(lag(ts) OVER (
+                          PARTITION BY event_type ORDER BY ts, event_id)))
+                      // 1000000 AS gap_s
+               FROM events),
+    gg AS (SELECT event_type, CAST(gap_s AS BIGINT) AS gap_s
+           FROM g WHERE gap_s IS NOT NULL),
+    hist AS (SELECT event_type, gap_s, CAST(count(*) AS BIGINT) AS c
+             FROM gg GROUP BY 1, 2),
+    cum AS (SELECT event_type, gap_s, c,
+                   CAST(sum(c) OVER (PARTITION BY event_type ORDER BY gap_s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum_c
+            FROM hist),
+    tot AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n_gaps,
+                   CAST(max(gap_s) AS BIGINT) AS max_s
+            FROM hist GROUP BY event_type)
+    SELECT cum.event_type, tot.n_gaps,
+           CAST(min(CASE WHEN cum_c >= (n_gaps + 1) // 2
+                    THEN gap_s END) AS BIGINT) AS p50_s,
+           CAST(min(CASE WHEN cum_c >= (9 * n_gaps + 9) // 10
+                    THEN gap_s END) AS BIGINT) AS p90_s,
+           CAST(min(CASE WHEN cum_c >= (99 * n_gaps + 99) // 100
+                    THEN gap_s END) AS BIGINT) AS p99_s,
+           tot.max_s
+    FROM cum JOIN tot ON cum.event_type = tot.event_type
+    GROUP BY cum.event_type, tot.n_gaps, tot.max_s
+    ORDER BY cum.event_type
+    """,
+)
+def x202_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival time profile per event type: p50/p90/p99/max of the
+    gap (whole seconds) between consecutive events — the arrival-process
+    health check behind poll-interval tuning, SLA alerting ("p99 silence
+    is 40 minutes — page after an hour"), and bot detection (p50 near 0).
+
+    The naive plan is ONE lag window per event type over every event —
+    exactly the corpus-sized-partition shape this repo's x182/x58 work
+    exists to kill. Instead the lag is DAY-SHARDED with a boundary
+    stitch, which reproduces the global gap multiset exactly: (a) lag
+    within (type, day) partitions — bounded by a day's traffic; (b) each
+    day's first event pairs with the PREVIOUS data-day's last event via
+    a lag over the per-(type, day) min/max table, which has |types| x
+    |days| rows — so calendar gap days contribute one long gap, same as
+    the global window would. (Tie order within equal ts never changes
+    the gap MULTISET: equal timestamps yield zero gaps in any order.)
+    Quantiles then read a (type, gap_s) value histogram cumulated over
+    the bounded gap-value domain (the x200/x188 selection idiom), never
+    ranking raw events. The oracle runs the naive global-window form —
+    agreeing with it IS the exactness claim for the decomposition."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id", F.to_date("ts").alias("day")
+    )
+    wd = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    within = (
+        e.withColumn("prev_ts", F.lag("ts").over(wd))
+        .filter(F.col("prev_ts").isNotNull())
+        .select(
+            "event_type",
+            F.expr(
+                "(unix_micros(ts) - unix_micros(prev_ts)) div 1000000"
+            ).alias("gap_s"),
+        )
+    )
+    daily = e.groupBy("event_type", "day").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    wb = Window.partitionBy("event_type").orderBy("day")
+    boundary = (
+        daily.withColumn("prev_last", F.lag("last_ts").over(wb))
+        .filter(F.col("prev_last").isNotNull())
+        .select(
+            "event_type",
+            F.expr(
+                "(unix_micros(first_ts) - unix_micros(prev_last)) div 1000000"
+            ).alias("gap_s"),
+        )
+    )
+    gaps = within.unionByName(boundary)
+    hist = gaps.groupBy("event_type", "gap_s").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("gap_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "event_type", "gap_s", F.sum("c").over(wc).alias("cum_c")
+    )
+    tot = hist.groupBy("event_type").agg(
+        F.sum("c").alias("n_gaps"), F.max("gap_s").alias("max_s")
+    )
+    pick = lambda r: F.min(F.when(F.col("cum_c") >= r, F.col("gap_s")))  # noqa: E731
+    return (
+        cum.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type", "n_gaps", "max_s")
+        .agg(
+            pick(F.expr("(n_gaps + 1) div 2")).cast("long").alias("p50_s"),
+            pick(F.expr("(9 * n_gaps + 9) div 10")).cast("long").alias("p90_s"),
+            pick(F.expr("(99 * n_gaps + 99) div 100")).cast("long").alias("p99_s"),
+        )
+        .select(
+            "event_type",
+            F.col("n_gaps").cast("long").alias("n_gaps"),
+            "p50_s",
+            "p90_s",
+            "p99_s",
+            F.col("max_s").cast("long").alias("max_s"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "x204_mann_kendall_trend",
+    oracle=f"""
+    WITH day AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                        CAST(count(*) AS BIGINT) AS c
+                 FROM events GROUP BY 1, 2),
+    s AS (SELECT a.event_type,
+                 CAST(sum(CASE WHEN b.c > a.c THEN 1
+                               WHEN b.c < a.c THEN -1 ELSE 0 END)
+                      AS BIGINT) AS s_stat
+          FROM day a JOIN day b
+            ON a.event_type = b.event_type AND a.day < b.day
+          GROUP BY 1),
+    ties AS (SELECT event_type,
+                    CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_corr
+             FROM (SELECT event_type, c, CAST(count(*) AS BIGINT) AS t
+                   FROM day GROUP BY 1, 2)
+             GROUP BY event_type),
+    st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+           FROM day GROUP BY event_type)
+    SELECT st.event_type, st.n_days, s.s_stat,
+           CAST(st.n_days * (st.n_days - 1) * (2 * st.n_days + 5)
+                - ties.tie_corr AS BIGINT) AS var18,
+           {dround_sql(
+               "CASE WHEN s.s_stat > 0 THEN (s.s_stat - 1) / "
+               "sqrt((st.n_days * (st.n_days - 1) * (2 * st.n_days + 5)"
+               " - ties.tie_corr) / 18.0) "
+               "WHEN s.s_stat < 0 THEN (s.s_stat + 1) / "
+               "sqrt((st.n_days * (st.n_days - 1) * (2 * st.n_days + 5)"
+               " - ties.tie_corr) / 18.0) ELSE 0.0 END", 6)} AS z
+    FROM st JOIN s USING (event_type) JOIN ties USING (event_type)
+    ORDER BY st.event_type
+    """,
+)
+def x204_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend test on daily event volume per type —
+    the significance HALF of the robust-trend pair (x179's Theil-Sen
+    slope says how steep; this says whether the trend is real): S counts
+    concordant minus discordant day pairs, and the normal approximation
+    z = (S -+ 1) / sqrt(Var(S)) applies the standard continuity
+    correction with the exact tie-corrected variance
+    Var = [n(n-1)(2n+5) - sum t(t-1)(2t+5)] / 18. Everything up to the
+    final z is EXACT integers (S from sign comparisons, var x 18 emitted
+    as var18 for auditability); z itself is the query's one double
+    expression, rounded once. Plan: the pair join and tie grouping run
+    on the (type, day) table — |types| x |days| rows, day-pair work
+    O(|days|^2) per type regardless of corpus size; the corpus is
+    scanned exactly once for the day agg."""
+    e = load(spark, sf_dir, "events")
+    day = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    a = day.select("event_type", F.col("day").alias("day_a"), F.col("c").alias("ca"))
+    b = day.select("event_type", F.col("day").alias("day_b"), F.col("c").alias("cb"))
+    s = (
+        a.join(b, ["event_type"])
+        .filter(F.col("day_a") < F.col("day_b"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("cb") > F.col("ca"), 1)
+                .when(F.col("cb") < F.col("ca"), -1)
+                .otherwise(0)
+            ).alias("s_stat")
+        )
+    )
+    ties = (
+        day.groupBy("event_type", "c")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie_corr")
+        )
+    )
+    st = day.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_days"))
+    var18 = (
+        F.col("n_days") * (F.col("n_days") - 1) * (2 * F.col("n_days") + 5)
+        - F.col("tie_corr")
+    )
+    z = (
+        F.when(
+            F.col("s_stat") > 0,
+            (F.col("s_stat") - 1) / F.sqrt(var18 / 18.0),
+        )
+        .when(
+            F.col("s_stat") < 0,
+            (F.col("s_stat") + 1) / F.sqrt(var18 / 18.0),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        st.join(s, "event_type")
+        .join(ties, "event_type")
+        .select(
+            "event_type",
+            F.col("n_days").cast("long").alias("n_days"),
+            F.col("s_stat").cast("long").alias("s_stat"),
+            var18.cast("long").alias("var18"),
+            dround(z, 6).alias("z"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "x205_conversion_wilson_ci",
+    oracle=f"""
+    WITH du AS (SELECT strftime(ts, '%Y-%m-%d') AS day, user_id,
+                       max(CASE WHEN event_type = 'purchase'
+                           THEN 1 ELSE 0 END) AS conv
+                FROM events GROUP BY 1, 2),
+    agg AS (SELECT day, CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(sum(conv) AS BIGINT) AS k_conv
+            FROM du GROUP BY day)
+    SELECT day, n_users, k_conv,
+           CAST(k_conv * 1000000 // n_users AS BIGINT) AS rate_ppm,
+           {dround_sql(
+               "((k_conv * 1.0 / n_users) + 3.8416 / (2 * n_users)"
+               " - 1.96 * sqrt((k_conv * 1.0 / n_users)"
+               " * (1 - k_conv * 1.0 / n_users) / n_users"
+               " + 3.8416 / (4.0 * n_users * n_users)))"
+               " / (1 + 3.8416 / n_users)", 6)} AS wilson_lo,
+           {dround_sql(
+               "((k_conv * 1.0 / n_users) + 3.8416 / (2 * n_users)"
+               " + 1.96 * sqrt((k_conv * 1.0 / n_users)"
+               " * (1 - k_conv * 1.0 / n_users) / n_users"
+               " + 3.8416 / (4.0 * n_users * n_users)))"
+               " / (1 + 3.8416 / n_users)", 6)} AS wilson_hi
+    FROM agg ORDER BY day
+    """,
+)
+def x205_conversion_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily user-level conversion rate (distinct users with a purchase /
+    distinct active users) with its 95% WILSON score interval — the
+    interval that behaves at small n and extreme rates where the normal
+    (Wald) interval collapses, i.e. the number an experiment dashboard
+    should print instead of a bare rate. k and n are exact integer
+    distinct-user counts (one (day, user) hash agg with a conditional
+    max — no count-distinct shuffle per metric); the rate is exact
+    integer ppm; the interval bounds are each ONE mirrored double
+    expression (z = 1.96, z^2 = 3.8416 as shared literals) rounded once
+    — the same both-engines-evaluate-the-identical-expression-tree
+    discipline as x40/x184. Plan: (day, user) agg then a |days|-row
+    table; nothing else shuffles."""
+    e = load(spark, sf_dir, "events")
+    du = e.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
+    ).agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv")
+    )
+    agg = du.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_users"), F.sum("conv").alias("k_conv")
+    )
+    p = F.col("k_conv") * 1.0 / F.col("n_users")
+    z2n = 3.8416 / F.col("n_users")
+    half = 1.96 * F.sqrt(
+        p * (1 - p) / F.col("n_users")
+        + 3.8416 / (4.0 * F.col("n_users") * F.col("n_users"))
+    )
+    center = p + 3.8416 / (2 * F.col("n_users"))
+    return agg.select(
+        "day",
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("k_conv").cast("long").alias("k_conv"),
+        F.expr("k_conv * 1000000 div n_users").cast("long").alias("rate_ppm"),
+        dround((center - half) / (1 + z2n), 6).alias("wilson_lo"),
+        dround((center + half) / (1 + z2n), 6).alias("wilson_hi"),
+    ).orderBy("day")

@@ -1790,3 +1790,131 @@ def x195_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div greatest(count(1) - sum(y), 1) as bigint)"
         ).alias("brier_neg_ppt"),
     )
+
+
+@query(
+    "x200_quantile_sketch",
+    oracle="""
+    WITH h AS (SELECT source, n_chars,
+                      CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                           AS BIGINT) AS hv
+               FROM documents),
+    hist AS (SELECT source, n_chars,
+                    CAST(count(*) AS BIGINT) AS c,
+                    CAST(sum(CASE WHEN hv < 144115188075855872 THEN 1 ELSE 0 END)
+                         AS BIGINT) AS sc
+             FROM h GROUP BY 1, 2),
+    cum AS (SELECT source, n_chars, c, sc,
+                   CAST(sum(c) OVER w AS BIGINT) AS cum_c,
+                   CAST(sum(sc) OVER w AS BIGINT) AS cum_s
+            FROM hist
+            WINDOW w AS (PARTITION BY source ORDER BY n_chars
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n,
+                   CAST(sum(sc) AS BIGINT) AS sample_n
+            FROM hist GROUP BY source),
+    sel AS (SELECT cum.source,
+                   min(CASE WHEN cum_c >= (n + 1) // 2 THEN n_chars END) AS exact_p50,
+                   min(CASE WHEN cum_c >= (9 * n + 9) // 10 THEN n_chars END) AS exact_p90,
+                   min(CASE WHEN cum_s >= (sample_n + 1) // 2 THEN n_chars END) AS est_p50,
+                   min(CASE WHEN cum_s >= (9 * sample_n + 9) // 10 THEN n_chars END) AS est_p90
+            FROM cum JOIN tot ON cum.source = tot.source
+            GROUP BY cum.source)
+    SELECT tot.source, n, sample_n,
+           CAST(exact_p50 AS BIGINT) AS exact_p50,
+           CAST(est_p50 AS BIGINT) AS est_p50,
+           CAST(abs(est_p50 - exact_p50) * 1000000 // exact_p50 AS BIGINT)
+             AS err50_ppm,
+           CAST(exact_p90 AS BIGINT) AS exact_p90,
+           CAST(est_p90 AS BIGINT) AS est_p90,
+           CAST(abs(est_p90 - exact_p90) * 1000000 // exact_p90 AS BIGINT)
+             AS err90_ppm
+    FROM sel JOIN tot ON sel.source = tot.source
+    ORDER BY tot.source
+    """,
+)
+def x200_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch calibration — the missing member of the sketch
+    family (CMS x159 / KMV x160 / Bloom x163 / HLL x171 / theta x189
+    calibrate frequency, cardinality and membership; this calibrates
+    ORDER STATISTICS): per-source p50/p90 of doc length estimated from a
+    deterministic 1/8-rate sample vs the exact quantile, error in ppm.
+
+    The sketch is threshold sampling on the doc's 60-bit md5 clock
+    (hv < 2^60/8, the x177 idiom): one corpus pass, rate-bounded state,
+    and MERGEABLE by construction — the union of two partitions' samples
+    IS the sample of their union (same fixed threshold, disjoint ids), so
+    shards combine like any mergeable summary, which is what t-digest/KLL
+    buy in production and what a rate-tuned sample buys here exactly and
+    engine-reproducibly. Both the estimate and the truth read ONE shared
+    value histogram: groupBy (source, n_chars) carrying total + sampled
+    counts, cumulated over a window bounded by |distinct lengths per
+    source| (never corpus-sized — the x188 value-domain discipline), then
+    quantile = min value whose cumulative count reaches ceil(p*n), the
+    same closed form in both engines. At 100 TB the histogram is the only
+    shuffle and its width is the value domain, not the row count."""
+    d = load(spark, sf_dir, "documents")
+    hv = (
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10)"
+        " AS BIGINT)"
+    )
+    hist = d.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(
+            F.expr(f"CASE WHEN {hv} < 144115188075855872 THEN 1 ELSE 0 END")
+        ).alias("sc"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "source",
+        "n_chars",
+        F.sum("c").over(w).alias("cum_c"),
+        F.sum("sc").over(w).alias("cum_s"),
+    )
+    tot = hist.groupBy("source").agg(
+        F.sum("c").alias("n"), F.sum("sc").alias("sample_n")
+    )
+    # ceil(p * n) ranks as exact integer div — identical in both engines
+    ranks = tot.select(
+        "source",
+        "n",
+        "sample_n",
+        F.expr("(n + 1) div 2").alias("r50c"),
+        F.expr("(9 * n + 9) div 10").alias("r90c"),
+        F.expr("(sample_n + 1) div 2").alias("r50s"),
+        F.expr("(9 * sample_n + 9) div 10").alias("r90s"),
+    )
+    pick = lambda cond: F.min(F.when(cond, F.col("n_chars")))  # noqa: E731
+    sel = (
+        cum.join(F.broadcast(ranks), "source")
+        .groupBy("source")
+        .agg(
+            pick(F.col("cum_c") >= F.col("r50c")).alias("exact_p50"),
+            pick(F.col("cum_c") >= F.col("r90c")).alias("exact_p90"),
+            pick(F.col("cum_s") >= F.col("r50s")).alias("est_p50"),
+            pick(F.col("cum_s") >= F.col("r90s")).alias("est_p90"),
+        )
+    )
+    return (
+        sel.join(F.broadcast(tot), "source")
+        .select(
+            "source",
+            F.col("n").cast("long").alias("n"),
+            F.col("sample_n").cast("long").alias("sample_n"),
+            F.col("exact_p50").cast("long").alias("exact_p50"),
+            F.col("est_p50").cast("long").alias("est_p50"),
+            F.expr("abs(est_p50 - exact_p50) * 1000000 div exact_p50")
+            .cast("long")
+            .alias("err50_ppm"),
+            F.col("exact_p90").cast("long").alias("exact_p90"),
+            F.col("est_p90").cast("long").alias("est_p90"),
+            F.expr("abs(est_p90 - exact_p90) * 1000000 div exact_p90")
+            .cast("long")
+            .alias("err90_ppm"),
+        )
+        .orderBy("source")
+    )

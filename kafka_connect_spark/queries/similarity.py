@@ -834,3 +834,132 @@ def x157_label_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "x203_power_iteration_pc1",
+    oracle=f"""
+    WITH u AS (SELECT vec_id, generate_subscripts(v8, 1) - 1 AS d,
+                      unnest(v8) AS val
+               FROM (SELECT vec_id, CAST(embedding AS DOUBLE[])[1:8] AS v8
+                     FROM embeddings)),
+    p AS (SELECT a.d AS i, b.d AS j,
+                 CAST(a.val * b.val AS DECIMAL(38,6)) AS xy
+          FROM u a JOIN u b ON a.vec_id = b.vec_id),
+    g AS (SELECT i, j, CAST(sum(xy) * 1000000 AS HUGEINT) AS g
+          FROM p GROUP BY 1, 2),
+    w1 AS (SELECT i AS d, CAST(sum(g * 1000000) AS HUGEINT) AS w
+           FROM g GROUP BY 1),
+    m1 AS (SELECT max(abs(w)) AS m FROM w1),
+    v1 AS (SELECT d, (CASE WHEN w < 0 THEN -1 ELSE 1 END)
+                     * (abs(w) * 1000000 // m) AS val FROM w1, m1),
+    w2 AS (SELECT g.i AS d, CAST(sum(g.g * v1.val) AS HUGEINT) AS w
+           FROM g JOIN v1 ON g.j = v1.d GROUP BY 1),
+    m2 AS (SELECT max(abs(w)) AS m FROM w2),
+    v2 AS (SELECT d, (CASE WHEN w < 0 THEN -1 ELSE 1 END)
+                     * (abs(w) * 1000000 // m) AS val FROM w2, m2),
+    w3 AS (SELECT g.i AS d, CAST(sum(g.g * v2.val) AS HUGEINT) AS w
+           FROM g JOIN v2 ON g.j = v2.d GROUP BY 1),
+    m3 AS (SELECT max(abs(w)) AS m FROM w3),
+    v3 AS (SELECT d, (CASE WHEN w < 0 THEN -1 ELSE 1 END)
+                     * (abs(w) * 1000000 // m) AS val FROM w3, m3),
+    w4 AS (SELECT g.i AS d, CAST(sum(g.g * v3.val) AS HUGEINT) AS w
+           FROM g JOIN v3 ON g.j = v3.d GROUP BY 1),
+    ray AS (SELECT CAST(sum(CAST(v3.val AS HUGEINT) * w4.w) AS HUGEINT) AS num,
+                   CAST(sum(CAST(v3.val AS HUGEINT) * v3.val) AS HUGEINT) AS den
+            FROM v3 JOIN w4 ON v3.d = w4.d)
+    SELECT CAST(v3.d AS BIGINT) AS dim,
+           CAST(v3.val AS BIGINT) AS eigvec_ppm,
+           {dround_sql("CAST(num AS DOUBLE) / CAST(den AS DOUBLE)", 6)}
+             AS rayleigh_ppm
+    FROM v3, ray ORDER BY dim
+    """,
+)
+def x203_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding second-moment (Gram)
+    matrix by THREE unrolled power iterations — the x168 PageRank
+    discipline applied to PCA: an iterative float algorithm made
+    hash-checkable by running every step in exact integer arithmetic.
+    PC1 is the whitening/indexing diagnostic x154's pairwise
+    correlations motivate: a dominant direction means index bits are
+    being spent on one redundant axis (Matryoshka truncation, PQ
+    codebook allocation, and mean-centering decisions all read it).
+
+    Exactness scheme: G_ij accumulates decimal-quantized products (the
+    x154 dsum idiom) and is scaled to integer ppm; each iteration is an
+    exact integer matvec (products cast to decimal(38,0)/HUGEINT BEFORE
+    multiplying — the x167/x182 overflow rule, good to ~1e12 rows), then
+    renormalized to +-1e6 by sign-safe floor division on NON-NEGATIVE
+    operands (sign * (abs(w) * 1e6 div max|w|)) so Spark's
+    truncate-toward-zero `div` and DuckDB's floor `//` agree; ties at
+    w = 0 take +1 via an explicit CASE in both engines (duck's sign()
+    returns 0 there). The Rayleigh quotient v3.G.v3 / v3.v3 estimates
+    lambda_1 in G-ppm units with the query's single double division,
+    rounded once. Plan shape at 100 TB: ONE corpus pass builds the d x d
+    Gram via per-row JVM pair generation (64 accumulators; the full
+    d = 64 version is the same pass with 4096, or x154's mapInPandas
+    X^T X kernel); the iterations then run on the 8-row eigenvector
+    table — broadcast joins, no corpus access, no driver loop beyond 3
+    fixed rounds."""
+    emb = load(spark, sf_dir, "embeddings")
+    ds = F.slice(F.col("embedding").cast("array<double>"), 1, 8)
+    pairs = (
+        emb.select(ds.alias("ds"))
+        .select(
+            F.explode(
+                F.expr(
+                    """
+                    flatten(transform(sequence(0, 7), i ->
+                      transform(sequence(0, 7), j -> struct(
+                        i AS i, j AS j,
+                        cast(element_at(ds, i + 1) * element_at(ds, j + 1)
+                             as decimal(38,6)) AS xy))))
+                    """
+                )
+            ).alias("p")
+        )
+        .select("p.i", "p.j", "p.xy")
+    )
+    g = pairs.groupBy("i", "j").agg(
+        (F.sum("xy") * 1_000_000).cast("decimal(38,0)").alias("g")
+    )
+    sgn = F.when(F.col("w") < 0, F.lit(-1)).otherwise(F.lit(1))
+    renorm = (
+        sgn.cast("decimal(38,0)")
+        * F.expr("abs(w) * 1000000 div m").cast("decimal(38,0)")
+    ).alias("val")
+
+    # v0 = all-ones (x 1e6): the first matvec folds it in as a constant
+    v = g.groupBy(F.col("i").alias("d")).agg(
+        F.sum(F.col("g") * F.lit(1_000_000)).cast("decimal(38,0)").alias("w")
+    )
+    for _ in range(3):
+        m = v.agg(F.max(F.abs(F.col("w"))).alias("m"))
+        vn = v.crossJoin(F.broadcast(m)).select("d", renorm)
+        # next matvec (the 3rd loop pass computes w4 for the Rayleigh
+        # quotient; vn after the 3rd renorm is v3)
+        v = (
+            g.join(F.broadcast(vn), g["j"] == vn["d"])
+            .groupBy(F.col("i").alias("d"))
+            .agg(F.sum(F.col("g") * F.col("val")).cast("decimal(38,0)").alias("w"))
+        )
+        v3 = vn
+    w4 = v
+    ray = (
+        v3.join(w4, "d")
+        .agg(
+            F.sum(F.col("val") * F.col("w")).cast("decimal(38,0)").alias("num"),
+            F.sum(F.col("val") * F.col("val")).cast("decimal(38,0)").alias("den"),
+        )
+    )
+    return (
+        v3.crossJoin(F.broadcast(ray))
+        .select(
+            F.col("d").cast("long").alias("dim"),
+            F.col("val").cast("long").alias("eigvec_ppm"),
+            dround(
+                F.col("num").cast("double") / F.col("den").cast("double"), 6
+            ).alias("rayleigh_ppm"),
+        )
+        .orderBy("dim")
+    )

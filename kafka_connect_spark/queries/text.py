@@ -4698,3 +4698,107 @@ def x199_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "x206_source_jsd",
+    oracle=f"""
+    WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w
+                 FROM documents),
+    uc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS a
+           FROM tok GROUP BY 1, 2),
+    cw AS (SELECT w, CAST(sum(a) AS BIGINT) AS b FROM uc GROUP BY w),
+    ns AS (SELECT source, CAST(sum(a) AS BIGINT) AS n,
+                  CAST(count(*) AS BIGINT) AS vocab
+           FROM uc GROUP BY source),
+    nt AS (SELECT CAST(sum(a) AS BIGINT) AS nn FROM uc),
+    terms AS (SELECT uc.source,
+                     CAST(sum(uc.a * CAST(ln(2.0 * uc.a * nt.nn /
+                          (uc.a * nt.nn + cw.b * ns.n)) AS DECIMAL(28,6)))
+                       AS DECIMAL(38,6)) AS sa,
+                     CAST(sum(cw.b * CAST(ln(2.0 * cw.b * ns.n /
+                          (uc.a * nt.nn + cw.b * ns.n)) AS DECIMAL(28,6)))
+                       AS DECIMAL(38,6)) AS sb_in,
+                     CAST(sum(cw.b) AS BIGINT) AS b_in
+              FROM uc JOIN cw ON uc.w = cw.w
+                      JOIN ns ON uc.source = ns.source
+                      CROSS JOIN nt
+              GROUP BY uc.source)
+    SELECT ns.source, ns.n AS n_tokens, ns.vocab,
+           {dround_sql(
+               "0.5 * (CAST(terms.sa AS DOUBLE) / ns.n"
+               " + (CAST(terms.sb_in AS DOUBLE)"
+               "    + (nt.nn - terms.b_in)"
+               "      * CAST(CAST(ln(2.0) AS DECIMAL(28,6)) AS DOUBLE))"
+               "   / nt.nn)", 6)} AS jsd
+    FROM ns JOIN terms ON ns.source = terms.source CROSS JOIN nt
+    ORDER BY ns.source
+    """,
+)
+def x206_source_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence of each source's unigram distribution
+    from the whole-corpus distribution — the bounded, symmetric
+    drift-from-corpus ranking (x183's MI scores the source/term
+    ASSOCIATION structure, x198 the vocab SET overlap; JSD measures how
+    far the probability MASS has shifted, the quantity data-mixing and
+    domain-upsampling decisions read). Closed over exact integers: with
+    a = count(w in s), n = |s|, b = count(w in corpus), N = |corpus|,
+    every log-ratio P/M and Q/M reduces to 2aN/(aN+bn) and 2bn/(aN+bn)
+    — exact integer ratios — quantized to DECIMAL(28,6) (the x199 ln
+    discipline), weighted by exact counts into DECIMAL(38,6) sums. The
+    corpus-side KL's terms for words ABSENT from the source collapse to
+    (N - sum_in b) * ln 2 in closed form, so the join only ever touches
+    the source's own vocabulary. One double expression per source,
+    rounded once. Plan: (source, word) and word hash aggs, a
+    vocab-sized broadcast-ish join, |sources| output rows; the corpus
+    is tokenized exactly once."""
+    d = load_parallel(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(F.split("text", " ")).alias("w"))
+    uc = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("a"))
+    cw = uc.groupBy("w").agg(F.sum("a").alias("b"))
+    ns = uc.groupBy("source").agg(
+        F.sum("a").alias("n"), F.count(F.lit(1)).alias("vocab")
+    )
+    nt = uc.agg(F.sum("a").alias("nn"))
+    j = (
+        uc.join(cw, "w")
+        .join(F.broadcast(ns.select("source", "n")), "source")
+        .crossJoin(F.broadcast(nt))
+    )
+    lnq = lambda expr: F.expr(f"CAST(ln({expr}) AS DECIMAL(28,6))")  # noqa: E731
+    terms = j.groupBy("source").agg(
+        F.sum(
+            F.col("a") * lnq("2.0 * a * nn / (a * nn + b * n)")
+        )
+        .cast("decimal(38,6)")
+        .alias("sa"),
+        F.sum(
+            F.col("b") * lnq("2.0 * b * n / (a * nn + b * n)")
+        )
+        .cast("decimal(38,6)")
+        .alias("sb_in"),
+        F.sum("b").alias("b_in"),
+    )
+    ln2 = F.expr("CAST(CAST(ln(2.0) AS DECIMAL(28,6)) AS DOUBLE)")
+    return (
+        ns.join(terms, "source")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "source",
+            F.col("n").cast("long").alias("n_tokens"),
+            F.col("vocab").cast("long").alias("vocab"),
+            dround(
+                0.5
+                * (
+                    F.col("sa").cast("double") / F.col("n")
+                    + (
+                        F.col("sb_in").cast("double")
+                        + (F.col("nn") - F.col("b_in")) * ln2
+                    )
+                    / F.col("nn")
+                ),
+                6,
+            ).alias("jsd"),
+        )
+        .orderBy("source")
+    )

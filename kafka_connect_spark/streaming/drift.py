@@ -105,3 +105,39 @@ def streaming_cusum(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def quantile_histogram(
+    df: DataFrame, group_col: str, value_col: str, id_col: str
+) -> DataFrame:
+    """x200's shared value histogram as ONE aggregation — (group, value)
+    -> (total count, md5-threshold-sampled count).
+
+    Works identically on a batch frame and a streaming frame: counting is
+    mergeable, so the streaming state IS the histogram — bounded by
+    |groups| x |distinct values| (the VALUE DOMAIN), never by stream
+    length — and the final streaming state equals the batch histogram
+    row-for-row. Quantile answers (exact and sketch-estimated, x200's
+    cumulative-selection closed form) then read this table without
+    touching the stream again: the incremental path to streaming
+    percentiles with no per-row state, the same contract as
+    hll_registers for distinct counts."""
+    thresh = 144115188075855872  # 2^60 / 8: the x177/x200 md5 clock rate
+    hv = F.expr(
+        f"CAST(conv(substring(md5(CAST({id_col} AS STRING)), 1, 15), 16, 10)"
+        " AS BIGINT)"
+    )
+    return (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.col(value_col).alias("val"),
+            hv.alias("hv"),
+        )
+        .groupBy("grp", "val")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.sum(F.when(F.col("hv") < thresh, 1).otherwise(0))
+            .cast("long")
+            .alias("sc"),
+        )
+    )

@@ -100,3 +100,35 @@ def test_streaming_cusum_alarms_equal_x172(spark, sf_dir, tmp_path):
         .sort_values(["event_type", "day"], ignore_index=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_streaming_quantile_histogram_equals_batch(spark, sf_dir, tmp_path):
+    """The streaming (source, n_chars) histogram after a 4-chunk replay
+    must equal the batch histogram x200 reads — counting is mergeable, so
+    the complete-mode state is the histogram itself, bounded by the value
+    domain rather than the stream length."""
+    from kafka_connect_spark.streaming.drift import quantile_histogram
+
+    d0 = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    batch = (
+        quantile_histogram(d0, "source", "n_chars", "doc_id")
+        .toPandas()
+        .sort_values(["grp", "val"], ignore_index=True)
+    )
+    d = str(tmp_path / "qh-replay")
+    write_replay_files(d0, d, 4, "doc_id")
+    sdf = file_replay_stream(spark, d, spark.read.parquet(d).schema)
+    out: list[pd.DataFrame] = []
+    q = (
+        quantile_histogram(sdf, "source", "n_chars", "doc_id")
+        .writeStream.foreachBatch(lambda df, bid: out.append(df.toPandas()))
+        .option("checkpointLocation", str(tmp_path / "ckpt-qh"))
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    final = out[-1].sort_values(["grp", "val"], ignore_index=True)
+    pd.testing.assert_frame_equal(final, batch, check_dtype=False)
+    # state bound: one row per (group, value) — the value domain
+    assert len(final) == d0.select("source", "n_chars").distinct().count()
