@@ -284,6 +284,9 @@ HEADLINE = [
     "x204_mann_kendall_trend",
     "x205_conversion_wilson_ci",
     "x206_source_jsd",
+    "x207_markov_stationary",
+    "x208_session_profile",
+    "x209_funnel_step_timing",
 ]
 
 

@@ -4445,3 +4445,334 @@ def x205_conversion_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround((center - half) / (1 + z2n), 6).alias("wilson_lo"),
         dround((center + half) / (1 + z2n), 6).alias("wilson_hi"),
     ).orderBy("day")
+
+
+@query(
+    "x207_markov_stationary",
+    oracle="""
+    WITH o AS (SELECT event_type,
+                      lead(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS nxt
+               FROM events),
+    big AS (SELECT event_type AS cur, nxt, CAST(count(*) AS BIGINT) AS n
+            FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2),
+    tot AS (SELECT cur, CAST(sum(n) AS BIGINT) AS n_cur FROM big GROUP BY cur),
+    k AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM tot),
+    p0 AS (SELECT cur AS t, CAST(1000000 // nt AS BIGINT) AS pi FROM tot, k),
+    p1 AS (SELECT big.nxt AS t,
+                  CAST(sum(CAST(p.pi AS HUGEINT) * big.n // tot.n_cur)
+                       AS BIGINT) AS pi
+           FROM big JOIN p0 p ON big.cur = p.t JOIN tot ON big.cur = tot.cur
+           GROUP BY big.nxt),
+    p2 AS (SELECT big.nxt AS t,
+                  CAST(sum(CAST(p.pi AS HUGEINT) * big.n // tot.n_cur)
+                       AS BIGINT) AS pi
+           FROM big JOIN p1 p ON big.cur = p.t JOIN tot ON big.cur = tot.cur
+           GROUP BY big.nxt),
+    p3 AS (SELECT big.nxt AS t,
+                  CAST(sum(CAST(p.pi AS HUGEINT) * big.n // tot.n_cur)
+                       AS BIGINT) AS pi
+           FROM big JOIN p2 p ON big.cur = p.t JOIN tot ON big.cur = tot.cur
+           GROUP BY big.nxt)
+    SELECT p3.t AS event_type, CAST(p3.pi AS BIGINT) AS pi_ppm
+    FROM p3 ORDER BY event_type
+    """,
+)
+def x207_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of x175's event-transition chain by three
+    unrolled integer power iterations — where user behavior settles if
+    the observed next-action dynamics keep running, the equilibrium the
+    per-step matrix can't show directly (a type can be rare as an
+    entry point yet dominant at equilibrium because chains funnel into
+    it). Same hash-checkability scheme as x168/x203: pi starts uniform
+    in ppm, each step computes pi'_j = sum_i (pi_i * n_ij) div n_i with
+    the product cast wide BEFORE multiplying (x167 rule) and exact floor
+    division per term on non-negative operands — both engines evaluate
+    the identical integer recursion, so three iterations are three CTEs.
+    Mass lost to floor-rounding (and to types with no outgoing edges)
+    is part of the defined arithmetic, identical in both engines. Plan:
+    the one user-keyed lead window x175 already pays, a |types|^2 agg,
+    then iterations on |types|-row broadcasts — no corpus access after
+    the first pass."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = e.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    big = o.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    tot = big.groupBy("cur").agg(F.sum("n").alias("n_cur"))
+    bigt = big.join(tot, "cur")
+    nt = tot.count()  # |event types|: bounded driver probe, like x71's
+    pi = tot.select(
+        F.col("cur").alias("t"), F.lit(1_000_000 // nt).cast("long").alias("pi")
+    )
+    for _ in range(3):
+        pi = (
+            bigt.join(F.broadcast(pi), bigt["cur"] == pi["t"])
+            .groupBy(F.col("nxt").alias("t2"))
+            .agg(
+                F.sum(
+                    F.expr("cast(pi as decimal(38,0)) * n div n_cur")
+                )
+                .cast("long")
+                .alias("pi")
+            )
+            .withColumnRenamed("t2", "t")
+        )
+    return pi.select(
+        F.col("t").alias("event_type"), F.col("pi").cast("long").alias("pi_ppm")
+    ).orderBy("event_type")
+
+
+@query(
+    "x208_session_profile",
+    oracle="""
+    WITH o AS (SELECT user_id, ts, epoch_us(ts) AS us,
+                      CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                                >= 300000000
+                           OR lag(ts) OVER w IS NULL
+                           THEN 1 ELSE 0 END AS brk
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (SELECT user_id, us,
+                 CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS sess
+          FROM o),
+    per AS (SELECT user_id, sess, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST((max(us) - min(us)) // 1000000 AS BIGINT) AS dur_s
+            FROM s GROUP BY 1, 2),
+    dh AS (SELECT dur_s AS v, CAST(count(*) AS BIGINT) AS c
+           FROM per GROUP BY 1),
+    dc AS (SELECT v, CAST(sum(c) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum
+           FROM dh),
+    dt AS (SELECT CAST(sum(c) AS BIGINT) AS n, CAST(max(v) AS BIGINT) AS mx
+           FROM dh),
+    eh AS (SELECT n_events AS v, CAST(count(*) AS BIGINT) AS c
+           FROM per GROUP BY 1),
+    ec AS (SELECT v, CAST(sum(c) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum
+           FROM eh),
+    dq AS (SELECT CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN v END)
+                    AS BIGINT) AS p50_dur_s,
+                  CAST(min(CASE WHEN cum >= (9 * n + 9) // 10 THEN v END)
+                    AS BIGINT) AS p90_dur_s
+           FROM dc, dt),
+    eq AS (SELECT CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN v END)
+                    AS BIGINT) AS p50_events,
+                  CAST(min(CASE WHEN cum >= (9 * n + 9) // 10 THEN v END)
+                    AS BIGINT) AS p90_events
+           FROM ec, dt)
+    SELECT dt.n AS n_sessions, dq.p50_dur_s, dq.p90_dur_s, dt.mx AS max_dur_s,
+           eq.p50_events, eq.p90_events
+    FROM dt, dq, eq
+    """,
+)
+def x208_session_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level session profile: p50/p90/max session DURATION and
+    p50/p90 events-per-session under 5-minute gap sessionization — the
+    engagement shape a product/capacity review reads (x11c materializes
+    the session rows themselves; this is the distribution summary you'd
+    actually alert on). Sessionization is the x11c lag + cumulative-sum
+    idiom inside per-USER windows (bounded by one user's activity, the
+    same partitioning x175/x82 reuse — never corpus- or type-sized);
+    quantiles read (value, count) histograms cumulated over the bounded
+    value domain (the x200/x202 selection idiom) with exact integer
+    ceil-ranks. Everything is integer microseconds/counts end to end —
+    no doubles anywhere. Plan at 100 TB: one user-keyed window pass,
+    one (user, session) agg riding the same partitioning, then two
+    value-domain histograms; output is a single row."""
+    e = load(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = e.select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.when(
+            (
+                F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(wu)
+                >= 300_000_000
+            )
+            | F.lag("ts").over(wu).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    ws = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = o.select("user_id", "us", F.sum("brk").over(ws).alias("sess"))
+    per = s.groupBy("user_id", "sess").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("(max(us) - min(us)) div 1000000").alias("dur_s"),
+    )
+
+    def hist_quantiles(col, p50_name, p90_name):
+        h = per.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        wc = Window.orderBy("v").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        cum = h.select("v", F.sum("c").over(wc).alias("cum"))
+        t = h.agg(F.sum("c").alias("n"), F.max("v").alias("mx"))
+        return (
+            cum.crossJoin(F.broadcast(t))
+            .agg(
+                F.min(
+                    F.when(F.expr("cum >= (n + 1) div 2"), F.col("v"))
+                ).cast("long").alias(p50_name),
+                F.min(
+                    F.when(F.expr("cum >= (9 * n + 9) div 10"), F.col("v"))
+                ).cast("long").alias(p90_name),
+            )
+        )
+
+    dt = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.max("dur_s").cast("long").alias("max_dur_s"),
+    )
+    dq = hist_quantiles("dur_s", "p50_dur_s", "p90_dur_s")
+    eq = hist_quantiles("n_events", "p50_events", "p90_events")
+    return (
+        dt.crossJoin(F.broadcast(dq))
+        .crossJoin(F.broadcast(eq))
+        .select(
+            "n_sessions",
+            "p50_dur_s",
+            "p90_dur_s",
+            "max_dur_s",
+            "p50_events",
+            "p90_events",
+        )
+    )
+
+
+@query(
+    "x209_funnel_step_timing",
+    oracle="""
+    WITH v AS (SELECT user_id, min(epoch_us(ts)) AS v_us
+               FROM events WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(epoch_us(e.ts)) AS c_us
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.v_us
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS p_us
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.c_us
+          GROUP BY e.user_id),
+    g AS (SELECT 'view_to_click' AS step,
+                 CAST((c.c_us - v.v_us) // 1000000 AS BIGINT) AS gap_s
+          FROM c JOIN v ON c.user_id = v.user_id
+          UNION ALL
+          SELECT 'click_to_purchase' AS step,
+                 CAST((p.p_us - c.c_us) // 1000000 AS BIGINT) AS gap_s
+          FROM p JOIN c ON p.user_id = c.user_id),
+    h AS (SELECT step, gap_s, CAST(count(*) AS BIGINT) AS cnt
+          FROM g GROUP BY 1, 2),
+    cum AS (SELECT step, gap_s, CAST(sum(cnt) OVER (PARTITION BY step
+                 ORDER BY gap_s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum
+            FROM h),
+    t AS (SELECT step, CAST(sum(cnt) AS BIGINT) AS n_users,
+                 CAST(max(gap_s) AS BIGINT) AS max_s
+          FROM h GROUP BY step)
+    SELECT cum.step, t.n_users,
+           CAST(min(CASE WHEN cum >= (n_users + 1) // 2 THEN gap_s END)
+             AS BIGINT) AS p50_s,
+           CAST(min(CASE WHEN cum >= (9 * n_users + 9) // 10 THEN gap_s END)
+             AS BIGINT) AS p90_s,
+           t.max_s
+    FROM cum JOIN t ON cum.step = t.step
+    GROUP BY cum.step, t.n_users, t.max_s
+    ORDER BY cum.step
+    """,
+)
+def x209_funnel_step_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-next-step distribution along the view -> click -> purchase
+    funnel (greedy earliest chain, x82's semantics): p50/p90/max seconds
+    from first view to first subsequent click and from that click to the
+    first subsequent purchase — the latency companion to x82's WHO
+    converts and x186's censoring-corrected WHETHER; this is the
+    'how long does conversion take for those who convert' curve an
+    attribution window must be sized against. Steps resolve by
+    min-timestamp aggs chained through strictly-later joins (no per-user
+    window needed at all); quantiles read a (step, gap_s) value
+    histogram with exact integer ceil-ranks (the x200/x202/x208
+    selection idiom). All integer microseconds end to end. Plan: three
+    user-keyed hash aggs + broadcast-sized step joins, then a
+    two-partition histogram window over the gap-value domain."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("v_us"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("us") > F.col("v_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("c_us"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("us") > F.col("c_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("p_us"))
+    )
+    g = (
+        c.join(v, "user_id")
+        .select(
+            F.lit("view_to_click").alias("step"),
+            F.expr("(c_us - v_us) div 1000000").alias("gap_s"),
+        )
+        .unionByName(
+            p.join(c, "user_id").select(
+                F.lit("click_to_purchase").alias("step"),
+                F.expr("(p_us - c_us) div 1000000").alias("gap_s"),
+            )
+        )
+    )
+    h = g.groupBy("step", "gap_s").agg(F.count(F.lit(1)).alias("cnt"))
+    wc = (
+        Window.partitionBy("step")
+        .orderBy("gap_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = h.select("step", "gap_s", F.sum("cnt").over(wc).alias("cum"))
+    t = h.groupBy("step").agg(
+        F.sum("cnt").alias("n_users"), F.max("gap_s").alias("max_s")
+    )
+    return (
+        cum.join(F.broadcast(t), "step")
+        .groupBy("step", "n_users", "max_s")
+        .agg(
+            F.min(
+                F.when(F.expr("cum >= (n_users + 1) div 2"), F.col("gap_s"))
+            ).cast("long").alias("p50_s"),
+            F.min(
+                F.when(
+                    F.expr("cum >= (9 * n_users + 9) div 10"), F.col("gap_s")
+                )
+            ).cast("long").alias("p90_s"),
+        )
+        .select(
+            "step",
+            F.col("n_users").cast("long").alias("n_users"),
+            "p50_s",
+            "p90_s",
+            F.col("max_s").cast("long").alias("max_s"),
+        )
+        .orderBy("step")
+    )

@@ -4713,11 +4713,17 @@ def x199_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM uc GROUP BY source),
     nt AS (SELECT CAST(sum(a) AS BIGINT) AS nn FROM uc),
     terms AS (SELECT uc.source,
-                     CAST(sum(uc.a * CAST(ln(2.0 * uc.a * nt.nn /
-                          (uc.a * nt.nn + cw.b * ns.n)) AS DECIMAL(28,6)))
+                     CAST(sum(uc.a * CAST(ln(
+                          CAST(2 * CAST(uc.a AS HUGEINT) * nt.nn AS DOUBLE) /
+                          CAST(CAST(uc.a AS HUGEINT) * nt.nn
+                               + CAST(cw.b AS HUGEINT) * ns.n AS DOUBLE))
+                          AS DECIMAL(28,6)))
                        AS DECIMAL(38,6)) AS sa,
-                     CAST(sum(cw.b * CAST(ln(2.0 * cw.b * ns.n /
-                          (uc.a * nt.nn + cw.b * ns.n)) AS DECIMAL(28,6)))
+                     CAST(sum(cw.b * CAST(ln(
+                          CAST(2 * CAST(cw.b AS HUGEINT) * ns.n AS DOUBLE) /
+                          CAST(CAST(uc.a AS HUGEINT) * nt.nn
+                               + CAST(cw.b AS HUGEINT) * ns.n AS DOUBLE))
+                          AS DECIMAL(28,6)))
                        AS DECIMAL(38,6)) AS sb_in,
                      CAST(sum(cw.b) AS BIGINT) AS b_in
               FROM uc JOIN cw ON uc.w = cw.w
@@ -4765,15 +4771,24 @@ def x206_source_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(ns.select("source", "n")), "source")
         .crossJoin(F.broadcast(nt))
     )
+    # exact integer products ride decimal(38,0) (HUGEINT in the oracle),
+    # then ONE double cast each side of the division — bare `2.0 * ...`
+    # would run under DECIMAL literal semantics in DuckDB and diverge
     lnq = lambda expr: F.expr(f"CAST(ln({expr}) AS DECIMAL(28,6))")  # noqa: E731
+    den = (
+        "CAST(CAST(a AS DECIMAL(38,0)) * nn"
+        " + CAST(b AS DECIMAL(38,0)) * n AS DOUBLE)"
+    )
     terms = j.groupBy("source").agg(
         F.sum(
-            F.col("a") * lnq("2.0 * a * nn / (a * nn + b * n)")
+            F.col("a")
+            * lnq(f"CAST(2 * CAST(a AS DECIMAL(38,0)) * nn AS DOUBLE) / {den}")
         )
         .cast("decimal(38,6)")
         .alias("sa"),
         F.sum(
-            F.col("b") * lnq("2.0 * b * n / (a * nn + b * n)")
+            F.col("b")
+            * lnq(f"CAST(2 * CAST(b AS DECIMAL(38,0)) * n AS DOUBLE) / {den}")
         )
         .cast("decimal(38,6)")
         .alias("sb_in"),

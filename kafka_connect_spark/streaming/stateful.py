@@ -470,3 +470,57 @@ def streaming_alert_for_duration(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_interarrival(sdf: DataFrame) -> DataFrame:
+    """Streaming twin of x202's inter-arrival gap extraction: per
+    event_type the ONLY state is the last-seen event's microsecond clock
+    (one int64 per key — bounded by |types| forever), and each microbatch
+    emits the whole-second gaps between consecutive events, including the
+    gap that straddles the microbatch boundary via the stored clock.
+
+    Exactness contract (pinned in tests/test_streaming_drift.py): replayed
+    in event-time order, the emitted gap MULTISET equals the batch x202
+    gap union exactly — the stored last_ts plays the same role as x202's
+    previous-day last event in the day-sharded decomposition, just at
+    microbatch rather than calendar granularity. Equal timestamps yield
+    zero gaps in any order, so intra-batch tie order never changes the
+    multiset (the same argument x202's oracle relies on)."""
+    out_schema = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("gap_s", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("last_us", LongType())])
+
+    def update(key, pdfs, state: GroupState):
+        (last_us,) = state.get if state.exists else (None,)
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["us", "event_id"], ignore_index=True
+        )
+        gaps = []
+        for us in pdf["us"]:
+            us = int(us)
+            if last_us is not None:
+                gaps.append((us - last_us) // 1_000_000)
+            last_us = us
+        state.update((last_us,))
+        yield pd.DataFrame(
+            {"event_type": [key[0]] * len(gaps), "gap_s": gaps}
+        )
+
+    from pyspark.sql import functions as F
+
+    prepared = sdf.select(
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.col("event_id").cast("long").alias("event_id"),
+    )
+    return prepared.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -103,6 +103,11 @@ FLAGSHIPS = {
     "x192_vocab_coverage_curve": "top-K mass via count-of-counts straddle logic; vocab never rank-sorted",
     "x193_wasserstein_length_shift": "per-pair CDF merge over the length support; corpus touched by one hash agg",
     "x194_gain_chart": "distributed_ntile deciles (range exchange), 10-row cumulative window",
+    "x199_entropy_rate": "bigrams via JVM higher-order transform; (source, prefix) hash aggs only",
+    "x200_quantile_sketch": "one shared value histogram; windows bounded by the value domain",
+    "x202_interarrival_profile": "day-sharded lag + boundary stitch; no per-type corpus window",
+    "x203_power_iteration_pc1": "one corpus pass for the Gram; iterations on 8-row broadcasts",
+    "x206_source_jsd": "vocab-sized join; absent-word KL mass in closed form, no anti-join",
 }
 
 

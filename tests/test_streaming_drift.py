@@ -132,3 +132,68 @@ def test_streaming_quantile_histogram_equals_batch(spark, sf_dir, tmp_path):
     pd.testing.assert_frame_equal(final, batch, check_dtype=False)
     # state bound: one row per (group, value) — the value domain
     assert len(final) == d0.select("source", "n_chars").distinct().count()
+
+
+def test_streaming_interarrival_gaps_equal_batch_multiset(
+    spark, sf_dir, tmp_path
+):
+    """Replaying events in time order, streaming_interarrival's emitted
+    gap multiset must equal the batch day-sharded x202 gap union exactly:
+    the one-timestamp-per-type state replaces the global lag window."""
+    from kafka_connect_spark.streaming.stateful import streaming_interarrival
+
+    e = load(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id", F.to_date("ts").alias("day")
+    )
+    # batch gaps: x202's within-day + boundary union (inlined)
+    from pyspark.sql import Window
+
+    wd = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    within = (
+        e.withColumn("prev_ts", F.lag("ts").over(wd))
+        .filter(F.col("prev_ts").isNotNull())
+        .select(
+            "event_type",
+            F.expr("(unix_micros(ts) - unix_micros(prev_ts)) div 1000000").alias(
+                "gap_s"
+            ),
+        )
+    )
+    daily = e.groupBy("event_type", "day").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    wb = Window.partitionBy("event_type").orderBy("day")
+    boundary = (
+        daily.withColumn("prev_last", F.lag("last_ts").over(wb))
+        .filter(F.col("prev_last").isNotNull())
+        .select(
+            "event_type",
+            F.expr(
+                "(unix_micros(first_ts) - unix_micros(prev_last)) div 1000000"
+            ).alias("gap_s"),
+        )
+    )
+    batch = sorted(
+        (r["event_type"], r["gap_s"])
+        for r in within.unionByName(boundary).collect()
+    )
+
+    d = str(tmp_path / "ia-replay")
+    write_replay_files(e.select("event_type", "ts", "event_id"), d, 4, "ts")
+    sdf = file_replay_stream(spark, d, spark.read.parquet(d).schema)
+    out: list[pd.DataFrame] = []
+    q = (
+        streaming_interarrival(sdf)
+        .writeStream.foreachBatch(lambda df, bid: out.append(df.toPandas()))
+        .option("checkpointLocation", str(tmp_path / "ckpt-ia"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.event_type, int(r.gap_s))
+        for df in out
+        for r in df.itertuples(index=False)
+    )
+    assert got == batch
