@@ -40,6 +40,9 @@ AUDITED = {
         "agg:days + day-pairs — |days| then |days|^2/2 rows (31 days fixed)",
     ("queries/metrics.py", "x186_kaplan_meier_conversion"):
         "agg:distinct duration days — |days| rows for the KM product",
+    ("queries/metrics.py", "hist_quantiles"):
+        "agg:(value, count) histogram — |distinct session durations / "
+        "events-per-session| rows (x208's value-domain selection cumsum)",
     ("queries/text.py", "x14h_vocab"):
         "rows<=20 — rank window runs after .limit(20)",
     ("queries/text.py", "x58_length_decile_stats"):
