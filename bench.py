@@ -287,6 +287,7 @@ HEADLINE = [
     "x207_markov_stationary",
     "x208_session_profile",
     "x209_funnel_step_timing",
+    "x210_skyline_docs",
 ]
 
 

@@ -4817,3 +4817,72 @@ def x206_source_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "x210_skyline_docs",
+    oracle="""
+    WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS a,
+                      CAST(length(list_distinct(string_split(text, ' ')))
+                        AS BIGINT) AS b
+               FROM documents),
+    va AS (SELECT a, CAST(max(b) AS BIGINT) AS mb,
+                  CAST(count(*) AS BIGINT) AS n_at
+           FROM d GROUP BY a),
+    sk AS (SELECT a, mb,
+                  max(mb) OVER (ORDER BY a DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS better_mb
+           FROM va),
+    front AS (SELECT a, mb FROM sk
+              WHERE better_mb IS NULL OR mb > better_mb)
+    SELECT front.a AS n_chars, front.mb AS vocab,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM front JOIN d ON d.a = front.a AND d.b = front.mb
+    GROUP BY front.a, front.mb
+    ORDER BY n_chars DESC
+    """,
+)
+def x210_skyline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-front) query over documents on (length, distinct
+    vocabulary): the docs no other doc weakly dominates on both axes
+    with a strict improvement on one — the multi-criteria selection
+    operator (Borzsony/Kossmann/Stocker's SKYLINE OF) behind "show me
+    the frontier" curation asks (longest docs that are ALSO the most
+    lexically rich at their length), a different operator class from
+    any single-key top-k in the registry. Scalable shape: dominance on
+    two totally-ordered axes collapses onto the VALUE DOMAIN — per
+    distinct length keep max vocab (a hash agg), then one cumulative
+    max over |distinct lengths| rows finds the staircase; a point is on
+    the front iff its max-vocab strictly exceeds every longer length's
+    (ties in both coordinates are mutually non-dominating, so all docs
+    AT a front point are returned via the final value-join). The corpus
+    is never rank-sorted: the only window rides the length-value
+    histogram (the x200/x58 discipline), and the final join is a
+    broadcast of the front. Output: the front staircase with doc
+    multiplicity per point."""
+    d = load_parallel(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("a"),
+        F.size(F.array_distinct(F.split("text", " "))).cast("long").alias("b"),
+    )
+    va = d.groupBy("a").agg(
+        F.max("b").alias("mb"), F.count(F.lit(1)).alias("n_at")
+    )
+    wsk = Window.orderBy(F.col("a").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    sk = va.select("a", "mb", F.max("mb").over(wsk).alias("better_mb"))
+    front = sk.filter(
+        F.col("better_mb").isNull() | (F.col("mb") > F.col("better_mb"))
+    ).select("a", "mb")
+    return (
+        d.join(
+            F.broadcast(front),
+            (d["a"] == front["a"]) & (d["b"] == front["mb"]),
+        )
+        .drop(front["a"])
+        .groupBy(F.col("a").alias("n_chars"), F.col("mb").alias("vocab"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy(F.col("n_chars").desc())
+    )

@@ -53,6 +53,9 @@ AUDITED = {
         "rows<=50 — per-signal ranks use distributed_rank; final window after .limit(50)",
     ("queries/text.py", "x110_pareto_abc"):
         "agg:sources — |distinct source| rows",
+    ("queries/text.py", "x210_skyline_docs"):
+        "agg:distinct n_chars — the skyline staircase cummax runs over "
+        "the length-value domain, never the corpus",
     ("queries/text.py", "x116_token_budget_allocation"):
         "agg:sources — |distinct source| rows",
     ("queries/text.py", "x118_ranked_retrieval"):
