@@ -141,3 +141,19 @@ def quantile_histogram(
             .alias("sc"),
         )
     )
+
+
+def skyline_staircase(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """x210's per-length max-vocab table as ONE aggregation — (a) ->
+    max(b). MAX is the canonical mergeable update (the hll_registers
+    argument), so on a stream the complete-mode state IS the staircase
+    input, bounded by |distinct a| (the value domain) regardless of
+    stream length, and the final streaming state equals the batch table
+    row-for-row. The Pareto front then falls out of the same cumulative-
+    max selection x210 runs — incremental skyline maintenance with no
+    per-row state and no corpus replay."""
+    return (
+        df.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .groupBy("a")
+        .agg(F.max("b").cast("long").alias("mb"))
+    )

@@ -197,3 +197,63 @@ def test_streaming_interarrival_gaps_equal_batch_multiset(
         for r in df.itertuples(index=False)
     )
     assert got == batch
+
+
+def test_streaming_skyline_staircase_equals_batch_front(
+    spark, sf_dir, tmp_path
+):
+    """The streaming (length -> max vocab) table after a 4-chunk replay
+    must equal the batch table, and the front selected from it must equal
+    x210's output exactly — incremental skyline maintenance on bounded
+    state."""
+    from pyspark.sql import Window
+
+    from kafka_connect_spark.queries.text import x210_skyline_docs
+    from kafka_connect_spark.streaming.drift import skyline_staircase
+
+    d0 = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("a"),
+        F.size(F.array_distinct(F.split("text", " ")))
+        .cast("long")
+        .alias("b"),
+    )
+    batch = (
+        skyline_staircase(d0, "a", "b")
+        .toPandas()
+        .sort_values("a", ignore_index=True)
+    )
+    d = str(tmp_path / "sky-replay")
+    write_replay_files(d0, d, 4, "doc_id")
+    sdf = file_replay_stream(spark, d, spark.read.parquet(d).schema)
+    out: list[pd.DataFrame] = []
+    q = (
+        skyline_staircase(sdf, "a", "b")
+        .writeStream.foreachBatch(lambda df, bid: out.append(df.toPandas()))
+        .option("checkpointLocation", str(tmp_path / "ckpt-sky"))
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    final = out[-1].sort_values("a", ignore_index=True)
+    pd.testing.assert_frame_equal(final, batch, check_dtype=False)
+
+    # select the front from the final streamed staircase and pin it to
+    # the batch skyline's (n_chars, vocab) set
+    fdf = spark.createDataFrame(final)
+    wsk = Window.orderBy(F.col("a").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    front = (
+        fdf.select("a", "mb", F.max("mb").over(wsk).alias("better"))
+        .filter(F.col("better").isNull() | (F.col("mb") > F.col("better")))
+        .select("a", "mb")
+        .collect()
+    )
+    got = sorted((r["a"], r["mb"]) for r in front)
+    want = sorted(
+        (r["n_chars"], r["vocab"])
+        for r in x210_skyline_docs(spark, sf_dir).collect()
+    )
+    assert got == want

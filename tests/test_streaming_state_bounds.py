@@ -208,3 +208,28 @@ def test_session_state_tracks_active_keys_only(spark, sf_dir, tmp_path):
     assert any(b < a for a, b in zip(rows, rows[1:]))
     # closed sessions were actually emitted by the timeout path
     assert sum(sink) > 0
+
+
+def test_interarrival_state_bounded_over_128_microbatches(
+    spark, sf_dir, tmp_path
+):
+    """streaming_interarrival's state is ONE int64 clock per event type:
+    numRowsTotal must sit at <= n_types across a 128-microbatch replay —
+    gap extraction needs no window state and no event buffering."""
+    from kafka_connect_spark.streaming.stateful import streaming_interarrival
+
+    e = load(spark, sf_dir, "events").select("event_type", "ts", "event_id")
+    n_types = e.select("event_type").distinct().count()
+    trace, sink = _state_rows_per_batch(
+        spark,
+        tmp_path,
+        "interarrival",
+        e,
+        "ts",
+        streaming_interarrival,
+        "update",
+    )
+    assert max(rows for _, rows in trace) <= n_types
+    assert trace[-1][1] == max(rows for _, rows in trace)
+    # every event except each type's first yields exactly one gap
+    assert sum(sink) == e.count() - n_types
