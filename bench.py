@@ -288,6 +288,7 @@ HEADLINE = [
     "x208_session_profile",
     "x209_funnel_step_timing",
     "x210_skyline_docs",
+    "x211_scalar_quantization_audit",
 ]
 
 

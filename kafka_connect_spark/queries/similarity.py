@@ -963,3 +963,92 @@ def x203_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+@query(
+    "x211_scalar_quantization_audit",
+    oracle=f"""
+    WITH u AS (SELECT vec_id, generate_subscripts(v, 1) - 1 AS d,
+                      unnest(v) AS val
+               FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                     FROM embeddings)),
+    st AS (SELECT d, min(val) AS mn, max(val) AS mx,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM u GROUP BY d HAVING max(val) > min(val)),
+    q AS (SELECT u.d, st.n, u.val,
+                 floor((u.val - st.mn) * 255.0 / (st.mx - st.mn)) AS code,
+                 st.mn + (floor((u.val - st.mn) * 255.0 / (st.mx - st.mn))
+                          + 0.5) * (st.mx - st.mn) / 255.0 AS vq,
+                 st.mx - st.mn AS rng
+          FROM u JOIN st ON u.d = st.d)
+    SELECT CAST(d AS BIGINT) AS dim, n,
+           CAST(count(DISTINCT code) AS BIGINT) AS levels,
+           {dround_sql("max(rng)", 6)} AS rng,
+           {davg_sql("abs(val - vq)", 6)} AS mean_abs_err,
+           {dround_sql("max(abs(val - vq))", 6)} AS max_abs_err
+    FROM q GROUP BY d, n ORDER BY dim
+    """,
+)
+def x211_scalar_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantization error audit per embedding dimension: the
+    storage-compression decision PQ (x87) and Matryoshka truncation
+    (x152) don't cover — uniform 256-level quantization of each dim to
+    its own [min, max] range, reporting levels actually used, range,
+    and mean/max absolute reconstruction error (midpoint dequant). This
+    is the audit run before shipping int8 embeddings to an ANN index:
+    dims whose max error rivals their neighbors' separation need more
+    bits or per-block scales. Cross-engine exactness: codes come from
+    floor() over an identical IEEE expression tree (the dround rationale
+    — no round() anywhere), error stats ride the dsum/davg decimal
+    accumulators, constant dims are excluded by the same HAVING in both
+    engines. Plan: one (dim) hash agg for ranges, broadcast back onto
+    one posexplode pass, one (dim) agg out — two corpus-width passes,
+    64-row output, no shuffle wider than the dim key."""
+    emb = load(spark, sf_dir, "embeddings")
+    u = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "d", "val"
+        ),
+    )
+    st = (
+        u.groupBy("d")
+        .agg(
+            F.min("val").alias("mn"),
+            F.max("val").alias("mx"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("mx") > F.col("mn"))
+    )
+    code = F.floor((F.col("val") - F.col("mn")) * 255.0 / (F.col("mx") - F.col("mn")))
+    q = u.join(F.broadcast(st), "d").select(
+        "d",
+        "n",
+        "val",
+        code.alias("code"),
+        (
+            F.col("mn")
+            + (code + 0.5) * (F.col("mx") - F.col("mn")) / 255.0
+        ).alias("vq"),
+        (F.col("mx") - F.col("mn")).alias("rng"),
+    )
+    return (
+        q.groupBy("d", "n")
+        .agg(
+            F.countDistinct("code").cast("long").alias("levels"),
+            dround(F.max("rng"), 6).alias("rng"),
+            davg(F.abs(F.col("val") - F.col("vq")), 6).alias("mean_abs_err"),
+            dround(F.max(F.abs(F.col("val") - F.col("vq"))), 6).alias(
+                "max_abs_err"
+            ),
+        )
+        .select(
+            F.col("d").cast("long").alias("dim"),
+            F.col("n").cast("long").alias("n"),
+            "levels",
+            "rng",
+            "mean_abs_err",
+            "max_abs_err",
+        )
+        .orderBy("dim")
+    )
