@@ -4500,7 +4500,14 @@ def x207_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("cur"),
         F.lead("event_type").over(w).alias("nxt"),
     ).filter(F.col("nxt").isNotNull())
-    big = o.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    # ONE corpus pass (the lead window), materialized at |types|^2 rows:
+    # without the checkpoint the nt probe and each of the 3 iterations
+    # replays the window over the corpus (the x203 lesson)
+    big = (
+        o.groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
     tot = big.groupBy("cur").agg(F.sum("n").alias("n_cur"))
     bigt = big.join(tot, "cur")
     nt = tot.count()  # |event types|: bounded driver probe, like x71's

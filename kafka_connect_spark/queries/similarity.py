@@ -920,8 +920,14 @@ def x203_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p.i", "p.j", "p.xy")
     )
-    g = pairs.groupBy("i", "j").agg(
-        (F.sum("xy") * 1_000_000).cast("decimal(38,0)").alias("g")
+    # ONE corpus pass, materialized: without the checkpoint every matvec
+    # and every renorm max re-derives the Gram from the corpus (the lazy
+    # plan held 86 parquet scans) — with it, iterations are pure 64-row
+    # jobs. Same executor-local semantics as x71's shared-assignment fix.
+    g = (
+        pairs.groupBy("i", "j")
+        .agg((F.sum("xy") * 1_000_000).cast("decimal(38,0)").alias("g"))
+        .localCheckpoint(eager=True)
     )
     sgn = F.when(F.col("w") < 0, F.lit(-1)).otherwise(F.lit(1))
     renorm = (
@@ -934,6 +940,10 @@ def x203_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("g") * F.lit(1_000_000)).cast("decimal(38,0)").alias("w")
     )
     for _ in range(3):
+        # 8-row checkpoint per round: the renorm max forks the lineage
+        # (m and vn both read v), and without it each fork replays the
+        # whole iteration history
+        v = v.localCheckpoint(eager=True)
         m = v.agg(F.max(F.abs(F.col("w"))).alias("m"))
         vn = v.crossJoin(F.broadcast(m)).select("d", renorm)
         # next matvec (the 3rd loop pass computes w4 for the Rayleigh

@@ -108,6 +108,8 @@ FLAGSHIPS = {
     "x202_interarrival_profile": "day-sharded lag + boundary stitch; no per-type corpus window",
     "x203_power_iteration_pc1": "one corpus pass for the Gram; iterations on 8-row broadcasts",
     "x206_source_jsd": "vocab-sized join; absent-word KL mass in closed form, no anti-join",
+    "x210_skyline_docs": "skyline via value-domain cummax + broadcast front join; corpus never rank-sorted",
+    "x211_scalar_quantization_audit": "per-dim range broadcast onto one posexplode pass; 64-row output",
 }
 
 
