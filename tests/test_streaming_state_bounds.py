@@ -233,3 +233,27 @@ def test_interarrival_state_bounded_over_128_microbatches(
     assert trace[-1][1] == max(rows for _, rows in trace)
     # every event except each type's first yields exactly one gap
     assert sum(sink) == e.count() - n_types
+
+
+def test_mcnemar_state_bounded_over_128_microbatches(spark, sf_dir, tmp_path):
+    """The McNemar/confusion complete-mode aggregate is ONE global group:
+    numRowsTotal must sit at exactly 1 for all 128 microbatches — online
+    eval over an unbounded prediction stream costs five counters, ever
+    (the row-exactness pin lives in tests/test_streaming_eval.py; this is
+    the sustained-replay bound)."""
+    from kafka_connect_spark.functions.evalfns import (
+        confusion_mcnemar,
+        lid_labels,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    trace, _ = _state_rows_per_batch(
+        spark,
+        tmp_path,
+        "mcnemar",
+        docs,
+        "doc_id",
+        lambda sdf: confusion_mcnemar(lid_labels(sdf)),
+        "complete",
+    )
+    assert max(rows for _, rows in trace) == 1
