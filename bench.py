@@ -317,6 +317,41 @@ def run_noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# --- self-qualification (r9 verdict item #1) -------------------------------
+# Three same-code r9 runs spanned ±35% on the throughput analogs because the
+# rig's ambient load differed between them; nothing in the artifact recorded
+# that, so the round-over-round trend line was unreadable. The bench now
+# measures a fixed, data-independent calibration canary (pure CPU: hash+sum
+# over spark.range, no I/O, no shuffle skew) before the sweep and stamps it
+# -- plus os.getloadavg() before any Spark work -- into BENCH_DETAIL.json.
+# A run whose canary exceeds the committed idle band is flagged
+# `contention_flag: true`; consumers should treat its deltas as environment,
+# not plans. Calibration numbers live in BENCH_CANARY.json (committed).
+
+_CANARY_ROWS = 256_000_000
+# idle rig 2026-08-15, 7 runs post-warmup: 0.275-0.402s, median 0.327
+# (BENCH_CANARY.json). Band hi = ~1.7x idle median: beyond the widest
+# idle-to-idle swing we measured, well inside the 2-3x slowdown real
+# contention produces (the r9 board-wide +20% came with individual queries
+# at +132%).
+_CANARY_BAND_HI = 0.55
+_LOADAVG_AMBIENT_MAX = 4.0  # 1-min loadavg pre-Spark on a 32-cpu rig
+
+
+def _canary_sec(spark) -> float:
+    from pyspark.sql import functions as F
+
+    def once() -> float:
+        t0 = time.time()
+        spark.range(0, _CANARY_ROWS, 1, 32).select(
+            F.sum(F.pmod(F.xxhash64("id"), F.lit(1_000_000)))
+        ).collect()
+        return time.time() - t0
+
+    once()  # untimed warmup
+    return _median([once() for _ in range(5)])
+
+
 def _median(xs: list[float]) -> float:
     s = sorted(xs)
     mid = len(s) // 2
@@ -327,6 +362,9 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    # ambient load BEFORE any Spark work — once the bench runs, loadavg
+    # measures us, not the environment
+    loadavg_start = os.getloadavg()
     # console progress interleaves with stdout and broke the driver's JSON
     # parse in round 5 (BENCH_r05: rc=0, parsed=null) — keep stdout clean
     spark = get_spark(
@@ -336,6 +374,9 @@ def main() -> None:
 
     # warm the JVM + parquet footers so timings measure the queries
     load(spark, sf_dir, "lineitem").count()
+
+    canary = _canary_sec(spark)
+    contention = canary > _CANARY_BAND_HI or loadavg_start[0] > _LOADAVG_AMBIENT_MAX
 
     timings: dict[str, float] = {}
 
@@ -436,6 +477,16 @@ def main() -> None:
         # r9: the pipeline analog gets the same treatment — one untimed
         # run before the timed reps
         "pipeline_warmup_run": True,
+        # r10: self-qualification — fixed CPU canary (median of 5, post-
+        # warmup) + pre-Spark load average; band in BENCH_CANARY.json.
+        # contention_flag=true => this run's wall-clock deltas vs other
+        # rounds are environment, not plan changes.
+        "canary_sec": round(canary, 3),
+        "canary_rows": _CANARY_ROWS,
+        "canary_band_hi": _CANARY_BAND_HI,
+        "loadavg_start": [round(x, 2) for x in loadavg_start],
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        "contention_flag": contention,
         "excluded": excluded_map(),
     }
     # every registry query is either benched or excluded-with-reason
@@ -469,6 +520,8 @@ def main() -> None:
             "incremental_poll_rows_per_sec": detail[
                 "incremental_poll_rows_per_sec"
             ],
+            "canary_sec": detail["canary_sec"],
+            "contention_flag": contention,
             "excluded": {
                 "n": len(detail["excluded"]),
                 "reasons": {
