@@ -9,6 +9,7 @@ from . import (  # noqa: F401
     quality,
     relational,
     similarity,
+    stats,
     text,
     udf,
 )

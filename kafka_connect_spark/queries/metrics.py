@@ -4783,3 +4783,94 @@ def x209_funnel_step_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("step")
     )
+
+
+@query(
+    "x219_peak_concurrency",
+    oracle="""
+    WITH o AS (SELECT user_id, ts, event_id,
+                      epoch_us(ts) - epoch_us(lag(ts) OVER (
+                          PARTITION BY user_id ORDER BY ts, event_id))
+                          AS gap_us
+               FROM events),
+    sess AS (SELECT user_id, ts,
+                    sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+                        THEN 1 ELSE 0 END) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS sid
+             FROM o),
+    b AS (SELECT user_id, sid,
+                 date_trunc('minute', min(ts)) AS s_min,
+                 date_trunc('minute', max(ts)) AS e_min
+          FROM sess GROUP BY 1, 2),
+    mins AS (SELECT unnest(generate_series(s_min, e_min,
+                    INTERVAL 1 MINUTE)) AS minute
+             FROM b),
+    conc AS (SELECT minute, CAST(count(*) AS BIGINT) AS c
+             FROM mins GROUP BY minute),
+    dmax AS (SELECT CAST(minute AS DATE) AS day, max(c) AS peak
+             FROM conc GROUP BY 1)
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           CAST(d.peak AS BIGINT) AS peak_sessions,
+           strftime(min(c.minute), '%Y-%m-%d %H:%M') AS first_peak_minute
+    FROM dmax d JOIN conc c
+         ON CAST(c.minute AS DATE) = d.day AND c.c = d.peak
+    GROUP BY d.day, d.peak ORDER BY day
+    """,
+)
+def x219_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day (and the first minute it was
+    hit) — the interval-overlap counting problem behind capacity
+    planning ("how many users were on AT ONCE", vs x105's rolling
+    ACTIVE-in-window count, which ignores overlap). Sessionization is
+    the x208 30-minute-gap rule on a user-partitioned window (exact
+    microsecond gaps); each session then covers its minute RANGE via
+    sequence-explode, so concurrency is a hash count on the MINUTE
+    value domain and the daily peak is a max over |days| rows — the
+    classic +1/-1 sweep-line collapsed onto a bounded time grid, with
+    no global ordering anywhere. Explode fan-out is bounded by session
+    minutes (gap rule caps idle stretches at 30 min). Ties on the peak
+    resolve to the earliest minute, deterministically."""
+    e = load(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(wu)
+    sess = e.select(
+        "user_id",
+        "ts",
+        F.sum(
+            F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+        )
+        .over(wu.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("sid"),
+    )
+    b = sess.groupBy("user_id", "sid").agg(
+        F.date_trunc("minute", F.min("ts")).alias("s_min"),
+        F.date_trunc("minute", F.max("ts")).alias("e_min"),
+    )
+    mins = b.select(
+        F.explode(
+            F.sequence("s_min", "e_min", F.expr("INTERVAL 1 MINUTE"))
+        ).alias("minute")
+    )
+    conc = mins.groupBy("minute").agg(F.count(F.lit(1)).alias("c"))
+    dmax = conc.groupBy(F.to_date("minute").alias("day")).agg(
+        F.max("c").alias("peak")
+    )
+    return (
+        conc.join(
+            F.broadcast(dmax),
+            (F.to_date("minute") == F.col("day"))
+            & (F.col("c") == F.col("peak")),
+        )
+        .groupBy("day", "peak")
+        .agg(F.min("minute").alias("pm"))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("peak").cast("long").alias("peak_sessions"),
+            F.date_format("pm", "yyyy-MM-dd HH:mm").alias(
+                "first_peak_minute"
+            ),
+        )
+        .orderBy("day")
+    )

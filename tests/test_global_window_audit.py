@@ -53,6 +53,12 @@ AUDITED = {
         "rows<=50 — per-signal ranks use distributed_rank; final window after .limit(50)",
     ("queries/text.py", "x110_pareto_abc"):
         "agg:sources — |distinct source| rows",
+    ("queries/stats.py", "x217_nelson_aalen_hazard"):
+        "agg:distinct duration days — the risk-set reverse cumsum and the "
+        "hazard cumsum both run over |days| rows (x186's domain)",
+    ("queries/stats.py", "x212_kruskal_wallis_length"):
+        "agg:distinct n_chars — the midrank cumsum runs over the length "
+        "histogram (value domain), never the corpus",
     ("queries/text.py", "x210_skyline_docs"):
         "agg:distinct n_chars — the skyline staircase cummax runs over "
         "the length-value domain, never the corpus",
