@@ -1062,3 +1062,130 @@ def x211_scalar_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("dim")
     )
+
+
+@query(
+    "x221_jl_projection_distortion",
+    oracle=f"""
+    WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+                      CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                           AS BIGINT) AS q
+               FROM embeddings WHERE vec_id < 100),
+    sgn AS (SELECT r // 16 AS i, r % 16 AS j,
+                   CASE WHEN ((1103515245 * r + 12345) % 2147483648)
+                        // 65536 % 2 = 0 THEN 1 ELSE -1 END AS s
+            FROM (SELECT unnest(range(1024)) AS r)),
+    proj AS (SELECT u.vec_id, sgn.j,
+                    CAST(sum(u.q * sgn.s) AS BIGINT) AS p
+             FROM u JOIN sgn ON sgn.i = u.i
+             GROUP BY 1, 2),
+    dp AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+                  CAST(sum(CAST(a.p - b.p AS DECIMAL(38,0)) * (a.p - b.p))
+                       AS DECIMAL(38,0)) AS d2p
+           FROM proj a JOIN proj b ON a.j = b.j AND a.vec_id < b.vec_id
+           GROUP BY 1, 2),
+    dq AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+                  CAST(sum(CAST(a.q - b.q AS DECIMAL(38,0)) * (a.q - b.q))
+                       AS DECIMAL(38,0)) AS d2o
+           FROM u a JOIN u b ON a.i = b.i AND a.vec_id < b.vec_id
+           GROUP BY 1, 2),
+    r AS (SELECT dp.va, dp.vb,
+                 CAST(dp.d2p AS DOUBLE) / (16.0 * CAST(dq.d2o AS DOUBLE))
+                     AS ratio
+          FROM dp JOIN dq ON dq.va = dp.va AND dq.vb = dp.vb
+          WHERE dq.d2o > 0)
+    SELECT CAST(least(FLOOR(ratio * 4), 12) AS BIGINT) AS ratio_bucket,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           {dsum_sql("ratio", 6)} AS sum_ratio
+    FROM r GROUP BY 1 ORDER BY ratio_bucket
+    """,
+)
+def x221_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss audit: project the 64-dim embeddings to 16
+    dims with a DETERMINISTIC Rademacher (+-1) matrix and histogram the
+    pairwise squared-distance ratio ||Px||^2/(k*||x||^2) over a fixed
+    probe pair set — the measurement that tells you whether the cheap
+    16-dim index (x152 truncation keeps the FIRST dims; JL keeps
+    EXPECTED distances for arbitrary vectors) is safe to build the ANN
+    candidate stage on. Exactness: coordinates quantize to integers
+    (floor(x*1e6)), the sign matrix is a 1024-row LCG closed form both
+    engines compute bit-identically, so projections, distances and
+    every ratio are IEEE-deterministic; buckets floor exact doubles.
+    Plan: the projection is one broadcast join + hash agg (linear,
+    shuffle-free at any corpus size — the matrix is 1 KB); the
+    distortion PROBE fixes |pairs| = 4950 (vec_id < 100), so audit cost
+    is constant regardless of corpus scale. Identical-vector pairs
+    (zero distance) are excluded from ratios by definition."""
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    u = e.select(
+        "vec_id",
+        F.posexplode("embedding").alias("i", "val"),
+    ).select(
+        "vec_id",
+        "i",
+        F.floor(F.col("val").cast("double") * 1_000_000).alias("q"),
+    )
+    sgn = spark.range(1024).select(
+        F.floor(F.col("id") / 16).alias("i"),
+        (F.col("id") % 16).alias("j"),
+        F.when(
+            F.expr(
+                "((1103515245 * id + 12345) % 2147483648) div 65536 % 2"
+            )
+            == 0,
+            F.lit(1),
+        )
+        .otherwise(F.lit(-1))
+        .alias("s"),
+    )
+    proj = (
+        u.join(F.broadcast(sgn), "i")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("q") * F.col("s")).alias("p"))
+    )
+    pa = proj.select(
+        F.col("vec_id").alias("va"), "j", F.col("p").alias("p_a")
+    )
+    pb = proj.select(
+        F.col("vec_id").alias("vb"), "j", F.col("p").alias("p_b")
+    )
+    dp = (
+        pa.join(pb, "j")
+        .filter(F.col("va") < F.col("vb"))
+        .groupBy("va", "vb")
+        .agg(
+            F.sum(
+                (F.col("p_a") - F.col("p_b")).cast("decimal(38,0)")
+                * (F.col("p_a") - F.col("p_b"))
+            ).alias("d2p")
+        )
+    )
+    qa = u.select(F.col("vec_id").alias("va"), "i", F.col("q").alias("q_a"))
+    qb = u.select(F.col("vec_id").alias("vb"), "i", F.col("q").alias("q_b"))
+    dq = (
+        qa.join(qb, "i")
+        .filter(F.col("va") < F.col("vb"))
+        .groupBy("va", "vb")
+        .agg(
+            F.sum(
+                (F.col("q_a") - F.col("q_b")).cast("decimal(38,0)")
+                * (F.col("q_a") - F.col("q_b"))
+            ).alias("d2o")
+        )
+    )
+    ratio = F.col("d2p").cast("double") / (16.0 * F.col("d2o").cast("double"))
+    return (
+        dp.join(dq, ["va", "vb"])
+        .filter(F.col("d2o") > 0)
+        .select(ratio.alias("ratio"))
+        .groupBy(
+            F.least(F.floor(F.col("ratio") * 4), F.lit(12))
+            .cast("long")
+            .alias("ratio_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            dsum(F.col("ratio"), 6).alias("sum_ratio"),
+        )
+        .orderBy("ratio_bucket")
+    )

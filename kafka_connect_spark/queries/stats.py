@@ -771,3 +771,691 @@ def x215_brown_forsythe_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "x222_concentration_panel",
+    oracle=f"""
+    WITH base AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+                         CAST(sum(n_chars) AS BIGINT) AS n_chars
+                  FROM documents GROUP BY 1, 2),
+    langs AS (SELECT lang, source, n_docs, n_chars FROM base
+              UNION ALL
+              SELECT '*', source, CAST(sum(n_docs) AS BIGINT),
+                     CAST(sum(n_chars) AS BIGINT)
+              FROM base GROUP BY source),
+    melt AS (SELECT lang, 'docs' AS measure, source,
+                    CAST(n_docs AS BIGINT) AS v FROM langs
+             UNION ALL
+             SELECT lang, 'chars', source, CAST(n_chars AS BIGINT)
+             FROM langs),
+    tot AS (SELECT lang, measure, CAST(sum(v) AS BIGINT) AS t,
+                   CAST(count(*) AS BIGINT) AS n_sources,
+                   CAST(max(v) AS BIGINT) AS vmax
+            FROM melt GROUP BY 1, 2),
+    agg AS (SELECT m.lang, m.measure,
+                   {dsum_sql(
+                       "(CAST(m.v AS DOUBLE) / t.t)"
+                       " * (CAST(m.v AS DOUBLE) / t.t)", 9)} AS hhi,
+                   {dsum_sql(
+                       "CASE WHEN m.v > 0 THEN -(CAST(m.v AS DOUBLE) / t.t)"
+                       " * ln(CAST(m.v AS DOUBLE) / t.t) ELSE 0.0 END",
+                       9)} AS entropy
+            FROM melt m JOIN tot t ON t.lang = m.lang
+                 AND t.measure = m.measure
+            GROUP BY 1, 2)
+    SELECT t.lang, t.measure, t.n_sources, t.t AS total,
+           {dround_sql("a.hhi", 6)} AS hhi,
+           {dround_sql("CAST(t.vmax AS DOUBLE) / t.t", 6)} AS top_share,
+           {dround_sql("a.entropy", 6)} AS entropy
+    FROM tot t JOIN agg a ON a.lang = t.lang AND a.measure = t.measure
+    ORDER BY t.lang, t.measure
+    """,
+)
+def x222_concentration_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-concentration panel per language (and overall '*'), over
+    BOTH document count and character mass: Herfindahl index, top-source
+    share, Shannon entropy — the "is this slice effectively one source"
+    diagnostic a mixture planner (x151) reads before trusting a
+    per-lang quota, and the scalar summary of x72's full skew report.
+    Char-mass vs doc-count disagreement is itself the signal (one
+    source contributing few huge docs). All shares are IEEE divisions
+    of exact integers; HHI/entropy terms accumulate via dsum and round
+    once. One corpus pass to the (lang, source) table (~|langs x
+    sources| rows); everything else is re-aggregation of that table."""
+    d = load(spark, sf_dir, "documents")
+    base = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+    overall = base.groupBy("source").agg(
+        F.sum("n_docs").alias("n_docs"), F.sum("n_chars").alias("n_chars")
+    ).select(F.lit("*").alias("lang"), "source", "n_docs", "n_chars")
+    langs = base.unionByName(overall)
+    melt = langs.select(
+        "lang", F.lit("docs").alias("measure"), "source",
+        F.col("n_docs").alias("v"),
+    ).unionByName(
+        langs.select(
+            "lang", F.lit("chars").alias("measure"), "source",
+            F.col("n_chars").alias("v"),
+        )
+    )
+    tot = melt.groupBy("lang", "measure").agg(
+        F.sum("v").alias("t"),
+        F.count(F.lit(1)).alias("n_sources"),
+        F.max("v").alias("vmax"),
+    )
+    share = F.col("v").cast("double") / F.col("t")
+    agg = (
+        melt.join(F.broadcast(tot), ["lang", "measure"])
+        .groupBy("lang", "measure")
+        .agg(
+            dsum(share * share, 9).alias("hhi"),
+            dsum(
+                F.when(F.col("v") > 0, -share * F.log(share)).otherwise(
+                    F.lit(0.0)
+                ),
+                9,
+            ).alias("entropy"),
+        )
+    )
+    return (
+        tot.join(agg, ["lang", "measure"])
+        .select(
+            "lang",
+            "measure",
+            F.col("n_sources").cast("long").alias("n_sources"),
+            F.col("t").cast("long").alias("total"),
+            dround(F.col("hhi"), 6).alias("hhi"),
+            dround(F.col("vmax").cast("double") / F.col("t"), 6).alias(
+                "top_share"
+            ),
+            dround(F.col("entropy"), 6).alias("entropy"),
+        )
+        .orderBy("lang", "measure")
+    )
+
+
+@query(
+    "x223_cochran_armitage_trend",
+    oracle=f"""
+    WITH ud AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                       CAST(sum(CASE WHEN event_type = 'view'
+                                THEN 1 ELSE 0 END) AS BIGINT) AS views,
+                       CAST(max(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) AS BIGINT) AS y
+                FROM events GROUP BY 1, 2),
+    g AS (SELECT least(views, 5) AS s, CAST(count(*) AS BIGINT) AS n_i,
+                 CAST(sum(y) AS BIGINT) AS r_i
+          FROM ud GROUP BY 1),
+    tot AS (SELECT CAST(sum(n_i) AS BIGINT) AS n,
+                   CAST(sum(r_i) AS BIGINT) AS r,
+                   CAST(sum(CAST(s AS DECIMAL(38,0)) * n_i)
+                        AS DECIMAL(38,0)) AS sn,
+                   CAST(sum(CAST(s AS DECIMAL(38,0)) * r_i)
+                        AS DECIMAL(38,0)) AS sr,
+                   CAST(sum(CAST(s AS DECIMAL(38,0)) * s * n_i)
+                        AS DECIMAL(38,0)) AS s2n
+            FROM g),
+    z AS (SELECT n, r,
+                 CAST(n * sr - r * sn AS DECIMAL(38,0)) AS a,
+                 CAST(n * s2n - sn * sn AS DECIMAL(38,0)) AS b
+          FROM tot)
+    SELECT g.s, g.n_i, g.r_i,
+           {dround_sql("CAST(g.r_i AS DOUBLE) / g.n_i", 6)} AS rate,
+           z.n, z.r AS successes,
+           CAST(z.a AS BIGINT) AS a_num,
+           CAST(z.b AS BIGINT) AS b_den,
+           {dround_sql(
+               "CAST(z.a AS DOUBLE) / sqrt(CAST(z.r"
+               " * (z.n - z.r) * z.b AS DOUBLE) / z.n)", 6)} AS z
+    FROM g, z ORDER BY g.s
+    """,
+)
+def x223_cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test: does per-user-day purchase propensity
+    rise MONOTONICALLY with view count? The ordered-groups complement to
+    x94's omnibus chi-square (which spends power on any deviation; CA
+    targets the dose-response alternative 'more views -> more
+    conversion', one degree of freedom). Scores are the capped view
+    buckets s=0..5, so the statistic's numerator A = N*sum(s*r) -
+    R*sum(s*n) and curvature term B = N*sum(s^2*n) - (sum(s*n))^2 are
+    exact decimals; z = A / sqrt(R(N-R)B/N) is assembled from two IEEE
+    operations on those exacts, rounded once. Plan: one (user, day)
+    hash agg (conditional sums, no join), collapse to <=6 bucket rows,
+    closed form on those."""
+    e = load(spark, sf_dir, "events")
+    ud = e.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.sum((F.col("event_type") == "view").cast("long")).alias("views"),
+        F.max((F.col("event_type") == "purchase").cast("long")).alias("y"),
+    )
+    g = ud.groupBy(F.least(F.col("views"), F.lit(5)).alias("s")).agg(
+        F.count(F.lit(1)).alias("n_i"), F.sum("y").alias("r_i")
+    )
+    sd = F.col("s").cast("decimal(38,0)")
+    tot = g.agg(
+        F.sum("n_i").alias("n"),
+        F.sum("r_i").alias("r"),
+        F.sum(sd * F.col("n_i")).alias("sn"),
+        F.sum(sd * F.col("r_i")).alias("sr"),
+        F.sum(sd * F.col("s") * F.col("n_i")).alias("s2n"),
+    )
+    z = tot.select(
+        "n",
+        "r",
+        (F.col("n") * F.col("sr") - F.col("r") * F.col("sn"))
+        .cast("decimal(38,0)")
+        .alias("a"),
+        (F.col("n") * F.col("s2n") - F.col("sn") * F.col("sn"))
+        .cast("decimal(38,0)")
+        .alias("b"),
+    )
+    return (
+        g.crossJoin(F.broadcast(z))
+        .select(
+            F.col("s").cast("long").alias("s"),
+            F.col("n_i").cast("long").alias("n_i"),
+            F.col("r_i").cast("long").alias("r_i"),
+            dround(F.col("r_i").cast("double") / F.col("n_i"), 6).alias(
+                "rate"
+            ),
+            F.col("n").cast("long").alias("n"),
+            F.col("r").cast("long").alias("successes"),
+            F.col("a").cast("long").alias("a_num"),
+            F.col("b").cast("long").alias("b_den"),
+            dround(
+                F.col("a").cast("double")
+                / F.sqrt(
+                    (
+                        F.col("r")
+                        * (F.col("n") - F.col("r")).cast("decimal(38,0)")
+                        * F.col("b")
+                    ).cast("double")
+                    / F.col("n")
+                ),
+                6,
+            ).alias("z"),
+        )
+        .orderBy("s")
+    )
+
+
+@query(
+    "x224_isotonic_calibration",
+    oracle=f"""
+    WITH bins AS (SELECT least(n_chars // 50, 19) AS b,
+                         CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                              AS BIGINT) AS y
+                  FROM documents GROUP BY 1),
+    c AS (SELECT b, n, y,
+                 CAST(sum(n) OVER (ORDER BY b
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS cn,
+                 CAST(sum(y) OVER (ORDER BY b
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS cy
+          FROM bins),
+    triple AS (SELECT i.b AS bi, j.b AS bj, k.b AS bk,
+                      CAST(k.cy - (j.cy - j.y) AS DOUBLE)
+                          / (k.cn - (j.cn - j.n)) AS mean_jk
+               FROM c i JOIN c j ON j.b <= i.b
+                        JOIN c k ON k.b >= i.b),
+    inner_min AS (SELECT bi, bj, min(mean_jk) AS m FROM triple
+                  GROUP BY 1, 2),
+    iso AS (SELECT bi AS b, max(m) AS iso_rate FROM inner_min GROUP BY 1)
+    SELECT bins.b, bins.n, bins.y,
+           {dround_sql("CAST(bins.y AS DOUBLE) / bins.n", 6)} AS rate,
+           {dround_sql("iso.iso_rate", 6)} AS iso_rate
+    FROM bins JOIN iso USING (b) ORDER BY bins.b
+    """,
+)
+def x224_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) calibration of the 'is-English' rate against the
+    length bucket: the monotone regression that turns a noisy
+    per-bin empirical rate (x184's calibration curve) into the best
+    monotone fit — what you apply before thresholding a score whose
+    direction you trust but whose values you don't. Computed by the
+    minimax identity iso(i) = max_{{j<=i}} min_{{k>=i}} mean(y_j..y_k)
+    — equivalent to pool-adjacent-violators but CLOSED FORM, so it runs
+    as a triple join over the <=20-bin value domain (<=8000 rows, all
+    broadcast) instead of a sequential pooling loop; every candidate
+    mean is one IEEE division of exact prefix-sum integers, and min/max
+    over those doubles are order-free. The corpus contributes one
+    conditional-sum hash agg. The prefix cumsum rides the audited
+    bin-domain window."""
+    d = load(spark, sf_dir, "documents")
+    bins = d.groupBy(
+        F.least(F.floor(F.col("n_chars") / 50), F.lit(19)).alias("b")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("lang") == "en").cast("long")).alias("y"),
+    )
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    c = bins.select(
+        "b",
+        "n",
+        "y",
+        F.sum("n").over(w).alias("cn"),
+        F.sum("y").over(w).alias("cy"),
+    )
+    i = c.select(F.col("b").alias("bi"))
+    j = c.select(
+        F.col("b").alias("bj"),
+        (F.col("cy") - F.col("y")).alias("cyb"),
+        (F.col("cn") - F.col("n")).alias("cnb"),
+    )
+    k = c.select(
+        F.col("b").alias("bk"), F.col("cy").alias("cyk"), F.col("cn").alias("cnk")
+    )
+    triple = (
+        i.join(F.broadcast(j), F.col("bj") <= F.col("bi"))
+        .join(F.broadcast(k), F.col("bk") >= F.col("bi"))
+        .select(
+            "bi",
+            "bj",
+            (
+                (F.col("cyk") - F.col("cyb")).cast("double")
+                / (F.col("cnk") - F.col("cnb"))
+            ).alias("mean_jk"),
+        )
+    )
+    iso = (
+        triple.groupBy("bi", "bj")
+        .agg(F.min("mean_jk").alias("m"))
+        .groupBy("bi")
+        .agg(F.max("m").alias("iso_rate"))
+        .withColumnRenamed("bi", "b")
+    )
+    return (
+        bins.join(F.broadcast(iso), "b")
+        .select(
+            F.col("b").cast("long").alias("b"),
+            F.col("n").cast("long").alias("n"),
+            F.col("y").cast("long").alias("y"),
+            dround(F.col("y").cast("double") / F.col("n"), 6).alias("rate"),
+            dround(F.col("iso_rate"), 6).alias("iso_rate"),
+        )
+        .orderBy("b")
+    )
+
+
+@query(
+    "x225_pacf_profile",
+    oracle=f"""
+    WITH day AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                        CAST(count(*) AS BIGINT) AS c
+                 FROM events GROUP BY 1, 2),
+    st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(c) AS BIGINT) AS s
+           FROM day GROUP BY event_type),
+    dev AS (SELECT day.event_type, day.day, day.c * st.n - st.s AS d
+            FROM day JOIN st USING (event_type)),
+    den AS (SELECT event_type,
+                   CAST(sum(CAST(d AS HUGEINT) * d) AS HUGEINT) AS den
+            FROM dev GROUP BY event_type),
+    lags AS (SELECT unnest(range(1, 4)) AS lag_days),
+    p AS (SELECT a.event_type, lags.lag_days,
+                 CAST(sum(CAST(a.d AS HUGEINT) * b.d) AS HUGEINT) AS num
+          FROM dev a CROSS JOIN lags
+          JOIN dev b ON b.event_type = a.event_type
+                    AND b.day = a.day + CAST(lags.lag_days AS INTEGER)
+          GROUP BY 1, 2),
+    r AS (SELECT p.event_type,
+                 max(CASE WHEN lag_days = 1 THEN CAST(num AS DOUBLE)
+                     / CAST(den AS DOUBLE) END) AS r1,
+                 max(CASE WHEN lag_days = 2 THEN CAST(num AS DOUBLE)
+                     / CAST(den AS DOUBLE) END) AS r2,
+                 max(CASE WHEN lag_days = 3 THEN CAST(num AS DOUBLE)
+                     / CAST(den AS DOUBLE) END) AS r3
+          FROM p JOIN den USING (event_type) GROUP BY 1),
+    dl AS (SELECT event_type, r1, r2, r3,
+                  (r2 - r1 * r1) / (1.0 - r1 * r1) AS phi22
+           FROM r),
+    dl2 AS (SELECT *, r1 * (1.0 - phi22) AS a21 FROM dl)
+    SELECT event_type,
+           {dround_sql("r1", 6)} AS r1,
+           {dround_sql("r2", 6)} AS r2,
+           {dround_sql("r3", 6)} AS r3,
+           {dround_sql("r1", 6)} AS pacf1,
+           {dround_sql("phi22", 6)} AS pacf2,
+           {dround_sql(
+               "(r3 - a21 * r2 - phi22 * r1)"
+               " / (1.0 - a21 * r1 - phi22 * r2)", 6)} AS pacf3
+    FROM dl2 ORDER BY event_type
+    """,
+)
+def x225_pacf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation (lags 1-3) of daily event volume per type
+    via the Durbin-Levinson closed form on x201's exact ACF — the
+    model-order diagnostic ACF can't give: x201's lag-2 correlation
+    may just be lag-1 echoing twice; PACF(2) is the lag-2 effect AFTER
+    regressing out lag-1 (AR(p) shows PACF cutting off at p). The ACF
+    numerators/denominator are x201's decimal-exact products; the
+    Durbin-Levinson recursion (phi22 = (r2-r1^2)/(1-r1^2), phi33 via
+    the level-2 coefficients) is a fixed sequence of IEEE operations on
+    those deterministic doubles, identical in both engines, rounded
+    once at emission. Plan: identical to x201 — one corpus pass, then
+    everything on the |types| x |days| table."""
+    e = load(spark, sf_dir, "events")
+    day = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    st = day.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("c").alias("s")
+    )
+    dev = day.join(F.broadcast(st), "event_type").select(
+        "event_type",
+        "day",
+        (F.col("c") * F.col("n") - F.col("s")).alias("d"),
+    )
+    den = dev.groupBy("event_type").agg(
+        F.sum(F.col("d").cast("decimal(38,0)") * F.col("d")).alias("den")
+    )
+    a = dev.select(
+        "event_type",
+        "day",
+        F.col("d").alias("da"),
+        F.explode(F.sequence(F.lit(1), F.lit(3))).alias("lag_days"),
+    )
+    b = dev.select(
+        "event_type", F.col("day").alias("day_b"), F.col("d").alias("db")
+    )
+    p = (
+        a.join(
+            b,
+            (a["event_type"] == b["event_type"])
+            & (F.col("day_b") == F.date_add(F.col("day"), F.col("lag_days"))),
+        )
+        .drop(b["event_type"])
+        .groupBy("event_type", "lag_days")
+        .agg(
+            F.sum(F.col("da").cast("decimal(38,0)") * F.col("db")).alias("num")
+        )
+    )
+    acf = F.col("num").cast("double") / F.col("den").cast("double")
+    r = (
+        p.join(F.broadcast(den), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max(F.when(F.col("lag_days") == 1, acf)).alias("r1"),
+            F.max(F.when(F.col("lag_days") == 2, acf)).alias("r2"),
+            F.max(F.when(F.col("lag_days") == 3, acf)).alias("r3"),
+        )
+    )
+    phi22 = (F.col("r2") - F.col("r1") * F.col("r1")) / (
+        1.0 - F.col("r1") * F.col("r1")
+    )
+    dl = r.select("event_type", "r1", "r2", "r3", phi22.alias("phi22"))
+    a21 = F.col("r1") * (1.0 - F.col("phi22"))
+    return dl.select(
+        "event_type",
+        dround(F.col("r1"), 6).alias("r1"),
+        dround(F.col("r2"), 6).alias("r2"),
+        dround(F.col("r3"), 6).alias("r3"),
+        dround(F.col("r1"), 6).alias("pacf1"),
+        dround(F.col("phi22"), 6).alias("pacf2"),
+        dround(
+            (F.col("r3") - a21 * F.col("r2") - F.col("phi22") * F.col("r1"))
+            / (1.0 - a21 * F.col("r1") - F.col("phi22") * F.col("r2")),
+            6,
+        ).alias("pacf3"),
+    ).orderBy("event_type")
+
+
+# Abramowitz & Stegun 7.1.26 erf approximation (max abs error 1.5e-7) —
+# both engines lack a built-in normal CDF; this is a fixed sequence of
+# IEEE double operations (one exp, one division, a degree-5 polynomial)
+# computed identically by Spark and DuckDB, so the approximated p-value is
+# cross-engine deterministic to the last bit modulo exp()'s ulp.
+_AS_COEF = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+
+
+def _norm_sf2_sql(zabs: str) -> str:
+    """SQL for p = 2*(1 - Phi(|z|)) = erfc(|z|/sqrt(2))."""
+    x = f"({zabs} / 1.4142135623730951)"
+    t = f"(1.0 / (1.0 + 0.3275911 * {x}))"
+    a1, a2, a3, a4, a5 = _AS_COEF
+    poly = (
+        f"({a1} * {t} + {a2} * {t} * {t} + {a3} * {t} * {t} * {t}"
+        f" + {a4} * {t} * {t} * {t} * {t}"
+        f" + {a5} * {t} * {t} * {t} * {t} * {t})"
+    )
+    return f"({poly} * exp(-{x} * {x}))"
+
+
+def _norm_sf2(zabs):
+    """Column for p = 2*(1 - Phi(|z|)) — mirrors :func:`_norm_sf2_sql`."""
+    x = zabs / 1.4142135623730951
+    t = 1.0 / (1.0 + 0.3275911 * x)
+    a1, a2, a3, a4, a5 = _AS_COEF
+    poly = a1 * t + a2 * t * t + a3 * t * t * t + a4 * t * t * t * t + (
+        a5 * t * t * t * t * t
+    )
+    return poly * F.exp(-x * x)
+
+
+@query(
+    "x226_bh_fdr_panel",
+    oracle=f"""
+    WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_j,
+                      CAST(sum(CASE WHEN n_chars < 500 THEN 1 ELSE 0 END)
+                           AS BIGINT) AS k_j
+               FROM documents GROUP BY source),
+    tot AS (SELECT CAST(sum(n_j) AS BIGINT) AS n,
+                   CAST(sum(k_j) AS BIGINT) AS k,
+                   CAST(count(*) AS BIGINT) AS m
+            FROM g),
+    zt AS (SELECT g.source, tot.m,
+                  abs((CAST(g.k_j AS DOUBLE) / g.n_j
+                      - CAST(tot.k - g.k_j AS DOUBLE) / (tot.n - g.n_j))
+                      / sqrt((CAST(tot.k AS DOUBLE) / tot.n)
+                      * (1.0 - CAST(tot.k AS DOUBLE) / tot.n)
+                      * (1.0 / g.n_j + 1.0 / (tot.n - g.n_j)))) AS zabs
+          FROM g, tot),
+    pt AS (SELECT source, m, zabs, {_norm_sf2_sql("zabs")} AS p FROM zt),
+    rk AS (SELECT source, m, zabs, p,
+                  CAST(row_number() OVER (ORDER BY p, source) AS BIGINT)
+                      AS rnk
+           FROM pt),
+    kmax AS (SELECT COALESCE(max(CASE WHEN p <= rnk * 0.10 / m
+                             THEN rnk END), 0) AS kmax
+             FROM rk)
+    SELECT rk.source,
+           {dround_sql("rk.zabs", 6)} AS z_abs,
+           {dround_sql("rk.p", 6)} AS p_approx,
+           rk.rnk, (rk.rnk <= kmax.kmax) AS bh_reject
+    FROM rk, kmax ORDER BY rk.source
+    """,
+)
+def x226_bh_fdr_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control over the x218 per-source proportion
+    tests — the multiple-testing step every per-slice drilldown needs:
+    with 20 sources, one 'significant' z at alpha=0.05 is expected by
+    chance; BH (q=0.10) bounds the FALSE DISCOVERY rate across the
+    panel. p-values come from the A&S 7.1.26 erfc approximation (both
+    engines lack a normal CDF; the closed form is the same IEEE
+    sequence in both), ranking is over the |sources| panel (bounded
+    domain, audited window; ties broken by source name), and the BH
+    step-up rule is the rank of the largest p under its threshold —
+    computed as one bounded agg, no iteration. At 100 TB the panel is
+    still |sources| rows; the corpus cost is x218's single pass."""
+    d = load(spark, sf_dir, "documents")
+    g = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_j"),
+        F.sum((F.col("n_chars") < 500).cast("long")).alias("k_j"),
+    )
+    tot = g.agg(
+        F.sum("n_j").alias("n"),
+        F.sum("k_j").alias("k"),
+        F.count(F.lit(1)).alias("m"),
+    )
+    p_pool = F.col("k").cast("double") / F.col("n")
+    zabs = F.abs(
+        (
+            F.col("k_j").cast("double") / F.col("n_j")
+            - (F.col("k") - F.col("k_j")).cast("double")
+            / (F.col("n") - F.col("n_j"))
+        )
+        / F.sqrt(
+            p_pool
+            * (1.0 - p_pool)
+            * (1.0 / F.col("n_j") + 1.0 / (F.col("n") - F.col("n_j")))
+        )
+    )
+    zt = g.crossJoin(F.broadcast(tot)).select(
+        "source", "m", zabs.alias("zabs")
+    )
+    pt = zt.select("source", "m", "zabs", _norm_sf2(F.col("zabs")).alias("p"))
+    rk = pt.select(
+        "source",
+        "m",
+        "zabs",
+        "p",
+        F.row_number().over(Window.orderBy("p", "source")).cast("long").alias("rnk"),
+    )
+    kmax = rk.agg(
+        F.coalesce(
+            F.max(F.when(F.col("p") <= F.col("rnk") * 0.10 / F.col("m"), F.col("rnk"))),
+            F.lit(0).cast("long"),
+        ).alias("kmax")
+    )
+    return (
+        rk.crossJoin(F.broadcast(kmax))
+        .select(
+            "source",
+            dround(F.col("zabs"), 6).alias("z_abs"),
+            dround(F.col("p"), 6).alias("p_approx"),
+            "rnk",
+            (F.col("rnk") <= F.col("kmax")).alias("bh_reject"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "x227_brier_decomposition",
+    oracle=f"""
+    WITH d AS (SELECT lang, string_split(text, ' ') AS toks FROM documents),
+    sc AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                  least(CAST(len(list_filter(toks, t -> t IN
+                            ('a','the','of','and','to','in'))) AS BIGINT)
+                        * 5000000 // len(toks), 1000000) AS p
+           FROM d),
+    bins AS (SELECT least(p // 100001, 9) AS b,
+                    CAST(count(*) AS BIGINT) AS n_k,
+                    CAST(sum(y) AS BIGINT) AS y_k,
+                    CAST(sum(p) AS BIGINT) AS p_k
+             FROM sc GROUP BY 1),
+    tot AS (SELECT CAST(sum(n_k) AS BIGINT) AS n,
+                   CAST(sum(y_k) AS BIGINT) AS yy
+            FROM bins),
+    terms AS (SELECT
+        {dsum_sql(
+            "CAST((bins.p_k - 1000000 * bins.y_k)"
+            " * (bins.p_k - 1000000 * bins.y_k) AS DOUBLE) / bins.n_k",
+            6)} AS rel_t,
+        {dsum_sql(
+            "CAST(CAST(1000000 * (bins.y_k * tot.n - tot.yy * bins.n_k)"
+            " AS DECIMAL(38,0))"
+            " * (1000000 * (bins.y_k * tot.n - tot.yy * bins.n_k))"
+            " AS DOUBLE) / bins.n_k", 6)} AS res_t
+        FROM bins, tot GROUP BY tot.n)
+    SELECT bins.b, bins.n_k, bins.y_k,
+           {dround_sql("CAST(bins.p_k AS DOUBLE) / (bins.n_k * 1000000.0)", 6)}
+               AS mean_forecast,
+           {dround_sql("CAST(bins.y_k AS DOUBLE) / bins.n_k", 6)}
+               AS event_rate,
+           {dround_sql(
+               "terms.rel_t / (CAST(tot.n AS DOUBLE) * 1e12)", 6)}
+               AS reliability,
+           {dround_sql(
+               "terms.res_t / (CAST(tot.n AS DOUBLE) * tot.n * tot.n * 1e12)",
+               6)} AS resolution,
+           {dround_sql(
+               "(CAST(tot.yy AS DOUBLE) / tot.n)"
+               " * (1.0 - CAST(tot.yy AS DOUBLE) / tot.n)", 6)}
+               AS uncertainty,
+           {dround_sql(
+               "terms.rel_t / (CAST(tot.n AS DOUBLE) * 1e12)"
+               " - terms.res_t / (CAST(tot.n AS DOUBLE) * tot.n * tot.n * 1e12)"
+               " + (CAST(tot.yy AS DOUBLE) / tot.n)"
+               " * (1.0 - CAST(tot.yy AS DOUBLE) / tot.n)", 6)}
+               AS brier_murphy
+    FROM bins, tot, terms ORDER BY bins.b
+    """,
+)
+def x227_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of x195's Brier score into reliability
+    (calibration error), resolution (discrimination) and uncertainty
+    (base rate) over 10 forecast bins — the diagnosis x195's single
+    number can't make: a bad Brier from miscalibration is FIXABLE
+    (recalibrate, e.g. x224's isotonic fit); a bad Brier from zero
+    resolution means the signal is useless. Same forecast (stopword
+    density, ppm integers) and outcome as x195. Exactness: REL terms
+    are (p_k - 1e6 y_k)^2 / n_k on exact integers; RES terms multiply
+    through by N to avoid the float base rate ((1e6(y_k N - Y n_k))^2 /
+    n_k, decimal-carried); both accumulate via dsum and divide once by
+    the exact N powers. Plan: one corpus pass to 10 bin rows; the
+    decomposition is arithmetic on those rows."""
+    d = load(spark, sf_dir, "documents")
+    sc = d.select(
+        (F.col("lang") == "en").cast("long").alias("y"),
+        F.least(
+            F.expr(
+                "cast(size(filter(split(text, ' '),"
+                " t -> array_contains(array('a','the','of','and','to','in'), t)))"
+                " as bigint) * 5000000 div size(split(text, ' '))"
+            ),
+            F.lit(1_000_000).cast("bigint"),
+        ).alias("p"),
+    )
+    bins = sc.groupBy(
+        F.least(F.floor(F.col("p") / 100001), F.lit(9)).alias("b")
+    ).agg(
+        F.count(F.lit(1)).alias("n_k"),
+        F.sum("y").alias("y_k"),
+        F.sum("p").alias("p_k"),
+    )
+    tot = bins.agg(F.sum("n_k").alias("n"), F.sum("y_k").alias("yy"))
+    bt = bins.crossJoin(F.broadcast(tot))
+    rel_num = F.col("p_k") - 1_000_000 * F.col("y_k")
+    res_num = (
+        1_000_000 * (F.col("y_k") * F.col("n") - F.col("yy") * F.col("n_k"))
+    ).cast("decimal(38,0)")
+    terms = bt.groupBy("n").agg(
+        dsum((rel_num * rel_num).cast("double") / F.col("n_k"), 6).alias(
+            "rel_t"
+        ),
+        dsum((res_num * res_num).cast("double") / F.col("n_k"), 6).alias(
+            "res_t"
+        ),
+    ).drop("n")
+    rel = F.col("rel_t") / (F.col("n").cast("double") * 1e12)
+    res = F.col("res_t") / (
+        F.col("n").cast("double") * F.col("n") * F.col("n") * 1e12
+    )
+    unc = (F.col("yy").cast("double") / F.col("n")) * (
+        1.0 - F.col("yy").cast("double") / F.col("n")
+    )
+    return (
+        bins.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(terms))
+        .select(
+            F.col("b").cast("long").alias("b"),
+            F.col("n_k").cast("long").alias("n_k"),
+            F.col("y_k").cast("long").alias("y_k"),
+            dround(
+                F.col("p_k").cast("double") / (F.col("n_k") * 1_000_000.0), 6
+            ).alias("mean_forecast"),
+            dround(F.col("y_k").cast("double") / F.col("n_k"), 6).alias(
+                "event_rate"
+            ),
+            dround(rel, 6).alias("reliability"),
+            dround(res, 6).alias("resolution"),
+            dround(unc, 6).alias("uncertainty"),
+            dround(rel - res + unc, 6).alias("brier_murphy"),
+        )
+        .orderBy("b")
+    )

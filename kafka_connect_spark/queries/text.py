@@ -4886,3 +4886,82 @@ def x210_skyline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         .orderBy(F.col("n_chars").desc())
     )
+
+
+@query(
+    "x220_dup_ngram_char_fraction",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents),
+    g AS (SELECT doc_id, array_to_string(t[i:i+4], ' ') AS gram
+          FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 3)) AS i) _
+          WHERE len(t) >= 5),
+    c AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS c,
+                 CAST(length(gram) AS BIGINT) AS w
+          FROM g GROUP BY doc_id, gram),
+    s AS (SELECT doc_id,
+                 CAST(sum(c) AS BIGINT) AS n5,
+                 CAST(sum(c * w) AS BIGINT) AS total_chars,
+                 CAST(sum(CASE WHEN c >= 2 THEN c * w ELSE 0 END) AS BIGINT)
+                     AS dup_chars
+          FROM c GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(s.n5, 0) AS n5,
+           {dround_sql(
+               "COALESCE(CAST(s.dup_chars AS DOUBLE)"
+               " / nullif(s.total_chars, 0), 0.0)", 6)}
+               AS dup5_char_fraction
+    FROM documents d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id
+    """,
+)
+def x220_dup_ngram_char_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style duplicate-5-gram character fraction per document: the
+    share of 5-gram character mass sitting in grams that occur MORE THAN
+    ONCE within the same document — the long-range self-repetition
+    filter (Rae et al. 2021 use dup n-gram char fractions for n=5..10;
+    x14j's top-trigram share catches one dominant loop, this catches
+    diffuse copy-paste where no single gram dominates; x139 is the
+    CROSS-document analog). Character weighting (gram string length)
+    matches what the training loss sees. Per-doc explode -> (doc, gram)
+    hash count -> conditional sums; work is linear in corpus tokens,
+    grouped on (doc, gram) so no key is hotter than one document, and
+    the ratio is one IEEE division of exact integers, rounded once.
+    Sub-5-token docs emit n5=0, fraction 0."""
+    d = load_parallel(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    starts = F.when(
+        F.size(toks) >= 5, F.sequence(F.lit(1), F.size(toks) - 4)
+    ).otherwise(F.array().cast("array<int>"))
+    g = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(starts, lambda s: F.array_join(F.slice(toks, s, 5), " "))
+        ).alias("gram"),
+    )
+    c = g.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    s = c.groupBy("doc_id").agg(
+        F.sum("c").alias("n5"),
+        F.sum(F.col("c") * F.length("gram")).alias("total_chars"),
+        F.sum(
+            F.when(F.col("c") >= 2, F.col("c") * F.length("gram")).otherwise(
+                F.lit(0)
+            )
+        ).alias("dup_chars"),
+    )
+    return (
+        d.select("doc_id")
+        .join(s, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n5"), F.lit(0)).cast("long").alias("n5"),
+            dround(
+                F.coalesce(
+                    F.col("dup_chars").cast("double")
+                    / F.nullif(F.col("total_chars"), F.lit(0)),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("dup5_char_fraction"),
+        )
+        .orderBy("doc_id")
+    )

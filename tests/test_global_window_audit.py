@@ -56,6 +56,10 @@ AUDITED = {
     ("queries/stats.py", "x217_nelson_aalen_hazard"):
         "agg:distinct duration days — the risk-set reverse cumsum and the "
         "hazard cumsum both run over |days| rows (x186's domain)",
+    ("queries/stats.py", "x226_bh_fdr_panel"):
+        "agg:sources — the BH rank runs over the |sources| test panel",
+    ("queries/stats.py", "x224_isotonic_calibration"):
+        "agg:length buckets — prefix cumsum over <=20 bin rows",
     ("queries/stats.py", "x212_kruskal_wallis_length"):
         "agg:distinct n_chars — the midrank cumsum runs over the length "
         "histogram (value domain), never the corpus",
