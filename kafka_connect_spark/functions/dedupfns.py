@@ -642,3 +642,51 @@ def subset_edges(
             "n_container",
         )
     )
+
+
+def kcore_nodes(edges: DataFrame, k: int, max_iters: int = 12) -> DataFrame:
+    """Nodes of the k-core of an undirected (id_a < id_b) edge list: the
+    maximal subgraph where every node keeps degree >= k — computed by the
+    standard peel ("drop nodes with degree < k, drop their edges, repeat
+    to fixpoint").
+
+    Scale shape: each iteration is one degree hash-agg + two semi-joins
+    of the CURRENT edge set against the surviving node set — never a
+    growing structure; the edge set only shrinks. Peeling converges in at
+    most diameter-ish rounds on dup graphs (long chains peel one hop per
+    round); ``max_iters`` bounds the worst case and lineage is cut with
+    localCheckpoint each round so the plan can't replay the whole peel
+    history. The only driver-side values are the per-round surviving-node
+    COUNTS (one scalar per round, the x12i convergence idiom).
+
+    Returns DataFrame(node) of surviving node ids.
+    """
+    e = edges.select("id_a", "id_b").localCheckpoint()
+    prev_n = -1
+    for _ in range(max_iters):
+        deg = (
+            e.select(F.col("id_a").alias("node"))
+            .unionAll(e.select(F.col("id_b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("node").localCheckpoint()
+        n = keep.count()
+        if n == prev_n:
+            break
+        prev_n = n
+        e = (
+            e.join(keep.withColumnRenamed("node", "id_a"), "id_a", "semi")
+            .join(keep.withColumnRenamed("node", "id_b"), "id_b", "semi")
+            .localCheckpoint()
+        )
+        if n == 0:
+            break
+    return (
+        e.select(F.col("id_a").alias("node"))
+        .unionAll(e.select(F.col("id_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .filter(F.col("d") >= k)
+        .select("node")
+    )

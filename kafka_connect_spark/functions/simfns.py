@@ -1255,3 +1255,95 @@ def correlation_matrix(df: DataFrame, vec_col: str = "embedding"):
     cov = g - np.outer(s, s) / n
     std = np.sqrt(np.diag(cov))
     return cov / np.outer(std, std), n
+
+
+def mmr_diversified_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k_candidates: int = 20,
+    k_final: int = 5,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance re-rank: exact top-``k_candidates``
+    cosine retrieval per query, then the greedy MMR selection of
+    ``k_final`` results trading relevance against redundancy
+    (Carbonell & Goldstein 1998): pick argmax of
+    ``lam * rel(i) - (1-lam) * max_{s in selected} sim(i, s)``.
+
+    Scale shape: the EXPENSIVE stage is candidate generation, which is
+    the pluggable ANN path (brute-force here; ``lsh_cosine_topk`` /
+    ``ivf_cosine_topk`` at scale); the MMR loop itself only ever sees
+    ``k_candidates`` rows per query inside one ``applyInPandas`` group,
+    so re-rank cost is O(queries * k^2) floats and parallelizes per
+    query — the corpus is never touched again after retrieval.
+
+    Determinism: relevance uses the candidate stage's 6-dp-rounded
+    cosine; pairwise sims and scores are rounded to 9 dp inside the
+    loop before comparison and ties break on ascending id, so the
+    selection is stable across partitionings and runs.
+
+    Output: query_id, mmr_rank (1-based), neighbor_id, rel_cos,
+    mmr_score (the score at selection time; rank-1 row's score is its
+    pure relevance).
+    """
+    import numpy as np
+    import pandas as pd
+
+    cands = cosine_topk(
+        corpus, queries, k=k_candidates, id_col=id_col, vec_col=vec_col
+    )
+    emb = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("emb")
+    )
+    j = cands.join(emb, "neighbor_id").select(
+        "query_id", "neighbor_id", "cos_sim", "emb"
+    )
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("neighbor_id").reset_index(drop=True)
+        ids = pdf["neighbor_id"].to_numpy()
+        rel = pdf["cos_sim"].to_numpy(dtype=np.float64)
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["emb"]])
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        norms[norms == 0.0] = 1.0
+        sims = np.round((mat @ mat.T) / np.outer(norms, norms), 9)
+        n = len(ids)
+        chosen: list[int] = []
+        scores: list[float] = []
+        avail = np.ones(n, dtype=bool)
+        for _ in range(min(k_final, n)):
+            if chosen:
+                red = sims[:, chosen].max(axis=1)
+                sc = np.round(lam * rel - (1.0 - lam) * red, 9)
+            else:
+                sc = np.round(rel, 9)
+            sc_masked = np.where(avail, sc, -np.inf)
+            best = sc_masked.max()
+            # ties break on ascending id: ids are sorted, argmax returns
+            # the first (lowest-id) maximal element
+            pick_i = int(np.argmax(sc_masked == best))
+            chosen.append(pick_i)
+            scores.append(float(sc_masked[pick_i]))
+            avail[pick_i] = False
+        qid = pdf["query_id"].iloc[0]
+        return pd.DataFrame(
+            {
+                "query_id": [qid] * len(chosen),
+                "mmr_rank": np.arange(1, len(chosen) + 1, dtype=np.int64),
+                "neighbor_id": ids[chosen],
+                "rel_cos": rel[chosen],
+                "mmr_score": np.round(scores, 9),
+            }
+        )
+
+    out_schema = (
+        "query_id long, mmr_rank long, neighbor_id long, "
+        "rel_cos double, mmr_score double"
+    )
+    return (
+        j.groupBy("query_id")
+        .applyInPandas(pick, schema=out_schema)
+        .orderBy("query_id", "mmr_rank")
+    )

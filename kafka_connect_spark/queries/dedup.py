@@ -1724,3 +1724,48 @@ def x168_dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query("x230_kcore_decomposition")
+def x230_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core membership of the near-dup graph (x12c edges at jaccard >=
+    0.5): full-graph degree plus in-2-core / in-3-core flags per node —
+    the density stratification x147's degree histogram can't give: a
+    degree-5 node might hang off five separate chains (peels away
+    instantly) or sit inside a dense clique (survives every peel); core
+    membership separates SYSTEMIC duplication worth a template fix from
+    incidental pair noise, and the 3-core is the candidate set x164's
+    triangle census concentrates in. No SQL oracle (iterative peel);
+    correctness rides tests/test_kcore.py (hand-checked graphs + a
+    pure-Python peel on the fixture's own edges). Plan: the peel is
+    degree-agg + semi-joins per round on a monotonically SHRINKING edge
+    set, lineage cut per round, <=12 rounds (functions/dedupfns.py:
+    kcore_nodes); the only driver scalars are per-round node counts."""
+    from ..functions.dedupfns import kcore_nodes, ngram_jaccard_pairs
+
+    d = load_parallel(spark, sf_dir, "documents")
+    e = ngram_jaccard_pairs(d, n=3, threshold=0.5).select("id_a", "id_b")
+    e = e.localCheckpoint()
+    deg = (
+        e.select(F.col("id_a").alias("doc_id"))
+        .unionAll(e.select(F.col("id_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    c2 = kcore_nodes(e, 2).withColumnRenamed("node", "doc_id").withColumn(
+        "in_core2", F.lit(True)
+    )
+    c3 = kcore_nodes(e, 3).withColumnRenamed("node", "doc_id").withColumn(
+        "in_core3", F.lit(True)
+    )
+    return (
+        deg.join(c2, "doc_id", "left")
+        .join(c3, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("degree").cast("long").alias("degree"),
+            F.coalesce("in_core2", F.lit(False)).alias("in_core2"),
+            F.coalesce("in_core3", F.lit(False)).alias("in_core3"),
+        )
+        .orderBy("doc_id")
+    )

@@ -2109,3 +2109,127 @@ def x182_join_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recommendation"),
         )
     )
+
+
+@query(
+    "x228_association_rules",
+    oracle=f"""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+          FROM b),
+    item AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_i
+             FROM b GROUP BY 1),
+    pair AS (SELECT a.l_partkey AS pa, b2.l_partkey AS pb,
+                    CAST(count(*) AS BIGINT) AS n_ab
+             FROM b a JOIN b b2 ON a.l_orderkey = b2.l_orderkey
+                  AND a.l_partkey < b2.l_partkey
+             GROUP BY 1, 2 HAVING count(*) >= 3),
+    rules AS (SELECT pa AS antecedent, pb AS consequent, n_ab FROM pair
+              UNION ALL
+              SELECT pb, pa, n_ab FROM pair)
+    SELECT r.antecedent, r.consequent, r.n_ab,
+           ia.n_i AS n_antecedent, ic.n_i AS n_consequent,
+           {dround_sql("CAST(r.n_ab AS DOUBLE) / ia.n_i", 6)} AS confidence,
+           {dround_sql(
+               "CAST(r.n_ab AS DOUBLE) * n.n_orders"
+               " / (CAST(ia.n_i AS DECIMAL(38,0)) * ic.n_i)", 6)} AS lift,
+           {dround_sql(
+               "CAST(r.n_ab AS DOUBLE) / n.n_orders"
+               " - (CAST(ia.n_i AS DOUBLE) / n.n_orders)"
+               " * (CAST(ic.n_i AS DOUBLE) / n.n_orders)", 6)} AS leverage,
+           CASE WHEN r.n_ab = ia.n_i THEN NULL ELSE
+               {dround_sql(
+                   "(1.0 - CAST(ic.n_i AS DOUBLE) / n.n_orders)"
+                   " / (1.0 - CAST(r.n_ab AS DOUBLE) / ia.n_i)", 6)}
+           END AS conviction,
+           {dround_sql(
+               "CAST(r.n_ab AS DOUBLE) / (ia.n_i + ic.n_i - r.n_ab)", 6)}
+               AS jaccard
+    FROM rules r
+    JOIN item ia ON ia.l_partkey = r.antecedent
+    JOIN item ic ON ic.l_partkey = r.consequent
+    CROSS JOIN n
+    ORDER BY r.antecedent, r.consequent
+    """,
+)
+def x228_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed association-rule panel over order baskets (parts bought
+    together): confidence, lift, leverage, conviction and Jaccard for
+    every part pair with support >= 3, BOTH directions — the full
+    measure set a recommender/curation pipeline ranks rules by, where
+    x111 stops at symmetric lift (confidence and conviction are
+    direction-specific: {{bread}}->{{milk}} can be strong while
+    {{milk}}->{{bread}} is noise). Baskets are DISTINCT (order, part)
+    so line-item repeats can't inflate support. Exactness: all supports
+    are integers; each measure is IEEE arithmetic on them, rounded
+    once; conviction is NULL at confidence=1 (division by zero) rather
+    than a sentinel. Plan: one distinct, one self-join per order
+    (baskets bounded at ~7 items, so pair fan-out is bounded per
+    order), two broadcast item-count joins; the support filter runs in
+    the pair agg HAVING, so low-support pairs never leave the first
+    shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    n = b.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    item = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_i"))
+    a2 = b.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b2 = b.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    pair = (
+        a2.join(b2, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    rules = pair.select(
+        F.col("pa").alias("antecedent"), F.col("pb").alias("consequent"), "n_ab"
+    ).unionByName(
+        pair.select(
+            F.col("pb").alias("antecedent"), F.col("pa").alias("consequent"), "n_ab"
+        )
+    )
+    ia = item.select(
+        F.col("l_partkey").alias("antecedent"), F.col("n_i").alias("n_antecedent")
+    )
+    ic = item.select(
+        F.col("l_partkey").alias("consequent"), F.col("n_i").alias("n_consequent")
+    )
+    conf = F.col("n_ab").cast("double") / F.col("n_antecedent")
+    p_c = F.col("n_consequent").cast("double") / F.col("n_orders")
+    return (
+        rules.join(F.broadcast(ia), "antecedent")
+        .join(F.broadcast(ic), "consequent")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_ab",
+            "n_antecedent",
+            "n_consequent",
+            dround(conf, 6).alias("confidence"),
+            dround(
+                F.col("n_ab").cast("double")
+                * F.col("n_orders")
+                / (
+                    F.col("n_antecedent").cast("decimal(38,0)")
+                    * F.col("n_consequent")
+                ),
+                6,
+            ).alias("lift"),
+            dround(
+                F.col("n_ab").cast("double") / F.col("n_orders")
+                - (F.col("n_antecedent").cast("double") / F.col("n_orders"))
+                * p_c,
+                6,
+            ).alias("leverage"),
+            F.when(F.col("n_ab") == F.col("n_antecedent"), F.lit(None)).otherwise(
+                dround((1.0 - p_c) / (1.0 - conf), 6)
+            ).alias("conviction"),
+            dround(
+                F.col("n_ab").cast("double")
+                / (F.col("n_antecedent") + F.col("n_consequent") - F.col("n_ab")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("antecedent", "consequent")
+    )

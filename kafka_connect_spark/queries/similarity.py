@@ -1189,3 +1189,25 @@ def x221_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("ratio_bucket")
     )
+
+
+@query("x229_mmr_diversified_topk")
+def x229_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified retrieval: for each of 10 probe queries, exact
+    top-20 cosine candidates re-ranked to a diversified top-5 (lambda =
+    0.7) — the redundancy-aware result list retrieval-augmented
+    pipelines want when the naive top-k is five copies of the same
+    near-dup (x12f finds those dups; MMR routes AROUND them at query
+    time). No SQL oracle (greedy sequential selection is not
+    SQL-expressible); correctness rides tests/test_mmr.py: equality
+    against a pure-Python reference on the same candidates, run-to-run
+    determinism, and the diversity property (MMR set's mean pairwise
+    cosine <= relevance-only top-5's). Scale: candidate generation is
+    the pluggable ANN stage; the re-rank is O(k^2) per query inside one
+    applyInPandas group. See functions/simfns.py:mmr_diversified_topk."""
+    from ..functions.simfns import mmr_diversified_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") >= 100)
+    queries = e.filter(F.col("vec_id") < 10)
+    return mmr_diversified_topk(corpus, queries, 20, 5, 0.7)
