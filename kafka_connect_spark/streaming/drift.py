@@ -157,3 +157,132 @@ def skyline_staircase(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
         .groupBy("a")
         .agg(F.max("b").cast("long").alias("mb"))
     )
+
+
+EWMA_OUTPUT = (
+    "event_type STRING, day STRING, c BIGINT, "
+    "ewma DOUBLE, sigma DOUBLE, anomaly BOOLEAN"
+)
+# trailing <=30 (day-ordinal, count) pairs — bounded regardless of stream
+# length; the day ordinal is days-since-epoch so weight exponents need no
+# date parsing in the hot loop
+EWMA_STATE = "ds ARRAY<INT>, cs ARRAY<BIGINT>"
+
+
+def streaming_ewma(day_counts: DataFrame) -> DataFrame:
+    """Online twin of x216's EWMA control chart: each (event_type, day,
+    count) row is scored against the exponentially-weighted mean/sigma of
+    its trailing 30 days (halving decay) and emitted with the same
+    anomaly flag, maintaining only the trailing window as state.
+
+    Exactness contract with the batch twin: weights are the same integer
+    powers of two (2^(30-lag)), num/den/num2 are exact Python ints
+    (arbitrary precision), and the final ewma/sigma go through
+    float(num)/float(den) — i.e. one int->double rounding per operand
+    then one IEEE division, exactly Spark's decimal(38,0)->double cast +
+    divide — so emitted rows equal x216's bit-for-bit after the shared
+    6-dp round (tests pin this). State is <=30 (ordinal, count) pairs per
+    event_type — bounded by the WINDOW, not the stream. Input must
+    arrive day-ordered per key across microbatches (replay harness
+    guarantees; an event-time-sorted upstream window provides it in
+    production).
+
+    ``day_counts`` needs columns event_type, day ('yyyy-MM-dd'), c.
+    """
+    from datetime import date
+
+    import math
+
+    def _dr6(x: float) -> float:
+        # scalar twin of functions.rounding.dround (floor(x*1e6+0.5)/1e6):
+        # Python round() is half-even and would diverge on boundaries
+        if not math.isfinite(x) or abs(x) >= 2.0**52 / 1e6:
+            return x
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        etype = key[0]
+        ds, cs = ([], []) if not state.exists else (
+            list(state.get[0]), list(state.get[1])
+        )
+        out = []
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values("day")
+        for _, r in rows.iterrows():
+            # ordinal comes from the date PREFIX so finer-grained period
+            # strings ('yyyy-MM-dd HH') still evict on the 30-DAY horizon
+            y, m, dd_ = map(int, r["day"][:10].split("-"))
+            ordinal = date(y, m, dd_).toordinal()
+            c = int(r["c"])
+            num = den = num2 = 0
+            for o, cc in zip(ds, cs):
+                lag = ordinal - o
+                if 1 <= lag <= 30:
+                    w = 1 << (30 - lag)
+                    den += w
+                    num += cc * w
+                    num2 += cc * cc * w
+            if den > 0:
+                ewma = float(num) / float(den)
+                var = float(num2) / float(den) - ewma * ewma
+                sigma = max(var, 0.0) ** 0.5
+                out.append(
+                    (
+                        etype,
+                        r["day"],
+                        c,
+                        _dr6(ewma),
+                        _dr6(sigma),
+                        abs(c - ewma) > 2.0 * sigma,
+                    )
+                )
+            ds.append(ordinal)
+            cs.append(c)
+            # evict everything older than the 30-day horizon of the NEWEST
+            # day — the state bound
+            cut = ordinal - 30
+            while ds and ds[0] < cut:
+                ds.pop(0)
+                cs.pop(0)
+        state.update((ds, cs))
+        yield pd.DataFrame(
+            out,
+            columns=["event_type", "day", "c", "ewma", "sigma", "anomaly"],
+        )
+
+    return day_counts.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=EWMA_OUTPUT,
+        stateStructType=EWMA_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def brier_bins(df: DataFrame) -> DataFrame:
+    """x227's forecast-bin table as ONE aggregation — bin -> (n_k, y_k,
+    p_k sums).
+
+    Works identically on a batch frame and a streaming frame: counting
+    and integer sums are mergeable, so the streaming state IS the
+    10-row bin table (bounded by the bin domain, never stream length)
+    and the complete-mode result equals the batch bins row-for-row. The
+    Murphy reliability/resolution/uncertainty decomposition (x227) is
+    closed-form arithmetic over this table, so a live calibration
+    dashboard reads 10 rows per refresh and never rescans the stream —
+    the same contract as hll_registers (distinct counts) and
+    quantile_histogram (percentiles).
+
+    ``df`` needs columns y (0/1 outcome) and p (forecast, ppm integer).
+    """
+    return (
+        df.groupBy(
+            F.least(F.floor(F.col("p") / 100001), F.lit(9)).alias("b")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_k"),
+            F.sum("y").cast("long").alias("y_k"),
+            F.sum("p").cast("long").alias("p_k"),
+        )
+    )

@@ -257,3 +257,60 @@ def test_mcnemar_state_bounded_over_128_microbatches(spark, sf_dir, tmp_path):
         "complete",
     )
     assert max(rows for _, rows in trace) == 1
+
+
+def test_ewma_state_bounded_over_128_microbatches(spark, sf_dir, tmp_path):
+    """streaming_ewma state is one row per event_type holding a <=30-entry
+    trailing window in its array columns: numRowsTotal must sit at
+    <= n_types for all 128 microbatches — bounded by the WINDOW x keys,
+    never by how many days stream through. Hour-granularity periods keep
+    the replay above the 100-microbatch bar (the fixture spans ~30
+    calendar days); the ordinal parse uses the date PREFIX, so the 30-day
+    eviction horizon still caps the state arrays at window x 24 entries
+    inside the one row per type."""
+    from kafka_connect_spark.streaming.drift import streaming_ewma
+
+    e = load(spark, sf_dir, "events")
+    day = e.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd HH").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    n_types = day.select("event_type").distinct().count()
+    trace, _ = _state_rows_per_batch(
+        spark, tmp_path, "ewma", day, "day", streaming_ewma, "update"
+    )
+    assert max(rows for _, rows in trace) <= n_types
+    assert trace[-1][1] == max(rows for _, rows in trace)
+
+
+def test_brier_bins_state_bounded_over_128_microbatches(
+    spark, sf_dir, tmp_path
+):
+    """brier_bins is a plain streaming aggregation keyed by the 10-bin
+    forecast domain: numRowsTotal must sit at <= 10 for all 128
+    microbatches regardless of document volume."""
+    from kafka_connect_spark.streaming.drift import brier_bins
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    trace, _ = _state_rows_per_batch(
+        spark,
+        tmp_path,
+        "brierbins",
+        docs,
+        "doc_id",
+        lambda sdf: brier_bins(
+            sdf.select(
+                (F.col("lang") == "en").cast("long").alias("y"),
+                F.least(
+                    F.expr(
+                        "cast(size(filter(split(text, ' '), t ->"
+                        " array_contains(array('a','the','of','and','to','in'), t)))"
+                        " as bigint) * 5000000 div size(split(text, ' '))"
+                    ),
+                    F.lit(1_000_000).cast("bigint"),
+                ).alias("p"),
+            )
+        ),
+        "complete",
+    )
+    assert max(rows for _, rows in trace) <= 10
+    assert trace[-1][1] == max(rows for _, rows in trace)
