@@ -289,6 +289,26 @@ HEADLINE = [
     "x209_funnel_step_timing",
     "x210_skyline_docs",
     "x211_scalar_quantization_audit",
+    # round 10 additions
+    "x212_kruskal_wallis_length",
+    "x213_cramers_v_panel",
+    "x214_kendall_tau_signals",
+    "x215_brown_forsythe_length",
+    "x216_ewma_anomaly",
+    "x217_nelson_aalen_hazard",
+    "x218_two_proportion_ztest",
+    "x219_peak_concurrency",
+    "x220_dup_ngram_char_fraction",
+    "x221_jl_projection_distortion",
+    "x222_concentration_panel",
+    "x223_cochran_armitage_trend",
+    "x224_isotonic_calibration",
+    "x225_pacf_profile",
+    "x226_bh_fdr_panel",
+    "x227_brier_decomposition",
+    "x228_association_rules",
+    "x229_mmr_diversified_topk",
+    "x230_kcore_decomposition",
 ]
 
 

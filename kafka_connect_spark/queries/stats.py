@@ -1353,13 +1353,16 @@ def x226_bh_fdr_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM bins),
     terms AS (SELECT
         {dsum_sql(
-            "CAST((bins.p_k - 1000000 * bins.y_k)"
-            " * (bins.p_k - 1000000 * bins.y_k) AS DOUBLE) / bins.n_k",
+            "CAST((CAST(bins.p_k AS DECIMAL(38,0)) - 1000000"
+            " * CAST(bins.y_k AS DECIMAL(38,0)))"
+            " * (CAST(bins.p_k AS DECIMAL(38,0)) - 1000000"
+            " * CAST(bins.y_k AS DECIMAL(38,0))) AS DOUBLE) / bins.n_k",
             6)} AS rel_t,
         {dsum_sql(
-            "CAST(CAST(1000000 * (bins.y_k * tot.n - tot.yy * bins.n_k)"
-            " AS DECIMAL(38,0))"
-            " * (1000000 * (bins.y_k * tot.n - tot.yy * bins.n_k))"
+            "CAST((1000000 * (CAST(bins.y_k AS DECIMAL(38,0)) * tot.n"
+            " - CAST(tot.yy AS DECIMAL(38,0)) * bins.n_k))"
+            " * (1000000 * (CAST(bins.y_k AS DECIMAL(38,0)) * tot.n"
+            " - CAST(tot.yy AS DECIMAL(38,0)) * bins.n_k))"
             " AS DOUBLE) / bins.n_k", 6)} AS res_t
         FROM bins, tot GROUP BY tot.n)
     SELECT bins.b, bins.n_k, bins.y_k,
@@ -1420,10 +1423,15 @@ def x227_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = bins.agg(F.sum("n_k").alias("n"), F.sum("y_k").alias("yy"))
     bt = bins.crossJoin(F.broadcast(tot))
-    rel_num = F.col("p_k") - 1_000_000 * F.col("y_k")
-    res_num = (
-        1_000_000 * (F.col("y_k") * F.col("n") - F.col("yy") * F.col("n_k"))
+    # cast to decimal BEFORE every multiply (the x167/x182 overflow lesson —
+    # p_k is ~n_k*1e6 and the squared terms blow past int64 at 4x sf0.1)
+    rel_num = F.col("p_k").cast("decimal(38,0)") - F.lit(1_000_000) * F.col(
+        "y_k"
     ).cast("decimal(38,0)")
+    res_num = F.lit(1_000_000).cast("decimal(38,0)") * (
+        F.col("y_k").cast("decimal(38,0)") * F.col("n")
+        - F.col("yy").cast("decimal(38,0)") * F.col("n_k")
+    )
     terms = bt.groupBy("n").agg(
         dsum((rel_num * rel_num).cast("double") / F.col("n_k"), 6).alias(
             "rel_t"
