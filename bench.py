@@ -309,6 +309,12 @@ HEADLINE = [
     "x228_association_rules",
     "x229_mmr_diversified_topk",
     "x230_kcore_decomposition",
+    "x231_fleiss_kappa",
+    "x232_tukey_fences",
+    "x233_trimmed_mean_panel",
+    "x234_logrank_test",
+    "x235_token_burstiness",
+    "x236_simpson_audit",
 ]
 
 

@@ -1467,3 +1467,594 @@ def x227_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("b")
     )
+
+
+@query(
+    "x231_fleiss_kappa",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t
+                  FROM documents),
+    raters AS (SELECT doc_id,
+                      (CASE WHEN len(list_filter(t, x -> x IN
+                           ('a','the','of','and','to','in'))) * 5000000
+                           // len(t) >= 300000 THEN 1 ELSE 0 END)
+                      + (CASE WHEN list_contains(t, 'the')
+                         THEN 1 ELSE 0 END)
+                      + (CASE WHEN length(array_to_string(t, '')) * 10
+                           <= 52 * len(t) THEN 1 ELSE 0 END) AS k
+               FROM toks),
+    hist AS (SELECT k, CAST(count(*) AS BIGINT) AS c FROM raters
+             GROUP BY k),
+    agg AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                   CAST(sum(c * (k * (k - 1) + (3 - k) * (2 - k)))
+                        AS BIGINT) AS agree6,
+                   CAST(sum(c * k) AS BIGINT) AS votes
+            FROM hist)
+    SELECT hist.k AS n_votes_en, hist.c AS n_docs, agg.n,
+           {dround_sql("CAST(agg.agree6 AS DOUBLE) / (6.0 * agg.n)", 6)}
+               AS p_bar,
+           {dround_sql(
+               "(CAST(agg.votes AS DOUBLE) / (3.0 * agg.n))"
+               " * (CAST(agg.votes AS DOUBLE) / (3.0 * agg.n))"
+               " + (1.0 - CAST(agg.votes AS DOUBLE) / (3.0 * agg.n))"
+               " * (1.0 - CAST(agg.votes AS DOUBLE) / (3.0 * agg.n))", 6)}
+               AS p_e,
+           CASE WHEN ((CAST(agg.votes AS DOUBLE) / (3.0 * agg.n))
+                    * (CAST(agg.votes AS DOUBLE) / (3.0 * agg.n))
+                    + (1.0 - CAST(agg.votes AS DOUBLE) / (3.0 * agg.n))
+                    * (1.0 - CAST(agg.votes AS DOUBLE) / (3.0 * agg.n))) < 1.0
+           THEN {dround_sql(
+               "(CAST(agg.agree6 AS DOUBLE) / (6.0 * agg.n)"
+               " - ((CAST(agg.votes AS DOUBLE) / (3.0 * agg.n))"
+               "    * (CAST(agg.votes AS DOUBLE) / (3.0 * agg.n))"
+               "    + (1.0 - CAST(agg.votes AS DOUBLE) / (3.0 * agg.n))"
+               "    * (1.0 - CAST(agg.votes AS DOUBLE) / (3.0 * agg.n))))"
+               " / (1.0 - ((CAST(agg.votes AS DOUBLE) / (3.0 * agg.n))"
+               "    * (CAST(agg.votes AS DOUBLE) / (3.0 * agg.n))"
+               "    + (1.0 - CAST(agg.votes AS DOUBLE) / (3.0 * agg.n))"
+               "    * (1.0 - CAST(agg.votes AS DOUBLE) / (3.0 * agg.n))))",
+               6)} END AS fleiss_kappa
+    FROM hist, agg ORDER BY n_votes_en
+    """,
+)
+def x231_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa across THREE deterministic is-English raters
+    (stopword density >= 0.30, contains 'the', mean token length <= 5.2
+    chars) — the multi-rater generalization of x185's two-rater Cohen
+    kappa, the statistic you report when an ensemble of cheap heuristic
+    labelers disagrees: high kappa says one labeler suffices, low kappa
+    says the ensemble is doing real work. With 3 raters and 2 categories
+    the per-item agreement P_i collapses onto the VOTE-COUNT value
+    domain (k = 0..3 votes; P_i*6 = k(k-1) + (3-k)(2-k), integer), so
+    the whole statistic reduces to a 4-row histogram of exact integers;
+    the three divisions are IEEE-deterministic and rounded once. The
+    per-vote-count histogram rows carry kappa/P_bar/P_e as cross-joined
+    audit columns. One corpus pass."""
+    d = load(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    r1 = (
+        F.expr(
+            "cast(size(filter(split(text, ' '),"
+            " t -> array_contains(array('a','the','of','and','to','in'), t)))"
+            " as bigint) * 5000000 div size(split(text, ' '))"
+        )
+        >= 300_000
+    ).cast("int")
+    r2 = F.array_contains(t, "the").cast("int")
+    r3 = (
+        F.length(F.array_join(t, "")) * 10
+        <= 52 * F.size(t)
+    ).cast("int")
+    raters = d.select((r1 + r2 + r3).alias("k"))
+    hist = raters.groupBy("k").agg(F.count(F.lit(1)).alias("c"))
+    agg = hist.agg(
+        F.sum("c").alias("n"),
+        F.sum(
+            F.col("c")
+            * (
+                F.col("k") * (F.col("k") - 1)
+                + (3 - F.col("k")) * (2 - F.col("k"))
+            )
+        ).alias("agree6"),
+        F.sum(F.col("c") * F.col("k")).alias("votes"),
+    )
+    p1 = F.col("votes").cast("double") / (3.0 * F.col("n"))
+    p_e = p1 * p1 + (1.0 - p1) * (1.0 - p1)
+    p_bar = F.col("agree6").cast("double") / (6.0 * F.col("n"))
+    return (
+        hist.crossJoin(F.broadcast(agg))
+        .select(
+            F.col("k").cast("long").alias("n_votes_en"),
+            F.col("c").cast("long").alias("n_docs"),
+            F.col("n").cast("long").alias("n"),
+            dround(p_bar, 6).alias("p_bar"),
+            dround(p_e, 6).alias("p_e"),
+            # kappa is undefined at p_e = 1 (every rater unanimous on one
+            # category corpus-wide — chance agreement saturates): NULL,
+            # not a sentinel, and never a divide-by-zero under ANSI mode
+            F.when(
+                p_e < 1.0, dround((p_bar - p_e) / (1.0 - p_e), 6)
+            ).alias("fleiss_kappa"),
+        )
+        .orderBy("n_votes_en")
+    )
+
+
+@query(
+    "x232_tukey_fences",
+    oracle="""
+    WITH hist AS (SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+                  FROM documents GROUP BY 1, 2),
+    cum AS (SELECT source, v, c,
+                   CAST(sum(c) OVER (PARTITION BY source ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum
+            FROM hist),
+    tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM hist
+            GROUP BY source),
+    q AS (SELECT cum.source, tot.n,
+                 CAST(min(CASE WHEN cum >= (tot.n + 3) // 4 THEN v END)
+                      AS BIGINT) AS q1,
+                 CAST(min(CASE WHEN cum >= (3 * tot.n + 3) // 4 THEN v END)
+                      AS BIGINT) AS q3
+          FROM cum JOIN tot USING (source) GROUP BY 1, 2),
+    f AS (SELECT source, n, q1, q3, q3 - q1 AS iqr FROM q)
+    SELECT f.source, f.n, f.q1, f.q3, f.iqr,
+           CAST(COALESCE(sum(CASE WHEN 2 * h.v < 2 * f.q1 - 3 * f.iqr
+                         THEN h.c END), 0) AS BIGINT) AS n_out_lo,
+           CAST(COALESCE(sum(CASE WHEN 2 * h.v > 2 * f.q3 + 3 * f.iqr
+                         THEN h.c END), 0) AS BIGINT) AS n_out_hi,
+           CAST(COALESCE(sum(CASE WHEN 2 * h.v < 2 * f.q1 - 6 * f.iqr
+                         OR 2 * h.v > 2 * f.q3 + 6 * f.iqr
+                         THEN h.c END), 0) AS BIGINT) AS n_extreme
+    FROM f JOIN hist h USING (source)
+    GROUP BY 1, 2, 3, 4, 5 ORDER BY f.source
+    """,
+)
+def x232_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier census per source on document length: Q1/Q3 by
+    nearest-rank histogram selection, 1.5xIQR outlier and 3xIQR extreme
+    counts — the robust companion to p27's MAD z-scores for the 'scrape
+    went wrong' triage (a source whose n_extreme is nonzero has a tail
+    no mean/stddev gate sees). All-integer: quartiles are value-domain
+    selections (min v with cum >= nearest-rank), and the fence
+    comparisons run DOUBLED (2v vs 2q1 - 3*iqr) so the .5 half-steps of
+    1.5xIQR never materialize as floats. Plan: one (source, length)
+    hash agg; the cumsum window is PARTITIONED by source over its value
+    domain; fences broadcast back onto the histogram, never the
+    corpus."""
+    d = load(spark, sf_dir, "documents")
+    hist = d.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("source").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = hist.select("source", "v", "c", F.sum("c").over(w).alias("cum"))
+    tot = hist.groupBy("source").agg(F.sum("c").alias("n"))
+    q = (
+        cum.join(F.broadcast(tot), "source")
+        .groupBy("source", "n")
+        .agg(
+            F.min(
+                F.when(F.col("cum") >= F.expr("(n + 3) div 4"), F.col("v"))
+            ).cast("long").alias("q1"),
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr("(3 * n + 3) div 4"), F.col("v")
+                )
+            ).cast("long").alias("q3"),
+        )
+    )
+    f = q.select(
+        "source", "n", "q1", "q3", (F.col("q3") - F.col("q1")).alias("iqr")
+    )
+    j = f.join(hist, "source")
+    lo = 2 * F.col("v") < 2 * F.col("q1") - 3 * F.col("iqr")
+    hi = 2 * F.col("v") > 2 * F.col("q3") + 3 * F.col("iqr")
+    xlo = 2 * F.col("v") < 2 * F.col("q1") - 6 * F.col("iqr")
+    xhi = 2 * F.col("v") > 2 * F.col("q3") + 6 * F.col("iqr")
+    return (
+        j.groupBy("source", "n", "q1", "q3", "iqr")
+        .agg(
+            F.coalesce(F.sum(F.when(lo, F.col("c"))), F.lit(0))
+            .cast("long")
+            .alias("n_out_lo"),
+            F.coalesce(F.sum(F.when(hi, F.col("c"))), F.lit(0))
+            .cast("long")
+            .alias("n_out_hi"),
+            F.coalesce(F.sum(F.when(xlo | xhi, F.col("c"))), F.lit(0))
+            .cast("long")
+            .alias("n_extreme"),
+        )
+        .select(
+            "source",
+            F.col("n").cast("long").alias("n"),
+            "q1",
+            "q3",
+            F.col("iqr").cast("long").alias("iqr"),
+            "n_out_lo",
+            "n_out_hi",
+            "n_extreme",
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "x233_trimmed_mean_panel",
+    oracle=f"""
+    WITH hist AS (SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+                  FROM documents GROUP BY 1, 2),
+    cum AS (SELECT source, v, c,
+                   CAST(sum(c) OVER (PARTITION BY source ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum
+            FROM hist),
+    tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n,
+                   CAST(sum(CAST(c AS DECIMAL(38,0)) * v) AS DECIMAL(38,0))
+                       AS sv
+            FROM hist GROUP BY source),
+    r AS (SELECT source, n, sv, n // 10 AS r FROM tot),
+    trim AS (SELECT cum.source,
+                    CAST(sum(CAST(greatest(least(cum.cum, r.n - r.r)
+                         - greatest(cum.cum - cum.c, r.r), 0)
+                         AS DECIMAL(38,0)) * cum.v) AS DECIMAL(38,0))
+                        AS tsum
+             FROM cum JOIN r USING (source) GROUP BY 1),
+    bounds AS (SELECT cum.source,
+                      CAST(min(CASE WHEN cum.cum >= r.r + 1 THEN cum.v END)
+                           AS BIGINT) AS v_lo,
+                      CAST(min(CASE WHEN cum.cum >= r.n - r.r THEN cum.v END)
+                           AS BIGINT) AS v_hi
+               FROM cum JOIN r USING (source) GROUP BY 1)
+    SELECT r.source, r.n, r.r AS n_trimmed_each_side,
+           {dround_sql("CAST(r.sv AS DOUBLE) / r.n", 6)} AS mean_raw,
+           {dround_sql(
+               "CAST(t.tsum AS DOUBLE) / (r.n - 2 * r.r)", 6)} AS mean_trim,
+           {dround_sql(
+               "CAST(t.tsum + CAST(r.r AS DECIMAL(38,0))"
+               " * (b.v_lo + b.v_hi) AS DOUBLE) / r.n", 6)} AS mean_winsor
+    FROM r JOIN trim t ON t.source = r.source
+           JOIN bounds b ON b.source = r.source
+    ORDER BY r.source
+    """,
+)
+def x233_trimmed_mean_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed and winsorized mean of document length per source next
+    to the raw mean — the robust location estimates that tell you how
+    much of a source's 'average length' is tail artifact (raw >>
+    trimmed = a few huge docs carry the mean; x232 counts those docs,
+    this measures their pull). Exact by histogram algebra: each length
+    value contributes clamp(min(cum, n-r) - max(cum_before, r), 0, c)
+    occurrences to the trimmed sum (r = n/10 dropped per side), the
+    winsorized sum adds r copies of the (r+1)-th and (n-r)-th order
+    statistics (value-domain selections), and all sums ride
+    decimal(38,0); the three means are single IEEE divisions, rounded
+    once. One corpus hash-agg; everything else is the per-source value
+    domain."""
+    d = load(spark, sf_dir, "documents")
+    hist = d.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("source").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = hist.select("source", "v", "c", F.sum("c").over(w).alias("cum"))
+    tot = hist.groupBy("source").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("v")).alias("sv"),
+    )
+    r = tot.select(
+        "source", "n", "sv", (F.col("n") / 10).cast("long").alias("r")
+    )
+    jr = cum.join(F.broadcast(r), "source")
+    contrib = F.greatest(
+        F.least(F.col("cum"), F.col("n") - F.col("r"))
+        - F.greatest(F.col("cum") - F.col("c"), F.col("r")),
+        F.lit(0),
+    )
+    trim = jr.groupBy("source").agg(
+        F.sum(contrib.cast("decimal(38,0)") * F.col("v")).alias("tsum")
+    )
+    bounds = jr.groupBy("source").agg(
+        F.min(F.when(F.col("cum") >= F.col("r") + 1, F.col("v")))
+        .cast("long")
+        .alias("v_lo"),
+        F.min(
+            F.when(F.col("cum") >= F.col("n") - F.col("r"), F.col("v"))
+        )
+        .cast("long")
+        .alias("v_hi"),
+    )
+    return (
+        r.join(F.broadcast(trim), "source")
+        .join(F.broadcast(bounds), "source")
+        .select(
+            "source",
+            F.col("n").cast("long").alias("n"),
+            F.col("r").cast("long").alias("n_trimmed_each_side"),
+            dround(F.col("sv").cast("double") / F.col("n"), 6).alias(
+                "mean_raw"
+            ),
+            dround(
+                F.col("tsum").cast("double") / (F.col("n") - 2 * F.col("r")),
+                6,
+            ).alias("mean_trim"),
+            dround(
+                (
+                    F.col("tsum")
+                    + F.col("r").cast("decimal(38,0)")
+                    * (F.col("v_lo") + F.col("v_hi"))
+                ).cast("double")
+                / F.col("n"),
+                6,
+            ).alias("mean_winsor"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "x234_logrank_test",
+    oracle=f"""
+    WITH s AS (SELECT user_id, min(ts) AS t0 FROM events
+               WHERE event_type = 'signup' GROUP BY 1),
+    p AS (SELECT s.user_id, s.t0,
+                 min(CASE WHEN e.event_type = 'purchase' AND e.ts >= s.t0
+                          THEN e.ts END) AS tp
+          FROM s JOIN events e ON e.user_id = s.user_id
+          GROUP BY 1, 2),
+    horizon AS (SELECT max(ts) AS tmax FROM events),
+    subj AS (SELECT CASE WHEN date_diff('day', DATE '1970-01-05',
+                              CAST(t0 AS DATE)) % 7 >= 5
+                         THEN 1 ELSE 0 END AS g,
+                    CASE WHEN tp IS NOT NULL
+                         THEN date_diff('day', t0, tp)
+                         ELSE date_diff('day', t0, tmax) END AS dur,
+                    CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS conv
+             FROM p CROSS JOIN horizon),
+    gh AS (SELECT g, dur, CAST(count(*) AS BIGINT) AS n_at,
+                  CAST(sum(conv) AS BIGINT) AS d_ev
+           FROM subj GROUP BY 1, 2),
+    days AS (SELECT dur AS d,
+                    CAST(sum(CASE WHEN g = 1 THEN d_ev ELSE 0 END)
+                         AS BIGINT) AS d1,
+                    CAST(sum(d_ev) AS BIGINT) AS d_tot
+             FROM gh GROUP BY 1 HAVING sum(d_ev) > 0),
+    risk AS (SELECT days.d, days.d1, days.d_tot,
+                    CAST(sum(CASE WHEN gh.g = 1 THEN gh.n_at ELSE 0 END)
+                         AS BIGINT) AS n1,
+                    CAST(sum(gh.n_at) AS BIGINT) AS n
+             FROM days JOIN gh ON gh.dur >= days.d
+             GROUP BY 1, 2, 3),
+    terms AS (SELECT
+                  CAST(sum(d1) AS BIGINT) AS o1,
+                  CAST(sum(CAST(CAST(d_tot AS DOUBLE) * n1 / n
+                       AS DECIMAL(18,9))) AS DECIMAL(18,9)) AS e1,
+                  CAST(sum(CASE WHEN n > 1 THEN
+                       CAST(CAST(d_tot AS DOUBLE) * n1 / n
+                            * (n - n1) / n * (n - d_tot) / (n - 1)
+                            AS DECIMAL(18,9)) ELSE 0 END)
+                       AS DECIMAL(18,9)) AS v
+              FROM risk)
+    SELECT o1, {dround_sql("CAST(e1 AS DOUBLE)", 6)} AS e1,
+           {dround_sql("CAST(v AS DOUBLE)", 6)} AS v,
+           {dround_sql(
+               "(o1 - CAST(e1 AS DOUBLE)) * (o1 - CAST(e1 AS DOUBLE))"
+               " / CAST(v AS DOUBLE)", 6)} AS chi2
+    FROM terms
+    """,
+)
+def x234_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test: do weekend-signup users convert on a different
+    timetable than weekday-signup users? Completes the survival family —
+    x186 draws the curve, x217 its hazard, this TESTS two curves'
+    equality the censoring-correct way (comparing raw conversion rates
+    throws away censored users; the log-rank compares observed vs
+    expected events inside each day's risk set). Weekend-ness comes from
+    days-since-Monday-epoch mod 7 (both engines' dayofweek() conventions
+    differ; date arithmetic doesn't). Per-day E1/V terms are IEEE
+    arithmetic on exact risk-set integers quantized to DECIMAL(18,9)
+    before summation (the x217 discipline); chi2 is assembled from those
+    exacts, rounded once. Plan: the x186 subject pipeline with a cohort
+    bit, then everything runs on the |cohorts| x |duration days| table;
+    risk sets come from a bounded days x histogram inequality join
+    (<= |days|^2 rows), never a corpus rescan."""
+    e = load(spark, sf_dir, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    p = (
+        e.join(s, "user_id")
+        .groupBy("user_id", "t0")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("t0")),
+                    F.col("ts"),
+                )
+            ).alias("tp")
+        )
+    )
+    horizon = e.agg(F.max("ts").alias("tmax"))
+    subj = p.crossJoin(F.broadcast(horizon)).select(
+        (
+            F.datediff(F.to_date("t0"), F.lit("1970-01-05").cast("date")) % 7
+            >= 5
+        )
+        .cast("int")
+        .alias("g"),
+        F.when(
+            F.col("tp").isNotNull(), F.datediff(F.col("tp"), F.col("t0"))
+        )
+        .otherwise(F.datediff(F.col("tmax"), F.col("t0")))
+        .alias("dur"),
+        F.col("tp").isNotNull().cast("int").alias("conv"),
+    )
+    gh = subj.groupBy("g", "dur").agg(
+        F.count(F.lit(1)).alias("n_at"), F.sum("conv").alias("d_ev")
+    )
+    days = (
+        gh.groupBy(F.col("dur").alias("d"))
+        .agg(
+            F.sum(F.when(F.col("g") == 1, F.col("d_ev")).otherwise(0)).alias(
+                "d1"
+            ),
+            F.sum("d_ev").alias("d_tot"),
+        )
+        .filter(F.col("d_tot") > 0)
+    )
+    risk = (
+        days.join(F.broadcast(gh), gh["dur"] >= days["d"])
+        .groupBy("d", "d1", "d_tot")
+        .agg(
+            F.sum(
+                F.when(F.col("g") == 1, F.col("n_at")).otherwise(0)
+            ).alias("n1"),
+            F.sum("n_at").alias("n"),
+        )
+    )
+    e1q = (
+        F.col("d_tot").cast("double") * F.col("n1") / F.col("n")
+    ).cast("decimal(18,9)")
+    vq = F.when(
+        F.col("n") > 1,
+        (
+            F.col("d_tot").cast("double")
+            * F.col("n1")
+            / F.col("n")
+            * (F.col("n") - F.col("n1"))
+            / F.col("n")
+            * (F.col("n") - F.col("d_tot"))
+            / (F.col("n") - 1)
+        ).cast("decimal(18,9)"),
+    ).otherwise(F.lit(0).cast("decimal(18,9)"))
+    terms = risk.agg(
+        F.sum("d1").alias("o1"),
+        F.sum(e1q).cast("decimal(18,9)").alias("e1"),
+        F.sum(vq).cast("decimal(18,9)").alias("v"),
+    )
+    return terms.select(
+        F.col("o1").cast("long").alias("o1"),
+        dround(F.col("e1").cast("double"), 6).alias("e1"),
+        dround(F.col("v").cast("double"), 6).alias("v"),
+        dround(
+            (F.col("o1") - F.col("e1").cast("double"))
+            * (F.col("o1") - F.col("e1").cast("double"))
+            / F.col("v").cast("double"),
+            6,
+        ).alias("chi2"),
+    )
+
+
+@query(
+    "x236_simpson_audit",
+    oracle=f"""
+    WITH sl AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n_sl,
+                       CAST(sum(CASE WHEN n_chars < 500 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS k_sl
+                FROM documents GROUP BY 1, 2),
+    l AS (SELECT lang, CAST(sum(n_sl) AS BIGINT) AS n_l,
+                 CAST(sum(k_sl) AS BIGINT) AS k_l
+          FROM sl GROUP BY lang),
+    srcs AS (SELECT source, CAST(sum(n_sl) AS BIGINT) AS n_s,
+                    CAST(sum(k_sl) AS BIGINT) AS k_s
+             FROM sl GROUP BY source),
+    tot AS (SELECT CAST(sum(n_l) AS BIGINT) AS n,
+                   CAST(sum(k_l) AS BIGINT) AS k FROM l),
+    adj AS (SELECT sl.source,
+                   CAST(sum(sl.n_sl * 0 + l.n_l) AS BIGINT) AS w_tot,
+                   {dsum_sql(
+                       "CAST(l.n_l AS DOUBLE) * sl.k_sl / sl.n_sl", 9)}
+                       AS adj_src_num,
+                   {dsum_sql(
+                       "CAST(l.n_l AS DOUBLE) * (l.k_l - sl.k_sl)"
+                       " / (l.n_l - sl.n_sl)", 9)} AS adj_rest_num
+            FROM sl JOIN l USING (lang)
+            WHERE sl.n_sl > 0 AND l.n_l - sl.n_sl > 0
+            GROUP BY sl.source)
+    SELECT s.source, s.n_s, s.k_s,
+           {dround_sql("CAST(s.k_s AS DOUBLE) / s.n_s", 6)} AS p_src,
+           {dround_sql(
+               "CAST(tot.k - s.k_s AS DOUBLE) / (tot.n - s.n_s)", 6)}
+               AS p_rest,
+           {dround_sql("a.adj_src_num / a.w_tot", 6)} AS p_src_adj,
+           {dround_sql("a.adj_rest_num / a.w_tot", 6)} AS p_rest_adj,
+           ((CAST(s.k_s AS DOUBLE) / s.n_s
+             > CAST(tot.k - s.k_s AS DOUBLE) / (tot.n - s.n_s))
+            <> (a.adj_src_num / a.w_tot > a.adj_rest_num / a.w_tot))
+               AS simpson_reversal
+    FROM srcs s JOIN adj a ON a.source = s.source CROSS JOIN tot
+    ORDER BY s.source
+    """,
+)
+def x236_simpson_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox audit on the per-source short-doc rate: the
+    marginal comparison (source vs rest, x218's contrast) NEXT TO the
+    language-standardized comparison (direct standardization: per-lang
+    rates reweighted by the corpus lang mix), flagging sources whose
+    association REVERSES once language is controlled — the classic trap
+    when sources have skewed language mixes and 'short' correlates with
+    language. Weights are the overall lang sizes restricted to strata
+    where both the source and its complement have docs (renormalized by
+    the same w_tot on both sides, so the comparison stays paired). All
+    rates are IEEE divisions of exact integers; the weighted sums ride
+    dsum; the reversal flag compares deterministic doubles. One
+    (source, lang) hash agg; everything else is bounded re-aggregation."""
+    d = load(spark, sf_dir, "documents")
+    sl = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_sl"),
+        F.sum((F.col("n_chars") < 500).cast("long")).alias("k_sl"),
+    )
+    l = sl.groupBy("lang").agg(
+        F.sum("n_sl").alias("n_l"), F.sum("k_sl").alias("k_l")
+    )
+    srcs = sl.groupBy("source").agg(
+        F.sum("n_sl").alias("n_s"), F.sum("k_sl").alias("k_s")
+    )
+    tot = l.agg(F.sum("n_l").alias("n"), F.sum("k_l").alias("k"))
+    adj = (
+        sl.join(F.broadcast(l), "lang")
+        .filter((F.col("n_sl") > 0) & (F.col("n_l") - F.col("n_sl") > 0))
+        .groupBy("source")
+        .agg(
+            F.sum("n_l").alias("w_tot"),
+            dsum(
+                F.col("n_l").cast("double") * F.col("k_sl") / F.col("n_sl"),
+                9,
+            ).alias("adj_src_num"),
+            dsum(
+                F.col("n_l").cast("double")
+                * (F.col("k_l") - F.col("k_sl"))
+                / (F.col("n_l") - F.col("n_sl")),
+                9,
+            ).alias("adj_rest_num"),
+        )
+    )
+    p_src = F.col("k_s").cast("double") / F.col("n_s")
+    p_rest = (F.col("k") - F.col("k_s")).cast("double") / (
+        F.col("n") - F.col("n_s")
+    )
+    a_src = F.col("adj_src_num") / F.col("w_tot")
+    a_rest = F.col("adj_rest_num") / F.col("w_tot")
+    return (
+        srcs.join(adj, "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("n_s").cast("long").alias("n_s"),
+            F.col("k_s").cast("long").alias("k_s"),
+            dround(p_src, 6).alias("p_src"),
+            dround(p_rest, 6).alias("p_rest"),
+            dround(a_src, 6).alias("p_src_adj"),
+            dround(a_rest, 6).alias("p_rest_adj"),
+            ((p_src > p_rest) != (a_src > a_rest)).alias(
+                "simpson_reversal"
+            ),
+        )
+        .orderBy("source")
+    )

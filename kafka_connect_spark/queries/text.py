@@ -4965,3 +4965,74 @@ def x220_dup_ngram_char_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "x235_token_burstiness",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                 FROM documents),
+    dc AS (SELECT token, doc_id, CAST(count(*) AS BIGINT) AS c
+           FROM tok GROUP BY 1, 2),
+    t AS (SELECT token, CAST(sum(c) AS BIGINT) AS cf,
+                 CAST(count(*) AS BIGINT) AS df,
+                 CAST(sum(CAST(c AS DECIMAL(38,0)) * c) AS DECIMAL(38,0))
+                     AS s2
+          FROM dc GROUP BY token),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    top AS (SELECT t.*, n.n_docs FROM t, n
+            ORDER BY t.cf DESC, t.token LIMIT 30)
+    SELECT token, cf, df, n_docs,
+           {dround_sql(
+               "CAST(CAST(n_docs AS DECIMAL(38,0)) * s2"
+               " - CAST(cf AS DECIMAL(38,0)) * cf AS DOUBLE)"
+               " / (CAST(n_docs AS DECIMAL(38,0)) * cf)", 6)} AS vmr
+    FROM top ORDER BY token
+    """,
+)
+def x235_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Church-Gale burstiness (variance-to-mean ratio of per-document
+    counts, zeros included) for the 30 highest-frequency tokens: VMR ~ 1
+    is Poisson 'background' usage, VMR >> 1 is a bursty/topical token
+    that concentrates in few docs — the dispersion signal that separates
+    function words from content words at equal frequency, which x32's
+    commonness rank and x106's trend can't see. The identity
+    VMR = (N*sum(c^2) - cf^2) / (N*cf) keeps everything exact: the
+    corpus collapses to (token, doc) counts in one explode+agg pass
+    (no key hotter than one token's postings), the vocab table carries
+    cf/df/sum(c^2) in decimals, top-30 is TakeOrdered (no global sort
+    materialized), and the one division is IEEE on exact decimals,
+    rounded once. Tie-break on token keeps the selected SET
+    deterministic in both engines."""
+    d = load_parallel(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    dc = tok.groupBy("token", "doc_id").agg(F.count(F.lit(1)).alias("c"))
+    t = dc.groupBy("token").agg(
+        F.sum("c").alias("cf"),
+        F.count(F.lit(1)).alias("df"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("s2"),
+    )
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    top = (
+        t.crossJoin(F.broadcast(n))
+        .orderBy(F.col("cf").desc(), "token")
+        .limit(30)
+    )
+    nd = F.col("n_docs").cast("decimal(38,0)")
+    cfd = F.col("cf").cast("decimal(38,0)")
+    return (
+        top.select(
+            "token",
+            F.col("cf").cast("long").alias("cf"),
+            F.col("df").cast("long").alias("df"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            dround(
+                (nd * F.col("s2") - cfd * F.col("cf")).cast("double")
+                / (nd * F.col("cf")).cast("double"),
+                6,
+            ).alias("vmr"),
+        )
+        .orderBy("token")
+    )
