@@ -1840,9 +1840,9 @@ def x233_trimmed_mean_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM risk)
     SELECT o1, {dround_sql("CAST(e1 AS DOUBLE)", 6)} AS e1,
            {dround_sql("CAST(v AS DOUBLE)", 6)} AS v,
-           {dround_sql(
+           CASE WHEN CAST(v AS DOUBLE) > 0.0 THEN {dround_sql(
                "(o1 - CAST(e1 AS DOUBLE)) * (o1 - CAST(e1 AS DOUBLE))"
-               " / CAST(v AS DOUBLE)", 6)} AS chi2
+               " / CAST(v AS DOUBLE)", 6)} END AS chi2
     FROM terms
     """,
 )
@@ -1942,11 +1942,16 @@ def x234_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o1").cast("long").alias("o1"),
         dround(F.col("e1").cast("double"), 6).alias("e1"),
         dround(F.col("v").cast("double"), 6).alias("v"),
-        dround(
-            (F.col("o1") - F.col("e1").cast("double"))
-            * (F.col("o1") - F.col("e1").cast("double"))
-            / F.col("v").cast("double"),
-            6,
+        # chi2 undefined when the variance term is 0 (degenerate risk sets
+        # — e.g. every conversion shares one day, or a tiny fixture): NULL
+        F.when(
+            F.col("v").cast("double") > 0.0,
+            dround(
+                (F.col("o1") - F.col("e1").cast("double"))
+                * (F.col("o1") - F.col("e1").cast("double"))
+                / F.col("v").cast("double"),
+                6,
+            ),
         ).alias("chi2"),
     )
 
