@@ -110,6 +110,14 @@ FLAGSHIPS = {
     "x206_source_jsd": "vocab-sized join; absent-word KL mass in closed form, no anti-join",
     "x210_skyline_docs": "skyline via value-domain cummax + broadcast front join; corpus never rank-sorted",
     "x211_scalar_quantization_audit": "per-dim range broadcast onto one posexplode pass; 64-row output",
+    "x212_kruskal_wallis_length": "value-domain midrank cumsum; rank tables broadcast back; AQE reuses the (source, length) exchange",
+    "x216_ewma_anomaly": "bounded 30-day self-join on the (type, day) table; integer power-of-two weights",
+    "x219_peak_concurrency": "user-partitioned sessionize + minute-domain sweep-line; AQE reuses the concurrency exchange for max + argmax",
+    "x221_jl_projection_distortion": "1 KB sign matrix broadcast onto the coordinate explode; fixed 4950-pair probe",
+    "x224_isotonic_calibration": "PAV minimax as a <=20-bin broadcast triple join; no sequential pooling loop",
+    "x228_association_rules": "basket distinct built once (AQE ReusedExchange) feeding pair self-join + broadcast supports",
+    "x232_tukey_fences": "per-source value-domain quartile selection; fences broadcast onto the histogram",
+    "x235_token_burstiness": "one (token, doc) agg; top-30 TakeOrdered; VMR on exact decimals",
 }
 
 

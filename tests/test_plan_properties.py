@@ -362,3 +362,59 @@ def test_x158_interval_join_is_user_keyed(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "user_id" in plan
+
+
+def _executed_after_run(spark, sf_dir, name: str) -> str:
+    """Final AQE plan — static explain shows duplicated subtrees that AQE
+    collapses at runtime via ReusedExchange; collect() first so the
+    assertion sees what actually executed."""
+    df = QUERIES[name](spark, sf_dir)
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_x219_session_pipeline_reused_not_recomputed(spark, sf_dir):
+    """The sessionize -> minute-explode -> concurrency agg feeds both the
+    per-day max and the argmax join-back; AQE must reuse that exchange,
+    not run the session pipeline twice (at 100 TB it's the whole cost)."""
+    plan = _executed_after_run(spark, sf_dir, "x219_peak_concurrency")
+    assert "ReusedExchange" in plan
+    # and the sessionize window is user-partitioned, never global
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_x228_basket_distinct_reused_across_supports_and_pairs(spark, sf_dir):
+    """The distinct (order, part) basket table feeds the pair self-join,
+    the item supports and the order count; its shuffle must be built once
+    and reused — four independent corpus distincts would quadruple the
+    dominant cost."""
+    plan = _executed_after_run(spark, sf_dir, "x228_association_rules")
+    assert "ReusedExchange" in plan
+    assert "BroadcastHashJoin" in plan  # item supports broadcast back
+
+
+def test_x212_rank_tables_broadcast_and_reused(spark, sf_dir):
+    """KW's midrank/total/group tables are value-domain aggregates joined
+    back by broadcast; the (source, length) aggregation exchange is
+    reused, and no corpus-wide sort exists (ranks come from the length
+    histogram cumsum, not an orderBy over documents)."""
+    plan = _executed_after_run(spark, sf_dir, "x212_kruskal_wallis_length")
+    assert "ReusedExchange" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_x224_isotonic_triple_join_is_broadcast(spark, sf_dir):
+    """The minimax triple join runs over <=20 bin rows — every join side
+    must be broadcast; a shuffle join here would mean the bin table was
+    mis-sized as corpus data."""
+    plan = _plan(spark, sf_dir, "x224_isotonic_calibration")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_x221_jl_projection_matrix_broadcast(spark, sf_dir):
+    """The 1024-row sign matrix joins the exploded coordinates by
+    broadcast; shuffling the corpus by dimension id for a 1 KB matrix
+    would be the classic small-dim mistake."""
+    plan = _plan(spark, sf_dir, "x221_jl_projection_distortion")
+    assert "BroadcastHashJoin" in plan
