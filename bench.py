@@ -315,6 +315,12 @@ HEADLINE = [
     "x234_logrank_test",
     "x235_token_burstiness",
     "x236_simpson_audit",
+    "x237_ols_diagnostics",
+    "x238_group_kfold_split",
+    "x239_keyword_extraction",
+    "x240_log_odds_vocab_shift",
+    "x241_cuped_adjustment",
+    "x242_odds_ratio_panel",
 ]
 
 

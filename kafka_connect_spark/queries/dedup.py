@@ -7,7 +7,7 @@ harness in tests/test_dedup.py."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load, load_parallel
@@ -1768,4 +1768,75 @@ def x230_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("in_core3", F.lit(False)).alias("in_core3"),
         )
         .orderBy("doc_id")
+    )
+
+
+@query(
+    "x238_group_kfold_split",
+    oracle=f"""
+    WITH cl AS (SELECT doc_id, lang, n_chars,
+                       min(doc_id) OVER (PARTITION BY md5(text)) AS cluster
+                FROM documents),
+    fd AS (SELECT *,
+                  CAST('0x' || substring(md5(CAST(cluster AS VARCHAR)), 1, 15)
+                       AS BIGINT) % 5 AS fold
+           FROM cl)
+    SELECT fold,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters,
+           CAST(sum(n_chars) AS BIGINT) AS char_mass,
+           CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS en_share_ppm
+    FROM fd GROUP BY fold ORDER BY fold
+    """,
+)
+def x238_group_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe 5-fold assignment: every EXACT-DUP CLUSTER (md5 text
+    groups, lowest-id representative) lands wholly in one fold via the
+    md5 clock on its representative id — the GroupKFold discipline that
+    keeps duplicate documents from straddling a train/eval boundary
+    (x92 splits train vs eval once; this generalizes to k folds for
+    cross-validation), with the per-fold balance audit (doc count,
+    cluster count, char mass, language share) that tells you whether the
+    hash folds are usable as-is. Determinism: the md5-derived fold is
+    the engine-portable x177 clock idiom, not rand(); shares are exact
+    ppm integers. Plan: the cluster id is a text-hash-partitioned window
+    min (equivalently one hash agg), fold assignment is map-side, and
+    the audit is one |folds|-row agg — the corpus is scanned once and
+    never joined."""
+    d = load(spark, sf_dir, "documents")
+    wcl = Window.partitionBy(F.md5("text"))
+    cl = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.min("doc_id").over(wcl).alias("cluster"),
+    )
+    fold = (
+        F.expr(
+            "cast(conv(substring(md5(cast(cluster as string)), 1, 15),"
+            " 16, 10) as bigint)"
+        )
+        % 5
+    )
+    return (
+        cl.select("lang", "n_chars", "cluster", fold.alias("fold"))
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("cluster").alias("n_clusters"),
+            F.sum("n_chars").alias("char_mass"),
+            F.expr(
+                "cast(sum(case when lang = 'en' then 1 else 0 end)"
+                " * 1000000 div count(1) as bigint)"
+            ).alias("en_share_ppm"),
+        )
+        .select(
+            F.col("fold").cast("long").alias("fold"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_clusters").cast("long").alias("n_clusters"),
+            F.col("char_mass").cast("long").alias("char_mass"),
+            "en_share_ppm",
+        )
+        .orderBy("fold")
     )

@@ -2063,3 +2063,344 @@ def x236_simpson_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "x237_ols_diagnostics",
+    oracle=f"""
+    WITH day AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                        CAST(count(*) AS BIGINT) AS y
+                 FROM events GROUP BY 1, 2),
+    t0 AS (SELECT event_type, min(day) AS d0 FROM day GROUP BY 1),
+    xy AS (SELECT day.event_type,
+                  CAST(date_diff('day', t0.d0, day.day) AS BIGINT) AS t,
+                  day.y
+           FROM day JOIN t0 USING (event_type)),
+    s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(t) AS DECIMAL(38,0)) AS st,
+                 CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+                 CAST(sum(CAST(t AS DECIMAL(38,0)) * t) AS DECIMAL(38,0))
+                     AS stt,
+                 CAST(sum(CAST(t AS DECIMAL(38,0)) * y) AS DECIMAL(38,0))
+                     AS sty,
+                 CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0))
+                     AS syy
+          FROM xy GROUP BY event_type),
+    fit AS (SELECT event_type, n, st, sy, stt, sty, syy,
+                   CAST(n * sty - st * sy AS DOUBLE)
+                       / CAST(n * stt - st * st AS DOUBLE) AS b
+            FROM s),
+    ab AS (SELECT *,
+                  (CAST(sy AS DOUBLE) - b * CAST(st AS DOUBLE)) / n AS a
+           FROM fit),
+    res AS (SELECT xy.event_type,
+                   xy.t,
+                   xy.y - ab.a - ab.b * xy.t AS e
+            FROM xy JOIN ab USING (event_type)),
+    dw AS (SELECT r1.event_type,
+                  {dsum_sql("(r2.e - r1.e) * (r2.e - r1.e)", 9)} AS dnum
+           FROM res r1 JOIN res r2 ON r2.event_type = r1.event_type
+                AND r2.t = r1.t + 1
+           GROUP BY r1.event_type),
+    sse AS (SELECT event_type, {dsum_sql("e * e", 9)} AS sse FROM res
+            GROUP BY event_type)
+    SELECT ab.event_type, ab.n,
+           {dround_sql("ab.b", 6)} AS slope,
+           {dround_sql("ab.a", 6)} AS intercept,
+           {dround_sql(
+               "CAST(ab.n * ab.sty - ab.st * ab.sy AS DOUBLE)"
+               " * CAST(ab.n * ab.sty - ab.st * ab.sy AS DOUBLE)"
+               " / (CAST(ab.n * ab.stt - ab.st * ab.st AS DOUBLE)"
+               "    * CAST(ab.n * ab.syy - ab.sy * ab.sy AS DOUBLE))", 6)}
+               AS r2,
+           {dround_sql(
+               "ab.b / sqrt(sse.sse / (ab.n - 2)"
+               " / (CAST(ab.n * ab.stt - ab.st * ab.st AS DOUBLE) / ab.n))",
+               6)} AS slope_t,
+           {dround_sql("dw.dnum / sse.sse", 6)} AS durbin_watson
+    FROM ab JOIN sse USING (event_type) JOIN dw USING (event_type)
+    ORDER BY ab.event_type
+    """,
+)
+def x237_ols_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS regression diagnostics for daily volume vs day index, per event
+    type: slope/intercept PLUS the inference layer p15's point forecast
+    and x179's robust slope skip — R^2 (how much trend explains), the
+    slope t-statistic (is the trend significant), and Durbin-Watson on
+    the residuals (is 'significant' an artifact of autocorrelated errors
+    — DW << 2 says the t-stat overstates; read it with x201's ACF). All
+    moment sums ride decimal(38,0); slope/intercept are IEEE on those
+    exacts, so residuals are deterministic doubles whose squares/lag
+    products accumulate via dsum. Plan: one corpus pass to (type, day),
+    then moments, residuals and the DW lag join all on the
+    |types| x |days| table."""
+    e = load(spark, sf_dir, "events")
+    day = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    t0 = day.groupBy("event_type").agg(F.min("day").alias("d0"))
+    xy = day.join(F.broadcast(t0), "event_type").select(
+        "event_type",
+        F.datediff(F.col("day"), F.col("d0")).cast("long").alias("t"),
+        "y",
+    )
+    td = F.col("t").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
+    s = xy.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(td).alias("st"),
+        F.sum(yd).alias("sy"),
+        F.sum(td * F.col("t")).alias("stt"),
+        F.sum(td * F.col("y")).alias("sty"),
+        F.sum(yd * F.col("y")).alias("syy"),
+    )
+    b = (F.col("n") * F.col("sty") - F.col("st") * F.col("sy")).cast(
+        "double"
+    ) / (F.col("n") * F.col("stt") - F.col("st") * F.col("st")).cast("double")
+    ab = s.select("*", b.alias("b")).select(
+        "*",
+        (
+            (F.col("sy").cast("double") - F.col("b") * F.col("st").cast("double"))
+            / F.col("n")
+        ).alias("a"),
+    )
+    res = xy.join(F.broadcast(ab), "event_type").select(
+        "event_type",
+        "t",
+        (F.col("y") - F.col("a") - F.col("b") * F.col("t")).alias("e"),
+    )
+    r2cols = res.select(
+        "event_type", F.col("t").alias("t2"), F.col("e").alias("e2")
+    )
+    dw = (
+        res.join(
+            r2cols,
+            (res["event_type"] == r2cols["event_type"])
+            & (F.col("t2") == F.col("t") + 1),
+        )
+        .drop(r2cols["event_type"])
+        .groupBy("event_type")
+        .agg(
+            dsum(
+                (F.col("e2") - F.col("e")) * (F.col("e2") - F.col("e")), 9
+            ).alias("dnum")
+        )
+    )
+    sse = res.groupBy("event_type").agg(
+        dsum(F.col("e") * F.col("e"), 9).alias("sse")
+    )
+    num = F.col("n") * F.col("sty") - F.col("st") * F.col("sy")
+    dent = F.col("n") * F.col("stt") - F.col("st") * F.col("st")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return (
+        ab.join(sse, "event_type")
+        .join(dw, "event_type")
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            dround(F.col("b"), 6).alias("slope"),
+            dround(F.col("a"), 6).alias("intercept"),
+            dround(
+                num.cast("double")
+                * num.cast("double")
+                / (dent.cast("double") * deny.cast("double")),
+                6,
+            ).alias("r2"),
+            dround(
+                F.col("b")
+                / F.sqrt(
+                    F.col("sse")
+                    / (F.col("n") - 2)
+                    / (dent.cast("double") / F.col("n"))
+                ),
+                6,
+            ).alias("slope_t"),
+            dround(F.col("dnum") / F.col("sse"), 6).alias("durbin_watson"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "x241_cuped_adjustment",
+    oracle=f"""
+    WITH span AS (SELECT min(CAST(ts AS DATE)) AS d0,
+                         max(CAST(ts AS DATE)) AS d1 FROM events),
+    u AS (SELECT user_id,
+                 CAST(sum(CASE WHEN date_diff('day', span.d0, CAST(ts AS DATE))
+                          * 2 < date_diff('day', span.d0, span.d1)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS pre,
+                 CAST(sum(CASE WHEN date_diff('day', span.d0, CAST(ts AS DATE))
+                          * 2 >= date_diff('day', span.d0, span.d1)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS post
+          FROM events, span GROUP BY user_id, span.d0, span.d1),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(pre) AS DECIMAL(38,0)) AS sx,
+                 CAST(sum(post) AS DECIMAL(38,0)) AS sy,
+                 CAST(sum(CAST(pre AS DECIMAL(38,0)) * pre)
+                      AS DECIMAL(38,0)) AS sxx,
+                 CAST(sum(CAST(pre AS DECIMAL(38,0)) * post)
+                      AS DECIMAL(38,0)) AS sxy,
+                 CAST(sum(CAST(post AS DECIMAL(38,0)) * post)
+                      AS DECIMAL(38,0)) AS syy
+          FROM u)
+    SELECT n,
+           {dround_sql(
+               "CAST(n * sxy - sx * sy AS DOUBLE)"
+               " / CAST(n * sxx - sx * sx AS DOUBLE)", 6)} AS theta,
+           {dround_sql(
+               "CAST(n * syy - sy * sy AS DOUBLE) / (CAST(n AS DOUBLE) * n)",
+               6)} AS var_post,
+           {dround_sql(
+               "(CAST(n * syy - sy * sy AS DOUBLE)"
+               " - CAST(n * sxy - sx * sy AS DOUBLE)"
+               "   * CAST(n * sxy - sx * sy AS DOUBLE)"
+               "   / CAST(n * sxx - sx * sx AS DOUBLE))"
+               " / (CAST(n AS DOUBLE) * n)", 6)} AS var_adjusted,
+           {dround_sql(
+               "CAST(n * sxy - sx * sy AS DOUBLE)"
+               " * CAST(n * sxy - sx * sy AS DOUBLE)"
+               " / (CAST(n * sxx - sx * sx AS DOUBLE)"
+               "    * CAST(n * syy - sy * sy AS DOUBLE))", 6)}
+               AS variance_reduction
+    FROM s
+    """,
+)
+def x241_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (controlled pre-period covariate adjustment): per-user
+    pre-period activity (first half of the observation span) as the
+    covariate for post-period activity, theta = cov(pre,post)/var(pre),
+    and the achieved variance reduction (= corr^2) — the experiment-
+    platform primitive that decides how much smaller an A/B test's
+    confidence intervals get before any experiment runs. Identities keep
+    it exact: var_adj = var(post) - cov^2/var(pre), reduction =
+    cov^2/(var(pre) var(post)), all from five decimal moment sums; the
+    divisions are IEEE on exacts, rounded once. Plan: one corpus pass to
+    per-user (pre, post) conditional sums (the span row broadcasts),
+    one moment agg, closed form on 1 row."""
+    e = load(spark, sf_dir, "events")
+    span = e.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    es = e.crossJoin(F.broadcast(span))
+    is_pre = (
+        F.datediff(F.to_date("ts"), F.col("d0")) * 2
+        < F.datediff(F.col("d1"), F.col("d0"))
+    )
+    u = es.groupBy("user_id").agg(
+        F.sum(is_pre.cast("long")).alias("pre"),
+        F.sum((~is_pre).cast("long")).alias("post"),
+    )
+    xd = F.col("pre").cast("decimal(38,0)")
+    yd = F.col("post").cast("decimal(38,0)")
+    s = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * F.col("pre")).alias("sxx"),
+        F.sum(xd * F.col("post")).alias("sxy"),
+        F.sum(yd * F.col("post")).alias("syy"),
+    )
+    covn = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    varxn = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    varyn = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    nn = F.col("n").cast("double") * F.col("n")
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        dround(covn / varxn, 6).alias("theta"),
+        dround(varyn / nn, 6).alias("var_post"),
+        dround((varyn - covn * covn / varxn) / nn, 6).alias("var_adjusted"),
+        dround(covn * covn / (varxn * varyn), 6).alias(
+            "variance_reduction"
+        ),
+    )
+
+
+@query(
+    "x242_odds_ratio_panel",
+    oracle=f"""
+    WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_j,
+                      CAST(sum(CASE WHEN n_chars < 500 THEN 1 ELSE 0 END)
+                           AS BIGINT) AS k_j
+               FROM documents GROUP BY source),
+    tot AS (SELECT CAST(sum(n_j) AS BIGINT) AS n,
+                   CAST(sum(k_j) AS BIGINT) AS k FROM g),
+    cells AS (SELECT g.source,
+                     g.k_j AS a, g.n_j - g.k_j AS b,
+                     tot.k - g.k_j AS c,
+                     (tot.n - g.n_j) - (tot.k - g.k_j) AS d
+              FROM g, tot)
+    SELECT source, a, b, c, d,
+           CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+             {dround_sql(
+                 "CAST(CAST(a AS DECIMAL(38,0)) * d AS DOUBLE)"
+                 " / CAST(CAST(b AS DECIMAL(38,0)) * c AS DOUBLE)", 6)}
+           END AS odds_ratio,
+           CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+             {dround_sql(
+                 "ln(CAST(CAST(a AS DECIMAL(38,0)) * d AS DOUBLE)"
+                 " / CAST(CAST(b AS DECIMAL(38,0)) * c AS DOUBLE))"
+                 " - 1.96 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)", 6)}
+           END AS log_or_lo,
+           CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+             {dround_sql(
+                 "ln(CAST(CAST(a AS DECIMAL(38,0)) * d AS DOUBLE)"
+                 " / CAST(CAST(b AS DECIMAL(38,0)) * c AS DOUBLE))"
+                 " + 1.96 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)", 6)}
+           END AS log_or_hi
+    FROM cells ORDER BY source
+    """,
+)
+def x242_odds_ratio_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Odds ratio of short-doc membership per source vs the rest, with the
+    Woolf 95% CI on the log scale — the RATIO-scale companion to x218's
+    difference-of-proportions z (an OR of 2 reads the same at 1% and 30%
+    base rates, which is why dashboards comparing rare-flag slices
+    report OR, not risk difference). 2x2 cells come from the same one-
+    pass conditional sums; the cross products a*d / b*c ride decimal;
+    OR/CI are IEEE on exacts with one ln/sqrt each, rounded once, and
+    NULL when any cell is 0 (Woolf undefined — no 0.5 continuity fudge
+    that would differ from textbook values). |sources| rows total."""
+    d = load(spark, sf_dir, "documents")
+    g = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_j"),
+        F.sum((F.col("n_chars") < 500).cast("long")).alias("k_j"),
+    )
+    tot = g.agg(F.sum("n_j").alias("n"), F.sum("k_j").alias("k"))
+    cells = g.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("k_j").alias("a"),
+        (F.col("n_j") - F.col("k_j")).alias("b"),
+        (F.col("k") - F.col("k_j")).alias("c"),
+        ((F.col("n") - F.col("n_j")) - (F.col("k") - F.col("k_j"))).alias(
+            "d"
+        ),
+    )
+    ok = (
+        (F.col("a") > 0)
+        & (F.col("b") > 0)
+        & (F.col("c") > 0)
+        & (F.col("d") > 0)
+    )
+    orr = (F.col("a").cast("decimal(38,0)") * F.col("d")).cast("double") / (
+        F.col("b").cast("decimal(38,0)") * F.col("c")
+    ).cast("double")
+    se = F.sqrt(
+        1.0 / F.col("a") + 1.0 / F.col("b") + 1.0 / F.col("c") + 1.0 / F.col("d")
+    )
+    return cells.select(
+        "source",
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.col("c").cast("long").alias("c"),
+        F.col("d").cast("long").alias("d"),
+        F.when(ok, dround(orr, 6)).alias("odds_ratio"),
+        F.when(ok, dround(F.log(orr) - 1.96 * se, 6)).alias("log_or_lo"),
+        F.when(ok, dround(F.log(orr) + 1.96 * se, 6)).alias("log_or_hi"),
+    ).orderBy("source")

@@ -5036,3 +5036,151 @@ def x235_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("token")
     )
+
+
+@query(
+    "x239_keyword_extraction",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                 FROM documents),
+    tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+           FROM tok GROUP BY 1, 2),
+    df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf
+           GROUP BY token),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    sc AS (SELECT tf.doc_id, tf.token,
+                  tf.tf * (n.n_docs * 1000000 // df.df) AS score
+           FROM tf JOIN df USING (token) CROSS JOIN n),
+    r AS (SELECT doc_id, token, score,
+                 row_number() OVER (PARTITION BY doc_id
+                     ORDER BY score DESC, token) AS rank
+          FROM sc)
+    SELECT doc_id, CAST(rank AS BIGINT) AS rank, token,
+           CAST(score AS BIGINT) AS score
+    FROM r WHERE rank <= 3 ORDER BY doc_id, rank
+    """,
+)
+def x239_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 distinctive keywords per document by rational tf-idf
+    (score = tf * floor(1e6 * N/df)) — the per-document tagging pass
+    behind faceted corpus browsers and x140's query-side expansion,
+    deliberately using the RATIONAL idf (exact integer, monotone in
+    1/df) instead of the log so the per-doc ranking is engine-exact
+    integer arithmetic with no transcendental in the rank key (x97's
+    cosine keeps the log idf; this op's contract is the top-3 SET, where
+    a 1-ulp ln difference could flip a rank boundary). Plan: one
+    explode -> (doc, token) tf agg, a broadcast df join, and a
+    doc-partitioned rank window that WindowGroupLimit caps at 3 rows
+    per doc below the sort — no global ordering, fan-out bounded by the
+    corpus token count."""
+    d = load_parallel(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    sc = (
+        tf.join(F.broadcast(dfq), "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            (F.col("tf") * F.expr("n_docs * 1000000 div df")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "token")
+    return (
+        sc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "rank", "token", F.col("score").cast("long").alias("score"))
+        .orderBy("doc_id", "rank")
+    )
+
+
+@query(
+    "x240_log_odds_vocab_shift",
+    oracle=f"""
+    WITH s1 AS (SELECT source FROM documents GROUP BY source
+                ORDER BY count(*) DESC, source LIMIT 1),
+    tok AS (SELECT CASE WHEN d.source = s1.source THEN 1 ELSE 0 END AS grp,
+                   unnest(string_split(d.text, ' ')) AS token
+            FROM documents d, s1),
+    cnt AS (SELECT token,
+                   CAST(sum(grp) AS BIGINT) AS y,
+                   CAST(sum(1 - grp) AS BIGINT) AS c
+            FROM tok GROUP BY token),
+    tot AS (SELECT CAST(sum(y) AS BIGINT) AS n1,
+                   CAST(sum(c) AS BIGINT) AS n2,
+                   CAST(sum(y + c) AS BIGINT) AS cf_all
+            FROM cnt),
+    z AS (SELECT cnt.token, cnt.y, cnt.c,
+                 1000.0 * (cnt.y + cnt.c) / tot.cf_all AS a_w,
+                 tot.n1, tot.n2
+          FROM cnt, tot),
+    stat AS (SELECT token, y, c,
+                    (ln((y + a_w) / (n1 + 1000.0 - y - a_w))
+                     - ln((c + a_w) / (n2 + 1000.0 - c - a_w)))
+                    / sqrt(1.0 / (y + a_w) + 1.0 / (c + a_w)) AS z
+             FROM z),
+    rk AS (SELECT token, y, c, {dround_sql("z", 6)} AS z_lo,
+                  row_number() OVER (
+                      ORDER BY {dround_sql("abs(z)", 6)} DESC, token) AS rn
+           FROM stat)
+    SELECT token, y AS count_top_source, c AS count_rest, z_lo AS z
+    FROM rk WHERE rn <= 20 ORDER BY token
+    """,
+)
+def x240_log_odds_vocab_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monroe-style log-odds with an informative Dirichlet prior: which
+    tokens most distinguish the LARGEST source from the rest of the
+    corpus, z-scored — the lexical-shift diagnostic behind 'what is this
+    source actually full of' (x206's JSD says THAT distributions differ;
+    this names the words, and the corpus-frequency prior keeps rare
+    tokens from dominating the way raw log-ratios do). Top source is
+    picked deterministically (doc count, name tie-break); the prior
+    a_w = 1000 * cf_w / cf_total; z uses the standard two-ln variance
+    approximation. Rank key is the 6-dp-ROUNDED |z| with a token
+    tie-break, so a last-ulp ln difference between engines cannot flip
+    the selected set. Plan: one explode -> token-count agg with a
+    broadcast group bit, closed form per token, TakeOrdered(20)."""
+    d = load_parallel(spark, sf_dir, "documents")
+    s1 = (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .orderBy(F.col("nd").desc(), "source")
+        .limit(1)
+        .select(F.col("source").alias("top_source"))
+    )
+    tok = d.crossJoin(F.broadcast(s1)).select(
+        (F.col("source") == F.col("top_source")).cast("int").alias("grp"),
+        F.explode(F.split("text", " ")).alias("token"),
+    )
+    cnt = tok.groupBy("token").agg(
+        F.sum("grp").alias("y"), F.sum(1 - F.col("grp")).alias("c")
+    )
+    tot = cnt.agg(
+        F.sum("y").alias("n1"),
+        F.sum("c").alias("n2"),
+        F.sum(F.col("y") + F.col("c")).alias("cf_all"),
+    )
+    zt = cnt.crossJoin(F.broadcast(tot)).select(
+        "token",
+        "y",
+        "c",
+        (1000.0 * (F.col("y") + F.col("c")) / F.col("cf_all")).alias("a_w"),
+        "n1",
+        "n2",
+    )
+    z = (
+        F.log((F.col("y") + F.col("a_w")) / (F.col("n1") + 1000.0 - F.col("y") - F.col("a_w")))
+        - F.log((F.col("c") + F.col("a_w")) / (F.col("n2") + 1000.0 - F.col("c") - F.col("a_w")))
+    ) / F.sqrt(1.0 / (F.col("y") + F.col("a_w")) + 1.0 / (F.col("c") + F.col("a_w")))
+    stat = zt.select(
+        "token", "y", "c", dround(z, 6).alias("z_lo"), dround(F.abs(z), 6).alias("za")
+    )
+    top = stat.orderBy(F.col("za").desc(), "token").limit(20)
+    return top.select(
+        "token",
+        F.col("y").cast("long").alias("count_top_source"),
+        F.col("c").cast("long").alias("count_rest"),
+        F.col("z_lo").alias("z"),
+    ).orderBy("token")
