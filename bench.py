@@ -321,6 +321,8 @@ HEADLINE = [
     "x240_log_odds_vocab_shift",
     "x241_cuped_adjustment",
     "x242_odds_ratio_panel",
+    "x243_poisson_rate_test",
+    "x244_sprt_conversion_drift",
 ]
 
 

@@ -2404,3 +2404,150 @@ def x242_odds_ratio_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, dround(F.log(orr) - 1.96 * se, 6)).alias("log_or_lo"),
         F.when(ok, dround(F.log(orr) + 1.96 * se, 6)).alias("log_or_hi"),
     ).orderBy("source")
+
+
+@query(
+    "x243_poisson_rate_test",
+    oracle=f"""
+    WITH d AS (SELECT CAST(ts AS DATE) AS day, event_type FROM events),
+    g AS (SELECT event_type,
+                 CAST(sum(CASE WHEN date_diff('day', DATE '1970-01-05', day)
+                          % 7 >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS c_we,
+                 CAST(sum(CASE WHEN date_diff('day', DATE '1970-01-05', day)
+                          % 7 < 5 THEN 1 ELSE 0 END) AS BIGINT) AS c_wd
+          FROM d GROUP BY event_type),
+    ex AS (SELECT CAST(count(DISTINCT CASE WHEN
+                       date_diff('day', DATE '1970-01-05', day) % 7 >= 5
+                       THEN day END) AS BIGINT) AS e_we,
+                  CAST(count(DISTINCT CASE WHEN
+                       date_diff('day', DATE '1970-01-05', day) % 7 < 5
+                       THEN day END) AS BIGINT) AS e_wd
+           FROM d)
+    SELECT g.event_type, g.c_we, g.c_wd, ex.e_we, ex.e_wd,
+           {dround_sql(
+               "CAST(g.c_we AS DOUBLE) / ex.e_we", 6)} AS rate_weekend,
+           {dround_sql(
+               "CAST(g.c_wd AS DOUBLE) / ex.e_wd", 6)} AS rate_weekday,
+           {dround_sql(
+               "(g.c_we - (g.c_we + g.c_wd)"
+               " * (CAST(ex.e_we AS DOUBLE) / (ex.e_we + ex.e_wd)))"
+               " / sqrt((g.c_we + g.c_wd)"
+               " * (CAST(ex.e_we AS DOUBLE) / (ex.e_we + ex.e_wd))"
+               " * (1.0 - CAST(ex.e_we AS DOUBLE) / (ex.e_we + ex.e_wd)))",
+               6)} AS z
+    FROM g, ex ORDER BY g.event_type
+    """,
+)
+def x243_poisson_rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-rate Poisson comparison per event type: weekend vs weekday
+    DAILY RATE with exposure-corrected significance — the conditional
+    (binomial) test: given C = c_we + c_wd total events, under equal
+    rates c_we ~ Binomial(C, e_we/(e_we+e_wd)), so
+    z = (c_we - C*p) / sqrt(C*p*(1-p)) with p the weekend share of
+    exposure DAYS. This is the rate-vs-exposure question x218/x242's
+    per-doc proportions can't pose (events per day, not events per
+    event). Weekend-ness via days-since-Monday-epoch mod 7 (the x234
+    convention). Counts and exposures are exact integers from one
+    corpus pass; z is IEEE on exacts, rounded once. |types| rows."""
+    e = load(spark, sf_dir, "events")
+    d = e.select(F.to_date("ts").alias("day"), "event_type")
+    is_we = (
+        F.datediff(F.col("day"), F.lit("1970-01-05").cast("date")) % 7 >= 5
+    )
+    g = d.groupBy("event_type").agg(
+        F.sum(is_we.cast("long")).alias("c_we"),
+        F.sum((~is_we).cast("long")).alias("c_wd"),
+    )
+    ex = d.agg(
+        F.countDistinct(F.when(is_we, F.col("day"))).alias("e_we"),
+        F.countDistinct(F.when(~is_we, F.col("day"))).alias("e_wd"),
+    )
+    p = F.col("e_we").cast("double") / (F.col("e_we") + F.col("e_wd"))
+    c = F.col("c_we") + F.col("c_wd")
+    return (
+        g.crossJoin(F.broadcast(ex))
+        .select(
+            "event_type",
+            F.col("c_we").cast("long").alias("c_we"),
+            F.col("c_wd").cast("long").alias("c_wd"),
+            F.col("e_we").cast("long").alias("e_we"),
+            F.col("e_wd").cast("long").alias("e_wd"),
+            dround(F.col("c_we").cast("double") / F.col("e_we"), 6).alias(
+                "rate_weekend"
+            ),
+            dround(F.col("c_wd").cast("double") / F.col("e_wd"), 6).alias(
+                "rate_weekday"
+            ),
+            dround(
+                (F.col("c_we") - c * p) / F.sqrt(c * p * (1.0 - p)), 6
+            ).alias("z"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "x244_sprt_conversion_drift",
+    oracle=f"""
+    WITH du AS (SELECT CAST(ts AS DATE) AS day, user_id,
+                       max(CASE WHEN event_type = 'purchase'
+                           THEN 1 ELSE 0 END) AS conv
+                FROM events GROUP BY 1, 2),
+    day AS (SELECT day, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(conv) AS BIGINT) AS k
+            FROM du GROUP BY day),
+    llr AS (SELECT day, n, k,
+                   CAST(k * ln(0.3 / 0.2)
+                        + (n - k) * ln(0.7 / 0.8) AS DECIMAL(18,9)) AS q
+            FROM day),
+    c AS (SELECT day, n, k,
+                 CAST(sum(q) OVER (ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS DECIMAL(18,9)) AS cum
+          FROM llr)
+    SELECT strftime(day, '%Y-%m-%d') AS day, n, k,
+           {dround_sql("CAST(cum AS DOUBLE)", 6)} AS cum_llr,
+           (CAST(cum AS DOUBLE) >= 2.944439) AS accept_h1,
+           (CAST(cum AS DOUBLE) <= -2.944439) AS accept_h0
+    FROM c ORDER BY day
+    """,
+)
+def x244_sprt_conversion_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald sequential probability ratio test on the daily conversion
+    rate: cumulative log-likelihood ratio of H1 (p=0.30) vs H0 (p=0.20)
+    with the standard A/B boundaries ln(19) = +-2.944 (alpha = beta =
+    0.05) — the SEQUENTIAL monitor that answers 'can we stop early'
+    where x205's per-day Wilson CI and x218's fixed-horizon z cannot:
+    SPRT controls error rates under continuous looking. Per-day LLR
+    increments are IEEE arithmetic on exact (n, k) integers quantized to
+    DECIMAL(18,9) before the cumulative sum (the x217 discipline), so
+    boundary crossings flag identically in both engines. Plan: one
+    (day, user) hash agg, a |days|-row value-domain cumsum (audited
+    global window)."""
+    e = load(spark, sf_dir, "events")
+    du = e.groupBy(F.to_date("ts").alias("day"), "user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("long")).alias("conv")
+    )
+    day = du.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("k")
+    )
+    import math
+
+    l1 = math.log(0.3 / 0.2)
+    l0 = math.log(0.7 / 0.8)
+    q = (F.col("k") * F.lit(l1) + (F.col("n") - F.col("k")) * F.lit(l0)).cast(
+        "decimal(18,9)"
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    c = day.select(
+        "day", "n", "k", F.sum(q).over(w).cast("decimal(18,9)").alias("cum")
+    )
+    bound = 2.944439
+    return c.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+        dround(F.col("cum").cast("double"), 6).alias("cum_llr"),
+        (F.col("cum").cast("double") >= bound).alias("accept_h1"),
+        (F.col("cum").cast("double") <= -bound).alias("accept_h0"),
+    ).orderBy("day")

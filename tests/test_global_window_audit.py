@@ -56,6 +56,8 @@ AUDITED = {
     ("queries/stats.py", "x217_nelson_aalen_hazard"):
         "agg:distinct duration days — the risk-set reverse cumsum and the "
         "hazard cumsum both run over |days| rows (x186's domain)",
+    ("queries/stats.py", "x244_sprt_conversion_drift"):
+        "agg:days — the SPRT cumulative LLR runs over |days| rows",
     ("queries/stats.py", "x226_bh_fdr_panel"):
         "agg:sources — the BH rank runs over the |sources| test panel",
     ("queries/stats.py", "x224_isotonic_calibration"):
