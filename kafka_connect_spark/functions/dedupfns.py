@@ -663,6 +663,7 @@ def kcore_nodes(edges: DataFrame, k: int, max_iters: int = 12) -> DataFrame:
     """
     e = edges.select("id_a", "id_b").localCheckpoint()
     prev_n = -1
+    converged = False
     for _ in range(max_iters):
         deg = (
             e.select(F.col("id_a").alias("node"))
@@ -673,6 +674,7 @@ def kcore_nodes(edges: DataFrame, k: int, max_iters: int = 12) -> DataFrame:
         keep = deg.filter(F.col("d") >= k).select("node").localCheckpoint()
         n = keep.count()
         if n == prev_n:
+            converged = True
             break
         prev_n = n
         e = (
@@ -681,7 +683,18 @@ def kcore_nodes(edges: DataFrame, k: int, max_iters: int = 12) -> DataFrame:
             .localCheckpoint()
         )
         if n == 0:
+            converged = True
             break
+    if not converged:
+        # Long chains peel one hop per round, so a component of ~2*max_iters
+        # near-dup docs would otherwise silently return a SUPERSET of the
+        # true k-core (the final degree filter enforces only one extra peel
+        # step) — same contract as dup_clusters above: fail loudly.
+        raise RuntimeError(
+            f"kcore_nodes did not converge after {max_iters} iterations "
+            "(surviving-node count still shrinking); raise max_iters — the "
+            "dup graph has chains longer than the peel budget"
+        )
     return (
         e.select(F.col("id_a").alias("node"))
         .unionAll(e.select(F.col("id_b").alias("node")))

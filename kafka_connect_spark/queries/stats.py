@@ -53,7 +53,7 @@ from .registry import dround, dround_sql, dsum, dsum_sql, query
                         AS DECIMAL(38,0)) AS r2_j
             FROM sl JOIN mid USING (n_chars) GROUP BY source),
     s4 AS (SELECT {dsum_sql(
-               "CAST(r2_j * r2_j AS DOUBLE) / n_j", 6)} AS s4
+               "CAST(r2_j AS DOUBLE) * CAST(r2_j AS DOUBLE) / n_j", 6)} AS s4
            FROM grp),
     k AS (SELECT CAST(count(*) AS BIGINT) AS k_groups FROM grp),
     h AS (SELECT 3.0 * s4 / (CAST(n AS DOUBLE) * (n + 1)) - 3.0 * (n + 1)
@@ -114,7 +114,9 @@ def x212_kruskal_wallis_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s4 = grp.agg(
         dsum(
-            (F.col("r2_j") * F.col("r2_j")).cast("double") / F.col("n_j"), 6
+            F.col("r2_j").cast("double") * F.col("r2_j").cast("double")
+            / F.col("n_j"),
+            6,
         ).alias("s4")
     )
     k = grp.agg(F.count(F.lit(1)).alias("k_groups"))
@@ -682,8 +684,8 @@ def x218_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM g),
     terms AS (SELECT
         {dsum_sql(
-            "CAST((g.s1 * tot.n - tot.s_all * g.n_j)"
-            " * (g.s1 * tot.n - tot.s_all * g.n_j) AS DOUBLE) / g.n_j",
+            "CAST(g.s1 * tot.n - tot.s_all * g.n_j AS DOUBLE)"
+            " * CAST(g.s1 * tot.n - tot.s_all * g.n_j AS DOUBLE) / g.n_j",
             6)} AS ssb_n2,
         {dsum_sql(
             "CAST(g.s2 * g.n_j - g.s1 * g.s1 AS DOUBLE) / g.n_j", 6)} AS ssw
@@ -734,7 +736,9 @@ def x215_brown_forsythe_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     gt = g.crossJoin(F.broadcast(tot))
     ssb_num = F.col("s1") * F.col("n") - F.col("s_all") * F.col("n_j")
     terms = gt.groupBy("n").agg(
-        dsum((ssb_num * ssb_num).cast("double") / F.col("n_j"), 6).alias(
+        dsum(
+            ssb_num.cast("double") * ssb_num.cast("double") / F.col("n_j"), 6
+        ).alias(
             "ssb_n2"
         ),
         dsum(
@@ -1254,17 +1258,19 @@ def _norm_sf2(zabs):
                       * (1.0 - CAST(tot.k AS DOUBLE) / tot.n)
                       * (1.0 / g.n_j + 1.0 / (tot.n - g.n_j)))) AS zabs
           FROM g, tot),
-    pt AS (SELECT source, m, zabs, {_norm_sf2_sql("zabs")} AS p FROM zt),
-    rk AS (SELECT source, m, zabs, p,
-                  CAST(row_number() OVER (ORDER BY p, source) AS BIGINT)
+    pt AS (SELECT source, m, zabs,
+                  {dround_sql(_norm_sf2_sql("zabs"), 6)} AS p6 FROM zt),
+    rk AS (SELECT source, m, zabs, p6,
+                  CAST(row_number() OVER (ORDER BY p6, source) AS BIGINT)
                       AS rnk
            FROM pt),
-    kmax AS (SELECT COALESCE(max(CASE WHEN p <= rnk * 0.10 / m
+    kmax AS (SELECT COALESCE(max(CASE WHEN p6 <=
+                             {dround_sql("rnk * 0.10 / m", 6)}
                              THEN rnk END), 0) AS kmax
              FROM rk)
     SELECT rk.source,
            {dround_sql("rk.zabs", 6)} AS z_abs,
-           {dround_sql("rk.p", 6)} AS p_approx,
+           rk.p6 AS p_approx,
            rk.rnk, (rk.rnk <= kmax.kmax) AS bh_reject
     FROM rk, kmax ORDER BY rk.source
     """,
@@ -1307,17 +1313,31 @@ def x226_bh_fdr_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     zt = g.crossJoin(F.broadcast(tot)).select(
         "source", "m", zabs.alias("zabs")
     )
-    pt = zt.select("source", "m", "zabs", _norm_sf2(F.col("zabs")).alias("p"))
+    # The step-up rule compares the 6-dp-ROUNDED p against the 6-dp-rounded
+    # threshold (and ranks on the rounded p) so a 1-ulp exp() difference
+    # between engines can't flip bh_reject at a boundary — the x240
+    # rank-key lesson applied to the comparison itself.
+    pt = zt.select(
+        "source", "m", "zabs", dround(_norm_sf2(F.col("zabs")), 6).alias("p6")
+    )
     rk = pt.select(
         "source",
         "m",
         "zabs",
-        "p",
-        F.row_number().over(Window.orderBy("p", "source")).cast("long").alias("rnk"),
+        "p6",
+        F.row_number()
+        .over(Window.orderBy("p6", "source"))
+        .cast("long")
+        .alias("rnk"),
     )
     kmax = rk.agg(
         F.coalesce(
-            F.max(F.when(F.col("p") <= F.col("rnk") * 0.10 / F.col("m"), F.col("rnk"))),
+            F.max(
+                F.when(
+                    F.col("p6") <= dround(F.col("rnk") * 0.10 / F.col("m"), 6),
+                    F.col("rnk"),
+                )
+            ),
             F.lit(0).cast("long"),
         ).alias("kmax")
     )
@@ -1326,7 +1346,7 @@ def x226_bh_fdr_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "source",
             dround(F.col("zabs"), 6).alias("z_abs"),
-            dround(F.col("p"), 6).alias("p_approx"),
+            F.col("p6").alias("p_approx"),
             "rnk",
             (F.col("rnk") <= F.col("kmax")).alias("bh_reject"),
         )

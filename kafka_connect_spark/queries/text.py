@@ -5049,14 +5049,15 @@ def x235_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
            GROUP BY token),
     n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
     sc AS (SELECT tf.doc_id, tf.token,
-                  tf.tf * (n.n_docs * 1000000 // df.df) AS score
+                  CAST(tf.tf AS DECIMAL(38,0))
+                      * (n.n_docs * 1000000 // df.df) AS score
            FROM tf JOIN df USING (token) CROSS JOIN n),
     r AS (SELECT doc_id, token, score,
                  row_number() OVER (PARTITION BY doc_id
                      ORDER BY score DESC, token) AS rank
           FROM sc)
     SELECT doc_id, CAST(rank AS BIGINT) AS rank, token,
-           CAST(score AS BIGINT) AS score
+           CAST(score AS DOUBLE) AS score
     FROM r WHERE rank <= 3 ORDER BY doc_id, rank
     """,
 )
@@ -5084,14 +5085,26 @@ def x239_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "token",
-            (F.col("tf") * F.expr("n_docs * 1000000 div df")).alias("score"),
+            # tf rides decimal(38,0) BEFORE the idf multiply: at df=1,
+            # n_docs~1e9, tf~1e4 the int64 product exceeds 2^63 (the
+            # x167/x182 overflow class). The rank key stays exact decimal;
+            # only the REPORTED score is cast to double at the end.
+            (
+                F.col("tf").cast("decimal(38,0)")
+                * F.expr("n_docs * 1000000 div df")
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "token")
     return (
         sc.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 3)
-        .select("doc_id", "rank", "token", F.col("score").cast("long").alias("score"))
+        .select(
+            "doc_id",
+            "rank",
+            "token",
+            F.col("score").cast("double").alias("score"),
+        )
         .orderBy("doc_id", "rank")
     )
 
