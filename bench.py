@@ -331,6 +331,7 @@ HEADLINE = [
 # HEADLINE-vs-registry gap is auditable from the bench artifact alone.
 _EXCLUDED_SPECIAL = {
     "x39_bpe_train": "iterative_trainer_fixed_overhead",
+    "x245_bpe_encode": "iterative_trainer_fixed_overhead",
     "s3b_jdbc_live_roundtrip": "side_effecting_embedded_derby",
     "s6b_mm2_offset_translation": "side_effecting_offset_store",
 }
@@ -392,6 +393,31 @@ def _median(xs: list[float]) -> float:
     return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
 
 
+def _git_head() -> str:
+    """Code identity for the clean-artifact write guard (best effort)."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True,
+            text=True,
+            timeout=10,
+        )
+        head = out.stdout.strip()
+        dirty = subprocess.run(
+            ["git", "status", "--porcelain"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True,
+            text=True,
+            timeout=10,
+        ).stdout.strip()
+        return head + ("+dirty" if dirty else "")
+    except Exception:  # noqa: BLE001
+        return "unknown"
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -409,8 +435,31 @@ def main() -> None:
     # warm the JVM + parquet footers so timings measure the queries
     load(spark, sf_dir, "lineitem").count()
 
+    # r11: when the pre-sweep gate trips, back off and re-measure instead of
+    # spending ~20 min producing numbers the flag says to distrust (r9 and
+    # r10 both committed contended sweeps while an idle same-code run
+    # existed). Each retry sleeps long enough for the 1-min loadavg to
+    # decay, then re-reads loadavg + re-runs the canary.
     canary = _canary_sec(spark)
-    contention = canary > _CANARY_BAND_HI or loadavg_start[0] > _LOADAVG_AMBIENT_MAX
+    loadavg_gate = loadavg_start[0]
+    contention = canary > _CANARY_BAND_HI or loadavg_gate > _LOADAVG_AMBIENT_MAX
+    retries = int(os.environ.get("SPARK_GRAFT_BENCH_CONTENTION_RETRIES", "2"))
+    backoff = float(os.environ.get("SPARK_GRAFT_BENCH_CONTENTION_BACKOFF", "75"))
+    contention_retries_used = 0
+    while contention and contention_retries_used < retries:
+        contention_retries_used += 1
+        print(
+            f"bench: contention gate tripped (canary={canary:.3f}s, "
+            f"loadavg={loadavg_gate:.2f}); backing off {backoff:.0f}s "
+            f"(retry {contention_retries_used}/{retries})",
+            file=sys.stderr,
+        )
+        time.sleep(backoff)
+        loadavg_gate = os.getloadavg()[0]
+        canary = _canary_sec(spark)
+        contention = (
+            canary > _CANARY_BAND_HI or loadavg_gate > _LOADAVG_AMBIENT_MAX
+        )
 
     timings: dict[str, float] = {}
 
@@ -519,8 +568,11 @@ def main() -> None:
         "canary_rows": _CANARY_ROWS,
         "canary_band_hi": _CANARY_BAND_HI,
         "loadavg_start": [round(x, 2) for x in loadavg_start],
+        "loadavg_gate": round(loadavg_gate, 2),
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
         "contention_flag": contention,
+        "contention_retries_used": contention_retries_used,
+        "git_head": _git_head(),
         "excluded": excluded_map(),
     }
     # every registry query is either benched or excluded-with-reason
@@ -530,9 +582,26 @@ def main() -> None:
     # Full per-query map goes to a committed artifact: the driver captures
     # only the last ~2000 chars of stdout, and the 169-entry map (~6 KB)
     # overflowed that two rounds running (BENCH_r05/r06: rc=0, parsed=null).
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    detail_name = "BENCH_DETAIL.json"
+    detail_path = os.path.join(repo_dir, detail_name)
+    if contention:
+        # r11: a flagged run must never clobber a clean same-code artifact
+        # (the r9/r10 failure mode: the idle mid-round BENCH_DETAIL got
+        # overwritten by the contended final sweep). Divert to a side file
+        # and leave the clean numbers as the committed record.
+        try:
+            with open(detail_path) as f:
+                prev = json.load(f)
+        except (OSError, ValueError):
+            prev = None
+        if (
+            prev is not None
+            and prev.get("contention_flag") is False
+            and prev.get("git_head") == detail["git_head"]
+        ):
+            detail_name = "BENCH_DETAIL_CONTENDED.json"
+            detail_path = os.path.join(repo_dir, detail_name)
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
         f.write("\n")
@@ -562,9 +631,9 @@ def main() -> None:
                     r: sum(1 for v in detail["excluded"].values() if v == r)
                     for r in sorted(set(detail["excluded"].values()))
                 },
-                "detail": "BENCH_DETAIL.json",
+                "detail": detail_name,
             },
-            "detail": "BENCH_DETAIL.json",
+            "detail": detail_name,
         }
     )
     assert len(summary) < 1500, f"summary line too long: {len(summary)}"

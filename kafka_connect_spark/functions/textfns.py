@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from functools import reduce
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -412,3 +413,111 @@ def bpe_train(
         return spark.createDataFrame(merges, schema), cur
     finally:
         words.unpersist(blocking=False)
+
+
+def bpe_encode_reference(
+    word: str, merges: list[tuple[str, str]], end_of_word: str = "</w>"
+) -> list[str]:
+    """Sequential oracle for BPE ENCODING: apply the learned merge rules
+    to one word in rank order, one greedy left-to-right non-overlapping
+    pass per rule — Sennrich's original apply loop. O(|rules| x |word|)
+    per word: correct, obviously-faithful, and far too slow to run 32K
+    rules over a corpus — which is exactly why it is the TEST oracle for
+    :func:`bpe_encode_words`, the same role the ``batch_merges=1``
+    trainer plays for x39."""
+    syms = list(word) + [end_of_word]
+    for left, right, *_ in merges:
+        merged = left + right
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                out.append(merged)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def _bpe_encode_min_rank(
+    word: str, rank: dict[tuple[str, str], int], end_of_word: str
+) -> list[str]:
+    """Per-word production encoder: repeatedly merge the present pair
+    with the LOWEST rank (all its non-overlapping occurrences, left to
+    right) until none of the word's adjacencies is a learned rule.
+
+    Equivalent to the rank-order pass of :func:`bpe_encode_reference`
+    because a later rule can never create an occurrence of an earlier
+    one: rule j's symbols all exist before rule k>j is learned, and the
+    trainer's merged-string freshness guard means rule k's output string
+    equals no earlier symbol — so the earliest-applicable-first order and
+    the rank order apply the same rules to the same adjacencies
+    (tests/test_bpe_encode.py asserts the equality per word). Cost is
+    O(passes x |word|) with passes <= |word|, INDEPENDENT of vocabulary
+    size — the property that makes corpus-scale encoding affordable."""
+    syms = list(word) + [end_of_word]
+    while len(syms) >= 2:
+        best_rank = None
+        best_pair = None
+        for i in range(len(syms) - 1):
+            r = rank.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank = r
+                best_pair = (syms[i], syms[i + 1])
+        if best_pair is None:
+            break
+        left, right = best_pair
+        merged = left + right
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                out.append(merged)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def bpe_encode_words(
+    words: "DataFrame",
+    merges: list[tuple[str, str]],
+    word_col: str = "w",
+    end_of_word: str = "</w>",
+) -> "DataFrame":
+    """Tokenize a DISTINCT-word table with a learned BPE merge list —
+    the encode/apply half of the x39 tokenizer story (the trainer fits
+    the vocab; this is the operator a 100 TB pipeline actually runs
+    every day).
+
+    Scale shape (the Zipf factoring): the corpus NEVER reaches Python —
+    callers aggregate to the distinct-word table first (|vocab|, not
+    |tokens| rows), this encodes each word once via an Arrow-batched
+    pandas UDF whose merge table rides one broadcast (a 32K-merge vocab
+    is ~1 MB), and the per-document answer comes from joining token
+    counts back on the word column. Per-word cost is independent of
+    vocabulary size (min-rank loop, not a 32K-rule scan); exactness vs
+    the sequential rank-order oracle is pinned in
+    tests/test_bpe_encode.py.
+
+    Returns ``words`` with two new columns: ``bpe_toks array<string>``,
+    ``n_bpe bigint``."""
+    from pyspark.sql.functions import pandas_udf
+
+    spark = words.sparkSession
+    rules = [(str(l), str(r)) for l, r, *_ in merges]
+    b_rules = spark.sparkContext.broadcast(rules)
+    eow = end_of_word
+
+    @pandas_udf("array<string>")
+    def encode(col: pd.Series) -> pd.Series:
+        rank = {pair: i for i, pair in enumerate(b_rules.value)}
+        return col.map(lambda w: _bpe_encode_min_rank(w, rank, eow))
+
+    return words.withColumn("bpe_toks", encode(F.col(word_col))).withColumn(
+        "n_bpe", F.size("bpe_toks").cast("long")
+    )

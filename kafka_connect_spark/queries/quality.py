@@ -1644,7 +1644,7 @@ def x190_mcnemar_lid(spark: SparkSession, sf_dir: str) -> DataFrame:
                             ('a','the','of','and','to','in'))) AS BIGINT)
                         * 5000000 // len(toks), 1000000) AS p
            FROM d),
-    t AS (SELECT y, ntile(10) OVER (ORDER BY p DESC, doc_id) AS decile
+    t AS (SELECT y, ntile(10) OVER (ORDER BY p DESC, y, doc_id) AS decile
           FROM sc),
     g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n,
                  CAST(sum(y) AS BIGINT) AS npos
@@ -1669,7 +1669,15 @@ def x194_gain_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     far (gain) and the capture rate vs random (lift) — the curve that
     tells a curation operator 'score-filter the top 30% and you keep
     92% of the English docs'. AUC (x187) summarizes this curve to one
-    number; operators threshold on the curve itself. Scale shape: the
+    number; operators threshold on the curve itself. r11: ties within a
+    score value count NEGATIVES first (order p DESC, y, doc_id) — the
+    conservative convention (a boundary that splits an equal-score group
+    never credits the filter with positives the score can't actually
+    find), and it makes the whole curve a pure function of the
+    (score, label) count table, which is what lets the streaming twin
+    (streaming/drift.py gain_chart_from_counts) reproduce it from
+    bounded value-domain state; the previous doc_id-only tie-break made
+    boundary rows depend on arbitrary ids. Scale shape: the
     corpus-sized decile assignment rides ``distributed_ntile`` (exact
     window-NTILE semantics, no SinglePartition sort — the oracle's
     plain window ntile proves it); the cumulative stage is a 10-row
@@ -1691,7 +1699,10 @@ def x194_gain_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p"),
     )
     t = distributed_ntile(
-        sc, 10, [F.col("p").desc(), F.col("doc_id")], tile_name="decile"
+        sc,
+        10,
+        [F.col("p").desc(), F.col("y"), F.col("doc_id")],
+        tile_name="decile",
     )
     g = t.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n"), F.sum("y").alias("npos")

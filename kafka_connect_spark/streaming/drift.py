@@ -286,3 +286,149 @@ def brier_bins(df: DataFrame) -> DataFrame:
             F.sum("p").cast("long").alias("p_k"),
         )
     )
+
+
+def score_label_counts(df: DataFrame) -> DataFrame:
+    """The shared sufficient statistic behind the x187 AUC and x194 gain
+    chart: the (score value, label) count table.
+
+    Counting is mergeable, so this is ONE streaming aggregation whose
+    complete-mode state is the table itself — bounded by 2 x |score
+    domain| (<= 2e6+2 rows for a ppm-integer score), never the stream
+    length. Both online-eval curves (:func:`auc_from_counts`,
+    :func:`gain_chart_from_counts`) are closed-form arithmetic over this
+    table, so a live eval dashboard reads the value-domain table per
+    refresh and never rescans the stream — the brier_bins/hll_registers
+    contract applied to the two curves a training-data pipeline monitors
+    most.
+
+    ``df`` needs columns y (0/1 label) and p (score, ppm integer).
+    """
+    return df.groupBy("p", "y").agg(F.count(F.lit(1)).cast("long").alias("c"))
+
+
+def auc_from_counts(counts: DataFrame) -> DataFrame:
+    """x187's exact Mann-Whitney midrank AUC derived from the
+    :func:`score_label_counts` table — the identical count-of-counts
+    closed form (doubled midrank of a value group = 2*cum_before + count
+    + 1), so the emitted single row equals the batch x187 row bit-for-bit
+    on the same data. The only ordered window runs over the score value
+    domain (<= 1e6+1 rows by construction)."""
+    from pyspark.sql import Window
+
+    cc = counts.groupBy("p").agg(
+        F.sum("c").alias("c"), F.sum(F.col("c") * F.col("y")).alias("pos")
+    )
+    wcum = Window.orderBy("p").rowsBetween(Window.unboundedPreceding, -1)
+    cum = cc.select(
+        "p",
+        "c",
+        "pos",
+        F.coalesce(F.sum("c").over(wcum), F.lit(0)).alias("cb"),
+    )
+    a = cum.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("npos"),
+        F.sum(F.col("c") - F.col("pos")).cast("long").alias("nneg"),
+        F.sum(
+            F.col("pos").cast("decimal(38,0)")
+            * (2 * F.col("cb") + F.col("c") + 1).cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("rpos2"),
+    )
+    return a.select(
+        "n",
+        "npos",
+        "nneg",
+        F.expr(
+            "(rpos2 - cast(npos as decimal(38,0)) * (npos + 1)) * 1000000"
+            " div (2 * cast(npos as decimal(38,0)) * nneg)"
+        )
+        .cast("long")
+        .alias("auc_ppm"),
+    )
+
+
+def gain_chart_from_counts(counts: DataFrame) -> DataFrame:
+    """x194's cumulative gains / lift chart derived from the
+    :func:`score_label_counts` table.
+
+    Works because x194's decile order is (p DESC, y, doc_id): every
+    (p, y) group is homogeneous in the label, so a decile boundary that
+    splits a group splits it into rows with KNOWN label composition —
+    the chart is a pure function of the count table (the negatives-first
+    tie convention; see x194's docstring). Derivation: order the <=
+    2 x |score domain| groups, give each its global rank interval
+    [s, s+c) via one value-domain cumsum, intersect with the 10 exact
+    ntile intervals (first n mod 10 tiles get the extra row — window
+    NTILE semantics), and aggregate overlaps. The batch x194 row set
+    equals this on the same data (tests pin it)."""
+    from pyspark.sql import Window
+
+    wcum = Window.orderBy(F.col("p").desc(), F.col("y")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    g = counts.select(
+        "p",
+        "y",
+        "c",
+        F.coalesce(F.sum("c").over(wcum), F.lit(0)).alias("s"),
+    )
+    tot = counts.agg(F.sum("c").cast("long").alias("n_tot"))
+    dec = tot.select(
+        F.explode(F.sequence(F.lit(1), F.lit(10))).alias("decile"), "n_tot"
+    ).select(
+        "decile",
+        (
+            (F.col("decile") - 1) * F.expr("n_tot div 10")
+            + F.least(F.col("decile") - 1, F.col("n_tot") % 10)
+        ).alias("lo"),
+        (
+            F.col("decile") * F.expr("n_tot div 10")
+            + F.least(F.col("decile"), F.col("n_tot") % 10)
+        ).alias("hi"),
+    )
+    ov = (
+        g.crossJoin(F.broadcast(dec))
+        .filter((F.col("s") < F.col("hi")) & (F.col("s") + F.col("c") > F.col("lo")))
+        .select(
+            "decile",
+            "y",
+            (
+                F.least(F.col("s") + F.col("c"), F.col("hi"))
+                - F.greatest(F.col("s"), F.col("lo"))
+            ).alias("k"),
+        )
+    )
+    byd = ov.groupBy("decile").agg(
+        F.sum("k").alias("n"), F.sum(F.col("k") * F.col("y")).alias("npos")
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = byd.select(
+        "decile",
+        "n",
+        "npos",
+        F.sum("n").over(wc).alias("cum_n"),
+        F.sum("npos").over(wc).alias("cum_pos"),
+        F.sum("n").over(wt).alias("tot_n"),
+        F.sum("npos").over(wt).alias("tot_pos"),
+    )
+    return c.select(
+        F.col("decile").cast("int"),
+        F.col("n").cast("long"),
+        F.col("npos").cast("long"),
+        F.col("cum_pos").cast("long"),
+        F.expr("cum_pos * 1000000 div tot_pos").cast("long").alias(
+            "gain_ppm"
+        ),
+        F.expr(
+            "cast(cum_pos as decimal(38,0)) * tot_n * 1000000"
+            " div (cast(cum_n as decimal(38,0)) * tot_pos)"
+        )
+        .cast("long")
+        .alias("lift_ppm"),
+    ).orderBy("decile")

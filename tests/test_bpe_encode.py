@@ -1,0 +1,120 @@
+"""BPE encode/apply (x245) exactness: the distributed min-rank encoder
+== the sequential rank-order oracle == the trainer's own final
+word-symbol table — the train/apply consistency triangle."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_connect_spark.catalog import load
+from kafka_connect_spark.functions.textfns import (
+    _bpe_encode_min_rank,
+    bpe_encode_reference,
+    bpe_encode_words,
+    bpe_train,
+)
+from kafka_connect_spark.queries import QUERIES
+
+
+def _fixture_vocab(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return [
+        r["w"]
+        for r in d.select(
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
+        )
+        .filter(F.length("w") > 0)
+        .distinct()
+        .collect()
+    ]
+
+
+def test_min_rank_equals_rank_order_oracle(spark, sf_dir):
+    """Per-word: the production min-rank loop must emit exactly the
+    sequential apply-rules-in-rank-order token sequence for every
+    distinct word in the fixture (the freshness-guard equivalence the
+    docstring argues)."""
+    d = load(spark, sf_dir, "documents")
+    merges, _ = bpe_train(d, num_merges=10)
+    rules = [(r["left"], r["right"]) for r in merges.orderBy("rank").collect()]
+    rank = {pair: i for i, pair in enumerate(rules)}
+    words = _fixture_vocab(spark, sf_dir)
+    assert len(words) > 20
+    for w in words:
+        assert _bpe_encode_min_rank(w, rank, "</w>") == bpe_encode_reference(
+            w, rules
+        ), w
+
+
+def test_encode_matches_trainer_final_symbols(spark, sf_dir):
+    """Train/apply consistency: encoding each word with the learned merge
+    list must reproduce the trainer's OWN final word-symbol table (the
+    state bpe_train returns) — BPE's defining invariant."""
+    d = load(spark, sf_dir, "documents")
+    merges, word_syms = bpe_train(d, num_merges=10)
+    rules = [(r["left"], r["right"]) for r in merges.orderBy("rank").collect()]
+    enc = {
+        r["w"]: list(r["bpe_toks"])
+        for r in bpe_encode_words(
+            word_syms.select("w"), rules
+        ).collect()
+    }
+    for r in word_syms.select("w", "syms").collect():
+        assert enc[r["w"]] == list(r["syms"]), r["w"]
+
+
+def test_tokens_reconstruct_word(spark, sf_dir):
+    """Concatenating a word's BPE tokens must give back word + '</w>' —
+    merges only ever join adjacent symbols, never drop or alter bytes."""
+    d = load(spark, sf_dir, "documents")
+    merges, _ = bpe_train(d, num_merges=10)
+    rules = [(r["left"], r["right"]) for r in merges.orderBy("rank").collect()]
+    vocab = (
+        d.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
+        .filter(F.length("w") > 0)
+        .distinct()
+    )
+    bad = (
+        bpe_encode_words(vocab, rules)
+        .filter(
+            F.concat_ws("", "bpe_toks") != F.concat(F.col("w"), F.lit("</w>"))
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_x245_equals_pure_python_corpus_encode(spark, sf_dir):
+    """End-to-end: the x245 per-document token accounting must equal a
+    single-threaded pure-Python encode of the whole fixture corpus
+    (collect docs, split, rank-order-encode every occurrence, count) —
+    the same sequential-oracle bar x39's trainer meets."""
+    d = load(spark, sf_dir, "documents")
+    merges, _ = bpe_train(d, num_merges=10)
+    rules = [(r["left"], r["right"]) for r in merges.orderBy("rank").collect()]
+    cache: dict[str, int] = {}
+    want: dict = {}
+    for r in d.select("doc_id", "text").collect():
+        n_words = 0
+        n_bpe = 0
+        for w in r["text"].lower().split():
+            if not w:
+                continue
+            n_words += 1
+            if w not in cache:
+                cache[w] = len(bpe_encode_reference(w, rules))
+            n_bpe += cache[w]
+        want[r["doc_id"]] = (
+            n_words,
+            n_bpe,
+            (n_bpe * 1_000_000) // n_words,
+        )
+    got = {
+        r["doc_id"]: (
+            r["n_words"],
+            r["n_bpe_tokens"],
+            r["toks_per_word_ppm"],
+        )
+        for r in QUERIES["x245_bpe_encode"](spark, sf_dir).collect()
+    }
+    assert got == want

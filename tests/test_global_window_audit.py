@@ -92,6 +92,12 @@ AUDITED = {
         "agg:deciles — 10-row cumulative window",
     ("queries/quality.py", "x187_quality_auc"):
         "agg:distinct score values — <= 1e6 rows (integer ppm score) cumsum",
+    ("streaming/drift.py", "auc_from_counts"):
+        "agg:distinct score values — x187's value-domain cumsum over the "
+        "score_label_counts state table (<= 1e6+1 rows)",
+    ("streaming/drift.py", "gain_chart_from_counts"):
+        "agg:(score value, label) — rank-interval cumsum over the <= "
+        "2e6+2-row count table, then 10-row decile windows",
     ("queries/quality.py", "mr2_map"):
         "agg:signal value domain — |distinct n_chars| / |distinct n_toks| rows",
     ("queries/text.py", "x197_length_qq_profile"):
