@@ -209,6 +209,10 @@ HEADLINE = [
     "x135_crossmodal_agreement",
     "x136_corpus_summary",
     "x137_dup_distance_audit",
+    # round 11 additions
+    "x246_min_cost_supplier_q2",
+    "x247_important_stock_q11",
+    "x248_excess_inventory_q20",
     # round 7 additions
     "x97b_tfidf_cosine_pairs_capped",
     "x130b_cosine_histogram_sampled",

@@ -2233,3 +2233,322 @@ def x228_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("antecedent", "consequent")
     )
+
+
+# ---------------------------------------------------------------------------
+# X246-X248 — the three TPC-H shapes that need partsupp (Q2/Q11/Q20).
+# The fixture has no partsupp table, so both engines DERIVE the identical
+# one from part x supplier with pure integer arithmetic (the r10 verdict's
+# "deterministic derived partsupp" item, minus any file: a shared closed
+# form beats a written fixture because it works at every SF and cannot
+# drift between engines). Per part, 4 suppliers at stride q = 1 +
+# p_partkey % (S div 4) — q <= S/4 so i*q mod S never collides for
+# i in 0..3 (distinctness guaranteed for S >= 4, dbgen's own trick);
+# availqty/supplycost come off the md5 clock, cost carried in integer
+# CENTS so every aggregate is exact.
+# ---------------------------------------------------------------------------
+
+_PARTSUPP_SQL = """
+    scnt AS (SELECT CAST(count(*) AS BIGINT) AS s FROM supplier),
+    psk AS (SELECT p_partkey, s,
+                   1 + (p_partkey % (s // 4)) AS q
+            FROM part, scnt),
+    ps0 AS (SELECT p_partkey AS ps_partkey,
+                   (p_partkey + i * q) % s AS ps_suppkey
+            FROM psk, (SELECT unnest([0, 1, 2, 3]) AS i)),
+    partsupp AS (SELECT ps_partkey, ps_suppkey,
+        1 + CAST('0x' || substring(md5(CAST(ps_partkey AS VARCHAR) || ':'
+                || CAST(ps_suppkey AS VARCHAR)), 1, 15) AS BIGINT) % 9999
+            AS ps_availqty,
+        100 + CAST('0x' || substring(md5(CAST(ps_partkey AS VARCHAR) || '@'
+                || CAST(ps_suppkey AS VARCHAR)), 1, 15) AS BIGINT) % 99900
+            AS ps_supplycost_cents
+      FROM ps0)"""
+
+
+def derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark side of the shared partsupp derivation (see
+    ``_PARTSUPP_SQL`` — same arithmetic, same md5 clock). Plan shape: a
+    map-side explode of the part scan against a 1-row broadcast supplier
+    count — 4 rows per part, no shuffle, no file; stands in for reading
+    a real partsupp table."""
+    part = load(spark, sf_dir, "part")
+    supp = load(spark, sf_dir, "supplier")
+    scnt = supp.agg(F.count(F.lit(1)).cast("long").alias("s"))
+    base = (
+        part.select("p_partkey")
+        .crossJoin(F.broadcast(scnt))
+        .select(
+            "p_partkey",
+            "s",
+            (1 + F.col("p_partkey") % F.expr("s div 4")).alias("q"),
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i"),
+        )
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            ((F.col("p_partkey") + F.col("i") * F.col("q")) % F.col("s")).alias(
+                "ps_suppkey"
+            ),
+        )
+    )
+    h_qty = F.expr(
+        "cast(conv(substring(md5(concat(cast(ps_partkey as string), ':',"
+        " cast(ps_suppkey as string))), 1, 15), 16, 10) as bigint)"
+    )
+    h_cost = F.expr(
+        "cast(conv(substring(md5(concat(cast(ps_partkey as string), '@',"
+        " cast(ps_suppkey as string))), 1, 15), 16, 10) as bigint)"
+    )
+    return base.select(
+        "ps_partkey",
+        "ps_suppkey",
+        (1 + h_qty % 9999).alias("ps_availqty"),
+        (100 + h_cost % 99900).alias("ps_supplycost_cents"),
+    )
+
+
+@query(
+    "x246_min_cost_supplier_q2",
+    oracle=f"""
+    WITH {_PARTSUPP_SQL},
+    eu AS (SELECT ps_partkey, ps_suppkey, ps_supplycost_cents,
+                  s_name, s_acctbal, n_name
+           FROM partsupp
+           JOIN supplier ON s_suppkey = ps_suppkey
+           JOIN nation ON n_nationkey = s_nationkey
+           JOIN region ON r_regionkey = n_regionkey
+           WHERE r_name = 'EUROPE'),
+    mc AS (SELECT ps_partkey, min(ps_supplycost_cents) AS min_cents
+           FROM eu GROUP BY ps_partkey)
+    SELECT {dround_sql("s_acctbal", 6)} AS s_acctbal,
+           eu.s_name, eu.n_name,
+           p.p_partkey, p.p_brand,
+           CAST(eu.ps_supplycost_cents AS BIGINT) AS supplycost_cents
+    FROM part p
+    JOIN eu ON eu.ps_partkey = p.p_partkey
+    JOIN mc ON mc.ps_partkey = p.p_partkey
+           AND eu.ps_supplycost_cents = mc.min_cents
+    WHERE p.p_size = 15 AND p.p_type = 'ECONOMY'
+    ORDER BY s_acctbal DESC, eu.n_name, eu.s_name, p.p_partkey
+    LIMIT 100
+    """,
+)
+def x246_min_cost_supplier_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): for every size-15 ECONOMY
+    part, the EUROPE supplier offering it at the regional minimum cost —
+    the correlated-subquery pattern rewritten as aggregate-then-rejoin
+    (Catalyst gets a plain equi-join on (partkey, min_cents) instead of a
+    per-row subquery). Plan: supplier/nation/region broadcast into the
+    derived partsupp (4 rows/part, map-side); the min-cost table and the
+    rejoin hash on ps_partkey; TakeOrderedAndProject caps the output at
+    100 — no global sort. Cost stays in integer cents end to end; ties
+    on the minimum keep EVERY minimal supplier (Q2's own semantics)."""
+    ps = derived_partsupp(spark, sf_dir)
+    part = load(spark, sf_dir, "part")
+    supp = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region")
+    eu = (
+        ps.join(
+            F.broadcast(
+                supp.join(
+                    F.broadcast(
+                        nat.join(
+                            F.broadcast(reg.filter(F.col("r_name") == "EUROPE")),
+                            F.col("n_regionkey") == F.col("r_regionkey"),
+                        )
+                    ),
+                    F.col("s_nationkey") == F.col("n_nationkey"),
+                )
+            ),
+            F.col("s_suppkey") == F.col("ps_suppkey"),
+        )
+        .select(
+            "ps_partkey", "ps_supplycost_cents", "s_name", "s_acctbal", "n_name"
+        )
+    )
+    mc = eu.groupBy("ps_partkey").agg(
+        F.min("ps_supplycost_cents").alias("min_cents")
+    ).withColumnRenamed("ps_partkey", "mc_partkey")
+    return (
+        load(spark, sf_dir, "part")
+        .filter((F.col("p_size") == 15) & (F.col("p_type") == "ECONOMY"))
+        .join(eu, F.col("p_partkey") == F.col("ps_partkey"))
+        .join(
+            mc,
+            (F.col("ps_partkey") == F.col("mc_partkey"))
+            & (F.col("ps_supplycost_cents") == F.col("min_cents")),
+        )
+        .select(
+            dround(F.col("s_acctbal"), 6).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            F.col("ps_supplycost_cents").cast("long").alias("supplycost_cents"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+@query(
+    "x247_important_stock_q11",
+    oracle=f"""
+    WITH {_PARTSUPP_SQL},
+    home AS (SELECT n_nationkey FROM supplier
+             JOIN nation ON n_nationkey = s_nationkey WHERE s_suppkey = 0),
+    v AS (SELECT ps_partkey,
+                 CAST(sum(CAST(ps_supplycost_cents AS DECIMAL(38,0))
+                          * ps_availqty) AS DECIMAL(38,0)) AS value_cents
+          FROM partsupp
+          JOIN supplier ON s_suppkey = ps_suppkey
+          JOIN home ON home.n_nationkey = supplier.s_nationkey
+          GROUP BY ps_partkey),
+    tot AS (SELECT CAST(sum(value_cents) AS DECIMAL(38,0)) AS total FROM v)
+    SELECT ps_partkey, CAST(value_cents AS BIGINT) AS value_cents
+    FROM v, tot
+    WHERE value_cents * 2000 > total
+    ORDER BY value_cents DESC, ps_partkey
+    """,
+)
+def x247_important_stock_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): per-part inventory value
+    (supplycost x availqty) over the suppliers of ONE nation — the home
+    nation of supplier 0, a data-driven parameter so the query is
+    non-degenerate at every SF — keeping parts whose value exceeds
+    1/2000 of the nation total. The HAVING-subquery becomes a 1-row
+    broadcast; the threshold compare is the integer cross-multiply
+    (value * 2000 > total), no division, no floats anywhere. Products
+    ride decimal(38,0) — cents x qty x corpus scale passes 2^63 long
+    before 100 TB. Plan: one partsupp pass (itself map-side derived),
+    supplier broadcast, hash agg on ps_partkey, 1-row total broadcast."""
+    ps = derived_partsupp(spark, sf_dir)
+    supp = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    home = (
+        supp.filter(F.col("s_suppkey") == 0)
+        .join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("n_nationkey")
+    )
+    v = (
+        ps.join(
+            F.broadcast(
+                supp.join(
+                    F.broadcast(home),
+                    F.col("n_nationkey") == F.col("s_nationkey"),
+                    "semi",
+                )
+            ),
+            F.col("s_suppkey") == F.col("ps_suppkey"),
+        )
+        .groupBy("ps_partkey")
+        .agg(
+            F.sum(
+                F.col("ps_supplycost_cents").cast("decimal(38,0)")
+                * F.col("ps_availqty")
+            )
+            .cast("decimal(38,0)")
+            .alias("value_cents")
+        )
+    )
+    tot = v.agg(F.sum("value_cents").cast("decimal(38,0)").alias("total"))
+    return (
+        v.crossJoin(F.broadcast(tot))
+        .filter(F.col("value_cents") * 2000 > F.col("total"))
+        .select(
+            "ps_partkey", F.col("value_cents").cast("long").alias("value_cents")
+        )
+        .orderBy(F.col("value_cents").desc(), "ps_partkey")
+    )
+
+
+@query(
+    "x248_excess_inventory_q20",
+    oracle=f"""
+    WITH {_PARTSUPP_SQL},
+    home AS (SELECT n_nationkey, n_name FROM supplier
+             JOIN nation ON n_nationkey = s_nationkey WHERE s_suppkey = 1),
+    redp AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+    shipped AS (SELECT l_partkey, l_suppkey,
+                       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+                FROM lineitem
+                JOIN redp ON p_partkey = l_partkey
+                WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l_shipdate < TIMESTAMP '1998-01-01'
+                GROUP BY l_partkey, l_suppkey),
+    excess AS (SELECT DISTINCT ps_suppkey
+               FROM partsupp
+               JOIN shipped ON l_partkey = ps_partkey
+                           AND l_suppkey = ps_suppkey
+               WHERE ps_availqty * 2 > qty)
+    SELECT s_name, n_name
+    FROM supplier
+    JOIN home ON home.n_nationkey = supplier.s_nationkey
+    JOIN excess ON ps_suppkey = s_suppkey
+    ORDER BY s_name
+    """,
+)
+def x248_excess_inventory_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (excess inventory): suppliers in supplier 1's home
+    nation holding more than half a year's shipments of some 'red' part
+    — the candidates to drain before reordering. The nested IN-subquery
+    chain becomes: lineitem agg per (part, supp) restricted by a
+    broadcast semi-join on red parts and a pushed-down shipdate range,
+    an equi-join against the derived partsupp on BOTH keys, the
+    availqty > qty/2 predicate as the integer cross-multiply (quantity
+    is integral in the fixture; summed as BIGINT so the compare is
+    exact), and a distinct + semi-join into the supplier dim. Plan: the
+    only corpus-sized pass is the filtered lineitem scan; everything
+    downstream is |matched (part, supp)| rows."""
+    ps = derived_partsupp(spark, sf_dir)
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    supp = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    home = (
+        supp.filter(F.col("s_suppkey") == 1)
+        .join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("n_nationkey", "n_name")
+    )
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(
+            F.broadcast(
+                part.filter(F.col("p_name").startswith("red")).select(
+                    F.col("p_partkey").alias("l_partkey")
+                )
+            ),
+            "l_partkey",
+            "semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"))
+    )
+    excess = (
+        ps.join(
+            shipped,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .filter(F.col("ps_availqty") * 2 > F.col("qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(
+            F.broadcast(home), F.col("n_nationkey") == F.col("s_nationkey")
+        )
+        .join(
+            excess.withColumnRenamed("ps_suppkey", "s_suppkey"),
+            "s_suppkey",
+            "semi",
+        )
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )

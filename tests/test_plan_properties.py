@@ -418,3 +418,32 @@ def test_x221_jl_projection_matrix_broadcast(spark, sf_dir):
     would be the classic small-dim mistake."""
     plan = _plan(spark, sf_dir, "x221_jl_projection_distortion")
     assert "BroadcastHashJoin" in plan
+
+
+def test_x246_q2_shape(spark, sf_dir):
+    """Q2: dims broadcast into the derived partsupp, the part filter
+    reaches the scan, and the top-100 is TakeOrderedAndProject (no
+    global sort). The eu<->min-cost rejoin MAY shuffle — both sides are
+    |parts|-sized at scale, which is the correct plan."""
+    plan = _plan(spark, sf_dir, "x246_min_cost_supplier_q2")
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "TakeOrderedAndProject" in plan
+    assert "EqualTo(p_size,15)" in plan  # pushed to the part scan
+
+
+def test_x247_q11_no_sort_merge_join(spark, sf_dir):
+    """Q11: supplier semi-join and the 1-row total both broadcast; the
+    only shuffle is the ps_partkey hash agg — no SortMergeJoin
+    anywhere."""
+    plan = _plan(spark, sf_dir, "x247_important_stock_q11")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_x248_q20_filters_pushed(spark, sf_dir):
+    """Q20: the shipdate range reaches the lineitem scan (the only
+    corpus-sized input) and red parts ride a broadcast semi-join."""
+    plan = _plan(spark, sf_dir, "x248_excess_inventory_q20")
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
