@@ -210,6 +210,9 @@ HEADLINE = [
     "x136_corpus_summary",
     "x137_dup_distance_audit",
     # round 11 additions
+    "x249_ipf_raking",
+    "x251_embedding_parity_drift",
+    "x253_quantile_normalize_length",
     "x246_min_cost_supplier_q2",
     "x247_important_stock_q11",
     "x248_excess_inventory_q20",
@@ -336,6 +339,7 @@ HEADLINE = [
 _EXCLUDED_SPECIAL = {
     "x39_bpe_train": "iterative_trainer_fixed_overhead",
     "x245_bpe_encode": "iterative_trainer_fixed_overhead",
+    "x250_bpe_fertility_audit": "iterative_trainer_fixed_overhead",
     "s3b_jdbc_live_roundtrip": "side_effecting_embedded_derby",
     "s6b_mm2_offset_translation": "side_effecting_offset_store",
 }

@@ -1929,3 +1929,223 @@ def x200_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "x249_ipf_raking",
+    oracle="""
+    WITH cells AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+                   FROM documents GROUP BY source, lang),
+    dims AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+                    CAST(count(DISTINCT source) AS BIGINT) AS ks,
+                    CAST(count(DISTINCT lang) AS BIGINT) AS kl
+             FROM cells),
+    w0 AS (SELECT source, lang, n, CAST(1000000 AS HUGEINT) AS w,
+                  nn // ks AS tr, nn // kl AS tc
+           FROM cells, dims),
+    r1 AS (SELECT w0.*,
+                  CAST(w * ((CAST(tr AS HUGEINT) * 1000000000000)
+                       // (sum(CAST(n AS HUGEINT) * w)
+                           OVER (PARTITION BY source)))
+                       // 1000000 AS HUGEINT) AS w1
+           FROM w0),
+    c1 AS (SELECT r1.*,
+                  CAST(w1 * ((CAST(tc AS HUGEINT) * 1000000000000)
+                       // (sum(CAST(n AS HUGEINT) * w1)
+                           OVER (PARTITION BY lang)))
+                       // 1000000 AS HUGEINT) AS w2
+           FROM r1),
+    r2 AS (SELECT c1.*,
+                  CAST(w2 * ((CAST(tr AS HUGEINT) * 1000000000000)
+                       // (sum(CAST(n AS HUGEINT) * w2)
+                           OVER (PARTITION BY source)))
+                       // 1000000 AS HUGEINT) AS w3
+           FROM c1),
+    c2 AS (SELECT r2.*,
+                  CAST(w3 * ((CAST(tc AS HUGEINT) * 1000000000000)
+                       // (sum(CAST(n AS HUGEINT) * w3)
+                           OVER (PARTITION BY lang)))
+                       // 1000000 AS HUGEINT) AS w4
+           FROM r2),
+    rerr AS (SELECT source,
+                    CAST(abs(sum(CAST(n AS HUGEINT) * w4) // 1000000
+                             - any_value(tr)) * 1000000
+                         // any_value(tr) AS BIGINT) AS row_err_ppm
+             FROM c2 GROUP BY source)
+    SELECT c2.source, c2.lang, c2.n,
+           CAST(c2.w4 AS BIGINT) AS w_ppm,
+           CAST(CAST(c2.n AS HUGEINT) * c2.w4 // 1000000 AS BIGINT)
+               AS weighted_n,
+           rerr.row_err_ppm
+    FROM c2 JOIN rerr ON rerr.source = c2.source
+    ORDER BY c2.source, c2.lang
+    """,
+)
+def x249_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative proportional fitting (raking) of per-(source, lang)
+    sample weights so the weighted corpus hits BALANCED marginals —
+    equal mass per source AND equal mass per lang simultaneously (the
+    two-constraint version of x36's per-source quota: a quota cap fixes
+    one marginal and silently skews the other; IPF alternately rescales
+    rows and columns until both hold). Two full row+column rounds are
+    unrolled — the classic fast-converging case since the fixture table
+    is dense — in pure integer-ppm arithmetic: every scaling factor is
+    the exact `div` ratio target/current on decimal(38,0), so Spark and
+    DuckDB walk bit-identical weight trajectories (the x168 PageRank
+    idiom applied to a marginal-matching loop; the oracle rides HUGEINT
+    because DuckDB's // ROUNDS on decimal operands — a new entry in the
+    cross-engine trap list — while Spark's decimal `div` truncates). Output: final cell
+    weights, the weighted counts, and the residual row-marginal error
+    after the last COLUMN step (the honest convergence diagnostic —
+    column marginals are exact by construction at that point). Plan: one
+    corpus pass builds the |sources| x |langs| cell table; all four
+    scaling steps are windows over that bounded table."""
+    d = load(spark, sf_dir, "documents")
+    cells = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return ipf_rake(cells)
+
+
+def ipf_rake(cells: DataFrame) -> DataFrame:
+    """The x249 raking derivation as a pure function of the (source,
+    lang, n) cell table — shared by the batch query and the streaming
+    twin (streaming/drift.py source_lang_counts + this = a live mixture
+    monitor whose complete-mode state is the bounded cell table)."""
+    dims = cells.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.countDistinct("source").cast("long").alias("ks"),
+        F.countDistinct("lang").cast("long").alias("kl"),
+    )
+    w0 = cells.crossJoin(F.broadcast(dims)).select(
+        "source",
+        "lang",
+        "n",
+        F.lit(1000000).cast("decimal(38,0)").alias("w"),
+        F.expr("nn div ks").alias("tr"),
+        F.expr("nn div kl").alias("tc"),
+    )
+
+    # each scaling step: window-sum the weighted counts over the bounded
+    # cell table, then the exact integer-ppm rescale
+    def step(df, wcol, out, part, tgt):
+        wsum = Window.partitionBy(part)
+        with_cur = df.withColumn(
+            "__cur",
+            F.sum(F.col("n").cast("decimal(38,0)") * F.col(wcol)).over(wsum),
+        )
+        return with_cur.withColumn(
+            out,
+            F.expr(
+                f"cast({wcol} * ((cast({tgt} as decimal(38,0))"
+                f" * 1000000000000) div __cur) div 1000000"
+                " as decimal(38,0))"
+            ),
+        ).drop("__cur")
+
+    r1 = step(w0, "w", "w1", "source", "tr")
+    c1 = step(r1, "w1", "w2", "lang", "tc")
+    r2 = step(c1, "w2", "w3", "source", "tr")
+    c2 = step(r2, "w3", "w4", "lang", "tc")
+    rerr = (
+        c2.groupBy("source")
+        .agg(
+            F.expr(
+                "cast(abs(sum(cast(n as decimal(38,0)) * w4) div 1000000"
+                " - any_value(tr)) * 1000000 div any_value(tr) as bigint)"
+            ).alias("row_err_ppm")
+        )
+    )
+    return (
+        c2.join(F.broadcast(rerr), "source")
+        .select(
+            "source",
+            "lang",
+            "n",
+            F.col("w4").cast("long").alias("w_ppm"),
+            F.expr(
+                "cast(cast(n as decimal(38,0)) * w4 div 1000000 as bigint)"
+            ).alias("weighted_n"),
+            "row_err_ppm",
+        )
+        .orderBy("source", "lang")
+    )
+
+
+@query(
+    "x253_quantile_normalize_length",
+    oracle="""
+    WITH sl AS (SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c
+                FROM documents GROUP BY source, n_chars),
+    sc AS (SELECT source, n_chars, c,
+                  CAST(sum(c) OVER (PARTITION BY source ORDER BY n_chars)
+                       AS HUGEINT) AS cum_src,
+                  CAST(sum(c) OVER (PARTITION BY source) AS HUGEINT) AS n_src
+           FROM sl),
+    cl AS (SELECT n_chars AS m_chars, CAST(count(*) AS BIGINT) AS cc
+           FROM documents GROUP BY n_chars),
+    cc AS (SELECT m_chars,
+                  CAST(sum(cc) OVER (ORDER BY m_chars) AS HUGEINT)
+                      AS cum_corp,
+                  CAST(sum(cc) OVER () AS HUGEINT) AS n_corp
+           FROM cl)
+    SELECT sc.source, sc.n_chars, CAST(sc.c AS BIGINT) AS c,
+           CAST(min(cc.m_chars) AS BIGINT) AS mapped_chars
+    FROM sc JOIN cc
+      ON cc.cum_corp * sc.n_src >= sc.cum_src * cc.n_corp
+    GROUP BY sc.source, sc.n_chars, sc.c
+    ORDER BY sc.source, sc.n_chars
+    """,
+)
+def x253_quantile_normalize_length(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantile normalization of each source's length distribution onto
+    the CORPUS length distribution — the batch-effect-removal transform
+    (map a doc at its source's p-th length percentile to the corpus
+    p-th percentile) that makes length-based quality thresholds
+    comparable across sources whose raw scales differ (x197 profiles
+    the decile SHIFT; this emits the actual value-domain mapping a
+    filter would apply). The percentile lookup is the exact integer
+    cross-multiply (corpus_cdf(L) * n_src >= src_cdf(x) * n_corp, no
+    division) with min-L selection, so both engines produce the
+    identical map. Plan: two value-domain aggregations (per-source and
+    corpus length histograms), one broadcast range-join between them —
+    the corpus never re-scans; all windows run over length histograms,
+    never rows. Products ride HUGEINT/decimal(38,0) (cdf x count passes
+    2^63 at corpus scale)."""
+    d = load(spark, sf_dir, "documents")
+    sl = d.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wsrc = Window.partitionBy("source").orderBy("n_chars")
+    wsrcall = Window.partitionBy("source")
+    sc = sl.select(
+        "source",
+        "n_chars",
+        "c",
+        F.sum("c").over(wsrc).cast("decimal(38,0)").alias("cum_src"),
+        F.sum("c").over(wsrcall).cast("decimal(38,0)").alias("n_src"),
+    )
+    cl = d.groupBy(F.col("n_chars").alias("m_chars")).agg(
+        F.count(F.lit(1)).cast("long").alias("cc")
+    )
+    wcorp = Window.orderBy("m_chars")
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ccum = cl.select(
+        "m_chars",
+        F.sum("cc").over(wcorp).cast("decimal(38,0)").alias("cum_corp"),
+        F.sum("cc").over(wall).cast("decimal(38,0)").alias("n_corp"),
+    )
+    return (
+        sc.join(
+            F.broadcast(ccum),
+            F.col("cum_corp") * F.col("n_src")
+            >= F.col("cum_src") * F.col("n_corp"),
+        )
+        .groupBy("source", "n_chars", "c")
+        .agg(F.min("m_chars").cast("long").alias("mapped_chars"))
+        .orderBy("source", "n_chars")
+    )

@@ -1211,3 +1211,111 @@ def x229_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = e.filter(F.col("vec_id") >= 100)
     queries = e.filter(F.col("vec_id") < 10)
     return mmr_diversified_topk(corpus, queries, 20, 5, 0.7)
+
+
+@query(
+    "x251_embedding_parity_drift",
+    oracle=f"""
+    WITH u AS (SELECT vec_id % 2 AS par, label,
+                      generate_subscripts(v, 1) - 1 AS dim,
+                      CAST(floor(unnest(v) * 1000000) AS BIGINT) AS val_u
+               FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                     FROM embeddings)),
+    s AS (SELECT label, dim,
+                 CAST(sum(CASE WHEN par = 0 THEN val_u ELSE 0 END)
+                      AS HUGEINT) AS s0,
+                 CAST(sum(CASE WHEN par = 1 THEN val_u ELSE 0 END)
+                      AS HUGEINT) AS s1
+          FROM u GROUP BY label, dim),
+    n AS (SELECT label,
+                 CAST(count(DISTINCT CASE WHEN par = 0 THEN vec_id END)
+                      AS BIGINT) AS n0,
+                 CAST(count(DISTINCT CASE WHEN par = 1 THEN vec_id END)
+                      AS BIGINT) AS n1
+          FROM (SELECT vec_id, vec_id % 2 AS par, label FROM embeddings)
+          GROUP BY label),
+    g AS (SELECT label,
+                 CAST(sum(s0 * s1) AS HUGEINT) AS sxy,
+                 CAST(sum(s0 * s0) AS HUGEINT) AS sxx,
+                 CAST(sum(s1 * s1) AS HUGEINT) AS syy
+          FROM s GROUP BY label)
+    SELECT g.label, n.n0, n.n1,
+           {dround_sql(
+               "CAST(g.sxy AS DOUBLE)"
+               " / (sqrt(CAST(g.sxx AS DOUBLE))"
+               "    * sqrt(CAST(g.syy AS DOUBLE)))", 6)} AS centroid_cos,
+           {dround_sql(
+               "(sqrt(CAST(g.sxx AS DOUBLE)) / n.n0)"
+               " / (sqrt(CAST(g.syy AS DOUBLE)) / n.n1)", 6)} AS norm_ratio
+    FROM g JOIN n ON n.label = g.label
+    ORDER BY g.label
+    """,
+)
+def x251_embedding_parity_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding drift between the two vec_id-parity halves of
+    the corpus — the stand-in for 'crawl snapshot A vs snapshot B' that
+    answers the monitoring question an embedding-backed pipeline must
+    keep asking: did the encoder/data shift move the class centroids?
+    (cos near 1 + norm_ratio near 1 = stable; either drifting flags
+    re-embedding or upstream drift BEFORE the ANN index quietly
+    degrades.) Exactness: components quantize to integer micro-units
+    (the x157 centroid idiom), and centroid cosine needs NO division by
+    counts — cos(c0, c1) equals the cosine of the per-dim SUM vectors,
+    so both engines compare exact integer dot products and only the
+    final sqrt/divide is IEEE, rounded once. Products ride HUGEINT /
+    decimal(38,0) (per-dim sums are corpus-sized). Plan: one
+    posexplode pass -> (label, dim) hash agg (|labels| x d rows), then
+    a |labels|-row reduction; the parity split is a free map-side
+    expression, never a second scan."""
+    emb = load(spark, sf_dir, "embeddings")
+    u = emb.select(
+        (F.col("vec_id") % 2).alias("par"),
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "v"
+        ),
+    ).select(
+        "par",
+        "label",
+        "dim",
+        F.floor(F.col("v") * 1000000).cast("long").alias("val_u"),
+    )
+    s = u.groupBy("label", "dim").agg(
+        F.sum(F.when(F.col("par") == 0, F.col("val_u")).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("s0"),
+        F.sum(F.when(F.col("par") == 1, F.col("val_u")).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("s1"),
+    )
+    n = emb.groupBy("label").agg(
+        F.sum((1 - F.col("vec_id") % 2)).cast("long").alias("n0"),
+        F.sum(F.col("vec_id") % 2).cast("long").alias("n1"),
+    )
+    g = s.groupBy("label").agg(
+        F.sum(F.col("s0") * F.col("s1")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("s0") * F.col("s0")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("s1") * F.col("s1")).cast("decimal(38,0)").alias("syy"),
+    )
+    return (
+        g.join(F.broadcast(n), "label")
+        .select(
+            "label",
+            "n0",
+            "n1",
+            dround(
+                F.col("sxy").cast("double")
+                / (
+                    F.sqrt(F.col("sxx").cast("double"))
+                    * F.sqrt(F.col("syy").cast("double"))
+                ),
+                6,
+            ).alias("centroid_cos"),
+            dround(
+                (F.sqrt(F.col("sxx").cast("double")) / F.col("n0"))
+                / (F.sqrt(F.col("syy").cast("double")) / F.col("n1")),
+                6,
+            ).alias("norm_ratio"),
+        )
+        .orderBy("label")
+    )

@@ -5257,3 +5257,82 @@ def x245_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query("x250_bpe_fertility_audit")  # learned-merge encode inside: rows-only
+def x250_bpe_fertility_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tokenizer-fit audit over the x245 encode: tokens per
+    word (fertility), characters per token (compression), and the
+    single-character-token fraction (the fallback rate — the share of
+    emitted tokens no merge rule covered). This is how a pipeline
+    decides WHERE the learned vocab underfits: a source whose fallback
+    rate is 3x the corpus is a different register/language the merge
+    table never saw, and is exactly what to feed the next trainer round.
+    Scale shape: identical to x245 (distinct-word Zipf factoring; the
+    per-word token stats come from the same encoded vocab table, with
+    single-char counting as a JVM higher-order filter on the token
+    array — no second Python pass); the per-source rollup joins word
+    stats back on the word column. Rows-only (the merge table is
+    iteratively learned); pure-Python equality pinned in
+    tests/test_bpe_encode.py."""
+    from ..functions.textfns import bpe_encode_words, bpe_train
+
+    d = load_parallel(spark, sf_dir, "documents")
+    merges, _ = bpe_train(d, num_merges=10)
+    rules = [
+        (r["left"], r["right"]) for r in merges.orderBy("rank").collect()
+    ]
+    tok = d.select(
+        "source",
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("w"),
+    ).filter(F.length("w") > 0)
+    wc = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = wc.select("w").distinct()
+    enc = bpe_encode_words(vocab, rules).select(
+        "w",
+        "n_bpe",
+        F.size(
+            F.filter(
+                F.col("bpe_toks"),
+                lambda t: F.length(F.regexp_replace(t, r"</w>$", "")) == 1,
+            )
+        )
+        .cast("long")
+        .alias("n_single"),
+    )
+    return (
+        wc.join(enc, "w")
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_bpe")).cast("long").alias(
+                "n_tokens"
+            ),
+            F.sum(F.col("cnt") * F.col("n_single")).cast("long").alias(
+                "n_single_tokens"
+            ),
+            F.sum(F.col("cnt") * F.length("w")).cast("long").alias("n_chars"),
+        )
+        .select(
+            "source",
+            "n_words",
+            "n_tokens",
+            F.expr(
+                "cast(n_tokens as decimal(38,0)) * 1000000 div n_words"
+            )
+            .cast("long")
+            .alias("fertility_ppm"),
+            F.expr(
+                "cast(n_chars as decimal(38,0)) * 1000000 div n_tokens"
+            )
+            .cast("long")
+            .alias("chars_per_token_ppm"),
+            F.expr(
+                "cast(n_single_tokens as decimal(38,0)) * 1000000"
+                " div n_tokens"
+            )
+            .cast("long")
+            .alias("fallback_ppm"),
+        )
+        .orderBy("source")
+    )

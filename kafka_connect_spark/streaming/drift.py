@@ -432,3 +432,16 @@ def gain_chart_from_counts(counts: DataFrame) -> DataFrame:
         .cast("long")
         .alias("lift_ppm"),
     ).orderBy("decile")
+
+
+def source_lang_counts(df: DataFrame) -> DataFrame:
+    """The x249 raking sufficient statistic as ONE mergeable aggregation
+    — the (source, lang) cell-count table. Complete-mode state is the
+    cell table itself (|sources| x |langs| rows, never stream length);
+    applying queries.quality.ipf_rake to the emitted table gives a LIVE
+    mixture monitor: the raking weights the pipeline would need RIGHT
+    NOW to hit balanced marginals, updated per microbatch — pinned
+    row-exact to the batch x249 in tests/test_streaming_r11_twins.py."""
+    return df.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )

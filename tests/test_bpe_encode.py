@@ -118,3 +118,50 @@ def test_x245_equals_pure_python_corpus_encode(spark, sf_dir):
         for r in QUERIES["x245_bpe_encode"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_x250_equals_pure_python_audit(spark, sf_dir):
+    """The per-source fertility/compression/fallback audit must equal a
+    single-threaded pure-Python encode-and-count of the fixture."""
+    d = load(spark, sf_dir, "documents")
+    merges, _ = bpe_train(d, num_merges=10)
+    rules = [(r["left"], r["right"]) for r in merges.orderBy("rank").collect()]
+    enc_cache: dict[str, list[str]] = {}
+    agg: dict[str, list[int]] = {}
+    for r in d.select("source", "text").collect():
+        a = agg.setdefault(r["source"], [0, 0, 0, 0])
+        for w in r["text"].lower().split():
+            if not w:
+                continue
+            if w not in enc_cache:
+                enc_cache[w] = bpe_encode_reference(w, rules)
+            toks = enc_cache[w]
+            a[0] += 1
+            a[1] += len(toks)
+            a[2] += sum(
+                1
+                for t in toks
+                if len(t[:-4] if t.endswith("</w>") else t) == 1
+            )
+            a[3] += len(w)
+    want = {
+        s: (
+            v[0],
+            v[1],
+            (v[1] * 1_000_000) // v[0],
+            (v[3] * 1_000_000) // v[1],
+            (v[2] * 1_000_000) // v[1],
+        )
+        for s, v in agg.items()
+    }
+    got = {
+        r["source"]: (
+            r["n_words"],
+            r["n_tokens"],
+            r["fertility_ppm"],
+            r["chars_per_token_ppm"],
+            r["fallback_ppm"],
+        )
+        for r in QUERIES["x250_bpe_fertility_audit"](spark, sf_dir).collect()
+    }
+    assert got == want

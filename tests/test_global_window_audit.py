@@ -92,6 +92,9 @@ AUDITED = {
         "agg:deciles — 10-row cumulative window",
     ("queries/quality.py", "x187_quality_auc"):
         "agg:distinct score values — <= 1e6 rows (integer ppm score) cumsum",
+    ("queries/quality.py", "x253_quantile_normalize_length"):
+        "agg:distinct n_chars — the corpus length-histogram cumsum "
+        "(value domain; per-source windows are partitioned)",
     ("streaming/drift.py", "auc_from_counts"):
         "agg:distinct score values — x187's value-domain cumsum over the "
         "score_label_counts state table (<= 1e6+1 rows)",

@@ -118,3 +118,53 @@ def test_gain_chart_closed_form_on_batch(spark, sf_dir):
         .sort_values("decile", ignore_index=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_streaming_ipf_raking_equals_x249(spark, sf_dir, tmp_path):
+    """Complete-mode (source, lang) counts replayed over 128 microbatches
+    + the shared ipf_rake closed form == the batch x249 rows exactly;
+    state is the cell table (<= |sources| x |langs|), asserted per
+    microbatch."""
+    from kafka_connect_spark.queries.quality import ipf_rake
+    from kafka_connect_spark.streaming.drift import source_lang_counts
+
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "256")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    d = str(tmp_path / "ipf-replay")
+    write_replay_files(docs, d, N_FILES, "doc_id")
+    sdf = file_replay_stream(spark, d, spark.read.parquet(d).schema)
+    out: list[pd.DataFrame] = []
+    q = (
+        source_lang_counts(sdf)
+        .writeStream.foreachBatch(lambda df, bid: out.append(df.toPandas()))
+        .option("checkpointLocation", str(tmp_path / "ipf-ckpt"))
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    trace = [
+        (p["batchId"], p["stateOperators"][0]["numRowsTotal"])
+        for p in q.recentProgress
+        if p.get("stateOperators")
+    ]
+    n_cells = (
+        load(spark, sf_dir, "documents")
+        .select("source", "lang")
+        .distinct()
+        .count()
+    )
+    assert len(trace) >= 100
+    assert max(rows for _, rows in trace) <= n_cells
+
+    got = (
+        ipf_rake(spark.createDataFrame(out[-1]))
+        .toPandas()
+        .sort_values(["source", "lang"], ignore_index=True)
+    )
+    want = (
+        QUERIES["x249_ipf_raking"](spark, sf_dir)
+        .toPandas()
+        .sort_values(["source", "lang"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
