@@ -210,6 +210,10 @@ HEADLINE = [
     "x136_corpus_summary",
     "x137_dup_distance_audit",
     # round 11 additions
+    "x256_lsh_parameter_planner",
+    "x252_shard_rebalance_audit",
+    "x254_session_gap_sweep",
+    "x255_capture_recapture",
     "x249_ipf_raking",
     "x251_embedding_parity_drift",
     "x253_quantile_normalize_length",

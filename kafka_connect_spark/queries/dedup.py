@@ -1840,3 +1840,285 @@ def x238_group_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+@query(
+    "x255_capture_recapture",
+    oracle="""
+    WITH cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS nd
+                 FROM documents GROUP BY source),
+    a AS (SELECT source FROM cnt ORDER BY nd DESC, source LIMIT 1),
+    ab AS (SELECT source FROM cnt ORDER BY nd DESC, source LIMIT 2),
+    b AS (SELECT source FROM ab WHERE source NOT IN (SELECT source FROM a)),
+    tok AS (SELECT d.source, string_split(d.text, ' ') AS toks
+            FROM documents d
+            WHERE d.source IN (SELECT source FROM ab)),
+    grams AS (SELECT DISTINCT source, gram
+              FROM (SELECT source,
+                           unnest(list_transform(
+                               range(1, greatest(len(toks) - 3, 1)),
+                               i -> array_to_string(toks[i:i+4], ' ')))
+                               AS gram
+                    FROM tok)),
+    sets AS (SELECT
+        CAST(sum(CASE WHEN source = (SELECT source FROM a)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(sum(CASE WHEN source = (SELECT source FROM b)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        CAST(count(*) - count(DISTINCT gram) AS BIGINT) AS overlap
+        FROM grams)
+    SELECT (SELECT source FROM a) AS source_a,
+           (SELECT source FROM b) AS source_b,
+           n_a, n_b, overlap,
+           CAST(CAST(overlap AS HUGEINT) * 1000000
+                // (n_a + n_b - overlap) AS BIGINT) AS jaccard_ppm,
+           CAST((CAST(n_a + 1 AS HUGEINT) * (n_b + 1)) // (overlap + 1) - 1
+                AS BIGINT) AS chapman_est
+    FROM sets
+    """,
+)
+def x255_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-recapture (Chapman) estimate of the TOTAL distinct
+    5-gram content two sources are drawing from: treat the largest
+    source's gram set as the marked sample, the second largest as the
+    recapture, and estimate N = (n_a+1)(n_b+1)/(m+1) - 1 from the
+    overlap m — the 'how big is the underlying pool' question behind
+    crawl-coverage planning (x191's Chao1 asks it WITHIN one corpus
+    from singleton counts; capture-recapture asks it ACROSS two
+    independent crawls, which is how web-scale coverage is actually
+    audited). All counts are exact distinct-gram cardinalities
+    (overlap = |rows| - |distinct grams| over the two tagged sets, no
+    pairwise join), the estimator is one integer `div` on
+    HUGEINT/decimal. Plan: one explode over the two selected sources
+    only (source filter pushed to the scan), a distinct agg, a 1-row
+    reduction; the source picks are 1/2-row broadcasts."""
+    d = load_parallel(spark, sf_dir, "documents")
+    cnt = d.groupBy("source").agg(F.count(F.lit(1)).alias("nd"))
+    a = (
+        cnt.orderBy(F.col("nd").desc(), "source")
+        .limit(1)
+        .select(F.col("source").alias("src_a"))
+    )
+    ab = cnt.orderBy(F.col("nd").desc(), "source").limit(2).select("source")
+    b = (
+        ab.join(a, ab["source"] == a["src_a"], "anti")
+        .select(F.col("source").alias("src_b"))
+    )
+    tok = (
+        d.join(
+            F.broadcast(ab.withColumnRenamed("source", "sel")),
+            F.col("source") == F.col("sel"),
+            "semi",
+        )
+        .select("source", F.split("text", " ").alias("toks"))
+    )
+    grams = tok.select(
+        "source",
+        F.explode(
+            # docs shorter than 5 tokens contribute NO gram (matches the
+            # oracle's empty range — a 4-token doc must not emit a short
+            # pseudo-gram in one engine only)
+            F.expr(
+                "case when size(toks) >= 5 then"
+                " transform(sequence(1, size(toks) - 4),"
+                " i -> array_join(slice(toks, i, 5), ' '))"
+                " else array() end"
+            )
+        ).alias("gram"),
+    ).distinct()
+    sets = grams.crossJoin(F.broadcast(a)).crossJoin(F.broadcast(b)).agg(
+        F.sum((F.col("source") == F.col("src_a")).cast("long"))
+        .cast("long")
+        .alias("n_a"),
+        F.sum((F.col("source") == F.col("src_b")).cast("long"))
+        .cast("long")
+        .alias("n_b"),
+        (F.count(F.lit(1)) - F.countDistinct("gram"))
+        .cast("long")
+        .alias("overlap"),
+        F.any_value("src_a").alias("source_a"),
+        F.any_value("src_b").alias("source_b"),
+    )
+    return sets.select(
+        "source_a",
+        "source_b",
+        "n_a",
+        "n_b",
+        "overlap",
+        F.expr(
+            "cast(cast(overlap as decimal(38,0)) * 1000000"
+            " div (n_a + n_b - overlap) as bigint)"
+        ).alias("jaccard_ppm"),
+        F.expr(
+            "cast(cast(n_a + 1 as decimal(38,0)) * (n_b + 1)"
+            " div (overlap + 1) - 1 as bigint)"
+        ).alias("chapman_est"),
+    )
+
+
+def _pow_chain(expr: str, k: int) -> str:
+    """x^k (k a power of two) as an explicit repeated-squaring multiply
+    chain — the SAME parenthesized IEEE multiplication tree in Spark and
+    DuckDB, because libm pow() is not correctly rounded and differs
+    between engines while individual multiplies are exact-rounded
+    everywhere."""
+    assert k & (k - 1) == 0 and k >= 1
+    while k > 1:
+        expr = f"({expr}*{expr})"
+        k //= 2
+    return expr
+
+
+_LSH_CONFIGS = [(2, 16), (4, 8), (4, 32), (8, 4), (8, 16)]
+
+
+def _lsh_prob_expr(r: int, b: int) -> str:
+    """P(candidate | jaccard s3) = 1 - (1 - s3^r)^b, s3 the 3-dp
+    quantized similarity, as a pure multiply-chain expression."""
+    s = "(cast(inter * 1000 div (n_a + n_b - inter) as double) / 1000.0)"
+    sr = _pow_chain(s, r)
+    return f"(1.0 - {_pow_chain(f'(1.0 - {sr})', b)})"
+
+
+_LSH_PROB_SQL = {
+    (r, b): _lsh_prob_expr(r, b).replace(" div ", " // ")
+    for r, b in _LSH_CONFIGS
+}
+
+
+@query(
+    "x256_lsh_parameter_planner",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ')
+                            for i in range(1, len(t) - 1)]) AS s
+           FROM tok WHERE len(t) >= 3),
+    ex AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+    pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(count(*) AS BIGINT) AS inter
+              FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    pj AS (SELECT inter, CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b
+           FROM pairs
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+           WHERE inter * 5 >= n_a + n_b - inter)
+    {" UNION ALL ".join(
+        f'''SELECT CAST({r} AS BIGINT) AS r, CAST({b} AS BIGINT) AS b,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           {dround_sql(f"CAST(SUM(CAST({p} AS DECIMAL(38,6))) AS DOUBLE)", 4)}
+               AS exp_detected,
+           {dround_sql(
+               f"CAST(SUM(CASE WHEN inter * 5 >= 4 * (n_a + n_b - inter)"
+               f" THEN CAST({p} AS DECIMAL(38,6)) ELSE 0 END) AS DOUBLE)", 4)}
+               AS exp_detected_high,
+           {dround_sql(
+               f"CAST(SUM(CASE WHEN inter * 10 < 3 * (n_a + n_b - inter)"
+               f" THEN CAST({p} AS DECIMAL(38,6)) ELSE 0 END) AS DOUBLE)", 4)}
+               AS exp_fp
+        FROM pj'''
+        for (r, b), p in _LSH_PROB_SQL.items())}
+    ORDER BY r, b
+    """,
+)
+def x256_lsh_parameter_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH (bands x rows) parameter planner: for each candidate
+    config, the EXPECTED dup-pair yield on THIS corpus — total, on the
+    high-similarity band the pipeline must not miss (jac >= 0.8), and on
+    the sub-0.3 band it must not drown in — from the analytic S-curve
+    P(candidate) = 1 - (1 - s^r)^b evaluated over the exact candidate
+    pair-similarity table (x150 calibrates the ESTIMATOR against truth;
+    this chooses the BANDING, which is the knob that sets x12e's cost).
+    Cross-engine exactness: similarities quantize to 3 dp via integer
+    cross-multiply, and every power is an explicit repeated-squaring
+    multiply CHAIN (libm pow() is not correctly rounded and differs
+    between engines; parenthesized multiplies are exact-rounded in
+    both), then decimal-summed. Plan: one shingle self-join builds the
+    pair table once (the x12c candidate shape, jac >= 0.2 by
+    cross-multiply); the 5 config aggregates are conditional sums over
+    that one table — no per-config rescans of the corpus."""
+    d = load_parallel(spark, sf_dir, "documents")
+    from ..functions.dedupfns import shingles
+
+    sh = d.select(
+        "doc_id", F.explode(shingles("text", 3)).alias("s_str")
+    ).select(F.col("doc_id").alias("id"), F.xxhash64("s_str").alias("s"))
+    sh = sh.persist()
+    pj = None
+    try:
+        sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+        a, b_ = sh.alias("a"), sh.alias("b")
+        inter = (
+            a.join(
+                b_,
+                (F.col("a.s") == F.col("b.s"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        pj = (
+            inter.join(
+                sizes.select(
+                    F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")
+                ),
+                "id_a",
+            )
+            .join(
+                sizes.select(
+                    F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")
+                ),
+                "id_b",
+            )
+            .filter(
+                F.col("inter") * 5
+                >= F.col("n_a") + F.col("n_b") - F.col("inter")
+            )
+            .select("inter", "n_a", "n_b")
+            .persist()
+        )
+        parts = []
+        for (r, b), _ in zip(_LSH_CONFIGS, range(len(_LSH_CONFIGS))):
+            p = _lsh_prob_expr(r, b)
+            parts.append(
+                pj.agg(
+                    F.lit(r).cast("long").alias("r"),
+                    F.lit(b).cast("long").alias("b"),
+                    F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                    dround(
+                        F.expr(
+                            f"cast(sum(cast({p} as decimal(38,6))) as double)"
+                        ),
+                        4,
+                    ).alias("exp_detected"),
+                    dround(
+                        F.expr(
+                            "cast(sum(case when inter * 5 >="
+                            " 4 * (n_a + n_b - inter) then"
+                            f" cast({p} as decimal(38,6)) else 0 end)"
+                            " as double)"
+                        ),
+                        4,
+                    ).alias("exp_detected_high"),
+                    dround(
+                        F.expr(
+                            "cast(sum(case when inter * 10 <"
+                            " 3 * (n_a + n_b - inter) then"
+                            f" cast({p} as decimal(38,6)) else 0 end)"
+                            " as double)"
+                        ),
+                        4,
+                    ).alias("exp_fp"),
+                )
+            )
+        out = parts[0]
+        for x in parts[1:]:
+            out = out.unionAll(x)
+        out = out.orderBy("r", "b").localCheckpoint()
+        return out
+    finally:
+        sh.unpersist(blocking=False)
+        if pj is not None:
+            pj.unpersist(blocking=False)

@@ -4874,3 +4874,101 @@ def x219_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "x254_session_gap_sweep",
+    oracle="""
+    WITH g AS (SELECT user_id, ts,
+                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts,
+                                    event_id) AS prev_ts,
+                      lead(ts) OVER (PARTITION BY user_id ORDER BY ts,
+                                     event_id) AS next_ts
+               FROM events),
+    f AS (SELECT CASE WHEN prev_ts IS NULL THEN NULL
+                      ELSE CAST(date_diff('second', prev_ts, ts) AS BIGINT)
+                 END AS gap_prev,
+                 CASE WHEN next_ts IS NULL THEN NULL
+                      ELSE CAST(date_diff('second', ts, next_ts) AS BIGINT)
+                 END AS gap_next
+          FROM g),
+    t AS (SELECT unnest([60, 300, 900, 3600]) AS threshold_s),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_events FROM events)
+    SELECT CAST(t.threshold_s AS BIGINT) AS threshold_s,
+           CAST(sum(CASE WHEN f.gap_prev IS NULL
+                         OR f.gap_prev > t.threshold_s
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+           CAST(CAST(any_value(n.n_events) AS HUGEINT) * 1000000
+                // sum(CASE WHEN f.gap_prev IS NULL
+                            OR f.gap_prev > t.threshold_s
+                            THEN 1 ELSE 0 END) AS BIGINT)
+               AS events_per_session_ppm,
+           CAST(sum(CASE WHEN (f.gap_prev IS NULL
+                               OR f.gap_prev > t.threshold_s)
+                         AND (f.gap_next IS NULL
+                              OR f.gap_next > t.threshold_s)
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS singleton_sessions
+    FROM f, t, n GROUP BY t.threshold_s ORDER BY t.threshold_s
+    """,
+)
+def x254_session_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization-threshold sensitivity sweep: session count, mean
+    events per session, and singleton-session count at gap timeouts of
+    1/5/15/60 minutes, from ONE per-user lag/lead pass — the evidence
+    for choosing the session gap (x208 profiles sessions at a FIXED
+    5-minute gap; this is the x109/x114-style sweep that justifies the
+    5). A session starts where the preceding same-user gap exceeds the
+    threshold, so n_sessions is a conditional count over gaps — no
+    per-threshold re-sessionization — and a singleton is an event
+    isolated on BOTH sides. Plan: one user-partitioned window (hash
+    partition on user_id, never global), a 4-row threshold explode over
+    the gap table's conditional sums, exact integer seconds
+    throughout."""
+    e = load(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = e.select(
+        "user_id",
+        "ts",
+        F.lag("ts").over(wu).alias("prev_ts"),
+        F.lead("ts").over(wu).alias("next_ts"),
+    ).select(
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")
+        ).alias("gap_prev"),
+        (
+            F.unix_timestamp("next_ts") - F.unix_timestamp("ts")
+        ).alias("gap_next"),
+    )
+    n = e.agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    t = spark.range(0, 4).select(
+        F.element_at(
+            F.array(F.lit(60), F.lit(300), F.lit(900), F.lit(3600)),
+            (F.col("id") + 1).cast("int"),
+        )
+        .cast("long")
+        .alias("threshold_s")
+    )
+    starts = F.col("gap_prev").isNull() | (
+        F.col("gap_prev") > F.col("threshold_s")
+    )
+    ends = F.col("gap_next").isNull() | (
+        F.col("gap_next") > F.col("threshold_s")
+    )
+    return (
+        g.crossJoin(F.broadcast(t))
+        .crossJoin(F.broadcast(n))
+        .groupBy("threshold_s")
+        .agg(
+            F.sum(starts.cast("long")).cast("long").alias("n_sessions"),
+            F.expr(
+                "cast(cast(any_value(n_events) as decimal(38,0)) * 1000000"
+                " div sum(cast((gap_prev is null or gap_prev > threshold_s)"
+                " as long)) as bigint)"
+            ).alias("events_per_session_ppm"),
+            F.sum((starts & ends).cast("long"))
+            .cast("long")
+            .alias("singleton_sessions"),
+        )
+        .orderBy("threshold_s")
+    )

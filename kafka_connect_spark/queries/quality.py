@@ -2149,3 +2149,107 @@ def x253_quantile_normalize_length(
         .agg(F.min("m_chars").cast("long").alias("mapped_chars"))
         .orderBy("source", "n_chars")
     )
+
+
+@query(
+    "x252_shard_rebalance_audit",
+    oracle="""
+    WITH pre AS (SELECT doc_id,
+                        arg_max(s, CAST('0x' || substring(md5(
+                            CAST(doc_id AS VARCHAR) || '#'
+                            || CAST(s AS VARCHAR)), 1, 15) AS BIGINT))
+                            AS shard_before
+                 FROM documents, (SELECT unnest(range(0, 32)) AS s)
+                 GROUP BY doc_id),
+    post AS (SELECT doc_id,
+                    arg_max(s, CAST('0x' || substring(md5(
+                        CAST(doc_id AS VARCHAR) || '#'
+                        || CAST(s AS VARCHAR)), 1, 15) AS BIGINT))
+                        AS shard_after
+             FROM documents, (SELECT unnest(range(0, 33)) AS s)
+             GROUP BY doc_id),
+    j AS (SELECT pre.shard_before, post.shard_after
+          FROM pre JOIN post ON post.doc_id = pre.doc_id),
+    shards AS (SELECT unnest(range(0, 33)) AS shard)
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(coalesce(sum(CASE WHEN shard_before = shard
+                                  THEN 1 END), 0) AS BIGINT) AS n_before,
+           CAST(coalesce(sum(CASE WHEN shard_after = shard
+                                  THEN 1 END), 0) AS BIGINT) AS n_after,
+           CAST(coalesce(sum(CASE WHEN shard_before = shard
+                                  AND shard_after = 32
+                                  THEN 1 END), 0) AS BIGINT) AS moved_out
+    FROM shards LEFT JOIN j ON TRUE
+    GROUP BY shard ORDER BY shard
+    """,
+)
+def x252_shard_rebalance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment audit for the
+    doc corpus: per-shard load under 32 shards, under 33, and exactly
+    which docs move — the consistent-hashing property a 100 TB
+    embedding/index layer depends on (HRW moves ONLY docs whose new
+    argmax IS the added shard, ~1/33 of the corpus; modulo sharding
+    would reshuffle ~97%). Deterministic md5 weights make both engines
+    compute the identical assignment; the audit emits the 33-row load
+    table with the moved-out column, whose total over the before-shards
+    is the migration bill. Plan: one corpus pass exploded x33 (a
+    map-side constant fan-out, the x221-style fixed probe cost), one
+    argmax hash-agg per regime keyed on doc_id, a self-join on doc_id,
+    and a 33-row rollup. At scale the explode fan-out is the operator's
+    honest linear cost — weight evaluation per (doc, shard) — exactly
+    what HRW costs in any router."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    w = F.expr(
+        "cast(conv(substring(md5(concat(cast(doc_id as string), '#',"
+        " cast(s as string))), 1, 15), 16, 10) as bigint)"
+    )
+
+    def assign(n_shards, out):
+        return (
+            d.select(
+                "doc_id",
+                F.explode(F.sequence(F.lit(0), F.lit(n_shards - 1))).alias(
+                    "s"
+                ),
+            )
+            .select("doc_id", "s", w.alias("wt"))
+            .groupBy("doc_id")
+            .agg(F.max_by("s", "wt").alias(out))
+        )
+
+    j = assign(32, "shard_before").join(assign(33, "shard_after"), "doc_id")
+    shards = spark.range(0, 33).select(F.col("id").cast("long").alias("shard"))
+    agg = j.groupBy("shard_before", "shard_after").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        shards.join(F.broadcast(agg), F.lit(True), "left")
+        .groupBy("shard")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("shard_before") == F.col("shard"), F.col("c"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_before"),
+            F.coalesce(
+                F.sum(F.when(F.col("shard_after") == F.col("shard"), F.col("c"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_after"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("shard_before") == F.col("shard"))
+                        & (F.col("shard_after") == 32),
+                        F.col("c"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("moved_out"),
+        )
+        .orderBy("shard")
+    )
