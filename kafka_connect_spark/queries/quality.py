@@ -2253,3 +2253,90 @@ def x252_shard_rebalance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@query(
+    "x257_raking_ess",
+    oracle="""
+    WITH cells AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+                   FROM documents GROUP BY source, lang),
+    dims AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+                    CAST(count(DISTINCT source) AS BIGINT) AS ks,
+                    CAST(count(DISTINCT lang) AS BIGINT) AS kl
+             FROM cells),
+    w0 AS (SELECT source, lang, n, CAST(1000000 AS HUGEINT) AS w,
+                  nn // ks AS tr, nn // kl AS tc
+           FROM cells, dims),
+    r1 AS (SELECT w0.*,
+                  CAST(w * ((CAST(tr AS HUGEINT) * 1000000000000)
+                       // (sum(CAST(n AS HUGEINT) * w)
+                           OVER (PARTITION BY source)))
+                       // 1000000 AS HUGEINT) AS w1
+           FROM w0),
+    c1 AS (SELECT r1.*,
+                  CAST(w1 * ((CAST(tc AS HUGEINT) * 1000000000000)
+                       // (sum(CAST(n AS HUGEINT) * w1)
+                           OVER (PARTITION BY lang)))
+                       // 1000000 AS HUGEINT) AS w2
+           FROM r1),
+    r2 AS (SELECT c1.*,
+                  CAST(w2 * ((CAST(tr AS HUGEINT) * 1000000000000)
+                       // (sum(CAST(n AS HUGEINT) * w2)
+                           OVER (PARTITION BY source)))
+                       // 1000000 AS HUGEINT) AS w3
+           FROM c1),
+    c2 AS (SELECT r2.*,
+                  CAST(w3 * ((CAST(tc AS HUGEINT) * 1000000000000)
+                       // (sum(CAST(n AS HUGEINT) * w3)
+                           OVER (PARTITION BY lang)))
+                       // 1000000 AS HUGEINT) AS w4
+           FROM r2)
+    SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+           CAST((CAST(sum(n * w4) AS HUGEINT)
+                 * CAST(sum(n * w4) AS HUGEINT))
+                // sum(CAST(n AS HUGEINT) * w4 * w4) AS BIGINT) AS ess,
+           CAST((CAST(sum(n * w4) AS HUGEINT)
+                 * CAST(sum(n * w4) AS HUGEINT)) * 1000000
+                // (sum(CAST(n AS HUGEINT) * w4 * w4)
+                    * CAST(sum(n) AS HUGEINT)) AS BIGINT) AS ess_ppm,
+           CAST(max(w4) AS BIGINT) AS max_w_ppm,
+           CAST(min(w4) AS BIGINT) AS min_w_ppm
+    FROM c2
+    """,
+)
+def x257_raking_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective sample size of the x249 raking weights — the one-row
+    diagnostic that says what balanced marginals COST: ESS =
+    (sum n*w)^2 / sum n*w^2 collapses toward n_docs when the raked
+    weights are mild and toward |cells| when a rare (source, lang) cell
+    forces extreme upweighting (x146 asks this for DSIR's doc-level
+    weights; this is the cell-level version a mixture designer reads
+    next to x249's weight table — ESS_ppm < ~500000 means the balanced
+    target is fighting the corpus and the crawl plan, not the weights,
+    should change). Exact: the weight trajectory is x249's integer-ppm
+    walk verbatim; the ESS ratio is one integer cross-multiply on
+    HUGEINT/decimal(38,0). Plan: x249's cell-table cost plus a 1-row
+    reduction."""
+    d = load(spark, sf_dir, "documents")
+    cells = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = ipf_rake(cells).select(
+        "n", F.col("w_ppm").cast("decimal(38,0)").alias("w4")
+    )
+    return w.agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.expr(
+            "cast((cast(sum(n * w4) as decimal(38,0))"
+            " * cast(sum(n * w4) as decimal(38,0)))"
+            " div sum(cast(n as decimal(38,0)) * w4 * w4) as bigint)"
+        ).alias("ess"),
+        F.expr(
+            "cast((cast(sum(n * w4) as decimal(38,0))"
+            " * cast(sum(n * w4) as decimal(38,0))) * 1000000"
+            " div (sum(cast(n as decimal(38,0)) * w4 * w4)"
+            " * cast(sum(n) as decimal(38,0))) as bigint)"
+        ).alias("ess_ppm"),
+        F.max("w4").cast("long").alias("max_w_ppm"),
+        F.min("w4").cast("long").alias("min_w_ppm"),
+    )
