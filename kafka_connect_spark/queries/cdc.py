@@ -552,3 +552,54 @@ def x166_cdc_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "views_live",
         (F.col("clicks_live") * F.col("views_live")).alias("join_rows"),
     ).orderBy("user_id")
+
+
+@query(
+    "x258_variant_props_profile",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_sum,
+           CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_min,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_max,
+           CAST(sum(CASE WHEN json_extract_string(props, '$.k') IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS k_missing
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def x258_variant_props_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload profiling through Spark 4's VARIANT type:
+    parse the JSON props column ONCE into a variant, then typed
+    variant_get extraction feeds the per-event-type field profile
+    (count / sum / min / max / missing) — the schema-drift audit a CDC
+    pipeline runs on loosely-typed payloads. VARIANT is the scale-
+    correct shape for this: the binary-encoded variant parses each JSON
+    text once per row and every downstream field access is a typed
+    O(depth) lookup, where the get_json_object alternative re-parses
+    the string per extraction (x31's emit-on-change path already uses
+    one-off extraction; this is the many-fields-per-payload pattern).
+    The oracle extracts the same field with DuckDB's JSON functions —
+    typed results agree exactly because the field is integral."""
+    e = load(spark, sf_dir, "events")
+    v = e.select(
+        "event_type", F.parse_json(F.col("props")).alias("v")
+    ).select(
+        "event_type",
+        F.expr("variant_get(v, '$.k', 'bigint')").alias("k"),
+    )
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("k").cast("long").alias("k_sum"),
+            F.min("k").cast("long").alias("k_min"),
+            F.max("k").cast("long").alias("k_max"),
+            F.sum(F.col("k").isNull().cast("long"))
+            .cast("long")
+            .alias("k_missing"),
+        )
+        .orderBy("event_type")
+    )

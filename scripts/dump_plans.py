@@ -118,6 +118,18 @@ FLAGSHIPS = {
     "x228_association_rules": "basket distinct built once (AQE ReusedExchange) feeding pair self-join + broadcast supports",
     "x232_tukey_fences": "per-source value-domain quartile selection; fences broadcast onto the histogram",
     "x235_token_burstiness": "one (token, doc) agg; top-30 TakeOrdered; VMR on exact decimals",
+    "x245_bpe_encode": "distinct-word Zipf factoring: Arrow-batched encode of |vocab| rows, corpus joins back on word",
+    "x246_min_cost_supplier_q2": "Q2: dims broadcast into derived partsupp; min-cost agg + rejoin; TakeOrdered(100)",
+    "x247_important_stock_q11": "Q11: supplier semi broadcast; ps_partkey hash agg; 1-row total broadcast threshold",
+    "x248_excess_inventory_q20": "Q20: shipdate pushed to the lineitem scan; red-part broadcast semi; (part, supp) equi-join",
+    "x249_ipf_raking": "four raking steps as windows over the |sources| x |langs| cell table; one corpus pass",
+    "x251_embedding_parity_drift": "one posexplode pass -> (label, dim) agg; count-free integer-dot cosine",
+    "x252_shard_rebalance_audit": "x33 HRW weight fan-out map-side; argmax hash-agg per regime; 33x33 rollup",
+    "x253_quantile_normalize_length": "two value-domain histograms + broadcast range-join percentile lookup",
+    "x254_session_gap_sweep": "one user-partitioned lag/lead window; 4-threshold conditional sums",
+    "x255_capture_recapture": "source filter pushed to scan; distinct-gram agg; 1-row Chapman closed form",
+    "x256_lsh_parameter_planner": "x12c candidate pair table built once; 5 config rows as conditional sums",
+    "x257_raking_ess": "x249 cell walk + 1-row integer cross-multiply ESS",
 }
 
 
