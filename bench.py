@@ -210,6 +210,7 @@ HEADLINE = [
     "x136_corpus_summary",
     "x137_dup_distance_audit",
     # round 11 additions
+    "x259_dp_count_release",
     "x258_variant_props_profile",
     "x257_raking_ess",
     "x256_lsh_parameter_planner",

@@ -2340,3 +2340,97 @@ def x257_raking_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("w4").cast("long").alias("max_w_ppm"),
         F.min("w4").cast("long").alias("min_w_ppm"),
     )
+
+
+@query(
+    "x259_dp_count_release",
+    oracle="""
+    WITH RECURSIVE pw(k, p) AS (
+        SELECT 0, CAST(1000000000000000000 AS HUGEINT)
+        UNION ALL
+        SELECT k + 1, p * 368 // 1000 FROM pw WHERE k < 127 AND p > 0),
+    pn AS (SELECT k, lead(p) OVER (ORDER BY k) AS pnext FROM pw),
+    g AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents
+          GROUP BY source),
+    t AS (SELECT source, n,
+                 (CAST(4503599627370496 - u1 AS HUGEINT)
+                  * 1000000000000000000) // 4503599627370496 AS th1,
+                 (CAST(4503599627370496 - u2 AS HUGEINT)
+                  * 1000000000000000000) // 4503599627370496 AS th2
+          FROM (SELECT source, n,
+                       CAST('0x' || substring(md5(source || '#g1'), 1, 13)
+                            AS BIGINT) AS u1,
+                       CAST('0x' || substring(md5(source || '#g2'), 1, 13)
+                            AS BIGINT) AS u2
+                FROM g)),
+    g1 AS (SELECT source, CAST(min(k) AS BIGINT) AS geo1
+           FROM t JOIN pn ON pn.pnext IS NOT NULL AND pn.pnext <= t.th1
+           GROUP BY source),
+    g2 AS (SELECT source, CAST(min(k) AS BIGINT) AS geo2
+           FROM t JOIN pn ON pn.pnext IS NOT NULL AND pn.pnext <= t.th2
+           GROUP BY source)
+    SELECT t.source, t.n,
+           CAST(g1.geo1 - g2.geo2 AS BIGINT) AS noise,
+           CAST(t.n + g1.geo1 - g2.geo2 AS BIGINT) AS noisy_n,
+           CAST(greatest(t.n + g1.geo1 - g2.geo2, 0) AS BIGINT)
+               AS noisy_n_clamped
+    FROM t JOIN g1 ON g1.source = t.source
+           JOIN g2 ON g2.source = t.source
+    ORDER BY t.source
+    """,
+)
+def x259_dp_count_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source doc counts released through the discrete-Laplace
+    (two-sided geometric) mechanism at eps = ln(1000/368) ~ 1.0 — the
+    count-release side of the privacy family (x181 audits
+    re-identification risk; this is the standard remedy for publishing
+    the counts at all). Construction: noise = G1 - G2 with G ~
+    Geometric(1 - alpha) inverted from a fixed md5 test clock, and the
+    alpha-power CDF table is an exact integer walk p_k+1 = p_k * 368
+    div 1000 built by a recursive CTE (Spark 4 WITH RECURSIVE, the x161
+    surface) — every comparison is HUGEINT/decimal cross-multiply, so
+    both engines draw the identical noise. The fixed clock makes the
+    MECHANISM testable (inverse-CDF plumbing, tail cap, clamping as
+    post-processing); a production release swaps the clock for real
+    entropy and keeps every other line. Plan: the power table is 128
+    rows broadcast against the |sources| count table; the corpus cost
+    is the one count agg."""
+    d = load(spark, sf_dir, "documents")
+    d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).createOrReplaceTempView("x259_counts")
+    return spark.sql(
+        """
+        WITH RECURSIVE pw(k, p) AS (
+            SELECT 0, CAST(1000000000000000000 AS DECIMAL(38,0))
+            UNION ALL
+            SELECT k + 1, CAST(p * 368 div 1000 AS DECIMAL(38,0))
+            FROM pw WHERE k < 127 AND p > 0),
+        pn AS (SELECT k, lead(p) OVER (ORDER BY k) AS pnext FROM pw),
+        t AS (SELECT source, n,
+                     (CAST(4503599627370496 - u1 AS DECIMAL(38,0))
+                      * 1000000000000000000) div 4503599627370496 AS th1,
+                     (CAST(4503599627370496 - u2 AS DECIMAL(38,0))
+                      * 1000000000000000000) div 4503599627370496 AS th2
+              FROM (SELECT source, n,
+                           cast(conv(substring(md5(concat(source, '#g1')),
+                                1, 13), 16, 10) as bigint) AS u1,
+                           cast(conv(substring(md5(concat(source, '#g2')),
+                                1, 13), 16, 10) as bigint) AS u2
+                    FROM x259_counts)),
+        g1 AS (SELECT source, CAST(min(k) AS BIGINT) AS geo1
+               FROM t JOIN pn ON pn.pnext IS NOT NULL AND pn.pnext <= t.th1
+               GROUP BY source),
+        g2 AS (SELECT source, CAST(min(k) AS BIGINT) AS geo2
+               FROM t JOIN pn ON pn.pnext IS NOT NULL AND pn.pnext <= t.th2
+               GROUP BY source)
+        SELECT t.source, t.n,
+               CAST(g1.geo1 - g2.geo2 AS BIGINT) AS noise,
+               CAST(t.n + g1.geo1 - g2.geo2 AS BIGINT) AS noisy_n,
+               CAST(greatest(t.n + g1.geo1 - g2.geo2, 0) AS BIGINT)
+                   AS noisy_n_clamped
+        FROM t JOIN g1 ON g1.source = t.source
+               JOIN g2 ON g2.source = t.source
+        ORDER BY t.source
+        """
+    )
