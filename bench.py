@@ -210,6 +210,8 @@ HEADLINE = [
     "x136_corpus_summary",
     "x137_dup_distance_audit",
     # round 11 additions
+    "x260_pair_audit_queue",
+    "x261_fold_leakage_report",
     "x259_dp_count_release",
     "x258_variant_props_profile",
     "x257_raking_ess",

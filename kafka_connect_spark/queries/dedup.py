@@ -2122,3 +2122,226 @@ def x256_lsh_parameter_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh.unpersist(blocking=False)
         if pj is not None:
             pj.unpersist(blocking=False)
+
+
+@query(
+    "x260_pair_audit_queue",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ')
+                            for i in range(1, len(t) - 1)]) AS s
+           FROM tok WHERE len(t) >= 3),
+    ex AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+    pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(count(*) AS BIGINT) AS inter
+              FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    pj AS (SELECT id_a, id_b, inter,
+                  CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+                  CAST(inter * 20 // (sa.n + sb.n - inter) AS BIGINT) AS bin
+           FROM pairs
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+           WHERE inter * 5 >= sa.n + sb.n - inter),
+    r AS (SELECT *,
+                 row_number() OVER (PARTITION BY bin ORDER BY
+                     CAST('0x' || substring(md5(CAST(id_a AS VARCHAR) || ':'
+                         || CAST(id_b AS VARCHAR)), 1, 15) AS BIGINT),
+                     id_a, id_b) AS rk
+          FROM pj)
+    SELECT CAST(bin AS BIGINT) AS bin, CAST(rk AS BIGINT) AS rk,
+           id_a, id_b,
+           {dround_sql("CAST(inter AS DOUBLE) / (n_a + n_b - inter)", 6)}
+               AS jaccard
+    FROM r WHERE rk <= 5 ORDER BY bin, rk
+    """,
+)
+def x260_pair_audit_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The human-labeling queue for near-dup threshold calibration: up
+    to 5 candidate pairs per 0.05-wide similarity bin (jac >= 0.2),
+    chosen DETERMINISTICALLY by the md5 clock on the pair id — the
+    stratified audit sample an adjudication UI pages through to decide
+    where the real dup boundary sits (x109 sweeps thresholds against
+    HELD assumptions; this produces the evidence humans label; x127
+    panels the signals for one pair). Clock order, not arrival order,
+    so the queue is stable under re-crawls and repartitioning (x36's
+    discipline applied to pairs). Plan: the x12c candidate pair table
+    once; the per-bin pick is a bin-partitioned rank window that
+    WindowGroupLimit caps at 5 rows below the sort — no global order,
+    |bins| <= 16."""
+    d = load_parallel(spark, sf_dir, "documents")
+    from ..functions.dedupfns import shingles
+
+    sh = d.select(
+        "doc_id", F.explode(shingles("text", 3)).alias("s_str")
+    ).select(F.col("doc_id").alias("id"), F.xxhash64("s_str").alias("s"))
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b_ = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b_,
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    pj = (
+        inter.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")),
+            "id_b",
+        )
+        .filter(
+            F.col("inter") * 5 >= F.col("n_a") + F.col("n_b") - F.col("inter")
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            "n_a",
+            "n_b",
+            F.expr("cast(inter * 20 div (n_a + n_b - inter) as bigint)").alias(
+                "bin"
+            ),
+        )
+    )
+    clock = F.expr(
+        "cast(conv(substring(md5(concat(cast(id_a as string), ':',"
+        " cast(id_b as string))), 1, 15), 16, 10) as bigint)"
+    )
+    w = Window.partitionBy("bin").orderBy(clock, "id_a", "id_b")
+    return (
+        pj.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "bin",
+            "rk",
+            "id_a",
+            "id_b",
+            dround(
+                F.col("inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("bin", "rk")
+    )
+
+
+@query(
+    "x261_fold_leakage_report",
+    oracle=f"""
+    WITH RECURSIVE
+    tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    shl AS (SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ')
+                            for i in range(1, len(t) - 1)]) AS s
+           FROM tok WHERE len(t) >= 3),
+    ex AS (SELECT doc_id, unnest(s) AS sh FROM shl),
+    sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    pairs AS (SELECT id_a, id_b FROM inter
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE {dround_sql("inter / (sa.n + sb.n - inter)", 6)}
+                    >= 0.5),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL
+              SELECT id_b AS src, id_a AS dst FROM pairs),
+    reach(doc_id, hops) AS (
+      SELECT doc_id, 0 FROM documents WHERE doc_id < 10
+      UNION ALL
+      SELECT e.dst, r.hops + 1 FROM reach r
+      JOIN edges e ON e.src = r.doc_id
+      WHERE r.hops < 3
+    ),
+    cont AS (SELECT doc_id FROM reach GROUP BY doc_id),
+    cl AS (SELECT doc_id,
+                  min(doc_id) OVER (PARTITION BY md5(text)) AS cluster
+           FROM documents),
+    folds AS (SELECT doc_id,
+                     CAST('0x' || substring(md5(CAST(cluster AS VARCHAR)),
+                          1, 15) AS BIGINT) % 5 AS fold
+              FROM cl)
+    SELECT CAST(f.fold AS BIGINT) AS fold,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated,
+           CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                * 1000000 // count(*) AS BIGINT) AS contaminated_ppm
+    FROM folds f LEFT JOIN cont c ON c.doc_id = f.doc_id
+    GROUP BY f.fold ORDER BY f.fold
+    """,
+)
+def x261_fold_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The question x161 and x238 exist to answer, composed: how much of
+    each GroupKFold fold is inside the hop-3 contamination closure of
+    the eval seed set? A fold with nonzero contaminated_ppm cannot be
+    used as a clean eval fold no matter how leakage-safe the DUP
+    grouping was — contamination flows through NEAR-dup edges that
+    exact-dup clustering doesn't see, which is precisely why the two
+    operators must be composed before a cross-validation run is
+    trusted. Plan: x161's recursive closure (bounded 3 hops on the
+    banded pair table) + x238's map-side md5 fold assignment, joined on
+    doc_id and rolled up to 5 rows; both inputs' scale stories are
+    probed individually and unchanged here."""
+    from ..functions.dedupfns import ngram_jaccard_pairs
+
+    d = load_parallel(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.5).select("id_a", "id_b")
+    edges = pairs.union(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).toDF("src", "dst")
+    edges.createOrReplaceTempView("x261_edges")
+    d.select("doc_id").filter(F.col("doc_id") < 10).createOrReplaceTempView(
+        "x261_seeds"
+    )
+    cont = spark.sql(
+        """
+        WITH RECURSIVE reach(doc_id, hops) AS (
+          SELECT doc_id, 0 FROM x261_seeds
+          UNION ALL
+          SELECT e.dst, r.hops + 1 FROM reach r
+          JOIN x261_edges e ON e.src = r.doc_id
+          WHERE r.hops < 3
+        )
+        SELECT doc_id FROM reach GROUP BY doc_id
+        """
+    ).withColumnRenamed("doc_id", "cont_id")
+    wcl = Window.partitionBy(F.md5("text"))
+    folds = d.select(
+        "doc_id", F.min("doc_id").over(wcl).alias("cluster")
+    ).select(
+        "doc_id",
+        (
+            F.expr(
+                "cast(conv(substring(md5(cast(cluster as string)), 1, 15),"
+                " 16, 10) as bigint)"
+            )
+            % 5
+        ).alias("fold"),
+    )
+    return (
+        folds.join(
+            F.broadcast(cont), folds["doc_id"] == cont["cont_id"], "left"
+        )
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("cont_id").isNotNull().cast("long"))
+            .cast("long")
+            .alias("n_contaminated"),
+            F.expr(
+                "cast(sum(cast(cont_id is not null as long)) * 1000000"
+                " div count(1) as bigint)"
+            ).alias("contaminated_ppm"),
+        )
+        .orderBy("fold")
+    )
