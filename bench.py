@@ -349,6 +349,7 @@ _EXCLUDED_SPECIAL = {
     "x39_bpe_train": "iterative_trainer_fixed_overhead",
     "x245_bpe_encode": "iterative_trainer_fixed_overhead",
     "x250_bpe_fertility_audit": "iterative_trainer_fixed_overhead",
+    "x262_bpe_holdout_fertility": "iterative_trainer_fixed_overhead",
     "s3b_jdbc_live_roundtrip": "side_effecting_embedded_derby",
     "s6b_mm2_offset_translation": "side_effecting_offset_store",
 }

@@ -5336,3 +5336,73 @@ def x250_bpe_fertility_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query("x262_bpe_holdout_fertility")  # learned-merge encode inside: rows-only
+def x262_bpe_holdout_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer GENERALIZATION audit: fit the BPE merges on the even
+    doc_id half only, then measure fertility and fallback rate per lang
+    on the HELD-OUT odd half — the train/test discipline x250 skips
+    (in-corpus fertility always flatters the vocab; the held-out gap is
+    what predicts fertility on tomorrow's crawl, and a lang whose
+    held-out fallback spikes is under-represented in the training
+    half). Same Zipf factoring as x245/x250: the odd half's distinct
+    words encode once through the Arrow-batched min-rank loop with the
+    even-half merge table broadcast. Rows-only (iterative trainer);
+    pure-Python equality pinned in tests/test_bpe_encode.py."""
+    from ..functions.textfns import bpe_encode_words, bpe_train
+
+    d = load_parallel(spark, sf_dir, "documents")
+    merges, _ = bpe_train(
+        d.filter(F.col("doc_id") % 2 == 0), num_merges=10
+    )
+    rules = [
+        (r["left"], r["right"]) for r in merges.orderBy("rank").collect()
+    ]
+    held = d.filter(F.col("doc_id") % 2 == 1)
+    tok = held.select(
+        "lang",
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("w"),
+    ).filter(F.length("w") > 0)
+    wc = tok.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = wc.select("w").distinct()
+    enc = bpe_encode_words(vocab, rules).select(
+        "w",
+        "n_bpe",
+        F.size(
+            F.filter(
+                F.col("bpe_toks"),
+                lambda t: F.length(F.regexp_replace(t, r"</w>$", "")) == 1,
+            )
+        )
+        .cast("long")
+        .alias("n_single"),
+    )
+    return (
+        wc.join(enc, "w")
+        .groupBy("lang")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_bpe")).cast("long").alias(
+                "n_tokens"
+            ),
+            F.sum(F.col("cnt") * F.col("n_single")).cast("long").alias(
+                "n_single_tokens"
+            ),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_tokens",
+            F.expr("cast(n_tokens as decimal(38,0)) * 1000000 div n_words")
+            .cast("long")
+            .alias("fertility_ppm"),
+            F.expr(
+                "cast(n_single_tokens as decimal(38,0)) * 1000000"
+                " div n_tokens"
+            )
+            .cast("long")
+            .alias("fallback_ppm"),
+        )
+        .orderBy("lang")
+    )

@@ -165,3 +165,50 @@ def test_x250_equals_pure_python_audit(spark, sf_dir):
         for r in QUERIES["x250_bpe_fertility_audit"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_x262_equals_pure_python_holdout(spark, sf_dir):
+    """Held-out fertility: train on even doc_ids in pure Python too
+    (same rules come from the distributed trainer — the trainer equality
+    is x39's own test), encode the odd half single-threaded, compare."""
+    d = load(spark, sf_dir, "documents")
+    merges, _ = bpe_train(
+        d.filter(F.col("doc_id") % 2 == 0), num_merges=10
+    )
+    rules = [(r["left"], r["right"]) for r in merges.orderBy("rank").collect()]
+    cache: dict[str, list[str]] = {}
+    agg: dict[str, list[int]] = {}
+    for r in d.filter(F.col("doc_id") % 2 == 1).select("lang", "text").collect():
+        a = agg.setdefault(r["lang"], [0, 0, 0])
+        for w in r["text"].lower().split():
+            if not w:
+                continue
+            if w not in cache:
+                cache[w] = bpe_encode_reference(w, rules)
+            toks = cache[w]
+            a[0] += 1
+            a[1] += len(toks)
+            a[2] += sum(
+                1
+                for t in toks
+                if len(t[:-4] if t.endswith("</w>") else t) == 1
+            )
+    want = {
+        lang: (
+            v[0],
+            v[1],
+            (v[1] * 1_000_000) // v[0],
+            (v[2] * 1_000_000) // v[1],
+        )
+        for lang, v in agg.items()
+    }
+    got = {
+        r["lang"]: (
+            r["n_words"],
+            r["n_tokens"],
+            r["fertility_ppm"],
+            r["fallback_ppm"],
+        )
+        for r in QUERIES["x262_bpe_holdout_fertility"](spark, sf_dir).collect()
+    }
+    assert got == want
