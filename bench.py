@@ -210,6 +210,8 @@ HEADLINE = [
     "x136_corpus_summary",
     "x137_dup_distance_audit",
     # round 11 additions
+    "x263_operating_point",
+    "x264_sample_size_planner",
     "x260_pair_audit_queue",
     "x261_fold_leakage_report",
     "x259_dp_count_release",
@@ -411,8 +413,33 @@ def _median(xs: list[float]) -> float:
     return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
 
 
+def _code_fingerprint() -> str:
+    """Identity of the bench-RELEVANT code for the clean-artifact write
+    guard: a digest over bench.py + every package source file. Stricter
+    than needed (any package edit invalidates protection — correct,
+    since new queries mean new numbers) but immune to doc/test-only
+    commits, which a git-HEAD key is not."""
+    import hashlib
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    h = hashlib.sha256()
+    paths = [os.path.join(root, "bench.py")]
+    for base, _dirs, files in sorted(os.walk(os.path.join(root, "kafka_connect_spark"))):
+        for f in sorted(files):
+            if f.endswith(".py"):
+                paths.append(os.path.join(base, f))
+    for path in paths:
+        h.update(path.encode())
+        try:
+            with open(path, "rb") as fh:
+                h.update(fh.read())
+        except OSError:
+            h.update(b"?")
+    return h.hexdigest()[:16]
+
+
 def _git_head() -> str:
-    """Code identity for the clean-artifact write guard (best effort)."""
+    """Git identity, recorded for provenance (not the guard key)."""
     import subprocess
 
     try:
@@ -591,6 +618,7 @@ def main() -> None:
         "contention_flag": contention,
         "contention_retries_used": contention_retries_used,
         "git_head": _git_head(),
+        "code_fingerprint": _code_fingerprint(),
         "excluded": excluded_map(),
     }
     # every registry query is either benched or excluded-with-reason
@@ -616,7 +644,7 @@ def main() -> None:
         if (
             prev is not None
             and prev.get("contention_flag") is False
-            and prev.get("git_head") == detail["git_head"]
+            and prev.get("code_fingerprint") == detail["code_fingerprint"]
         ):
             detail_name = "BENCH_DETAIL_CONTENDED.json"
             detail_path = os.path.join(repo_dir, detail_name)

@@ -2434,3 +2434,136 @@ def x259_dp_count_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY t.source
         """
     )
+
+
+@query(
+    "x263_operating_point",
+    oracle="""
+    WITH d AS (SELECT lang, string_split(text, ' ') AS toks FROM documents),
+    sc AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                  least(CAST(len(list_filter(toks, t -> t IN
+                            ('a','the','of','and','to','in'))) AS BIGINT)
+                        * 5000000 // len(toks), 1000000) AS p
+           FROM d),
+    cc AS (SELECT p, CAST(count(*) AS BIGINT) AS c,
+                  CAST(sum(y) AS BIGINT) AS pos
+           FROM sc GROUP BY p),
+    tot AS (SELECT CAST(sum(pos) AS BIGINT) AS npos,
+                   CAST(sum(c - pos) AS BIGINT) AS nneg
+            FROM cc),
+    cum AS (SELECT p,
+                   CAST(sum(pos) OVER (ORDER BY p DESC) AS BIGINT) AS tp,
+                   CAST(sum(c - pos) OVER (ORDER BY p DESC) AS BIGINT) AS fp
+            FROM cc),
+    m AS (SELECT cum.p, cum.tp, cum.fp,
+                 tot.npos - cum.tp AS fn, tot.nneg - cum.fp AS tn,
+                 CAST(cum.tp AS HUGEINT) * tot.nneg
+                     - CAST(cum.fp AS HUGEINT) * tot.npos AS j_num,
+                 CAST(2 * CAST(cum.tp AS HUGEINT) * 1000000
+                      // (2 * cum.tp + cum.fp + (tot.npos - cum.tp))
+                      AS BIGINT) AS f1_ppm
+          FROM cum, tot),
+    best_j AS (SELECT 'youden' AS criterion, p, tp, fp, fn, tn,
+                      CAST(j_num * 1000000
+                           // (CAST((SELECT npos FROM tot) AS HUGEINT)
+                               * (SELECT nneg FROM tot)) AS BIGINT)
+                          AS metric_ppm
+               FROM m ORDER BY j_num DESC, p LIMIT 1),
+    best_f AS (SELECT 'f1' AS criterion, p, tp, fp, fn, tn, f1_ppm
+                   AS metric_ppm
+               FROM m ORDER BY f1_ppm DESC, p LIMIT 1)
+    SELECT criterion, CAST(p AS BIGINT) AS threshold_p,
+           tp, fp, CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+           metric_ppm
+    FROM (SELECT * FROM best_j UNION ALL SELECT * FROM best_f)
+    ORDER BY criterion
+    """,
+)
+def x263_operating_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'choose the cutoff' operator the eval family was missing:
+    from the exact (score, label) count table (x187's sufficient
+    statistic), the Youden-J-optimal and F1-optimal classification
+    thresholds with their full confusion counts — AUC (x187) says the
+    ordering works, calibration (x184) says the values are honest, the
+    gain chart (x194) shows the curve; a deployed filter still needs
+    ONE threshold, and these are the two standard picks. Exactness:
+    TP/FP ride cumulative integer sums over the score value domain
+    (predicted-positive = score >= t, so every candidate threshold is
+    one row of a p-DESC cumsum); Youden's argmax key is the integer
+    cross-multiply TP*nneg - FP*npos (no division), F1's is exact
+    floored ppm; ties break toward the LOWER threshold (higher recall)
+    by ordering on p within equal keys. Plan: one corpus pass to the
+    count table, value-domain cumsums, two TakeOrdered(1) picks."""
+    d = load(spark, sf_dir, "documents")
+    sc = d.select(
+        (F.col("lang") == "en").cast("long").alias("y"),
+        F.least(
+            F.expr(
+                "cast(size(filter(split(text, ' '),"
+                " t -> array_contains(array('a','the','of','and','to','in'), t)))"
+                " as bigint) * 5000000 div size(split(text, ' '))"
+            ),
+            F.lit(1_000_000).cast("bigint"),
+        ).alias("p"),
+    )
+    cc = sc.groupBy("p").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("y").alias("pos")
+    )
+    tot = cc.agg(
+        F.sum("pos").cast("long").alias("npos"),
+        F.sum(F.col("c") - F.col("pos")).cast("long").alias("nneg"),
+    )
+    wdesc = Window.orderBy(F.col("p").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = cc.select(
+        "p",
+        F.sum("pos").over(wdesc).cast("long").alias("tp"),
+        F.sum(F.col("c") - F.col("pos")).over(wdesc).cast("long").alias("fp"),
+    )
+    m = cum.crossJoin(F.broadcast(tot)).select(
+        "p",
+        "tp",
+        "fp",
+        (F.col("npos") - F.col("tp")).alias("fn"),
+        (F.col("nneg") - F.col("fp")).alias("tn"),
+        F.expr(
+            "cast(tp as decimal(38,0)) * nneg - cast(fp as decimal(38,0)) * npos"
+        ).alias("j_num"),
+        F.expr(
+            "cast(2 * cast(tp as decimal(38,0)) * 1000000"
+            " div (2 * tp + fp + (npos - tp)) as bigint)"
+        ).alias("f1_ppm"),
+        "npos",
+        "nneg",
+    )
+    best_j = (
+        m.orderBy(F.col("j_num").desc(), "p")
+        .limit(1)
+        .select(
+            F.lit("youden").alias("criterion"),
+            F.col("p").alias("threshold_p"),
+            "tp",
+            "fp",
+            F.col("fn").cast("long").alias("fn"),
+            F.col("tn").cast("long").alias("tn"),
+            F.expr(
+                "cast(j_num * 1000000 div (cast(npos as decimal(38,0)) * nneg)"
+                " as bigint)"
+            ).alias("metric_ppm"),
+        )
+    )
+    best_f = (
+        m.orderBy(F.col("f1_ppm").desc(), "p")
+        .limit(1)
+        .select(
+            F.lit("f1").alias("criterion"),
+            F.col("p").alias("threshold_p"),
+            "tp",
+            "fp",
+            F.col("fn").cast("long").alias("fn"),
+            F.col("tn").cast("long").alias("tn"),
+            F.col("f1_ppm").alias("metric_ppm"),
+        )
+    )
+    return best_j.unionAll(best_f).orderBy("criterion")

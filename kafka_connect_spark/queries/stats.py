@@ -2571,3 +2571,66 @@ def x244_sprt_conversion_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cum").cast("double") >= bound).alias("accept_h1"),
         (F.col("cum").cast("double") <= -bound).alias("accept_h0"),
     ).orderBy("day")
+
+
+@query(
+    "x264_sample_size_planner",
+    oracle=f"""
+    WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_j,
+                      CAST(sum(CASE WHEN n_chars < 500 THEN 1 ELSE 0 END)
+                           AS BIGINT) AS k_j
+               FROM documents GROUP BY source),
+    c AS (SELECT source, n_j, k_j,
+                 CAST(k_j AS DOUBLE) / n_j AS p1
+          FROM g),
+    v AS (SELECT source, n_j, k_j, p1,
+                 ((1.959964 + 0.841621) * (1.959964 + 0.841621))
+                 * ((p1 * (1.0 - p1))
+                    + ((p1 + 0.02) * (1.0 - (p1 + 0.02))))
+                 / (0.02 * 0.02) AS n_need
+          FROM c)
+    SELECT source, n_j, k_j,
+           {dround_sql("p1", 6)} AS p_short,
+           CAST(floor(n_need) AS BIGINT) + 1 AS n_required,
+           (n_j >= CAST(floor(n_need) AS BIGINT) + 1) AS powered
+    FROM v ORDER BY source
+    """,
+)
+def x264_sample_size_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power analysis for the per-source proportion panel: the per-arm
+    sample size needed to detect a +2 pp shift in each source's
+    short-doc rate at alpha = 0.05 (two-sided) / power 0.8, next to
+    whether the source's CURRENT volume already clears it — the design
+    half of x218/x226 (those test what happened; this says how much
+    data the NEXT comparison needs, which is what an A/B on a curation
+    rule gets sized with). Determinism: p1 is one exact-integer-derived
+    IEEE division, the z constants are shared literals (1.959964,
+    0.841621 — both engines lack a normal quantile; literals sidestep
+    it), and n_required = floor(v) + 1 — strictly-above-v integer, the
+    floor of a bit-identical double, so no ceil-at-integer boundary
+    flip. Plan: one conditional-sum corpus pass; everything after is
+    |sources| rows."""
+    d = load(spark, sf_dir, "documents")
+    g = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_j"),
+        F.sum((F.col("n_chars") < 500).cast("long")).cast("long").alias("k_j"),
+    )
+    p1 = F.col("k_j").cast("double") / F.col("n_j")
+    n_need = (
+        F.lit((1.959964 + 0.841621) * (1.959964 + 0.841621))
+        * ((p1 * (1.0 - p1)) + ((p1 + 0.02) * (1.0 - (p1 + 0.02))))
+        / F.lit(0.02 * 0.02)
+    )
+    return (
+        g.select(
+            "source",
+            "n_j",
+            "k_j",
+            dround(p1, 6).alias("p_short"),
+            (F.floor(n_need).cast("long") + 1).alias("n_required"),
+            (
+                F.col("n_j") >= F.floor(n_need).cast("long") + 1
+            ).alias("powered"),
+        )
+        .orderBy("source")
+    )

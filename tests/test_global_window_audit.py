@@ -95,6 +95,9 @@ AUDITED = {
     ("queries/quality.py", "x253_quantile_normalize_length"):
         "agg:distinct n_chars — the corpus length-histogram cumsum "
         "(value domain; per-source windows are partitioned)",
+    ("queries/quality.py", "x263_operating_point"):
+        "agg:distinct score values — p-DESC cumsum over the <= 1e6-row "
+        "(score, label) count table (x187's domain)",
     ("streaming/drift.py", "auc_from_counts"):
         "agg:distinct score values — x187's value-domain cumsum over the "
         "score_label_counts state table (<= 1e6+1 rows)",
