@@ -210,6 +210,7 @@ HEADLINE = [
     "x136_corpus_summary",
     "x137_dup_distance_audit",
     # round 11 additions
+    "x265_keep_policy_comparison",
     "x263_operating_point",
     "x264_sample_size_planner",
     "x260_pair_audit_queue",

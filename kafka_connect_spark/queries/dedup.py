@@ -2345,3 +2345,101 @@ def x261_fold_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+@query(
+    "x265_keep_policy_comparison",
+    oracle="""
+    WITH sc AS (SELECT doc_id, n_chars, md5(text) AS h,
+                       least(CAST(len(list_filter(string_split(text, ' '),
+                                 t -> t IN ('a','the','of','and','to','in')))
+                             AS BIGINT) * 5000000
+                             // len(string_split(text, ' ')), 1000000)
+                           AS dens
+                FROM documents),
+    r AS (SELECT *,
+                 row_number() OVER (PARTITION BY h ORDER BY doc_id)
+                     AS rk_first,
+                 row_number() OVER (PARTITION BY h
+                     ORDER BY n_chars DESC, doc_id) AS rk_long,
+                 row_number() OVER (PARTITION BY h
+                     ORDER BY dens DESC, doc_id) AS rk_dense
+          FROM sc),
+    pol AS (SELECT 'keep_first' AS policy, doc_id, n_chars, dens
+            FROM r WHERE rk_first = 1
+            UNION ALL
+            SELECT 'keep_longest', doc_id, n_chars, dens
+            FROM r WHERE rk_long = 1
+            UNION ALL
+            SELECT 'keep_densest', doc_id, n_chars, dens
+            FROM r WHERE rk_dense = 1)
+    SELECT policy,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(n_chars) AS BIGINT) AS chars_kept,
+           CAST(sum(dens) // count(*) AS BIGINT) AS mean_dens_ppm
+    FROM pol GROUP BY policy ORDER BY policy
+    """,
+)
+def x265_keep_policy_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which representative should a dedup keep? The three standard
+    policies — keep-first (stable ids, x12b), keep-longest (max
+    content), keep-densest (max quality signal, x70's idea) — compared
+    on what they actually retain: per policy, the kept-doc count (equal
+    by construction — one per exact-dup cluster — so it doubles as a
+    cross-policy sanity check), retained char mass, and mean stopword
+    density of the keepers. The table that turns 'we dedup' into a
+    REVIEWED policy choice; on real corpora keep-first silently drops
+    the longer rewrite ~half the time, and this makes that cost a
+    number. Exactness: clusters are md5 text groups; every policy is a
+    deterministic cluster-partitioned rank (explicit doc_id tie-break —
+    arg_max tie order is engine-undefined, rank order is not). Plan:
+    one scan computes hash + density; three hash-partitioned windows
+    share the exchange; 3-row rollup."""
+    d = load(spark, sf_dir, "documents")
+    dens = F.least(
+        F.expr(
+            "cast(size(filter(split(text, ' '),"
+            " t -> array_contains(array('a','the','of','and','to','in'), t)))"
+            " as bigint) * 5000000 div size(split(text, ' '))"
+        ),
+        F.lit(1_000_000).cast("bigint"),
+    )
+    sc = d.select(
+        "doc_id", "n_chars", F.md5("text").alias("h"), dens.alias("dens")
+    )
+    w1 = Window.partitionBy("h").orderBy("doc_id")
+    w2 = Window.partitionBy("h").orderBy(F.col("n_chars").desc(), "doc_id")
+    w3 = Window.partitionBy("h").orderBy(F.col("dens").desc(), "doc_id")
+    r = sc.select(
+        "doc_id",
+        "n_chars",
+        "dens",
+        F.row_number().over(w1).alias("rk_first"),
+        F.row_number().over(w2).alias("rk_long"),
+        F.row_number().over(w3).alias("rk_dense"),
+    )
+    pol = (
+        r.filter(F.col("rk_first") == 1)
+        .select(F.lit("keep_first").alias("policy"), "n_chars", "dens")
+        .unionAll(
+            r.filter(F.col("rk_long") == 1).select(
+                F.lit("keep_longest").alias("policy"), "n_chars", "dens"
+            )
+        )
+        .unionAll(
+            r.filter(F.col("rk_dense") == 1).select(
+                F.lit("keep_densest").alias("policy"), "n_chars", "dens"
+            )
+        )
+    )
+    return (
+        pol.groupBy("policy")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.sum("n_chars").cast("long").alias("chars_kept"),
+            F.expr("cast(sum(dens) div count(1) as bigint)").alias(
+                "mean_dens_ppm"
+            ),
+        )
+        .orderBy("policy")
+    )

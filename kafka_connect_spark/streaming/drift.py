@@ -445,3 +445,76 @@ def source_lang_counts(df: DataFrame) -> DataFrame:
     return df.groupBy("source", "lang").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
+
+
+def operating_point_from_counts(counts: DataFrame) -> DataFrame:
+    """x263's Youden/F1 threshold pick derived from the
+    :func:`score_label_counts` table — with this, the ENTIRE eval family
+    (AUC, gain chart, operating point) refreshes from one complete-mode
+    value-domain aggregation: a live dashboard re-picks the deployed
+    cutoff every microbatch without rescanning the stream. Same integer
+    cross-multiply argmax keys as the batch query; pinned row-exact in
+    tests/test_streaming_r11_twins.py."""
+    from pyspark.sql import Window
+
+    cc = counts.groupBy("p").agg(
+        F.sum("c").alias("c"), F.sum(F.col("c") * F.col("y")).alias("pos")
+    )
+    tot = cc.agg(
+        F.sum("pos").cast("long").alias("npos"),
+        F.sum(F.col("c") - F.col("pos")).cast("long").alias("nneg"),
+    )
+    wdesc = Window.orderBy(F.col("p").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = cc.select(
+        "p",
+        F.sum("pos").over(wdesc).cast("long").alias("tp"),
+        F.sum(F.col("c") - F.col("pos")).over(wdesc).cast("long").alias("fp"),
+    )
+    m = cum.crossJoin(F.broadcast(tot)).select(
+        "p",
+        "tp",
+        "fp",
+        (F.col("npos") - F.col("tp")).alias("fn"),
+        (F.col("nneg") - F.col("fp")).alias("tn"),
+        F.expr(
+            "cast(tp as decimal(38,0)) * nneg - cast(fp as decimal(38,0)) * npos"
+        ).alias("j_num"),
+        F.expr(
+            "cast(2 * cast(tp as decimal(38,0)) * 1000000"
+            " div (2 * tp + fp + (npos - tp)) as bigint)"
+        ).alias("f1_ppm"),
+        "npos",
+        "nneg",
+    )
+    best_j = (
+        m.orderBy(F.col("j_num").desc(), "p")
+        .limit(1)
+        .select(
+            F.lit("youden").alias("criterion"),
+            F.col("p").alias("threshold_p"),
+            "tp",
+            "fp",
+            F.col("fn").cast("long").alias("fn"),
+            F.col("tn").cast("long").alias("tn"),
+            F.expr(
+                "cast(j_num * 1000000 div (cast(npos as decimal(38,0)) * nneg)"
+                " as bigint)"
+            ).alias("metric_ppm"),
+        )
+    )
+    best_f = (
+        m.orderBy(F.col("f1_ppm").desc(), "p")
+        .limit(1)
+        .select(
+            F.lit("f1").alias("criterion"),
+            F.col("p").alias("threshold_p"),
+            "tp",
+            "fp",
+            F.col("fn").cast("long").alias("fn"),
+            F.col("tn").cast("long").alias("tn"),
+            F.col("f1_ppm").alias("metric_ppm"),
+        )
+    )
+    return best_j.unionAll(best_f).orderBy("criterion")

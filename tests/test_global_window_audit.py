@@ -98,6 +98,9 @@ AUDITED = {
     ("queries/quality.py", "x263_operating_point"):
         "agg:distinct score values — p-DESC cumsum over the <= 1e6-row "
         "(score, label) count table (x187's domain)",
+    ("streaming/drift.py", "operating_point_from_counts"):
+        "agg:distinct score values — x263's p-DESC cumsum over the "
+        "score_label_counts state table (<= 1e6+1 rows)",
     ("streaming/drift.py", "auc_from_counts"):
         "agg:distinct score values — x187's value-domain cumsum over the "
         "score_label_counts state table (<= 1e6+1 rows)",

@@ -18,6 +18,7 @@ from kafka_connect_spark.sources.replay import (
 from kafka_connect_spark.streaming.drift import (
     auc_from_counts,
     gain_chart_from_counts,
+    operating_point_from_counts,
     score_label_counts,
 )
 
@@ -90,6 +91,18 @@ def test_streaming_auc_and_gain_equal_batch(spark, sf_dir, tmp_path):
         .sort_values("decile", ignore_index=True)
     )
     pd.testing.assert_frame_equal(got_gain, want_gain, check_dtype=False)
+
+    got_op = (
+        operating_point_from_counts(counts)
+        .toPandas()
+        .sort_values("criterion", ignore_index=True)
+    )
+    want_op = (
+        QUERIES["x263_operating_point"](spark, sf_dir)
+        .toPandas()
+        .sort_values("criterion", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got_op, want_op, check_dtype=False)
 
     # state bound: <= 2 x distinct score values observed in the corpus
     # (the (p, y) key space), for EVERY microbatch
