@@ -2418,20 +2418,21 @@ def x265_keep_policy_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w2).alias("rk_long"),
         F.row_number().over(w3).alias("rk_dense"),
     )
-    pol = (
-        r.filter(F.col("rk_first") == 1)
-        .select(F.lit("keep_first").alias("policy"), "n_chars", "dens")
-        .unionAll(
-            r.filter(F.col("rk_long") == 1).select(
-                F.lit("keep_longest").alias("policy"), "n_chars", "dens"
+    # one pass, not a 3-way union of filters: the union form re-evaluates
+    # all three windows per branch (9 Window nodes, 3 corpus scans in the
+    # static plan); exploding the policy tags in-row keeps each window
+    # computed once over the shared md5-hash exchange
+    pol = r.select(
+        "n_chars",
+        "dens",
+        F.explode(
+            F.array(
+                F.when(F.col("rk_first") == 1, F.lit("keep_first")),
+                F.when(F.col("rk_long") == 1, F.lit("keep_longest")),
+                F.when(F.col("rk_dense") == 1, F.lit("keep_densest")),
             )
-        )
-        .unionAll(
-            r.filter(F.col("rk_dense") == 1).select(
-                F.lit("keep_densest").alias("policy"), "n_chars", "dens"
-            )
-        )
-    )
+        ).alias("policy"),
+    ).filter(F.col("policy").isNotNull())
     return (
         pol.groupBy("policy")
         .agg(

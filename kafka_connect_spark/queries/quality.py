@@ -2011,7 +2011,12 @@ def ipf_rake(cells: DataFrame) -> DataFrame:
     """The x249 raking derivation as a pure function of the (source,
     lang, n) cell table — shared by the batch query and the streaming
     twin (streaming/drift.py source_lang_counts + this = a live mixture
-    monitor whose complete-mode state is the bounded cell table)."""
+    monitor whose complete-mode state is the bounded cell table). The
+    cell table is localCheckpointed first: the derivation consumes it in
+    four window steps plus the residual join, and without the cut the
+    static plan re-derives the corpus aggregation per consumer (4 scans
+    — materializing |sources| x |langs| rows once keeps it at 1)."""
+    cells = cells.localCheckpoint(eager=True)
     dims = cells.agg(
         F.sum("n").cast("long").alias("nn"),
         F.countDistinct("source").cast("long").alias("ks"),
@@ -2115,8 +2120,12 @@ def x253_quantile_normalize_length(
     never rows. Products ride HUGEINT/decimal(38,0) (cdf x count passes
     2^63 at corpus scale)."""
     d = load(spark, sf_dir, "documents")
-    sl = d.groupBy("source", "n_chars").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
+    # bounded |sources| x |lengths| histogram, consumed by both the
+    # per-source CDF and the corpus rollup: cut once (one corpus scan)
+    sl = (
+        d.groupBy("source", "n_chars")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
     )
     wsrc = Window.partitionBy("source").orderBy("n_chars")
     wsrcall = Window.partitionBy("source")
@@ -2127,8 +2136,10 @@ def x253_quantile_normalize_length(
         F.sum("c").over(wsrc).cast("decimal(38,0)").alias("cum_src"),
         F.sum("c").over(wsrcall).cast("decimal(38,0)").alias("n_src"),
     )
-    cl = d.groupBy(F.col("n_chars").alias("m_chars")).agg(
-        F.count(F.lit(1)).cast("long").alias("cc")
+    # corpus histogram = rollup of the per-source histogram: one corpus
+    # scan feeds both sides of the percentile lookup
+    cl = sl.groupBy(F.col("n_chars").alias("m_chars")).agg(
+        F.sum("c").cast("long").alias("cc")
     )
     wcorp = Window.orderBy("m_chars")
     wall = Window.rowsBetween(
@@ -2537,6 +2548,9 @@ def x263_operating_point(spark: SparkSession, sf_dir: str) -> DataFrame:
         "npos",
         "nneg",
     )
+    # two argmax picks consume m; cut once so the corpus pass isn't
+    # re-derived per criterion (value-domain table, <= 1e6+1 rows)
+    m = m.localCheckpoint(eager=True)
     best_j = (
         m.orderBy(F.col("j_num").desc(), "p")
         .limit(1)

@@ -488,6 +488,7 @@ def operating_point_from_counts(counts: DataFrame) -> DataFrame:
         "npos",
         "nneg",
     )
+    m = m.localCheckpoint(eager=True)
     best_j = (
         m.orderBy(F.col("j_num").desc(), "p")
         .limit(1)

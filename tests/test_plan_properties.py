@@ -447,3 +447,39 @@ def test_x248_q20_filters_pushed(spark, sf_dir):
     assert "GreaterThanOrEqual(l_shipdate" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_x265_single_pass_three_policies(spark, sf_dir):
+    """The three keep-policy ranks must come from ONE corpus scan with
+    each cluster-partitioned window evaluated once (the union-of-filters
+    form re-evaluated all three windows per branch — 9 Window nodes,
+    3 scans)."""
+    plan = _plan(spark, sf_dir, "x265_keep_policy_comparison")
+    assert plan.count("Window") == 3
+    assert plan.count("Scan parquet") == 1
+
+
+def test_x252_hrw_no_shuffle_before_argmax(spark, sf_dir):
+    """HRW weights are a map-side fan-out; the only joins are the doc_id
+    regime self-join and the broadcast rollup — no SortMergeJoin."""
+    plan = _plan(spark, sf_dir, "x252_shard_rebalance_audit")
+    assert "SortMergeJoin" not in plan
+
+
+def test_x249_raking_windows_on_cells(spark, sf_dir):
+    """All four raking steps are windows over the ONE materialized cell
+    table — no corpus re-scan per step (the checkpoint cut), and no
+    shuffle join anywhere."""
+    plan = _plan(spark, sf_dir, "x249_ipf_raking")
+    assert plan.count("Scan parquet") == 0  # cells come from the checkpoint
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_x263_and_x253_single_corpus_pass(spark, sf_dir):
+    """Both build a bounded value-domain table from ONE corpus pass and
+    derive everything from the cut — the static plan shows zero parquet
+    re-scans after the checkpoint."""
+    for name in ("x263_operating_point", "x253_quantile_normalize_length"):
+        plan = _plan(spark, sf_dir, name)
+        assert plan.count("Scan parquet") == 0, name
