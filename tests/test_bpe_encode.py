@@ -212,3 +212,38 @@ def test_x262_equals_pure_python_holdout(spark, sf_dir):
         for r in QUERIES["x262_bpe_holdout_fertility"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_min_rank_equals_reference_on_random_words():
+    """Property leg (no Spark): the min-rank encoder equals the
+    rank-order reference on adversarial random words over a tiny
+    alphabet, where merge chains and overlaps are dense — the regime
+    the fixture's natural text never stresses."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    rules = [
+        ("a", "b"),
+        ("b", "a"),
+        ("ab", "a"),
+        ("a", "</w>"),
+        ("ab", "ab"),
+        ("b", "</w>"),
+        ("abab", "a"),
+        ("b", "b"),
+        ("bb", "ab"),
+    ]
+    rank = {p: i for i, p in enumerate(rules)}
+
+    @settings(max_examples=300, deadline=None, derandomize=True)
+    @given(st.text(alphabet="ab", min_size=1, max_size=24))
+    def check(w):
+        assert _bpe_encode_min_rank(w, rank, "</w>") == bpe_encode_reference(
+            w, rules
+        )
+        # byte preservation holds for every word too
+        assert "".join(
+            _bpe_encode_min_rank(w, rank, "</w>")
+        ) == w + "</w>"
+
+    check()
