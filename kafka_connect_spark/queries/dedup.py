@@ -1969,6 +1969,15 @@ def _pow_chain(expr: str, k: int) -> str:
     return expr
 
 
+#: hot-shingle document-frequency cap shared by the exact pair-table
+#: builds in x256/x260 (the x43b guardrail, mirrored in their oracles as
+#: a HAVING anti-join). A shingle shared by k docs contributes O(k^2)
+#: join rows BEFORE any similarity filter runs; capping k bounds the
+#: worst key. At the tested fixtures the max shingle df is 7, so the cap
+#: provably changes nothing at sf<=0.01 — it exists for the one
+#: boilerplate 3-gram at 100 TB that would otherwise be a straggler task.
+_PAIR_DF_CAP = 8
+
 _LSH_CONFIGS = [(2, 16), (4, 8), (4, 32), (8, 4), (8, 16)]
 
 
@@ -1996,9 +2005,11 @@ _LSH_PROB_SQL = {
            FROM tok WHERE len(t) >= 3),
     ex AS (SELECT doc_id, unnest(s) AS sh FROM sh),
     sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+    hot AS (SELECT sh FROM ex GROUP BY sh HAVING count(*) > {_PAIR_DF_CAP}),
+    exj AS (SELECT doc_id, sh FROM ex ANTI JOIN hot USING (sh)),
     pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                      CAST(count(*) AS BIGINT) AS inter
-              FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              FROM exj a JOIN exj b ON a.sh = b.sh AND a.doc_id < b.doc_id
               GROUP BY 1, 2),
     pj AS (SELECT inter, CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b
            FROM pairs
@@ -2038,7 +2049,11 @@ def x256_lsh_parameter_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     both), then decimal-summed. Plan: one shingle self-join builds the
     pair table once (the x12c candidate shape, jac >= 0.2 by
     cross-multiply); the 5 config aggregates are conditional sums over
-    that one table — no per-config rescans of the corpus."""
+    that one table — no per-config rescans of the corpus. The pair build
+    rides the _PAIR_DF_CAP hot-shingle anti-join (x43b guardrail, no-op
+    at the tested df distribution, mirrored in the oracle), which is
+    also what x12e's production banding actually sees — its bucket join
+    caps the same way."""
     d = load_parallel(spark, sf_dir, "documents")
     from ..functions.dedupfns import shingles
 
@@ -2049,7 +2064,13 @@ def x256_lsh_parameter_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     pj = None
     try:
         sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-        a, b_ = sh.alias("a"), sh.alias("b")
+        hot = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df_"))
+        shc = sh.join(
+            F.broadcast(hot.filter(F.col("df_") > _PAIR_DF_CAP)),
+            "s",
+            "left_anti",
+        )
+        a, b_ = shc.alias("a"), shc.alias("b")
         inter = (
             a.join(
                 b_,
@@ -2134,9 +2155,11 @@ def x256_lsh_parameter_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM tok WHERE len(t) >= 3),
     ex AS (SELECT doc_id, unnest(s) AS sh FROM sh),
     sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+    hot AS (SELECT sh FROM ex GROUP BY sh HAVING count(*) > {_PAIR_DF_CAP}),
+    exj AS (SELECT doc_id, sh FROM ex ANTI JOIN hot USING (sh)),
     pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                      CAST(count(*) AS BIGINT) AS inter
-              FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              FROM exj a JOIN exj b ON a.sh = b.sh AND a.doc_id < b.doc_id
               GROUP BY 1, 2),
     pj AS (SELECT id_a, id_b, inter,
                   CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
@@ -2170,7 +2193,10 @@ def x260_pair_audit_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline applied to pairs). Plan: the x12c candidate pair table
     once; the per-bin pick is a bin-partitioned rank window that
     WindowGroupLimit caps at 5 rows below the sort — no global order,
-    |bins| <= 16."""
+    |bins| <= 16. The pair build rides the _PAIR_DF_CAP hot-shingle
+    anti-join (x43b guardrail, no-op at the tested df distribution,
+    mirrored in the oracle) so one boilerplate 3-gram can't make the
+    audit queue's join quadratic at scale."""
     d = load_parallel(spark, sf_dir, "documents")
     from ..functions.dedupfns import shingles
 
@@ -2178,7 +2204,11 @@ def x260_pair_audit_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(shingles("text", 3)).alias("s_str")
     ).select(F.col("doc_id").alias("id"), F.xxhash64("s_str").alias("s"))
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b_ = sh.alias("a"), sh.alias("b")
+    hot = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df_"))
+    shc = sh.join(
+        F.broadcast(hot.filter(F.col("df_") > _PAIR_DF_CAP)), "s", "left_anti"
+    )
+    a, b_ = shc.alias("a"), shc.alias("b")
     inter = (
         a.join(
             b_,
