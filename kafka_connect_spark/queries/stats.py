@@ -2573,6 +2573,18 @@ def x244_sprt_conversion_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day")
 
 
+#: x264's z-constant and delta**2, folded ONCE in Python doubles and
+#: injected into BOTH engines via repr() — DuckDB parses a bare numeric
+#: literal as exact DECIMAL and folds `(1.959964+0.841621)^2` in decimal
+#: arithmetic (7.848878512225), while Spark receives the Python-double
+#: fold (7.848878512225001): the ulp gap fed floor(n_need)+1 and could
+#: flip n_required at an integer boundary (round-12 ADVICE). A string
+#: CAST is a correctly-rounded double parse in DuckDB, so both engines
+#: now start from bit-identical constants.
+_X264_Z2 = (1.959964 + 0.841621) * (1.959964 + 0.841621)
+_X264_D2 = 0.02 * 0.02
+
+
 @query(
     "x264_sample_size_planner",
     oracle=f"""
@@ -2584,10 +2596,12 @@ def x244_sprt_conversion_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                  CAST(k_j AS DOUBLE) / n_j AS p1
           FROM g),
     v AS (SELECT source, n_j, k_j, p1,
-                 ((1.959964 + 0.841621) * (1.959964 + 0.841621))
-                 * ((p1 * (1.0 - p1))
-                    + ((p1 + 0.02) * (1.0 - (p1 + 0.02))))
-                 / (0.02 * 0.02) AS n_need
+                 {dround_sql(
+                     f"CAST('{_X264_Z2!r}' AS DOUBLE)"
+                     " * ((p1 * (1.0 - p1))"
+                     " + ((p1 + CAST('0.02' AS DOUBLE))"
+                     " * (1.0 - (p1 + CAST('0.02' AS DOUBLE)))))"
+                     f" / CAST('{_X264_D2!r}' AS DOUBLE)", 6)} AS n_need
           FROM c)
     SELECT source, n_j, k_j,
            {dround_sql("p1", 6)} AS p_short,
@@ -2604,22 +2618,26 @@ def x264_sample_size_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     half of x218/x226 (those test what happened; this says how much
     data the NEXT comparison needs, which is what an A/B on a curation
     rule gets sized with). Determinism: p1 is one exact-integer-derived
-    IEEE division, the z constants are shared literals (1.959964,
-    0.841621 — both engines lack a normal quantile; literals sidestep
-    it), and n_required = floor(v) + 1 — strictly-above-v integer, the
-    floor of a bit-identical double, so no ceil-at-integer boundary
-    flip. Plan: one conditional-sum corpus pass; everything after is
-    |sources| rows."""
+    IEEE division; the z**2 and delta**2 constants are folded ONCE in
+    Python (`_X264_Z2`/`_X264_D2`) and injected into both engines —
+    DuckDB would otherwise fold the same literal expressions in exact
+    DECIMAL and land ulps away from Spark's double fold (round-12
+    ADVICE: 7.848878512225 vs ...2225001) — and n_need is dround'd to
+    6 dp in BOTH engines before floor(v) + 1, the repo's
+    dround-before-discretize discipline, so an ulp can no longer flip
+    n_required at an integer boundary. Plan: one conditional-sum corpus
+    pass; everything after is |sources| rows."""
     d = load(spark, sf_dir, "documents")
     g = d.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_j"),
         F.sum((F.col("n_chars") < 500).cast("long")).cast("long").alias("k_j"),
     )
     p1 = F.col("k_j").cast("double") / F.col("n_j")
-    n_need = (
-        F.lit((1.959964 + 0.841621) * (1.959964 + 0.841621))
+    n_need = dround(
+        F.lit(_X264_Z2)
         * ((p1 * (1.0 - p1)) + ((p1 + 0.02) * (1.0 - (p1 + 0.02))))
-        / F.lit(0.02 * 0.02)
+        / F.lit(_X264_D2),
+        6,
     )
     return (
         g.select(

@@ -68,3 +68,57 @@ def test_no_sql_line_comments_in_oracles():
     compared against the wrong semantics). Ban line comments outright."""
     offenders = [name for name, sql in ORACLE.items() if "--" in sql]
     assert not offenders, f"line comments in oracle SQL: {offenders}"
+
+
+def test_x264_n_need_bit_identical_across_engines(spark, duck):
+    """Structural (not fixture-luck) check of the round-12 ADVICE fix:
+    for a sweep of (k_j, n_j) proportions — including p1 values that put
+    n_need within ulps of an integer — BOTH engines must produce the
+    bit-identical dround'd n_need double and hence the same
+    floor(n_need)+1. Before the fix DuckDB folded the z**2 / delta**2
+    literals in exact DECIMAL while Spark folded Python doubles, so
+    n_required could flip at an integer boundary on an unlucky
+    fixture."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_spark.functions.rounding import dround, dround_sql
+    from kafka_connect_spark.queries.stats import _X264_D2, _X264_Z2
+
+    pairs = [(k, n) for n in (7, 97, 500, 1499, 65536) for k in range(0, n + 1, max(1, n // 37))]
+    sdf = spark.createDataFrame(pairs, ["k_j", "n_j"])
+    p1 = F.col("k_j").cast("double") / F.col("n_j")
+    n_need = dround(
+        F.lit(_X264_Z2)
+        * ((p1 * (1.0 - p1)) + ((p1 + 0.02) * (1.0 - (p1 + 0.02))))
+        / F.lit(_X264_D2),
+        6,
+    )
+    got = {
+        (r["k_j"], r["n_j"]): (r["v"], r["req"])
+        for r in sdf.select(
+            "k_j",
+            "n_j",
+            n_need.alias("v"),
+            (F.floor(n_need).cast("long") + 1).alias("req"),
+        ).collect()
+    }
+    expr = dround_sql(
+        f"CAST('{_X264_Z2!r}' AS DOUBLE)"
+        " * ((p1 * (1.0 - p1))"
+        " + ((p1 + CAST('0.02' AS DOUBLE))"
+        " * (1.0 - (p1 + CAST('0.02' AS DOUBLE)))))"
+        f" / CAST('{_X264_D2!r}' AS DOUBLE)",
+        6,
+    )
+    rows = duck.sql(
+        "WITH c AS (SELECT k_j, n_j, CAST(k_j AS DOUBLE) / n_j AS p1"
+        f" FROM (VALUES {', '.join(f'({k}, {n})' for k, n in pairs)})"
+        " AS t(k_j, n_j))"
+        f" SELECT k_j, n_j, {expr} AS v,"
+        f" CAST(floor({expr}) AS BIGINT) + 1 AS req FROM c"
+    ).fetchall()
+    assert len(rows) == len(pairs)
+    for k, n, v, req in rows:
+        sv, sreq = got[(k, n)]
+        assert sv == v, f"n_need diverges at k={k} n={n}: spark {sv!r} duck {v!r}"
+        assert sreq == req, f"n_required diverges at k={k} n={n}"
