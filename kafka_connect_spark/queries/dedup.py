@@ -1891,7 +1891,10 @@ def x255_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairwise join), the estimator is one integer `div` on
     HUGEINT/decimal. Plan: one explode over the two selected sources
     only (source filter pushed to the scan), a distinct agg, a 1-row
-    reduction; the source picks are 1/2-row broadcasts."""
+    reduction; the source picks are 1/2-row broadcasts. Degenerate
+    single-source corpora agree with the oracle by construction (left
+    join on the empty b pick + coalesce'd n_b; pinned by
+    tests/test_dedup.py)."""
     d = load_parallel(spark, sf_dir, "documents")
     cnt = d.groupBy("source").agg(F.count(F.lit(1)).alias("nd"))
     a = (
@@ -1926,18 +1929,36 @@ def x255_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("gram"),
     ).distinct()
-    sets = grams.crossJoin(F.broadcast(a)).crossJoin(F.broadcast(b)).agg(
-        F.sum((F.col("source") == F.col("src_a")).cast("long"))
-        .cast("long")
-        .alias("n_a"),
-        F.sum((F.col("source") == F.col("src_b")).cast("long"))
-        .cast("long")
-        .alias("n_b"),
-        (F.count(F.lit(1)) - F.countDistinct("gram"))
-        .cast("long")
-        .alias("overlap"),
-        F.any_value("src_a").alias("source_a"),
-        F.any_value("src_b").alias("source_b"),
+    # b is 0 rows on a single-source corpus: a crossJoin would empty the
+    # gram stream and the final agg (round-11 ADVICE divergence), while
+    # the oracle's `CASE WHEN source = (SELECT … FROM b)` falls through
+    # NULL to ELSE 0 and still reports source_a's counts. A left join on
+    # the 0-or-1-row broadcast keeps every gram row (src_b NULL), and the
+    # coalesce makes the NULL comparison count as 0 exactly like the
+    # oracle's CASE — multi-source corpora take the identical plan (the
+    # TRUE-condition left join against a 1-row broadcast IS a cross
+    # join).
+    sets = (
+        grams.crossJoin(F.broadcast(a))
+        .join(F.broadcast(b), F.lit(True), "left")
+        .agg(
+            F.sum((F.col("source") == F.col("src_a")).cast("long"))
+            .cast("long")
+            .alias("n_a"),
+            F.sum(
+                F.coalesce(
+                    (F.col("source") == F.col("src_b")).cast("long"),
+                    F.lit(0),
+                )
+            )
+            .cast("long")
+            .alias("n_b"),
+            (F.count(F.lit(1)) - F.countDistinct("gram"))
+            .cast("long")
+            .alias("overlap"),
+            F.any_value("src_a").alias("source_a"),
+            F.any_value("src_b").alias("source_b"),
+        )
     )
     return sets.select(
         "source_a",

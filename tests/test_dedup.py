@@ -391,3 +391,38 @@ def test_subset_edges_cap_drops_boilerplate_edge(spark):
     }
     assert (1, 2) in unc and (3, 4) in unc
     assert (1, 2) not in cap and (3, 4) in cap
+
+
+def test_x255_single_source_degenerate_matches_oracle(spark, duck, tmp_path):
+    """Round-11 ADVICE divergence, fixed in round 13: on a corpus with
+    ONE source the b pick is empty — the old crossJoin emptied the gram
+    stream (n_a NULL) while the oracle's `CASE WHEN source = (SELECT …
+    FROM b)` fell through NULL to 0 and still reported source_a's
+    counts. Both engines must now agree on the degenerate corpus too:
+    source_b NULL, n_b 0, overlap 0, chapman_est n_a."""
+    import duckdb
+
+    from kafka_connect_spark.queries import ORACLE, QUERIES
+    from kafka_connect_spark.testing import compare_frames
+
+    one = str(tmp_path / "one_source")
+    (tmp_path / "one_source").mkdir()
+    duckdb.connect().sql(
+        "COPY (SELECT * FROM '/root/testdata/sf0.001/documents.parquet'"
+        " WHERE source = 'src0')"
+        f" TO '{one}/documents.parquet' (FORMAT PARQUET)"
+    )
+    spdf = QUERIES["x255_capture_recapture"](spark, one).toPandas()
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS"
+        f" SELECT * FROM '{one}/documents.parquet'"
+    )
+    dpdf = con.sql(ORACLE["x255_capture_recapture"]).df()
+    problems = compare_frames(spdf, dpdf)
+    assert not problems, "; ".join(problems)
+    row = spdf.iloc[0]
+    assert row["source_a"] == "src0"
+    assert row["source_b"] is None
+    assert int(row["n_b"]) == 0 and int(row["overlap"]) == 0
+    assert int(row["chapman_est"]) == int(row["n_a"])
