@@ -209,6 +209,8 @@ HEADLINE = [
     "x135_crossmodal_agreement",
     "x136_corpus_summary",
     "x137_dup_distance_audit",
+    # round 13 additions
+    "x267_df_cap_sensitivity",
     # round 11 additions
     "x265_keep_policy_comparison",
     "x263_operating_point",

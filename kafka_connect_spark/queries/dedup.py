@@ -1990,14 +1990,64 @@ def _pow_chain(expr: str, k: int) -> str:
     return expr
 
 
-#: hot-shingle document-frequency cap shared by the exact pair-table
+#: Default hot-shingle document-frequency cap for the exact pair-table
 #: builds in x256/x260 (the x43b guardrail, mirrored in their oracles as
 #: a HAVING anti-join). A shingle shared by k docs contributes O(k^2)
 #: join rows BEFORE any similarity filter runs; capping k bounds the
-#: worst key. At the tested fixtures the max shingle df is 7, so the cap
-#: provably changes nothing at sf<=0.01 — it exists for the one
-#: boilerplate 3-gram at 100 TB that would otherwise be a straggler task.
-_PAIR_DF_CAP = 8
+#: worst key. MEASURED max shingle df per fixture: sf0.001 = 9,
+#: sf0.01 = 7, sf0.1 = 25 — so 64 is a provable no-op at every tested
+#: fixture (the round-12 value of 8 was NOT: it clipped 1 shingle at
+#: sf0.001 and 16,611 at sf0.1, collapsing x260's audit queue from 21
+#: rows to 5 and silently redefining both queries at bench scale —
+#: round-13 ADVICE). The cap is a parameter of
+#: :func:`_candidate_pair_table` (the ``max_shingle_freq`` plumbing
+#: pattern from x92/x12h); x267 value-verifies the ENGAGED semantics at
+#: caps 4..32 against a DuckDB oracle, while x256/x260 keep the
+#: uncapped truth at fixture scale with the guardrail wired in the
+#: plan. At a literal 100 TB the right setting is an ABSOLUTE doc count
+#: (~1e4, the leakage_safe_split guidance): the df>cap hot set is then
+#: tiny by construction, which is what the F.broadcast hint on the
+#: anti-join assumes.
+_PAIR_DF_CAP = 64
+
+
+def _candidate_pair_table(sh, max_df: int = _PAIR_DF_CAP):
+    """Exact candidate pair table over an exploded-shingle frame
+    ``sh(id, s)``: hot-shingle anti-join at ``max_df`` (x43b guardrail),
+    shingle self-join, per-pair intersection counts, sizes from the
+    UNCAPPED per-doc shingle counts (the cap clips the join's worst key,
+    not the similarity denominator), jac >= 0.2 by integer
+    cross-multiply. Shared by x256 (planner) and x260 (audit queue);
+    their oracles mirror the cap as ``HAVING count(*) > max_df``.
+    Returns (id_a, id_b, inter, n_a, n_b). The broadcast hint on the hot
+    set assumes a production-scale absolute cap (see _PAIR_DF_CAP)."""
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    hot = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df_"))
+    shc = sh.join(
+        F.broadcast(hot.filter(F.col("df_") > max_df)), "s", "left_anti"
+    )
+    a, b_ = shc.alias("a"), shc.alias("b")
+    inter = (
+        a.join(
+            b_,
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")),
+            "id_b",
+        )
+        .filter(
+            F.col("inter") * 5 >= F.col("n_a") + F.col("n_b") - F.col("inter")
+        )
+    )
 
 _LSH_CONFIGS = [(2, 16), (4, 8), (4, 32), (8, 4), (8, 16)]
 
@@ -2071,10 +2121,11 @@ def x256_lsh_parameter_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair table once (the x12c candidate shape, jac >= 0.2 by
     cross-multiply); the 5 config aggregates are conditional sums over
     that one table — no per-config rescans of the corpus. The pair build
-    rides the _PAIR_DF_CAP hot-shingle anti-join (x43b guardrail, no-op
-    at the tested df distribution, mirrored in the oracle), which is
-    also what x12e's production banding actually sees — its bucket join
-    caps the same way."""
+    rides the _PAIR_DF_CAP hot-shingle anti-join (x43b guardrail —
+    default cap 64, a MEASURED no-op at every fixture, mirrored in the
+    oracle; x267 verifies the engaged-cap semantics), which is also what
+    x12e's production banding actually sees — its bucket join caps the
+    same way."""
     d = load_parallel(spark, sf_dir, "documents")
     from ..functions.dedupfns import shingles
 
@@ -2084,40 +2135,8 @@ def x256_lsh_parameter_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = sh.persist()
     pj = None
     try:
-        sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-        hot = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df_"))
-        shc = sh.join(
-            F.broadcast(hot.filter(F.col("df_") > _PAIR_DF_CAP)),
-            "s",
-            "left_anti",
-        )
-        a, b_ = shc.alias("a"), shc.alias("b")
-        inter = (
-            a.join(
-                b_,
-                (F.col("a.s") == F.col("b.s"))
-                & (F.col("a.id") < F.col("b.id")),
-            )
-            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-            .agg(F.count(F.lit(1)).alias("inter"))
-        )
         pj = (
-            inter.join(
-                sizes.select(
-                    F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")
-                ),
-                "id_a",
-            )
-            .join(
-                sizes.select(
-                    F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")
-                ),
-                "id_b",
-            )
-            .filter(
-                F.col("inter") * 5
-                >= F.col("n_a") + F.col("n_b") - F.col("inter")
-            )
+            _candidate_pair_table(sh)
             .select("inter", "n_a", "n_b")
             .persist()
         )
@@ -2215,42 +2234,21 @@ def x260_pair_audit_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
     once; the per-bin pick is a bin-partitioned rank window that
     WindowGroupLimit caps at 5 rows below the sort — no global order,
     |bins| <= 16. The pair build rides the _PAIR_DF_CAP hot-shingle
-    anti-join (x43b guardrail, no-op at the tested df distribution,
-    mirrored in the oracle) so one boilerplate 3-gram can't make the
-    audit queue's join quadratic at scale."""
+    anti-join (x43b guardrail — default cap 64, a MEASURED no-op at
+    every fixture, mirrored in the oracle; x267 verifies the engaged-cap
+    semantics) so one boilerplate 3-gram can't make the audit queue's
+    join quadratic at scale. sh is persisted — the pair build consumes
+    it three times (sizes, hot set, self-join), ~35% saved versus
+    re-exploding (the x256 measurement)."""
     d = load_parallel(spark, sf_dir, "documents")
     from ..functions.dedupfns import shingles
 
     sh = d.select(
         "doc_id", F.explode(shingles("text", 3)).alias("s_str")
     ).select(F.col("doc_id").alias("id"), F.xxhash64("s_str").alias("s"))
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    hot = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df_"))
-    shc = sh.join(
-        F.broadcast(hot.filter(F.col("df_") > _PAIR_DF_CAP)), "s", "left_anti"
-    )
-    a, b_ = shc.alias("a"), shc.alias("b")
-    inter = (
-        a.join(
-            b_,
-            (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")),
-        )
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    pj = (
-        inter.join(
-            sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")),
-            "id_a",
-        )
-        .join(
-            sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")),
-            "id_b",
-        )
-        .filter(
-            F.col("inter") * 5 >= F.col("n_a") + F.col("n_b") - F.col("inter")
-        )
-        .select(
+    sh = sh.persist()
+    try:
+        pj = _candidate_pair_table(sh).select(
             "id_a",
             "id_b",
             "inter",
@@ -2260,28 +2258,30 @@ def x260_pair_audit_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "bin"
             ),
         )
-    )
-    clock = F.expr(
-        "cast(conv(substring(md5(concat(cast(id_a as string), ':',"
-        " cast(id_b as string))), 1, 15), 16, 10) as bigint)"
-    )
-    w = Window.partitionBy("bin").orderBy(clock, "id_a", "id_b")
-    return (
-        pj.withColumn("rk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rk") <= 5)
-        .select(
-            "bin",
-            "rk",
-            "id_a",
-            "id_b",
-            dround(
-                F.col("inter")
-                / (F.col("n_a") + F.col("n_b") - F.col("inter")),
-                6,
-            ).alias("jaccard"),
+        clock = F.expr(
+            "cast(conv(substring(md5(concat(cast(id_a as string), ':',"
+            " cast(id_b as string))), 1, 15), 16, 10) as bigint)"
         )
-        .orderBy("bin", "rk")
-    )
+        w = Window.partitionBy("bin").orderBy(clock, "id_a", "id_b")
+        return (
+            pj.withColumn("rk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rk") <= 5)
+            .select(
+                "bin",
+                "rk",
+                "id_a",
+                "id_b",
+                dround(
+                    F.col("inter")
+                    / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+                    6,
+                ).alias("jaccard"),
+            )
+            .orderBy("bin", "rk")
+            .localCheckpoint()
+        )
+    finally:
+        sh.unpersist(blocking=False)
 
 
 @query(
@@ -2495,3 +2495,153 @@ def x265_keep_policy_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("policy")
     )
+
+
+#: caps evaluated by x267 — the largest (= _PAIR_DF_CAP's default) is the
+#: reference table the drop counts are measured against.
+_X267_CAPS = [4, 8, 16, 32, 64]
+
+
+@query(
+    "x267_df_cap_sensitivity",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ')
+                            for i in range(1, len(t) - 1)]) AS s
+           FROM tok WHERE len(t) >= 3),
+    ex AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+    dft AS (SELECT sh, CAST(count(*) AS BIGINT) AS df FROM ex GROUP BY sh),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ex
+              GROUP BY doc_id),
+    exd AS (SELECT e.doc_id, e.sh, d.df FROM ex e JOIN dft d USING (sh)
+            WHERE d.df <= {_X267_CAPS[-1]}),
+    pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              {", ".join(
+                  f"CAST(sum(CASE WHEN a.df <= {c} THEN 1 ELSE 0 END)"
+                  f" AS BIGINT) AS i{c}" for c in _X267_CAPS)}
+              FROM exd a JOIN exd b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    pj AS (SELECT p.*, sa.n AS n_a, sb.n AS n_b FROM pairs p
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b),
+    agg AS (SELECT
+            {", ".join(
+                f"CAST(sum(CASE WHEN i{c} * 5 >= n_a + n_b - i{c}"
+                f" THEN 1 ELSE 0 END) AS BIGINT) AS np{c},"
+                f" CAST(sum(CASE WHEN i{c} * 5 >= n_a + n_b - i{c}"
+                f" THEN i{c} ELSE 0 END) AS BIGINT) AS si{c}"
+                for c in _X267_CAPS)}
+            FROM pj),
+    hotagg AS (SELECT
+               {", ".join(
+                   f"CAST(sum(CASE WHEN df > {c} THEN 1 ELSE 0 END)"
+                   f" AS BIGINT) AS nh{c}" for c in _X267_CAPS)}
+               FROM dft)
+    {" UNION ALL ".join(
+        f'''SELECT CAST({c} AS BIGINT) AS cap, nh{c} AS n_hot,
+            np{c} AS n_pairs, si{c} AS sum_inter,
+            np{_X267_CAPS[-1]} - np{c} AS pairs_dropped,
+            si{_X267_CAPS[-1]} - si{c} AS inter_dropped
+            FROM agg, hotagg''' for c in _X267_CAPS)}
+    ORDER BY cap
+    """,
+)
+def x267_df_cap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What the _PAIR_DF_CAP guardrail actually COSTS, per candidate cap:
+    for each df cap in {4, 8, 16, 32, 64}, the hot-shingle count the
+    anti-join removes, the surviving candidate-pair count and
+    intersection mass (the x256/x260 pipeline semantics: capped inter
+    over UNCAPPED size denominators, jac >= 0.2 by cross-multiply), and
+    the pairs/mass dropped versus the cap-64 reference — the evidence
+    the round-12 cap=8 shipped without (it silently collapsed 256
+    candidate pairs to 5 at sf0.1; round-13 ADVICE), turned into a
+    first-class audited number so 'real speedup' and 'dropped work' can
+    never be conflated again. This is also the query that value-verifies
+    the ENGAGED cap semantics against DuckDB at every fixture (caps 4-16
+    all clip at sf>=0.001), while x256/x260 keep the uncapped truth.
+    Plan: ONE df-bounded shingle self-join (worst key <= 64^2 rows by the
+    df <= 64 pre-filter) carrying per-shingle df, conditional per-cap
+    sums in one groupBy — NOT five pair-table rebuilds; the 5 output
+    rows come from two 1-row aggregates."""
+    d = load_parallel(spark, sf_dir, "documents")
+    from ..functions.dedupfns import shingles
+
+    caps = _X267_CAPS
+    sh = d.select(
+        "doc_id", F.explode(shingles("text", 3)).alias("s_str")
+    ).select(F.col("doc_id").alias("id"), F.xxhash64("s_str").alias("s"))
+    sh = sh.persist()
+    try:
+        dft = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df_"))
+        sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+        exd = sh.join(dft, "s").filter(F.col("df_") <= caps[-1])
+        a, b_ = exd.alias("a"), exd.alias("b")
+        pairs = (
+            a.join(
+                b_,
+                (F.col("a.s") == F.col("b.s"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(
+                *[
+                    F.sum((F.col("a.df_") <= c).cast("long"))
+                    .cast("long")
+                    .alias(f"i{c}")
+                    for c in caps
+                ]
+            )
+        )
+        pj = pairs.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")),
+            "id_a",
+        ).join(
+            sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")),
+            "id_b",
+        )
+        agg_cols = []
+        for c in caps:
+            keep = (
+                F.col(f"i{c}") * 5
+                >= F.col("n_a") + F.col("n_b") - F.col(f"i{c}")
+            )
+            agg_cols.append(
+                F.sum(keep.cast("long")).cast("long").alias(f"np{c}")
+            )
+            agg_cols.append(
+                F.sum(F.when(keep, F.col(f"i{c}")).otherwise(F.lit(0)))
+                .cast("long")
+                .alias(f"si{c}")
+            )
+        agg = pj.agg(*agg_cols)
+        hotagg = dft.agg(
+            *[
+                F.sum((F.col("df_") > c).cast("long"))
+                .cast("long")
+                .alias(f"nh{c}")
+                for c in caps
+            ]
+        )
+        one = agg.crossJoin(F.broadcast(hotagg))
+        parts = [
+            one.select(
+                F.lit(c).cast("long").alias("cap"),
+                F.col(f"nh{c}").alias("n_hot"),
+                F.col(f"np{c}").alias("n_pairs"),
+                F.col(f"si{c}").alias("sum_inter"),
+                (F.col(f"np{caps[-1]}") - F.col(f"np{c}")).alias(
+                    "pairs_dropped"
+                ),
+                (F.col(f"si{caps[-1]}") - F.col(f"si{c}")).alias(
+                    "inter_dropped"
+                ),
+            )
+            for c in caps
+        ]
+        out = parts[0]
+        for x in parts[1:]:
+            out = out.unionAll(x)
+        return out.orderBy("cap").localCheckpoint()
+    finally:
+        sh.unpersist(blocking=False)

@@ -130,6 +130,7 @@ FLAGSHIPS = {
     "x255_capture_recapture": "source filter pushed to scan; distinct-gram agg; 1-row Chapman closed form",
     "x256_lsh_parameter_planner": "x12c candidate pair table built once; 5 config rows as conditional sums",
     "x257_raking_ess": "x249 cell walk + 1-row integer cross-multiply ESS",
+    "x267_df_cap_sensitivity": "ONE df-bounded shingle self-join carrying per-shingle df; 5 caps as conditional sums, not 5 rebuilds",
 }
 
 

@@ -426,3 +426,37 @@ def test_x255_single_source_degenerate_matches_oracle(spark, duck, tmp_path):
     assert row["source_b"] is None
     assert int(row["n_b"]) == 0 and int(row["overlap"]) == 0
     assert int(row["chapman_est"]) == int(row["n_a"])
+
+
+def test_pair_df_cap_default_is_noop_at_fixture(spark, sf_dir):
+    """The round-12 cap (8) claimed to be a no-op at the fixtures but
+    clipped a df=9 shingle at sf0.001 and 16,611 shingles at sf0.1
+    (round-13 ADVICE). The default is now 64, ABOVE every measured
+    fixture df (9 / 7 / 25): the guarded pair table must equal the
+    genuinely uncapped build row-for-row. x267 separately
+    value-verifies what engaged caps (4/8/16/32) drop."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_spark.catalog import load_parallel
+    from kafka_connect_spark.functions.dedupfns import shingles
+    from kafka_connect_spark.queries.dedup import (
+        _PAIR_DF_CAP,
+        _candidate_pair_table,
+    )
+
+    d = load_parallel(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(shingles("text", 3)).alias("s_str")
+    ).select(F.col("doc_id").alias("id"), F.xxhash64("s_str").alias("s"))
+    max_df = sh.groupBy("s").count().agg(F.max("count")).collect()[0][0]
+    assert max_df < _PAIR_DF_CAP, (
+        f"fixture df distribution moved (max df {max_df} >= cap"
+        f" {_PAIR_DF_CAP}): re-measure and retune the default"
+    )
+    cols = ["id_a", "id_b", "inter", "n_a", "n_b"]
+    capped = {tuple(r) for r in _candidate_pair_table(sh).select(cols).collect()}
+    uncapped = {
+        tuple(r)
+        for r in _candidate_pair_table(sh, max_df=1 << 40).select(cols).collect()
+    }
+    assert capped == uncapped and len(capped) > 0
