@@ -211,6 +211,7 @@ HEADLINE = [
     "x137_dup_distance_audit",
     # round 13 additions
     "x267_df_cap_sensitivity",
+    "x268_dp_eps_sweep",
     # round 11 additions
     "x265_keep_policy_comparison",
     "x263_operating_point",
@@ -354,6 +355,7 @@ _EXCLUDED_SPECIAL = {
     "x39_bpe_train": "iterative_trainer_fixed_overhead",
     "x245_bpe_encode": "iterative_trainer_fixed_overhead",
     "x250_bpe_fertility_audit": "iterative_trainer_fixed_overhead",
+    "x266_bpe_vocab_sweep": "iterative_trainer_fixed_overhead",
     "x262_bpe_holdout_fertility": "iterative_trainer_fixed_overhead",
     "s3b_jdbc_live_roundtrip": "side_effecting_embedded_derby",
     "s6b_mm2_offset_translation": "side_effecting_offset_store",

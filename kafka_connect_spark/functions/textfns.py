@@ -521,3 +521,74 @@ def bpe_encode_words(
     return words.withColumn("bpe_toks", encode(F.col(word_col))).withColumn(
         "n_bpe", F.size("bpe_toks").cast("long")
     )
+
+
+def _bpe_encode_applied_ranks(
+    word: str, rank: dict[tuple[str, str], int], end_of_word: str
+) -> list[int]:
+    """The ranks of the merges :func:`_bpe_encode_min_rank` applies to
+    ``word``, one entry per merged OCCURRENCE (each occurrence reduces
+    the symbol count by exactly 1). The list is non-decreasing: applying
+    a rank-k merge can only create pairs involving its fresh output
+    symbol, and any rule over that symbol was learned after k — so the
+    encode under the PREFIX vocabulary of the first V rules is exactly
+    the full encode truncated at rank V, and
+    ``len(word) + 1 - #{r in ranks : r < V}`` is the prefix-V token
+    count without re-encoding (the x266 sweep rides this; equality vs
+    bpe_encode_reference on the prefix rule list is pinned in
+    tests/test_bpe_encode.py)."""
+    syms = list(word) + [end_of_word]
+    applied: list[int] = []
+    while len(syms) >= 2:
+        best_rank = None
+        best_pair = None
+        for i in range(len(syms) - 1):
+            r = rank.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank = r
+                best_pair = (syms[i], syms[i + 1])
+        if best_pair is None:
+            break
+        left, right = best_pair
+        merged = left + right
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                out.append(merged)
+                applied.append(best_rank)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return applied
+
+
+def bpe_encode_words_with_ranks(
+    words: "DataFrame",
+    merges: list[tuple[str, str]],
+    word_col: str = "w",
+    end_of_word: str = "</w>",
+) -> "DataFrame":
+    """:func:`bpe_encode_words`'s sweep twin: instead of the token list,
+    emit ``applied_ranks array<int>`` — the non-decreasing rank sequence
+    the min-rank encoder applied. ONE Arrow-batched pass then answers
+    EVERY vocabulary-budget prefix V by plain column algebra
+    (``length(w) + 1 - size(filter(applied_ranks, r -> r < V))``), so a
+    vocab-size sweep costs one encode of the distinct-word table, not
+    one per budget. Same Zipf factoring and ~1 MB broadcast as
+    bpe_encode_words."""
+    from pyspark.sql.functions import pandas_udf
+
+    spark = words.sparkSession
+    rules = [(str(l), str(r)) for l, r, *_ in merges]
+    b_rules = spark.sparkContext.broadcast(rules)
+    eow = end_of_word
+
+    @pandas_udf("array<int>")
+    def encode_ranks(col: pd.Series) -> pd.Series:
+        rank = {pair: i for i, pair in enumerate(b_rules.value)}
+        return col.map(lambda w: _bpe_encode_applied_ranks(w, rank, eow))
+
+    return words.withColumn("applied_ranks", encode_ranks(F.col(word_col)))

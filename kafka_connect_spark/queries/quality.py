@@ -2581,3 +2581,135 @@ def x263_operating_point(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return best_j.unionAll(best_f).orderBy("criterion")
+
+
+def _dp_geo_cdf_rows(alpha_ppk: int) -> list[tuple[int, int, int]]:
+    """Exact integer tail table for Geometric(1 - alpha): rows
+    (alpha_ppk, k, pnext) where pnext = P(G >= k+1) * 1e18 under the
+    SAME walk x259's recursive CTE performs (p_{k+1} = p_k * alpha_ppk
+    div 1000, exact big-int — Python ints ARE the arbitrary-precision
+    arithmetic, so both engines receive identical literals). Built in
+    Python rather than WITH RECURSIVE because a shallow-noise alpha
+    (905/1000, eps ~ 0.1) needs ~415 steps before the tail underflows
+    to exact 0 — past Spark's default cteRecursionLevelLimit — and the
+    table is a <=500-row broadcast either way. The final row's pnext is
+    exact 0, so every threshold (>= 222 by the 52-bit clock floor)
+    terminates the min-k inversion."""
+    rows, k, p = [], 0, 10**18
+    while p > 0:
+        p = p * alpha_ppk // 1000
+        rows.append((alpha_ppk, k, p))
+        k += 1
+    return rows
+
+
+#: eps sweep for x268: alpha_ppk = round(e^-eps * 1000) picks eps ~
+#: {0.1, 0.5, 1.0, 2.0}; eps_ppm is folded in Python (ln differs
+#: between engines' libm — never computed engine-side).
+_X268_ALPHAS = [905, 607, 368, 135]
+
+
+def _x268_eps_ppm(alpha_ppk: int) -> int:
+    import math
+
+    return round(math.log(1000 / alpha_ppk) * 1_000_000)
+
+
+@query(
+    "x268_dp_eps_sweep",
+    oracle=f"""
+    WITH pw(a, k, pnext) AS (
+        SELECT * FROM (VALUES {", ".join(
+            f"({a}, {k}, CAST({p} AS HUGEINT))"
+            for al in _X268_ALPHAS
+            for (a, k, p) in _dp_geo_cdf_rows(al))}) AS v(a, k, pnext)),
+    eps AS (SELECT * FROM (VALUES {", ".join(
+        f"({a}, {_x268_eps_ppm(a)})" for a in _X268_ALPHAS)})
+        AS e(a, eps_ppm)),
+    g AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents
+          GROUP BY source),
+    t AS (SELECT source, n,
+                 (CAST(4503599627370496 - u1 AS HUGEINT)
+                  * 1000000000000000000) // 4503599627370496 AS th1,
+                 (CAST(4503599627370496 - u2 AS HUGEINT)
+                  * 1000000000000000000) // 4503599627370496 AS th2
+          FROM (SELECT source, n,
+                       CAST('0x' || substring(md5(source || '#g1'), 1, 13)
+                            AS BIGINT) AS u1,
+                       CAST('0x' || substring(md5(source || '#g2'), 1, 13)
+                            AS BIGINT) AS u2
+                FROM g)),
+    g1 AS (SELECT pw.a, source, CAST(min(k) AS BIGINT) AS geo1
+           FROM t JOIN pw ON pw.pnext <= t.th1 GROUP BY 1, 2),
+    g2 AS (SELECT pw.a, source, CAST(min(k) AS BIGINT) AS geo2
+           FROM t JOIN pw ON pw.pnext <= t.th2 GROUP BY 1, 2)
+    SELECT CAST(g1.a AS BIGINT) AS alpha_ppk,
+           CAST(eps.eps_ppm AS BIGINT) AS eps_ppm,
+           t.source, t.n,
+           CAST(g1.geo1 - g2.geo2 AS BIGINT) AS noise,
+           CAST(greatest(t.n + g1.geo1 - g2.geo2, 0) AS BIGINT)
+               AS noisy_n_clamped
+    FROM t JOIN g1 ON g1.source = t.source
+           JOIN g2 ON g2.a = g1.a AND g2.source = t.source
+           JOIN eps ON eps.a = g1.a
+    ORDER BY alpha_ppk, t.source
+    """,
+)
+def x268_dp_eps_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x259's discrete-Laplace count release with eps PARAMETERIZED —
+    the privacy-utility curve a release board actually reviews: the
+    same per-source counts released at eps ~ 0.1 / 0.5 / 1.0 / 2.0
+    (alpha_ppk = round(e^-eps * 1000) in {905, 607, 368, 135}), noise
+    drawn by inverting the SAME fixed md5 clocks against each alpha's
+    exact integer CDF table, so the four releases are COUPLED draws —
+    noise magnitude grows monotonically as eps shrinks, visible
+    per-source down the sweep (the r11 roadmap's parameterized-eps
+    item). The CDF tables are built once in Python big-ints (identical
+    walk to x259's recursive CTE; see _dp_geo_cdf_rows for why not
+    WITH RECURSIVE at alpha 905) and injected into both engines as
+    VALUES literals — a <=600-row broadcast joined against the
+    |sources| count table; the corpus cost is the one count agg.
+    eps_ppm is folded in Python, never engine-side ln."""
+    d = load(spark, sf_dir, "documents")
+    rows = [
+        (a, k, p) for al in _X268_ALPHAS for (a, k, p) in _dp_geo_cdf_rows(al)
+    ]
+    pw = spark.createDataFrame(
+        [(a, k, str(p)) for a, k, p in rows], ["a", "k", "pn"]
+    ).select("a", "k", F.col("pn").cast("decimal(38,0)").alias("pnext"))
+    pw.createOrReplaceTempView("x268_pw")
+    spark.createDataFrame(
+        [(a, _x268_eps_ppm(a)) for a in _X268_ALPHAS], ["a", "eps_ppm"]
+    ).createOrReplaceTempView("x268_eps")
+    d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).createOrReplaceTempView("x268_counts")
+    return spark.sql(
+        """
+        WITH t AS (SELECT source, n,
+                     (CAST(4503599627370496 - u1 AS DECIMAL(38,0))
+                      * 1000000000000000000) div 4503599627370496 AS th1,
+                     (CAST(4503599627370496 - u2 AS DECIMAL(38,0))
+                      * 1000000000000000000) div 4503599627370496 AS th2
+              FROM (SELECT source, n,
+                           cast(conv(substring(md5(concat(source, '#g1')),
+                                1, 13), 16, 10) as bigint) AS u1,
+                           cast(conv(substring(md5(concat(source, '#g2')),
+                                1, 13), 16, 10) as bigint) AS u2
+                    FROM x268_counts)),
+        g1 AS (SELECT pw.a, source, CAST(min(k) AS BIGINT) AS geo1
+               FROM t JOIN x268_pw pw ON pw.pnext <= t.th1 GROUP BY 1, 2),
+        g2 AS (SELECT pw.a, source, CAST(min(k) AS BIGINT) AS geo2
+               FROM t JOIN x268_pw pw ON pw.pnext <= t.th2 GROUP BY 1, 2)
+        SELECT CAST(g1.a AS BIGINT) AS alpha_ppk,
+               CAST(eps.eps_ppm AS BIGINT) AS eps_ppm,
+               t.source, t.n,
+               CAST(g1.geo1 - g2.geo2 AS BIGINT) AS noise,
+               CAST(greatest(t.n + g1.geo1 - g2.geo2, 0) AS BIGINT)
+                   AS noisy_n_clamped
+        FROM t JOIN g1 ON g1.source = t.source
+               JOIN g2 ON g2.a = g1.a AND g2.source = t.source
+               JOIN x268_eps eps ON eps.a = g1.a
+        ORDER BY alpha_ppk, t.source
+        """
+    )

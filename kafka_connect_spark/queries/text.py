@@ -5406,3 +5406,92 @@ def x262_bpe_holdout_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+#: vocabulary budgets x266 sweeps (prefixes of the one learned merge
+#: list; the largest is the trained size).
+_X266_BUDGETS = [8, 16, 24, 32, 48]
+
+
+@query("x266_bpe_vocab_sweep")  # iterative trainer + python encode: rows-only
+def x266_bpe_vocab_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vocab-size curve a tokenizer budget decision reads: corpus
+    fertility (tokens per word) and compression (chars per token) at
+    every vocabulary budget V in {8, 16, 24, 32, 48} merges, plus how
+    many of the first V rules the corpus actually exercises — the
+    diminishing-returns table behind 'is a bigger vocab worth it' (x134
+    measures ONE tokenizer's efficiency; x250 audits per-source fit at
+    ONE budget; this sweeps the budget). BPE's nesting property does the
+    heavy lifting: the merge list is a curriculum, so budget V's
+    tokenization is exactly the full encode truncated at rank V —
+    ONE train at the largest budget + ONE rank-recording encode of the
+    distinct-word table answers every row by column algebra
+    (length(w) + 1 - #{applied ranks < V}); no per-budget re-train or
+    re-encode (see bpe_encode_words_with_ranks; prefix-equality vs the
+    sequential oracle pinned in tests/test_bpe_encode.py). Scale shape:
+    x245's Zipf factoring verbatim — corpus explode + hash agg to the
+    word-count table, Arrow-batched encode of |vocab| rows, 5-row
+    conditional-sum rollup. Rows-only by design (iterative trainer
+    inside)."""
+    from ..functions.textfns import bpe_encode_words_with_ranks, bpe_train
+
+    d = load_parallel(spark, sf_dir, "documents")
+    merges, _ = bpe_train(d, num_merges=_X266_BUDGETS[-1])
+    # bounded collect: exactly num_merges rows (the learned rule table)
+    rules = [
+        (r["left"], r["right"]) for r in merges.orderBy("rank").collect()
+    ]
+    tok = d.select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
+    ).filter(F.length("w") > 0)
+    wc = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    enc = bpe_encode_words_with_ranks(wc, rules)
+    agg_cols = [
+        F.sum("cnt").cast("long").alias("n_words"),
+        F.sum(F.col("cnt") * F.length("w")).cast("long").alias("n_chars"),
+    ]
+    for v in _X266_BUDGETS:
+        toks_v = (
+            F.length("w")
+            + 1
+            - F.size(F.filter("applied_ranks", lambda r: r < F.lit(v)))
+        )
+        agg_cols.append(
+            F.sum(F.col("cnt") * toks_v).cast("long").alias(f"t{v}")
+        )
+    one = enc.agg(*agg_cols)
+    # which of the first V rules the corpus exercises at all: the
+    # distinct applied-rank table is <= num_merges rows by construction
+    used = (
+        enc.select(F.explode("applied_ranks").alias("r"))
+        .distinct()
+        .agg(
+            *[
+                F.sum((F.col("r") < v).cast("long"))
+                .cast("long")
+                .alias(f"u{v}")
+                for v in _X266_BUDGETS
+            ]
+        )
+    )
+    one = one.crossJoin(F.broadcast(used))
+    parts = [
+        one.select(
+            F.lit(v).cast("long").alias("n_rules"),
+            F.col(f"u{v}").alias("rules_used"),
+            F.col(f"t{v}").alias("total_tokens"),
+            F.expr(
+                f"cast(cast(t{v} as decimal(38,0)) * 1000000"
+                " div n_words as bigint)"
+            ).alias("toks_per_word_ppm"),
+            F.expr(
+                f"cast(cast(n_chars as decimal(38,0)) * 1000000"
+                f" div t{v} as bigint)"
+            ).alias("chars_per_token_ppm"),
+        )
+        for v in _X266_BUDGETS
+    ]
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionAll(x)
+    return out.orderBy("n_rules")

@@ -247,3 +247,69 @@ def test_min_rank_equals_reference_on_random_words():
         ) == w + "</w>"
 
     check()
+
+
+def test_applied_ranks_prefix_property(spark, sf_dir):
+    """x266's load-bearing invariant: the rank sequence the min-rank
+    encoder applies is non-decreasing, and for EVERY prefix budget V the
+    token count derived from the full encode's applied ranks
+    (len(w) + 1 - #{r < V}) equals actually encoding with only the
+    first V rules (sequential oracle) — for every distinct fixture word
+    and every x266 budget."""
+    from kafka_connect_spark.functions.textfns import (
+        _bpe_encode_applied_ranks,
+    )
+    from kafka_connect_spark.queries.text import _X266_BUDGETS
+
+    d = load(spark, sf_dir, "documents")
+    merges, _ = bpe_train(d, num_merges=_X266_BUDGETS[-1])
+    rules = [(r["left"], r["right"]) for r in merges.orderBy("rank").collect()]
+    rank = {pair: i for i, pair in enumerate(rules)}
+    words = _fixture_vocab(spark, sf_dir)
+    assert len(words) > 20
+    applied_any = False
+    for w in words:
+        ranks = _bpe_encode_applied_ranks(w, rank, "</w>")
+        assert ranks == sorted(ranks), (w, ranks)
+        applied_any = applied_any or bool(ranks)
+        for v in _X266_BUDGETS:
+            derived = len(w) + 1 - sum(1 for r in ranks if r < v)
+            assert derived == len(bpe_encode_reference(w, rules[:v])), (
+                w,
+                v,
+                ranks,
+            )
+    assert applied_any
+
+
+def test_x266_sweep_monotone_and_anchored_to_x245(spark, sf_dir):
+    """The sweep's corpus totals must be monotone non-increasing in the
+    budget, and the largest-budget row re-derives from a direct
+    pure-Python corpus encode at that budget."""
+    from collections import Counter
+
+    from kafka_connect_spark.queries import QUERIES
+    from kafka_connect_spark.queries.text import _X266_BUDGETS
+
+    rows = {
+        r["n_rules"]: r
+        for r in QUERIES["x266_bpe_vocab_sweep"](spark, sf_dir).collect()
+    }
+    assert sorted(rows) == _X266_BUDGETS
+    for lo, hi in zip(_X266_BUDGETS, _X266_BUDGETS[1:]):
+        assert rows[hi]["total_tokens"] <= rows[lo]["total_tokens"]
+        assert rows[hi]["rules_used"] >= rows[lo]["rules_used"]
+
+    d = load(spark, sf_dir, "documents")
+    merges, _ = bpe_train(d, num_merges=_X266_BUDGETS[-1])
+    rules = [(r["left"], r["right"]) for r in merges.orderBy("rank").collect()]
+    wc = Counter(
+        w
+        for r in d.select(F.lower("text").alias("t")).collect()
+        for w in r["t"].split()
+        if w
+    )
+    want = sum(
+        cnt * len(bpe_encode_reference(w, rules)) for w, cnt in wc.items()
+    )
+    assert rows[_X266_BUDGETS[-1]]["total_tokens"] == want
