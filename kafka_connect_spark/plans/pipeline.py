@@ -362,6 +362,62 @@ def _sk_foreach_upsert(spec: dict):
     return start
 
 
+@register_stream_sink("eval_dashboard")
+def _sk_eval_dashboard(spec: dict):
+    """The composed LIVE EVAL DASHBOARD (the streaming-eval family as one
+    pipeline): the stream's scored events (columns y 0/1, p ppm-integer
+    score) reduce to :func:`streaming.drift.score_label_counts` — ONE
+    mergeable complete-mode count aggregation whose state is bounded by
+    the score value domain, never the stream length — and every
+    microbatch refresh re-derives all three monitoring curves from that
+    count table alone: the x187 exact midrank AUC
+    (``<path>/auc``), the x194 cumulative gains chart
+    (``<path>/gain``), and the x263 Youden-J/F1 operating point
+    (``<path>/operating_point``), each overwritten per refresh (a
+    dashboard reads the latest, not a log). The stream is NEVER
+    rescanned: the curves are closed-form arithmetic over the counts,
+    so a refresh costs O(|score domain|) regardless of how much data
+    the dashboard has absorbed — the brier_bins/hll_registers contract
+    applied to the three curves a training-data pipeline watches. The
+    per-curve batch/stream row-exactness is pinned by the twin tests
+    (tests/test_streaming_r11_twins.py, tests/test_streaming_eval.py);
+    the end-to-end spec is exercised by tests/test_examples.py."""
+
+    def start(sdf: DataFrame):
+        from ..streaming.drift import (
+            auc_from_counts,
+            gain_chart_from_counts,
+            operating_point_from_counts,
+            score_label_counts,
+        )
+
+        out = spec["path"]
+        counts = score_label_counts(sdf)
+
+        def render(cdf: DataFrame, _batch_id: int) -> None:
+            cdf = cdf.persist()
+            try:
+                auc_from_counts(cdf).write.mode("overwrite").parquet(
+                    f"{out}/auc"
+                )
+                gain_chart_from_counts(cdf).write.mode("overwrite").parquet(
+                    f"{out}/gain"
+                )
+                operating_point_from_counts(cdf).write.mode(
+                    "overwrite"
+                ).parquet(f"{out}/operating_point")
+            finally:
+                cdf.unpersist()
+
+        return (
+            counts.writeStream.outputMode("complete")
+            .foreachBatch(render)
+            .option("checkpointLocation", spec["checkpoint"])
+        )
+
+    return start
+
+
 # -- the pipeline itself ------------------------------------------------------
 
 

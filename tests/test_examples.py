@@ -181,3 +181,69 @@ def test_task6_multi_table_tasks_spec(spark, tmp_path):
             assert (tmp_path / "state" / t / "offset.json").exists()
     finally:
         h.shutdown()
+
+
+def test_task7_eval_dashboard_spec(spark, tmp_path):
+    """The composed live eval dashboard (r11 roadmap item 3): scored
+    events arrive as files; each availableNow drain refreshes all three
+    curves (x187 AUC, x194 gain chart, x263 operating point) from the
+    ONE complete-mode (score, label) count state. Every refresh must
+    equal the batch functions recomputed from scratch over everything
+    seen so far — including after a SECOND drain restarting from the
+    checkpoint, which is the state-merge path a dashboard actually
+    lives on."""
+    from kafka_connect_spark.streaming.drift import (
+        auc_from_counts,
+        gain_chart_from_counts,
+        operating_point_from_counts,
+        score_label_counts,
+    )
+
+    scores = tmp_path / "scores"
+    scores.mkdir()
+
+    def scored(seed: int, n: int):
+        # deterministic (y, p) rows: p in ppm, better-than-random signal
+        rows = []
+        for i in range(n):
+            h = (i * 2654435761 + seed * 97) % 1000
+            y = 1 if h % 7 < 3 else 0
+            p = (h * 937 + (200_000 if y else 0)) % 1_000_001
+            rows.append((y, p))
+        return spark.createDataFrame(rows, "y int, p bigint")
+
+    def dash(name):
+        return spark.read.parquet(str(tmp_path / "dash" / name))
+
+    def assert_matches_batch(all_df):
+        counts = score_label_counts(all_df)
+        for name, fn in [
+            ("auc", auc_from_counts),
+            ("gain", gain_chart_from_counts),
+            ("operating_point", operating_point_from_counts),
+        ]:
+            got = sorted(map(tuple, dash(name).collect()))
+            want = sorted(map(tuple, fn(counts).collect()))
+            assert got == want, f"{name}: dashboard != batch derivation"
+
+    batch1 = scored(1, 400)
+    batch1.write.parquet(str(scores), mode="append")
+    spec = _load_spec(
+        "task7_eval_dashboard.json",
+        {
+            "scores_dir": str(scores),
+            "dash_dir": str(tmp_path / "dash"),
+            "ckpt_dir": str(tmp_path / "ckpt"),
+        },
+        tmp_path,
+    )
+    assert Pipeline(spec).run(spark) == -1
+    assert_matches_batch(batch1)
+    auc1 = dash("auc").collect()[0]["auc_ppm"]
+
+    batch2 = scored(2, 300)
+    batch2.write.parquet(str(scores), mode="append")
+    assert Pipeline(spec).run(spark) == -1  # restart from checkpoint
+    assert_matches_batch(batch1.unionByName(batch2))
+    auc2 = dash("auc").collect()[0]["auc_ppm"]
+    assert auc1 != auc2  # the refresh really re-derived, not re-served
