@@ -212,6 +212,8 @@ HEADLINE = [
     # round 13 additions
     "x267_df_cap_sensitivity",
     "x268_dp_eps_sweep",
+    "x269_eval_ngram_decontamination",
+    "x270_filter_funnel",
     # round 11 additions
     "x265_keep_policy_comparison",
     "x263_operating_point",

@@ -2645,3 +2645,99 @@ def x267_df_cap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.orderBy("cap").localCheckpoint()
     finally:
         sh.unpersist(blocking=False)
+
+
+@query(
+    "x269_eval_ngram_decontamination",
+    oracle="""
+    WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+                 FROM documents),
+    ev AS (SELECT DISTINCT gram
+           FROM (SELECT unnest(list_transform(
+                     range(1, greatest(len(toks) - 3, 1)),
+                     i -> array_to_string(toks[i:i+4], ' '))) AS gram
+                 FROM tok WHERE doc_id < 10)),
+    corp AS (SELECT doc_id, source, unnest(list_distinct(list_transform(
+                 range(1, greatest(len(toks) - 3, 1)),
+                 i -> array_to_string(toks[i:i+4], ' ')))) AS gram
+             FROM tok WHERE doc_id >= 10),
+    hits AS (SELECT doc_id, source,
+                    CAST(count(*) AS BIGINT) AS n_hits
+             FROM corp JOIN ev USING (gram) GROUP BY 1, 2),
+    per_doc AS (SELECT d.doc_id, d.source,
+                       COALESCE(h.n_hits, 0) AS n_hits
+                FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+                WHERE d.doc_id >= 10)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_contaminated,
+           CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END)
+                * 1000000 // count(*) AS BIGINT) AS contaminated_ppm,
+           CAST(sum(n_hits) AS BIGINT) AS gram_hits
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+)
+def x269_eval_ngram_decontamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Direct n-gram decontamination of the training corpus against the
+    eval seed set (doc_id < 10, x261's convention): per source, how many
+    candidate training docs share ANY distinct 5-gram with an eval doc,
+    plus the total shared-gram count — the published GPT-3/PaLM-style
+    membership test that runs BEFORE training-set freeze. Complementary
+    to x261: the closure report follows NEAR-dup edges transitively
+    (paraphrase leakage); this is the literal verbatim-overlap gate, the
+    one a compliance checklist cites. Engine parity: 5-gram windows use
+    x255's idiom (docs shorter than 5 tokens emit NOTHING in both
+    engines); counts are exact integers. Plan: the eval gram set is a
+    BROADCAST by construction (10 docs); the corpus explodes once,
+    distinct-per-doc, and the hit count is one broadcast hash join +
+    per-doc then per-source aggs — no corpus self-join anywhere, and at
+    100 TB the eval set stays the small side (a 10K-doc eval suite's
+    5-gram set is a few hundred MB: bucket it and the join stays
+    shuffle-free on the corpus side)."""
+    d = load_parallel(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.split("text", " ").alias("toks")
+    )
+    gram5 = F.expr(
+        "case when size(toks) >= 5 then"
+        " array_distinct(transform(sequence(1, size(toks) - 4),"
+        " i -> array_join(slice(toks, i, 5), ' ')))"
+        " else array() end"
+    )
+    ev = (
+        toks.filter(F.col("doc_id") < 10)
+        .select(F.explode(gram5).alias("gram"))
+        .distinct()
+    )
+    corp = toks.filter(F.col("doc_id") >= 10).select(
+        "doc_id", "source", F.explode(gram5).alias("gram")
+    )
+    hits = (
+        corp.join(F.broadcast(ev), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    per_doc = (
+        d.filter(F.col("doc_id") >= 10)
+        .select("doc_id", "source")
+        .join(hits, "doc_id", "left")
+        .select("source", F.coalesce("n_hits", F.lit(0)).alias("n_hits"))
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("n_hits") > 0).cast("long"))
+            .cast("long")
+            .alias("n_contaminated"),
+            F.expr(
+                "cast(sum(case when n_hits > 0 then 1 else 0 end)"
+                " * 1000000 div count(1) as bigint)"
+            ).alias("contaminated_ppm"),
+            F.sum("n_hits").cast("long").alias("gram_hits"),
+        )
+        .orderBy("source")
+    )

@@ -2713,3 +2713,127 @@ def x268_dp_eps_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY alpha_ppk, t.source
         """
     )
+
+
+#: x270's funnel stages: (name, DuckDB predicate, Spark predicate) over
+#: the per-doc signal columns (ntoks, hits, punct, n_chars). Predicates
+#: are exact integer cross-multiplies — identical text in both engines
+#: except DuckDB's // for Spark's div.
+_X270_STAGES = [
+    ("min_chars_200", "n_chars >= 200"),
+    ("min_tokens_30", "ntoks >= 30"),
+    ("stopwords_2pct", "hits * 1000000 div ntoks >= 20000"),
+    ("punct_le_10pct", "punct * 1000000 div n_chars <= 100000"),
+    ("mean_tok_le_12", "n_chars * 1000 div ntoks <= 12000"),
+]
+
+
+@query(
+    "x270_filter_funnel",
+    oracle=f"""
+    WITH s AS (SELECT n_chars,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS ntoks,
+                      CAST(len(list_filter(string_split(text, ' '),
+                          t -> t IN ('a','the','of','and','to','in')))
+                          AS BIGINT) AS hits,
+                      CAST(length(text)
+                           - length(translate(text, '.,;:!?', ''))
+                           AS BIGINT) AS punct
+               FROM documents),
+    f AS (SELECT n_chars, {", ".join(
+        "CASE WHEN " + " AND ".join(
+            p.replace(" div ", " // ") for _, p in _X270_STAGES[: i + 1]
+        ) + " THEN 1 ELSE 0 END AS c" + str(i)
+        for i, _ in enumerate(_X270_STAGES))}
+          FROM s),
+    agg AS (SELECT CAST(count(*) AS BIGINT) AS total, {", ".join(
+        f"CAST(sum(c{i}) AS BIGINT) AS n{i},"
+        f" CAST(sum(c{i} * n_chars) AS BIGINT) AS m{i}"
+        for i, _ in enumerate(_X270_STAGES))}
+            FROM f)
+    {" UNION ALL ".join(
+        f'''SELECT CAST({i + 1} AS BIGINT) AS stage,
+            '{name}' AS filter_name,
+            {f"n{i - 1}" if i else "total"} AS n_in,
+            {f"n{i - 1}" if i else "total"} - n{i} AS n_dropped,
+            n{i} AS n_out,
+            m{i} AS char_mass_out,
+            CAST(n{i} * 1000000 // total AS BIGINT) AS survival_ppm
+            FROM agg''' for i, (name, _) in enumerate(_X270_STAGES))}
+    ORDER BY stage
+    """,
+)
+def x270_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality-filter FUNNEL a curation pipeline publishes before a
+    training run (the RefinedWeb/FineWeb-style survival table): five
+    standard filters applied in sequence — min length, min token count,
+    min stopword density, max punctuation density, max mean token
+    length — with, per stage, the docs entering, dropped, surviving,
+    the surviving char mass, and cumulative corpus survival. x144
+    scores bot-likeness signals and x151 plans mixtures from quality;
+    this is the table that says what each GATE costs, which is how
+    thresholds actually get negotiated (a stage dropping 40% of char
+    mass gets re-tuned before anyone trains on the survivors). Engine
+    parity: every signal is exact integer arithmetic on split/translate
+    primitives both engines share; every threshold is an integer
+    cross-multiply (the x265 stopword idiom). Plan: ONE corpus scan
+    computes the per-doc signals, the five cumulative pass flags are
+    conditional expressions in the same projection, and the funnel is
+    one 1-row agg fanned to 5 rows — adding a stage costs a column,
+    never a rescan."""
+    d = load(spark, sf_dir, "documents")
+    s = d.select(
+        "n_chars",
+        F.size(F.split("text", " ")).cast("long").alias("ntoks"),
+        F.expr(
+            "cast(size(filter(split(text, ' '),"
+            " t -> array_contains(array('a','the','of','and','to','in'),"
+            " t))) as bigint)"
+        ).alias("hits"),
+        (
+            F.length("text")
+            - F.length(F.translate("text", ".,;:!?", ""))
+        )
+        .cast("long")
+        .alias("punct"),
+    )
+    f = s.select(
+        "n_chars",
+        *[
+            F.expr(
+                "case when "
+                + " and ".join(p for _, p in _X270_STAGES[: i + 1])
+                + " then 1 else 0 end"
+            ).alias(f"c{i}")
+            for i, _ in enumerate(_X270_STAGES)
+        ],
+    )
+    agg_cols = [F.count(F.lit(1)).cast("long").alias("total")]
+    for i, _ in enumerate(_X270_STAGES):
+        agg_cols.append(F.sum(f"c{i}").cast("long").alias(f"n{i}"))
+        agg_cols.append(
+            F.sum(F.col(f"c{i}") * F.col("n_chars"))
+            .cast("long")
+            .alias(f"m{i}")
+        )
+    one = f.agg(*agg_cols)
+    parts = []
+    for i, (name, _) in enumerate(_X270_STAGES):
+        n_in = F.col(f"n{i - 1}") if i else F.col("total")
+        parts.append(
+            one.select(
+                F.lit(i + 1).cast("long").alias("stage"),
+                F.lit(name).alias("filter_name"),
+                n_in.alias("n_in"),
+                (n_in - F.col(f"n{i}")).alias("n_dropped"),
+                F.col(f"n{i}").alias("n_out"),
+                F.col(f"m{i}").alias("char_mass_out"),
+                F.expr(f"cast(n{i} * 1000000 div total as bigint)").alias(
+                    "survival_ppm"
+                ),
+            )
+        )
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionAll(x)
+    return out.orderBy("stage")

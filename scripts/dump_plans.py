@@ -131,6 +131,8 @@ FLAGSHIPS = {
     "x256_lsh_parameter_planner": "x12c candidate pair table built once; 5 config rows as conditional sums",
     "x257_raking_ess": "x249 cell walk + 1-row integer cross-multiply ESS",
     "x267_df_cap_sensitivity": "ONE df-bounded shingle self-join carrying per-shingle df; 5 caps as conditional sums, not 5 rebuilds",
+    "x269_eval_ngram_decontamination": "eval gram set broadcast; corpus explodes once; broadcast hash join, no self-join",
+    "x270_filter_funnel": "one scan -> per-doc signals -> cumulative pass flags as conditional sums; 1-row agg fanned to 5",
 }
 
 
