@@ -592,3 +592,95 @@ def bpe_encode_words_with_ranks(
         return col.map(lambda w: _bpe_encode_applied_ranks(w, rank, eow))
 
     return words.withColumn("applied_ranks", encode_ranks(F.col(word_col)))
+
+
+#: x270's funnel gates: (name, integer-exact predicate over the
+#: funnel_signals columns). The predicate text is shared verbatim with
+#: the DuckDB oracle (swap `div` for `//`), so adding a stage here
+#: changes query, oracle, and streaming twin together.
+FUNNEL_STAGES = [
+    ("min_chars_200", "n_chars >= 200"),
+    ("min_tokens_30", "ntoks >= 30"),
+    ("stopwords_2pct", "hits * 1000000 div ntoks >= 20000"),
+    ("punct_le_10pct", "punct * 1000000 div n_chars <= 100000"),
+    ("mean_tok_le_12", "n_chars * 1000 div ntoks <= 12000"),
+]
+
+
+def funnel_signals(df: "DataFrame") -> "DataFrame":
+    """Per-doc integer quality signals the funnel gates read — one
+    projection over (text, n_chars), exact split/translate primitives
+    both engines share."""
+    return df.select(
+        "n_chars",
+        F.size(F.split("text", " ")).cast("long").alias("ntoks"),
+        F.expr(
+            "cast(size(filter(split(text, ' '),"
+            " t -> array_contains(array('a','the','of','and','to','in'),"
+            " t))) as bigint)"
+        ).alias("hits"),
+        (F.length("text") - F.length(F.translate("text", ".,;:!?", "")))
+        .cast("long")
+        .alias("punct"),
+    )
+
+
+def funnel_flags(signals: "DataFrame") -> "DataFrame":
+    """Cumulative pass flags c0..c4 (doc survives stages 1..i+1) as
+    conditional expressions in one projection."""
+    return signals.select(
+        "n_chars",
+        *[
+            F.expr(
+                "case when "
+                + " and ".join(p for _, p in FUNNEL_STAGES[: i + 1])
+                + " then 1 else 0 end"
+            ).alias(f"c{i}")
+            for i in range(len(FUNNEL_STAGES))
+        ],
+    )
+
+
+def funnel_state(flags: "DataFrame") -> "DataFrame":
+    """x270's sufficient statistic: ONE mergeable count/sum aggregation
+    (total, and per stage the surviving doc count and char mass). On a
+    stream this is the ENTIRE complete-mode state — one row, bounded by
+    construction — and :func:`funnel_table` derives the published
+    funnel from it per refresh without rescanning anything (the
+    brier_bins contract applied to the curation funnel)."""
+    agg_cols = [F.count(F.lit(1)).cast("long").alias("total")]
+    for i in range(len(FUNNEL_STAGES)):
+        agg_cols.append(F.sum(f"c{i}").cast("long").alias(f"n{i}"))
+        agg_cols.append(
+            F.sum(F.col(f"c{i}") * F.col("n_chars"))
+            .cast("long")
+            .alias(f"m{i}")
+        )
+    return flags.agg(*agg_cols)
+
+
+def funnel_table(state: "DataFrame") -> "DataFrame":
+    """The published 5-row funnel (stage, filter_name, n_in, n_dropped,
+    n_out, char_mass_out, survival_ppm) fanned from the 1-row state —
+    closed-form integer arithmetic, shared by batch x270 and the
+    streaming twin."""
+    parts = []
+    for i, (name, _) in enumerate(FUNNEL_STAGES):
+        n_in = F.col(f"n{i - 1}") if i else F.col("total")
+        parts.append(
+            state.select(
+                F.lit(i + 1).cast("long").alias("stage"),
+                F.lit(name).alias("filter_name"),
+                n_in.alias("n_in"),
+                (n_in - F.col(f"n{i}")).alias("n_dropped"),
+                F.col(f"n{i}").alias("n_out"),
+                F.col(f"m{i}").alias("char_mass_out"),
+                F.expr(f"cast(n{i} * 1000000 div total as bigint)").alias(
+                    "survival_ppm"
+                ),
+            )
+        )
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionAll(x)
+    return out.orderBy("stage")

@@ -2715,17 +2715,12 @@ def x268_dp_eps_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: x270's funnel stages: (name, DuckDB predicate, Spark predicate) over
-#: the per-doc signal columns (ntoks, hits, punct, n_chars). Predicates
-#: are exact integer cross-multiplies — identical text in both engines
-#: except DuckDB's // for Spark's div.
-_X270_STAGES = [
-    ("min_chars_200", "n_chars >= 200"),
-    ("min_tokens_30", "ntoks >= 30"),
-    ("stopwords_2pct", "hits * 1000000 div ntoks >= 20000"),
-    ("punct_le_10pct", "punct * 1000000 div n_chars <= 100000"),
-    ("mean_tok_le_12", "n_chars * 1000 div ntoks <= 12000"),
-]
+#: x270's funnel gates live in functions.textfns (FUNNEL_STAGES) so the
+#: batch query, the DuckDB oracle, and the streaming twin
+#: (streaming/drift.py funnel twin via funnel_state/funnel_table) all
+#: read the one list; predicates are exact integer cross-multiplies —
+#: identical text in both engines except DuckDB's // for Spark's div.
+from ..functions.textfns import FUNNEL_STAGES as _X270_STAGES  # noqa: E402
 
 
 @query(
@@ -2780,60 +2775,17 @@ def x270_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes the per-doc signals, the five cumulative pass flags are
     conditional expressions in the same projection, and the funnel is
     one 1-row agg fanned to 5 rows — adding a stage costs a column,
-    never a rescan."""
+    never a rescan. The signal/flag/state/fan builders are shared
+    verbatim with the streaming twin (functions/textfns.py
+    funnel_signals/funnel_flags/funnel_state/funnel_table; the twin's
+    complete-mode state is the one agg row, pinned row-exact in
+    tests/test_streaming_r11_twins.py)."""
+    from ..functions.textfns import (
+        funnel_flags,
+        funnel_signals,
+        funnel_state,
+        funnel_table,
+    )
+
     d = load(spark, sf_dir, "documents")
-    s = d.select(
-        "n_chars",
-        F.size(F.split("text", " ")).cast("long").alias("ntoks"),
-        F.expr(
-            "cast(size(filter(split(text, ' '),"
-            " t -> array_contains(array('a','the','of','and','to','in'),"
-            " t))) as bigint)"
-        ).alias("hits"),
-        (
-            F.length("text")
-            - F.length(F.translate("text", ".,;:!?", ""))
-        )
-        .cast("long")
-        .alias("punct"),
-    )
-    f = s.select(
-        "n_chars",
-        *[
-            F.expr(
-                "case when "
-                + " and ".join(p for _, p in _X270_STAGES[: i + 1])
-                + " then 1 else 0 end"
-            ).alias(f"c{i}")
-            for i, _ in enumerate(_X270_STAGES)
-        ],
-    )
-    agg_cols = [F.count(F.lit(1)).cast("long").alias("total")]
-    for i, _ in enumerate(_X270_STAGES):
-        agg_cols.append(F.sum(f"c{i}").cast("long").alias(f"n{i}"))
-        agg_cols.append(
-            F.sum(F.col(f"c{i}") * F.col("n_chars"))
-            .cast("long")
-            .alias(f"m{i}")
-        )
-    one = f.agg(*agg_cols)
-    parts = []
-    for i, (name, _) in enumerate(_X270_STAGES):
-        n_in = F.col(f"n{i - 1}") if i else F.col("total")
-        parts.append(
-            one.select(
-                F.lit(i + 1).cast("long").alias("stage"),
-                F.lit(name).alias("filter_name"),
-                n_in.alias("n_in"),
-                (n_in - F.col(f"n{i}")).alias("n_dropped"),
-                F.col(f"n{i}").alias("n_out"),
-                F.col(f"m{i}").alias("char_mass_out"),
-                F.expr(f"cast(n{i} * 1000000 div total as bigint)").alias(
-                    "survival_ppm"
-                ),
-            )
-        )
-    out = parts[0]
-    for x in parts[1:]:
-        out = out.unionAll(x)
-    return out.orderBy("stage")
+    return funnel_table(funnel_state(funnel_flags(funnel_signals(d))))
