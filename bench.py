@@ -214,6 +214,7 @@ HEADLINE = [
     "x268_dp_eps_sweep",
     "x269_eval_ngram_decontamination",
     "x270_filter_funnel",
+    "x271_decontamination_gram_sweep",
     # round 11 additions
     "x265_keep_policy_comparison",
     "x263_operating_point",

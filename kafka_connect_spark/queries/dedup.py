@@ -2741,3 +2741,101 @@ def x269_eval_ngram_decontamination(
         )
         .orderBy("source")
     )
+
+
+#: gram sizes x271 sweeps — the threshold-choice evidence for x269's
+#: n=5 (3-grams flag ~60% of the fixture corpus, 8-grams almost none;
+#: the knee is where the gate belongs).
+_X271_NS = [3, 4, 5, 8]
+
+
+@query(
+    "x271_decontamination_gram_sweep",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents),
+    tagged AS (SELECT doc_id, n, gram FROM (
+        {" UNION ALL ".join(
+            f'''SELECT doc_id, CAST({n} AS BIGINT) AS n,
+                unnest(list_distinct(list_transform(
+                    range(1, greatest(len(toks) - {n - 2}, 1)),
+                    i -> array_to_string(toks[i:i+{n - 1}], ' ')))) AS gram
+                FROM tok''' for n in _X271_NS)})),
+    ev AS (SELECT DISTINCT n, gram FROM tagged WHERE doc_id < 10),
+    corp AS (SELECT doc_id, n, gram FROM tagged WHERE doc_id >= 10),
+    hits AS (SELECT n, doc_id, CAST(count(*) AS BIGINT) AS h
+             FROM corp JOIN ev USING (n, gram) GROUP BY 1, 2),
+    base AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+             WHERE doc_id >= 10)
+    SELECT n AS gram_n,
+           CAST(count(*) AS BIGINT) AS n_contaminated,
+           CAST(count(*) * 1000000 // (SELECT n_docs FROM base) AS BIGINT)
+               AS contaminated_ppm,
+           CAST(sum(h) AS BIGINT) AS gram_hits
+    FROM hits GROUP BY n ORDER BY gram_n
+    """,
+)
+def x271_decontamination_gram_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """How x269's gram size should be CHOSEN: the contamination census
+    against the eval seed set at n in {3, 4, 5, 8} — contaminated-doc
+    counts, corpus ppm, and total shared grams per n. Short grams flag
+    common phrases (3-grams mark most of any corpus — useless as a
+    gate); long grams miss light edits; the knee of this curve is where
+    published pipelines put the cutoff (GPT-3 used 13-grams on much
+    longer documents; the fixture's short texts knee lower). Engine parity:
+    the per-n window arithmetic is x255's idiom at each n (docs shorter
+    than n emit nothing in both engines). Plan: ONE corpus scan emits
+    (n, gram)-tagged distinct grams for all four sizes (a 4-way
+    in-projection fan-out, not four scans of the parquet — the tag
+    rides the explode), the eval side is a broadcast by construction,
+    and the census is one broadcast hash join + two aggs. Only
+    contaminated ns appear in `hits`, so ns with zero flagged docs are
+    absent rows in BOTH engines (no fabricated zeros)."""
+    d = load_parallel(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("toks"))
+    grams_all = F.expr(
+        "flatten(array("
+        + ", ".join(
+            f"case when size(toks) >= {n} then"
+            f" transform(array_distinct(transform("
+            f" sequence(1, size(toks) - {n - 1}),"
+            f" i -> array_join(slice(toks, i, {n}), ' '))),"
+            f" g -> struct(cast({n} as bigint) as n, g as gram))"
+            " else array() end"
+            for n in _X271_NS
+        )
+        + "))"
+    )
+    tagged = toks.select(
+        "doc_id", F.explode(grams_all).alias("t")
+    ).select("doc_id", F.col("t.n").alias("n"), F.col("t.gram").alias("gram"))
+    ev = tagged.filter(F.col("doc_id") < 10).select("n", "gram").distinct()
+    corp = tagged.filter(F.col("doc_id") >= 10)
+    hits = (
+        corp.join(F.broadcast(ev), ["n", "gram"])
+        .groupBy("n", "doc_id")
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    base = (
+        d.filter(F.col("doc_id") >= 10)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    return (
+        hits.groupBy("n")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_contaminated"),
+            F.sum("h").cast("long").alias("gram_hits"),
+        )
+        .crossJoin(F.broadcast(base))
+        .select(
+            F.col("n").alias("gram_n"),
+            "n_contaminated",
+            F.expr(
+                "cast(n_contaminated * 1000000 div n_docs as bigint)"
+            ).alias("contaminated_ppm"),
+            "gram_hits",
+        )
+        .orderBy("gram_n")
+    )

@@ -519,3 +519,57 @@ def operating_point_from_counts(counts: DataFrame) -> DataFrame:
         )
     )
     return best_j.unionAll(best_f).orderBy("criterion")
+
+
+def decontamination_counts(docs: DataFrame, eval_grams: list[str]) -> DataFrame:
+    """x269's per-source decontamination census as ONE streaming
+    aggregation — the live monitor that watches eval contamination as a
+    crawl lands, instead of discovering it at training-set freeze.
+
+    Each arriving doc's distinct 5-grams intersect the eval gram set
+    IN-ROW (``array_intersect`` against the fixed gram array), so the
+    per-doc hit count never needs a second stateful operator; the one
+    groupBy(source) agg then carries (n_docs, n_contaminated,
+    gram_hits) — state bounded by |sources|, never stream length —
+    and :func:`decontamination_table` derives x269's published rows
+    (ppm included) from the state per refresh. Scale note: the in-row
+    gram set is right up to ~1e4 grams (a broadcast-sized eval suite);
+    past that the production shape is the x269 batch plan run
+    incrementally — bucketed broadcast join per microbatch — with this
+    same per-source additive state.
+
+    ``docs`` needs columns source, text."""
+    grams5 = F.expr(
+        "case when size(split(text, ' ')) >= 5 then"
+        " array_distinct(transform(sequence(1, size(split(text, ' ')) - 4),"
+        " i -> array_join(slice(split(text, ' '), i, 5), ' ')))"
+        " else array() end"
+    )
+    ev = F.array(*[F.lit(g) for g in eval_grams])
+    hits = F.size(F.array_intersect(grams5, ev)).cast("long")
+    return (
+        docs.select("source", hits.alias("h"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("h") > 0).cast("long"))
+            .cast("long")
+            .alias("n_contaminated"),
+            F.sum("h").cast("long").alias("gram_hits"),
+        )
+    )
+
+
+def decontamination_table(state: DataFrame) -> DataFrame:
+    """x269's published per-source rows derived from the
+    :func:`decontamination_counts` state — the ppm is the only
+    non-state column, integer `div` exactly as the batch query."""
+    return state.select(
+        "source",
+        "n_docs",
+        "n_contaminated",
+        F.expr(
+            "cast(n_contaminated * 1000000 div n_docs as bigint)"
+        ).alias("contaminated_ppm"),
+        "gram_hits",
+    ).orderBy("source")

@@ -133,6 +133,7 @@ FLAGSHIPS = {
     "x267_df_cap_sensitivity": "ONE df-bounded shingle self-join carrying per-shingle df; 5 caps as conditional sums, not 5 rebuilds",
     "x269_eval_ngram_decontamination": "eval gram set broadcast; corpus explodes once; broadcast hash join, no self-join",
     "x270_filter_funnel": "one scan -> per-doc signals -> cumulative pass flags as conditional sums; 1-row agg fanned to 5",
+    "x271_decontamination_gram_sweep": "one scan emits (n, gram)-tagged distinct grams for all 4 sizes; broadcast eval join",
 }
 
 

@@ -182,48 +182,3 @@ def test_streaming_ipf_raking_equals_x249(spark, sf_dir, tmp_path):
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
-
-def test_streaming_funnel_equals_x270(spark, sf_dir, tmp_path):
-    """Round-13 twin: x270's filter funnel maintained live. The
-    sufficient statistic is ONE mergeable count/sum row
-    (functions/textfns.py funnel_state) — the complete-mode state is
-    exactly 1 row for every microbatch — and funnel_table fanned from
-    the final state must equal the batch x270 rows exactly."""
-    from kafka_connect_spark.functions.textfns import (
-        funnel_flags,
-        funnel_signals,
-        funnel_state,
-        funnel_table,
-    )
-
-    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "256")
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
-    d = str(tmp_path / "funnel-replay")
-    write_replay_files(docs, d, N_FILES, "doc_id")
-    sdf = file_replay_stream(spark, d, spark.read.parquet(d).schema)
-    out: list[pd.DataFrame] = []
-    q = (
-        funnel_state(funnel_flags(funnel_signals(sdf)))
-        .writeStream.foreachBatch(lambda df, bid: out.append(df.toPandas()))
-        .option("checkpointLocation", str(tmp_path / "funnel-ckpt"))
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    trace = [
-        (p["batchId"], p["stateOperators"][0]["numRowsTotal"])
-        for p in q.recentProgress
-        if p.get("stateOperators")
-    ]
-    assert len(trace) >= 100, f"only {len(trace)} microbatches recorded"
-    assert max(rows for _, rows in trace) == 1  # the one agg row IS the state
-
-    final = spark.createDataFrame(out[-1])
-    got = funnel_table(final).toPandas().sort_values("stage", ignore_index=True)
-    want = (
-        QUERIES["x270_filter_funnel"](spark, sf_dir)
-        .toPandas()
-        .sort_values("stage", ignore_index=True)
-    )
-    pd.testing.assert_frame_equal(got, want, check_dtype=False)
