@@ -215,6 +215,13 @@ HEADLINE = [
     "x269_eval_ngram_decontamination",
     "x270_filter_funnel",
     "x271_decontamination_gram_sweep",
+    "x272_segment_dedup_prune",
+    "x273_temporal_split_audit",
+    "x274_knn_hubness_audit",
+    "x275_anisotropy_audit",
+    "x276_segment_share_matrix",
+    "x277_segment_size_sweep",
+    "x278_freeze_manifest",
     # round 11 additions
     "x265_keep_policy_comparison",
     "x263_operating_point",

@@ -703,3 +703,43 @@ def kcore_nodes(edges: DataFrame, k: int, max_iters: int = 12) -> DataFrame:
         .filter(F.col("d") >= k)
         .select("node")
     )
+
+
+def segment_blocks(docs: DataFrame, block: int = 20) -> DataFrame:
+    """Explode documents into non-overlapping ``block``-token segments —
+    the shared front half of x272's batch prune plan and its streaming
+    twin (streaming/drift.py block_keeper_state), so batch and stream
+    can never drift on the segmentation.
+
+    Emits one row per block: (doc_id, source, b_idx, n_tok, h, clock)
+    where ``h`` = md5 of the space-joined block and ``clock`` =
+    doc_id * 1e6 + b_idx — the keep-first total order, a single BIGINT
+    so the keeper selection stays a plain ``min`` in every engine.
+    Assumes b_idx < 1e6 (a 20M-token document at block=20); the docs
+    side needs columns doc_id, source, text."""
+    toks = docs.select(
+        "doc_id", "source", F.split("text", " ").alias("toks")
+    )
+    return toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, cast((size(toks) + {block} - 1)"
+                f" div {block} as int) - 1),"
+                f" b -> named_struct("
+                f"'b_idx', cast(b as bigint),"
+                f" 'n_tok', cast(size(slice(toks, b * {block} + 1, {block}))"
+                f" as bigint),"
+                f" 'h', md5(array_join(slice(toks, b * {block} + 1, {block}),"
+                f" ' '))))"
+            )
+        ).alias("blk"),
+    ).select(
+        "doc_id",
+        "source",
+        F.col("blk.b_idx").alias("b_idx"),
+        F.col("blk.n_tok").alias("n_tok"),
+        F.col("blk.h").alias("h"),
+        (F.col("doc_id") * 1000000 + F.col("blk.b_idx")).alias("clock"),
+    )

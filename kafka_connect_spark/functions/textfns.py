@@ -607,11 +607,14 @@ FUNNEL_STAGES = [
 ]
 
 
-def funnel_signals(df: "DataFrame") -> "DataFrame":
+def funnel_signals(df: "DataFrame", extra: tuple = ()) -> "DataFrame":
     """Per-doc integer quality signals the funnel gates read — one
     projection over (text, n_chars), exact split/translate primitives
-    both engines share."""
+    both engines share. ``extra`` names passthrough columns (x278's
+    manifest keeps doc identity; x270/the streaming twin keep the
+    default anonymous shape)."""
     return df.select(
+        *extra,
         "n_chars",
         F.size(F.split("text", " ")).cast("long").alias("ntoks"),
         F.expr(

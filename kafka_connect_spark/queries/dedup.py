@@ -2839,3 +2839,381 @@ def x271_decontamination_gram_sweep(
         )
         .orderBy("gram_n")
     )
+
+
+#: x272 segments documents into fixed 20-token non-overlapping blocks —
+#: the sentence/paragraph stand-in for this corpus (the fixture text is a
+#: flat token stream with no punctuation; real deployments swap the block
+#: splitter for a sentence splitter, the plan is identical).
+_X272_BLOCK = 20
+
+
+@query(
+    "x272_segment_dedup_prune",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+                 FROM documents),
+    blocks AS (SELECT doc_id, source,
+                      CAST(b AS BIGINT) AS b_idx,
+                      CAST(len(toks[b * {_X272_BLOCK} + 1 :
+                               b * {_X272_BLOCK} + {_X272_BLOCK}]) AS BIGINT)
+                          AS n_tok,
+                      md5(array_to_string(
+                          toks[b * {_X272_BLOCK} + 1 :
+                               b * {_X272_BLOCK} + {_X272_BLOCK}], ' ')) AS h
+               FROM tok,
+                    unnest(range(0, (len(toks) + {_X272_BLOCK} - 1)
+                                    // {_X272_BLOCK})) t(b)),
+    keeper AS (SELECT h, min(doc_id * 1000000 + b_idx) AS keep_clock
+               FROM blocks GROUP BY h)
+    SELECT source,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_blocks,
+           CAST(sum(CASE WHEN doc_id * 1000000 + b_idx <> keep_clock
+                         THEN 1 ELSE 0 END) AS BIGINT) AS dup_blocks,
+           CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+           CAST(sum(CASE WHEN doc_id * 1000000 + b_idx <> keep_clock
+                         THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_dropped,
+           CAST(sum(CASE WHEN doc_id * 1000000 + b_idx <> keep_clock
+                         THEN n_tok ELSE 0 END) * 1000000
+                // sum(n_tok) AS BIGINT) AS drop_ppm
+    FROM blocks JOIN keeper USING (h)
+    GROUP BY source ORDER BY source
+    """,
+)
+def x272_segment_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level (sentence/paragraph-granularity) exact dedup PRUNE
+    PLAN — per source, the token mass a keep-first block dedup removes.
+    x139 audits how much 10-gram POSITION mass is shared (the Lee et al.
+    measurement); this is the corresponding ACTION: split every doc into
+    non-overlapping 20-token blocks, keep exactly one instance of each
+    distinct block corpus-wide (the earliest by the (doc_id, block_idx)
+    clock — reproducible under repartition and re-crawl, x36's
+    discipline), and account the dropped-token savings per source. This
+    is the between-doc boilerplate remover whole-doc dedup (x12b) can't
+    see and gram auditing (x139) doesn't act on.
+
+    Plan: one exploded scan emits (doc, block_idx, md5(block), n_tok);
+    the keeper per hash is a hash-agg min over an ENCODED clock
+    (doc_id*1e6 + block_idx — single BIGINT, so the agg is a plain min,
+    no struct ordering semantics to keep in parity across engines), then
+    one join back on the hash and per-source conditional sums. Two
+    shuffles, both on the block hash — linear in corpus token volume, no
+    pair join, no window. At 100 TB this is the exact shape of x12's
+    fingerprint dedup with ~15x the row count (one row per block instead
+    of per doc); the hash keys are uniform so there is no skew to salt.
+    The encoded clock assumes block_idx < 1e6 (a 20M-token document) —
+    assert-checked in tests."""
+    from ..functions.dedupfns import segment_blocks
+
+    d = load_parallel(spark, sf_dir, "documents")
+    blocks = segment_blocks(
+        d.select("doc_id", "source", "text"), block=_X272_BLOCK
+    )
+    keeper = blocks.groupBy("h").agg(F.min("clock").alias("keep_clock"))
+    joined = blocks.join(keeper, "h")
+    dropped = (F.col("clock") != F.col("keep_clock")).cast("long")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+            F.sum(dropped).cast("long").alias("dup_blocks"),
+            F.sum("n_tok").cast("long").alias("tokens_total"),
+            F.sum(dropped * F.col("n_tok")).cast("long").alias("tokens_dropped"),
+            F.expr(
+                "cast(sum(case when clock <> keep_clock then n_tok else 0 end)"
+                " * 1000000 div sum(n_tok) as bigint)"
+            ).alias("drop_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "x273_temporal_split_audit",
+    oracle="""
+    WITH b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+               FROM events),
+    tagged AS (SELECT event_type, user_id,
+                      CASE WHEN epoch_us(ts) <=
+                           b.lo + (b.hi - b.lo) * 4 // 5
+                           THEN 1 ELSE 0 END AS is_train
+               FROM events, b),
+    per_user AS (SELECT event_type, user_id,
+                        CAST(sum(is_train) AS BIGINT) AS n_train,
+                        CAST(sum(1 - is_train) AS BIGINT) AS n_test
+                 FROM tagged GROUP BY 1, 2)
+    SELECT event_type,
+           CAST(sum(n_train) AS BIGINT) AS train_events,
+           CAST(sum(n_test) AS BIGINT) AS test_events,
+           CAST(sum(CASE WHEN n_train > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS train_users,
+           CAST(sum(CASE WHEN n_test > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS test_users,
+           CAST(sum(CASE WHEN n_train > 0 AND n_test > 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS overlap_users,
+           CAST(sum(CASE WHEN n_train > 0 AND n_test > 0 THEN 1 ELSE 0 END)
+                * 1000000
+                // greatest(sum(CASE WHEN n_test > 0 THEN 1 ELSE 0 END), 1)
+               AS BIGINT) AS overlap_ppm
+    FROM per_user GROUP BY event_type ORDER BY event_type
+    """,
+)
+def x273_temporal_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based holdout split + cross-boundary user-leakage audit: cut
+    the event stream at 80% of its time span (integer microsecond
+    arithmetic — exact in both engines), and report, per event_type, the
+    train/test event counts AND how many test-side users also appear in
+    train. User overlap across a temporal boundary is the leakage that
+    silently inflates user-level feature models evaluated on the "held
+    out" tail — the temporal complement of x92 (content leakage via
+    near-dup edges) and x238 (GroupKFold prevents exactly this by
+    grouping on the entity). High overlap_ppm says a temporal split does
+    NOT give entity independence and x238's split should be used instead
+    — this query is the evidence for that decision.
+
+    Plan: one scan computes the global (min, max) epoch bounds (2-value
+    agg, broadcast back via crossJoin — no collect); the per-user flags
+    are ONE hash agg on (event_type, user_id); the report is a second
+    agg on event_type. Two shuffles, the first on a key whose
+    cardinality is |users| x |types| — at 100 TB this is the same
+    bounded-state shape as the streaming session family; no window, no
+    join beyond the 1-row bounds broadcast. The cut uses integer
+    floor-div so a span that is not divisible by 5 lands on the same
+    microsecond in both engines."""
+    e = load_parallel(spark, sf_dir, "events").select(
+        "event_type", "user_id", F.unix_micros("ts").alias("us")
+    )
+    bounds = e.agg(
+        F.min("us").alias("lo"), F.max("us").alias("hi")
+    )
+    tagged = e.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        "user_id",
+        (
+            F.col("us")
+            <= F.col("lo") + F.expr("(hi - lo) * 4 div 5")
+        )
+        .cast("long")
+        .alias("is_train"),
+    )
+    per_user = tagged.groupBy("event_type", "user_id").agg(
+        F.sum("is_train").cast("long").alias("n_train"),
+        F.sum(F.lit(1) - F.col("is_train")).cast("long").alias("n_test"),
+    )
+    in_train = (F.col("n_train") > 0).cast("long")
+    in_test = (F.col("n_test") > 0).cast("long")
+    return (
+        per_user.groupBy("event_type")
+        .agg(
+            F.sum("n_train").cast("long").alias("train_events"),
+            F.sum("n_test").cast("long").alias("test_events"),
+            F.sum(in_train).cast("long").alias("train_users"),
+            F.sum(in_test).cast("long").alias("test_users"),
+            F.sum(in_train * in_test).cast("long").alias("overlap_users"),
+            F.expr(
+                "cast(sum(case when n_train > 0 and n_test > 0 then 1 else 0"
+                " end) * 1000000 div greatest(sum(case when n_test > 0 then 1"
+                " else 0 end), 1) as bigint)"
+            ).alias("overlap_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "x276_segment_share_matrix",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+                 FROM documents),
+    blocks AS (SELECT DISTINCT source,
+                      md5(array_to_string(
+                          toks[b * {_X272_BLOCK} + 1 :
+                               b * {_X272_BLOCK} + {_X272_BLOCK}], ' ')) AS h
+               FROM tok,
+                    unnest(range(0, (len(toks) + {_X272_BLOCK} - 1)
+                                    // {_X272_BLOCK})) t(b)),
+    tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM blocks
+            GROUP BY source),
+    c AS (SELECT a.source AS source_a, b.source AS source_b,
+                 CAST(count(*) AS BIGINT) AS shared_blocks
+          FROM blocks a JOIN blocks b
+            ON a.h = b.h AND a.source < b.source
+          GROUP BY 1, 2)
+    SELECT source_a, source_b, shared_blocks,
+           CAST(shared_blocks * 1000000 // least(ta.n, tb.n) AS BIGINT)
+               AS overlap_ppm
+    FROM c JOIN tot ta ON ta.source = source_a
+           JOIN tot tb ON tb.source = source_b
+    ORDER BY source_a, source_b
+    """,
+)
+def x276_segment_share_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source segment-sharing provenance matrix: for every source
+    pair, how many DISTINCT 20-token blocks appear in both, plus the
+    overlap coefficient in ppm (shared / smaller source's block
+    vocabulary). This is x44's cross-source dup matrix pushed down to
+    segment granularity — whole-doc hashing misses the syndicated
+    paragraph / shared boilerplate that x272 prunes, and THIS says where
+    it comes from: a high-overlap source pair is one mirror or one
+    shared template, and the mixture planner (x151) should treat them
+    as one source before weighting.
+
+    Plan: segment_blocks (shared with x272/the streaming twin) ->
+    distinct (h, source) — the block VOCABULARY per source, one
+    hash-agg shuffle; the pair count is per-h source-set collection
+    (``collect_set`` bounded by |sources|, a few tens) with the source
+    pairs generated IN-ROW (x167's idiom — never a self-join row
+    explosion: per block the fan-out is <= |sources| choose 2, a
+    constant) and one final pair agg; totals are a <=|sources|-row
+    broadcast joined twice. No corpus self-join anywhere; linear in
+    block volume. The DuckDB oracle states the same count as the
+    equivalent h-equijoin, which at |sources| ~ tens is the identical
+    quantity."""
+    from ..functions.dedupfns import segment_blocks
+
+    d = load_parallel(spark, sf_dir, "documents")
+    db = (
+        segment_blocks(d.select("doc_id", "source", "text"), block=_X272_BLOCK)
+        .select("h", "source")
+        .distinct()
+    )
+    # two consumers (totals + per-h sets) share one distinct subplan;
+    # the shuffle is served once at runtime (AQE exchange reuse), so no
+    # persist/checkpoint is needed.
+    tot = db.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    sets = (
+        db.groupBy("h")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+        .filter(F.size("ss") > 1)
+    )
+    pairs = sets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(0, size(ss) - 2),"
+                " i -> transform(sequence(i + 1, size(ss) - 1),"
+                " j -> named_struct('a', ss[i], 'b', ss[j]))))"
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("source_a"), F.col("p.b").alias("source_b"))
+    c = pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("long").alias("shared_blocks")
+    )
+    ta = tot.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    tb = tot.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        c.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared_blocks",
+            F.expr(
+                "cast(shared_blocks * 1000000 div least(n_a, n_b)"
+                " as bigint)"
+            ).alias("overlap_ppm"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+#: block sizes x277 sweeps — the calibration evidence for x272's 20:
+#: small blocks over-prune (every common phrase dedups), huge blocks
+#: degenerate to whole-doc hashing (x12b).
+_X277_SIZES = [10, 20, 40, 80]
+
+
+def _x277_blocks_sql(k: int) -> str:
+    return f"""SELECT CAST({k} AS BIGINT) AS block_tokens, doc_id,
+           CAST(b AS BIGINT) AS b_idx,
+           CAST(len(toks[b * {k} + 1 : b * {k} + {k}]) AS BIGINT) AS n_tok,
+           md5(array_to_string(toks[b * {k} + 1 : b * {k} + {k}], ' ')) AS h
+    FROM tok, unnest(range(0, (len(toks) + {k} - 1) // {k})) t(b)"""
+
+
+@query(
+    "x277_segment_size_sweep",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents),
+    blocks AS ({" UNION ALL ".join(_x277_blocks_sql(k) for k in _X277_SIZES)}),
+    keeper AS (SELECT block_tokens, h,
+                      min(doc_id * 1000000 + b_idx) AS kc
+               FROM blocks GROUP BY 1, 2)
+    SELECT block_tokens,
+           CAST(count(*) AS BIGINT) AS n_blocks,
+           CAST(sum(CASE WHEN doc_id * 1000000 + b_idx <> kc
+                         THEN 1 ELSE 0 END) AS BIGINT) AS dup_blocks,
+           CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+           CAST(sum(CASE WHEN doc_id * 1000000 + b_idx <> kc
+                         THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_dropped,
+           CAST(sum(CASE WHEN doc_id * 1000000 + b_idx <> kc
+                         THEN n_tok ELSE 0 END) * 1000000
+                // sum(n_tok) AS BIGINT) AS drop_ppm
+    FROM blocks JOIN keeper USING (block_tokens, h)
+    GROUP BY block_tokens ORDER BY block_tokens
+    """,
+)
+def x277_segment_size_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x272's block-size calibration: the corpus-wide prune mass at
+    block sizes {10,20,40,80} tokens — the threshold-choice evidence
+    for the segment dedup granularity, exactly as x271 is for x269's
+    gram size. Small blocks over-prune (any common phrase dedups its
+    whole block); huge blocks converge on whole-doc hashing (x12b) and
+    miss partial copies — the knee between the two is where x272's
+    default belongs.
+
+    Plan: ONE corpus scan emits (k, block)-tagged rows for all four
+    sizes via an in-projection fan-out (x271's idiom — the tag rides
+    the explode, not four parquet scans; total fan-out is sum(len/k)
+    ~ 0.19x token volume, LESS than one k=10 segmentation of a 2x
+    corpus); the keeper is one hash agg keyed (k, h) + one join back,
+    identical to x272 with k in the key. Linear, no windows, no pair
+    joins."""
+    from ..functions.dedupfns import segment_blocks  # noqa: F401  (family)
+
+    d = load_parallel(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("toks"))
+    per_k = [
+        f"transform(sequence(0, cast((size(toks) + {k} - 1) div {k}"
+        f" as int) - 1),"
+        f" b -> named_struct("
+        f"'k', cast({k} as bigint),"
+        f" 'b_idx', cast(b as bigint),"
+        f" 'n_tok', cast(size(slice(toks, b * {k} + 1, {k})) as bigint),"
+        f" 'h', md5(array_join(slice(toks, b * {k} + 1, {k}), ' '))))"
+        for k in _X277_SIZES
+    ]
+    blocks = toks.select(
+        "doc_id",
+        F.explode(F.expr("flatten(array(" + ", ".join(per_k) + "))")).alias(
+            "t"
+        ),
+    ).select(
+        F.col("t.k").alias("block_tokens"),
+        F.col("t.n_tok").alias("n_tok"),
+        F.col("t.h").alias("h"),
+        (F.col("doc_id") * 1000000 + F.col("t.b_idx")).alias("clock"),
+    )
+    keeper = blocks.groupBy("block_tokens", "h").agg(
+        F.min("clock").alias("kc")
+    )
+    joined = blocks.join(keeper, ["block_tokens", "h"])
+    dropped = (F.col("clock") != F.col("kc")).cast("long")
+    return (
+        joined.groupBy("block_tokens")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+            F.sum(dropped).cast("long").alias("dup_blocks"),
+            F.sum("n_tok").cast("long").alias("tokens_total"),
+            F.sum(dropped * F.col("n_tok")).cast("long").alias(
+                "tokens_dropped"
+            ),
+            F.expr(
+                "cast(sum(case when clock <> kc then n_tok else 0 end)"
+                " * 1000000 div sum(n_tok) as bigint)"
+            ).alias("drop_ppm"),
+        )
+        .orderBy("block_tokens")
+    )

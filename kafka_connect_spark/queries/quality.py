@@ -2789,3 +2789,143 @@ def x270_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return funnel_table(funnel_state(funnel_flags(funnel_signals(d))))
+
+
+_X278_Q_SQL = " AND ".join(
+    p.replace(" div ", " // ") for _, p in _X270_STAGES
+)
+_X278_Q_SPARK = " and ".join(p for _, p in _X270_STAGES)
+
+
+@query(
+    "x278_freeze_manifest",
+    oracle=f"""
+    WITH cand AS (SELECT * FROM documents WHERE doc_id >= 10),
+    s AS (SELECT doc_id, source, n_chars,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS ntoks,
+                 CAST(len(list_filter(string_split(text, ' '),
+                     t -> t IN ('a','the','of','and','to','in')))
+                     AS BIGINT) AS hits,
+                 CAST(length(text)
+                      - length(translate(text, '.,;:!?', ''))
+                      AS BIGINT) AS punct
+          FROM cand),
+    q AS (SELECT doc_id, source, n_chars,
+                 CASE WHEN {_X278_Q_SQL} THEN 1 ELSE 0 END AS q_pass
+          FROM s),
+    k AS (SELECT md5(text) AS th, min(doc_id) AS keep_id
+          FROM cand GROUP BY 1),
+    kd AS (SELECT c.doc_id,
+                  CASE WHEN c.doc_id = k.keep_id THEN 1 ELSE 0 END
+                      AS is_keeper
+           FROM cand c JOIN k ON md5(c.text) = k.th),
+    tok AS (SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents),
+    ev AS (SELECT DISTINCT gram
+           FROM (SELECT unnest(list_transform(
+                     range(1, greatest(len(toks) - 3, 1)),
+                     i -> array_to_string(toks[i:i+4], ' '))) AS gram
+                 FROM tok WHERE doc_id < 10)),
+    corp AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                 range(1, greatest(len(toks) - 3, 1)),
+                 i -> array_to_string(toks[i:i+4], ' ')))) AS gram
+             FROM tok WHERE doc_id >= 10),
+    hits5 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+              FROM corp JOIN ev USING (gram) GROUP BY 1),
+    verdicts AS (SELECT q.source, q.n_chars,
+                        CASE WHEN q.q_pass = 0 THEN 'drop_quality'
+                             WHEN kd.is_keeper = 0 THEN 'drop_exact_dup'
+                             WHEN COALESCE(h.n_hits, 0) > 0
+                                  THEN 'drop_contaminated'
+                             ELSE 'keep' END AS verdict
+                 FROM q JOIN kd ON kd.doc_id = q.doc_id
+                 LEFT JOIN hits5 h ON h.doc_id = q.doc_id)
+    SELECT source, verdict,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS char_mass
+    FROM verdicts GROUP BY 1, 2 ORDER BY source, verdict
+    """,
+)
+def x278_freeze_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-set FREEZE MANIFEST: every candidate doc (doc_id >=
+    10; < 10 is the eval seed set, x269's convention) gets exactly one
+    verdict under the fixed precedence quality -> exact-dup ->
+    contamination -> keep, and the manifest reports per (source,
+    verdict) doc counts and char mass. This is the composed ACTION the
+    round's gates exist for: x270 says what each quality stage costs,
+    x12b who the dup keepers are, x269 what touches eval — THIS is the
+    one table a dataset card publishes at freeze (each drop attributed
+    to its FIRST failing gate, so the columns sum to the corpus and
+    reruns are idempotent).
+
+    Gate parity: the quality predicate is FUNNEL_STAGES verbatim (same
+    constant shared by x270 and the streaming twin — adding a stage
+    changes all three together); exact-dup is x12b's min-doc_id keeper
+    per md5(text) WITHIN the candidate corpus; contamination is x269's
+    distinct-5-gram broadcast hit test. Plan: one signals projection,
+    one keeper hash agg + join back on the text hash, one broadcast
+    gram join — the union of the three parents' plans with a final
+    (source, verdict) agg; no new shuffle shapes, everything linear.
+    At 100 TB the manifest adds nothing to the parents' cost envelope:
+    the expensive parts (gram explode, text hash) are theirs."""
+    from ..functions.textfns import FUNNEL_STAGES, funnel_signals
+
+    d = load(spark, sf_dir, "documents")
+    cand = d.filter(F.col("doc_id") >= 10)
+    q = funnel_signals(
+        cand.select("doc_id", "source", "text", "n_chars"),
+        extra=("doc_id", "source"),
+    ).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.expr(
+            "case when " + _X278_Q_SPARK + " then 1 else 0 end"
+        ).alias("q_pass"),
+    )
+    keeper = (
+        cand.groupBy(F.md5("text").alias("th"))
+        .agg(F.min("doc_id").alias("keep_id"))
+    )
+    kd = cand.select("doc_id", F.md5("text").alias("th")).join(
+        keeper, "th"
+    ).select(
+        "doc_id",
+        (F.col("doc_id") == F.col("keep_id")).cast("long").alias("is_keeper"),
+    )
+    gram5 = F.expr(
+        "case when size(toks) >= 5 then"
+        " array_distinct(transform(sequence(1, size(toks) - 4),"
+        " i -> array_join(slice(toks, i, 5), ' ')))"
+        " else array() end"
+    )
+    toks = d.select("doc_id", F.split("text", " ").alias("toks"))
+    ev = (
+        toks.filter(F.col("doc_id") < 10)
+        .select(F.explode(gram5).alias("gram"))
+        .distinct()
+    )
+    hits5 = (
+        toks.filter(F.col("doc_id") >= 10)
+        .select("doc_id", F.explode(gram5).alias("gram"))
+        .join(F.broadcast(ev), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    verdict = (
+        F.when(F.col("q_pass") == 0, "drop_quality")
+        .when(F.col("is_keeper") == 0, "drop_exact_dup")
+        .when(F.coalesce("n_hits", F.lit(0)) > 0, "drop_contaminated")
+        .otherwise("keep")
+    )
+    return (
+        q.join(kd, "doc_id")
+        .join(hits5, "doc_id", "left")
+        .select("source", "n_chars", verdict.alias("verdict"))
+        .groupBy("source", "verdict")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("char_mass"),
+        )
+        .orderBy("source", "verdict")
+    )

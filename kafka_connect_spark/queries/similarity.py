@@ -1319,3 +1319,230 @@ def x251_embedding_parity_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+_PAIR_COS_SQL = dround_sql(
+    "list_dot_product(a.v, b.v) / "
+    "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))", 6
+)
+
+
+@query(
+    "x274_knn_hubness_audit",
+    oracle=f"""
+    WITH h AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                      CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)),
+                           1, 15) AS BIGINT) AS hv
+               FROM embeddings),
+    s AS (SELECT vec_id, v FROM (
+            SELECT vec_id, v, row_number() OVER (ORDER BY hv, vec_id) AS rn
+            FROM h)
+          WHERE rn <= 256),
+    p AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+                 {_PAIR_COS_SQL} AS c
+          FROM s a JOIN s b ON a.vec_id <> b.vec_id),
+    r AS (SELECT qid, nid, row_number() OVER
+              (PARTITION BY qid ORDER BY c DESC, nid) AS rk
+          FROM p),
+    deg AS (SELECT s.vec_id,
+                   CAST(count(r.qid) AS BIGINT) AS in_degree
+            FROM s LEFT JOIN (SELECT qid, nid FROM r WHERE rk <= 5) r
+              ON r.nid = s.vec_id
+            GROUP BY s.vec_id)
+    SELECT in_degree, CAST(count(*) AS BIGINT) AS n_vectors
+    FROM deg GROUP BY in_degree ORDER BY in_degree
+    """,
+)
+def x274_knn_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN hubness audit (Radovanovic et al. 2010): the in-degree
+    distribution of the directed k=5 cosine-NN graph over a
+    DETERMINISTIC 256-vector sample (the x130b md5-clock idiom). In a
+    well-conditioned embedding space in-degree concentrates near k; a
+    heavy right tail ("hub" vectors that appear in everyone's top-k)
+    predicts degraded retrieval precision and biased near-dup clustering
+    BEFORE x13/x71 are run — and the fix (centering, whitening) is
+    exactly what x275 measures. The left mass at in_degree=0
+    ("anti-hubs") is the same pathology's mirror.
+
+    Engine parity: cosine is dround(6)-shared, rank ties break by
+    neighbor id, the sample is the md5 clock — no rand() anywhere. Plan:
+    the sample is a TakeOrdered(256) over a narrow projection; the pair
+    matrix is a broadcast self-join among 256 rows (O(m^2) work,
+    INDEPENDENT of corpus size — the corpus contributes one scan); the
+    top-5 is a WindowGroupLimit under the per-query rank window; the
+    in-degree is one hash agg + a broadcast left join back to the sample
+    (zero in-degree rows are REAL rows, not absent). At 100 TB the
+    sample stays 256 and the plan cost is the scan — the histogram is
+    the deliverable, per x130b's argument. For an exact full-corpus
+    hubness census the same rank+count composition rides x13b's LSH
+    candidate join instead of the all-pairs block."""
+    from ..functions.dedupfns import token_hash60
+    from ..functions.simfns import dot, with_vec
+
+    emb = load(spark, sf_dir, "embeddings")
+    v = with_vec(emb)
+    hv = token_hash60(F.col("vec_id").cast("string"))
+    s = (
+        v.select("vec_id", "v", hv.alias("hv"))
+        .orderBy("hv", "vec_id")
+        .limit(256)
+        .select("vec_id", "v")
+    )
+    a = s.select(F.col("vec_id").alias("qid"), F.col("v").alias("va"))
+    b = s.select(F.col("vec_id").alias("nid"), F.col("v").alias("vb"))
+    cos = dround(
+        dot(F.col("va"), F.col("vb"))
+        / (
+            F.sqrt(dot(F.col("va"), F.col("va")))
+            * F.sqrt(dot(F.col("vb"), F.col("vb")))
+        ),
+        6,
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("c"), F.asc("nid"))
+    top = (
+        a.join(F.broadcast(b), F.col("qid") != F.col("nid"))
+        .select("qid", "nid", cos.alias("c"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("qid", "nid")
+    )
+    deg = (
+        s.select("vec_id")
+        .join(F.broadcast(top), s["vec_id"] == top["nid"], "left")
+        .groupBy("vec_id")
+        .agg(F.count("qid").cast("long").alias("in_degree"))
+    )
+    return (
+        deg.groupBy("in_degree")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+        .orderBy("in_degree")
+    )
+
+
+@query(
+    "x275_anisotropy_audit",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    dims AS (SELECT vec_id, CAST(i AS INT) AS i, v[i] AS x
+             FROM e, unnest(range(1, len(v) + 1)) t(i)),
+    m AS (SELECT i, {dround_sql(
+        "CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)", 6)} AS mx
+          FROM dims GROUP BY i),
+    mv AS (SELECT list(mx ORDER BY i) AS mv FROM m),
+    h AS (SELECT vec_id, v,
+                 CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)),
+                      1, 15) AS BIGINT) AS hv
+          FROM e),
+    s AS (SELECT vec_id, v FROM (
+            SELECT vec_id, v, row_number() OVER (ORDER BY hv, vec_id) AS rn
+            FROM h)
+          WHERE rn <= 128),
+    c AS (SELECT vec_id, v,
+                 list_transform(range(1, len(v) + 1),
+                                i -> v[i] - mv.mv[i]) AS cv
+          FROM s, mv),
+    p AS (SELECT {dround_sql(
+        "list_dot_product(a.v, b.v) / "
+        "(sqrt(list_dot_product(a.v, a.v)) * "
+        "sqrt(list_dot_product(b.v, b.v)))", 6)} AS cr,
+                 {dround_sql(
+        "list_dot_product(a.cv, b.cv) / "
+        "(sqrt(list_dot_product(a.cv, a.cv)) * "
+        "sqrt(list_dot_product(b.cv, b.cv)))", 6)} AS cc
+          FROM c a JOIN c b ON a.vec_id < b.vec_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           {davg_sql("cr", 6)} AS avg_cos_raw,
+           {davg_sql("cc", 6)} AS avg_cos_centered
+    FROM p
+    """,
+)
+def x275_anisotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space anisotropy audit (Ethayarajh 2019; Mu & Viswanath
+    2018 'All-but-the-Top'): the average pairwise cosine over a
+    deterministic 128-vector sample, RAW versus after subtracting the
+    full-corpus mean vector. A large raw average (vectors crowd a narrow
+    cone) with a near-zero centered average means cosine thresholds are
+    dominated by the common-mean component — near-dup cutoffs (x12f),
+    ANN recall (x13), and hubness (x274) all inherit that distortion,
+    and mean-centering is the one-line fix this audit justifies.
+
+    Engine parity: the per-dimension mean is the house davg idiom
+    (exact DECIMAL(38,6) accumulation, dround(6)) so both engines hold
+    bit-identical mean vectors; centered elements are then single IEEE
+    subtractions of identical doubles; both cosines are dround(6) before
+    the decimal-accumulated average. Plan: ONE posexplode scan + hash
+    agg builds the 64-row mean table, array_sort/collect re-packs it
+    into a 1-row broadcast (bounded by dim, the registry's <=32K-row
+    broadcast rule); the sample is TakeOrdered(128); the pair average is
+    a broadcast self-join among 128 rows. Corpus growth touches only the
+    mean scan — the O(m^2) block is constant-size at any corpus."""
+    from ..functions.dedupfns import token_hash60
+    from ..functions.simfns import dot, with_vec
+
+    emb = load(spark, sf_dir, "embeddings")
+    v = with_vec(emb).select("vec_id", "v")
+    dims = v.select(
+        "vec_id", F.posexplode("v").alias("i", "x")
+    )
+    m = dims.groupBy("i").agg(
+        dround(
+            F.sum(F.col("x").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mx")
+    )
+    mean_row = m.groupBy().agg(
+        F.expr(
+            "transform(array_sort(collect_list(named_struct('i', i,"
+            " 'mx', mx))), s -> s.mx)"
+        ).alias("mv")
+    )
+    hv = token_hash60(F.col("vec_id").cast("string"))
+    s = (
+        v.select("vec_id", "v", hv.alias("hv"))
+        .orderBy("hv", "vec_id")
+        .limit(128)
+        .select("vec_id", "v")
+        .crossJoin(F.broadcast(mean_row))
+        .select(
+            "vec_id",
+            "v",
+            F.zip_with("v", "mv", lambda x, y: x - y).alias("cv"),
+        )
+    )
+    a = s.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("cv").alias("ca"),
+    )
+    b = s.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("cv").alias("cb"),
+    )
+    cr = dround(
+        dot(F.col("va"), F.col("vb"))
+        / (
+            F.sqrt(dot(F.col("va"), F.col("va")))
+            * F.sqrt(dot(F.col("vb"), F.col("vb")))
+        ),
+        6,
+    )
+    cc = dround(
+        dot(F.col("ca"), F.col("cb"))
+        / (
+            F.sqrt(dot(F.col("ca"), F.col("ca")))
+            * F.sqrt(dot(F.col("cb"), F.col("cb")))
+        ),
+        6,
+    )
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select(cr.alias("cr"), cc.alias("cc"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            davg(F.col("cr"), 6).alias("avg_cos_raw"),
+            davg(F.col("cc"), 6).alias("avg_cos_centered"),
+        )
+    )

@@ -573,3 +573,42 @@ def decontamination_table(state: DataFrame) -> DataFrame:
         ).alias("contaminated_ppm"),
         "gram_hits",
     ).orderBy("source")
+
+
+def block_keeper_state(docs: DataFrame) -> DataFrame:
+    """x272's segment-level keep-first dedup maintained LIVE: the
+    complete-mode state is one row per DISTINCT 20-token block — (h,
+    keep_clock, keep_source, n_tok) — with the keeper re-elected by
+    ``min/min_by`` on the encoded (doc_id, block_idx) clock as blocks
+    arrive, so replay order cannot change the final state (min is
+    order-free). This is the streaming half of exact segment dedup: the
+    state IS the dedup decision, and grows with distinct content (the
+    x37 exact-dedup bound — inherent to the semantics, not a leak; a
+    production deployment shards this state by h, which is uniform by
+    construction).
+
+    Segmentation is shared verbatim with the batch query via
+    :func:`~kafka_connect_spark.functions.dedupfns.segment_blocks`.
+    ``docs`` needs columns doc_id, source, text."""
+    from ..functions.dedupfns import segment_blocks
+
+    return segment_blocks(docs).groupBy("h").agg(
+        F.min("clock").alias("keep_clock"),
+        F.min_by("source", "clock").alias("keep_source"),
+        F.min("n_tok").alias("n_tok"),  # equal across instances of h
+    )
+
+
+def segment_keeper_table(state: DataFrame) -> DataFrame:
+    """The per-source KEPT mass derived from the
+    :func:`block_keeper_state` rows — pinned in tests to exactly
+    x272's (n_blocks - dup_blocks, tokens_total - tokens_dropped):
+    the batch prune plan and the live state agree on every keeper."""
+    return (
+        state.groupBy(F.col("keep_source").alias("source"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("kept_blocks"),
+            F.sum("n_tok").cast("long").alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )

@@ -134,6 +134,13 @@ FLAGSHIPS = {
     "x269_eval_ngram_decontamination": "eval gram set broadcast; corpus explodes once; broadcast hash join, no self-join",
     "x270_filter_funnel": "one scan -> per-doc signals -> cumulative pass flags as conditional sums; 1-row agg fanned to 5",
     "x271_decontamination_gram_sweep": "one scan emits (n, gram)-tagged distinct grams for all 4 sizes; broadcast eval join",
+    "x272_segment_dedup_prune": "one exploded block scan -> hash-agg min clock keeper -> join back; two shuffles, no window",
+    "x273_temporal_split_audit": "1-row bounds broadcast -> (type,user) hash agg -> type agg; two shuffles, no join",
+    "x274_knn_hubness_audit": "TakeOrdered(256) sample -> broadcast self-join -> WindowGroupLimit top-5 -> in-degree agg",
+    "x275_anisotropy_audit": "posexplode mean scan -> 1-row mean broadcast -> TakeOrdered(128) -> broadcast pair agg",
+    "x276_segment_share_matrix": "distinct (h,source) -> per-h collect_set -> in-row pair explode -> pair agg + 2 broadcast total joins",
+    "x277_segment_size_sweep": "one scan, (k,block)-tagged explode for 4 sizes -> (k,h) keeper agg -> join back -> per-k sums",
+    "x278_freeze_manifest": "signals projection + md5 keeper agg + broadcast gram join -> first-failing-gate verdict -> (source,verdict) agg",
 }
 
 

@@ -483,3 +483,89 @@ def test_x263_and_x253_single_corpus_pass(spark, sf_dir):
     for name in ("x263_operating_point", "x253_quantile_normalize_length"):
         plan = _plan(spark, sf_dir, name)
         assert plan.count("Scan parquet") == 0, name
+
+
+def test_x272_block_dedup_two_hash_aggs_no_window(spark, sf_dir):
+    """Segment dedup's keeper selection must be a hash agg (min over the
+    encoded clock) + a join back on the block hash — NEVER a per-hash
+    window (a sort per group) and never a pair join. Fixture-scale AQE
+    may broadcast the keeper side; the property that survives 100x is
+    the absence of any nested-loop/cartesian shape and the partial+final
+    agg pairs."""
+    plan = _plan(spark, sf_dir, "x272_segment_dedup_prune")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 4  # keeper min + source agg, x2
+
+
+def test_x273_split_audit_one_bounds_broadcast(spark, sf_dir):
+    """The temporal split's only join is the 1-row epoch-bounds broadcast
+    (BroadcastNestedLoopJoin on a literal-true condition); everything
+    else is two hash aggs ((type,user) then type). A SortMergeJoin or
+    Window here would mean the bounds were recomputed per row group."""
+    plan = _plan(spark, sf_dir, "x273_temporal_split_audit")
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_x274_hubness_sample_then_group_limit(spark, sf_dir):
+    """Hubness: the 256-sample must be TakeOrdered (never a global sort),
+    the top-5 rank must run under WindowGroupLimit (rows capped below
+    the sort), and the in-degree join back to the sample must broadcast
+    — the O(m^2) block is constant-size at any corpus."""
+    plan = _plan(spark, sf_dir, "x274_knn_hubness_audit")
+    assert "TakeOrderedAndProject" in plan
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_x275_anisotropy_mean_scan_plus_constant_pairs(spark, sf_dir):
+    """Anisotropy: the mean vector is ONE posexplode scan -> hash agg
+    (partial+final) repacked by a bounded ObjectHashAggregate
+    (collect_list over |dim| rows); the pair average is a broadcast
+    self-join among 128 sampled rows. Corpus growth must touch only the
+    scan — assert the sample is TakeOrdered and no shuffle join exists."""
+    plan = _plan(spark, sf_dir, "x275_anisotropy_audit")
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "ObjectHashAggregate" in plan
+
+
+def test_x276_share_matrix_in_row_pairs_no_self_join(spark, sf_dir):
+    """The share matrix must generate source pairs IN-ROW from the per-h
+    collect_set (ObjectHashAggregate) — never an h-keyed self-join of
+    the block table (which re-shuffles block volume twice and fans out
+    per-h rows). The totals joins must broadcast (<=|sources| rows)."""
+    plan = _plan(spark, sf_dir, "x276_segment_share_matrix")
+    assert "ObjectHashAggregate" in plan  # collect_set, partial+final
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") == 2  # the two totals joins
+
+
+def test_x277_sweep_single_scan_tagged_explode(spark, sf_dir):
+    """The 4-way size fan-out must ride the tagged explode, never a
+    per-size scan union: exactly the TWO scans of x272's two-consumer
+    shape (keeper build + probe side), not eight (4 sizes x 2). Keeper
+    stays a hash agg + join back — no window, no nested loop."""
+    plan = _plan(spark, sf_dir, "x277_segment_size_sweep")
+    assert plan.count("Scan parquet") == 2
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_x278_manifest_gram_side_broadcast(spark, sf_dir):
+    """The freeze manifest joins the eval gram set by BROADCAST (x269's
+    property) and carries no nested-loop/cartesian shape; the keeper
+    selection is a hash agg, not a window."""
+    plan = _plan(spark, sf_dir, "x278_freeze_manifest")
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -127,3 +127,59 @@ def test_streaming_decontamination_equals_x269(spark, sf_dir, tmp_path):
         .sort_values("source", ignore_index=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_streaming_block_keeper_equals_x272(spark, sf_dir, tmp_path):
+    """Round-13 third-wave twin: segment-level keep-first dedup
+    maintained as ONE complete-mode min/min_by agg keyed on the block
+    hash. The final state's per-source kept mass must equal the batch
+    x272 prune plan exactly ((n_blocks - dup_blocks), (tokens_total -
+    tokens_dropped)) — replay order can't flip a keeper because min
+    over the encoded clock is order-free. State rows = distinct blocks
+    (the x37 exact-dedup bound, inherent to the semantics)."""
+    from kafka_connect_spark.functions.dedupfns import segment_blocks
+    from kafka_connect_spark.streaming.drift import (
+        block_keeper_state,
+        segment_keeper_table,
+    )
+
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "256")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    n_distinct_blocks = (
+        segment_blocks(docs).select("h").distinct().count()
+    )
+    rd = str(tmp_path / "blocks-replay")
+    write_replay_files(docs, rd, N_FILES, "doc_id")
+    sdf = file_replay_stream(spark, rd, spark.read.parquet(rd).schema)
+    out: list[pd.DataFrame] = []
+    q = (
+        block_keeper_state(sdf)
+        .writeStream.foreachBatch(lambda df, bid: out.append(df.toPandas()))
+        .option("checkpointLocation", str(tmp_path / "blocks-ckpt"))
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    trace = [
+        (p["batchId"], p["stateOperators"][0]["numRowsTotal"])
+        for p in q.recentProgress
+        if p.get("stateOperators")
+    ]
+    assert len(trace) >= 100, f"only {len(trace)} microbatches recorded"
+    assert max(rows for _, rows in trace) <= n_distinct_blocks
+
+    final = spark.createDataFrame(out[-1])
+    assert final.count() == n_distinct_blocks
+    got = (
+        segment_keeper_table(final)
+        .toPandas()
+        .sort_values("source", ignore_index=True)
+    )
+    batch = QUERIES["x272_segment_dedup_prune"](spark, sf_dir).toPandas()
+    batch["kept_blocks"] = batch["n_blocks"] - batch["dup_blocks"]
+    batch["kept_tokens"] = batch["tokens_total"] - batch["tokens_dropped"]
+    want = batch[["source", "kept_blocks", "kept_tokens"]].sort_values(
+        "source", ignore_index=True
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
