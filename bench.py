@@ -222,6 +222,8 @@ HEADLINE = [
     "x276_segment_share_matrix",
     "x277_segment_size_sweep",
     "x278_freeze_manifest",
+    "x279_boilerplate_blocklist",
+    "x280_eval_item_leak_profile",
     # round 11 additions
     "x265_keep_policy_comparison",
     "x263_operating_point",

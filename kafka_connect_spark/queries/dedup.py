@@ -3217,3 +3217,180 @@ def x277_segment_size_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("block_tokens")
     )
+
+
+@query(
+    "x279_boilerplate_blocklist",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+                 FROM documents),
+    blocks AS (SELECT doc_id, source,
+                      CAST(len(toks[b * {_X272_BLOCK} + 1 :
+                               b * {_X272_BLOCK} + {_X272_BLOCK}]) AS BIGINT)
+                          AS n_tok,
+                      md5(array_to_string(
+                          toks[b * {_X272_BLOCK} + 1 :
+                               b * {_X272_BLOCK} + {_X272_BLOCK}], ' ')) AS h
+               FROM tok,
+                    unnest(range(0, (len(toks) + {_X272_BLOCK} - 1)
+                                    // {_X272_BLOCK})) t(b)),
+    agg AS (SELECT h,
+                   CAST(count(*) AS BIGINT) AS n_occurrences,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+                   CAST(sum(n_tok) AS BIGINT) AS token_mass
+            FROM blocks GROUP BY h),
+    r AS (SELECT *, row_number() OVER
+              (ORDER BY n_docs DESC, token_mass DESC, h) AS rk
+          FROM agg WHERE n_docs >= 3)
+    SELECT CAST(rk AS BIGINT) AS rk, h AS block_hash, n_occurrences,
+           n_docs, n_sources, token_mass
+    FROM r WHERE rk <= 20 ORDER BY rk
+    """,
+)
+def x279_boilerplate_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BLOCKLIST the segment family exists to produce: the top-20
+    20-token blocks by document frequency (df >= 3), with occurrence
+    count, source spread, and token mass — the concrete "strip THESE
+    segments" artifact a curation run ships alongside x272's aggregate
+    savings (x272 says how much boilerplate costs, x276 where it flows
+    between sources; this says WHAT it is, keyed by the same md5 so the
+    strip pass is an anti-join on the published hashes). Ties break by
+    (token_mass desc, h) — a total order both engines share.
+
+    Plan: segment_blocks -> ONE per-h hash agg (count / two distincts /
+    sum — partial+final over uniform md5 keys) -> df >= 3 filter ->
+    top-20 as a rank over the filtered aggregate. The filter runs
+    BEFORE the rank so the ordered set is the df tail, a tiny fraction
+    of distinct blocks; at 100 TB the same artifact comes from raising
+    the df floor (the published list is what humans review — it stays
+    ~dozens of rows by construction)."""
+    from ..functions.dedupfns import segment_blocks
+
+    d = load_parallel(spark, sf_dir, "documents")
+    blocks = segment_blocks(
+        d.select("doc_id", "source", "text"), block=_X272_BLOCK
+    )
+    agg = blocks.groupBy("h").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.sum("n_tok").cast("long").alias("token_mass"),
+    )
+    w = Window.orderBy(
+        F.desc("n_docs"), F.desc("token_mass"), F.asc("h")
+    )
+    return (
+        agg.filter(F.col("n_docs") >= 3)
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 20)
+        .select(
+            "rk",
+            F.col("h").alias("block_hash"),
+            "n_occurrences",
+            "n_docs",
+            "n_sources",
+            "token_mass",
+        )
+        .orderBy("rk")
+    )
+
+
+@query(
+    "x280_eval_item_leak_profile",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents),
+    ev AS (SELECT doc_id AS eval_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(toks) - 3, 1)),
+               i -> array_to_string(toks[i:i+4], ' ')))) AS gram
+           FROM tok WHERE doc_id < 10),
+    corp AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                 range(1, greatest(len(toks) - 3, 1)),
+                 i -> array_to_string(toks[i:i+4], ' ')))) AS gram
+             FROM tok WHERE doc_id >= 10),
+    hit AS (SELECT e.eval_id, e.gram, c.doc_id
+            FROM ev e JOIN corp c USING (gram)),
+    per AS (SELECT eval_id,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_corpus_docs,
+                   CAST(count(DISTINCT gram) AS BIGINT) AS leaked_grams,
+                   CAST(count(*) AS BIGINT) AS gram_doc_hits
+            FROM hit GROUP BY eval_id),
+    base AS (SELECT eval_id, CAST(count(*) AS BIGINT) AS total_grams
+             FROM ev GROUP BY eval_id)
+    SELECT b.eval_id,
+           b.total_grams,
+           COALESCE(p.leaked_grams, 0) AS leaked_grams,
+           COALESCE(p.n_corpus_docs, 0) AS n_corpus_docs,
+           COALESCE(p.gram_doc_hits, 0) AS gram_doc_hits,
+           CAST(COALESCE(p.leaked_grams, 0) * 1000000
+                // b.total_grams AS BIGINT) AS leak_ppm
+    FROM base b LEFT JOIN per p ON p.eval_id = b.eval_id
+    ORDER BY b.eval_id
+    """,
+)
+def x280_eval_item_leak_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """x269 INVERTED: per eval-seed document (doc_id < 10), how leaked
+    it is into the candidate corpus — distinct 5-grams that appear in
+    any corpus doc (and as what fraction of the item's grams), how many
+    corpus docs touch it, and the total (gram, doc) hit count. x269
+    answers "is the corpus clean enough to freeze"; this answers "which
+    EVAL ITEMS are compromised and should be re-authored or re-split" —
+    the other half of the decontamination decision, and the one that
+    survives when the corpus can't be changed (published benchmarks).
+    Zero-leak items are real rows (left join from the eval side).
+
+    Plan: both sides explode distinct 5-grams once (same expression as
+    x269, docs < 5 tokens emit nothing in both engines); the join is
+    corpus-side broadcast OF THE EVAL GRAMS exactly like x269 but
+    keeps (eval_id, gram, corpus_doc) for the per-item distinct aggs;
+    the profile is one hash agg on eval_id (|eval| rows) plus the
+    per-item gram totals (a second broadcast-sized agg). At 100 TB the
+    corpus contributes one explode + broadcast probe — identical cost
+    envelope to x269."""
+    d = load_parallel(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("toks"))
+    gram5 = F.expr(
+        "case when size(toks) >= 5 then"
+        " array_distinct(transform(sequence(1, size(toks) - 4),"
+        " i -> array_join(slice(toks, i, 5), ' ')))"
+        " else array() end"
+    )
+    ev = toks.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("eval_id"), F.explode(gram5).alias("gram")
+    )
+    corp = toks.filter(F.col("doc_id") >= 10).select(
+        "doc_id", F.explode(gram5).alias("gram")
+    )
+    hit = corp.join(F.broadcast(ev), "gram")
+    per = hit.groupBy("eval_id").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_corpus_docs"),
+        F.countDistinct("gram").cast("long").alias("leaked_grams"),
+        F.count(F.lit(1)).cast("long").alias("gram_doc_hits"),
+    )
+    base = ev.groupBy("eval_id").agg(
+        F.count(F.lit(1)).cast("long").alias("total_grams")
+    )
+    return (
+        base.join(per, "eval_id", "left")
+        .select(
+            "eval_id",
+            "total_grams",
+            F.coalesce("leaked_grams", F.lit(0)).cast("long").alias(
+                "leaked_grams"
+            ),
+            F.coalesce("n_corpus_docs", F.lit(0)).cast("long").alias(
+                "n_corpus_docs"
+            ),
+            F.coalesce("gram_doc_hits", F.lit(0)).cast("long").alias(
+                "gram_doc_hits"
+            ),
+            F.expr(
+                "cast(coalesce(leaked_grams, 0) * 1000000"
+                " div total_grams as bigint)"
+            ).alias("leak_ppm"),
+        )
+        .orderBy("eval_id")
+    )

@@ -2868,7 +2868,7 @@ def x278_freeze_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     (source, verdict) agg; no new shuffle shapes, everything linear.
     At 100 TB the manifest adds nothing to the parents' cost envelope:
     the expensive parts (gram explode, text hash) are theirs."""
-    from ..functions.textfns import FUNNEL_STAGES, funnel_signals
+    from ..functions.textfns import funnel_signals
 
     d = load(spark, sf_dir, "documents")
     cand = d.filter(F.col("doc_id") >= 10)

@@ -141,6 +141,8 @@ FLAGSHIPS = {
     "x276_segment_share_matrix": "distinct (h,source) -> per-h collect_set -> in-row pair explode -> pair agg + 2 broadcast total joins",
     "x277_segment_size_sweep": "one scan, (k,block)-tagged explode for 4 sizes -> (k,h) keeper agg -> join back -> per-k sums",
     "x278_freeze_manifest": "signals projection + md5 keeper agg + broadcast gram join -> first-failing-gate verdict -> (source,verdict) agg",
+    "x279_boilerplate_blocklist": "per-h hash agg -> df>=3 filter BEFORE the rank window -> top-20",
+    "x280_eval_item_leak_profile": "two distinct-gram explodes -> corpus probes broadcast eval grams -> per-eval-item aggs; zero-leak rows kept",
 }
 
 

@@ -569,3 +569,30 @@ def test_x278_manifest_gram_side_broadcast(spark, sf_dir):
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_x279_blocklist_filters_before_rank(spark, sf_dir):
+    """The blocklist's global rank may only ever see the df >= 3 tail:
+    the Filter must sit BELOW the Window in the plan (rank over the
+    filtered aggregate), and the aggregate itself is hash aggs over
+    uniform md5 keys — no nested loop anywhere."""
+    plan = _plan(spark, sf_dir, "x279_boilerplate_blocklist")
+    import re
+
+    df_filter = re.search(r"Filter \(n_docs#\d+L? >= 3\)", plan)
+    assert df_filter is not None
+    # executed plan prints top-down: the df filter sits BELOW the Window
+    assert df_filter.start() > plan.index("Window")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_x280_leak_profile_broadcasts_eval_grams(spark, sf_dir):
+    """x269's plan property inverted but identical: the corpus-side
+    gram explode probes a BROADCAST of the eval gram set, and the
+    zero-leak left join keeps eval items as real rows without any
+    nested-loop shape."""
+    plan = _plan(spark, sf_dir, "x280_eval_item_leak_profile")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
