@@ -224,6 +224,7 @@ HEADLINE = [
     "x278_freeze_manifest",
     "x279_boilerplate_blocklist",
     "x280_eval_item_leak_profile",
+    "x281_minhash_k_sweep",
     # round 11 additions
     "x265_keep_policy_comparison",
     "x263_operating_point",

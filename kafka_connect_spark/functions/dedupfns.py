@@ -743,3 +743,31 @@ def segment_blocks(docs: DataFrame, block: int = 20) -> DataFrame:
         F.col("blk.h").alias("h"),
         (F.col("doc_id") * 1000000 + F.col("blk.b_idx")).alias("clock"),
     )
+
+
+def md5_minhash_rows(ex: DataFrame, n_hashes: int = 64) -> DataFrame:
+    """The (doc_id, i, mh) MinHash signature table over an exploded
+    (doc_id, sh) shingle stream, with the md5 hash family both engines
+    share (x150/x281's estimator calibration kernel — the production
+    bucketing keeps xxhash64 permutations, see minhash_signatures).
+
+    Built as ``n_hashes`` min-agg COLUMNS over the occurrence stream
+    followed by a stack() unpivot of the |docs| x n aggregate — never
+    the occurrence x n row explode, whose 64x-octave materialization
+    is what spilled in the scale probe (164s -> 69s at 64 x sf0.1 for
+    the same answer). The md5 work is identical; only the intermediate
+    rows disappear."""
+    sig_wide = ex.groupBy("doc_id").agg(
+        *[
+            F.min(
+                token_hash60(F.concat(F.lit(f"{i}:"), F.col("sh")))
+            ).alias(f"mh{i}")
+            for i in range(n_hashes)
+        ]
+    )
+    stack_expr = (
+        f"stack({n_hashes}, "
+        + ", ".join(f"cast({i} as int), mh{i}" for i in range(n_hashes))
+        + ") as (i, mh)"
+    )
+    return sig_wide.select("doc_id", F.expr(stack_expr))

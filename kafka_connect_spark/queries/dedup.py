@@ -1436,7 +1436,11 @@ def x150_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution is hash-family-independent. Plan: one shingle explode
     x 64 hash ids -> per-(doc, i) min agg; the error join touches only
     the (tiny) exact pair set."""
-    from ..functions.dedupfns import ngram_jaccard_pairs, shingles, token_hash60
+    from ..functions.dedupfns import (
+        md5_minhash_rows,
+        ngram_jaccard_pairs,
+        shingles,
+    )
 
     d = load_parallel(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(d, n=3, threshold=0.3).select(
@@ -1444,17 +1448,9 @@ def x150_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("jaccard") * 1_000_000).cast("long").alias("jac_ppm"),
     )
     ex = d.select("doc_id", F.explode(shingles("text", 3)).alias("sh"))
-    sig = (
-        ex.select("doc_id", "sh", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("i"))
-        .select(
-            "doc_id", "i",
-            token_hash60(
-                F.concat(F.col("i").cast("string"), F.lit(":"), F.col("sh"))
-            ).alias("h"),
-        )
-        .groupBy("doc_id", "i")
-        .agg(F.min("h").alias("mh"))
-    )
+    # min-agg columns + stack unpivot, never the occurrence x 64 row
+    # explode (the 64x-octave spill) — see dedupfns.md5_minhash_rows.
+    sig = md5_minhash_rows(ex)
     sa = sig.select(F.col("doc_id").alias("id_a"), "i", F.col("mh").alias("mha"))
     sb = sig.select(F.col("doc_id").alias("id_b"), "i", F.col("mh").alias("mhb"))
     est = (
@@ -3394,3 +3390,145 @@ def x280_eval_item_leak_profile(
         )
         .orderBy("eval_id")
     )
+
+
+#: signature sizes x281 sweeps — prefixes of the SAME 64-component
+#: signature (component i is hash family member i in both engines), so
+#: one signature build yields every estimate.
+_X281_KS = [8, 16, 32, 64]
+
+
+@query(
+    "x281_minhash_k_sweep",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ')
+                            for i in range(1, len(t) - 1)]) AS s
+           FROM tok WHERE len(t) >= 3),
+    ex AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    pairs AS (SELECT id_a, id_b,
+                     CAST(floor({{J}} * 1000000) AS BIGINT) AS jac_ppm
+              FROM inter
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE {{J}} >= 0.3),
+    sig AS (SELECT doc_id, i,
+                   CAST(min(CAST('0x' || substring(
+                        md5(CAST(i AS VARCHAR) || ':' || sh), 1, 15) AS BIGINT))
+                     AS BIGINT) AS mh
+            FROM ex CROSS JOIN unnest(range(0, 64)) t(i)
+            GROUP BY doc_id, i),
+    est AS (SELECT p.id_a, p.id_b, p.jac_ppm,
+                   {", ".join(
+        f"CAST(sum(CASE WHEN sa.i < {k} AND sa.mh = sb.mh"
+        f" THEN 1 ELSE 0 END) AS BIGINT) AS m{k}"
+        for k in _X281_KS)}
+            FROM pairs p
+            JOIN sig sa ON sa.doc_id = p.id_a
+            JOIN sig sb ON sb.doc_id = p.id_b AND sb.i = sa.i
+            GROUP BY 1, 2, 3)
+    {" UNION ALL ".join(
+        f'''SELECT CAST({k} AS BIGINT) AS n_hashes,
+            CAST(count(*) AS BIGINT) AS n_pairs,
+            CAST(sum(abs(m{k} * 1000000 // {k} - jac_ppm))
+                 // count(*) AS BIGINT) AS mean_abs_err_ppm,
+            CAST(max(abs(m{k} * 1000000 // {k} - jac_ppm)) AS BIGINT)
+                AS max_abs_err_ppm
+            FROM est''' for k in _X281_KS)}
+    ORDER BY n_hashes
+    """.replace("{J}", _J_SQL),
+)
+def x281_minhash_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x150's signature-SIZE calibration: the MinHash estimation error
+    against exact Jaccard at k in {8, 16, 32, 64} hash components — the
+    evidence behind choosing a signature width (error ~ 1/sqrt(k), so
+    halving storage costs sqrt(2) in threshold sharpness; the measured
+    max error at each k says which banding thresholds are actually
+    distinguishable). Rides the PREFIX property: component i of a
+    k-component signature is hash family member i regardless of k, so
+    ONE 64-component signature build (x150's md5 family, shared with
+    the oracle) yields every estimate as a conditional sum over i < k
+    — the x266 vocab-sweep discipline applied to sketch width, never
+    four signature rebuilds.
+
+    Plan: x150's exact shape with four conditional sums in the per-pair
+    agg and a 4-row fan-out from the 1-row corpus aggregate; all error
+    arithmetic is exact integer ppm (matches * 1e6 div k), so the
+    hash check is airtight. The error join touches only the exact
+    pair set (jac >= 0.3, tiny); the signature table is |docs| x 64
+    rows — both linear."""
+    from ..functions.dedupfns import (
+        md5_minhash_rows,
+        ngram_jaccard_pairs,
+        shingles,
+    )
+
+    d = load_parallel(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.3).select(
+        "id_a",
+        "id_b",
+        F.floor(F.col("jaccard") * 1_000_000).cast("long").alias("jac_ppm"),
+    )
+    ex = d.select("doc_id", F.explode(shingles("text", 3)).alias("sh"))
+    # min-agg columns + stack unpivot, never the occurrence x 64 row
+    # explode (the 64x-octave spill) — see dedupfns.md5_minhash_rows.
+    sig = md5_minhash_rows(ex)
+    sa = sig.select(F.col("doc_id").alias("id_a"), "i", F.col("mh").alias("mha"))
+    sb = sig.select(F.col("doc_id").alias("id_b"), "i", F.col("mh").alias("mhb"))
+    est = (
+        pairs.join(sa, "id_a")
+        .join(sb, ["id_b", "i"])
+        .groupBy("id_a", "id_b", "jac_ppm")
+        .agg(
+            *[
+                F.sum(
+                    (
+                        (F.col("i") < k) & (F.col("mha") == F.col("mhb"))
+                    ).cast("long")
+                )
+                .cast("long")
+                .alias(f"m{k}")
+                for k in _X281_KS
+            ]
+        )
+    )
+    # ONE corpus aggregate (localCheckpoint pins the single evaluation;
+    # the 4-row sweep is a fan-out over the materialized 1-row state,
+    # never four re-runs of the pair pipeline)
+    agg_cols = [F.count(F.lit(1)).cast("long").alias("n_pairs")]
+    for k in _X281_KS:
+        agg_cols.append(
+            F.sum(
+                F.abs(F.expr(f"m{k} * 1000000 div {k}") - F.col("jac_ppm"))
+            )
+            .cast("long")
+            .alias(f"s{k}")
+        )
+        agg_cols.append(
+            F.max(
+                F.abs(F.expr(f"m{k} * 1000000 div {k}") - F.col("jac_ppm"))
+            )
+            .cast("long")
+            .alias(f"x{k}")
+        )
+    one = est.agg(*agg_cols).localCheckpoint()
+    parts = [
+        one.select(
+            F.lit(k).cast("long").alias("n_hashes"),
+            F.col("n_pairs"),
+            F.expr(f"cast(s{k} div n_pairs as bigint)").alias(
+                "mean_abs_err_ppm"
+            ),
+            F.col(f"x{k}").alias("max_abs_err_ppm"),
+        )
+        for k in _X281_KS
+    ]
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionAll(x)
+    return out.orderBy("n_hashes")

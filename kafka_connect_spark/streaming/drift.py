@@ -612,3 +612,69 @@ def segment_keeper_table(state: DataFrame) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def block_source_state(docs: DataFrame) -> DataFrame:
+    """x276's segment-sharing provenance maintained LIVE: the
+    complete-mode state is one row per DISTINCT 20-token block holding
+    the sorted SET of sources it has appeared in — a set-valued
+    companion to :func:`block_keeper_state` over the same
+    ``segment_blocks`` segmentation (shared verbatim, so batch and
+    stream can never disagree on a block boundary). Set union is
+    order-free, so replay order cannot change the final state; the set
+    is bounded by |sources|, the row count by distinct content (the
+    x37 exact-dedup bound, inherent to the semantics).
+
+    ``docs`` needs columns doc_id, source, text."""
+    from ..functions.dedupfns import segment_blocks
+
+    return (
+        segment_blocks(docs)
+        .groupBy("h")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+    )
+
+
+def share_matrix_table(state: DataFrame) -> DataFrame:
+    """x276's published pair matrix derived from the
+    :func:`block_source_state` rows — per-source totals come from
+    exploding the source sets (a state-only pass, no corpus rescan),
+    pairs from the same in-row fan-out as the batch query (x167's
+    idiom, <= |sources| choose 2 per block)."""
+    tot = (
+        state.select(F.explode("ss").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    pairs = (
+        state.filter(F.size("ss") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(0, size(ss) - 2),"
+                    " i -> transform(sequence(i + 1, size(ss) - 1),"
+                    " j -> named_struct('a', ss[i], 'b', ss[j]))))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("source_a"), F.col("p.b").alias("source_b"))
+    )
+    c = pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("long").alias("shared_blocks")
+    )
+    ta = tot.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    tb = tot.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        c.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared_blocks",
+            F.expr(
+                "cast(shared_blocks * 1000000 div least(n_a, n_b)"
+                " as bigint)"
+            ).alias("overlap_ppm"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -143,6 +143,7 @@ FLAGSHIPS = {
     "x278_freeze_manifest": "signals projection + md5 keeper agg + broadcast gram join -> first-failing-gate verdict -> (source,verdict) agg",
     "x279_boilerplate_blocklist": "per-h hash agg -> df>=3 filter BEFORE the rank window -> top-20",
     "x280_eval_item_leak_profile": "two distinct-gram explodes -> corpus probes broadcast eval grams -> per-eval-item aggs; zero-leak rows kept",
+    "x281_minhash_k_sweep": "one 64-component signature build; per-k estimates as prefix conditional sums; 1-row agg checkpointed, 4-row fan-out",
 }
 
 

@@ -596,3 +596,19 @@ def test_x280_leak_profile_broadcasts_eval_grams(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_x150_signature_is_min_agg_columns_not_explode(spark, sf_dir):
+    """The MinHash signature build must be 64 min-agg COLUMNS over the
+    shingle occurrence stream (one partial HashAggregate carrying 64
+    min buffers) followed by a stack() unpivot — never the occurrence
+    x 64 row explode, which spilled at the 64x octave (164s -> 69s,
+    docs/SCALING.md). The property is pinned on x150 because x281's
+    localCheckpoint hides its (identical, shared-builder) upstream
+    plan; both ride dedupfns.md5_minhash_rows."""
+    plan = _plan(spark, sf_dir, "x150_minhash_calibration")
+    # min buffers present (the toString elides long agg lists, so >= 1)
+    assert plan.count("partial_min") >= 1
+    assert "stack" in plan.lower()  # the |docs| x 64 unpivot
+    # the old shape's hash-id fan-out is gone
+    assert "explode(sequence(0, 63" not in plan

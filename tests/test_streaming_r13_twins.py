@@ -183,3 +183,54 @@ def test_streaming_block_keeper_equals_x272(spark, sf_dir, tmp_path):
         "source", ignore_index=True
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_streaming_block_sources_equals_x276(spark, sf_dir, tmp_path):
+    """Round-13 fifth-wave twin: the segment-sharing provenance matrix
+    maintained as ONE complete-mode collect_set agg keyed on the block
+    hash. Set union is order-free, so the 128-microbatch replay must
+    land on exactly x276's pair matrix; state rows = distinct blocks
+    (the exact-dedup bound), each row's set bounded by |sources|."""
+    from kafka_connect_spark.functions.dedupfns import segment_blocks
+    from kafka_connect_spark.streaming.drift import (
+        block_source_state,
+        share_matrix_table,
+    )
+
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "256")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    n_distinct_blocks = segment_blocks(docs).select("h").distinct().count()
+    rd = str(tmp_path / "blocksrc-replay")
+    write_replay_files(docs, rd, N_FILES, "doc_id")
+    sdf = file_replay_stream(spark, rd, spark.read.parquet(rd).schema)
+    out: list[pd.DataFrame] = []
+    q = (
+        block_source_state(sdf)
+        .writeStream.foreachBatch(lambda df, bid: out.append(df.toPandas()))
+        .option("checkpointLocation", str(tmp_path / "blocksrc-ckpt"))
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    trace = [
+        (p["batchId"], p["stateOperators"][0]["numRowsTotal"])
+        for p in q.recentProgress
+        if p.get("stateOperators")
+    ]
+    assert len(trace) >= 100, f"only {len(trace)} microbatches recorded"
+    assert max(rows for _, rows in trace) <= n_distinct_blocks
+
+    final = spark.createDataFrame(out[-1])
+    assert final.count() == n_distinct_blocks
+    got = (
+        share_matrix_table(final)
+        .toPandas()
+        .sort_values(["source_a", "source_b"], ignore_index=True)
+    )
+    want = (
+        QUERIES["x276_segment_share_matrix"](spark, sf_dir)
+        .toPandas()
+        .sort_values(["source_a", "source_b"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
