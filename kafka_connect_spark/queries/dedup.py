@@ -3255,12 +3255,22 @@ def x279_boilerplate_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     (token_mass desc, h) — a total order both engines share.
 
     Plan: segment_blocks -> ONE per-h hash agg (count / two distincts /
-    sum — partial+final over uniform md5 keys) -> df >= 3 filter ->
-    top-20 as a rank over the filtered aggregate. The filter runs
-    BEFORE the rank so the ordered set is the df tail, a tiny fraction
-    of distinct blocks; at 100 TB the same artifact comes from raising
-    the df floor (the published list is what humans review — it stays
-    ~dozens of rows by construction)."""
+    sum — partial+final over uniform md5 keys) -> df >= floor filter ->
+    orderBy().limit(20), i.e. TakeOrderedAndProject — a DISTRIBUTED
+    top-k (per-partition heads merged on the driver), never a global
+    rank window over the whole df tail (the x140 BM25 idiom); rk is
+    attached by a window over only the 20 survivors. At 100 TB the df
+    floor rises with the corpus (parameterized below), but even at
+    floor=3 the rank input is 20 rows by construction."""
+    return _boilerplate_blocklist(spark, sf_dir, df_floor=3, top_k=20)
+
+
+def _boilerplate_blocklist(
+    spark: SparkSession, sf_dir: str, df_floor: int, top_k: int
+) -> DataFrame:
+    """x279's body with the df floor and list size as parameters — at
+    production scale the floor rises with the corpus so the reviewed
+    artifact stays human-sized; the plan shape is floor-independent."""
     from ..functions.dedupfns import segment_blocks
 
     d = load_parallel(spark, sf_dir, "documents")
@@ -3273,13 +3283,14 @@ def x279_boilerplate_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("source").cast("long").alias("n_sources"),
         F.sum("n_tok").cast("long").alias("token_mass"),
     )
-    w = Window.orderBy(
-        F.desc("n_docs"), F.desc("token_mass"), F.asc("h")
+    order = [F.desc("n_docs"), F.desc("token_mass"), F.asc("h")]
+    top = (
+        agg.filter(F.col("n_docs") >= df_floor).orderBy(*order).limit(top_k)
     )
     return (
-        agg.filter(F.col("n_docs") >= 3)
-        .withColumn("rk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rk") <= 20)
+        top.withColumn(
+            "rk", F.row_number().over(Window.orderBy(*order)).cast("long")
+        )
         .select(
             "rk",
             F.col("h").alias("block_hash"),
@@ -3436,7 +3447,7 @@ _X281_KS = [8, 16, 32, 64]
         f'''SELECT CAST({k} AS BIGINT) AS n_hashes,
             CAST(count(*) AS BIGINT) AS n_pairs,
             CAST(sum(abs(m{k} * 1000000 // {k} - jac_ppm))
-                 // count(*) AS BIGINT) AS mean_abs_err_ppm,
+                 // greatest(count(*), 1) AS BIGINT) AS mean_abs_err_ppm,
             CAST(max(abs(m{k} * 1000000 // {k} - jac_ppm)) AS BIGINT)
                 AS max_abs_err_ppm
             FROM est''' for k in _X281_KS)}
@@ -3497,9 +3508,13 @@ def x281_minhash_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
     )
-    # ONE corpus aggregate (localCheckpoint pins the single evaluation;
-    # the 4-row sweep is a fan-out over the materialized 1-row state,
-    # never four re-runs of the pair pipeline)
+    # ONE corpus aggregate; the 4-row sweep is a stack() unpivot of the
+    # 1-row state — a single lazy plan with ONE consumer of the agg, so
+    # the pair pipeline runs exactly once per action and merely building
+    # the DataFrame (plan dumps, registry sweeps) stays side-effect-free.
+    # greatest(n_pairs, 1) guards the empty-pair corpus (x273's idiom):
+    # sums over zero rows are NULL in both engines, so mean/max come out
+    # NULL rather than one engine erroring on the division.
     agg_cols = [F.count(F.lit(1)).cast("long").alias("n_pairs")]
     for k in _X281_KS:
         agg_cols.append(
@@ -3516,19 +3531,18 @@ def x281_minhash_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias(f"x{k}")
         )
-    one = est.agg(*agg_cols).localCheckpoint()
-    parts = [
-        one.select(
-            F.lit(k).cast("long").alias("n_hashes"),
-            F.col("n_pairs"),
-            F.expr(f"cast(s{k} div n_pairs as bigint)").alias(
-                "mean_abs_err_ppm"
-            ),
-            F.col(f"x{k}").alias("max_abs_err_ppm"),
+    one = est.agg(*agg_cols)
+    stack_expr = (
+        f"stack({len(_X281_KS)}, "
+        + ", ".join(
+            f"cast({k} as bigint),"
+            f" cast(s{k} div greatest(n_pairs, 1) as bigint), x{k}"
+            for k in _X281_KS
         )
-        for k in _X281_KS
-    ]
-    out = parts[0]
-    for x in parts[1:]:
-        out = out.unionAll(x)
-    return out.orderBy("n_hashes")
+        + ") as (n_hashes, mean_abs_err_ppm, max_abs_err_ppm)"
+    )
+    return (
+        one.select(F.expr(stack_expr), "n_pairs")
+        .select("n_hashes", "n_pairs", "mean_abs_err_ppm", "max_abs_err_ppm")
+        .orderBy("n_hashes")
+    )

@@ -239,3 +239,31 @@ def test_x156_char_entropy_separates_spam(spark):
     assert out["spam"]["n_low_entropy"] == 1
     assert out["web"]["avg_entropy_micronats"] > 2_500_000
     assert out["web"]["n_low_entropy"] == 0
+
+
+def test_x272_encoded_clock_assumption_holds(spark, sf_dir):
+    """The segment family's encoded keep-first clock (doc_id * 1e6 +
+    b_idx, segment_blocks) assumes b_idx < 1e6 — a 20M-token document at
+    block=20. This IS the assertion the x272 docstring points at: the
+    fixture corpus must sit far under the bound, and the encoding must
+    be collision-free across documents (clock count == block count)."""
+    from kafka_connect_spark.catalog import load
+    from kafka_connect_spark.functions.dedupfns import segment_blocks
+
+    blocks = segment_blocks(
+        load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    )
+    row = blocks.agg(
+        F.max("b_idx").alias("max_b"),
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.countDistinct("clock").alias("n_clocks"),
+    ).collect()[0]
+    assert row["max_b"] < 1_000_000, "encoded-clock bound violated"
+    assert row["n_clocks"] == row["n_blocks"], "clock collision across docs"
+
+
+def test_x272_clock_collision_shape_detected():
+    """Documents the failure mode the bound guards: if b_idx could reach
+    1e6, doc 1 block 0 and doc 0 block 1e6 would share clock 1_000_000 —
+    the arithmetic fact the fixture assertion above keeps at bay."""
+    assert 1 * 1_000_000 + 0 == 0 * 1_000_000 + 1_000_000

@@ -78,11 +78,10 @@ AUDITED = {
         "agg:sources — |distinct source| rows (two windows)",
     ("queries/text.py", "x140_bm25_retrieval"):
         "rows<=10 — TakeOrdered top-10 precedes the rank window",
-    ("queries/dedup.py", "x279_boilerplate_blocklist"):
-        "agg:df>=3 block tail — the rank input is the per-h aggregate "
-        "FILTERED to df >= 3 (the boilerplate tail, ~dozens of rows; at "
-        "scale the df floor rises with the corpus so the reviewed list "
-        "stays human-sized by construction)",
+    ("queries/dedup.py", "_boilerplate_blocklist"):
+        "rows<=top_k — TakeOrderedAndProject top-k (default 20) precedes "
+        "the rank window (the x140 idiom); the df-floor filter runs "
+        "before the distributed top-k",
     ("queries/text.py", "x142_stratified_eval_sample"):
         "agg:languages — |distinct lang| rows (largest-remainder seats)",
     ("queries/text.py", "x170_rrf_rank_fusion"):

@@ -554,7 +554,10 @@ def test_x277_sweep_single_scan_tagged_explode(spark, sf_dir):
     shape (keeper build + probe side), not eight (4 sizes x 2). Keeper
     stays a hash agg + join back — no window, no nested loop."""
     plan = _plan(spark, sf_dir, "x277_segment_size_sweep")
-    assert plan.count("Scan parquet") == 2
+    # directional: the tagged explode means FAR fewer than the 8 scans
+    # (4 sizes x 2 consumers) a per-size union would cost; exchange
+    # reuse may legally collapse the two consumers to one.
+    assert 1 <= plan.count("Scan parquet") <= 2
     assert "Window" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
@@ -571,18 +574,23 @@ def test_x278_manifest_gram_side_broadcast(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_x279_blocklist_filters_before_rank(spark, sf_dir):
-    """The blocklist's global rank may only ever see the df >= 3 tail:
-    the Filter must sit BELOW the Window in the plan (rank over the
-    filtered aggregate), and the aggregate itself is hash aggs over
-    uniform md5 keys — no nested loop anywhere."""
+def test_x279_blocklist_top_k_before_rank(spark, sf_dir):
+    """The blocklist's top-k must be the DISTRIBUTED TakeOrderedAndProject
+    (per-partition heads, driver merge), never a global rank window over
+    the df tail; the rank window may only ever see the <= 20 survivors,
+    so it sits ABOVE the TakeOrdered in the plan. The df-floor Filter
+    sits below both, and there is no nested loop anywhere."""
     plan = _plan(spark, sf_dir, "x279_boilerplate_blocklist")
     import re
 
+    assert "TakeOrderedAndProject" in plan
     df_filter = re.search(r"Filter \(n_docs#\d+L? >= 3\)", plan)
     assert df_filter is not None
-    # executed plan prints top-down: the df filter sits BELOW the Window
-    assert df_filter.start() > plan.index("Window")
+    # executed plan prints top-down: Window above TakeOrdered above Filter
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject")
+    assert df_filter.start() > plan.index("TakeOrderedAndProject")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
 
