@@ -705,22 +705,36 @@ def kcore_nodes(edges: DataFrame, k: int, max_iters: int = 12) -> DataFrame:
     )
 
 
-def segment_blocks(docs: DataFrame, block: int = 20) -> DataFrame:
+def segment_blocks(
+    docs: DataFrame, block: int = 20, with_text: bool = False
+) -> DataFrame:
     """Explode documents into non-overlapping ``block``-token segments —
-    the shared front half of x272's batch prune plan and its streaming
-    twin (streaming/drift.py block_keeper_state), so batch and stream
-    can never drift on the segmentation.
+    the shared front half of x272's batch prune plan, its streaming
+    twin (streaming/drift.py block_keeper_state), and the curated_write
+    strip pass (plans/curate.py), so batch, stream, and the emitting
+    action can never drift on the segmentation.
 
     Emits one row per block: (doc_id, source, b_idx, n_tok, h, clock)
     where ``h`` = md5 of the space-joined block and ``clock`` =
     doc_id * 1e6 + b_idx — the keep-first total order, a single BIGINT
     so the keeper selection stays a plain ``min`` in every engine.
-    Assumes b_idx < 1e6 (a 20M-token document at block=20); the docs
-    side needs columns doc_id, source, text."""
+    With ``with_text=True`` each row also carries ``txt``, the
+    space-joined block itself, so surviving blocks re-assemble the
+    document EXACTLY (split-on-space then block-join with a space is
+    the identity on the original text, empty tokens included) — only
+    the strip pass pays for carrying the strings.
+    Assumes b_idx < 1e6 (a 20M-token document at block=20;
+    assert-checked in tests/test_curation_ops.py); the docs side needs
+    columns doc_id, source, text."""
     toks = docs.select(
         "doc_id", "source", F.split("text", " ").alias("toks")
     )
-    return toks.select(
+    txt_field = (
+        f", 'txt', array_join(slice(toks, b * {block} + 1, {block}), ' ')"
+        if with_text
+        else ""
+    )
+    out = toks.select(
         "doc_id",
         "source",
         F.explode(
@@ -732,17 +746,21 @@ def segment_blocks(docs: DataFrame, block: int = 20) -> DataFrame:
                 f" 'n_tok', cast(size(slice(toks, b * {block} + 1, {block}))"
                 f" as bigint),"
                 f" 'h', md5(array_join(slice(toks, b * {block} + 1, {block}),"
-                f" ' '))))"
+                f" ' ')){txt_field}))"
             )
         ).alias("blk"),
-    ).select(
+    )
+    cols = [
         "doc_id",
         "source",
         F.col("blk.b_idx").alias("b_idx"),
         F.col("blk.n_tok").alias("n_tok"),
         F.col("blk.h").alias("h"),
         (F.col("doc_id") * 1000000 + F.col("blk.b_idx")).alias("clock"),
-    )
+    ]
+    if with_text:
+        cols.append(F.col("blk.txt").alias("txt"))
+    return out.select(*cols)
 
 
 def md5_minhash_rows(ex: DataFrame, n_hashes: int = 64) -> DataFrame:

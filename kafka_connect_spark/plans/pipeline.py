@@ -250,6 +250,27 @@ def _k_noop(spec: dict):
     return lambda df: df.write.format("noop").mode("overwrite").save()
 
 
+@register_sink("curated_corpus")
+def _k_curated(spec: dict):
+    """The curation family's OUTPUT stage as a pipeline sink: apply
+    x278's freeze verdicts + x279's blocklist to the incoming documents
+    DataFrame and emit the cleaned corpus (parquet + _MANIFEST.json) —
+    see plans/curate.py. Spec keys: path (output dir), optional
+    blocklist.df.floor / blocklist.top.k / block.tokens."""
+    from .curate import curated_write_df
+
+    def write(df: DataFrame) -> None:
+        write.manifest = curated_write_df(
+            df,
+            spec["path"],
+            df_floor=int(spec.get("blocklist.df.floor", 3)),
+            top_k=int(spec.get("blocklist.top.k", 20)),
+            block=int(spec.get("block.tokens", 20)),
+        )
+
+    return write
+
+
 # -- streaming plugins --------------------------------------------------------
 
 STREAM_SOURCES: dict[str, Callable] = {}

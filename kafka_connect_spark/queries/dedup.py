@@ -3271,11 +3271,25 @@ def _boilerplate_blocklist(
     """x279's body with the df floor and list size as parameters — at
     production scale the floor rises with the corpus so the reviewed
     artifact stays human-sized; the plan shape is floor-independent."""
+    d = load_parallel(spark, sf_dir, "documents")
+    return boilerplate_blocklist_from_docs(
+        d, df_floor=df_floor, top_k=top_k
+    )
+
+
+def boilerplate_blocklist_from_docs(
+    d: DataFrame,
+    df_floor: int = 3,
+    top_k: int = 20,
+    block: int = _X272_BLOCK,
+) -> DataFrame:
+    """x279 over an in-hand documents DataFrame — the form curated_write
+    (plans/curate.py) and the pipeline sink consume, so the published
+    blocklist and the strip pass share one builder."""
     from ..functions.dedupfns import segment_blocks
 
-    d = load_parallel(spark, sf_dir, "documents")
     blocks = segment_blocks(
-        d.select("doc_id", "source", "text"), block=_X272_BLOCK
+        d.select("doc_id", "source", "text"), block=block
     )
     agg = blocks.groupBy("h").agg(
         F.count(F.lit(1)).cast("long").alias("n_occurrences"),

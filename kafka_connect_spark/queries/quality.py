@@ -2868,9 +2868,29 @@ def x278_freeze_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     (source, verdict) agg; no new shuffle shapes, everything linear.
     At 100 TB the manifest adds nothing to the parents' cost envelope:
     the expensive parts (gram explode, text hash) are theirs."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        freeze_verdicts(d)
+        .select("source", "n_chars", "verdict")
+        .groupBy("source", "verdict")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("char_mass"),
+        )
+        .orderBy("source", "verdict")
+    )
+
+
+def freeze_verdicts(d: DataFrame) -> DataFrame:
+    """Per-document freeze verdict — x278's body, factored so the
+    manifest QUERY and the curated_write ACTION (plans/curate.py) share
+    the gates verbatim and can never drift: every candidate doc
+    (doc_id >= 10) gets exactly one verdict under the fixed precedence
+    quality -> exact-dup -> contamination -> keep. Input needs
+    (doc_id, source, text, n_chars); output is one row per candidate:
+    (doc_id, source, n_chars, verdict)."""
     from ..functions.textfns import funnel_signals
 
-    d = load(spark, sf_dir, "documents")
     cand = d.filter(F.col("doc_id") >= 10)
     q = funnel_signals(
         cand.select("doc_id", "source", "text", "n_chars"),
@@ -2921,11 +2941,188 @@ def x278_freeze_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         q.join(kd, "doc_id")
         .join(hits5, "doc_id", "left")
-        .select("source", "n_chars", verdict.alias("verdict"))
-        .groupBy("source", "verdict")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("n_chars").cast("long").alias("char_mass"),
+        .select("doc_id", "source", "n_chars", verdict.alias("verdict"))
+    )
+
+
+@query(
+    "x282_curated_accounting",
+    oracle=f"""
+    WITH cand AS (SELECT * FROM documents WHERE doc_id >= 10),
+    s AS (SELECT doc_id, source, n_chars,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS ntoks,
+                 CAST(len(list_filter(string_split(text, ' '),
+                     t -> t IN ('a','the','of','and','to','in')))
+                     AS BIGINT) AS hits,
+                 CAST(length(text)
+                      - length(translate(text, '.,;:!?', ''))
+                      AS BIGINT) AS punct
+          FROM cand),
+    q AS (SELECT doc_id, source,
+                 CASE WHEN {_X278_Q_SQL} THEN 1 ELSE 0 END AS q_pass
+          FROM s),
+    k AS (SELECT md5(text) AS th, min(doc_id) AS keep_id
+          FROM cand GROUP BY 1),
+    kd AS (SELECT c.doc_id,
+                  CASE WHEN c.doc_id = k.keep_id THEN 1 ELSE 0 END
+                      AS is_keeper
+           FROM cand c JOIN k ON md5(c.text) = k.th),
+    tok AS (SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents),
+    ev AS (SELECT DISTINCT gram
+           FROM (SELECT unnest(list_transform(
+                     range(1, greatest(len(toks) - 3, 1)),
+                     i -> array_to_string(toks[i:i+4], ' '))) AS gram
+                 FROM tok WHERE doc_id < 10)),
+    corp AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                 range(1, greatest(len(toks) - 3, 1)),
+                 i -> array_to_string(toks[i:i+4], ' ')))) AS gram
+             FROM tok WHERE doc_id >= 10),
+    hits5 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+              FROM corp JOIN ev USING (gram) GROUP BY 1),
+    verdicts AS (SELECT q.doc_id, q.source,
+                        CASE WHEN q.q_pass = 0 THEN 'drop_quality'
+                             WHEN kd.is_keeper = 0 THEN 'drop_exact_dup'
+                             WHEN COALESCE(h.n_hits, 0) > 0
+                                  THEN 'drop_contaminated'
+                             ELSE 'keep' END AS verdict
+                 FROM q JOIN kd ON kd.doc_id = q.doc_id
+                 LEFT JOIN hits5 h ON h.doc_id = q.doc_id),
+    blocks AS (SELECT doc_id,
+                      CAST(len(toks[b * 20 + 1 : b * 20 + 20]) AS BIGINT)
+                          AS n_tok,
+                      md5(array_to_string(
+                          toks[b * 20 + 1 : b * 20 + 20], ' ')) AS h
+               FROM tok,
+                    unnest(range(0, (len(toks) + 19) // 20)) t(b)),
+    agg AS (SELECT h,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS token_mass
+            FROM blocks GROUP BY h),
+    bl AS (SELECT h FROM (SELECT h, row_number() OVER
+               (ORDER BY n_docs DESC, token_mass DESC, h) AS rk
+            FROM agg WHERE n_docs >= 3) WHERE rk <= 20),
+    kb AS (SELECT v.source, b.doc_id, b.n_tok,
+                  CASE WHEN bl.h IS NOT NULL THEN 1 ELSE 0 END AS strip
+           FROM blocks b
+           JOIN verdicts v ON v.doc_id = b.doc_id AND v.verdict = 'keep'
+           LEFT JOIN bl ON bl.h = b.h),
+    per_doc AS (SELECT source, doc_id,
+                       CAST(count(*) AS BIGINT) AS nb,
+                       CAST(sum(strip) AS BIGINT) AS ns,
+                       CAST(sum(n_tok) AS BIGINT) AS nt,
+                       CAST(sum(strip * n_tok) AS BIGINT) AS ts
+                FROM kb GROUP BY 1, 2),
+    strip_agg AS (SELECT source,
+                      CAST(sum(CASE WHEN nb > ns THEN 1 ELSE 0 END)
+                          AS BIGINT) AS docs_emitted,
+                      CAST(sum(nb) AS BIGINT) AS blocks_total,
+                      CAST(sum(ns) AS BIGINT) AS blocks_stripped,
+                      CAST(sum(nt) AS BIGINT) AS tokens_total,
+                      CAST(sum(ts) AS BIGINT) AS tokens_stripped
+                  FROM per_doc GROUP BY 1),
+    v_agg AS (SELECT source, CAST(count(*) AS BIGINT) AS docs_cand,
+                     CAST(sum(CASE WHEN verdict = 'keep' THEN 1 ELSE 0 END)
+                         AS BIGINT) AS docs_kept
+              FROM verdicts GROUP BY 1)
+    SELECT v.source, v.docs_cand, v.docs_kept,
+           COALESCE(sa.docs_emitted, 0) AS docs_emitted,
+           COALESCE(sa.blocks_total, 0) AS blocks_total,
+           COALESCE(sa.blocks_stripped, 0) AS blocks_stripped,
+           COALESCE(sa.tokens_total, 0) AS tokens_total,
+           COALESCE(sa.tokens_stripped, 0) AS tokens_stripped,
+           COALESCE(sa.tokens_total - sa.tokens_stripped, 0) AS tokens_out
+    FROM v_agg v LEFT JOIN strip_agg sa USING (source)
+    ORDER BY v.source
+    """,
+)
+def x282_curated_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACCOUNTING for curated_write (plans/curate.py) — per source,
+    exactly what the emit stage does and what it costs: candidate and
+    kept doc counts (pinned to x278's verdicts — same freeze_verdicts
+    body), total/stripped segment blocks and token mass over the KEPT
+    docs under x279's published blocklist (same builder, df_floor=3 /
+    top_k=20 / 20-token blocks), docs actually emitted (>= 1 surviving
+    block), and the tokens that ship. This is the hash-checked twin of
+    the side-effecting write: tests/test_curated_write.py asserts the
+    written parquet's row count and token sums equal this table's
+    docs_emitted / tokens_out row-for-row.
+
+    Plan: freeze_verdicts' one-pass gates (x278's plan), the blocklist's
+    hash agg + distributed top-k (x279's plan), then ONE segment scan of
+    the corpus joined to the keep set on doc_id and broadcast-left-joined
+    to the <= 20 blocklist hashes; two hash aggs (per-doc, per-source)
+    finish it. Everything linear; the only new join key is doc_id
+    (uniform). At 100 TB this is the audit you run BEFORE the write to
+    price it, and after to certify it — same query both times."""
+    from ..functions.dedupfns import segment_blocks
+    from .dedup import boilerplate_blocklist_from_docs
+
+    d = load(spark, sf_dir, "documents")
+    v = freeze_verdicts(d)
+    bl = boilerplate_blocklist_from_docs(d).select(
+        F.col("block_hash").alias("h"), F.lit(1).alias("in_bl")
+    )
+    blocks = segment_blocks(d.select("doc_id", "source", "text"))
+    kept = v.filter(F.col("verdict") == "keep").select("doc_id", "source")
+    kb = (
+        blocks.drop("source")
+        .join(kept, "doc_id")
+        .join(F.broadcast(bl), "h", "left")
+        .select(
+            "source",
+            "doc_id",
+            "n_tok",
+            F.coalesce("in_bl", F.lit(0)).cast("long").alias("strip"),
         )
-        .orderBy("source", "verdict")
+    )
+    per_doc = kb.groupBy("source", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("nb"),
+        F.sum("strip").cast("long").alias("ns"),
+        F.sum("n_tok").cast("long").alias("nt"),
+        F.sum(F.col("strip") * F.col("n_tok")).cast("long").alias("ts"),
+    )
+    strip_agg = per_doc.groupBy("source").agg(
+        F.sum((F.col("nb") > F.col("ns")).cast("long"))
+        .cast("long")
+        .alias("docs_emitted"),
+        F.sum("nb").cast("long").alias("blocks_total"),
+        F.sum("ns").cast("long").alias("blocks_stripped"),
+        F.sum("nt").cast("long").alias("tokens_total"),
+        F.sum("ts").cast("long").alias("tokens_stripped"),
+    )
+    v_agg = v.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("docs_cand"),
+        F.sum((F.col("verdict") == "keep").cast("long"))
+        .cast("long")
+        .alias("docs_kept"),
+    )
+    return (
+        v_agg.join(strip_agg, "source", "left")
+        .select(
+            "source",
+            "docs_cand",
+            "docs_kept",
+            F.coalesce("docs_emitted", F.lit(0)).cast("long").alias(
+                "docs_emitted"
+            ),
+            F.coalesce("blocks_total", F.lit(0)).cast("long").alias(
+                "blocks_total"
+            ),
+            F.coalesce("blocks_stripped", F.lit(0)).cast("long").alias(
+                "blocks_stripped"
+            ),
+            F.coalesce("tokens_total", F.lit(0)).cast("long").alias(
+                "tokens_total"
+            ),
+            F.coalesce("tokens_stripped", F.lit(0)).cast("long").alias(
+                "tokens_stripped"
+            ),
+            F.coalesce(
+                F.col("tokens_total") - F.col("tokens_stripped"), F.lit(0)
+            )
+            .cast("long")
+            .alias("tokens_out"),
+        )
+        .orderBy("source")
     )

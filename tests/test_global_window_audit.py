@@ -78,7 +78,7 @@ AUDITED = {
         "agg:sources — |distinct source| rows (two windows)",
     ("queries/text.py", "x140_bm25_retrieval"):
         "rows<=10 — TakeOrdered top-10 precedes the rank window",
-    ("queries/dedup.py", "_boilerplate_blocklist"):
+    ("queries/dedup.py", "boilerplate_blocklist_from_docs"):
         "rows<=top_k — TakeOrderedAndProject top-k (default 20) precedes "
         "the rank window (the x140 idiom); the df-floor filter runs "
         "before the distributed top-k",
