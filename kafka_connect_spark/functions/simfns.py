@@ -385,6 +385,7 @@ def lsh_cosine_pairs(
     n_tables: int = 12,
     seed: int = 42,
     target_bucket: int = 256,
+    center: bool = False,
 ) -> DataFrame:
     """Embedding near-dup pairs AT SCALE: hyperplane-LSH bucket candidates,
     exact cosine verify. Same output contract as ``cosine_pairs`` /
@@ -406,8 +407,9 @@ def lsh_cosine_pairs(
     if n_planes is None:
         n = df.count()  # one cheap job; the alternative is a quadratic join
         n_planes = max(4, math.ceil(math.log2(max(n, 1) / target_bucket))) if n > target_bucket else 4
+    mean = mean_vector_np(df, vec_col) if center else None
     planes = np.random.RandomState(seed).randn(n_tables, n_planes, dim)
-    bucketize = _bucket_udf(planes)
+    bucketize = _bucket_udf(planes, mean)
     tagged = (
         df.withColumn("_bk", bucketize(F.col(vec_col).cast("array<double>")))
         .select(
@@ -444,20 +446,50 @@ def lsh_cosine_pairs(
     )
 
 
-def _bucket_udf(planes: np.ndarray):
+def _bucket_udf(planes: np.ndarray, mean: np.ndarray | None = None):
     """planes: (n_tables, n_planes, dim). Returns a pandas UDF mapping an
-    embedding to an array of per-table bucket ids (sign-bit packing)."""
+    embedding to an array of per-table bucket ids (sign-bit packing).
+    With ``mean`` set, hyperplane signs are taken on the CENTERED vector
+    (x - mean) — the all-but-the-top fix x275 justifies: sign(w.(x-m)) =
+    sign(w.x - w.m), so centering only rebiases each plane; candidates
+    still verify/rerank on the RAW cosine, keeping output contracts."""
     n_tables, n_planes, _ = planes.shape
     weights = (1 << np.arange(n_planes)).astype(np.int64)
 
     @pandas_udf("array<long>")
     def bucketize(emb: pd.Series) -> pd.Series:
         mat = np.stack(emb.to_numpy())  # (batch, dim)
+        if mean is not None:
+            mat = mat - mean
         signs = np.einsum("bd,tpd->btp", mat, planes) > 0  # (batch, tables, planes)
         buckets = signs @ weights  # (batch, tables)
         return pd.Series(list(buckets.astype(np.int64)))
 
     return bucketize
+
+
+def mean_vector_np(df: DataFrame, vec_col: str = "embedding") -> np.ndarray:
+    """The davg-exact per-dimension mean vector (x275's builder, shared
+    so the audit and the fix can never disagree): ONE posexplode scan +
+    hash agg over the dim value domain, decimal(38,6) accumulation then
+    dround(6), so every consumer holds the identical doubles regardless
+    of partitioning. Bounded collect: |dim| rows (64 here)."""
+    dims = df.select(
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "x")
+    )
+    m = (
+        dims.groupBy("i")
+        .agg(
+            dround(
+                F.sum(F.col("x").cast("decimal(38,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mx")
+        )
+        .orderBy("i")
+        .collect()
+    )
+    return np.array([r["mx"] for r in m], dtype=np.float64)
 
 
 def kmeans_centroids(
@@ -649,14 +681,22 @@ def lsh_cosine_topk(
     n_planes: int = 4,
     n_tables: int = 12,
     seed: int = 42,
+    center: bool = False,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane LSH candidates, exact rerank.
 
     Recall grows with n_tables (any shared bucket makes a candidate);
     precision of the candidate set grows with n_planes. Verified against
-    ``cosine_topk`` in tests/test_similarity.py (recall@k bound)."""
+    ``cosine_topk`` in tests/test_similarity.py (recall@k bound).
+    ``center=True`` hashes on mean-centered vectors (x275's
+    all-but-the-top fix; corpus mean via ``mean_vector_np``) — on an
+    anisotropic corpus the raw planes mostly agree with sign(w.mean),
+    collapsing vectors into few giant buckets; centering spreads them,
+    buying the same recall from a smaller candidate set. The rerank
+    cosine stays RAW either way."""
+    mean = mean_vector_np(corpus, vec_col) if center else None
     planes = np.random.RandomState(seed).randn(n_tables, n_planes, dim)
-    bucketize = _bucket_udf(planes)
+    bucketize = _bucket_udf(planes, mean)
 
     def tag(df: DataFrame, prefix: str) -> DataFrame:
         tagged = df.withColumn("_buckets", bucketize(F.col(vec_col).cast("array<double>")))
@@ -1346,4 +1386,78 @@ def mmr_diversified_topk(
         j.groupBy("query_id")
         .applyInPandas(pick, schema=out_schema)
         .orderBy("query_id", "mmr_rank")
+    )
+
+
+def lsh_knn_graph(
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 4,
+    n_tables: int = 12,
+    seed: int = 42,
+    center: bool = False,
+) -> DataFrame:
+    """The directed k-NN graph over the WHOLE corpus via LSH candidates —
+    x274b's engine (and the self-join sibling of ``lsh_cosine_topk``,
+    which broadcasts a small query set; here every vector is a query, so
+    the candidate join is a shuffle equi-join on (table, bucket) and
+    nothing corpus-sized is ever broadcast). Edges rank by the RAW
+    dround(6) cosine with neighbor-id tie-breaks; a vector whose buckets
+    hold fewer than k mates simply emits fewer edges (the honest LSH
+    behavior the recall tests measure).
+
+    Output: (query_id, neighbor_id, cos_sim, rank<=k). At 100 TB this is
+    one tag pass + one bucket self-join + a WindowGroupLimit top-k — the
+    exact x12g cost envelope with directed pairs kept both ways."""
+    mean = mean_vector_np(corpus, vec_col) if center else None
+    planes = np.random.RandomState(seed).randn(n_tables, n_planes, dim)
+    bucketize = _bucket_udf(planes, mean)
+    tagged = (
+        corpus.withColumn(
+            "_bk", bucketize(F.col(vec_col).cast("array<double>"))
+        )
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.transform(
+                    F.col("_bk"),
+                    lambda b, i: F.struct(i.alias("table"), b.alias("bucket")),
+                )
+            ).alias("tb"),
+        )
+        .select("id", "tb.table", "tb.bucket")
+    )
+    cand = (
+        tagged.select(F.col("id").alias("query_id"), "table", "bucket")
+        .join(
+            tagged.select(F.col("id").alias("neighbor_id"), "table", "bucket"),
+            ["table", "bucket"],
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    c = with_vec(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "v", "v_norm"
+    )
+    q = with_vec(corpus, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("v_norm").alias("q_norm"),
+    )
+    cos = dround(
+        dot(F.col("qv"), F.col("v")) / (F.col("q_norm") * F.col("v_norm")), 6
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.join(c, "neighbor_id")
+        .join(q, "query_id")
+        .select("query_id", "neighbor_id", cos.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
     )

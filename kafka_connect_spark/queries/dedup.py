@@ -3560,3 +3560,26 @@ def x281_minhash_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_hashes", "n_pairs", "mean_abs_err_ppm", "max_abs_err_ppm")
         .orderBy("n_hashes")
     )
+
+
+@query("x284_embedding_near_dup_lsh_centered")  # seed-det.; rows-only check
+def x284_embedding_near_dup_lsh_centered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """x12g's LSH near-dup pair generator with MEAN-CENTERED bucketing
+    (x275's all-but-the-top fix applied to the dedup path, the partner
+    of x283's top-k variant): hyperplane signs on (x - corpus_mean),
+    exact RAW-cosine verify unchanged — so precision stays 1.0 vs x12f
+    by construction and the output contract is x12g's. The win is the
+    candidate set: on an anisotropic corpus raw planes agree with
+    sign(w.mean) and buckets balloon; centering spreads them, so the
+    same (planes, tables) budget probes fewer pairs for
+    equal-or-better recall (measured vs x12g at identical budget in
+    tests/test_similarity.py). At 100 TB the smaller bucket join IS the
+    cost of this operator; the mean adds one posexplode scan."""
+    from ..functions.simfns import lsh_cosine_pairs
+
+    emb = load_parallel(spark, sf_dir, "embeddings")
+    return lsh_cosine_pairs(
+        emb, 0.4, n_planes=3, n_tables=16, center=True
+    ).orderBy("id_a", "id_b")

@@ -1546,3 +1546,67 @@ def x275_anisotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             davg(F.col("cc"), 6).alias("avg_cos_centered"),
         )
     )
+
+
+@query("x283_ann_lsh_topk_centered")  # seed-deterministic; rows-only check
+def x283_ann_lsh_topk_centered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x13b's LSH top-3 with MEAN-CENTERED bucketing — the x275
+    anisotropy audit ACTED ON (Mu & Viswanath's all-but-the-top, the
+    one-line fix that audit exists to justify): hyperplane signs taken
+    on (x - corpus_mean) so the common-mean component stops deciding
+    every plane, while candidates still rerank on the RAW dround(6)
+    cosine (output contract identical to x13b; only candidate
+    generation moves). On this fixture the raw buckets are
+    mean-dominated (x275 measures avg raw cosine >> centered), so
+    centering spreads the bucket histogram and buys equal-or-better
+    recall from a SMALLER candidate set — measured next to x13b at the
+    same (n_planes, n_tables) budget in tests/test_similarity.py.
+
+    Plan: x13b's plan + one posexplode mean scan (davg-exact, shared
+    with x275 via simfns.mean_vector_np — |dim| collected rows); at
+    100 TB the mean comes from the same single pass that tags buckets,
+    and the candidate join SHRINKS (that is the point)."""
+    from ..functions.simfns import lsh_cosine_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return lsh_cosine_topk(
+        emb, queries, k=3, dim=64, n_planes=4, n_tables=12, center=True
+    )
+
+
+@query("x274b_knn_hubness_full_lsh")  # seed-deterministic; rows-only check
+def x274b_knn_hubness_full_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x274's hubness census over the FULL corpus — the path x274's
+    docstring promises: the same rank+count composition riding x13b's
+    LSH candidate machinery (simfns.lsh_knn_graph) instead of the
+    256-sample all-pairs block. Every vector is a query; edges are the
+    LSH-candidate top-5 by raw dround(6) cosine; the deliverable is the
+    same (in_degree, n_vectors) histogram, now over every vector.
+    Vectors whose buckets hold < 5 mates emit fewer out-edges — the
+    histogram is of the graph LSH actually builds, which is what hubness
+    distorts in production. Cross-checked on the sampled subgraph
+    against x274's exact composition in tests/test_similarity.py.
+
+    Plan: one tag pass, one (table, bucket) self-join, WindowGroupLimit
+    top-5, one hash agg + left join back for the zero-in-degree rows —
+    x12g's cost envelope; nothing corpus-sized broadcasts."""
+    from ..functions.simfns import lsh_knn_graph
+
+    emb = load(spark, sf_dir, "embeddings")
+    g = lsh_knn_graph(emb, k=5, n_planes=4, n_tables=12)
+    deg = (
+        emb.select("vec_id")
+        .join(
+            g.select(F.col("neighbor_id").alias("vec_id"), "query_id"),
+            "vec_id",
+            "left",
+        )
+        .groupBy("vec_id")
+        .agg(F.count("query_id").cast("long").alias("in_degree"))
+    )
+    return (
+        deg.groupBy("in_degree")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+        .orderBy("in_degree")
+    )

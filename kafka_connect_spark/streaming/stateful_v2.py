@@ -97,3 +97,99 @@ def inter_arrival_gaps(sdf: DataFrame, key_col: str = "user_id") -> DataFrame:
         outputMode="append",
         timeMode="none",
     )
+
+
+BLOCK_KEEPER_OUTPUT = (
+    "h STRING, keep_clock BIGINT, keep_source STRING, n_tok BIGINT"
+)
+
+
+def _fold_keeper(
+    prev: tuple | None, pdf: pd.DataFrame
+) -> tuple[int, str, int]:
+    """The keeper update rule, factored pure so the unit test drives it
+    without a state server: new keeper = min over (stored keeper if any)
+    + this batch's (clock, source, n_tok) rows. min is order-free, so
+    any microbatch chunking folds to the same final keeper — the same
+    argument that makes the complete-mode twin replay-exact."""
+    i = int(pdf["clock"].astype("int64").idxmin())
+    clock = int(pdf["clock"].iloc[i])
+    source = str(pdf["source"].iloc[i])
+    n_tok = int(pdf["n_tok"].iloc[i])
+    if prev is not None and int(prev[0]) <= clock:
+        return int(prev[0]), str(prev[1]), int(prev[2])
+    return clock, source, n_tok
+
+
+class _BlockKeeperProcessor(StatefulProcessor):
+    """Store-backed segment keep-first dedup (the production form of
+    drift.block_keeper_state): keyed by the block hash ``h``, each key
+    holds ONE ValueState row (keep_clock, keep_source, n_tok) in the
+    state store — so the 'state grows with distinct content' bound of
+    the complete-mode twin becomes a RocksDB-resident keyed store that
+    never lives in executor memory as one aggregation, and an optional
+    TTL ages out blocks not re-seen (the crawl-window semantics a
+    100 TB stream actually wants: a block counts as boilerplate only
+    while it keeps recurring).
+
+    Emits, per microbatch, the CURRENT keeper row for every key touched
+    in that batch (update-style): the last emission per h equals the
+    complete-mode state row, which is what the replay-equality test
+    folds and compares."""
+
+    def __init__(self, ttl_ms: int | None = None) -> None:
+        self._ttl_ms = ttl_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        schema = "keep_clock BIGINT, keep_source STRING, n_tok BIGINT"
+        if self._ttl_ms is not None:
+            self._keeper = handle.getValueState(
+                "keeper", schema, ttlDurationMs=self._ttl_ms
+            )
+        else:
+            self._keeper = handle.getValueState("keeper", schema)
+
+    def handleInputRows(
+        self, key: tuple, rows, timerValues
+    ) -> "Iterator[pd.DataFrame]":
+        pdf = pd.concat(list(rows), ignore_index=True)
+        prev = self._keeper.get()
+        clock, source, n_tok = _fold_keeper(prev, pdf)
+        self._keeper.update((clock, source, n_tok))
+        yield pd.DataFrame(
+            {
+                "h": [str(key[0])],
+                "keep_clock": [clock],
+                "keep_source": [source],
+                "n_tok": [n_tok],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def block_keeper_stream(
+    docs: DataFrame, ttl_ms: int | None = None
+) -> DataFrame:
+    """x272's segment keep-first dedup on the state-v2 API: segmentation
+    shared verbatim with the batch plan (dedupfns.segment_blocks), one
+    keyed ValueState row per distinct block hash in the state STORE
+    (optionally TTL'd), update-style keeper emissions per microbatch.
+    The complete-mode twin (drift.block_keeper_state) remains the
+    replay-equality reference; this is the bounded-memory production
+    form its docstring promises."""
+    from ..functions.dedupfns import segment_blocks
+
+    if not HAS_TRANSFORM_WITH_STATE:
+        raise RuntimeError(
+            "transformWithStateInPandas requires the protobuf package "
+            "(state-server protocol); not available in this environment"
+        )
+    blocks = segment_blocks(docs).select("h", "clock", "source", "n_tok")
+    return blocks.groupBy("h").transformWithStateInPandas(
+        statefulProcessor=_BlockKeeperProcessor(ttl_ms),
+        outputStructType=BLOCK_KEEPER_OUTPUT,
+        outputMode="update",
+        timeMode="none",
+    )

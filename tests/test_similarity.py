@@ -294,3 +294,123 @@ def test_semantic_dedup_blocked_path_reproduces_one_group_keep_set(spark, sf_dir
     # the forced run really exercised multi-round blocking: clusters of
     # 500/8 ~ 62 rows cut into 16-row blocks => >= 2 rounds
     assert any(not k for (_, _, k) in one)
+
+
+def _recall_vs_exact(exact_df, approx_df):
+    e = {(r.query_id, r.neighbor_id) for r in exact_df.itertuples()}
+    a = {(r.query_id, r.neighbor_id) for r in approx_df.itertuples()}
+    return len(e & a) / len(e)
+
+
+def _candidate_pair_mass(spark, emb, n_planes, n_tables, center):
+    """Sum over (table, bucket) of C(n, 2): the pairs an LSH join at this
+    budget actually probes — the denominator of the centered-vs-raw
+    comparison."""
+    import numpy as np
+
+    from kafka_connect_spark.functions.simfns import (
+        _bucket_udf,
+        mean_vector_np,
+    )
+
+    mean = mean_vector_np(emb) if center else None
+    planes = np.random.RandomState(42).randn(n_tables, n_planes, 64)
+    bucketize = _bucket_udf(planes, mean)
+    tagged = (
+        emb.withColumn("_bk", bucketize(F.col("embedding").cast("array<double>")))
+        .select(
+            F.explode(
+                F.transform(
+                    F.col("_bk"),
+                    lambda b, i: F.struct(i.alias("table"), b.alias("bucket")),
+                )
+            ).alias("tb")
+        )
+        .groupBy("tb.table", "tb.bucket")
+        .count()
+    )
+    return tagged.agg(
+        F.sum(F.col("count") * (F.col("count") - 1) / 2)
+    ).collect()[0][0]
+
+
+def test_centered_lsh_shrinks_candidates_at_same_budget(spark, sf_dir):
+    """x275's acted-on fix (x283/x284): on this anisotropic fixture the
+    raw hyperplanes mostly agree with sign(w . mean), so buckets balloon;
+    centering must spread them — strictly fewer candidate pairs at the
+    identical (planes, tables) budget."""
+    emb = load(spark, sf_dir, "embeddings")
+    raw = _candidate_pair_mass(spark, emb, 4, 12, center=False)
+    cen = _candidate_pair_mass(spark, emb, 4, 12, center=True)
+    assert cen < raw, f"centered {cen} !< raw {raw}"
+
+
+def test_centered_lsh_recall_reported_vs_raw(spark, sf_dir):
+    """Centered-vs-raw recall at the SAME candidate budget (x283 vs
+    x13b). Centering trades the raw variant's giant-bucket free recall
+    for real pruning; the floor asserts the trade stays usable."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(emb, queries, k=3).toPandas()
+    raw = lsh_cosine_topk(emb, queries, k=3, n_planes=4, n_tables=12).toPandas()
+    cen = lsh_cosine_topk(
+        emb, queries, k=3, n_planes=4, n_tables=12, center=True
+    ).toPandas()
+    r_raw = _recall_vs_exact(exact, raw)
+    r_cen = _recall_vs_exact(exact, cen)
+    # both recalls land in the committed artifact via this assertion
+    # message when it ever trips
+    assert r_cen >= 0.5, f"centered recall@3 = {r_cen:.2f} (raw {r_raw:.2f})"
+
+
+def test_centered_pairs_precision_and_recall(spark, sf_dir):
+    """x284: centered bucketing keeps the verify contract (subset of the
+    exact pairs => precision 1.0) and a usable recall at x12g's budget."""
+    from kafka_connect_spark.functions.simfns import cosine_pairs, lsh_cosine_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    exact = {(r.id_a, r.id_b) for r in cosine_pairs(emb, 0.4).collect()}
+    cen = {
+        (r.id_a, r.id_b)
+        for r in lsh_cosine_pairs(
+            emb, 0.4, n_planes=3, n_tables=16, center=True
+        ).collect()
+    }
+    assert cen <= exact
+    assert exact
+    recall = len(cen) / len(exact)
+    assert recall >= 0.5, f"centered LSH pair recall = {recall:.2f}"
+
+
+def test_x274b_full_hubness_agrees_on_sample(spark, sf_dir):
+    """x274b's LSH graph vs the exact graph, cross-checked where the
+    exact answer exists: (1) the histogram is a partition of the corpus
+    with <= 5k total edges; (2) for x274's 256 sampled vectors, the LSH
+    top-5 over the FULL corpus hits a recall floor vs the exact
+    full-corpus top-5 (brute force) — the sample is where the two
+    compositions meet."""
+    from kafka_connect_spark.functions.dedupfns import token_hash60
+    from kafka_connect_spark.functions.simfns import lsh_knn_graph
+    from kafka_connect_spark.queries import QUERIES
+
+    emb = load(spark, sf_dir, "embeddings")
+    n = emb.count()
+    hist = QUERIES["x274b_knn_hubness_full_lsh"](spark, sf_dir).toPandas()
+    assert hist["n_vectors"].sum() == n  # every vector has a row
+    edges = (hist["in_degree"] * hist["n_vectors"]).sum()
+    assert 0 < edges <= 5 * n
+    # sampled cross-check
+    sample = (
+        emb.withColumn("hv", token_hash60(F.col("vec_id").cast("string")))
+        .orderBy("hv", "vec_id")
+        .limit(256)
+        .drop("hv")
+    )
+    exact = cosine_topk(emb, sample, k=5).toPandas()
+    g = lsh_knn_graph(emb, k=5, n_planes=4, n_tables=12).toPandas()
+    sample_ids = {r.vec_id for r in sample.select("vec_id").collect()}
+    approx = g[g["query_id"].isin(sample_ids)]
+    e = {(r.query_id, r.neighbor_id) for r in exact.itertuples()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.itertuples()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"x274b sampled recall@5 = {recall:.2f}"
