@@ -3570,13 +3570,15 @@ def x284_embedding_near_dup_lsh_centered(
     (x275's all-but-the-top fix applied to the dedup path, the partner
     of x283's top-k variant): hyperplane signs on (x - corpus_mean),
     exact RAW-cosine verify unchanged — so precision stays 1.0 vs x12f
-    by construction and the output contract is x12g's. The win is the
-    candidate set: on an anisotropic corpus raw planes agree with
-    sign(w.mean) and buckets balloon; centering spreads them, so the
-    same (planes, tables) budget probes fewer pairs for
-    equal-or-better recall (measured vs x12g at identical budget in
-    tests/test_similarity.py). At 100 TB the smaller bucket join IS the
-    cost of this operator; the mean adds one posexplode scan."""
+    by construction and the output contract is x12g's. On an
+    anisotropic corpus raw planes agree with sign(w.mean) and buckets
+    balloon; centering spreads them, so the same (planes, tables)
+    budget probes fewer pairs. The fixture is near-isotropic (x275:
+    avg cosine 0.005), so here the variant is verified SAFE (recall
+    0.995 vs raw 0.993 at identical budget, candidate mass within
+    0.2%); the anisotropic win is pinned on a planted common-mean
+    corpus in tests/test_similarity.py. At 100 TB the smaller bucket
+    join IS this operator's cost; the mean adds one posexplode scan."""
     from ..functions.simfns import lsh_cosine_pairs
 
     emb = load_parallel(spark, sf_dir, "embeddings")

@@ -334,15 +334,54 @@ def _candidate_pair_mass(spark, emb, n_planes, n_tables, center):
     ).collect()[0][0]
 
 
-def test_centered_lsh_shrinks_candidates_at_same_budget(spark, sf_dir):
-    """x275's acted-on fix (x283/x284): on this anisotropic fixture the
-    raw hyperplanes mostly agree with sign(w . mean), so buckets balloon;
-    centering must spread them — strictly fewer candidate pairs at the
-    identical (planes, tables) budget."""
+def test_centered_lsh_noop_on_isotropic_fixture(spark, sf_dir):
+    """The fixture is near-isotropic (x275: avg cosine ~0.005), so
+    centering must be a near-no-op on candidate mass — within 2% at the
+    identical (planes, tables) budget. This pins the SAFETY half of the
+    x283/x284 claim; the anisotropic win is the planted test below."""
     emb = load(spark, sf_dir, "embeddings")
     raw = _candidate_pair_mass(spark, emb, 4, 12, center=False)
     cen = _candidate_pair_mass(spark, emb, 4, 12, center=True)
-    assert cen < raw, f"centered {cen} !< raw {raw}"
+    assert abs(cen - raw) / raw < 0.02, f"centered {cen} vs raw {raw}"
+
+
+def test_centered_lsh_collapses_planted_anisotropy(spark, sf_dir):
+    """The x275 pathology, PLANTED: add a large common-mean component to
+    every vector (the crowded-cone geometry of real embedding spaces).
+    Raw hyperplanes then mostly agree with sign(w . mean) — buckets
+    balloon and candidate mass explodes; centered bucketing must
+    collapse it back near the isotropic level, while exact top-k
+    neighbors (raw cosine on the shifted vectors) stay recoverable at
+    the same budget."""
+    emb = load(spark, sf_dir, "embeddings")
+    # shift: +4.0 on every dimension (vectors are ~unit-scale entries,
+    # so the mean dominates every individual vector's own direction)
+    shifted = emb.withColumn(
+        "embedding",
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda x: x + F.lit(4.0)
+        ),
+    )
+    raw = _candidate_pair_mass(spark, shifted, 4, 12, center=False)
+    cen = _candidate_pair_mass(spark, shifted, 4, 12, center=True)
+    iso = _candidate_pair_mass(spark, emb, 4, 12, center=False)
+    assert raw > 3 * iso, f"planting failed to balloon buckets: {raw} vs {iso}"
+    assert cen < raw / 2, f"centering failed to collapse: {cen} vs {raw}"
+    assert cen < 2 * iso, f"centered mass {cen} far above isotropic {iso}"
+    # recall on the shifted corpus at the same budget: centered must at
+    # least match raw (raw's buckets are huge AND uninformative)
+    q = shifted.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(shifted, q, k=3).toPandas()
+    r_raw = _recall_vs_exact(
+        exact, lsh_cosine_topk(shifted, q, k=3, n_planes=4, n_tables=12).toPandas()
+    )
+    r_cen = _recall_vs_exact(
+        exact,
+        lsh_cosine_topk(
+            shifted, q, k=3, n_planes=4, n_tables=12, center=True
+        ).toPandas(),
+    )
+    assert r_cen >= 0.5, f"centered recall {r_cen:.2f} (raw {r_raw:.2f})"
 
 
 def test_centered_lsh_recall_reported_vs_raw(spark, sf_dir):
