@@ -225,3 +225,172 @@ def curated_write_df(
 def read_manifest(out_dir: str) -> dict:
     with open(os.path.join(out_dir, MANIFEST_NAME)) as f:
         return json.load(f)
+
+
+def curated_stream(
+    sdf: DataFrame,
+    out_dir: str,
+    checkpoint: str,
+    blocklist_hashes: list[str],
+    eval_grams: list[str],
+    index_dir: str,
+    block: int = 20,
+    available_now: bool = True,
+):
+    """curated_write's STREAMING form — incremental curation as a crawl
+    lands, the per-microbatch composition of the family's gates:
+
+    1. quality: the FUNNEL_STAGES predicate (x270/x278's first gate,
+       shared verbatim) — a pure projection, per-row;
+    2. contamination: distinct 5-grams intersected IN-ROW against the
+       broadcast eval gram list (x269's monitor idiom; the eval suite is
+       fixed at freeze, so it ships as a literal array);
+    3. exact-dup vs EVERYTHING SEEN: md5(text) anti-join against the
+       fingerprint-index parquet at ``index_dir`` (x37's discipline:
+       hashes shuffle, never documents), keep-first within the batch by
+       the doc_id clock, then the batch's kept hashes APPEND to the
+       index — so later batches dedup against earlier ones across
+       restarts (the index is the checkpoint-external state, idempotent
+       because duplicate hashes in the index only widen an anti-join
+       that already dropped those docs);
+    4. segment strip: the PUBLISHED blocklist (x279's artifact from the
+       last freeze — a static input, which is how a production strip
+       pass actually consumes it) anti-joined at block granularity,
+       docs reassembled exactly as the batch path (same
+       segment_blocks(with_text=True) builder);
+    5. append the curated rows to ``out_dir``.
+
+    Replayed in doc_id order the emitted set equals the batch
+    curated_corpus run with the same (blocklist, eval grams) inputs —
+    pinned in tests/test_curated_write.py. Gate ORDER doesn't affect
+    membership (keep = passes all gates); it only attributes drops,
+    which the batch freeze manifest already owns.
+
+    Returns the started StreamingQuery."""
+    from ..functions.textfns import FUNNEL_STAGES
+
+    q_pred = " and ".join(p for _, p in FUNNEL_STAGES)
+    ev = F.array(*[F.lit(g) for g in eval_grams]) if eval_grams else F.array()
+    bl = (
+        F.array(*[F.lit(h) for h in blocklist_hashes])
+        if blocklist_hashes
+        else F.array()
+    )
+
+    def emit(batch_df: DataFrame, _batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        spark = batch_df.sparkSession
+        d = batch_df.filter(F.col("doc_id") >= 10)
+        sig = d.select(
+            "doc_id",
+            "source",
+            "lang",
+            "text",
+            "n_chars",
+            F.size(F.split("text", " ")).cast("long").alias("ntoks"),
+            F.expr(
+                "cast(size(filter(split(text, ' '),"
+                " t -> array_contains(array('a','the','of','and','to','in'),"
+                " t))) as bigint)"
+            ).alias("hits"),
+            (F.length("text") - F.length(F.translate("text", ".,;:!?", "")))
+            .cast("long")
+            .alias("punct"),
+        )
+        grams5 = F.expr(
+            "case when size(split(text, ' ')) >= 5 then"
+            " array_distinct(transform(sequence(1, size(split(text, ' ')) - 4),"
+            " i -> array_join(slice(split(text, ' '), i, 5), ' ')))"
+            " else array() end"
+        )
+        gated = (
+            sig.filter(F.expr(q_pred))
+            .filter(F.size(F.array_intersect(grams5, ev)) == 0)
+            .select("doc_id", "source", "lang", "text")
+            .withColumn("th", F.md5("text"))
+        )
+        try:
+            seen = spark.read.parquet(index_dir).select("th").distinct()
+        except Exception:  # noqa: BLE001 - first batch: no index yet
+            seen = spark.createDataFrame([], "th string")
+        # hash anti-join, NOT broadcast: the index is corpus-sized at
+        # 100 TB (x37's shape — hashes shuffle, documents never do)
+        w = Window.partitionBy("th").orderBy("doc_id")
+        kept = (
+            gated.join(seen, "th", "left_anti")
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+            .persist()
+        )
+        try:
+            from ..functions.dedupfns import segment_blocks
+
+            blocks = segment_blocks(
+                kept.select("doc_id", "source", "text"),
+                block=block,
+                with_text=True,
+            ).withColumn("stripped", F.array_contains(bl, F.col("h")))
+            strip_stats = (
+                blocks.filter("stripped")
+                .groupBy("doc_id")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_blocks_stripped"),
+                    F.sum("n_tok").cast("long").alias("n_tok_stripped"),
+                )
+            )
+            assembled = (
+                blocks.filter(~F.col("stripped"))
+                .groupBy("doc_id")
+                .agg(
+                    F.array_join(
+                        F.expr(
+                            "transform(array_sort(collect_list("
+                            "struct(b_idx, txt))), s -> s.txt)"
+                        ),
+                        " ",
+                    ).alias("text"),
+                    F.sum("n_tok").cast("long").alias("n_tok"),
+                )
+            )
+            out = (
+                assembled.join(kept.select("doc_id", "lang", "source"), "doc_id")
+                .join(strip_stats, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    "source",
+                    "lang",
+                    "text",
+                    F.length("text").cast("long").alias("n_chars"),
+                    "n_tok",
+                    F.coalesce("n_blocks_stripped", F.lit(0))
+                    .cast("long")
+                    .alias("n_blocks_stripped"),
+                    F.coalesce("n_tok_stripped", F.lit(0))
+                    .cast("long")
+                    .alias("n_tok_stripped"),
+                )
+            )
+            out.write.mode("append").parquet(out_dir)
+            # index update AFTER the emit: a crash between the two
+            # replays the whole batch (foreachBatch is at-least-once),
+            # which re-emits rows the index hasn't absorbed — emitted
+            # rows are deterministic and keyed by doc_id, so replay
+            # duplicates collapse under any keyed reader (or swap this
+            # append for sinks/upsert.UpsertParquetSink keyed on doc_id
+            # for a strictly-idempotent emit); updating the index FIRST
+            # would instead LOSE docs on the same crash, which is the
+            # wrong side to err on for training data. Duplicate hashes
+            # appended to the index are harmless (anti-join semantics).
+            kept.select("th").write.mode("append").parquet(index_dir)
+        finally:
+            kept.unpersist()
+
+    return (
+        sdf.writeStream.foreachBatch(emit)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=available_now)
+        .queryName("curated-stream")
+        .start()
+    )

@@ -154,3 +154,71 @@ def test_rerun_is_idempotent(spark, sf_dir, tmp_path):
     second = spark.read.parquet(out).toPandas().sort_values("doc_id")
     assert m1 == m2
     assert first.reset_index(drop=True).equals(second.reset_index(drop=True))
+
+
+def test_curated_stream_equals_batch_in_doc_id_order(spark, sf_dir, tmp_path):
+    """curated_stream replayed in doc_id order with the batch run's own
+    published inputs (x279 blocklist, eval-seed 5-grams) and an empty
+    index must emit EXACTLY the batch curated_corpus rows: the quality
+    and contamination gates are per-row (order-free), the exact-dup
+    keeper is first-arrival which equals the batch min-doc_id keeper
+    under ordered replay, and the strip/reassembly builders are shared
+    verbatim."""
+    from kafka_connect_spark.plans.curate import curated_corpus, curated_stream
+    from kafka_connect_spark.sources.replay import (
+        file_replay_stream,
+        write_replay_files,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    bl = [
+        r["block_hash"]
+        for r in QUERIES["x279_boilerplate_blocklist"](spark, sf_dir).collect()
+    ]
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    ev = [
+        r["gram"]
+        for r in toks.filter(F.col("doc_id") < 10)
+        .select(
+            F.explode(
+                F.expr(
+                    "case when size(toks) >= 5 then"
+                    " array_distinct(transform(sequence(1, size(toks) - 4),"
+                    " i -> array_join(slice(toks, i, 5), ' ')))"
+                    " else array() end"
+                )
+            ).alias("gram")
+        )
+        .distinct()
+        .collect()
+    ]
+    rd = str(tmp_path / "curated-replay")
+    write_replay_files(docs, rd, 8, "doc_id")
+    sdf = file_replay_stream(spark, rd, spark.read.parquet(rd).schema)
+    q = curated_stream(
+        sdf,
+        out_dir=str(tmp_path / "curated-stream-out"),
+        checkpoint=str(tmp_path / "curated-stream-ckpt"),
+        blocklist_hashes=bl,
+        eval_grams=ev,
+        index_dir=str(tmp_path / "curated-stream-index"),
+    )
+    q.awaitTermination(300)
+    got = (
+        spark.read.parquet(str(tmp_path / "curated-stream-out"))
+        .toPandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    want = (
+        curated_corpus(docs)
+        .toPandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        got[want.columns.tolist()], want, check_dtype=False
+    )
+    # the index absorbed every kept-doc hash exactly once per distinct text
+    idx = spark.read.parquet(str(tmp_path / "curated-stream-index"))
+    assert idx.count() == idx.distinct().count()
