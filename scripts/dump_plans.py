@@ -141,9 +141,13 @@ FLAGSHIPS = {
     "x276_segment_share_matrix": "distinct (h,source) -> per-h collect_set -> in-row pair explode -> pair agg + 2 broadcast total joins",
     "x277_segment_size_sweep": "one scan, (k,block)-tagged explode for 4 sizes -> (k,h) keeper agg -> join back -> per-k sums",
     "x278_freeze_manifest": "signals projection + md5 keeper agg + broadcast gram join -> first-failing-gate verdict -> (source,verdict) agg",
-    "x279_boilerplate_blocklist": "per-h hash agg -> df>=3 filter BEFORE the rank window -> top-20",
+    "x279_boilerplate_blocklist": "per-h hash agg -> df-floor filter -> DISTRIBUTED TakeOrderedAndProject top-20 -> rank window over only the survivors",
     "x280_eval_item_leak_profile": "two distinct-gram explodes -> corpus probes broadcast eval grams -> per-eval-item aggs; zero-leak rows kept",
-    "x281_minhash_k_sweep": "one 64-component signature build; per-k estimates as prefix conditional sums; 1-row agg checkpointed, 4-row fan-out",
+    "x281_minhash_k_sweep": "one 64-component signature build; per-k estimates as prefix conditional sums; single lazy stack() fan-out of the 1-row agg (no checkpoint, no union)",
+    "x282_curated_accounting": "freeze_verdicts gates + blocklist top-k + ONE segment scan joined to the keep set, broadcast-left-joined to <=20 hashes; per-doc then per-source aggs",
+    "x283_ann_lsh_topk_centered": "posexplode mean scan (davg-exact) -> centered bucket tag -> same candidate equi-join + raw-cosine rerank as x13b",
+    "x284_embedding_near_dup_lsh_centered": "x12g's bucket self-join with centered signs; exact raw-cosine verify unchanged (precision 1.0)",
+    "x274b_knn_hubness_full_lsh": "one bucket tag pass -> (table,bucket) self-join -> WindowGroupLimit top-5 -> in-degree hash agg; nothing corpus-sized broadcast",
 }
 
 
