@@ -148,3 +148,23 @@ def test_block_keeper_stream_replays_to_complete_mode_state(
         .sort_values("h", ignore_index=True)
     )
     pd.testing.assert_frame_equal(last, want, check_dtype=False)
+
+
+def test_block_keeper_ttl_forwarded_to_state_handle():
+    """The TTL knob must reach the ValueState registration (the
+    crawl-window semantics the docstring sells) — pinned via a recording
+    stub so the wiring can't silently drop the kwarg."""
+    calls = {}
+
+    class RecordingHandle:
+        def getValueState(self, name, schema, **kw):
+            calls[name] = kw
+            return _StubState()
+
+    p = _BlockKeeperProcessor(ttl_ms=3_600_000)
+    p.init(RecordingHandle())
+    assert calls["keeper"] == {"ttlDurationMs": 3_600_000}
+    p2 = _BlockKeeperProcessor()
+    calls.clear()
+    p2.init(RecordingHandle())
+    assert calls["keeper"] == {}
