@@ -230,6 +230,8 @@ HEADLINE = [
     "x283_ann_lsh_topk_centered",
     "x284_embedding_near_dup_lsh_centered",
     "x274b_knn_hubness_full_lsh",
+    "x285_curation_quality_delta",
+    "x286_all_but_top_audit",
     # round 11 additions
     "x265_keep_policy_comparison",
     "x263_operating_point",

@@ -3126,3 +3126,237 @@ def x282_curated_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "x285_curation_quality_delta",
+    oracle=f"""
+    WITH cand AS (SELECT * FROM documents WHERE doc_id >= 10),
+    s AS (SELECT doc_id, source, n_chars,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS ntoks,
+                 CAST(len(list_filter(string_split(text, ' '),
+                     t -> t IN ('a','the','of','and','to','in')))
+                     AS BIGINT) AS hits,
+                 CAST(length(text)
+                      - length(translate(text, '.,;:!?', ''))
+                      AS BIGINT) AS punct
+          FROM cand),
+    q AS (SELECT doc_id, source,
+                 CASE WHEN {_X278_Q_SQL} THEN 1 ELSE 0 END AS q_pass
+          FROM s),
+    k AS (SELECT md5(text) AS th, min(doc_id) AS keep_id
+          FROM cand GROUP BY 1),
+    kd AS (SELECT c.doc_id,
+                  CASE WHEN c.doc_id = k.keep_id THEN 1 ELSE 0 END
+                      AS is_keeper
+           FROM cand c JOIN k ON md5(c.text) = k.th),
+    tok AS (SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents),
+    ev AS (SELECT DISTINCT gram
+           FROM (SELECT unnest(list_transform(
+                     range(1, greatest(len(toks) - 3, 1)),
+                     i -> array_to_string(toks[i:i+4], ' '))) AS gram
+                 FROM tok WHERE doc_id < 10)),
+    corp AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                 range(1, greatest(len(toks) - 3, 1)),
+                 i -> array_to_string(toks[i:i+4], ' ')))) AS gram
+             FROM tok WHERE doc_id >= 10),
+    hits5 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+              FROM corp JOIN ev USING (gram) GROUP BY 1),
+    keep AS (SELECT q.doc_id, q.source
+             FROM q JOIN kd ON kd.doc_id = q.doc_id
+             LEFT JOIN hits5 h ON h.doc_id = q.doc_id
+             WHERE q.q_pass = 1 AND kd.is_keeper = 1
+               AND COALESCE(h.n_hits, 0) = 0),
+    blocks AS (SELECT doc_id,
+                      CAST(len(toks[b * 20 + 1 : b * 20 + 20]) AS BIGINT)
+                          AS n_tok,
+                      md5(array_to_string(
+                          toks[b * 20 + 1 : b * 20 + 20], ' ')) AS h,
+                      CAST(length(array_to_string(
+                          toks[b * 20 + 1 : b * 20 + 20], ' '))
+                          AS BIGINT) AS chars,
+                      CAST(len(list_filter(toks[b * 20 + 1 : b * 20 + 20],
+                          t -> t IN ('a','the','of','and','to','in')))
+                          AS BIGINT) AS hits,
+                      CAST(length(array_to_string(
+                               toks[b * 20 + 1 : b * 20 + 20], ' '))
+                           - length(translate(array_to_string(
+                               toks[b * 20 + 1 : b * 20 + 20], ' '),
+                               '.,;:!?', '')) AS BIGINT) AS punct
+               FROM tok,
+                    unnest(range(0, (len(toks) + 19) // 20)) t(b)),
+    agg AS (SELECT h,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS token_mass
+            FROM blocks GROUP BY h),
+    bl AS (SELECT h FROM (SELECT h, row_number() OVER
+               (ORDER BY n_docs DESC, token_mass DESC, h) AS rk
+            FROM agg WHERE n_docs >= 3) WHERE rk <= 20),
+    kb AS (SELECT kp.source, b.doc_id, b.n_tok, b.chars, b.hits, b.punct,
+                  CASE WHEN bl.h IS NOT NULL THEN 1 ELSE 0 END AS strip
+           FROM blocks b
+           JOIN keep kp ON kp.doc_id = b.doc_id
+           LEFT JOIN bl ON bl.h = b.h),
+    post_doc AS (SELECT source, doc_id,
+                        CAST(sum(1 - strip) AS BIGINT) AS nb,
+                        CAST(sum((1 - strip) * n_tok) AS BIGINT) AS toks,
+                        CAST(sum((1 - strip) * chars) AS BIGINT) AS chars,
+                        CAST(sum((1 - strip) * hits) AS BIGINT) AS hits,
+                        CAST(sum((1 - strip) * punct) AS BIGINT) AS punct
+                 FROM kb GROUP BY 1, 2),
+    post AS (SELECT source,
+                    CAST(sum(CASE WHEN nb > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                        AS docs_post,
+                    CAST(sum(toks) AS BIGINT) AS tokens_post,
+                    CAST(sum(chars + greatest(nb - 1, 0)) AS BIGINT)
+                        AS chars_post,
+                    CAST(sum(hits) AS BIGINT) AS hits_post,
+                    CAST(sum(punct) AS BIGINT) AS punct_post
+             FROM post_doc GROUP BY 1),
+    pre AS (SELECT s.source,
+                   CAST(count(*) AS BIGINT) AS docs_pre,
+                   CAST(sum(s.ntoks) AS BIGINT) AS tokens_pre,
+                   CAST(sum(s.n_chars) AS BIGINT) AS chars_pre,
+                   CAST(sum(s.hits) AS BIGINT) AS hits_pre,
+                   CAST(sum(s.punct) AS BIGINT) AS punct_pre
+            FROM s JOIN keep kp ON kp.doc_id = s.doc_id
+            GROUP BY 1)
+    SELECT pre.source,
+           docs_pre, COALESCE(docs_post, 0) AS docs_post,
+           tokens_pre, COALESCE(tokens_post, 0) AS tokens_post,
+           CAST(hits_pre * 1000000 // greatest(tokens_pre, 1) AS BIGINT)
+               AS stop_ppm_pre,
+           CAST(COALESCE(hits_post, 0) * 1000000
+                // greatest(COALESCE(tokens_post, 0), 1) AS BIGINT)
+               AS stop_ppm_post,
+           CAST(punct_pre * 1000000 // greatest(chars_pre, 1) AS BIGINT)
+               AS punct_ppm_pre,
+           CAST(COALESCE(punct_post, 0) * 1000000
+                // greatest(COALESCE(chars_post, 0), 1) AS BIGINT)
+               AS punct_ppm_post,
+           CAST(chars_pre // greatest(docs_pre, 1) AS BIGINT)
+               AS mean_chars_pre,
+           CAST(COALESCE(chars_post, 0)
+                // greatest(COALESCE(docs_post, 0), 1) AS BIGINT)
+               AS mean_chars_post
+    FROM pre LEFT JOIN post USING (source)
+    ORDER BY pre.source
+    """,
+)
+def x285_curation_quality_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What the blocklist strip DID to the kept corpus — per source, the
+    quality profile of the keep-verdict docs BEFORE vs AFTER the segment
+    strip (same population both sides, so the delta isolates the strip):
+    doc/token counts, stopword density, punctuation density, and mean
+    doc length, all exact integer ppm. x282 prices the strip in volume;
+    this is the companion a dataset card needs — evidence the removed
+    mass was BOILERPLATE (densities move toward the corpus norm) rather
+    than content. chars_post counts the reassembled string exactly:
+    sum of surviving block strings plus the nb-1 rejoining separators
+    (the split-join identity, shared with curated_write's output).
+
+    Plan: freeze_verdicts' gates select the keep set (x278's plan); ONE
+    segment scan carries per-block (tokens, chars, stopword hits,
+    punct) next to the hash; the blocklist is x279's distributed top-k;
+    then per-doc and per-source conditional sums. Linear, no new
+    shuffle shapes — the signals ride the explode x272 already pays
+    for."""
+    from ..functions.dedupfns import segment_blocks
+    from .dedup import boilerplate_blocklist_from_docs
+
+    d = load(spark, sf_dir, "documents")
+    v = freeze_verdicts(d)
+    keep = v.filter(F.col("verdict") == "keep").select("doc_id", "source")
+    bl = boilerplate_blocklist_from_docs(d).select(
+        F.col("block_hash").alias("h"), F.lit(1).alias("in_bl")
+    )
+    blocks = segment_blocks(
+        d.select("doc_id", "source", "text"), with_text=True
+    ).select(
+        "doc_id",
+        "h",
+        "n_tok",
+        F.length("txt").cast("long").alias("chars"),
+        F.expr(
+            "cast(size(filter(split(txt, ' '),"
+            " t -> array_contains(array('a','the','of','and','to','in'),"
+            " t))) as bigint)"
+        ).alias("hits"),
+        (F.length("txt") - F.length(F.translate("txt", ".,;:!?", "")))
+        .cast("long")
+        .alias("punct"),
+    )
+    surv = F.lit(1) - F.coalesce("in_bl", F.lit(0))
+    post_doc = (
+        blocks.join(keep, "doc_id")
+        .join(F.broadcast(bl), "h", "left")
+        .groupBy("source", "doc_id")
+        .agg(
+            F.sum(surv).cast("long").alias("nb"),
+            F.sum(surv * F.col("n_tok")).cast("long").alias("toks"),
+            F.sum(surv * F.col("chars")).cast("long").alias("chars"),
+            F.sum(surv * F.col("hits")).cast("long").alias("hits"),
+            F.sum(surv * F.col("punct")).cast("long").alias("punct"),
+        )
+    )
+    post = post_doc.groupBy("source").agg(
+        F.sum((F.col("nb") > 0).cast("long")).cast("long").alias("docs_post"),
+        F.sum("toks").cast("long").alias("tokens_post"),
+        F.sum(F.col("chars") + F.greatest(F.col("nb") - 1, F.lit(0)))
+        .cast("long")
+        .alias("chars_post"),
+        F.sum("hits").cast("long").alias("hits_post"),
+        F.sum("punct").cast("long").alias("punct_post"),
+    )
+    from ..functions.textfns import funnel_signals
+
+    pre = (
+        funnel_signals(
+            d.filter(F.col("doc_id") >= 10), extra=("doc_id", "source")
+        )
+        .join(keep.select("doc_id"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs_pre"),
+            F.sum("ntoks").cast("long").alias("tokens_pre"),
+            F.sum("n_chars").cast("long").alias("chars_pre"),
+            F.sum("hits").cast("long").alias("hits_pre"),
+            F.sum("punct").cast("long").alias("punct_pre"),
+        )
+    )
+    z = F.lit(0)
+    return (
+        pre.join(post, "source", "left")
+        .select(
+            "source",
+            "docs_pre",
+            F.coalesce("docs_post", z).cast("long").alias("docs_post"),
+            "tokens_pre",
+            F.coalesce("tokens_post", z).cast("long").alias("tokens_post"),
+            F.expr(
+                "cast(hits_pre * 1000000 div greatest(tokens_pre, 1)"
+                " as bigint)"
+            ).alias("stop_ppm_pre"),
+            F.expr(
+                "cast(coalesce(hits_post, 0) * 1000000"
+                " div greatest(coalesce(tokens_post, 0), 1) as bigint)"
+            ).alias("stop_ppm_post"),
+            F.expr(
+                "cast(punct_pre * 1000000 div greatest(chars_pre, 1)"
+                " as bigint)"
+            ).alias("punct_ppm_pre"),
+            F.expr(
+                "cast(coalesce(punct_post, 0) * 1000000"
+                " div greatest(coalesce(chars_post, 0), 1) as bigint)"
+            ).alias("punct_ppm_post"),
+            F.expr(
+                "cast(chars_pre div greatest(docs_pre, 1) as bigint)"
+            ).alias("mean_chars_pre"),
+            F.expr(
+                "cast(coalesce(chars_post, 0)"
+                " div greatest(coalesce(docs_post, 0), 1) as bigint)"
+            ).alias("mean_chars_post"),
+        )
+        .orderBy("source")
+    )

@@ -1614,3 +1614,254 @@ def x274b_knn_hubness_full_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
         .orderBy("in_degree")
     )
+
+
+_ABTT_COS_RAW = dround_sql(
+    "list_dot_product(a.v, b.v) / "
+    "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))",
+    6,
+)
+_ABTT_COS_CEN = dround_sql(
+    "list_dot_product(a.cv, b.cv) / "
+    "(sqrt(list_dot_product(a.cv, a.cv)) * "
+    "sqrt(list_dot_product(b.cv, b.cv)))",
+    6,
+)
+_ABTT_COS_PV = dround_sql(
+    "list_dot_product(a.pv, b.pv) / "
+    "(sqrt(list_dot_product(a.pv, a.pv)) * "
+    "sqrt(list_dot_product(b.pv, b.pv)))",
+    6,
+)
+
+
+@query(
+    "x286_all_but_top_audit",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    dims AS (SELECT vec_id, CAST(i AS INT) AS i, v[i] AS x
+             FROM e, unnest(range(1, len(v) + 1)) t(i)),
+    m AS (SELECT i, {dround_sql(
+        "CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)", 6)} AS mx
+          FROM dims GROUP BY i),
+    mv AS (SELECT list(mx ORDER BY i) AS mv FROM m),
+    c0 AS (SELECT vec_id,
+                  list_transform(range(1, len(v) + 1),
+                                 i -> v[i] - mv.mv[i]) AS cv,
+                  v
+           FROM e, mv),
+    u0 AS (SELECT vec_id, generate_subscripts(cv, 1) - 1 AS d,
+                  unnest(cv) AS val
+           FROM c0),
+    p AS (SELECT a.d AS i, b.d AS j,
+                 CAST(a.val * b.val AS DECIMAL(38,6)) AS xy
+          FROM u0 a JOIN u0 b ON a.vec_id = b.vec_id),
+    g AS (SELECT i, j, CAST(sum(xy) * 1000000 AS HUGEINT) AS g
+          FROM p GROUP BY 1, 2),
+    w1 AS (SELECT i AS d, CAST(sum(g * 1000000) AS HUGEINT) AS w
+           FROM g GROUP BY 1),
+    m1 AS (SELECT max(abs(w)) AS m FROM w1),
+    v1 AS (SELECT d, (CASE WHEN w < 0 THEN -1 ELSE 1 END)
+                     * (abs(w) * 1000000 // m) AS val FROM w1, m1),
+    w2 AS (SELECT g.i AS d, CAST(sum(g.g * v1.val) AS HUGEINT) AS w
+           FROM g JOIN v1 ON g.j = v1.d GROUP BY 1),
+    m2 AS (SELECT max(abs(w)) AS m FROM w2),
+    v2 AS (SELECT d, (CASE WHEN w < 0 THEN -1 ELSE 1 END)
+                     * (abs(w) * 1000000 // m) AS val FROM w2, m2),
+    w3 AS (SELECT g.i AS d, CAST(sum(g.g * v2.val) AS HUGEINT) AS w
+           FROM g JOIN v2 ON g.j = v2.d GROUP BY 1),
+    m3 AS (SELECT max(abs(w)) AS m FROM w3),
+    v3 AS (SELECT d, (CASE WHEN w < 0 THEN -1 ELSE 1 END)
+                     * (abs(w) * 1000000 // m) AS val FROM w3, m3),
+    uu AS (SELECT list_transform(list(val ORDER BY d),
+                                 x -> CAST(x AS DOUBLE) / 1000000) AS ud
+           FROM v3),
+    h AS (SELECT vec_id, v, cv,
+                 CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)),
+                      1, 15) AS BIGINT) AS hv
+          FROM c0),
+    s AS (SELECT vec_id, v, cv FROM (
+            SELECT vec_id, v, cv, row_number() OVER (ORDER BY hv, vec_id)
+                AS rn FROM h)
+          WHERE rn <= 128),
+    pr AS (SELECT vec_id, v, cv,
+                  {dround_sql(
+        "list_dot_product(cv, uu.ud) / list_dot_product(uu.ud, uu.ud)", 6)}
+                      AS c
+           FROM s, uu),
+    pj AS (SELECT vec_id, v, cv,
+                  list_transform(range(1, len(cv) + 1),
+                                 i -> cv[i] - c * uu.ud[i]) AS pv
+           FROM pr, uu),
+    p2 AS (SELECT {_ABTT_COS_RAW} AS cr, {_ABTT_COS_CEN} AS cc,
+                  {_ABTT_COS_PV} AS cp
+           FROM pj a JOIN pj b ON a.vec_id < b.vec_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           {davg_sql("cr", 6)} AS avg_cos_raw,
+           {davg_sql("cc", 6)} AS avg_cos_centered,
+           {davg_sql("cp", 6)} AS avg_cos_abtt
+    FROM p2
+    """,
+)
+def x286_all_but_top_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE All-but-the-Top audit (Mu & Viswanath 2018): x275
+    measures mean-centering; this adds the second half — remove the top
+    principal direction of the CENTERED corpus and measure the average
+    pairwise cosine at all three stages (raw / centered / centered minus
+    PC1) over the same deterministic 128-sample. A centered average near
+    zero but an abtt average even closer (or a large drop between them)
+    says the residual crowding lives in one dominant direction — the
+    evidence that picks centering alone vs full abtt preprocessing for
+    the ANN/near-dup thresholds upstream (x283/x284 implement the
+    centering half; the PC1 step is the corresponding next fix).
+
+    Exactness: the mean is the davg idiom (x275); PC1 is x203's THREE
+    unrolled integer-ppm power iterations applied to the 64x64 Gram of
+    the CENTERED corpus — every matvec in decimal/HUGEINT, renorm by
+    sign-safe floor division, so both engines hold the bit-identical
+    eigenvector; the projection coefficient c = <cv,u>/<u,u> is
+    dround(6) BEFORE use in both engines, so the projected vectors are
+    identical doubles (the <= 1e-6 residual vs the unrounded projection
+    is far below the audit's 6-decimal resolution and buys airtight
+    parity); all three cosines are dround(6) then decimal-averaged.
+
+    Plan at 100 TB: ONE posexplode scan for the mean, ONE in-row 64x64
+    pair fan-out scan for the Gram (the x203 kernel at full width —
+    4096 accumulators, map-side partial agg), 3 fixed broadcast-join
+    iterations over the 4096-row Gram table, and a constant-size
+    128-sample pair block. Corpus growth touches only the two scans."""
+    from ..functions.dedupfns import token_hash60
+    from ..functions.simfns import dot, with_vec
+
+    emb = load(spark, sf_dir, "embeddings")
+    v = with_vec(emb).select("vec_id", "v")
+    dims = v.select("vec_id", F.posexplode("v").alias("i", "x"))
+    m = dims.groupBy("i").agg(
+        dround(
+            F.sum(F.col("x").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mx")
+    )
+    mean_row = m.groupBy().agg(
+        F.expr(
+            "transform(array_sort(collect_list(named_struct('i', i,"
+            " 'mx', mx))), s -> s.mx)"
+        ).alias("mv")
+    )
+    c0 = v.crossJoin(F.broadcast(mean_row)).select(
+        "vec_id",
+        "v",
+        F.zip_with("v", "mv", lambda x, y: x - y).alias("cv"),
+    )
+    pairs = c0.select(
+        F.explode(
+            F.expr(
+                """
+                flatten(transform(sequence(0, 63), i ->
+                  transform(sequence(0, 63), j -> struct(
+                    i AS i, j AS j,
+                    cast(element_at(cv, i + 1) * element_at(cv, j + 1)
+                         as decimal(38,6)) AS xy))))
+                """
+            )
+        ).alias("p")
+    ).select("p.i", "p.j", "p.xy")
+    # ONE corpus pass, materialized (x203's discipline): the 3 matvecs
+    # and renorm maxes otherwise re-derive the Gram from the corpus.
+    g = (
+        pairs.groupBy("i", "j")
+        .agg((F.sum("xy") * 1_000_000).cast("decimal(38,0)").alias("g"))
+        .localCheckpoint(eager=True)
+    )
+    sgn = F.when(F.col("w") < 0, F.lit(-1)).otherwise(F.lit(1))
+    renorm = (
+        sgn.cast("decimal(38,0)")
+        * F.expr("abs(w) * 1000000 div m").cast("decimal(38,0)")
+    ).alias("val")
+    vit = g.groupBy(F.col("i").alias("d")).agg(
+        F.sum(F.col("g") * F.lit(1_000_000)).cast("decimal(38,0)").alias("w")
+    )
+    vn = None
+    for _ in range(3):
+        vit = vit.localCheckpoint(eager=True)
+        mx = vit.agg(F.max(F.abs(F.col("w"))).alias("m"))
+        vn = vit.crossJoin(F.broadcast(mx)).select("d", renorm)
+        vit = (
+            g.join(F.broadcast(vn), g["j"] == vn["d"])
+            .groupBy(F.col("i").alias("d"))
+            .agg(
+                F.sum(F.col("g") * F.col("val"))
+                .cast("decimal(38,0)")
+                .alias("w")
+            )
+        )
+    u_row = vn.groupBy().agg(
+        F.expr(
+            "transform(array_sort(collect_list(named_struct('d', d,"
+            " 'val', val))), s -> cast(s.val as double) / 1000000)"
+        ).alias("ud")
+    )
+    hv = token_hash60(F.col("vec_id").cast("string"))
+    s = (
+        c0.select("vec_id", "v", "cv", hv.alias("hv"))
+        .orderBy("hv", "vec_id")
+        .limit(128)
+        .crossJoin(F.broadcast(u_row))
+    )
+    c = dround(
+        dot(F.col("cv"), F.col("ud")) / dot(F.col("ud"), F.col("ud")), 6
+    )
+    # two-step select: materialize c as a plain column first so the
+    # transform lambda multiplies by a same-row scalar column
+    pj = (
+        s.withColumn("c", c)
+        .select(
+            "vec_id",
+            "v",
+            "cv",
+            F.zip_with(
+                "cv",
+                F.expr("transform(ud, x -> x * c)"),
+                lambda x, y: x - y,
+            ).alias("pv"),
+        )
+    )
+    a = pj.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("cv").alias("ca"),
+        F.col("pv").alias("pa"),
+    )
+    b = pj.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("cv").alias("cb"),
+        F.col("pv").alias("pb"),
+    )
+
+    def cos(x, y):
+        return dround(
+            dot(F.col(x), F.col(y))
+            / (
+                F.sqrt(dot(F.col(x), F.col(x)))
+                * F.sqrt(dot(F.col(y), F.col(y)))
+            ),
+            6,
+        )
+
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select(
+            cos("va", "vb").alias("cr"),
+            cos("ca", "cb").alias("cc"),
+            cos("pa", "pb").alias("cp"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            davg(F.col("cr"), 6).alias("avg_cos_raw"),
+            davg(F.col("cc"), 6).alias("avg_cos_centered"),
+            davg(F.col("cp"), 6).alias("avg_cos_abtt"),
+        )
+    )

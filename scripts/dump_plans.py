@@ -148,6 +148,8 @@ FLAGSHIPS = {
     "x283_ann_lsh_topk_centered": "posexplode mean scan (davg-exact) -> centered bucket tag -> same candidate equi-join + raw-cosine rerank as x13b",
     "x284_embedding_near_dup_lsh_centered": "x12g's bucket self-join with centered signs; exact raw-cosine verify unchanged (precision 1.0)",
     "x274b_knn_hubness_full_lsh": "one bucket tag pass -> (table,bucket) self-join -> WindowGroupLimit top-5 -> in-degree hash agg; nothing corpus-sized broadcast",
+    "x285_curation_quality_delta": "freeze gates -> keep set; ONE signal-carrying segment scan; blocklist broadcast-left-join; per-doc + per-source conditional sums",
+    "x286_all_but_top_audit": "mean posexplode scan + in-row 64x64 Gram scan -> 3 broadcast-join integer power iterations on the 4096-row Gram -> constant 128-sample pair block",
 }
 
 
