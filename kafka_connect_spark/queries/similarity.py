@@ -1726,11 +1726,13 @@ def x286_all_but_top_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     is far below the audit's 6-decimal resolution and buys airtight
     parity); all three cosines are dround(6) then decimal-averaged.
 
-    Plan at 100 TB: ONE posexplode scan for the mean, ONE in-row 64x64
-    pair fan-out scan for the Gram (the x203 kernel at full width —
-    4096 accumulators, map-side partial agg), 3 fixed broadcast-join
-    iterations over the 4096-row Gram table, and a constant-size
-    128-sample pair block. Corpus growth touches only the two scans."""
+    Plan at 100 TB: ONE posexplode scan for the mean, ONE in-row
+    upper-triangle pair fan-out scan for the Gram (the x203 kernel at
+    full width — 2080 structs/row, map-side partial agg; the j > i half
+    is mirrored on the 2080-row checkpointed AGGREGATE, exact and
+    free), 3 fixed broadcast-join iterations over the 4096-row Gram
+    table, and a constant-size 128-sample pair block. Corpus growth
+    touches only the two scans."""
     from ..functions.dedupfns import token_hash60
     from ..functions.simfns import dot, with_vec
 
@@ -1755,12 +1757,17 @@ def x286_all_but_top_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
         F.zip_with("v", "mv", lambda x, y: x - y).alias("cv"),
     )
+    # the Gram is symmetric: the corpus scan emits only the i <= j
+    # upper triangle (2080 structs/row instead of 4096 — the explode is
+    # the whole cost of this query) and the j > i half is mirrored on
+    # the 2080-row AGGREGATE, which is exact (G_ij and G_ji sum the
+    # same quantized products) and free.
     pairs = c0.select(
         F.explode(
             F.expr(
                 """
                 flatten(transform(sequence(0, 63), i ->
-                  transform(sequence(0, 63), j -> struct(
+                  transform(sequence(i, 63), j -> struct(
                     i AS i, j AS j,
                     cast(element_at(cv, i + 1) * element_at(cv, j + 1)
                          as decimal(38,6)) AS xy))))
@@ -1768,12 +1775,18 @@ def x286_all_but_top_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select("p.i", "p.j", "p.xy")
-    # ONE corpus pass, materialized (x203's discipline): the 3 matvecs
-    # and renorm maxes otherwise re-derive the Gram from the corpus.
-    g = (
+    # ONE corpus pass, materialized BEFORE the mirror (x203's
+    # discipline, and the mirror's two consumers then read the 2080
+    # checkpointed rows instead of re-aggregating the corpus).
+    g_half = (
         pairs.groupBy("i", "j")
         .agg((F.sum("xy") * 1_000_000).cast("decimal(38,0)").alias("g"))
         .localCheckpoint(eager=True)
+    )
+    g = g_half.unionAll(
+        g_half.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "g"
+        )
     )
     sgn = F.when(F.col("w") < 0, F.lit(-1)).otherwise(F.lit(1))
     renorm = (

@@ -620,3 +620,35 @@ def test_x150_signature_is_min_agg_columns_not_explode(spark, sf_dir):
     assert "stack" in plan.lower()  # the |docs| x 64 unpivot
     # the old shape's hash-id fan-out is gone
     assert "explode(sequence(0, 63" not in plan
+
+
+def test_x285_quality_delta_shapes(spark, sf_dir):
+    """x285's strip-side joins: the <=20-hash blocklist joins the block
+    table by BROADCAST; no nested loop / cartesian anywhere; the only
+    windows are x279's survivor-rank (<=20 rows) inside the blocklist
+    builder."""
+    plan = _plan(spark, sf_dir, "x285_curation_quality_delta")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_x286_abtt_constant_pair_block(spark, sf_dir):
+    """x286's only non-linear block must be the constant 128-sample pair
+    join (a broadcast nested loop over 128 x 128 — corpus-independent);
+    the Gram mirror must NOT re-aggregate the corpus (the checkpointed
+    2080-row aggregate feeds both union branches), and the power
+    iterations join the Gram to 64-row broadcast vectors only."""
+    plan = _plan(spark, sf_dir, "x286_all_but_top_audit")
+    # exactly ONE conditioned BNLJ — the 128 x 128 sample pair block;
+    # every other BNLJ is a 1-row Cross broadcast (mean vector / renorm
+    # max / eigenvector rows), which is the intended scalar-attach shape
+    import re
+
+    conditioned = re.findall(r"BroadcastNestedLoopJoin BuildRight, Inner", plan)
+    assert len(conditioned) == 1, plan.count("BroadcastNestedLoopJoin")
+    for frag in plan.split("BroadcastNestedLoopJoin")[1:]:
+        head = frag[:40]
+        assert ("Cross" in head) or ("Inner" in head)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # everything joinable is broadcast-sized
