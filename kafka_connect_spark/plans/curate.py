@@ -31,6 +31,7 @@ from __future__ import annotations
 import json
 import os
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -127,13 +128,14 @@ def curated_write(
     from ..catalog import load_parallel
 
     docs = load_parallel(spark, sf_dir, "documents")
-    manifest = curated_write_df(
-        docs, out_dir, df_floor=df_floor, top_k=top_k, block=block
+    return curated_write_df(
+        docs,
+        out_dir,
+        df_floor=df_floor,
+        top_k=top_k,
+        block=block,
+        source_dir=sf_dir,
     )
-    manifest["source_dir"] = sf_dir
-    with open(os.path.join(out_dir, MANIFEST_NAME), "w") as f:
-        json.dump(manifest, f, indent=2, sort_keys=True)
-    return manifest
 
 
 def curated_write_df(
@@ -142,10 +144,14 @@ def curated_write_df(
     df_floor: int = 3,
     top_k: int = 20,
     block: int = 20,
+    source_dir: str | None = None,
 ) -> dict:
     """curated_write over an in-hand documents DataFrame (the pipeline
-    sink form). Writes the parquet and the manifest; returns the
-    manifest dict."""
+    sink form). Writes the parquet and the manifest ONCE (the entry
+    point passes ``source_dir`` through instead of rewriting the file —
+    r14 ADVICE: the doubled write also left sink-form manifests
+    inconsistently missing the provenance field); returns the manifest
+    dict."""
     from ..functions.textfns import FUNNEL_STAGES
     from ..queries.dedup import boilerplate_blocklist_from_docs
     from ..queries.quality import freeze_verdicts
@@ -217,6 +223,8 @@ def curated_write_df(
             "tokens_stripped": int(tot["tokens_stripped"]),
         },
     }
+    if source_dir is not None:
+        manifest["source_dir"] = source_dir
     with open(os.path.join(out_dir, MANIFEST_NAME), "w") as f:
         json.dump(manifest, f, indent=2, sort_keys=True)
     return manifest
@@ -310,9 +318,17 @@ def curated_stream(
             .select("doc_id", "source", "lang", "text")
             .withColumn("th", F.md5("text"))
         )
+        # 'no index yet' is ONLY the missing-path case; any other read
+        # failure (corrupt/partial file, transient FS error) must fail
+        # the batch so structured streaming retries it — a swallowed
+        # error here silently disables cross-batch exact-dup and lets
+        # duplicate texts land under distinct doc_ids (r14 ADVICE).
         try:
             seen = spark.read.parquet(index_dir).select("th").distinct()
-        except Exception:  # noqa: BLE001 - first batch: no index yet
+        except AnalysisException as e:
+            cond = getattr(e, "getCondition", lambda: None)() or str(e)
+            if "PATH_NOT_FOUND" not in cond:
+                raise
             seen = spark.createDataFrame([], "th string")
         # hash anti-join, NOT broadcast: the index is corpus-sized at
         # 100 TB (x37's shape — hashes shuffle, documents never do)

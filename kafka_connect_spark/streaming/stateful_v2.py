@@ -25,7 +25,10 @@ from pyspark.sql.streaming.stateful_processor import (
 # transformWithStateInPandas speaks protobuf to its per-query state server;
 # without the protobuf wheel the driver-side pre-init crashes. Gate the
 # integration path (same policy as live-Kafka paths): the processor LOGIC
-# is environment-free and unit-tested either way.
+# is environment-free and unit-tested either way. (r15 probe: package
+# installs are disallowed in this sandbox and no vendored pure-Python
+# protobuf exists on the image — `import google.protobuf` still fails —
+# so the gate stays; the two gated integrations remain pytest skips.)
 try:  # pragma: no cover - environment probe
     from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
 
@@ -169,6 +172,15 @@ class _BlockKeeperProcessor(StatefulProcessor):
         pass
 
 
+def _time_mode_for(ttl_ms: int | None) -> str:
+    """TTL'd state REQUIRES a clock: Spark 4 raises
+    STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_ASSIGN_TTL when a state
+    variable registers ttlDurationMs under timeMode="none", so the TTL
+    crawl-window feature implies processingTime mode. Factored pure so
+    the wiring is pinned without a state server."""
+    return "none" if ttl_ms is None else "processingTime"
+
+
 def block_keeper_stream(
     docs: DataFrame, ttl_ms: int | None = None
 ) -> DataFrame:
@@ -178,7 +190,9 @@ def block_keeper_stream(
     (optionally TTL'd), update-style keeper emissions per microbatch.
     The complete-mode twin (drift.block_keeper_state) remains the
     replay-equality reference; this is the bounded-memory production
-    form its docstring promises."""
+    form its docstring promises. With ``ttl_ms`` set the query runs in
+    processingTime mode (TTL'd state is illegal under timeMode="none" —
+    see ``_time_mode_for``)."""
     from ..functions.dedupfns import segment_blocks
 
     if not HAS_TRANSFORM_WITH_STATE:
@@ -191,5 +205,5 @@ def block_keeper_stream(
         statefulProcessor=_BlockKeeperProcessor(ttl_ms),
         outputStructType=BLOCK_KEEPER_OUTPUT,
         outputMode="update",
-        timeMode="none",
+        timeMode=_time_mode_for(ttl_ms),
     )

@@ -16,6 +16,7 @@ from kafka_connect_spark.streaming.stateful_v2 import (
     HAS_TRANSFORM_WITH_STATE,
     _BlockKeeperProcessor,
     _fold_keeper,
+    _time_mode_for,
 )
 
 
@@ -148,6 +149,56 @@ def test_block_keeper_stream_replays_to_complete_mode_state(
         .sort_values("h", ignore_index=True)
     )
     pd.testing.assert_frame_equal(last, want, check_dtype=False)
+
+
+def test_time_mode_follows_ttl():
+    """TTL'd ValueState under timeMode="none" raises
+    STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_ASSIGN_TTL at query start
+    on Spark 4.1 — the advertised crawl-window TTL therefore implies
+    processingTime mode (r14 ADVICE, medium)."""
+    assert _time_mode_for(None) == "none"
+    assert _time_mode_for(3_600_000) == "processingTime"
+    assert _time_mode_for(0) == "processingTime"
+
+
+@pytest.mark.skipif(
+    not HAS_TRANSFORM_WITH_STATE,
+    reason="protobuf not available: state-v2 state server cannot start",
+)
+def test_block_keeper_stream_ttl_starts_and_keeps(spark, sf_dir, tmp_path):
+    """Integration (gated): with a generous TTL the stream must START
+    (the timeMode wiring — the r14 ADVICE bug made query start raise)
+    and, within one availableNow replay, keep the same keepers as the
+    un-TTL'd run (nothing ages out inside a single replay window)."""
+    from kafka_connect_spark.catalog import load
+    from kafka_connect_spark.sources.replay import (
+        file_replay_stream,
+        write_replay_files,
+    )
+    from kafka_connect_spark.streaming.stateful_v2 import block_keeper_stream
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    rd = str(tmp_path / "keeper-ttl-replay")
+    write_replay_files(docs, rd, 4, "doc_id")
+    sdf = file_replay_stream(spark, rd, spark.read.parquet(rd).schema)
+    out: list[pd.DataFrame] = []
+
+    def sink(df, bid):
+        p = df.toPandas()
+        p["batch_id"] = bid
+        out.append(p)
+
+    q = (
+        block_keeper_stream(sdf, ttl_ms=24 * 3_600_000)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "keeper-ttl-ckpt"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    emitted = pd.concat(out, ignore_index=True)
+    assert emitted["h"].nunique() > 0
 
 
 def test_block_keeper_ttl_forwarded_to_state_handle():
