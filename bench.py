@@ -229,6 +229,7 @@ HEADLINE = [
     "x282_curated_accounting",
     "x283_ann_lsh_topk_centered",
     "x284_embedding_near_dup_lsh_centered",
+    "x287_embedding_near_dup_lsh_abtt",
     "x274b_knn_hubness_full_lsh",
     "x285_curation_quality_delta",
     "x286_all_but_top_audit",

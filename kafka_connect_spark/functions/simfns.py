@@ -386,6 +386,7 @@ def lsh_cosine_pairs(
     seed: int = 42,
     target_bucket: int = 256,
     center: bool = False,
+    abtt: bool = False,
 ) -> DataFrame:
     """Embedding near-dup pairs AT SCALE: hyperplane-LSH bucket candidates,
     exact cosine verify. Same output contract as ``cosine_pairs`` /
@@ -407,11 +408,19 @@ def lsh_cosine_pairs(
     if n_planes is None:
         n = df.count()  # one cheap job; the alternative is a quadratic join
         n_planes = max(4, math.ceil(math.log2(max(n, 1) / target_bucket))) if n > target_bucket else 4
-    mean = mean_vector_np(df, vec_col) if center else None
+    # centering composes LAZILY in-plan (broadcast 1-row mean, zip_with
+    # subtract — r14 ADVICE: no build-time job, no per-call recompute);
+    # abtt=True additionally subtracts the PC1 projection in the UDF,
+    # which DOES run two bounded build-time jobs (|dim|-row mean + the
+    # 2080-row Gram — see pc1_vector_np; documented like the auto-
+    # n_planes count job above).
+    mean_row = mean_vector_col(df, vec_col) if (center or abtt) else None
+    u = pc1_vector_np(df, vec_col) if abtt else None
     planes = np.random.RandomState(seed).randn(n_tables, n_planes, dim)
-    bucketize = _bucket_udf(planes, mean)
+    bucketize = _bucket_udf(planes, u=u)
     tagged = (
-        df.withColumn("_bk", bucketize(F.col(vec_col).cast("array<double>")))
+        _centered_hv(df, vec_col, mean_row)
+        .withColumn("_bk", bucketize(F.col("_hv")))
         .select(
             F.col(id_col).alias("id"),
             F.explode(
@@ -446,21 +455,38 @@ def lsh_cosine_pairs(
     )
 
 
-def _bucket_udf(planes: np.ndarray, mean: np.ndarray | None = None):
+def _bucket_udf(
+    planes: np.ndarray,
+    mean: np.ndarray | None = None,
+    u: np.ndarray | None = None,
+):
     """planes: (n_tables, n_planes, dim). Returns a pandas UDF mapping an
     embedding to an array of per-table bucket ids (sign-bit packing).
     With ``mean`` set, hyperplane signs are taken on the CENTERED vector
     (x - mean) — the all-but-the-top fix x275 justifies: sign(w.(x-m)) =
     sign(w.x - w.m), so centering only rebiases each plane; candidates
-    still verify/rerank on the RAW cosine, keeping output contracts."""
+    still verify/rerank on the RAW cosine, keeping output contracts.
+    (The production LSH builders now center LAZILY in-plan and call this
+    with mean=None; the parameter stays for direct consumers like the
+    candidate-mass probes.) With ``u`` set (x286's PC1 of the centered
+    corpus), the FULL All-but-the-Top preprocessing applies before the
+    signs: subtract the PC1 projection c*u, c = <x', u>/<u, u> rounded
+    to 6 decimals (the same resolution x286's audit rounds its
+    projection coefficient to; exact tie-rounding mode is irrelevant
+    here — c only biases a hash choice, and candidates still rerank on
+    the RAW cosine)."""
     n_tables, n_planes, _ = planes.shape
     weights = (1 << np.arange(n_planes)).astype(np.int64)
+    u_dot = float(u @ u) if u is not None else 0.0
 
     @pandas_udf("array<long>")
     def bucketize(emb: pd.Series) -> pd.Series:
         mat = np.stack(emb.to_numpy())  # (batch, dim)
         if mean is not None:
             mat = mat - mean
+        if u is not None and u_dot > 0.0:
+            c = np.round(mat @ u / u_dot, 6)
+            mat = mat - np.outer(c, u)
         signs = np.einsum("bd,tpd->btp", mat, planes) > 0  # (batch, tables, planes)
         buckets = signs @ weights  # (batch, tables)
         return pd.Series(list(buckets.astype(np.int64)))
@@ -490,6 +516,145 @@ def mean_vector_np(df: DataFrame, vec_col: str = "embedding") -> np.ndarray:
         .collect()
     )
     return np.array([r["mx"] for r in m], dtype=np.float64)
+
+
+def mean_vector_col(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """``mean_vector_np``'s plan WITHOUT the driver collect: a LAZY 1-row
+    DataFrame holding the davg-exact mean as an array<double> column
+    ``mv`` — the in-plan form the LSH builders broadcast into their
+    bucketize stage, so constructing a center=True query runs no job
+    (r14 ADVICE: the build-time collect made x283/x284/x274b's builders
+    side-effecting and recomputed the mean per call). Same decimal
+    accumulation + dround(6), so consumers hold the identical doubles."""
+    dims = df.select(
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "x")
+    )
+    m = dims.groupBy("i").agg(
+        dround(
+            F.sum(F.col("x").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mx")
+    )
+    return m.groupBy().agg(
+        F.expr(
+            "transform(array_sort(collect_list(named_struct('i', i,"
+            " 'mx', mx))), s -> s.mx)"
+        ).alias("mv")
+    )
+
+
+def _centered_hv(
+    df: DataFrame, vec_col: str, mean_row: DataFrame | None
+) -> DataFrame:
+    """Attach ``_hv`` — the vector the LSH hyperplanes hash: the raw
+    array<double> cast, or (mean_row given) the LAZILY mean-centered
+    vector via a broadcast 1-row cross join + zip_with subtraction.
+    float64 x - m is the identical arithmetic the old UDF-side closure
+    ran, so bucket ids (and therefore every candidate set and output)
+    are unchanged; only WHEN the mean is computed moves — into the
+    query's own plan."""
+    v = F.col(vec_col).cast("array<double>")
+    if mean_row is None:
+        return df.withColumn("_hv", v)
+    return (
+        df.crossJoin(F.broadcast(mean_row))
+        .withColumn("_hv", F.zip_with(v, F.col("mv"), lambda x, y: x - y))
+        .drop("mv")
+    )
+
+
+def gram_ppm_dict(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    mean: np.ndarray | None = None,
+    dim: int = 64,
+) -> dict[tuple[int, int], int]:
+    """The decimal-quantized upper-triangle Gram of the MEAN-CENTERED
+    corpus, collected: x286's Gram kernel (queries/similarity.py
+    x286_all_but_top_audit) factored for driver-side consumers — keys
+    (i, j) for i <= j, values g = 1e6 * sum over rows of the
+    decimal(38,6)-quantized product cv_i * cv_j, as exact ints
+    (decimal(38,0) in the plan == Python int here). ONE corpus scan
+    with in-row upper-triangle fan-out and map-side partial agg;
+    bounded collect: dim*(dim+1)/2 rows (2080 at 64)."""
+    mean = mean_vector_np(df, vec_col) if mean is None else mean
+    mv = F.array(*[F.lit(float(x)) for x in mean])
+    cv = F.zip_with(
+        F.col(vec_col).cast("array<double>"), mv, lambda x, y: x - y
+    )
+    hi = dim - 1
+    pairs = df.select(cv.alias("cv")).select(
+        F.explode(
+            F.expr(
+                f"""
+                flatten(transform(sequence(0, {hi}), i ->
+                  transform(sequence(i, {hi}), j -> struct(
+                    i AS i, j AS j,
+                    cast(element_at(cv, i + 1) * element_at(cv, j + 1)
+                         as decimal(38,6)) AS xy))))
+                """
+            )
+        ).alias("p")
+    ).select("p.i", "p.j", "p.xy")
+    rows = (
+        pairs.groupBy("i", "j")
+        .agg((F.sum("xy") * 1_000_000).cast("decimal(38,0)").alias("g"))
+        .collect()
+    )
+    return {(int(r["i"]), int(r["j"])): int(r["g"]) for r in rows}
+
+
+def _pc1_power_ppm(
+    g_half: dict[tuple[int, int], int], dim: int = 64, iters: int = 3
+) -> np.ndarray:
+    """x286's integer-ppm power iteration, replayed in PYTHON INTS on the
+    collected Gram: arbitrary-precision int arithmetic equals the plan's
+    decimal(38,0) exactly, and sign * (abs(w) * 1e6 // m) mirrors the
+    sign-safe floor `div` — so this helper, x286's Spark plan, and
+    x286's DuckDB oracle all hold the bit-identical eigenvector (pinned
+    in tests/test_similarity.py against a Spark-side decimal replay).
+    Same unrolled shape as x286: 3 renorms, the final matvec unused;
+    returns u = val / 1e6 as float64."""
+    G = [[0] * dim for _ in range(dim)]
+    for (i, j), g in g_half.items():
+        G[i][j] = g
+        G[j][i] = g  # exact mirror: G_ij and G_ji sum the same products
+    w = [sum(G[d]) * 1_000_000 for d in range(dim)]
+    val = [0] * dim
+    for _ in range(iters):
+        m = max(abs(x) for x in w)
+        if m == 0:  # degenerate all-zero centered corpus
+            return np.zeros(dim, dtype=np.float64)
+        val = [
+            (-1 if x < 0 else 1) * ((abs(x) * 1_000_000) // m) for x in w
+        ]
+        w = [
+            sum(G[d][j] * val[j] for j in range(dim)) for d in range(dim)
+        ]
+    return np.array(val, dtype=np.float64) / 1e6
+
+
+def pc1_vector_np(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    mean: np.ndarray | None = None,
+    dim: int = 64,
+) -> np.ndarray:
+    """The top principal direction of the mean-centered corpus — x286's
+    u, factored like ``mean_vector_np`` for consumers that need the
+    vector driver-side (the abtt bucketing). Documented BUILD-TIME work,
+    all bounded: one |dim|-row mean collect (skipped when ``mean`` is
+    passed), one corpus scan collecting the 2080-row Gram, then O(dim²)
+    Python-int power iterations that mirror x286's decimal plan
+    bit-exactly. The iteration is inherently sequential (each matvec
+    needs the previous renorm), so unlike the mean this CANNOT be
+    composed lazily in-plan without x286's eager checkpoints — the
+    driver-side form is the honest one here."""
+    mean = mean_vector_np(df, vec_col) if mean is None else mean
+    return _pc1_power_ppm(
+        gram_ppm_dict(df, vec_col, mean=mean, dim=dim), dim=dim, iters=3
+    )
 
 
 def kmeans_centroids(
@@ -682,6 +847,7 @@ def lsh_cosine_topk(
     n_tables: int = 12,
     seed: int = 42,
     center: bool = False,
+    abtt: bool = False,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane LSH candidates, exact rerank.
 
@@ -689,17 +855,25 @@ def lsh_cosine_topk(
     precision of the candidate set grows with n_planes. Verified against
     ``cosine_topk`` in tests/test_similarity.py (recall@k bound).
     ``center=True`` hashes on mean-centered vectors (x275's
-    all-but-the-top fix; corpus mean via ``mean_vector_np``) — on an
-    anisotropic corpus the raw planes mostly agree with sign(w.mean),
-    collapsing vectors into few giant buckets; centering spreads them,
-    buying the same recall from a smaller candidate set. The rerank
-    cosine stays RAW either way."""
-    mean = mean_vector_np(corpus, vec_col) if center else None
+    all-but-the-top fix; the CORPUS mean, composed lazily in-plan via
+    ``mean_vector_col`` and applied to corpus and query tags alike — no
+    build-time job, r14 ADVICE) — on an anisotropic corpus the raw
+    planes mostly agree with sign(w.mean), collapsing vectors into few
+    giant buckets; centering spreads them, buying the same recall from
+    a smaller candidate set. ``abtt=True`` is the FULL All-but-the-Top
+    preprocessing (x286's audit acted on): also subtract the PC1
+    projection before taking signs — this path runs two bounded
+    build-time jobs (see ``pc1_vector_np``). The rerank cosine stays
+    RAW in every mode."""
+    mean_row = mean_vector_col(corpus, vec_col) if (center or abtt) else None
+    u = pc1_vector_np(corpus, vec_col) if abtt else None
     planes = np.random.RandomState(seed).randn(n_tables, n_planes, dim)
-    bucketize = _bucket_udf(planes, mean)
+    bucketize = _bucket_udf(planes, u=u)
 
     def tag(df: DataFrame, prefix: str) -> DataFrame:
-        tagged = df.withColumn("_buckets", bucketize(F.col(vec_col).cast("array<double>")))
+        tagged = _centered_hv(df, vec_col, mean_row).withColumn(
+            "_buckets", bucketize(F.col("_hv"))
+        )
         t = F.explode(
             F.transform(
                 F.col("_buckets"),
@@ -1399,6 +1573,7 @@ def lsh_knn_graph(
     n_tables: int = 12,
     seed: int = 42,
     center: bool = False,
+    abtt: bool = False,
 ) -> DataFrame:
     """The directed k-NN graph over the WHOLE corpus via LSH candidates —
     x274b's engine (and the self-join sibling of ``lsh_cosine_topk``,
@@ -1411,14 +1586,17 @@ def lsh_knn_graph(
 
     Output: (query_id, neighbor_id, cos_sim, rank<=k). At 100 TB this is
     one tag pass + one bucket self-join + a WindowGroupLimit top-k — the
-    exact x12g cost envelope with directed pairs kept both ways."""
-    mean = mean_vector_np(corpus, vec_col) if center else None
+    exact x12g cost envelope with directed pairs kept both ways.
+    ``center=True`` composes the mean lazily in-plan (mean_vector_col —
+    no build-time job, r14 ADVICE); ``abtt=True`` adds the PC1-projection
+    subtraction (two bounded build-time jobs, see pc1_vector_np)."""
+    mean_row = mean_vector_col(corpus, vec_col) if (center or abtt) else None
+    u = pc1_vector_np(corpus, vec_col) if abtt else None
     planes = np.random.RandomState(seed).randn(n_tables, n_planes, dim)
-    bucketize = _bucket_udf(planes, mean)
+    bucketize = _bucket_udf(planes, u=u)
     tagged = (
-        corpus.withColumn(
-            "_bk", bucketize(F.col(vec_col).cast("array<double>"))
-        )
+        _centered_hv(corpus, vec_col, mean_row)
+        .withColumn("_bk", bucketize(F.col("_hv")))
         .select(
             F.col(id_col).alias("id"),
             F.explode(

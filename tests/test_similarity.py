@@ -302,20 +302,24 @@ def _recall_vs_exact(exact_df, approx_df):
     return len(e & a) / len(e)
 
 
-def _candidate_pair_mass(spark, emb, n_planes, n_tables, center):
+def _candidate_pair_mass(spark, emb, n_planes, n_tables, center, abtt=False):
     """Sum over (table, bucket) of C(n, 2): the pairs an LSH join at this
     budget actually probes — the denominator of the centered-vs-raw
-    comparison."""
+    comparison. Uses the UDF-closure form of the preprocessing, which
+    test_centered_hv_matches_udf_closure pins equal to the production
+    in-plan path."""
     import numpy as np
 
     from kafka_connect_spark.functions.simfns import (
         _bucket_udf,
         mean_vector_np,
+        pc1_vector_np,
     )
 
-    mean = mean_vector_np(emb) if center else None
+    mean = mean_vector_np(emb) if (center or abtt) else None
+    u = pc1_vector_np(emb, mean=mean) if abtt else None
     planes = np.random.RandomState(42).randn(n_tables, n_planes, 64)
-    bucketize = _bucket_udf(planes, mean)
+    bucketize = _bucket_udf(planes, mean, u)
     tagged = (
         emb.withColumn("_bk", bucketize(F.col("embedding").cast("array<double>")))
         .select(
@@ -419,6 +423,213 @@ def test_centered_pairs_precision_and_recall(spark, sf_dir):
     assert exact
     recall = len(cen) / len(exact)
     assert recall >= 0.5, f"centered LSH pair recall = {recall:.2f}"
+
+
+def test_centered_hv_matches_udf_closure(spark, sf_dir):
+    """r15 laziness change (r14 ADVICE): the in-plan centering path
+    (mean_vector_col broadcast + zip_with) must assign the IDENTICAL
+    bucket ids the old UDF-closure path (mean_vector_np subtracted
+    inside the pandas UDF) did — float64 x - m either way — so every
+    center=True output (x283/x284/x274b) is unchanged by the rework."""
+    import numpy as np
+
+    from kafka_connect_spark.functions.simfns import (
+        _bucket_udf,
+        _centered_hv,
+        mean_vector_col,
+        mean_vector_np,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    planes = np.random.RandomState(42).randn(6, 4, 64)
+    old = emb.withColumn(
+        "_bk",
+        _bucket_udf(planes, mean_vector_np(emb))(
+            F.col("embedding").cast("array<double>")
+        ),
+    )
+    new = _centered_hv(emb, "embedding", mean_vector_col(emb)).withColumn(
+        "_bk", _bucket_udf(planes)(F.col("_hv"))
+    )
+    o = {r.vec_id: list(r._bk) for r in old.select("vec_id", "_bk").collect()}
+    n = {r.vec_id: list(r._bk) for r in new.select("vec_id", "_bk").collect()}
+    assert o == n
+
+
+def test_center_builder_runs_no_job(spark, sf_dir):
+    """Building a center=True LSH query (explicit n_planes) must be
+    side-effect-free — the r14 ADVICE finding this round fixed: plan
+    dumps and registry sweeps construct every query, and a build-time
+    collect turns each construction into a Spark job."""
+    from kafka_connect_spark.functions.simfns import (
+        lsh_cosine_pairs,
+        lsh_cosine_topk,
+        lsh_knn_graph,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    st = spark.sparkContext.statusTracker()
+    before = set(st.getJobIdsForGroup(None))
+    lsh_cosine_pairs(emb, 0.4, n_planes=3, n_tables=4, center=True)
+    lsh_cosine_topk(emb, emb.limit(5), k=3, n_planes=4, n_tables=4, center=True)
+    lsh_knn_graph(emb, k=3, n_planes=4, n_tables=4, center=True)
+    after = set(st.getJobIdsForGroup(None))
+    assert before == after, f"builder ran jobs: {sorted(after - before)}"
+
+
+def test_pc1_ppm_matches_spark_decimal_replay(spark, sf_dir):
+    """simfns.pc1_vector_np replays x286's integer-ppm power iteration
+    in Python ints; this pins it BIT-IDENTICAL to the Spark decimal
+    plan: same Gram rows pushed back through x286's exact iteration
+    expressions (decimal(38,0) sums, sign-safe floor div renorm), same
+    final vector."""
+    import numpy as np
+
+    from kafka_connect_spark.functions.simfns import (
+        _pc1_power_ppm,
+        gram_ppm_dict,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    gh = gram_ppm_dict(emb)
+    upy = _pc1_power_ppm(gh)
+
+    rows = [(i, j, str(g)) for (i, j), g in gh.items()]
+    g_half = spark.createDataFrame(rows, "i int, j int, gs string").select(
+        "i", "j", F.col("gs").cast("decimal(38,0)").alias("g")
+    )
+    g = g_half.unionAll(
+        g_half.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "g"
+        )
+    )
+    sgn = F.when(F.col("w") < 0, F.lit(-1)).otherwise(F.lit(1))
+    renorm = (
+        sgn.cast("decimal(38,0)")
+        * F.expr("abs(w) * 1000000 div m").cast("decimal(38,0)")
+    ).alias("val")
+    vit = g.groupBy(F.col("i").alias("d")).agg(
+        F.sum(F.col("g") * F.lit(1_000_000)).cast("decimal(38,0)").alias("w")
+    )
+    vn = None
+    for _ in range(3):
+        vit = vit.localCheckpoint(eager=True)
+        mx = vit.agg(F.max(F.abs(F.col("w"))).alias("m"))
+        vn = vit.crossJoin(F.broadcast(mx)).select("d", renorm)
+        vit = (
+            g.join(F.broadcast(vn), g["j"] == vn["d"])
+            .groupBy(F.col("i").alias("d"))
+            .agg(
+                F.sum(F.col("g") * F.col("val"))
+                .cast("decimal(38,0)")
+                .alias("w")
+            )
+        )
+    us = np.zeros(64)
+    for r in vn.collect():
+        us[r["d"]] = float(r["val"]) / 1e6
+    assert np.array_equal(us, upy)
+
+
+def _plant_pc1(emb):
+    """A ZERO-MEAN dominant direction: +-32 * p (p = ones/8, so +-4 per
+    dimension) by vec_id parity. The corpus mean is unchanged (the
+    coefficients cancel exactly over the fixture's even id count), so
+    mean-centering CANNOT see the planted structure — only PC1 removal
+    can. This is the geometry x286 exists to detect: anisotropy in the
+    covariance, not the mean."""
+    signed = F.when(F.col("vec_id") % 2 == 0, F.lit(4.0)).otherwise(
+        F.lit(-4.0)
+    )
+    return emb.withColumn(
+        "embedding",
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda x: x + signed
+        ),
+    )
+
+
+def test_abtt_collapses_planted_pc1(spark, sf_dir):
+    """The x287 claim, measured: on a planted-PC1 corpus (zero-mean
+    dominant direction) centering leaves the candidate mass ballooned —
+    the mean is unchanged so centered == raw here — while abtt
+    (PC1-projection removal) collapses it back near the isotropic
+    level at the identical (planes, tables) budget, with exact top-k
+    still recoverable. Also pins that pc1_vector_np RECOVERS the
+    planted direction (the 3-iteration power method converges when the
+    eigengap is real — on the near-isotropic fixture the direction is
+    ill-defined by construction and no directional claim is made)."""
+    import numpy as np
+
+    from kafka_connect_spark.functions.simfns import (
+        lsh_cosine_topk,
+        mean_vector_np,
+        pc1_vector_np,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    planted = _plant_pc1(emb)
+    # the planted coefficients cancel: the mean is (near) the original —
+    # up to one 1e-6 grid step where the float +-4.0 shift flips a
+    # decimal(38,6) rounding tie
+    m0 = mean_vector_np(emb)
+    m1 = mean_vector_np(planted)
+    assert float(np.max(np.abs(m1 - m0))) < 2e-6
+    # pc1 recovers the planted direction p = ones/8
+    u = pc1_vector_np(planted)
+    p = np.ones(64) / 8.0
+    cos_up = abs(float(u @ p) / (np.linalg.norm(u) * np.linalg.norm(p)))
+    assert cos_up > 0.99, f"pc1 missed the planted direction: {cos_up:.4f}"
+
+    iso = _candidate_pair_mass(spark, emb, 4, 12, center=False)
+    cen = _candidate_pair_mass(spark, planted, 4, 12, center=True)
+    ab = _candidate_pair_mass(spark, planted, 4, 12, center=False, abtt=True)
+    assert cen > 3 * iso, f"planting failed to balloon buckets: {cen} vs {iso}"
+    assert ab < cen / 2, f"abtt failed to collapse: {ab} vs centered {cen}"
+    assert ab < 2 * iso, f"abtt mass {ab} far above isotropic {iso}"
+    # recall at the same budget: abtt must stay usable where centered
+    # buckets are huge AND uninformative
+    q = planted.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(planted, q, k=3).toPandas()
+    r_cen = _recall_vs_exact(
+        exact,
+        lsh_cosine_topk(
+            planted, q, k=3, n_planes=4, n_tables=12, center=True
+        ).toPandas(),
+    )
+    r_ab = _recall_vs_exact(
+        exact,
+        lsh_cosine_topk(
+            planted, q, k=3, n_planes=4, n_tables=12, abtt=True
+        ).toPandas(),
+    )
+    assert r_ab >= 0.5, f"abtt recall {r_ab:.2f} (centered {r_cen:.2f})"
+
+
+def test_abtt_noop_on_isotropic_fixture(spark, sf_dir):
+    """x287's SAFETY half, measured on the fixture (near-isotropic, no
+    dominant direction — x286: avg centered cosine ~= avg abtt cosine):
+    abtt candidate mass within 5% of centered at the identical budget,
+    and pair recall vs exact within a few points of x284's."""
+    from kafka_connect_spark.functions.simfns import (
+        cosine_pairs,
+        lsh_cosine_pairs,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    cen = _candidate_pair_mass(spark, emb, 4, 12, center=True)
+    ab = _candidate_pair_mass(spark, emb, 4, 12, center=False, abtt=True)
+    assert abs(ab - cen) / cen < 0.05, f"abtt {ab} vs centered {cen}"
+    exact = {(r.id_a, r.id_b) for r in cosine_pairs(emb, 0.4).collect()}
+    got = {
+        (r.id_a, r.id_b)
+        for r in lsh_cosine_pairs(
+            emb, 0.4, n_planes=3, n_tables=16, abtt=True
+        ).collect()
+    }
+    assert got <= exact  # precision 1.0 by construction (raw verify)
+    recall = len(got) / len(exact)
+    assert recall >= 0.5, f"abtt LSH pair recall = {recall:.2f}"
 
 
 def test_x274b_full_hubness_agrees_on_sample(spark, sf_dir):
