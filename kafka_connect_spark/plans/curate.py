@@ -235,15 +235,86 @@ def read_manifest(out_dir: str) -> dict:
         return json.load(f)
 
 
+def publish_blocklist(
+    docs: DataFrame,
+    out_dir: str,
+    df_floor: int = 3,
+    top_k: int = 20,
+    block: int = 20,
+) -> int:
+    """Publish x279's boilerplate blocklist as a parquet ARTIFACT (the
+    freeze-time output a long-running strip pass consumes): the full
+    x279 rows (block_hash, occurrence/source-spread/token-mass columns)
+    written to ``out_dir``. Bounded: <= top_k rows. Returns the row
+    count. ``curated_stream`` re-reads this artifact on every stream
+    (re)start, so re-publishing after a new freeze takes effect at the
+    next restart without touching the checkpoint."""
+    from ..queries.dedup import boilerplate_blocklist_from_docs
+
+    bl = boilerplate_blocklist_from_docs(
+        docs, df_floor=df_floor, top_k=top_k, block=block
+    )
+    bl.write.mode("overwrite").parquet(out_dir)
+    return bl.sparkSession.read.parquet(out_dir).count()
+
+
+#: the 5-gram builder shared by the publisher and the in-stream gate —
+#: one definition so the frozen artifact and the monitor can never
+#: disagree on what a gram is.
+_GRAMS5_EXPR = (
+    "case when size(split(text, ' ')) >= 5 then"
+    " array_distinct(transform(sequence(1, size(split(text, ' ')) - 4),"
+    " i -> array_join(slice(split(text, ' '), i, 5), ' ')))"
+    " else array() end"
+)
+
+
+def publish_eval_grams(eval_docs: DataFrame, out_dir: str) -> int:
+    """Publish the FROZEN EVAL SET's distinct 5-grams as a parquet
+    artifact (column ``gram``) — the decontamination gate's reference
+    input (x269's idiom). The caller picks the eval seed (e.g.
+    doc_id < 10 on the fixtures); the gram construction is shared
+    verbatim with curated_stream's in-row monitor. Bounded by the eval
+    set, which is frozen and small by definition. Returns the count."""
+    grams = (
+        eval_docs.select(F.explode(F.expr(_GRAMS5_EXPR)).alias("gram"))
+        .distinct()
+    )
+    grams.write.mode("overwrite").parquet(out_dir)
+    return grams.sparkSession.read.parquet(out_dir).count()
+
+
+def read_blocklist_hashes(spark: SparkSession, source: str) -> list[str]:
+    """Read the published blocklist back as its hash list: either the
+    parquet dir ``publish_blocklist`` wrote (column ``block_hash``;
+    ``h`` accepted for pre-publish indexes) or a curated dataset's
+    ``_MANIFEST.json`` (its ``blocklist`` entries — the other place the
+    freeze publishes the same rows). Bounded collect (<= top_k)."""
+    if source.endswith(".json"):
+        with open(source) as f:
+            return [r["block_hash"] for r in json.load(f)["blocklist"]]
+    bl = spark.read.parquet(source)
+    col = "block_hash" if "block_hash" in bl.columns else "h"
+    return [r[col] for r in bl.select(col).collect()]
+
+
+def read_eval_grams(spark: SparkSession, source: str) -> list[str]:
+    """Read the published frozen-eval gram artifact (parquet, column
+    ``gram``). Bounded by the frozen eval set."""
+    return [r["gram"] for r in spark.read.parquet(source).select("gram").collect()]
+
+
 def curated_stream(
     sdf: DataFrame,
     out_dir: str,
     checkpoint: str,
-    blocklist_hashes: list[str],
-    eval_grams: list[str],
-    index_dir: str,
+    blocklist_hashes: list[str] | None = None,
+    eval_grams: list[str] | None = None,
+    index_dir: str = "",
     block: int = 20,
     available_now: bool = True,
+    blocklist_source: str | None = None,
+    eval_grams_source: str | None = None,
 ):
     """curated_write's STREAMING form — incremental curation as a crawl
     lands, the per-microbatch composition of the family's gates:
@@ -262,11 +333,21 @@ def curated_stream(
        because duplicate hashes in the index only widen an anti-join
        that already dropped those docs);
     4. segment strip: the PUBLISHED blocklist (x279's artifact from the
-       last freeze — a static input, which is how a production strip
-       pass actually consumes it) anti-joined at block granularity,
-       docs reassembled exactly as the batch path (same
-       segment_blocks(with_text=True) builder);
+       last freeze) anti-joined at block granularity, docs reassembled
+       exactly as the batch path (same segment_blocks(with_text=True)
+       builder);
     5. append the curated rows to ``out_dir``.
+
+    The blocklist and eval grams are FREEZE ARTIFACTS: pass either the
+    literal lists (``blocklist_hashes`` / ``eval_grams`` — the frozen
+    in-spec form) or artifact paths (``blocklist_source`` — the parquet
+    ``publish_blocklist`` wrote, or a curated dataset's _MANIFEST.json;
+    ``eval_grams_source`` — ``publish_eval_grams``'s parquet). Sources
+    are read HERE, at stream (re)start — NOT per microbatch and NOT
+    frozen into the checkpoint — so a long-running crawl picks up a
+    re-published blocklist by restarting the query, with the
+    fingerprint index and checkpoint carrying on (pinned by the restart
+    test in tests/test_curated_write.py). Exactly one form per input.
 
     Replayed in doc_id order the emitted set equals the batch
     curated_corpus run with the same (blocklist, eval grams) inputs —
@@ -275,7 +356,54 @@ def curated_stream(
     which the batch freeze manifest already owns.
 
     Returns the started StreamingQuery."""
+    writer = curated_stream_writer(
+        sdf,
+        out_dir,
+        checkpoint,
+        blocklist_hashes=blocklist_hashes,
+        eval_grams=eval_grams,
+        index_dir=index_dir,
+        block=block,
+        blocklist_source=blocklist_source,
+        eval_grams_source=eval_grams_source,
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.queryName("curated-stream").start()
+
+
+def curated_stream_writer(
+    sdf: DataFrame,
+    out_dir: str,
+    checkpoint: str,
+    blocklist_hashes: list[str] | None = None,
+    eval_grams: list[str] | None = None,
+    index_dir: str = "",
+    block: int = 20,
+    blocklist_source: str | None = None,
+    eval_grams_source: str | None = None,
+):
+    """``curated_stream``'s un-started form: returns the writeStream
+    builder (trigger/queryName/start are the caller's — the pipeline
+    stream-sink contract). Artifact sources resolve HERE, i.e. at every
+    (re)start of the query built from this writer."""
     from ..functions.textfns import FUNNEL_STAGES
+
+    if (blocklist_hashes is None) == (blocklist_source is None):
+        raise ValueError(
+            "exactly one of blocklist_hashes / blocklist_source required"
+        )
+    if (eval_grams is None) == (eval_grams_source is None):
+        raise ValueError(
+            "exactly one of eval_grams / eval_grams_source required"
+        )
+    if not index_dir:
+        raise ValueError("index_dir required")
+    spark0 = sdf.sparkSession
+    if blocklist_source is not None:
+        blocklist_hashes = read_blocklist_hashes(spark0, blocklist_source)
+    if eval_grams_source is not None:
+        eval_grams = read_eval_grams(spark0, eval_grams_source)
 
     q_pred = " and ".join(p for _, p in FUNNEL_STAGES)
     ev = F.array(*[F.lit(g) for g in eval_grams]) if eval_grams else F.array()
@@ -306,12 +434,7 @@ def curated_stream(
             .cast("long")
             .alias("punct"),
         )
-        grams5 = F.expr(
-            "case when size(split(text, ' ')) >= 5 then"
-            " array_distinct(transform(sequence(1, size(split(text, ' ')) - 4),"
-            " i -> array_join(slice(split(text, ' '), i, 5), ' ')))"
-            " else array() end"
-        )
+        grams5 = F.expr(_GRAMS5_EXPR)
         gated = (
             sig.filter(F.expr(q_pred))
             .filter(F.size(F.array_intersect(grams5, ev)) == 0)
@@ -403,10 +526,6 @@ def curated_stream(
         finally:
             kept.unpersist()
 
-    return (
-        sdf.writeStream.foreachBatch(emit)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=available_now)
-        .queryName("curated-stream")
-        .start()
+    return sdf.writeStream.foreachBatch(emit).option(
+        "checkpointLocation", checkpoint
     )

@@ -383,6 +383,34 @@ def _sk_foreach_upsert(spec: dict):
     return start
 
 
+@register_stream_sink("curated_stream")
+def _sk_curated_stream(spec: dict):
+    """curated_write's STREAMING form as a pipeline sink (plans/curate.py
+    curated_stream_writer): per-microbatch quality gate + eval-gram
+    decontamination + cross-batch exact-dup via the fingerprint index +
+    published-blocklist segment strip. The blocklist and eval-gram
+    inputs are ARTIFACT PATHS (``blocklist.source`` — publish_blocklist's
+    parquet or a curated _MANIFEST.json; ``eval.grams.source`` —
+    publish_eval_grams' parquet), re-read at every stream (re)start so a
+    restarted crawl picks up a re-published freeze. Spec keys: path,
+    checkpoint, index.dir, blocklist.source, eval.grams.source,
+    optional block.tokens."""
+    from .curate import curated_stream_writer
+
+    def start(sdf: DataFrame):
+        return curated_stream_writer(
+            sdf,
+            out_dir=spec["path"],
+            checkpoint=spec["checkpoint"],
+            index_dir=spec["index.dir"],
+            blocklist_source=spec["blocklist.source"],
+            eval_grams_source=spec["eval.grams.source"],
+            block=int(spec.get("block.tokens", 20)),
+        )
+
+    return start
+
+
 @register_stream_sink("eval_dashboard")
 def _sk_eval_dashboard(spec: dict):
     """The composed LIVE EVAL DASHBOARD (the streaming-eval family as one

@@ -222,3 +222,188 @@ def test_curated_stream_equals_batch_in_doc_id_order(spark, sf_dir, tmp_path):
     # the index absorbed every kept-doc hash exactly once per distinct text
     idx = spark.read.parquet(str(tmp_path / "curated-stream-index"))
     assert idx.count() == idx.distinct().count()
+
+
+def test_blocklist_and_eval_gram_artifact_roundtrip(spark, sf_dir, tmp_path):
+    """publish_blocklist / publish_eval_grams write the freeze artifacts;
+    the readers hand back exactly the lists the literal-parameter form
+    takes — including the _MANIFEST.json route, which must agree with
+    the parquet route because both publish the same x279 rows."""
+    from kafka_connect_spark.plans.curate import (
+        publish_blocklist,
+        publish_eval_grams,
+        read_blocklist_hashes,
+        read_eval_grams,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    bl_dir = str(tmp_path / "blocklist")
+    n = publish_blocklist(docs, bl_dir)
+    want = sorted(
+        r["block_hash"]
+        for r in QUERIES["x279_boilerplate_blocklist"](spark, sf_dir).collect()
+    )
+    got = sorted(read_blocklist_hashes(spark, bl_dir))
+    assert got == want and n == len(want)
+    # manifest route: a curated_write dataset's _MANIFEST.json holds the
+    # same published rows
+    out, _ = _curate(spark, sf_dir, tmp_path)
+    via_manifest = sorted(
+        read_blocklist_hashes(spark, str(tmp_path / "curated" / MANIFEST_NAME))
+    )
+    assert via_manifest == want
+
+    ev_dir = str(tmp_path / "eval_grams")
+    n_ev = publish_eval_grams(
+        docs.filter(F.col("doc_id") < 10).select("text"), ev_dir
+    )
+    grams = read_eval_grams(spark, ev_dir)
+    assert n_ev == len(grams) == len(set(grams)) > 0
+    assert all(len(g.split(" ")) == 5 for g in grams)
+
+
+def test_curated_stream_spec_driven_from_artifacts(spark, sf_dir, tmp_path):
+    """The spec-driven form (examples/task8b_curated_stream.json): the
+    pipeline herder drives curated_stream with BOTH inputs as published
+    artifacts, and a doc_id-ordered replay emits exactly the batch
+    curated_corpus rows — the literal-list parity test's claim, now
+    through the artifact readers + spec plumbing."""
+    import os
+
+    import pandas as pd
+
+    from kafka_connect_spark.plans.curate import (
+        curated_corpus,
+        publish_blocklist,
+        publish_eval_grams,
+    )
+    from kafka_connect_spark.plans.pipeline import Pipeline
+    from kafka_connect_spark.sources.replay import write_replay_files
+    from test_examples import _load_spec
+
+    docs = load(spark, sf_dir, "documents")
+    bl_dir = str(tmp_path / "bl")
+    ev_dir = str(tmp_path / "ev")
+    publish_blocklist(docs, bl_dir)
+    publish_eval_grams(docs.filter(F.col("doc_id") < 10).select("text"), ev_dir)
+    rd = str(tmp_path / "crawl")
+    write_replay_files(docs, rd, 8, "doc_id")
+    spec = _load_spec(
+        "task8b_curated_stream.json",
+        {
+            "crawl_dir": rd,
+            "curated_dir": str(tmp_path / "curated_stream_out"),
+            "ckpt_dir": str(tmp_path / "ckpt"),
+            "index_dir": str(tmp_path / "index"),
+            "blocklist_dir": bl_dir,
+            "eval_grams_dir": ev_dir,
+        },
+        tmp_path,
+    )
+    Pipeline(spec).run(spark)
+    got = (
+        spark.read.parquet(str(tmp_path / "curated_stream_out"))
+        .toPandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    want = curated_corpus(docs).toPandas().sort_values("doc_id", ignore_index=True)
+    pd.testing.assert_frame_equal(
+        got[want.columns.tolist()], want, check_dtype=False
+    )
+
+
+def test_curated_stream_restart_picks_up_republished_blocklist(
+    spark, sf_dir, tmp_path
+):
+    """The freeze-artifact loop, end to end: a stream started against
+    blocklist v1 (empty) strips nothing; after the crawl re-publishes v2
+    (the real x279 blocklist) a RESTART of the same query — same
+    checkpoint, same fingerprint index — applies v2 from the very next
+    microbatch. Pins that artifact sources resolve at (re)start, not at
+    first start / inside the checkpoint."""
+    import os
+    import shutil
+
+    from kafka_connect_spark.functions.dedupfns import segment_blocks
+    from kafka_connect_spark.plans.curate import (
+        curated_stream,
+        publish_blocklist,
+        publish_eval_grams,
+    )
+    from kafka_connect_spark.sources.replay import (
+        file_replay_stream,
+        write_replay_files,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    ev_dir = str(tmp_path / "ev")
+    publish_eval_grams(docs.filter(F.col("doc_id") < 10).select("text"), ev_dir)
+    bl_dir = str(tmp_path / "bl")
+    # v1: an EMPTY blocklist (publish from a corpus slice with no block
+    # reaching the df floor — doc_id < 10 only)
+    publish_blocklist(docs.filter(F.col("doc_id") < 10), bl_dir, df_floor=9999)
+    assert spark.read.parquet(bl_dir).count() == 0
+
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    rd = str(tmp_path / "crawl")
+    write_replay_files(even, rd, 4, "doc_id")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    idx = str(tmp_path / "index")
+
+    def start():
+        sdf = file_replay_stream(spark, rd, spark.read.parquet(rd).schema)
+        return curated_stream(
+            sdf,
+            out_dir=out_dir,
+            checkpoint=ckpt,
+            blocklist_source=bl_dir,
+            eval_grams_source=ev_dir,
+            index_dir=idx,
+        )
+
+    start().awaitTermination(300)
+    phase1 = spark.read.parquet(out_dir).toPandas()
+    assert len(phase1) > 0
+    assert (phase1["n_blocks_stripped"] == 0).all()  # v1 strips nothing
+
+    # the crawl re-publishes: v2 = the real corpus blocklist
+    publish_blocklist(docs, bl_dir)
+    v2 = set(
+        r["block_hash"] for r in spark.read.parquet(bl_dir).collect()
+    )
+    assert v2
+    # new crawl files land (the odd half), stamped later than phase 1's
+    staging = str(tmp_path / "staging")
+    write_replay_files(odd, staging, 4, "doc_id")
+    import time as _t
+
+    base = _t.time()
+    for i, f in enumerate(
+        sorted(x for x in os.listdir(staging) if x.endswith(".parquet"))
+    ):
+        dst = os.path.join(rd, f"b-{f}")
+        shutil.copy(os.path.join(staging, f), dst)
+        os.utime(dst, (base + i, base + i))
+
+    start().awaitTermination(300)  # RESTART: same checkpoint + index
+    all_rows = spark.read.parquet(out_dir).toPandas()
+    phase2 = all_rows[all_rows["doc_id"] % 2 == 1]
+    assert len(phase2) > 0
+    # v2 took effect on the restarted stream's first microbatch: every
+    # phase-2 doc's strip count equals its v2-blocklisted block count
+    blocks = (
+        segment_blocks(odd.select("doc_id", "source", "text"))
+        .toPandas()
+        .groupby("doc_id")["h"]
+        .apply(lambda hs: sum(h in v2 for h in hs))
+    )
+    for _, row in phase2.iterrows():
+        assert row["n_blocks_stripped"] == blocks.get(row["doc_id"], 0)
+    assert (phase2["n_blocks_stripped"] > 0).any(), (
+        "no phase-2 doc exercised the re-published blocklist"
+    )
+    # phase-1 rows are immutable history: still unstripped
+    phase1_after = all_rows[all_rows["doc_id"] % 2 == 0]
+    assert (phase1_after["n_blocks_stripped"] == 0).all()
