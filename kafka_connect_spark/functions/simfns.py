@@ -1569,11 +1569,12 @@ def lsh_knn_graph(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    n_planes: int = 4,
+    n_planes: int | None = 4,
     n_tables: int = 12,
     seed: int = 42,
     center: bool = False,
     abtt: bool = False,
+    target_bucket: int = 256,
 ) -> DataFrame:
     """The directed k-NN graph over the WHOLE corpus via LSH candidates —
     x274b's engine (and the self-join sibling of ``lsh_cosine_topk``,
@@ -1589,7 +1590,19 @@ def lsh_knn_graph(
     exact x12g cost envelope with directed pairs kept both ways.
     ``center=True`` composes the mean lazily in-plan (mean_vector_col —
     no build-time job, r14 ADVICE); ``abtt=True`` adds the PC1-projection
-    subtraction (two bounded build-time jobs, see pc1_vector_np)."""
+    subtraction (two bounded build-time jobs, see pc1_vector_np).
+    ``n_planes=None`` resolves the depth like ``lsh_cosine_pairs``' auto
+    rule — bucket size pinned at ~``target_bucket`` so the self-join's
+    candidate volume grows ~n*bucket, not n²/2^p (the scale form
+    scripts/scale_probe.py measures; the registered x274b keeps its
+    explicit p=4 for fixture determinism)."""
+    if n_planes is None:
+        n = corpus.count()  # one cheap job, same trade as lsh_cosine_pairs
+        n_planes = (
+            max(4, math.ceil(math.log2(max(n, 1) / target_bucket)))
+            if n > target_bucket
+            else 4
+        )
     mean_row = mean_vector_col(corpus, vec_col) if (center or abtt) else None
     u = pc1_vector_np(corpus, vec_col) if abtt else None
     planes = np.random.RandomState(seed).randn(n_tables, n_planes, dim)

@@ -218,6 +218,92 @@ def _retrieval_eval_scaled(spark, sf_dir):
     return retrieval_ndcg(d, q_terms)
 
 
+def _centered_lsh_strict(spark, sf_dir):
+    """x284's scale form: auto-depth LSH pairs with mean-centered
+    bucketing at the 0.8 strict threshold (the registered x284 pins
+    p=3/t=16 for fixture determinism; with fixed planes bucket size
+    grows with the corpus — the measured x12g quadratic — so the scale
+    path is the auto rule, same as near_dup_lsh_strict). The delta vs
+    near_dup_lsh_strict prices the centering additions: one in-plan
+    mean agg + the broadcast zip_with."""
+    from kafka_connect_spark.functions.simfns import lsh_cosine_pairs
+
+    return lsh_cosine_pairs(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), threshold=0.8,
+        center=True,
+    )
+
+
+def _abtt_lsh_strict(spark, sf_dir):
+    """x287's scale form: auto-depth + full All-but-the-Top bucketing at
+    0.8 — adds pc1_vector_np's build-time Gram (one corpus scan with
+    2080 structs/row, collected bounded) on top of the centered form."""
+    from kafka_connect_spark.functions.simfns import lsh_cosine_pairs
+
+    return lsh_cosine_pairs(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), threshold=0.8,
+        abtt=True,
+    )
+
+
+def _knn_graph_hubness_scaled(spark, sf_dir):
+    """x274b's composition at its production depth (n_planes=None: the
+    auto rule pins bucket size at ~256, so the (table, bucket) self-join
+    grows ~n*bucket — the registered fixture form pins p=4 for rows-only
+    determinism, which with fixed planes is the known x12g quadratic and
+    is measured separately at small K). Full composition: tag pass +
+    bucket self-join + WindowGroupLimit top-5 + in-degree histogram."""
+    from kafka_connect_spark.functions.simfns import lsh_knn_graph
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    g = lsh_knn_graph(emb, k=5, n_planes=None, n_tables=12)
+    deg = (
+        emb.select("vec_id")
+        .join(
+            g.select(F.col("neighbor_id").alias("vec_id"), "query_id"),
+            "vec_id",
+            "left",
+        )
+        .groupBy("vec_id")
+        .agg(F.count("query_id").cast("long").alias("in_degree"))
+    )
+    return (
+        deg.groupBy("in_degree")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+        .orderBy("in_degree")
+    )
+
+
+def _curated_corpus_probe(spark, sf_dir):
+    """curated_write's PLAN cost without the parquet write: verdict pass
+    + blocklist build + ONE segment scan + broadcast anti-join + the
+    doc_id reassembly shuffle, noop-executed. The e2e probe's delta vs
+    this isolates what the parquet write itself costs."""
+    from kafka_connect_spark.plans.curate import curated_corpus
+
+    return curated_corpus(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _curated_write_e2e(spark, sf_dir):
+    """curated_write end to end — the strip pass INCLUDING the parquet
+    write and the manifest's bounded collects — into a scratch dir;
+    returns the totals as one row so the framework's noop/count add
+    nothing. (The framework's row-count pass re-runs the write; the
+    timed number is the first, 'best' run.)"""
+    import tempfile
+
+    from kafka_connect_spark.plans.curate import curated_write_df
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = tempfile.mkdtemp(prefix="curated-e2e-")
+    m = curated_write_df(d, out)
+    t = m["totals"]
+    return spark.createDataFrame(
+        [(t["docs_emitted"], t["tokens_out"], t["blocks_stripped"])],
+        "docs_emitted long, tokens_out long, blocks_stripped long",
+    )
+
+
 PROBE_EXTRA = {
     "distributed_rank_probe": _distributed_rank_probe,
     "retrieval_eval_scaled": _retrieval_eval_scaled,
@@ -227,6 +313,11 @@ PROBE_EXTRA = {
     "semantic_dedup_skewed": _semantic_dedup_skewed,
     "tfidf_uncapped_hot": _tfidf_uncapped_hot,
     "tfidf_capped_hot": _tfidf_capped_hot,
+    "centered_lsh_strict": _centered_lsh_strict,
+    "abtt_lsh_strict": _abtt_lsh_strict,
+    "knn_graph_hubness_scaled": _knn_graph_hubness_scaled,
+    "curated_corpus_probe": _curated_corpus_probe,
+    "curated_write_e2e": _curated_write_e2e,
 }
 
 DEFAULT_QUERIES = {
@@ -234,6 +325,12 @@ DEFAULT_QUERIES = {
     "embeddings": ["x13", "x13b", "x13c", "near_dup_strict", "near_dup_lsh_strict",
                    "semantic_dedup_scaled"],
     "events": ["x153", "x158"],
+    # r15 (r14 verdict items 1/6): the round-14 queries' alpha rows.
+    # The curation family scales with its OWN construction (see
+    # build_scaled_curation): token tags would zero the stopword signal
+    # and the quality gate would drop every copy k>0, leaving the strip
+    # pass 1/K of its true workload.
+    "curation": ["x282", "x285", "curated_corpus_probe", "curated_write_e2e"],
 }
 # registry names are prefixed (x12c_ngram_jaccard_pairs etc.); resolve by prefix
 def _resolve(short: str) -> str:
@@ -340,6 +437,74 @@ def build_scaled_embeddings(spark, mult: int, scratch: str) -> str:
     return out_dir
 
 
+#: 64 single-char copy tags — one CHARACTER, not c<k>x: the curation
+#: gates read mean token length (ceiling 12 chars), and a 3-char prefix
+#: on a ~6-char fixture token is a third of the budget; one char is
+#: noise.
+_CUR_TAGS = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789_~"
+)
+#: the funnel's stopword list (textfns.FUNNEL_STAGES signal) — left
+#: untagged so the stopword-density signal is preserved verbatim.
+_CUR_STOPWORDS = ("a", "the", "of", "and", "to", "in")
+
+
+def build_scaled_curation(spark, mult: int, scratch: str) -> str:
+    """K x sf0.1 documents for the CURATION family (x282/x285/curated_*).
+
+    The docs family's token tagging is WRONG here: tagging the stopwords
+    zeroes the funnel's stopword-hit signal, so every copy k>0 fails the
+    stopwords_2pct gate, gets verdict drop_quality, and the strip pass
+    sees only 1/K of the corpus. This construction tags every
+    NON-stopword token with a single-char copy tag instead:
+
+    - stopword hits and token counts: preserved exactly (stopwords
+      untouched, token count unchanged);
+    - punctuation ratio: absolute punct unchanged, n_chars grows ->
+      ratio shrinks below an unchanged ceiling (still passes);
+    - mean token length: +<=1 char on a ~12-char ceiling;
+    - min chars/tokens: docs only grow (floors still pass);
+    - exact-dup + segment structure: consistent within-copy tagging
+      preserves every within-copy duplicate text and repeated block
+      verbatim, while no text or 20-token block ever matches ACROSS
+      copies — so verdict mix, blocklist df structure, and strip mass
+      all scale ~linearly in K and superlinear wall time is the
+      ENGINE's. (The x269 contamination gate's doc_id<10 eval seed
+      lives in copy 0 only; its broadcast-grams pass is per-row and
+      K-independent in shape.)"""
+    out_dir = os.path.join(scratch, f"m{mult}")
+    out = os.path.join(out_dir, "documents.parquet")
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out_dir
+    base = spark.read.parquet(f"{BASE}/documents.parquet")
+    copies = []
+    for k in range(mult):
+        tag = F.lit(_CUR_TAGS[k])
+        tagged = F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda t: F.when(
+                    t.isin(*_CUR_STOPWORDS), t
+                ).otherwise(F.concat(tag, t)),
+            ),
+            " ",
+        )
+        copies.append(
+            base.select(
+                (F.col("doc_id") + F.lit(k * 1_000_000_000)).alias("doc_id"),
+                tagged.alias("text"),
+                "lang",
+                "source",
+                F.length(tagged).alias("n_chars"),
+            )
+        )
+    df = copies[0]
+    for c in copies[1:]:
+        df = df.unionAll(c)
+    df.repartition(32, "doc_id").write.mode("overwrite").parquet(out)
+    return out_dir
+
+
 def build_scaled_events(spark, mult: int, scratch: str) -> str:
     """K x sf0.1 events. Copy k offsets user_id AND event_id by k * 10^9
     with timestamps untouched: the per-user temporal structure (gaps,
@@ -388,6 +553,7 @@ def main() -> None:
         "docs": build_scaled,
         "embeddings": build_scaled_embeddings,
         "events": build_scaled_events,
+        "curation": build_scaled_curation,
     }[args.family]
 
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
