@@ -1,0 +1,262 @@
+"""packed_write — the packing family's OUTPUT stage: concatenate the
+corpus in deterministic (lang, doc_id) order, split it into fixed
+``ctx``-token training sequences, and EMIT them (parquet + manifest) —
+the artifact a dataloader actually memory-maps.
+
+x148 prices the no-packing padding waste and x29 lays out the packed
+accounting (per-sequence doc/token counts); this module is the
+corresponding action, completing the audit -> action -> ARTIFACT loop
+the curation family closed in round 14 (plans/curate.py). The span
+math is shared VERBATIM with x29 (same window, same explode bounds,
+same least/greatest fill arithmetic) so the written sequences can
+never drift from the published accounting; the x288 registry query
+(queries/text.py) hash-checks the packed CONTENT itself — text
+included — against an independent DuckDB reassembly.
+
+Scale shape (100 TB): ONE per-language cumulative-sum window gives
+each doc its global token offset (the only ordered pass; partitioned
+by lang, so a language is a window partition — for a single dominant
+language the window runs as a range-partitioned global sort, Spark's
+standard distributed window); a sequence() explode fans each doc to
+the >= 1 training sequences it spans (~1 row on average); the token
+SLICE for each (doc, sequence) span is cut map-side BEFORE the shuffle
+(only the cut pieces move, never the full token array); one hash agg
+on (lang, seq_id) reassembles each sequence with an in-row
+array_sort(collect_list(struct)). Two shuffles total, no joins, no
+driver loop — the packing layout for a trillion tokens.
+
+Streaming twin: ``packed_stream`` folds the same packing rule per
+language with applyInPandasWithState — state is ONE bounded row per
+language (the open partial sequence, <= ctx tokens by construction);
+completed sequences emit as they close and replay equal to the batch
+rows under doc_id-ordered replay (tests/test_packed_write.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .curate import MANIFEST_NAME
+
+
+def packed_sequences(docs: DataFrame, ctx: int = 512) -> DataFrame:
+    """The packed training corpus as a LAZY DataFrame: documents
+    concatenate in (lang, doc_id) order and split into fixed
+    ``ctx``-token sequences (GPT-style concat-and-chunk; a document
+    straddling a boundary contributes its token span to both sides).
+    Output: (lang, seq_id, n_docs, n_tokens, text) — one row per
+    training sequence, text reassembled exactly (split-on-space /
+    join-with-space identity), every sequence ctx tokens except each
+    language's last. Span arithmetic shared verbatim with
+    x29_sequence_packing (queries/text.py:526)."""
+    d = docs.select(
+        "lang",
+        "doc_id",
+        F.split("text", " ").alias("toks"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    off = d.withColumn("start_off", F.sum("n_tok").over(w) - F.col("n_tok"))
+    spans = off.filter(F.col("n_tok") > 0).select(
+        "lang",
+        "toks",
+        "n_tok",
+        "start_off",
+        F.explode(
+            F.sequence(
+                F.expr(f"start_off div {ctx}"),
+                F.expr(f"(start_off + n_tok - 1) div {ctx}"),
+            )
+        ).alias("seq_id"),
+    )
+    lo = F.greatest(F.col("start_off"), F.col("seq_id") * ctx)
+    hi = F.least(F.col("start_off") + F.col("n_tok"), (F.col("seq_id") + 1) * ctx)
+    filled = hi - lo
+    # the slice is cut HERE, map-side: only (lang, seq_id, start_off,
+    # piece, filled) enters the shuffle — the token array never moves.
+    piece = F.array_join(
+        F.slice(
+            F.col("toks"),
+            (lo - F.col("start_off") + 1).cast("int"),
+            filled.cast("int"),
+        ),
+        " ",
+    )
+    pieces = spans.select(
+        "lang",
+        "seq_id",
+        "start_off",
+        filled.alias("filled"),
+        piece.alias("piece"),
+    )
+    return pieces.groupBy("lang", "seq_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("filled").cast("long").alias("n_tokens"),
+        F.array_join(
+            F.expr(
+                "transform(array_sort(collect_list(struct(start_off, piece))),"
+                " s -> s.piece)"
+            ),
+            " ",
+        ).alias("text"),
+    )
+
+
+def packed_write(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    ctx: int = 512,
+    docs: DataFrame | None = None,
+    source_dir: str | None = None,
+) -> dict:
+    """Execute the packing pipeline end-to-end: write the packed
+    sequences as parquet under ``out_dir`` and a dataset-card manifest
+    as ``out_dir/_MANIFEST.json`` alongside (ctx, per-language sequence
+    counts, fill accounting, provenance). Returns the manifest dict.
+
+    ``docs`` overrides the input (e.g. the curated corpus read back
+    from plans/curate.py's output — the curate -> pack chain); by
+    default the sf_dir documents table is packed. Side-effecting
+    pipeline op like curated_write — correctness is pinned by the x288
+    registry query (packed content hash-checked vs DuckDB) plus the
+    e2e row-for-row parity with x29 in tests/test_packed_write.py.
+    The manifest is written ONCE, here (the r14 ADVICE's double-write
+    lesson from curate.py)."""
+    from ..catalog import load_parallel
+
+    if docs is None:
+        docs = load_parallel(spark, sf_dir, "documents")
+    seqs = packed_sequences(docs, ctx=ctx)
+    seqs.write.mode("overwrite").parquet(out_dir)
+    written = spark.read.parquet(out_dir)
+    per_lang = [
+        row.asDict()
+        for row in written.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sequences"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum((F.col("n_tokens") == ctx).cast("long"))
+            .cast("long")
+            .alias("n_full"),
+        )
+        .orderBy("lang")
+        .collect()  # bounded: |langs| rows
+    ]
+    n_seqs = sum(r["n_sequences"] for r in per_lang)
+    n_toks = sum(r["n_tokens"] for r in per_lang)
+    slots = n_seqs * ctx
+    manifest = {
+        "op": "packed_write",
+        "ctx": ctx,
+        "source_dir": source_dir if source_dir is not None else sf_dir,
+        "n_sequences": n_seqs,
+        "n_full_sequences": sum(r["n_full"] for r in per_lang),
+        "total_tokens": n_toks,
+        "pad_tokens": slots - n_toks,
+        "fill_ppm": (n_toks * 1_000_000) // slots if slots else 0,
+        "per_lang": per_lang,
+        "order": "(lang, doc_id) concat; fixed ctx-token chunks",
+        "identity": "split-on-space/join-with-space; x29 span math",
+    }
+    with open(os.path.join(out_dir, MANIFEST_NAME), "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    return manifest
+
+
+# ---------------------------------------------------------------------------
+# streaming twin
+
+
+#: output schema of the streaming packer (completed sequences only)
+_PACK_OUT_SCHEMA = (
+    "lang string, seq_id long, n_docs long, n_tokens long, text string"
+)
+#: state: the open partial sequence per language — bounded by ctx tokens
+_PACK_STATE_SCHEMA = (
+    "next_seq long, fill long, n_docs long, partial string"
+)
+
+
+def _fold_pack(
+    lang: str,
+    state: tuple[int, int, int, str],
+    docs: Iterable[tuple[int, str]],
+    ctx: int,
+) -> tuple[list[tuple], tuple[int, int, int, str]]:
+    """Pure packing fold (unit-testable without Spark): feed docs in
+    doc_id order into the open partial sequence; emit each sequence the
+    moment it reaches ctx tokens. Chunking-invariant: folding the same
+    docs in any microbatch split lands on identical emissions + state,
+    because the state (next seq id, fill, doc count, partial text) is
+    the full suffix the batch window math depends on."""
+    next_seq, fill, n_docs, partial = state
+    out: list[tuple] = []
+    for _doc_id, text in docs:
+        toks = text.split(" ")
+        pos = 0
+        while pos < len(toks):
+            # each loop iteration is one (doc, sequence) span — the doc
+            # counts once in every sequence it touches (x29's rule)
+            n_docs += 1
+            take = min(ctx - fill, len(toks) - pos)
+            piece = " ".join(toks[pos : pos + take])
+            partial = piece if fill == 0 else partial + " " + piece
+            fill += take
+            pos += take
+            if fill == ctx:
+                out.append((lang, next_seq, n_docs, fill, partial))
+                next_seq += 1
+                fill = 0
+                n_docs = 0
+                partial = ""
+    return out, (next_seq, fill, n_docs, partial)
+
+
+def packed_stream(
+    sdf: DataFrame, ctx: int = 512, timeout: str = "NoTimeout"
+) -> DataFrame:
+    """Streaming form of :func:`packed_sequences` over a stream of
+    (lang, doc_id, text) rows arriving in doc_id order per language
+    (the ordered-replay contract curated_stream also carries): one
+    keyed state row per language holds the open partial sequence
+    (<= ctx tokens — bounded state); completed sequences emit the
+    microbatch they close. Under ordered replay the emissions equal
+    exactly the batch rows with n_tokens == ctx (every batch sequence
+    except each language's open last — x29's own invariant)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (lang,) = key
+        st = state.get if state.exists else (0, 0, 0, "")
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("doc_id")
+            rows.extend(zip(pdf["doc_id"], pdf["text"]))
+        rows.sort(key=lambda r: r[0])
+        out, st = _fold_pack(lang, tuple(st), rows, ctx)
+        state.update(st)
+        if out:
+            yield pd.DataFrame(
+                out, columns=["lang", "seq_id", "n_docs", "n_tokens", "text"]
+            )
+
+    return sdf.groupBy("lang").applyInPandasWithState(
+        update,
+        outputStructType=_PACK_OUT_SCHEMA,
+        stateStructType=_PACK_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=getattr(GroupStateTimeout, timeout),
+    )

@@ -568,6 +568,64 @@ def x29_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "x288_packed_texts",
+    oracle="""
+    WITH d AS (
+      SELECT lang, doc_id, string_split(text, ' ') AS toks,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    off AS (
+      SELECT lang, doc_id, toks, n_tok,
+             SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tok AS start_off
+      FROM d
+    ),
+    spans AS (
+      SELECT lang, toks, n_tok, start_off,
+             unnest(range(CAST(start_off // 512 AS BIGINT),
+                          CAST((start_off + n_tok - 1) // 512 AS BIGINT) + 1)) AS seq_id
+      FROM off WHERE n_tok > 0
+    ),
+    pieces AS (
+      SELECT lang, seq_id, start_off,
+             LEAST(start_off + n_tok, (seq_id + 1) * 512)
+               - GREATEST(start_off, seq_id * 512) AS filled,
+             array_to_string(list_slice(toks,
+                 CAST(GREATEST(start_off, seq_id * 512) - start_off + 1 AS BIGINT),
+                 CAST(LEAST(start_off + n_tok, (seq_id + 1) * 512) - start_off
+                      AS BIGINT)), ' ') AS piece
+      FROM spans
+    )
+    SELECT lang, CAST(seq_id AS BIGINT) AS seq_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(filled) AS BIGINT) AS n_tokens,
+           string_agg(piece, ' ' ORDER BY start_off) AS text
+    FROM pieces GROUP BY lang, seq_id ORDER BY lang, seq_id
+    """,
+)
+def x288_packed_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packed training sequences THEMSELVES, content hash-checked:
+    x29 publishes the packing accounting; this is the corresponding
+    emit plan (plans/pack.py packed_sequences, shared verbatim with
+    packed_write) with the reassembled ctx=512-token sequence text in
+    the row, so the cross-engine hash pins the exact bytes a
+    dataloader would memory-map — not just the counts. DuckDB
+    reassembles independently (list_slice + ordered string_agg vs
+    Spark's map-side slice + in-row array_sort(collect_list)).
+
+    Plan (the 100 TB shape, see plans/pack.py): one per-lang cumsum
+    window, one ~1x sequence() explode whose token SLICE is cut
+    map-side before the shuffle, one (lang, seq_id) hash agg. Two
+    shuffles, no joins."""
+    from ..plans.pack import packed_sequences
+
+    d = load(spark, sf_dir, "documents")
+    return packed_sequences(d, ctx=512).orderBy("lang", "seq_id")
+
+
 # Per-language mixture rates for x30 (rebalance toward low-resource
 # languages). Acceptance thresholds are precomputed as exact int64 values
 # (rate * 2^60) so both engines compare integers — no float boundary.
