@@ -54,6 +54,57 @@ def x13c_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_cosine_topk(emb, queries, k=3, n_centroids=16, n_probe=8)
 
 
+@query("x289_ivf_cell_occupancy")  # seed-deterministic; rows-only check
+def x289_ivf_cell_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-occupancy balance audit of the IVF codebook the index
+    artifact partitions by (plans/index.py ann_index_write — x13c's
+    16-cell / seed-42 codebook): per cell, vectors assigned, corpus
+    share in ppm, and the skew ratio vs perfect balance in ppm. The
+    number that decides whether the inverted file actually bounds a
+    probe's read cost — a cell at 10x balance means n_probe=8 can touch
+    most of the corpus, and the fix (more centroids, or a Lloyd refine
+    pass over the full corpus) shows up directly in this table.
+
+    Plan: ONE assignment pass (Arrow-batched max-cosine pandas UDF,
+    codebook closed over) + one 16-row hash agg — linear, nothing
+    corpus-sized moves. Rows-only like x13c: the codebook is numpy
+    k-means, not SQL-expressible."""
+    from ..functions.simfns import kmeans_centroids
+    from ..plans.index import _assign_udf
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(emb, 16)
+    import numpy as np
+
+    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    occ = (
+        emb.select(
+            F.element_at(
+                _assign_udf(cents, 1)(F.col("embedding").cast("array<double>")), 1
+            ).alias("cell")
+        )
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+    )
+    tot = occ.agg(
+        F.sum("n_vectors").alias("n"), F.count(F.lit(1)).alias("n_cells")
+    )
+    return (
+        occ.crossJoin(F.broadcast(tot))
+        .select(
+            "cell",
+            "n_vectors",
+            F.expr("cast(n_vectors * 1000000 div n as bigint)").alias(
+                "share_ppm"
+            ),
+            F.expr(
+                "cast(n_vectors * n_cells * 1000000 div n as bigint)"
+            ).alias("skew_ratio_ppm"),
+        )
+        .orderBy("cell")
+    )
+
+
 @query("x13b_ann_lsh_topk")  # seed-deterministic; rows-only check
 def x13b_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH top-3 (12 tables x 4 planes): bucket via an
