@@ -233,6 +233,9 @@ HEADLINE = [
     "x274b_knn_hubness_full_lsh",
     "x285_curation_quality_delta",
     "x286_all_but_top_audit",
+    # round 15 additions
+    "x288_packed_texts",
+    "x289_ivf_cell_occupancy",
     # round 11 additions
     "x265_keep_policy_comparison",
     "x263_operating_point",

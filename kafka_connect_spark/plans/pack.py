@@ -120,23 +120,41 @@ def packed_write(
     docs: DataFrame | None = None,
     source_dir: str | None = None,
 ) -> dict:
-    """Execute the packing pipeline end-to-end: write the packed
-    sequences as parquet under ``out_dir`` and a dataset-card manifest
-    as ``out_dir/_MANIFEST.json`` alongside (ctx, per-language sequence
-    counts, fill accounting, provenance). Returns the manifest dict.
-
-    ``docs`` overrides the input (e.g. the curated corpus read back
-    from plans/curate.py's output — the curate -> pack chain); by
-    default the sf_dir documents table is packed. Side-effecting
-    pipeline op like curated_write — correctness is pinned by the x288
-    registry query (packed content hash-checked vs DuckDB) plus the
-    e2e row-for-row parity with x29 in tests/test_packed_write.py.
-    The manifest is written ONCE, here (the r14 ADVICE's double-write
-    lesson from curate.py)."""
+    """Execute the packing pipeline end-to-end over the sf_dir documents
+    table (or ``docs`` — e.g. the curated corpus read back from
+    plans/curate.py's output, the curate -> pack chain). See
+    :func:`packed_write_df` for the write itself; this entry point only
+    resolves the input and provenance."""
     from ..catalog import load_parallel
 
     if docs is None:
         docs = load_parallel(spark, sf_dir, "documents")
+    return packed_write_df(
+        docs,
+        out_dir,
+        ctx=ctx,
+        source_dir=source_dir if source_dir is not None else sf_dir,
+    )
+
+
+def packed_write_df(
+    docs: DataFrame,
+    out_dir: str,
+    ctx: int = 512,
+    source_dir: str | None = None,
+) -> dict:
+    """Write the packed sequences of an in-hand documents DataFrame as
+    parquet under ``out_dir`` and a dataset-card manifest as
+    ``out_dir/_MANIFEST.json`` alongside (ctx, per-language sequence
+    counts, fill accounting, provenance). Returns the manifest dict.
+
+    Side-effecting pipeline op like curated_write_df (also the
+    ``packed_corpus`` pipeline sink) — correctness is pinned by the
+    x288 registry query (packed content hash-checked vs DuckDB) plus
+    the e2e row-for-row parity with x29 in tests/test_packed_write.py.
+    The manifest is written ONCE, here (the r14 ADVICE's double-write
+    lesson from curate.py)."""
+    spark = docs.sparkSession
     seqs = packed_sequences(docs, ctx=ctx)
     seqs.write.mode("overwrite").parquet(out_dir)
     written = spark.read.parquet(out_dir)
@@ -159,7 +177,7 @@ def packed_write(
     manifest = {
         "op": "packed_write",
         "ctx": ctx,
-        "source_dir": source_dir if source_dir is not None else sf_dir,
+        "source_dir": source_dir,
         "n_sequences": n_seqs,
         "n_full_sequences": sum(r["n_full"] for r in per_lang),
         "total_tokens": n_toks,

@@ -271,6 +271,27 @@ def _k_curated(spec: dict):
     return write
 
 
+@register_sink("packed_corpus")
+def _k_packed(spec: dict):
+    """The packing family's OUTPUT stage as a pipeline sink: concat the
+    incoming documents DataFrame in (lang, doc_id) order, chunk into
+    fixed ctx-token training sequences, and emit parquet +
+    _MANIFEST.json — see plans/pack.py. Chains after curated_corpus
+    (curate -> pack: examples/task9_packed_corpus.json). Spec keys:
+    path (output dir), optional ctx.tokens (default 512)."""
+    from .pack import packed_write_df
+
+    def write(df: DataFrame) -> None:
+        write.manifest = packed_write_df(
+            df,
+            spec["path"],
+            ctx=int(spec.get("ctx.tokens", 512)),
+            source_dir=spec.get("source.dir"),
+        )
+
+    return write
+
+
 # -- streaming plugins --------------------------------------------------------
 
 STREAM_SOURCES: dict[str, Callable] = {}

@@ -150,6 +150,8 @@ FLAGSHIPS = {
     "x274b_knn_hubness_full_lsh": "one bucket tag pass -> (table,bucket) self-join -> WindowGroupLimit top-5 -> in-degree hash agg; nothing corpus-sized broadcast",
     "x285_curation_quality_delta": "freeze gates -> keep set; ONE signal-carrying segment scan; blocklist broadcast-left-join; per-doc + per-source conditional sums",
     "x286_all_but_top_audit": "mean posexplode scan + in-row 64x64 Gram scan -> 3 broadcast-join integer power iterations on the 4096-row Gram -> constant 128-sample pair block",
+    "x288_packed_texts": "packing emit: per-lang cumsum window -> ~1x span explode with the token SLICE cut map-side before the shuffle -> one (lang, seq_id) hash agg; two shuffles, no joins",
+    "x289_ivf_cell_occupancy": "one Arrow-batched max-cosine assignment pass (codebook closed over) -> 16-row hash agg; the index artifact's balance audit",
 }
 
 

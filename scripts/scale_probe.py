@@ -304,6 +304,44 @@ def _curated_write_e2e(spark, sf_dir):
     )
 
 
+def _packed_write_e2e(spark, sf_dir):
+    """packed_write end to end — x288's plan INCLUDING the parquet write
+    and the manifest's bounded collects — into a scratch dir; returns
+    the totals as one row so the framework's noop/count add nothing."""
+    import tempfile
+
+    from kafka_connect_spark.plans.pack import packed_write
+
+    out = tempfile.mkdtemp(prefix="packed-e2e-")
+    m = packed_write(spark, sf_dir, out)
+    return spark.createDataFrame(
+        [(m["n_sequences"], m["total_tokens"], m["pad_tokens"])],
+        "n_sequences long, total_tokens long, pad_tokens long",
+    )
+
+
+def _ann_index_e2e(spark, sf_dir):
+    """ann_index_write + ann_index_search end to end into scratch: build
+    the 16-cell IVF artifact over the scaled corpus (one assignment pass
+    + cell-partitioned write), then serve the fixed 10-query set probing
+    8 cells from the artifact. Build is linear in K; search reads only
+    probed partitions of a K x corpus, so the pair should track K with
+    the partition-pruned scan as the growing term."""
+    import tempfile
+
+    from kafka_connect_spark.plans.index import (
+        ann_index_search,
+        ann_index_write,
+    )
+
+    corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = tempfile.mkdtemp(prefix="ivf-index-")
+    ann_index_write(spark, sf_dir, out, corpus=corpus)
+    return ann_index_search(
+        spark, out, corpus.filter(F.col("vec_id") < 10), k=3, n_probe=8
+    )
+
+
 PROBE_EXTRA = {
     "distributed_rank_probe": _distributed_rank_probe,
     "retrieval_eval_scaled": _retrieval_eval_scaled,
@@ -318,6 +356,8 @@ PROBE_EXTRA = {
     "knn_graph_hubness_scaled": _knn_graph_hubness_scaled,
     "curated_corpus_probe": _curated_corpus_probe,
     "curated_write_e2e": _curated_write_e2e,
+    "packed_write_e2e": _packed_write_e2e,
+    "ann_index_e2e": _ann_index_e2e,
 }
 
 DEFAULT_QUERIES = {
@@ -331,6 +371,11 @@ DEFAULT_QUERIES = {
     # and the quality gate would drop every copy k>0, leaving the strip
     # pass 1/K of its true workload.
     "curation": ["x282", "x285", "curated_corpus_probe", "curated_write_e2e"],
+    # r15: the packing OUTPUT stage. Token-tagged docs copies (the docs
+    # construction) keep token COUNTS exact per copy, so sequence count
+    # and packed text volume scale exactly linearly in K; the per-lang
+    # cumsum window is the watched term (5 langs, each partition K x).
+    "packing": ["x29", "x288", "packed_write_e2e"],
 }
 # registry names are prefixed (x12c_ngram_jaccard_pairs etc.); resolve by prefix
 def _resolve(short: str) -> str:
@@ -554,6 +599,7 @@ def main() -> None:
         "embeddings": build_scaled_embeddings,
         "events": build_scaled_events,
         "curation": build_scaled_curation,
+        "packing": build_scaled,
     }[args.family]
 
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")

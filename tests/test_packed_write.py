@@ -102,6 +102,41 @@ def test_packed_write_over_curated_corpus(spark, sf_dir, tmp_path):
     assert manifest["source_dir"] == cur_dir
 
 
+def test_task9_packed_corpus_spec(spark, sf_dir, tmp_path):
+    """The examples/ spec drives the curate -> pack chain through the
+    pipeline herder (source: the curated corpus parquet -> sink:
+    packed_corpus) and must land on the same artifact as calling
+    packed_write directly on the read-back curated corpus."""
+    from kafka_connect_spark.plans.curate import curated_write
+    from kafka_connect_spark.plans.pipeline import Pipeline
+    from test_examples import _load_spec
+
+    cur_dir = str(tmp_path / "curated")
+    curated_write(spark, sf_dir, cur_dir)
+    spec = _load_spec(
+        "task9_packed_corpus.json",
+        {
+            "curated_dir": cur_dir,
+            "packed_dir": str(tmp_path / "packed_pipe"),
+        },
+        tmp_path,
+    )
+    Pipeline(spec).run(spark)
+    with open(os.path.join(str(tmp_path / "packed_pipe"), "_MANIFEST.json")) as f:
+        manifest = json.load(f)
+    direct = packed_write(
+        spark,
+        sf_dir,
+        str(tmp_path / "packed_direct"),
+        docs=spark.read.parquet(cur_dir),
+        source_dir=cur_dir,
+    )
+    assert manifest == direct
+    a = spark.read.parquet(str(tmp_path / "packed_pipe"))
+    b = spark.read.parquet(str(tmp_path / "packed_direct"))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
 def test_fold_pack_chunking_invariant():
     """The pure packing fold is invariant to how the doc stream is cut
     into microbatches: any split of the same ordered docs produces
