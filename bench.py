@@ -236,6 +236,8 @@ HEADLINE = [
     # round 15 additions
     "x288_packed_texts",
     "x289_ivf_cell_occupancy",
+    "x290_packed_nostraddle",
+    "x291_packing_policy_tradeoff",
     # round 11 additions
     "x265_keep_policy_comparison",
     "x263_operating_point",

@@ -143,6 +143,80 @@ def ann_index_write(
     return manifest
 
 
+def ann_index_append(
+    spark: SparkSession,
+    index_dir: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Grow the index under its FROZEN codebook: assign the new vectors
+    to their max-cosine cells and APPEND them to the cell-partitioned
+    postings (parquet append into existing cell directories — no
+    rebuild, no read of the existing postings). The codebook stays
+    fixed — exactly how a serving IVF index absorbs a crawl between
+    retrains; if occupancy skew grows (watch x289), rebuild with more
+    centroids or a refine pass. Search results after appends equal a
+    fresh fused run over the full corpus under the same codebook
+    (pinned in tests/test_ann_index.py)."""
+    from ..functions.simfns import with_vec
+
+    cents = _load_codebook(spark, index_dir)
+    (
+        with_vec(new_vectors, vec_col)
+        .withColumn("cell", F.element_at(_assign_udf(cents, 1)(F.col("v")), 1))
+        .select(F.col(id_col).alias("vec_id"), "v", "v_norm", "cell")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(os.path.join(index_dir, POSTINGS))
+    )
+
+
+def ann_index_stream_writer(
+    sdf: DataFrame,
+    index_dir: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Streaming index maintenance: each microbatch of new vectors
+    appends to the postings via :func:`ann_index_append` (foreachBatch
+    — the codebook is read once per (re)start, frozen within the run).
+    Returns the unstarted writeStream builder. Call
+    :func:`refresh_manifest` after (or periodically) to bring the
+    occupancy table in the manifest up to date — appends do not rewrite
+    it."""
+
+    def write(df: DataFrame, _batch_id: int) -> None:
+        ann_index_append(
+            df.sparkSession, index_dir, df, id_col=id_col, vec_col=vec_col
+        )
+
+    return sdf.writeStream.foreachBatch(write).option(
+        "checkpointLocation", checkpoint
+    )
+
+
+def refresh_manifest(spark: SparkSession, index_dir: str) -> dict:
+    """Recompute the manifest's occupancy table from the postings on
+    disk (after appends); codebook-derived fields are preserved."""
+    with open(os.path.join(index_dir, MANIFEST_NAME)) as f:
+        manifest = json.load(f)
+    occupancy = [
+        row.asDict()
+        for row in spark.read.parquet(os.path.join(index_dir, POSTINGS))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+        .orderBy("cell")
+        .collect()  # bounded: n_centroids rows
+    ]
+    manifest["cells"] = occupancy
+    manifest["n_vectors"] = sum(r["n_vectors"] for r in occupancy)
+    with open(os.path.join(index_dir, MANIFEST_NAME), "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    return manifest
+
+
 def ann_index_search(
     spark: SparkSession,
     index_dir: str,

@@ -193,6 +193,86 @@ def packed_write_df(
 
 
 # ---------------------------------------------------------------------------
+# boundary-respecting variant (no-straddle greedy)
+
+
+def _fold_pack_nostraddle(
+    state: tuple[int, int],
+    docs: Iterable[tuple[int, int]],
+    ctx: int,
+) -> tuple[list[tuple[int, int]], tuple[int, int]]:
+    """Pure no-straddle packing fold over (doc_id, n_tok) pairs in
+    doc_id order: a document never crosses a sequence boundary — if it
+    does not fit in the open sequence, the sequence closes (its
+    remainder is padding) and the doc starts the next one; a document
+    LONGER than ctx is chunk-split alone (it cannot avoid crossing) and
+    its last chunk closes. Returns [(seq_id, tokens)] spans — one per
+    (doc, sequence) — plus the (seq, fill) carry state. The policy a
+    dataloader uses when cross-document attention is NOT masked, traded
+    against x29's zero-padding concat-and-chunk by x290."""
+    seq, fill = state
+    out: list[tuple[int, int]] = []
+    for _doc_id, t in docs:
+        if t > ctx:
+            start = seq + (1 if fill > 0 else 0)
+            nch = (t + ctx - 1) // ctx
+            for i in range(nch):
+                out.append((start + i, min(ctx, t - i * ctx)))
+            seq, fill = start + nch, 0
+        elif fill + t <= ctx:
+            out.append((seq, t))
+            fill += t
+        else:
+            seq += 1
+            fill = t
+            out.append((seq, t))
+    return out, (seq, fill)
+
+
+def packed_nostraddle(docs: DataFrame, ctx: int = 512) -> DataFrame:
+    """Boundary-respecting packing accounting as a LAZY DataFrame:
+    (lang, seq_id, n_docs, n_tokens) under the no-straddle greedy rule
+    (:func:`_fold_pack_nostraddle`), documents taken in (lang, doc_id)
+    order. Every sequence has n_tokens <= ctx with the shortfall being
+    PADDING — the accounting x290 trades against x29's zero-pad
+    straddling layout.
+
+    Plan shape: greedy packing is order-sequential (not prefix-sum
+    decomposable — a window cannot express it), so each language folds
+    in one applyInPandas group over (doc_id, n_tok) PAIRS ONLY — 16
+    bytes per doc, never text; the fold is the bounded-memory driver of
+    the decision, the token slices themselves are NOT materialized
+    here. At extreme per-language cardinality the same fold shards by
+    (lang, shard) with carry-state stitching — exactly what the
+    streaming twin's per-key carry state does microbatch-to-microbatch."""
+    meta = docs.select(
+        "lang",
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        lang = pdf["lang"].iloc[0]
+        spans, _ = _fold_pack_nostraddle(
+            (0, 0), zip(pdf["doc_id"], pdf["n_tok"]), ctx
+        )
+        agg: dict[int, list[int]] = {}
+        for seq_id, toks in spans:
+            cur = agg.setdefault(seq_id, [0, 0])
+            cur[0] += 1
+            cur[1] += toks
+        return pd.DataFrame(
+            [(lang, s, c[0], c[1]) for s, c in sorted(agg.items())],
+            columns=["lang", "seq_id", "n_docs", "n_tokens"],
+        )
+
+    return meta.groupBy("lang").applyInPandas(
+        pack, "lang string, seq_id long, n_docs long, n_tokens long"
+    )
+
+
+# ---------------------------------------------------------------------------
 # streaming twin
 
 
@@ -277,4 +357,24 @@ def packed_stream(
         stateStructType=_PACK_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=getattr(GroupStateTimeout, timeout),
+    )
+
+
+def packed_stream_writer(
+    sdf: DataFrame, out_dir: str, checkpoint: str, ctx: int = 512
+):
+    """:func:`packed_stream` wired to an append-mode parquet sink — the
+    ``packed_stream`` pipeline sink's body (a crawl lands, training
+    sequences appear). The per-language carry state (open partial
+    sequence) lives in the CHECKPOINTED state store, so a stopped and
+    restarted stream continues sequence numbering and the open partial
+    exactly where it left off — restart continuity is pinned e2e in
+    tests/test_packed_write.py. Returns the unstarted writeStream
+    builder (the pipeline herder calls .start())."""
+    return (
+        packed_stream(sdf, ctx=ctx)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
     )

@@ -432,6 +432,27 @@ def _sk_curated_stream(spec: dict):
     return start
 
 
+@register_stream_sink("packed_stream")
+def _sk_packed_stream(spec: dict):
+    """packed_write's STREAMING form as a pipeline sink (plans/pack.py
+    packed_stream_writer): the no-drift concat-and-chunk fold per
+    language with the open partial sequence held in checkpointed keyed
+    state, completed sequences appended as parquet the microbatch they
+    close. Restart continues numbering and the open partial exactly
+    (state store). Spec keys: path, checkpoint, optional ctx.tokens."""
+    from .pack import packed_stream_writer
+
+    def start(sdf: DataFrame):
+        return packed_stream_writer(
+            sdf,
+            out_dir=spec["path"],
+            checkpoint=spec["checkpoint"],
+            ctx=int(spec.get("ctx.tokens", 512)),
+        )
+
+    return start
+
+
 @register_stream_sink("eval_dashboard")
 def _sk_eval_dashboard(spec: dict):
     """The composed LIVE EVAL DASHBOARD (the streaming-eval family as one

@@ -626,6 +626,210 @@ def x288_packed_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed_sequences(d, ctx=512).orderBy("lang", "seq_id")
 
 
+@query(
+    "x290_packed_nostraddle",
+    oracle="""
+    WITH RECURSIVE
+    d AS (
+      SELECT lang, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS t,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    langs AS (SELECT DISTINCT lang FROM d),
+    st(lang, rn, seq, fill, start_seq, nchunks, t) AS (
+      SELECT lang, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+             CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+      FROM langs
+      UNION ALL
+      SELECT d.lang, d.rn,
+             CASE WHEN d.t > 512 THEN st.seq
+                    + CASE WHEN st.fill > 0 THEN 1 ELSE 0 END
+                    + CAST((d.t + 511) // 512 AS BIGINT)
+                  WHEN st.fill + d.t <= 512 THEN st.seq
+                  ELSE st.seq + 1 END,
+             CASE WHEN d.t > 512 THEN CAST(0 AS BIGINT)
+                  WHEN st.fill + d.t <= 512 THEN st.fill + d.t
+                  ELSE d.t END,
+             CASE WHEN d.t > 512 THEN st.seq
+                    + CASE WHEN st.fill > 0 THEN 1 ELSE 0 END
+                  WHEN st.fill + d.t <= 512 THEN st.seq
+                  ELSE st.seq + 1 END,
+             CASE WHEN d.t > 512 THEN CAST((d.t + 511) // 512 AS BIGINT)
+                  ELSE CAST(1 AS BIGINT) END,
+             d.t
+      FROM st JOIN d ON d.lang = st.lang AND d.rn = st.rn + 1
+    ),
+    chunks AS (
+      SELECT lang, start_seq + i AS seq_id,
+             LEAST(512, t - i * 512) AS toks
+      FROM st, unnest(range(0, nchunks)) u(i)
+      WHERE nchunks IS NOT NULL
+    )
+    SELECT lang, CAST(seq_id AS BIGINT) AS seq_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS n_tokens
+    FROM chunks GROUP BY lang, seq_id ORDER BY lang, seq_id
+    """,
+)
+def x290_packed_nostraddle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boundary-respecting packing accounting, hash-checked: the
+    no-straddle greedy rule (a doc that does not fit closes the open
+    sequence and starts the next; an over-ctx doc is chunk-split alone)
+    over (lang, doc_id) order at ctx=512 — the layout a dataloader uses
+    when cross-document attention is NOT masked, traded against x29's
+    zero-padding concat-and-chunk. Per (lang, sequence): docs packed
+    and tokens filled; ctx - n_tokens is that sequence's padding.
+
+    Greedy packing is order-sequential — no window expresses it — so
+    Spark folds each language in ONE applyInPandas group over (doc_id,
+    n_tok) PAIRS only (16 bytes/doc, never text; plans/pack.py
+    packed_nostraddle), and the DuckDB oracle replays the identical
+    fold as a recursive CTE stepping rn -> rn+1 per language — the
+    x12h/x161 recursion idiom applied to sequential state instead of
+    graph reachability."""
+    from ..plans.pack import packed_nostraddle
+
+    d = load(spark, sf_dir, "documents")
+    return packed_nostraddle(d, ctx=512).orderBy("lang", "seq_id")
+
+
+@query(
+    "x291_packing_policy_tradeoff",
+    oracle="""
+    WITH RECURSIVE
+    d AS (
+      SELECT lang, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS t,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    off AS (
+      SELECT lang, t,
+             SUM(t) OVER (PARTITION BY lang ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - t AS start_off
+      FROM d WHERE t > 0
+    ),
+    ch AS (
+      SELECT lang,
+             CAST(SUM(t) AS BIGINT) AS tokens,
+             CAST(MAX((start_off + t - 1) // 512) + 1 AS BIGINT) AS chunk_seqs,
+             CAST(SUM(CASE WHEN start_off // 512
+                             <> (start_off + t - 1) // 512
+                           THEN 1 ELSE 0 END) AS BIGINT) AS straddled_docs
+      FROM off GROUP BY lang
+    ),
+    langs AS (SELECT DISTINCT lang FROM d),
+    st(lang, rn, seq, fill) AS (
+      SELECT lang, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      FROM langs
+      UNION ALL
+      SELECT d.lang, d.rn,
+             CASE WHEN d.t > 512 THEN st.seq
+                    + CASE WHEN st.fill > 0 THEN 1 ELSE 0 END
+                    + CAST((d.t + 511) // 512 AS BIGINT)
+                  WHEN st.fill + d.t <= 512 THEN st.seq
+                  ELSE st.seq + 1 END,
+             CASE WHEN d.t > 512 THEN CAST(0 AS BIGINT)
+                  WHEN st.fill + d.t <= 512 THEN st.fill + d.t
+                  ELSE d.t END
+      FROM st JOIN d ON d.lang = st.lang AND d.rn = st.rn + 1
+    ),
+    fin AS (
+      SELECT lang, seq + CASE WHEN fill > 0 THEN 1 ELSE 0 END AS ns_seqs
+      FROM (SELECT lang, seq, fill,
+                   row_number() OVER (PARTITION BY lang ORDER BY rn DESC) AS rr
+            FROM st) WHERE rr = 1
+    )
+    SELECT ch.lang, ch.tokens, ch.chunk_seqs,
+           CAST((ch.chunk_seqs * 512 - ch.tokens) * 1000000
+                // (ch.chunk_seqs * 512) AS BIGINT) AS chunk_pad_ppm,
+           ch.straddled_docs,
+           CAST(fin.ns_seqs AS BIGINT) AS nostraddle_seqs,
+           CAST((fin.ns_seqs * 512 - ch.tokens) * 1000000
+                // (fin.ns_seqs * 512) AS BIGINT) AS nostraddle_pad_ppm,
+           CAST((fin.ns_seqs - ch.chunk_seqs) * 1000000
+                // ch.chunk_seqs AS BIGINT) AS extra_seqs_ppm
+    FROM ch JOIN fin ON fin.lang = ch.lang
+    ORDER BY ch.lang
+    """,
+)
+def x291_packing_policy_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packing-policy decision table, hash-checked: per language,
+    what x29's concat-and-chunk layout costs in cross-document
+    contamination (straddled_docs — documents cut by a sequence
+    boundary, visible to unmasked attention) versus what x290's
+    no-straddle greedy costs in compute (nostraddle_pad_ppm padding and
+    extra_seqs_ppm additional sequences for the same token mass).
+    chunk_pad_ppm is the concat layout's padding (only each language's
+    last sequence pads). The two laid side by side ARE the choice; the
+    fixture puts real numbers on it.
+
+    Plan: the chunk side is x29's cumsum-window math aggregated per
+    lang (straddlers = docs whose first and last token land in
+    different sequences — pure column algebra on the offsets); the
+    no-straddle side reuses packed_nostraddle's fold aggregated per
+    lang. One window pass + one (doc_id, n_tok)-pairs fold + a 5-row
+    join."""
+    from ..plans.pack import packed_nostraddle
+
+    d = load(spark, sf_dir, "documents").select(
+        "lang", "doc_id", F.size(F.split("text", " ")).cast("long").alias("t")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    off = d.filter(F.col("t") > 0).withColumn(
+        "start_off", F.sum("t").over(w) - F.col("t")
+    )
+    ch = off.groupBy("lang").agg(
+        F.sum("t").cast("long").alias("tokens"),
+        (F.max(F.expr("(start_off + t - 1) div 512")) + 1)
+        .cast("long")
+        .alias("chunk_seqs"),
+        F.sum(
+            (
+                F.expr("start_off div 512")
+                != F.expr("(start_off + t - 1) div 512")
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("straddled_docs"),
+    )
+    docs = load(spark, sf_dir, "documents")
+    ns = (
+        packed_nostraddle(docs, ctx=512)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("nostraddle_seqs"))
+    )
+    return (
+        ch.join(ns, "lang")
+        .select(
+            "lang",
+            "tokens",
+            "chunk_seqs",
+            F.expr(
+                "cast((chunk_seqs * 512 - tokens) * 1000000"
+                " div (chunk_seqs * 512) as bigint)"
+            ).alias("chunk_pad_ppm"),
+            "straddled_docs",
+            "nostraddle_seqs",
+            F.expr(
+                "cast((nostraddle_seqs * 512 - tokens) * 1000000"
+                " div (nostraddle_seqs * 512) as bigint)"
+            ).alias("nostraddle_pad_ppm"),
+            F.expr(
+                "cast((nostraddle_seqs - chunk_seqs) * 1000000"
+                " div chunk_seqs as bigint)"
+            ).alias("extra_seqs_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
 # Per-language mixture rates for x30 (rebalance toward low-resource
 # languages). Acceptance thresholds are precomputed as exact int64 values
 # (rate * 2^60) so both engines compare integers — no float boundary.

@@ -152,6 +152,8 @@ FLAGSHIPS = {
     "x286_all_but_top_audit": "mean posexplode scan + in-row 64x64 Gram scan -> 3 broadcast-join integer power iterations on the 4096-row Gram -> constant 128-sample pair block",
     "x288_packed_texts": "packing emit: per-lang cumsum window -> ~1x span explode with the token SLICE cut map-side before the shuffle -> one (lang, seq_id) hash agg; two shuffles, no joins",
     "x289_ivf_cell_occupancy": "one Arrow-batched max-cosine assignment pass (codebook closed over) -> 16-row hash agg; the index artifact's balance audit",
+    "x290_packed_nostraddle": "order-sequential greedy: per-lang applyInPandas fold over (doc_id, n_tok) pairs ONLY (16 bytes/doc, never text); oracle replays the fold as a recursive CTE",
+    "x291_packing_policy_tradeoff": "x29's cumsum-window math aggregated per lang (straddlers = offset column algebra) joined to the no-straddle fold's per-lang seq count; 5-row join",
 }
 
 

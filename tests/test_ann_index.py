@@ -106,6 +106,67 @@ def test_manifest_reconciles_and_codebook_is_deterministic(
     assert np.allclose(cb, rebuilt)
 
 
+def test_append_grows_index_to_full_corpus_parity(spark, sf_dir, tmp_path):
+    """Streaming index growth: build on the first half of the corpus,
+    append the second half (batch append + the foreachBatch stream
+    writer over a replay), refresh the manifest — search over the grown
+    index equals the fused in-memory run over the FULL corpus under the
+    same (frozen) codebook, and the manifest occupancy reconciles."""
+    from kafka_connect_spark.plans.index import (
+        ann_index_append,
+        ann_index_stream_writer,
+        refresh_manifest,
+    )
+    from kafka_connect_spark.sources.replay import (
+        file_replay_stream,
+        write_replay_files,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    n = emb.count()
+    half1 = emb.filter(F.col("vec_id") < n // 2)
+    half2 = emb.filter(
+        (F.col("vec_id") >= n // 2) & (F.col("vec_id") < 3 * n // 4)
+    )
+    half3 = emb.filter(F.col("vec_id") >= 3 * n // 4)
+    out = str(tmp_path / "growing-index")
+    ann_index_write(
+        spark, sf_dir, out, n_centroids=N_CENTROIDS, seed=SEED, corpus=half1
+    )
+    # batch append
+    ann_index_append(spark, out, half2)
+    # streaming append (replayed microbatches)
+    rd = str(tmp_path / "vec-stream")
+    write_replay_files(half3, rd, 4, "vec_id")
+    q = (
+        ann_index_stream_writer(
+            file_replay_stream(spark, rd, spark.read.parquet(rd).schema),
+            out,
+            str(tmp_path / "idx-ckpt"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    manifest = refresh_manifest(spark, out)
+    assert manifest["n_vectors"] == n
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    cb = _load_codebook(spark, out)
+    got = (
+        ann_index_search(spark, out, queries, k=K, n_probe=N_PROBE)
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    want = (
+        ivf_cosine_topk(emb, queries, k=K, n_probe=N_PROBE, centroids=cb)
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 def test_refined_codebook_roundtrips(spark, sf_dir, tmp_path):
     """Lloyd-refined build (refine_iters=1): the artifact stores the
     refined codebook, and search against it still equals the in-memory

@@ -206,6 +206,126 @@ def test_fold_pack_equals_batch(spark, sf_dir):
         )
 
 
+def test_fold_nostraddle_chunking_invariant_and_policy():
+    """The no-straddle fold (x290's rule) is carry-state
+    chunking-invariant — any microbatch split of the same ordered doc
+    stream produces identical spans and final state (the property a
+    streaming or sharded form stitches on) — and honors the policy:
+    no document crosses a boundary unless longer than ctx, every
+    sequence holds <= ctx tokens, oversize docs are chunked alone."""
+    from kafka_connect_spark.plans.pack import _fold_pack_nostraddle
+
+    ctx = 8
+    docs = [(1, 3), (2, 5), (3, 1), (4, 17), (5, 2), (6, 8), (7, 7), (8, 2)]
+    full_out, full_state = _fold_pack_nostraddle((0, 0), docs, ctx)
+    for cut in range(len(docs) + 1):
+        o1, s1 = _fold_pack_nostraddle((0, 0), docs[:cut], ctx)
+        o2, s2 = _fold_pack_nostraddle(s1, docs[cut:], ctx)
+        assert o1 + o2 == full_out
+        assert s2 == full_state
+    # per-sequence fill never exceeds ctx
+    fills: dict[int, int] = {}
+    for seq, toks in full_out:
+        fills[seq] = fills.get(seq, 0) + toks
+    assert all(v <= ctx for v in fills.values())
+    # doc 4 (17 tokens) chunks alone into ceil(17/8)=3 dedicated seqs
+    spans4 = full_out[3:6]
+    assert [t for _, t in spans4] == [8, 8, 1]
+    seqs4 = {s for s, _ in spans4}
+    assert all(
+        s not in seqs4 for s, _ in full_out[:3] + full_out[6:]
+    ), full_out
+    # non-oversize docs appear exactly once (never straddle)
+    assert len(full_out) == len(docs) + 2  # only doc 4 fans out (3 spans)
+
+
+def test_packed_nostraddle_invariants(spark, sf_dir):
+    """x290 over the fixture: every sequence holds <= ctx tokens, token
+    mass is conserved vs the corpus, and sequence ids are dense per
+    language starting at 0."""
+    from kafka_connect_spark.plans.pack import packed_nostraddle
+
+    docs = load(spark, sf_dir, "documents")
+    got = packed_nostraddle(docs, ctx=CTX).toPandas()
+    assert (got["n_tokens"] <= CTX).all()
+    want_tokens = docs.agg(
+        F.sum(F.size(F.split("text", " "))).cast("long")
+    ).collect()[0][0]
+    assert got["n_tokens"].sum() == want_tokens
+    for _lang, grp in got.groupby("lang"):
+        seqs = sorted(grp["seq_id"])
+        assert seqs == list(range(len(seqs)))
+
+
+def test_task9b_packed_stream_spec_and_restart_continuity(
+    spark, sf_dir, tmp_path
+):
+    """The spec-driven streaming packer (examples/task9b): (1) driving
+    the first 60% of the corpus emits exactly the batch-full sequences
+    of that prefix; (2) a RESTART on the same checkpoint with the rest
+    of the corpus arriving continues sequence numbering and the open
+    partial from the state store — the union of both runs' emissions
+    equals the batch full sequences over the WHOLE corpus."""
+    from kafka_connect_spark.plans.pack import packed_sequences
+    from kafka_connect_spark.plans.pipeline import Pipeline
+    from kafka_connect_spark.sources.replay import write_replay_files
+    from test_examples import _load_spec
+
+    docs = load(spark, sf_dir, "documents").select("lang", "doc_id", "text")
+    cut = docs.selectExpr(
+        "percentile_approx(doc_id, 0.6) as c"
+    ).collect()[0]["c"]
+    stream_dir = str(tmp_path / "docs-stream")
+    write_replay_files(docs.filter(F.col("doc_id") <= cut), stream_dir, 8, "doc_id")
+    spec = _load_spec(
+        "task9b_packed_stream.json",
+        {
+            "docs_stream_dir": stream_dir,
+            "packed_dir": str(tmp_path / "packed-stream-out"),
+            "checkpoint_dir": str(tmp_path / "packed-ckpt"),
+        },
+        tmp_path,
+    )
+    Pipeline(spec).run(spark)
+    got1 = spark.read.parquet(str(tmp_path / "packed-stream-out")).toPandas()
+    want1 = (
+        packed_sequences(docs.filter(F.col("doc_id") <= cut), ctx=512)
+        .filter(F.col("n_tokens") == 512)
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(
+        got1.sort_values(["lang", "seq_id"], ignore_index=True),
+        want1.sort_values(["lang", "seq_id"], ignore_index=True),
+        check_dtype=False,
+    )
+
+    # part 2 lands; the RESTARTED query continues from checkpointed state
+    part2 = str(tmp_path / "part2")
+    write_replay_files(docs.filter(F.col("doc_id") > cut), part2, 4, "doc_id")
+    import shutil
+    import time
+
+    t = time.time()
+    for i, f in enumerate(
+        sorted(x for x in os.listdir(part2) if x.endswith(".parquet"))
+    ):
+        dst = os.path.join(stream_dir, f"z2-{f}")
+        shutil.copy(os.path.join(part2, f), dst)
+        os.utime(dst, (t + 10.0 * i, t + 10.0 * i))
+    Pipeline(spec).run(spark)
+    got = spark.read.parquet(str(tmp_path / "packed-stream-out")).toPandas()
+    want = (
+        packed_sequences(docs, ctx=512)
+        .filter(F.col("n_tokens") == 512)
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(
+        got.sort_values(["lang", "seq_id"], ignore_index=True),
+        want.sort_values(["lang", "seq_id"], ignore_index=True),
+        check_dtype=False,
+    )
+
+
 def test_packed_stream_replays_to_batch(spark, sf_dir, tmp_path):
     """The streaming packer over a doc_id-ordered replay emits exactly
     the batch rows with n_tokens == ctx (every sequence except each

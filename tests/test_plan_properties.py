@@ -652,3 +652,37 @@ def test_x286_abtt_constant_pair_block(spark, sf_dir):
         assert ("Cross" in head) or ("Inner" in head)
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan  # everything joinable is broadcast-sized
+
+
+def test_x288_packing_two_shuffles_no_joins(spark, sf_dir):
+    """x288's emit plan: the per-lang cumsum window and the (lang,
+    seq_id) reassembly agg are the ONLY exchanges besides the ordered
+    output (driver-contract determinism); no join of any kind — the
+    packed corpus is window + explode + agg. The window partitions on
+    lang (never a global SinglePartition window)."""
+    plan = _plan(spark, sf_dir, "x288_packed_texts")
+    for join in ("Join", "CartesianProduct"):
+        assert join not in plan, plan
+    assert "Window" in plan
+    assert "hashpartitioning(lang" in plan
+    # window exchange + agg exchange + output rangepartitioning
+    assert plan.count("Exchange") <= 3, plan
+
+
+def test_x290_nostraddle_fold_shape(spark, sf_dir):
+    """x290's sequential fold runs as ONE grouped-Pandas node per
+    language over (lang, doc_id, n_tok) — the token counts are computed
+    map-side BEFORE the group exchange (the fold never sees text), and
+    there are no joins or windows at all."""
+    plan = _plan(spark, sf_dir, "x290_packed_nostraddle")
+    assert "FlatMapGroupsInPandas" in plan
+    for node in ("Join", "Window", "CartesianProduct"):
+        assert node not in plan, plan
+    # the fold's input is the 3 metadata columns — n_tok is PROJECTED
+    # below the group exchange (the Project under the scan), so the
+    # document text itself never enters the shuffle or the fold
+    fold_line = plan.split("FlatMapGroupsInPandas")[1].splitlines()[0]
+    assert "text" not in fold_line, fold_line
+    assert "n_tok" in fold_line
+    project = [ln for ln in plan.splitlines() if "Project" in ln][-1]
+    assert "AS n_tok" in project  # computed map-side, pre-exchange
