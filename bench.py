@@ -238,6 +238,7 @@ HEADLINE = [
     "x289_ivf_cell_occupancy",
     "x290_packed_nostraddle",
     "x291_packing_policy_tradeoff",
+    "x292_curriculum_packed_accounting",
     # round 11 additions
     "x265_keep_policy_comparison",
     "x263_operating_point",

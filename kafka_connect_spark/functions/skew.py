@@ -94,6 +94,24 @@ def distributed_rank(
     the range exchange replaces the SinglePartition exchange — same
     bytes moved, spread over num_partitions tasks instead of one.
 
+    The partitioned frame is ``persist()``-ed (lazy — no build-time
+    job) before it fans out to the counts branch and the join branch.
+    This is CORRECTNESS, not caching courtesy: ``repartitionByRange``
+    SAMPLES its boundaries per physical execution, and the broadcast
+    (counts) side runs as its own job — when Catalyst's exchange reuse
+    does not unify the two subtrees (column pruning alone can make the
+    exchanges structurally unequal), each job samples boundaries
+    independently, and offsets computed against one partitioning are
+    added to positions computed against another: overlapping/missing
+    ranks. Observed in the wild at the 64x scale probe — x155's tile
+    sizes came out 80186/79355/79633/80826 where exact NTILE of 320k
+    rows must give 80000 each, varying run to run. The persist pins ONE
+    InMemoryRelation (one partitioner, one boundary sample) that both
+    branches read; evicted blocks recompute through the same RDD
+    lineage and partitioner object, so consistency survives memory
+    pressure. Cost: one cached pass over the PROJECTED rank columns
+    (callers select before ranking), LRU-evictable.
+
     ``order_cols``: list of Column expressions WITH sort order (e.g.
     ``[F.col("score").desc(), F.col("doc_id")]``) — passed identically to
     the range partitioner and the within-partition sort."""
@@ -107,7 +125,7 @@ def distributed_rank(
         .withColumn(
             "__rin", F.col("__mid") - F.shiftleft(F.col("__pid"), 33) + 1
         )
-    )
+    ).persist()
     counts = d.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     # num_partitions rows — the bounded single-partition cumsum

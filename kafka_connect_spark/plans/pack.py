@@ -45,6 +45,72 @@ from pyspark.sql import functions as F
 from .curate import MANIFEST_NAME
 
 
+def _packed_spans(
+    d: DataFrame,
+    ctx: int,
+    part_cols: tuple[str, ...],
+    order_cols: tuple[str, ...],
+    with_text: bool,
+) -> DataFrame:
+    """Shared span math (x29's arithmetic, generalized over the
+    concat partition/order): ``d`` carries the partition and order
+    columns plus ``toks``/``n_tok``; output is one row per packed
+    sequence keyed by (part_cols..., seq_id). When ``with_text`` the
+    token slice is cut MAP-SIDE before the shuffle (only the cut
+    pieces move, never the token array) and reassembled in-row."""
+    w = (
+        Window.partitionBy(*part_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    off = d.withColumn("start_off", F.sum("n_tok").over(w) - F.col("n_tok"))
+    spans = off.filter(F.col("n_tok") > 0).select(
+        *part_cols,
+        *(("toks",) if with_text else ()),  # counts-only: arrays pruned
+        "n_tok",
+        "start_off",
+        F.explode(
+            F.sequence(
+                F.expr(f"start_off div {ctx}"),
+                F.expr(f"(start_off + n_tok - 1) div {ctx}"),
+            )
+        ).alias("seq_id"),
+    )
+    lo = F.greatest(F.col("start_off"), F.col("seq_id") * ctx)
+    hi = F.least(F.col("start_off") + F.col("n_tok"), (F.col("seq_id") + 1) * ctx)
+    filled = hi - lo
+    cols = [
+        *part_cols,
+        "seq_id",
+        "start_off",
+        filled.alias("filled"),
+    ]
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("filled").cast("long").alias("n_tokens"),
+    ]
+    if with_text:
+        piece = F.array_join(
+            F.slice(
+                F.col("toks"),
+                (lo - F.col("start_off") + 1).cast("int"),
+                filled.cast("int"),
+            ),
+            " ",
+        )
+        cols.append(piece.alias("piece"))
+        aggs.append(
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(start_off,"
+                    " piece))), s -> s.piece)"
+                ),
+                " ",
+            ).alias("text")
+        )
+    return spans.select(*cols).groupBy(*part_cols, "seq_id").agg(*aggs)
+
+
 def packed_sequences(docs: DataFrame, ctx: int = 512) -> DataFrame:
     """The packed training corpus as a LAZY DataFrame: documents
     concatenate in (lang, doc_id) order and split into fixed
@@ -61,55 +127,59 @@ def packed_sequences(docs: DataFrame, ctx: int = 512) -> DataFrame:
         F.split("text", " ").alias("toks"),
         F.size(F.split("text", " ")).cast("long").alias("n_tok"),
     )
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    off = d.withColumn("start_off", F.sum("n_tok").over(w) - F.col("n_tok"))
-    spans = off.filter(F.col("n_tok") > 0).select(
+    return _packed_spans(
+        d, ctx, ("lang",), ("doc_id",), with_text=True
+    ).select("lang", "seq_id", "n_docs", "n_tokens", "text")
+
+
+def curriculum_packed(
+    docs: DataFrame, ctx: int = 512, phases: int = 4
+) -> DataFrame:
+    """Curriculum-ordered packing accounting as a LAZY DataFrame: the
+    corpus is cut into ``phases`` equal-count phases by global
+    (n_tokens, doc_id) ntile (x155's schedule, via the scale-safe
+    distributed_ntile — no SinglePartition sort), then each
+    (lang, phase) cell packs INDEPENDENTLY in short->long
+    (n_tokens, doc_id) order — a phase boundary never mixes into one
+    training sequence, which is the property a curriculum schedule
+    needs from its dataloader. Output: (lang, phase, seq_id, n_docs,
+    n_tokens); x292 hash-checks it against the plain-window oracle."""
+    from ..functions.skew import distributed_ntile
+
+    t = docs.select(
         "lang",
-        "toks",
-        "n_tok",
-        "start_off",
-        F.explode(
-            F.sequence(
-                F.expr(f"start_off div {ctx}"),
-                F.expr(f"(start_off + n_tok - 1) div {ctx}"),
-            )
-        ).alias("seq_id"),
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
     )
-    lo = F.greatest(F.col("start_off"), F.col("seq_id") * ctx)
-    hi = F.least(F.col("start_off") + F.col("n_tok"), (F.col("seq_id") + 1) * ctx)
-    filled = hi - lo
-    # the slice is cut HERE, map-side: only (lang, seq_id, start_off,
-    # piece, filled) enters the shuffle — the token array never moves.
-    piece = F.array_join(
-        F.slice(
-            F.col("toks"),
-            (lo - F.col("start_off") + 1).cast("int"),
-            filled.cast("int"),
-        ),
-        " ",
-    )
-    pieces = spans.select(
+    p = distributed_ntile(
+        t, phases, [F.col("n_tok"), F.col("doc_id")], tile_name="phase"
+    ).withColumn("phase", F.col("phase").cast("long"))
+    return _packed_spans(
+        p, ctx, ("lang", "phase"), ("n_tok", "doc_id"), with_text=False
+    ).select("lang", "phase", "seq_id", "n_docs", "n_tokens")
+
+
+def curriculum_packed_texts(
+    docs: DataFrame, ctx: int = 512, phases: int = 4
+) -> DataFrame:
+    """:func:`curriculum_packed` WITH the sequence text reassembled
+    (packed_write's ``order="curriculum"`` emit path). Same plan plus
+    the map-side slice; accounting columns pinned to x292's
+    hash-checked rows in tests/test_packed_write.py."""
+    from ..functions.skew import distributed_ntile
+
+    t = docs.select(
         "lang",
-        "seq_id",
-        "start_off",
-        filled.alias("filled"),
-        piece.alias("piece"),
+        "doc_id",
+        F.split("text", " ").alias("toks"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
     )
-    return pieces.groupBy("lang", "seq_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("filled").cast("long").alias("n_tokens"),
-        F.array_join(
-            F.expr(
-                "transform(array_sort(collect_list(struct(start_off, piece))),"
-                " s -> s.piece)"
-            ),
-            " ",
-        ).alias("text"),
-    )
+    p = distributed_ntile(
+        t, phases, [F.col("n_tok"), F.col("doc_id")], tile_name="phase"
+    ).withColumn("phase", F.col("phase").cast("long"))
+    return _packed_spans(
+        p, ctx, ("lang", "phase"), ("n_tok", "doc_id"), with_text=True
+    ).select("lang", "phase", "seq_id", "n_docs", "n_tokens", "text")
 
 
 def packed_write(
@@ -142,6 +212,8 @@ def packed_write_df(
     out_dir: str,
     ctx: int = 512,
     source_dir: str | None = None,
+    order: str = "sequential",
+    phases: int = 4,
 ) -> dict:
     """Write the packed sequences of an in-hand documents DataFrame as
     parquet under ``out_dir`` and a dataset-card manifest as
@@ -153,9 +225,17 @@ def packed_write_df(
     x288 registry query (packed content hash-checked vs DuckDB) plus
     the e2e row-for-row parity with x29 in tests/test_packed_write.py.
     The manifest is written ONCE, here (the r14 ADVICE's double-write
-    lesson from curate.py)."""
+    lesson from curate.py). ``order="curriculum"`` packs per
+    (lang, phase) in short->long order instead (x292's layout — phase
+    boundaries never mix into one sequence; phase rides in the output
+    schema and the manifest)."""
     spark = docs.sparkSession
-    seqs = packed_sequences(docs, ctx=ctx)
+    if order == "curriculum":
+        seqs = curriculum_packed_texts(docs, ctx=ctx, phases=phases)
+    elif order == "sequential":
+        seqs = packed_sequences(docs, ctx=ctx)
+    else:
+        raise ValueError(f"unknown pack order: {order!r}")
     seqs.write.mode("overwrite").parquet(out_dir)
     written = spark.read.parquet(out_dir)
     per_lang = [
@@ -177,6 +257,7 @@ def packed_write_df(
     manifest = {
         "op": "packed_write",
         "ctx": ctx,
+        "order": order,
         "source_dir": source_dir,
         "n_sequences": n_seqs,
         "n_full_sequences": sum(r["n_full"] for r in per_lang),
@@ -184,7 +265,12 @@ def packed_write_df(
         "pad_tokens": slots - n_toks,
         "fill_ppm": (n_toks * 1_000_000) // slots if slots else 0,
         "per_lang": per_lang,
-        "order": "(lang, doc_id) concat; fixed ctx-token chunks",
+        "layout": (
+            "(lang, phase) short->long concat; fixed ctx-token chunks,"
+            " phase boundaries never mix (x292)"
+            if order == "curriculum"
+            else "(lang, doc_id) concat; fixed ctx-token chunks (x29/x288)"
+        ),
         "identity": "split-on-space/join-with-space; x29 span math",
     }
     with open(os.path.join(out_dir, MANIFEST_NAME), "w") as f:

@@ -278,7 +278,8 @@ def _k_packed(spec: dict):
     fixed ctx-token training sequences, and emit parquet +
     _MANIFEST.json — see plans/pack.py. Chains after curated_corpus
     (curate -> pack: examples/task9_packed_corpus.json). Spec keys:
-    path (output dir), optional ctx.tokens (default 512)."""
+    path (output dir), optional ctx.tokens (default 512), optional
+    pack.order ("sequential" | "curriculum") and pack.phases."""
     from .pack import packed_write_df
 
     def write(df: DataFrame) -> None:
@@ -287,6 +288,8 @@ def _k_packed(spec: dict):
             spec["path"],
             ctx=int(spec.get("ctx.tokens", 512)),
             source_dir=spec.get("source.dir"),
+            order=spec.get("pack.order", "sequential"),
+            phases=int(spec.get("pack.phases", 4)),
         )
 
     return write

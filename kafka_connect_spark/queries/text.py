@@ -830,6 +830,62 @@ def x291_packing_policy_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "x292_curriculum_packed_accounting",
+    oracle="""
+    WITH t AS (
+      SELECT lang, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    p AS (SELECT *, CAST(ntile(4) OVER (ORDER BY n_tok, doc_id) AS BIGINT)
+                 AS phase FROM t),
+    off AS (
+      SELECT lang, phase, n_tok,
+             SUM(n_tok) OVER (PARTITION BY lang, phase
+                              ORDER BY n_tok, doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tok AS start_off
+      FROM p
+    ),
+    spans AS (
+      SELECT lang, phase, n_tok, start_off,
+             unnest(range(CAST(start_off // 512 AS BIGINT),
+                          CAST((start_off + n_tok - 1) // 512 AS BIGINT) + 1)) AS seq_id
+      FROM off WHERE n_tok > 0
+    )
+    SELECT lang, phase, CAST(seq_id AS BIGINT) AS seq_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(LEAST(start_off + n_tok, (seq_id + 1) * 512)
+                    - GREATEST(start_off, seq_id * 512)) AS BIGINT) AS n_tokens
+    FROM spans GROUP BY lang, phase, seq_id
+    ORDER BY lang, phase, seq_id
+    """,
+)
+def x292_curriculum_packed_accounting(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Curriculum-ordered packing, hash-checked: the corpus cut into 4
+    equal-count phases by global (n_tokens, doc_id) ntile (x155's
+    short->long schedule), each (lang, phase) cell then packed
+    INDEPENDENTLY in short->long order — a phase boundary never mixes
+    into one training sequence, the dataloader property a curriculum
+    schedule needs. Per (lang, phase, sequence): docs and tokens.
+
+    Plan (plans/pack.py curriculum_packed): the phase tiling is the
+    scale-safe distributed_ntile (range repartition + offset cumsum —
+    no SinglePartition sort sees the corpus; the oracle's plain window
+    ntile proves the decomposition, x155's own argument), then x29's
+    span math with the window re-keyed to (lang, phase) — same two
+    shuffles, finer partitions."""
+    from ..plans.pack import curriculum_packed
+
+    d = load(spark, sf_dir, "documents")
+    return curriculum_packed(d, ctx=512, phases=4).orderBy(
+        "lang", "phase", "seq_id"
+    )
+
+
 # Per-language mixture rates for x30 (rebalance toward low-resource
 # languages). Acceptance thresholds are precomputed as exact int64 values
 # (rate * 2^60) so both engines compare integers — no float boundary.

@@ -154,6 +154,7 @@ FLAGSHIPS = {
     "x289_ivf_cell_occupancy": "one Arrow-batched max-cosine assignment pass (codebook closed over) -> 16-row hash agg; the index artifact's balance audit",
     "x290_packed_nostraddle": "order-sequential greedy: per-lang applyInPandas fold over (doc_id, n_tok) pairs ONLY (16 bytes/doc, never text); oracle replays the fold as a recursive CTE",
     "x291_packing_policy_tradeoff": "x29's cumsum-window math aggregated per lang (straddlers = offset column algebra) joined to the no-straddle fold's per-lang seq count; 5-row join",
+    "x292_curriculum_packed_accounting": "distributed_ntile phase tiling (range repartition, no SinglePartition sort) -> x29 span math re-keyed to (lang, phase); same two shuffles, finer partitions",
 }
 
 

@@ -137,6 +137,40 @@ def test_task9_packed_corpus_spec(spark, sf_dir, tmp_path):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
+def test_curriculum_packed_write_matches_x292(spark, sf_dir, tmp_path):
+    """packed_write_df(order='curriculum') emits the x292 layout: the
+    written parquet's per-(lang, phase, seq) accounting equals the
+    hash-checked x292 rows, the text obeys the token identity, and the
+    manifest records the order."""
+    from kafka_connect_spark.plans.pack import packed_write_df
+
+    out = str(tmp_path / "packed-curriculum")
+    manifest = packed_write_df(
+        load(spark, sf_dir, "documents"),
+        out,
+        ctx=CTX,
+        source_dir=sf_dir,
+        order="curriculum",
+    )
+    assert manifest["order"] == "curriculum"
+    written = spark.read.parquet(out)
+    got = (
+        written.select("lang", "phase", "seq_id", "n_docs", "n_tokens")
+        .toPandas()
+        .sort_values(["lang", "phase", "seq_id"], ignore_index=True)
+    )
+    want = (
+        QUERIES["x292_curriculum_packed_accounting"](spark, sf_dir)
+        .toPandas()
+        .sort_values(["lang", "phase", "seq_id"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    bad = written.filter(
+        F.size(F.split("text", " ")).cast("long") != F.col("n_tokens")
+    ).count()
+    assert bad == 0
+
+
 def test_fold_pack_chunking_invariant():
     """The pure packing fold is invariant to how the doc stream is cut
     into microbatches: any split of the same ordered docs produces

@@ -331,3 +331,49 @@ def test_distributed_rank_window_is_partitioned(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange rangepartitioning" in plan
     assert "partitionBy=[__pid]" in plan.replace(" ", "") or "__pid" in plan
+
+
+def test_distributed_rank_consistent_across_branches_and_runs(spark):
+    """Regression for the cross-branch boundary divergence found at the
+    64x scale probe: repartitionByRange samples boundaries per physical
+    execution, and when the counts (broadcast) job and the join job
+    don't reuse the exchange, offsets from one partitioning meet
+    positions from another — overlapping/missing ranks (x155's tiles
+    read 80186/79355/79633/80826 where exact NTILE must give 80000
+    each). The persist() in distributed_rank pins ONE partitioner for
+    both branches. Invariants, each run, on a 50k synthetic: ranks are
+    a 1..N permutation, tiles are exactly equal (N divisible by n), and
+    repeated runs agree row-for-row."""
+    from kafka_connect_spark.functions.skew import (
+        distributed_ntile,
+        distributed_rank,
+    )
+
+    n = 50_000
+    df = spark.range(n).select(
+        F.col("id"),
+        F.pmod(F.xxhash64("id"), F.lit(997)).alias("k"),
+    )
+    r = distributed_rank(df, [F.col("k"), F.col("id")], rank_name="rk")
+    stats = r.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("rk").alias("nd"),
+        F.min("rk").alias("mn"),
+        F.max("rk").alias("mx"),
+    ).collect()[0]
+    assert (stats["n"], stats["nd"], stats["mn"], stats["mx"]) == (
+        n,
+        n,
+        1,
+        n,
+    )
+
+    t = distributed_ntile(df, 4, [F.col("k"), F.col("id")], tile_name="tile")
+    sizes = (
+        t.groupBy("tile").count().orderBy("tile").toPandas()["count"].tolist()
+    )
+    assert sizes == [n // 4] * 4, sizes
+
+    a = t.toPandas().sort_values("id", ignore_index=True)
+    b = t.toPandas().sort_values("id", ignore_index=True)
+    pd.testing.assert_frame_equal(a, b)
