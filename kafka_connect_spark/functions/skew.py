@@ -174,3 +174,72 @@ def distributed_ntile(
         .withColumn(tile_name, F.expr(expr))
         .drop("__rk", "__n")
     )
+
+
+def distributed_group_prefix_sum(
+    df: DataFrame,
+    part_cols,
+    order_cols,
+    val_col: str,
+    out: str = "__csum",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Exact per-group running SUM — ``sum(val) OVER (PARTITION BY
+    part_cols ORDER BY order_cols ROWS UNBOUNDED PRECEDING)`` — WITHOUT
+    funneling each group through one task. A plain partitionBy window
+    hash-partitions on the GROUP key, so a dominant group (one language
+    of a trillion-token corpus, in the packing family's case) becomes a
+    single sorted task: the thing that dies first at 100 TB.
+
+    Plan (distributed_rank's two-phase idiom generalized from COUNT to
+    SUM): (1) ``repartitionByRange`` on (part_cols + order_cols) — a
+    group's rows land in consecutive range partitions, each partition
+    holding a contiguous slice of one or more groups; (2) within each
+    partition a (pid, group)-keyed window computes the LOCAL running
+    sum — bounded by the partition, never the group; (3) per
+    (pid, group) totals (<= num_partitions x |groups| rows — the only
+    single-partition work) cumsum into offsets, broadcast-joined back;
+    global running sum = local running sum + the group's offset from
+    earlier partitions. The partitioned frame is persist()-pinned
+    before fanning out to the totals branch and the join branch — the
+    SAME cross-branch boundary-consistency requirement (and fix)
+    documented on distributed_rank above.
+
+    Cost note: the (pid, group)-keyed local window adds one hash
+    exchange over the plain window's single exchange — the price of
+    spreading a dominant group over num_partitions tasks instead of
+    one. ``order_cols`` must totally order rows within a group
+    (include a tiebreak id). ``part_cols``: list of column NAMES;
+    ``order_cols``: list of Columns; output column ``out`` is the
+    INCLUSIVE running sum."""
+    from pyspark.sql import Window
+
+    part_names = list(part_cols)
+    d = (
+        df.repartitionByRange(num_partitions, *part_names, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+    ).persist()
+    w_loc = (
+        Window.partitionBy("__pid", *part_names)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = d.withColumn("__lsum", F.sum(val_col).over(w_loc))
+    totals = d.groupBy("__pid", *part_names).agg(
+        F.sum(val_col).alias("__tot")
+    )
+    w_off = (
+        Window.partitionBy(*part_names)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = totals.select(
+        "__pid",
+        *part_names,
+        F.coalesce(F.sum("__tot").over(w_off), F.lit(0)).alias("__off"),
+    )
+    return (
+        local.join(F.broadcast(offs), ["__pid", *part_names])
+        .withColumn(out, (F.col("__off") + F.col("__lsum")).cast("long"))
+        .drop("__pid", "__lsum", "__off")
+    )

@@ -13,17 +13,20 @@ never drift from the published accounting; the x288 registry query
 (queries/text.py) hash-checks the packed CONTENT itself — text
 included — against an independent DuckDB reassembly.
 
-Scale shape (100 TB): ONE per-language cumulative-sum window gives
-each doc its global token offset (the only ordered pass; partitioned
-by lang, so a language is a window partition — for a single dominant
-language the window runs as a range-partitioned global sort, Spark's
-standard distributed window); a sequence() explode fans each doc to
-the >= 1 training sequences it spans (~1 row on average); the token
-SLICE for each (doc, sequence) span is cut map-side BEFORE the shuffle
-(only the cut pieces move, never the full token array); one hash agg
-on (lang, seq_id) reassembles each sequence with an in-row
-array_sort(collect_list(struct)). Two shuffles total, no joins, no
-driver loop — the packing layout for a trillion tokens.
+Scale shape (100 TB): each doc's global token offset rides
+``skew.distributed_group_prefix_sum`` over the NARROW (lang, doc_id,
+n_tok) projection — range partitions spread a dominant language over
+num_partitions tasks; a plain partitionBy(lang) window would funnel
+that language through ONE sorted task, the r15 de-single-tasking this
+module exists to avoid — and the offsets join back to the text rows
+by doc_id, so the token arrays move exactly once, hash-distributed by
+doc_id, never collapsed per language; a sequence() explode fans each
+doc to the >= 1 training sequences it spans (~1 row on average); the
+token SLICE for each (doc, sequence) span is cut map-side BEFORE the
+reassembly shuffle (only the cut pieces move, never the full token
+array); one hash agg on (lang, seq_id) reassembles each sequence with
+an in-row array_sort(collect_list(struct)). No driver loop — the
+packing layout for a trillion tokens.
 
 Streaming twin: ``packed_stream`` folds the same packing rule per
 language with applyInPandasWithState — state is ONE bounded row per
@@ -39,7 +42,7 @@ import os
 from collections.abc import Iterable, Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .curate import MANIFEST_NAME
@@ -57,13 +60,36 @@ def _packed_spans(
     columns plus ``toks``/``n_tok``; output is one row per packed
     sequence keyed by (part_cols..., seq_id). When ``with_text`` the
     token slice is cut MAP-SIDE before the shuffle (only the cut
-    pieces move, never the token array) and reassembled in-row."""
-    w = (
-        Window.partitionBy(*part_cols)
-        .orderBy(*order_cols)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    off = d.withColumn("start_off", F.sum("n_tok").over(w) - F.col("n_tok"))
+    pieces move, never the token array) and reassembled in-row.
+
+    The running token offset rides ``distributed_group_prefix_sum``
+    (skew.py), NOT a plain partitionBy window: a partitionBy(lang)
+    window funnels each language through ONE sorted task — the thing
+    that dies first when one language dominates a 100 TB corpus. The
+    prefix sum runs over the NARROW (keys, n_tok) projection (range
+    partitions spread a dominant group; the pinned cache holds only
+    the narrow columns), and when text is needed the offsets JOIN back
+    by doc_id — the token arrays move exactly once, hash-distributed
+    by doc_id rather than collapsed per language."""
+    from ..functions.skew import distributed_group_prefix_sum
+
+    order_exprs = [F.col(c) for c in order_cols]
+    if with_text:
+        narrow = d.select(*part_cols, "doc_id", "n_tok")
+        csum = distributed_group_prefix_sum(
+            narrow, list(part_cols), order_exprs, "n_tok"
+        )
+        off = d.join(
+            csum.select(
+                "doc_id",
+                (F.col("__csum") - F.col("n_tok")).alias("start_off"),
+            ),
+            "doc_id",
+        )
+    else:
+        off = distributed_group_prefix_sum(
+            d, list(part_cols), order_exprs, "n_tok"
+        ).withColumn("start_off", F.col("__csum") - F.col("n_tok"))
     spans = off.filter(F.col("n_tok") > 0).select(
         *part_cols,
         *(("toks",) if with_text else ()),  # counts-only: arrays pruned

@@ -531,38 +531,25 @@ def x29_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     touching it and tokens filled — every sequence holds exactly 512
     except each language's last.
 
-    Plan: one per-language cumulative-sum window gives each doc its token
-    offset; a sequence() explode fans a doc to the sequences it spans (≥1
-    row each, ~1 on average); one hash agg. No joins, no driver loop —
-    the packing layout for a trillion tokens is two shuffles."""
+    Plan (r15, shared verbatim with plans/pack.py's _packed_spans): the
+    running token offset rides distributed_group_prefix_sum — the r15
+    de-single-tasking, see x288's docstring — then a sequence() explode
+    (~1 row per doc) and one hash agg. The accounting path carries
+    token COUNTS only, never text."""
+    from ..plans.pack import _packed_spans
+
     d = load(spark, sf_dir, "documents").select(
-        "lang", "doc_id", F.size(F.split("text", " ")).alias("n_tok")
-    )
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    off = d.withColumn("start_off", F.sum("n_tok").over(w) - F.col("n_tok"))
-    spans = off.filter(F.col("n_tok") > 0).select(
         "lang",
-        "n_tok",
-        "start_off",
-        F.explode(
-            F.sequence(
-                (F.col("start_off") / 512).cast("long"),
-                ((F.col("start_off") + F.col("n_tok") - 1) / 512).cast("long"),
-            )
-        ).alias("seq_id"),
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
     )
-    filled = F.least(
-        F.col("start_off") + F.col("n_tok"), (F.col("seq_id") + 1) * 512
-    ) - F.greatest(F.col("start_off"), F.col("seq_id") * 512)
     return (
-        spans.groupBy("lang", "seq_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(filled).alias("n_tokens"),
+        _packed_spans(d, 512, ("lang",), ("doc_id",), with_text=False)
+        .select(
+            "lang",
+            "seq_id",
+            "n_docs",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
         )
         .orderBy("lang", "seq_id")
     )
@@ -772,19 +759,15 @@ def x291_packing_policy_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     no-straddle side reuses packed_nostraddle's fold aggregated per
     lang. One window pass + one (doc_id, n_tok)-pairs fold + a 5-row
     join."""
+    from ..functions.skew import distributed_group_prefix_sum
     from ..plans.pack import packed_nostraddle
 
     d = load(spark, sf_dir, "documents").select(
         "lang", "doc_id", F.size(F.split("text", " ")).cast("long").alias("t")
     )
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    off = d.filter(F.col("t") > 0).withColumn(
-        "start_off", F.sum("t").over(w) - F.col("t")
-    )
+    off = distributed_group_prefix_sum(
+        d.filter(F.col("t") > 0), ["lang"], [F.col("doc_id")], "t"
+    ).withColumn("start_off", F.col("__csum") - F.col("t"))
     ch = off.groupBy("lang").agg(
         F.sum("t").cast("long").alias("tokens"),
         (F.max(F.expr("(start_off + t - 1) div 512")) + 1)

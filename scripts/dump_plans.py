@@ -30,7 +30,7 @@ FLAGSHIPS = {
     "x22_range_join": "interval join: broadcast NL on the tiny range side",
     "x27_salted_skew_join": "hot key spread over 8 salts; join key (sk, __salt)",
     "x28_contamination_check": "benchmark shingles broadcast; corpus never shuffles pre-agg",
-    "x29_sequence_packing": "one per-lang cumsum window + span explode + hash agg",
+    "x29_sequence_packing": "distributed_group_prefix_sum offsets (no per-lang single task) + span explode + hash agg",
     "p7_avg_over_time": "per-series partitioned range window (no global WindowExec)",
     "s2c_jdbc_ts_incrementing_scan": "composite-offset OR-of-ranges pushed to the scan",
     "x30_mixture_resample": "map-side deterministic Bernoulli filter (the only exchange is the ordered output sort)",
@@ -150,7 +150,7 @@ FLAGSHIPS = {
     "x274b_knn_hubness_full_lsh": "one bucket tag pass -> (table,bucket) self-join -> WindowGroupLimit top-5 -> in-degree hash agg; nothing corpus-sized broadcast",
     "x285_curation_quality_delta": "freeze gates -> keep set; ONE signal-carrying segment scan; blocklist broadcast-left-join; per-doc + per-source conditional sums",
     "x286_all_but_top_audit": "mean posexplode scan + in-row 64x64 Gram scan -> 3 broadcast-join integer power iterations on the 4096-row Gram -> constant 128-sample pair block",
-    "x288_packed_texts": "packing emit: per-lang cumsum window -> ~1x span explode with the token SLICE cut map-side before the shuffle -> one (lang, seq_id) hash agg; two shuffles, no joins",
+    "x288_packed_texts": "packing emit: distributed_group_prefix_sum offsets over the narrow projection, text joined back by doc_id (moves once, hash-distributed) -> ~1x span explode with the token SLICE cut map-side -> one (lang, seq_id) hash agg",
     "x289_ivf_cell_occupancy": "one Arrow-batched max-cosine assignment pass (codebook closed over) -> 16-row hash agg; the index artifact's balance audit",
     "x290_packed_nostraddle": "order-sequential greedy: per-lang applyInPandas fold over (doc_id, n_tok) pairs ONLY (16 bytes/doc, never text); oracle replays the fold as a recursive CTE",
     "x291_packing_policy_tradeoff": "x29's cumsum-window math aggregated per lang (straddlers = offset column algebra) joined to the no-straddle fold's per-lang seq count; 5-row join",

@@ -654,19 +654,27 @@ def test_x286_abtt_constant_pair_block(spark, sf_dir):
     assert "SortMergeJoin" not in plan  # everything joinable is broadcast-sized
 
 
-def test_x288_packing_two_shuffles_no_joins(spark, sf_dir):
-    """x288's emit plan: the per-lang cumsum window and the (lang,
-    seq_id) reassembly agg are the ONLY exchanges besides the ordered
-    output (driver-contract determinism); no join of any kind — the
-    packed corpus is window + explode + agg. The window partitions on
-    lang (never a global SinglePartition window)."""
+def test_x288_packing_distributed_offsets(spark, sf_dir):
+    """x288's emit plan after the r15 de-single-tasking: the running
+    token offset rides distributed_group_prefix_sum — a RANGE exchange
+    spreads each language over partitions and the local window keys on
+    (partition id, lang), so NO per-language single sorted task exists
+    (the old partitionBy(lang) window shape); the offsets join back to
+    the text rows by doc_id (text moves once, hash-distributed); no
+    cartesian/nested-loop anywhere."""
     plan = _plan(spark, sf_dir, "x288_packed_texts")
-    for join in ("Join", "CartesianProduct"):
-        assert join not in plan, plan
-    assert "Window" in plan
-    assert "hashpartitioning(lang" in plan
-    # window exchange + agg exchange + output rangepartitioning
-    assert plan.count("Exchange") <= 3, plan
+    assert "Exchange rangepartitioning" in plan  # the prefix-sum spread
+    # the CORPUS-SIZED window (the __lsum running sum over n_tok) is
+    # keyed by (__pid, lang) — a plain lang-keyed window here would be
+    # the single-task funnel; the only lang-alone window left is the
+    # bounded per-(pid, lang) totals cumsum (<= 32 x |langs| rows)
+    assert "hashpartitioning(__pid" in plan, plan
+    lsum_windows = [
+        ln for ln in plan.splitlines() if "Window" in ln and "__lsum" in ln
+    ]
+    assert lsum_windows and all("__pid" in ln for ln in lsum_windows), plan
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan, plan
 
 
 def test_x290_nostraddle_fold_shape(spark, sf_dir):
