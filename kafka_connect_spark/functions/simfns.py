@@ -1301,6 +1301,28 @@ def _pq_codebooks(
     return books
 
 
+def pq_encode_udf(books: np.ndarray):
+    """PQ encoder as an Arrow-batched pandas UDF: per subspace, the
+    nearest-codebook-centroid index of the unit-normalized vector.
+    Shared verbatim between pq_topk's inline encode and the PQ index
+    artifact's build pass (plans/pq.py) so stored codes can never
+    drift from the fused path's."""
+    m, _, d = books.shape
+
+    @pandas_udf("array<int>")
+    def encode(emb: pd.Series) -> pd.Series:
+        mat = np.stack(emb.to_numpy()).astype(np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        codes = np.empty((len(mat), m), dtype=np.int32)
+        for j in range(m):
+            sub = mat[:, j * d : (j + 1) * d]
+            d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = np.argmin(d2, axis=1)
+        return pd.Series(list(codes))
+
+    return encode
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1311,9 +1333,13 @@ def pq_topk(
     n_codes: int = 16,
     seed: int = 42,
     oversample: int = 8,
+    books: np.ndarray | None = None,
+    coded: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via product quantization + asymmetric
     distance computation (ADC), exact rerank of the survivors.
+    Pass ``books`` to reuse a trained codebook (the PQ index artifact's
+    reuse path, mirroring ivf_cosine_topk's ``centroids``).
 
     Why this is the third ANN scale path next to LSH (x13b) and IVF
     (x13c): the corpus is ENCODED ONCE to ``m`` small codes per vector
@@ -1336,23 +1362,16 @@ def pq_topk(
     (~ n/2000). The 16-code default here exists because the fixture's
     500-vector table cannot train 256-centroid subspace codebooks
     non-degenerately; at production scale use m=8 x 256 codes."""
-    books = _pq_codebooks(corpus, id_col, vec_col, m, n_codes, seed)
-    d = books.shape[2]
+    if books is None:
+        books = _pq_codebooks(corpus, id_col, vec_col, m, n_codes, seed)
+    m, d = books.shape[0], books.shape[2]  # the codebook is authoritative
 
-    @pandas_udf("array<int>")
-    def encode(emb: pd.Series) -> pd.Series:
-        mat = np.stack(emb.to_numpy()).astype(np.float64)
-        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-        codes = np.empty((len(mat), m), dtype=np.int32)
-        for j in range(m):
-            sub = mat[:, j * d : (j + 1) * d]
-            d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
-            codes[:, j] = np.argmin(d2, axis=1)
-        return pd.Series(list(codes))
-
-    coded = corpus.select(
-        F.col(id_col).alias("neighbor_id"), encode(F.col(vec_col).cast("array<double>")).alias("codes")
-    )
+    if coded is None:
+        encode = pq_encode_udf(books)
+        coded = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            encode(F.col(vec_col).cast("array<double>")).alias("codes"),
+        )
 
     q_rows = (
         queries.select(F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("v"))

@@ -189,3 +189,53 @@ def test_refined_codebook_roundtrips(spark, sf_dir, tmp_path):
         .sort_values(["query_id", "rank"], ignore_index=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_pq_index_search_equals_fused_x87_path(spark, sf_dir, tmp_path):
+    """The PQ artifact (plans/pq.py): search-from-disk (stored codebook
+    + stored codes, ADC scan + rerank-join over vectors/) equals the
+    fused pq_topk run under the same codebook, and the manifest's
+    compression accounting reconciles."""
+    import json as _json
+    import os as _os
+
+    from kafka_connect_spark.functions.simfns import pq_topk
+    from kafka_connect_spark.plans.pq import (
+        load_pq_codebooks,
+        pq_index_search,
+        pq_index_write,
+    )
+
+    out = str(tmp_path / "pq-index")
+    manifest = pq_index_write(spark, sf_dir, out, m=8, n_codes=16, seed=SEED)
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    got = (
+        pq_index_search(spark, out, queries, k=K, oversample=8)
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    books = load_pq_codebooks(spark, out)
+    want = (
+        pq_topk(emb, queries, k=K, oversample=8, books=books)
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert len(got) > 0
+
+    # the stored codebook IS the seed-deterministic trainer's output,
+    # and search without an explicit codebook (the pre-artifact x87
+    # call) also agrees — full backward parity
+    legacy = (
+        pq_topk(emb, queries, k=K, oversample=8)
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, legacy, check_dtype=False)
+
+    assert manifest["n_vectors"] == emb.count()
+    assert manifest["compression_x"] >= 32  # 8 x 4-bit codes vs 64 f32 dims
+    with open(_os.path.join(out, "_MANIFEST.json")) as f:
+        assert _json.load(f) == manifest
