@@ -239,6 +239,7 @@ HEADLINE = [
     "x290_packed_nostraddle",
     "x291_packing_policy_tradeoff",
     "x292_curriculum_packed_accounting",
+    "x293_pq_code_utilization",
     # round 11 additions
     "x265_keep_policy_comparison",
     "x263_operating_point",

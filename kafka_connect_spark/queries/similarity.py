@@ -105,6 +105,53 @@ def x289_ivf_cell_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("x293_pq_code_utilization")  # seed-deterministic; rows-only check
+def x293_pq_code_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codebook-utilization audit of the PQ index artifact (x289's
+    analog for plans/pq.py): per subspace, the distinct codes actually
+    USED, the hottest code's share in ppm, and dead codes (trained
+    centroids no vector maps to — wasted bits that argue for fewer
+    codes or a retrain). A near-uniform code histogram is what makes
+    the ADC scan's 4-bit compression lossless-ish in recall terms; a
+    collapsed subspace (one hot code) means that subspace carries no
+    information and recall pays for it.
+
+    Plan: ONE encode pass (x87's Arrow-batched pq_encode_udf, codebook
+    closed over) + posexplode of the m codes per vector + one
+    (subspace, code) hash agg folded to m rows — linear, nothing
+    corpus-sized moves. Rows-only like x87/x289: the codebook is numpy
+    k-means."""
+    from ..functions.simfns import _pq_codebooks, pq_encode_udf
+
+    emb = load(spark, sf_dir, "embeddings")
+    books = _pq_codebooks(emb, "vec_id", "embedding", 8, 16, 42)
+    encode = pq_encode_udf(books)
+    codes = emb.select(
+        F.posexplode(
+            encode(F.col("embedding").cast("array<double>"))
+        ).alias("subspace", "code")
+    )
+    per_code = codes.groupBy("subspace", "code").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = per_code.groupBy("subspace").agg(
+        F.sum("n").alias("nv"),
+        F.count(F.lit(1)).cast("long").alias("codes_used"),
+        F.max("n").alias("hot_n"),
+    )
+    return (
+        tot.select(
+            F.col("subspace").cast("long").alias("subspace"),
+            "codes_used",
+            (F.lit(16) - F.col("codes_used")).cast("long").alias("dead_codes"),
+            F.expr("cast(hot_n * 1000000 div nv as bigint)").alias(
+                "hot_code_ppm"
+            ),
+        )
+        .orderBy("subspace")
+    )
+
+
 @query("x13b_ann_lsh_topk")  # seed-deterministic; rows-only check
 def x13b_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH top-3 (12 tables x 4 planes): bucket via an

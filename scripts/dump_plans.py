@@ -155,6 +155,7 @@ FLAGSHIPS = {
     "x290_packed_nostraddle": "order-sequential greedy: per-lang applyInPandas fold over (doc_id, n_tok) pairs ONLY (16 bytes/doc, never text); oracle replays the fold as a recursive CTE",
     "x291_packing_policy_tradeoff": "x29's cumsum-window math aggregated per lang (straddlers = offset column algebra) joined to the no-straddle fold's per-lang seq count; 5-row join",
     "x292_curriculum_packed_accounting": "distributed_ntile phase tiling (range repartition, no SinglePartition sort) -> x29 span math re-keyed to (lang, phase); same two shuffles, finer partitions",
+    "x293_pq_code_utilization": "one Arrow-batched PQ encode pass -> posexplode of m codes/vector -> (subspace, code) hash agg folded to m rows; the PQ artifact's codebook-utilization audit",
 }
 
 

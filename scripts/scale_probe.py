@@ -342,6 +342,24 @@ def _ann_index_e2e(spark, sf_dir):
     )
 
 
+def _pq_index_e2e(spark, sf_dir):
+    """pq_index_write + pq_index_search end to end into scratch: train
+    the 8x16 codebook, encode + write codes/vectors, serve the fixed
+    10-query set by ADC over the stored codes. Build is linear in K
+    (one encode pass + two writes); the serve side's growing term is
+    the code-table scan — 1/64th the bytes of the vectors."""
+    import tempfile
+
+    from kafka_connect_spark.plans.pq import pq_index_search, pq_index_write
+
+    corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = tempfile.mkdtemp(prefix="pq-index-")
+    pq_index_write(spark, sf_dir, out, corpus=corpus)
+    return pq_index_search(
+        spark, out, corpus.filter(F.col("vec_id") < 10), k=3, oversample=8
+    )
+
+
 PROBE_EXTRA = {
     "distributed_rank_probe": _distributed_rank_probe,
     "retrieval_eval_scaled": _retrieval_eval_scaled,
@@ -358,6 +376,7 @@ PROBE_EXTRA = {
     "curated_write_e2e": _curated_write_e2e,
     "packed_write_e2e": _packed_write_e2e,
     "ann_index_e2e": _ann_index_e2e,
+    "pq_index_e2e": _pq_index_e2e,
 }
 
 DEFAULT_QUERIES = {
