@@ -54,13 +54,23 @@ def dataset_card(
     sf_dir: str,
     out_path: str | None = None,
     sections: dict[str, str] | None = None,
+    artifacts: dict[str, str] | None = None,
 ) -> dict:
     """Compose the dataset card from the registry queries over
     ``sf_dir`` and (optionally) write it as JSON to ``out_path``.
     Returns the card dict. Each section's rows are the query's rows
     verbatim (``Row.asDict()`` per row, query-ordered) — pinned
-    row-for-row against the registry in tests/test_dataset_card.py."""
+    row-for-row against the registry in tests/test_dataset_card.py.
+
+    ``artifacts`` binds published artifact directories into the card:
+    ``{"curated": dir, "packed": dir, "ann_index": dir, ...}`` — each
+    dir's ``_MANIFEST.json`` is embedded verbatim under
+    ``card["artifacts"][name]`` with its path, so the card a consumer
+    reads names the exact artifacts (and their own pinned accounting)
+    it describes. A missing manifest is an error, not a silent hole:
+    a card must not claim an artifact that is not there."""
     from ..queries import QUERIES
+    from .curate import MANIFEST_NAME
 
     sections = CARD_SECTIONS if sections is None else sections
     card: dict = {
@@ -74,6 +84,14 @@ def dataset_card(
     for name, qname in sorted(sections.items()):
         rows = QUERIES[qname](spark, sf_dir).collect()  # bounded per section
         card["sections"][name] = [r.asDict() for r in rows]
+    if artifacts:
+        card["artifacts"] = {}
+        for name, adir in sorted(artifacts.items()):
+            with open(os.path.join(adir, MANIFEST_NAME)) as f:
+                card["artifacts"][name] = {
+                    "path": adir,
+                    "manifest": json.load(f),
+                }
     if out_path is not None:
         os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
         with open(out_path, "w") as f:

@@ -28,6 +28,43 @@ def test_card_sections_match_registry_rows(spark, sf_dir, tmp_path):
     assert funnel[0]["stage"] is not None
 
 
+def test_card_binds_published_artifacts(spark, sf_dir, tmp_path):
+    """The card embeds the bound artifacts' manifests verbatim (the
+    curate -> pack chain's own accounting travels WITH the card), and
+    refuses to claim a missing artifact."""
+    import pytest
+
+    from kafka_connect_spark.plans.curate import curated_write
+    from kafka_connect_spark.plans.pack import packed_write
+
+    cur = str(tmp_path / "curated")
+    m_cur = curated_write(spark, sf_dir, cur)
+    packed = str(tmp_path / "packed")
+    m_pack = packed_write(
+        spark, sf_dir, packed, docs=spark.read.parquet(cur), source_dir=cur
+    )
+    card = dataset_card(
+        spark,
+        sf_dir,
+        sections={"funnel": "x270_filter_funnel"},
+        artifacts={"curated": cur, "packed": packed},
+    )
+    assert card["artifacts"]["curated"]["manifest"] == m_cur
+    assert card["artifacts"]["packed"]["manifest"] == m_pack
+    assert card["artifacts"]["packed"]["path"] == packed
+    # the chain is visible IN the card: the packed artifact's recorded
+    # source is the curated artifact the same card binds
+    assert card["artifacts"]["packed"]["manifest"]["source_dir"] == cur
+
+    with pytest.raises(FileNotFoundError):
+        dataset_card(
+            spark,
+            sf_dir,
+            sections={"funnel": "x270_filter_funnel"},
+            artifacts={"ghost": str(tmp_path / "nope")},
+        )
+
+
 def test_card_custom_sections(spark, sf_dir):
     card = dataset_card(
         spark, sf_dir, sections={"funnel": "x270_filter_funnel"}
