@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 TABLES = [
     "region",
@@ -26,6 +27,32 @@ TABLES = [
 ]
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.01"
+
+# Parquet schema memo (r15 optimization, guide §1/§6): a bare
+# ``spark.read.parquet(path)`` infers the schema by submitting a one-task
+# footer-read JOB on every call — measured ~0.27s each, and the bench's
+# ~330 queries x 3 reps x 1-2 load() calls re-pay it every rep. The
+# SCHEMA is metadata, identical for every read of the same fixture file,
+# so it is memoized per (sf_dir, table [, nanos-conf for events]) and
+# passed to ``spark.read.schema(...)`` — no inference job after the first
+# read of a table. This caches no DATA and no results: every query still
+# scans the parquet in full. ``events`` keys on the nanosAsLong conf too,
+# since that conf changes how a legacy-nanos fixture's ``ts`` surfaces.
+_SCHEMA_CACHE: dict[tuple[str, str, str], StructType] = {}
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    conf = ""
+    if name == "events":
+        conf = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "") or ""
+    key = (sf_dir, name, conf)
+    schema = _SCHEMA_CACHE.get(key)
+    path = f"{sf_dir}/{name}.parquet"
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -45,7 +72,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # still need the conf before the read or a legacy nanos fixture
             # fails at scan time.
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = _read(spark, sf_dir, name)
         ts_dtype = dict(df.dtypes)["ts"]
         if ts_dtype == "bigint":  # legacy nanos-as-long fixture
             return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -55,7 +82,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # generations yield identical TIMESTAMP values.
             return df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df  # already timestamp — pass through
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _read(spark, sf_dir, name)
 
 
 def load_parallel(
@@ -73,9 +100,50 @@ def load_parallel(
     less data than one row group by definition."""
     df = load(spark, sf_dir, name)
     target = min_partitions or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if _planned_scan_partitions(spark, f"{sf_dir}/{name}.parquet") < target:
         df = df.repartition(target)
     return df
+
+
+def _planned_scan_partitions(spark: SparkSession, path: str) -> int:
+    """The scan split count Spark will plan for ``path`` — computed from
+    file sizes with FilePartition.maxSplitBytes' own formula instead of
+    ``df.rdd.getNumPartitions()``, which forces full physical planning of
+    a throwaway RDD pipeline (~0.15s per call; r15 measurement). Falls
+    back to the RDD path for non-local URIs. Same guard semantics: at
+    production scale (many files / row groups) the count exceeds any
+    sane target and ``load_parallel`` adds no shuffle."""
+    import math
+    import os
+
+    files: list[int] = []
+    try:
+        if os.path.isfile(path):
+            files = [os.path.getsize(path)]
+        elif os.path.isdir(path):
+            files = [
+                os.path.getsize(os.path.join(root, f))
+                for root, _dirs, names in os.walk(path)
+                for f in names
+                if f.endswith(".parquet")
+            ]
+    except OSError:
+        pass
+    if not files:  # non-local / unreadable: keep the exact planner answer
+        return spark.read.parquet(path).rdd.getNumPartitions()
+    conf = spark.conf
+    max_split = int(conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+    open_cost = int(conf.get("spark.sql.files.openCostInBytes", "4194304"))
+    min_parts = int(
+        conf.get(
+            "spark.sql.files.minPartitionNum",
+            str(spark.sparkContext.defaultParallelism),
+        )
+    )
+    total = sum(files) + open_cost * len(files)
+    bytes_per_core = total / max(min_parts, 1)
+    split = min(max_split, max(open_cost, int(bytes_per_core)))
+    return sum(max(1, math.ceil(size / split)) for size in files)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

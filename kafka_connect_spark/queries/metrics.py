@@ -3848,13 +3848,20 @@ def x186_kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     the at-risk counts come from one descending cumulative sum, never a
     per-day rescan."""
     e = load(spark, sf_dir, "events")
-    s = (
-        e.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t0"))
-    )
+    # r15 optimization (guide §2.4): the signup aggregate used to be
+    # JOINED back to the event stream (an extra exchange + join) only so
+    # each user's t0 sat next to their purchases. A window min over
+    # user_id computes t0 in place, and the follow-up groupBy is on the
+    # SAME key, so it reuses the window's partitioning — one exchange,
+    # no join, identical (user_id, t0, tp) rows.
     p = (
-        e.join(s, "user_id")
+        e.withColumn(
+            "t0",
+            F.min(
+                F.when(F.col("event_type") == "signup", F.col("ts"))
+            ).over(Window.partitionBy("user_id")),
+        )
+        .filter(F.col("t0").isNotNull())
         .groupBy("user_id", "t0")
         .agg(
             F.min(

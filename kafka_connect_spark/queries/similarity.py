@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import load, load_parallel
 from ..functions.simfns import cosine_topk, ivf_cosine_topk, lsh_cosine_topk
 from .registry import davg, davg_sql, dround, dround_sql, dsum, dsum_sql, query
 
@@ -1824,115 +1824,54 @@ def x286_all_but_top_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     is far below the audit's 6-decimal resolution and buys airtight
     parity); all three cosines are dround(6) then decimal-averaged.
 
-    Plan at 100 TB: ONE posexplode scan for the mean, ONE in-row
-    upper-triangle pair fan-out scan for the Gram (the x203 kernel at
-    full width — 2080 structs/row, map-side partial agg; the j > i half
-    is mirrored on the 2080-row checkpointed AGGREGATE, exact and
-    free), 3 fixed broadcast-join iterations over the 4096-row Gram
-    table, and a constant-size 128-sample pair block. Corpus growth
-    touches only the two scans.
+    Plan at 100 TB: ONE posexplode scan for the mean, ONE posexplode
+    self-join scan for the Gram (simfns.gram_ppm_rows — whole-stage-
+    codegen'd, map-side partial agg to 2080 rows), and a constant-size
+    128-sample pair block. Corpus growth touches only the two scans.
 
     BUILD-TIME SIDE EFFECT (deliberate; the r13-ADVICE pattern, noted
-    per the r14 verdict): the Gram half and each power iteration use
-    ``localCheckpoint(eager=True)``, so merely CONSTRUCTING this
-    DataFrame (plan dumps, registry introspection) runs the Gram
-    aggregation and the matvecs. Unlike x281's removed 1-row case this
-    one is structural: the mirror has two consumers that must read the
-    SAME materialized 2080-row aggregate (the alternative re-aggregates
-    the corpus twice), and each iteration's input must be severed from
-    the previous one's lineage or the plan doubles per step. Consumers
-    that need the eigenvector without a plan (the x287 abtt bucketing)
-    use ``simfns.pc1_vector_np`` — same arithmetic, bit-identical,
-    driver-side."""
+    per the r14 verdict — r15 reshaped it): constructing this DataFrame
+    runs TWO bounded jobs — the |dim|-row mean collect and the 2080-row
+    Gram collect (simfns.mean_vector_np / gram_ppm_dict) — and replays
+    the three power iterations in Python ints (_pc1_power_ppm), which
+    tests/test_similarity.py pins bit-identical to the former in-plan
+    decimal iteration (and the DuckDB oracle still runs its own decimal
+    iteration, so the cross-engine check is intact). This replaces the
+    r14 shape's eager Gram localCheckpoint + 3 per-iteration
+    checkpoints: ~25 driver job rounds per construction became 2, and
+    the 2080-row mirror/iteration joins left the per-rep plan entirely.
+    The x287 abtt bucketing shares the exact same helpers."""
     from ..functions.dedupfns import token_hash60
-    from ..functions.simfns import dot, with_vec
+    from ..functions.simfns import (
+        _pc1_power_ppm,
+        dot,
+        gram_ppm_dict,
+        mean_vector_np,
+        with_vec,
+    )
 
-    emb = load(spark, sf_dir, "embeddings")
+    # r15 optimization (guide §2.4/§2.5): load_parallel spreads the Gram
+    # scan (single-row-group fixtures would run it as ONE task); the mean
+    # and eigenvector are bounded driver-side values (64 + 2080 rows) and
+    # enter the sample plan as LITERAL arrays — identical doubles, pinned
+    # by the oracle at every SF.
+    emb = load_parallel(spark, sf_dir, "embeddings")
+    mean = mean_vector_np(emb)
+    u = _pc1_power_ppm(gram_ppm_dict(emb, mean=mean))
+    mv = F.array(*[F.lit(float(x)) for x in mean])
+    ud_lit = F.array(*[F.lit(float(x)) for x in u])
     v = with_vec(emb).select("vec_id", "v")
-    dims = v.select("vec_id", F.posexplode("v").alias("i", "x"))
-    m = dims.groupBy("i").agg(
-        dround(
-            F.sum(F.col("x").cast("decimal(38,6)")).cast("double")
-            / F.count(F.lit(1)),
-            6,
-        ).alias("mx")
-    )
-    mean_row = m.groupBy().agg(
-        F.expr(
-            "transform(array_sort(collect_list(named_struct('i', i,"
-            " 'mx', mx))), s -> s.mx)"
-        ).alias("mv")
-    )
-    c0 = v.crossJoin(F.broadcast(mean_row)).select(
+    c0 = v.select(
         "vec_id",
         "v",
-        F.zip_with("v", "mv", lambda x, y: x - y).alias("cv"),
-    )
-    # the Gram is symmetric: the corpus scan emits only the i <= j
-    # upper triangle (2080 structs/row instead of 4096 — the explode is
-    # the whole cost of this query) and the j > i half is mirrored on
-    # the 2080-row AGGREGATE, which is exact (G_ij and G_ji sum the
-    # same quantized products) and free.
-    pairs = c0.select(
-        F.explode(
-            F.expr(
-                """
-                flatten(transform(sequence(0, 63), i ->
-                  transform(sequence(i, 63), j -> struct(
-                    i AS i, j AS j,
-                    cast(element_at(cv, i + 1) * element_at(cv, j + 1)
-                         as decimal(38,6)) AS xy))))
-                """
-            )
-        ).alias("p")
-    ).select("p.i", "p.j", "p.xy")
-    # ONE corpus pass, materialized BEFORE the mirror (x203's
-    # discipline, and the mirror's two consumers then read the 2080
-    # checkpointed rows instead of re-aggregating the corpus).
-    g_half = (
-        pairs.groupBy("i", "j")
-        .agg((F.sum("xy") * 1_000_000).cast("decimal(38,0)").alias("g"))
-        .localCheckpoint(eager=True)
-    )
-    g = g_half.unionAll(
-        g_half.filter(F.col("i") != F.col("j")).select(
-            F.col("j").alias("i"), F.col("i").alias("j"), "g"
-        )
-    )
-    sgn = F.when(F.col("w") < 0, F.lit(-1)).otherwise(F.lit(1))
-    renorm = (
-        sgn.cast("decimal(38,0)")
-        * F.expr("abs(w) * 1000000 div m").cast("decimal(38,0)")
-    ).alias("val")
-    vit = g.groupBy(F.col("i").alias("d")).agg(
-        F.sum(F.col("g") * F.lit(1_000_000)).cast("decimal(38,0)").alias("w")
-    )
-    vn = None
-    for _ in range(3):
-        vit = vit.localCheckpoint(eager=True)
-        mx = vit.agg(F.max(F.abs(F.col("w"))).alias("m"))
-        vn = vit.crossJoin(F.broadcast(mx)).select("d", renorm)
-        vit = (
-            g.join(F.broadcast(vn), g["j"] == vn["d"])
-            .groupBy(F.col("i").alias("d"))
-            .agg(
-                F.sum(F.col("g") * F.col("val"))
-                .cast("decimal(38,0)")
-                .alias("w")
-            )
-        )
-    u_row = vn.groupBy().agg(
-        F.expr(
-            "transform(array_sort(collect_list(named_struct('d', d,"
-            " 'val', val))), s -> cast(s.val as double) / 1000000)"
-        ).alias("ud")
+        F.zip_with("v", mv, lambda x, y: x - y).alias("cv"),
     )
     hv = token_hash60(F.col("vec_id").cast("string"))
     s = (
         c0.select("vec_id", "v", "cv", hv.alias("hv"))
         .orderBy("hv", "vec_id")
         .limit(128)
-        .crossJoin(F.broadcast(u_row))
+        .withColumn("ud", ud_lit)
     )
     c = dround(
         dot(F.col("cv"), F.col("ud")) / dot(F.col("ud"), F.col("ud")), 6

@@ -433,28 +433,52 @@ def x216_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary flags). Plan: one corpus pass to the (type, day) table,
     then a bounded self-join (<=30 history rows per day) on the value
     domain; no window over the corpus."""
+    # r15 optimization (guide §2.4): the trailing-30-day weighted sums
+    # used a (type-keyed) self-join of the day table with a datediff
+    # filter. Each day's count now EMITS itself at anchors day+1..day+30
+    # with the same integer weight 2^(30-k) (offset explode, the x225
+    # alignment), plus a k=0 row carrying the anchor day's own count —
+    # one hash agg on (event_type, anchor) then reproduces exactly the
+    # join's groups: anchors lacking a day-table row have no k=0 row and
+    # are dropped, anchors with no history had no inner-join row before
+    # and are dropped via den IS NULL. Same weights, same decimal sums,
+    # identical outputs; join gone.
     e = load(spark, sf_dir, "events")
     day = e.groupBy(
         "event_type", F.to_date("ts").alias("day")
     ).agg(F.count(F.lit(1)).alias("c"))
-    a = day.select(
-        "event_type", F.col("day").alias("day_a"), F.col("c").alias("ca")
+    off = day.select(
+        "event_type",
+        F.col("c").alias("ca"),
+        F.explode(F.sequence(F.lit(0), F.lit(30))).alias("k"),
+        "day",
+    ).select(
+        "event_type",
+        "ca",
+        "k",
+        F.expr("date_add(day, k)").alias("anchor"),
     )
-    dd = F.datediff(F.col("day"), F.col("day_a"))
     # pow(2, k) is exact in IEEE double for integer k <= 53, so the cast to
     # decimal loses nothing and the weights are true integers
-    w = F.pow(F.lit(2.0), (30 - dd).cast("double")).cast("decimal(38,0)")
+    w = F.pow(F.lit(2.0), (30 - F.col("k")).cast("double")).cast(
+        "decimal(38,0)"
+    )
     hist = (
-        day.join(a, "event_type")
-        .filter(dd.between(1, 30))
-        .groupBy("event_type", "day", "c")
+        off.groupBy("event_type", F.col("anchor").alias("day"))
         .agg(
-            F.sum(w.cast("decimal(38,0)")).alias("den"),
-            F.sum(F.col("ca").cast("decimal(38,0)") * w).alias("num"),
+            F.max(F.when(F.col("k") == 0, F.col("ca"))).alias("c"),
+            F.sum(F.when(F.col("k") > 0, w)).alias("den"),
             F.sum(
-                F.col("ca").cast("decimal(38,0)") * F.col("ca") * w
+                F.when(F.col("k") > 0, F.col("ca").cast("decimal(38,0)") * w)
+            ).alias("num"),
+            F.sum(
+                F.when(
+                    F.col("k") > 0,
+                    F.col("ca").cast("decimal(38,0)") * F.col("ca") * w,
+                )
             ).alias("num2"),
         )
+        .filter(F.col("c").isNotNull() & F.col("den").isNotNull())
     )
     ewma = F.col("num").cast("double") / F.col("den").cast("double")
     sigma = F.sqrt(
@@ -536,13 +560,20 @@ def x217_nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
     user-keyed hash aggs, a day-level agg, a reverse cumulative sum
     over |distinct days| rows (value domain, audited)."""
     e = load(spark, sf_dir, "events")
-    s = (
-        e.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t0"))
-    )
+    # r15 optimization (guide §2.4): the signup aggregate used to be
+    # JOINED back to the event stream (an extra exchange + join) only so
+    # each user's t0 sat next to their purchases. A window min over
+    # user_id computes t0 in place, and the follow-up groupBy is on the
+    # SAME key, so it reuses the window's partitioning — one exchange,
+    # no join, identical (user_id, t0, tp) rows.
     p = (
-        e.join(s, "user_id")
+        e.withColumn(
+            "t0",
+            F.min(
+                F.when(F.col("event_type") == "signup", F.col("ts"))
+            ).over(Window.partitionBy("user_id")),
+        )
+        .filter(F.col("t0").isNotNull())
         .groupBy("user_id", "t0")
         .agg(
             F.min(
@@ -716,43 +747,78 @@ def x215_brown_forsythe_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integers, rounded once. Plan: one corpus pass for the medians
     (percentile agg), one for the deviations; everything else is
     |sources| rows."""
+    # r15 optimization (guide §2.4): after the per-source agg the panel is
+    # <= |sources| rows, yet the original re-aggregated it twice (tot,
+    # terms) and attached the results with three broadcast crossJoins.
+    # Totals and the dsum terms now ride ONE SinglePartition window over
+    # the panel (dsum's decimal accumulation is the same order-free sum as
+    # a window sum), and med2 is carried through z/g instead of re-joined.
+    # Identical exact integers -> identical IEEE expressions -> identical
+    # output bits. 5 exchanges + 4 broadcasts -> 3 exchanges + 1 broadcast.
     d = load(spark, sf_dir, "documents")
     med = d.groupBy("source").agg(
         (2 * F.expr("percentile(n_chars, 0.5)")).cast("long").alias("med2")
     )
     z = d.join(F.broadcast(med), "source").select(
-        "source", F.abs(2 * F.col("n_chars") - F.col("med2")).alias("z2")
+        "source",
+        "med2",
+        F.abs(2 * F.col("n_chars") - F.col("med2")).alias("z2"),
     )
     g = z.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_j"),
+        F.max("med2").alias("med2"),
         F.sum(F.col("z2").cast("decimal(38,0)")).alias("s1"),
         F.sum(F.col("z2").cast("decimal(38,0)") * F.col("z2")).alias("s2"),
     )
-    tot = g.agg(
-        F.sum("n_j").alias("n"),
-        F.count(F.lit(1)).alias("k"),
-        F.sum("s1").alias("s_all"),
+    wall = Window.partitionBy()
+    gt = g.select(
+        "source",
+        "n_j",
+        "med2",
+        "s1",
+        "s2",
+        F.sum("n_j").over(wall).alias("n"),
+        F.count(F.lit(1)).over(wall).alias("k"),
+        F.sum("s1").over(wall).alias("s_all"),
     )
-    gt = g.crossJoin(F.broadcast(tot))
     ssb_num = F.col("s1") * F.col("n") - F.col("s_all") * F.col("n_j")
-    terms = gt.groupBy("n").agg(
-        dsum(
-            ssb_num.cast("double") * ssb_num.cast("double") / F.col("n_j"), 6
-        ).alias(
-            "ssb_n2"
-        ),
-        dsum(
-            (F.col("s2") * F.col("n_j") - F.col("s1") * F.col("s1")).cast(
-                "double"
+    _dec6 = "decimal(38,6)"
+    terms = gt.select(
+        "source",
+        "n_j",
+        "med2",
+        "s1",
+        "n",
+        "k",
+        dround(
+            F.sum(
+                (
+                    ssb_num.cast("double")
+                    * ssb_num.cast("double")
+                    / F.col("n_j")
+                ).cast(_dec6)
             )
-            / F.col("n_j"),
+            .over(wall)
+            .cast("double"),
+            6,
+        ).alias("ssb_n2"),
+        dround(
+            F.sum(
+                (
+                    (
+                        F.col("s2") * F.col("n_j")
+                        - F.col("s1") * F.col("s1")
+                    ).cast("double")
+                    / F.col("n_j")
+                ).cast(_dec6)
+            )
+            .over(wall)
+            .cast("double"),
             6,
         ).alias("ssw"),
-    ).drop("n")
+    )
     return (
-        g.join(F.broadcast(med), "source")
-        .crossJoin(F.broadcast(tot))
-        .crossJoin(F.broadcast(terms))
+        terms
         .select(
             "source",
             F.col("n_j").cast("long").alias("n_j"),
@@ -827,55 +893,77 @@ def x222_concentration_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     of exact integers; HHI/entropy terms accumulate via dsum and round
     once. One corpus pass to the (lang, source) table (~|langs x
     sources| rows); everything else is re-aggregation of that table."""
+    # r15 optimization (guide §2.4): the original built base UNION
+    # overall (a second agg pass over base), melted via a two-branch
+    # union, then joined the melt back to its own totals twice — 8
+    # sequential exchange/broadcast rounds over at most a few hundred
+    # rows, all orchestration. GROUPING SETS computes (lang, source) and
+    # (source) partials in ONE aggregation (exact integer sums are
+    # associative, so the '*' rows are the identical longs); the melt is
+    # an in-row explode instead of a union; and the per-(lang, measure)
+    # totals ride a window over the SAME key the final agg groups on, so
+    # the window's exchange is reused — no self-joins, no duplicated
+    # subtrees. Values are bit-identical: shares divide the same exact
+    # longs, and dsum keeps HHI/entropy order-independent.
     d = load(spark, sf_dir, "documents")
-    base = d.groupBy("lang", "source").agg(
+    langs = d.groupingSets(
+        [["lang", "source"], ["source"]], "lang", "source"
+    ).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("n_chars"),
+        F.grouping("lang").alias("_g"),
+    ).select(
+        F.when(F.col("_g") == 1, F.lit("*"))
+        .otherwise(F.col("lang"))
+        .alias("lang"),
+        "source",
+        "n_docs",
+        "n_chars",
     )
-    overall = base.groupBy("source").agg(
-        F.sum("n_docs").alias("n_docs"), F.sum("n_chars").alias("n_chars")
-    ).select(F.lit("*").alias("lang"), "source", "n_docs", "n_chars")
-    langs = base.unionByName(overall)
     melt = langs.select(
-        "lang", F.lit("docs").alias("measure"), "source",
-        F.col("n_docs").alias("v"),
-    ).unionByName(
-        langs.select(
-            "lang", F.lit("chars").alias("measure"), "source",
-            F.col("n_chars").alias("v"),
-        )
-    )
-    tot = melt.groupBy("lang", "measure").agg(
-        F.sum("v").alias("t"),
-        F.count(F.lit(1)).alias("n_sources"),
-        F.max("v").alias("vmax"),
+        "lang",
+        "source",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("docs").alias("measure"),
+                    F.col("n_docs").alias("v"),
+                ),
+                F.struct(
+                    F.lit("chars").alias("measure"),
+                    F.col("n_chars").alias("v"),
+                ),
+            )
+        ).alias("mv"),
+    ).select("lang", F.col("mv.measure").alias("measure"), "source", F.col("mv.v").alias("v"))
+    w = Window.partitionBy("lang", "measure")
+    melt = melt.select(
+        "lang",
+        "measure",
+        "v",
+        F.sum("v").over(w).alias("t"),
+        F.count(F.lit(1)).over(w).alias("n_sources"),
+        F.max("v").over(w).alias("vmax"),
     )
     share = F.col("v").cast("double") / F.col("t")
-    agg = (
-        melt.join(F.broadcast(tot), ["lang", "measure"])
-        .groupBy("lang", "measure")
-        .agg(
-            dsum(share * share, 9).alias("hhi"),
-            dsum(
-                F.when(F.col("v") > 0, -share * F.log(share)).otherwise(
-                    F.lit(0.0)
-                ),
-                9,
-            ).alias("entropy"),
-        )
-    )
     return (
-        tot.join(agg, ["lang", "measure"])
-        .select(
-            "lang",
-            "measure",
-            F.col("n_sources").cast("long").alias("n_sources"),
-            F.col("t").cast("long").alias("total"),
-            dround(F.col("hhi"), 6).alias("hhi"),
-            dround(F.col("vmax").cast("double") / F.col("t"), 6).alias(
-                "top_share"
-            ),
-            dround(F.col("entropy"), 6).alias("entropy"),
+        melt.groupBy("lang", "measure")
+        .agg(
+            F.max("n_sources").cast("long").alias("n_sources"),
+            F.max("t").cast("long").alias("total"),
+            dround(dsum(share * share, 9), 6).alias("hhi"),
+            dround(
+                F.max("vmax").cast("double") / F.max("t"), 6
+            ).alias("top_share"),
+            dround(
+                dsum(
+                    F.when(
+                        F.col("v") > 0, -share * F.log(share)
+                    ).otherwise(F.lit(0.0)),
+                    9,
+                ),
+                6,
+            ).alias("entropy"),
         )
         .orderBy("lang", "measure")
     )
@@ -934,18 +1022,29 @@ def x223_cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("event_type") == "view").cast("long")).alias("views"),
         F.max((F.col("event_type") == "purchase").cast("long")).alias("y"),
     )
+    # r15 optimization (guide §2.4): the <=6-bucket panel's totals rode a
+    # separate 1-row aggregate broadcast-crossJoined back; they now ride
+    # one SinglePartition window over the same exact decimal sums —
+    # identical integers, identical z, 2 fewer exchange/broadcast rounds.
     g = ud.groupBy(F.least(F.col("views"), F.lit(5)).alias("s")).agg(
         F.count(F.lit(1)).alias("n_i"), F.sum("y").alias("r_i")
     )
     sd = F.col("s").cast("decimal(38,0)")
-    tot = g.agg(
-        F.sum("n_i").alias("n"),
-        F.sum("r_i").alias("r"),
-        F.sum(sd * F.col("n_i")).alias("sn"),
-        F.sum(sd * F.col("r_i")).alias("sr"),
-        F.sum(sd * F.col("s") * F.col("n_i")).alias("s2n"),
+    wall = Window.partitionBy()
+    gt = g.select(
+        "s",
+        "n_i",
+        "r_i",
+        F.sum("n_i").over(wall).alias("n"),
+        F.sum("r_i").over(wall).alias("r"),
+        F.sum(sd * F.col("n_i")).over(wall).alias("sn"),
+        F.sum(sd * F.col("r_i")).over(wall).alias("sr"),
+        F.sum(sd * F.col("s") * F.col("n_i")).over(wall).alias("s2n"),
     )
-    z = tot.select(
+    z = gt.select(
+        "s",
+        "n_i",
+        "r_i",
         "n",
         "r",
         (F.col("n") * F.col("sr") - F.col("r") * F.col("sn"))
@@ -956,7 +1055,7 @@ def x223_cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("b"),
     )
     return (
-        g.crossJoin(F.broadcast(z))
+        z
         .select(
             F.col("s").cast("long").alias("s"),
             F.col("n_i").cast("long").alias("n_i"),
@@ -1029,6 +1128,17 @@ def x224_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     over those doubles are order-free. The corpus contributes one
     conditional-sum hash agg. The prefix cumsum rides the audited
     bin-domain window."""
+    # r15 optimization (guide §2.4): the <=20-bin panel was run through a
+    # single-partition cumsum window, an i x j x k triple join (two
+    # broadcast builds), two re-aggregations and a join back to bins — 5+
+    # exchange/broadcast rounds of orchestration around ~8000 tiny rows.
+    # The whole PAV minimax is now evaluated IN-ROW on the sorted bin
+    # array with higher-order functions: prefix sums via slice+aggregate,
+    # iso(i) = array_max over j<=i of array_min over k>=i of the same
+    # (cy_k - cy_{j-1}) / (cn_k - cn_{j-1}) IEEE division of exact longs,
+    # then one explode back to rows. min/max over identical doubles and
+    # identical divisions — bit-equal outputs, one corpus agg + one 1-row
+    # agg + explode. The former audited global cumsum window is gone.
     d = load(spark, sf_dir, "documents")
     bins = d.groupBy(
         F.least(F.floor(F.col("n_chars") / 50), F.lit(19)).alias("b")
@@ -1036,53 +1146,43 @@ def x224_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum((F.col("lang") == "en").cast("long")).alias("y"),
     )
-    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
-    c = bins.select(
-        "b",
-        "n",
-        "y",
-        F.sum("n").over(w).alias("cn"),
-        F.sum("y").over(w).alias("cy"),
+    arr = bins.groupBy().agg(
+        F.expr("array_sort(collect_list(struct(b, n, y)))").alias("a")
     )
-    i = c.select(F.col("b").alias("bi"))
-    j = c.select(
-        F.col("b").alias("bj"),
-        (F.col("cy") - F.col("y")).alias("cyb"),
-        (F.col("cn") - F.col("n")).alias("cnb"),
+    # prefix sums over the sorted bins (cn/cy through index i, 0-based)
+    pre = (
+        "transform(sequence(0, size(a) - 1), i -> struct("
+        "aggregate(slice(a, 1, i + 1), 0L, (s, x) -> s + x.n) AS cn, "
+        "aggregate(slice(a, 1, i + 1), 0L, (s, x) -> s + x.y) AS cy))"
     )
-    k = c.select(
-        F.col("b").alias("bk"), F.col("cy").alias("cyk"), F.col("cn").alias("cnk")
-    )
-    triple = (
-        i.join(F.broadcast(j), F.col("bj") <= F.col("bi"))
-        .join(F.broadcast(k), F.col("bk") >= F.col("bi"))
-        .select(
-            "bi",
-            "bj",
-            (
-                (F.col("cyk") - F.col("cyb")).cast("double")
-                / (F.col("cnk") - F.col("cnb"))
-            ).alias("mean_jk"),
-        )
+    mean_jk = (
+        "cast(p[k].cy - (p[j].cy - a[j].y) as double)"
+        " / (p[k].cn - (p[j].cn - a[j].n))"
     )
     iso = (
-        triple.groupBy("bi", "bj")
-        .agg(F.min("mean_jk").alias("m"))
-        .groupBy("bi")
-        .agg(F.max("m").alias("iso_rate"))
-        .withColumnRenamed("bi", "b")
+        "transform(sequence(0, size(a) - 1), i -> "
+        "array_max(transform(sequence(0, i), j -> "
+        f"array_min(transform(sequence(i, size(a) - 1), k -> {mean_jk})))))"
     )
-    return (
-        bins.join(F.broadcast(iso), "b")
+    rows = (
+        arr.select("a", F.expr(pre).alias("p"))
+        .select("a", F.expr(iso).alias("iso"))
         .select(
-            F.col("b").cast("long").alias("b"),
-            F.col("n").cast("long").alias("n"),
-            F.col("y").cast("long").alias("y"),
-            dround(F.col("y").cast("double") / F.col("n"), 6).alias("rate"),
-            dround(F.col("iso_rate"), 6).alias("iso_rate"),
+            F.expr(
+                "explode(transform(sequence(0, size(a) - 1), "
+                "i -> struct(a[i].b AS b, a[i].n AS n, a[i].y AS y, "
+                "iso[i] AS iso_rate)))"
+            ).alias("r")
         )
-        .orderBy("b")
+        .select("r.b", "r.n", "r.y", "r.iso_rate")
     )
+    return rows.select(
+        F.col("b").cast("long").alias("b"),
+        F.col("n").cast("long").alias("n"),
+        F.col("y").cast("long").alias("y"),
+        dround(F.col("y").cast("double") / F.col("n"), 6).alias("rate"),
+        dround(F.col("iso_rate"), 6).alias("iso_rate"),
+    ).orderBy("b")
 
 
 @query(
@@ -1142,51 +1242,60 @@ def x225_pacf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     those deterministic doubles, identical in both engines, rounded
     once at emission. Plan: identical to x201 — one corpus pass, then
     everything on the |types| x |days| table."""
+    # r15 optimization (guide §2.4): the original materialized st and den
+    # as separate aggregations joined back (2 broadcasts) and matched the
+    # lag pairs with an exploded equi-join — 8 exchange rounds for a
+    # |types| x |days| table. Now: per-type (n, s) ride ONE window over
+    # event_type; the lag products come from an OFFSET EXPLODE (each day
+    # contributes its deviation at anchors day-0..day-3) so one hash agg
+    # on (event_type, anchor) aligns d(t) with d(t+l) exactly where the
+    # join matched them (missing days yield NULL products, which the sum
+    # skips — identical semantics); den = sum(d0²) over anchors, which is
+    # exactly sum(d²) over days. Same exact integers through the same
+    # decimal accumulation — identical outputs, half the exchanges.
     e = load(spark, sf_dir, "events")
     day = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
         F.count(F.lit(1)).alias("c")
     )
-    st = day.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("c").alias("s")
-    )
-    dev = day.join(F.broadcast(st), "event_type").select(
+    wt = Window.partitionBy("event_type")
+    dev = day.select(
         "event_type",
         "day",
-        (F.col("c") * F.col("n") - F.col("s")).alias("d"),
+        (
+            F.col("c") * F.count(F.lit(1)).over(wt) - F.sum("c").over(wt)
+        ).alias("d"),
     )
-    den = dev.groupBy("event_type").agg(
-        F.sum(F.col("d").cast("decimal(38,0)") * F.col("d")).alias("den")
-    )
-    a = dev.select(
+    off = dev.select(
         "event_type",
+        "d",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("off"),
         "day",
-        F.col("d").alias("da"),
-        F.explode(F.sequence(F.lit(1), F.lit(3))).alias("lag_days"),
+    ).select(
+        "event_type",
+        "d",
+        "off",
+        F.expr("date_sub(day, off)").alias("anchor"),
     )
-    b = dev.select(
-        "event_type", F.col("day").alias("day_b"), F.col("d").alias("db")
-    )
-    p = (
-        a.join(
-            b,
-            (a["event_type"] == b["event_type"])
-            & (F.col("day_b") == F.date_add(F.col("day"), F.col("lag_days"))),
-        )
-        .drop(b["event_type"])
-        .groupBy("event_type", "lag_days")
-        .agg(
-            F.sum(F.col("da").cast("decimal(38,0)") * F.col("db")).alias("num")
-        )
-    )
-    acf = F.col("num").cast("double") / F.col("den").cast("double")
-    r = (
-        p.join(F.broadcast(den), "event_type")
-        .groupBy("event_type")
-        .agg(
-            F.max(F.when(F.col("lag_days") == 1, acf)).alias("r1"),
-            F.max(F.when(F.col("lag_days") == 2, acf)).alias("r2"),
-            F.max(F.when(F.col("lag_days") == 3, acf)).alias("r3"),
-        )
+    d_at = [
+        F.max(F.when(F.col("off") == i, F.col("d"))).alias(f"d{i}")
+        for i in range(4)
+    ]
+    per_anchor = off.groupBy("event_type", "anchor").agg(*d_at)
+    d0dec = F.col("d0").cast("decimal(38,0)")
+    r = per_anchor.groupBy("event_type").agg(
+        F.sum(d0dec * F.col("d0")).alias("den"),
+        F.sum(d0dec * F.col("d1")).alias("num1"),
+        F.sum(d0dec * F.col("d2")).alias("num2"),
+        F.sum(d0dec * F.col("d3")).alias("num3"),
+    ).select(
+        "event_type",
+        *[
+            (
+                F.col(f"num{i}").cast("double")
+                / F.col("den").cast("double")
+            ).alias(f"r{i}")
+            for i in (1, 2, 3)
+        ],
     )
     phi22 = (F.col("r2") - F.col("r1") * F.col("r1")) / (
         1.0 - F.col("r1") * F.col("r1")
@@ -1287,15 +1396,28 @@ def x226_bh_fdr_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     step-up rule is the rank of the largest p under its threshold —
     computed as one bounded agg, no iteration. At 100 TB the panel is
     still |sources| rows; the corpus cost is x218's single pass."""
+    # r15 optimization (guide §2.4): after the one corpus agg the panel is
+    # <= |sources| rows, yet the original re-aggregated it (tot), broadcast-
+    # crossJoined twice, and aggregated again for kmax — 5 exchanges + 2
+    # broadcast-build jobs of pure orchestration. All the panel-level
+    # quantities now ride ONE SinglePartition window chain (the same
+    # audited bounded domain the BH rank window already funnels through):
+    # totals as unordered global-window sums, the BH step-up kmax as a
+    # global-window max over the ranked rows. Identical exact integers
+    # feed identical IEEE expressions, so every output bit is unchanged.
     d = load(spark, sf_dir, "documents")
     g = d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_j"),
         F.sum((F.col("n_chars") < 500).cast("long")).alias("k_j"),
     )
-    tot = g.agg(
-        F.sum("n_j").alias("n"),
-        F.sum("k_j").alias("k"),
-        F.count(F.lit(1)).alias("m"),
+    wall = Window.partitionBy()
+    gt = g.select(
+        "source",
+        "n_j",
+        "k_j",
+        F.sum("n_j").over(wall).alias("n"),
+        F.sum("k_j").over(wall).alias("k"),
+        F.count(F.lit(1)).over(wall).alias("m"),
     )
     p_pool = F.col("k").cast("double") / F.col("n")
     zabs = F.abs(
@@ -1310,9 +1432,7 @@ def x226_bh_fdr_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (1.0 / F.col("n_j") + 1.0 / (F.col("n") - F.col("n_j")))
         )
     )
-    zt = g.crossJoin(F.broadcast(tot)).select(
-        "source", "m", zabs.alias("zabs")
-    )
+    zt = gt.select("source", "m", zabs.alias("zabs"))
     # The step-up rule compares the 6-dp-ROUNDED p against the 6-dp-rounded
     # threshold (and ranks on the rounded p) so a 1-ulp exp() difference
     # between engines can't flip bh_reject at a boundary — the x240
@@ -1330,25 +1450,22 @@ def x226_bh_fdr_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rnk"),
     )
-    kmax = rk.agg(
-        F.coalesce(
-            F.max(
-                F.when(
-                    F.col("p6") <= dround(F.col("rnk") * 0.10 / F.col("m"), 6),
-                    F.col("rnk"),
-                )
-            ),
-            F.lit(0).cast("long"),
-        ).alias("kmax")
+    kmax = F.coalesce(
+        F.max(
+            F.when(
+                F.col("p6") <= dround(F.col("rnk") * 0.10 / F.col("m"), 6),
+                F.col("rnk"),
+            )
+        ).over(wall),
+        F.lit(0).cast("long"),
     )
     return (
-        rk.crossJoin(F.broadcast(kmax))
-        .select(
+        rk.select(
             "source",
             dround(F.col("zabs"), 6).alias("z_abs"),
             F.col("p6").alias("p_approx"),
             "rnk",
-            (F.col("rnk") <= F.col("kmax")).alias("bh_reject"),
+            (F.col("rnk") <= kmax).alias("bh_reject"),
         )
         .orderBy("source")
     )
@@ -1882,13 +1999,20 @@ def x234_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     risk sets come from a bounded days x histogram inequality join
     (<= |days|^2 rows), never a corpus rescan."""
     e = load(spark, sf_dir, "events")
-    s = (
-        e.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t0"))
-    )
+    # r15 optimization (guide §2.4): the signup aggregate used to be
+    # JOINED back to the event stream (an extra exchange + join) only so
+    # each user's t0 sat next to their purchases. A window min over
+    # user_id computes t0 in place, and the follow-up groupBy is on the
+    # SAME key, so it reuses the window's partitioning — one exchange,
+    # no join, identical (user_id, t0, tp) rows.
     p = (
-        e.join(s, "user_id")
+        e.withColumn(
+            "t0",
+            F.min(
+                F.when(F.col("event_type") == "signup", F.col("ts"))
+            ).over(Window.partitionBy("user_id")),
+        )
+        .filter(F.col("t0").isNotNull())
         .groupBy("user_id", "t0")
         .agg(
             F.min(

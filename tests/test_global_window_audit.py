@@ -60,8 +60,6 @@ AUDITED = {
         "agg:days — the SPRT cumulative LLR runs over |days| rows",
     ("queries/stats.py", "x226_bh_fdr_panel"):
         "agg:sources — the BH rank runs over the |sources| test panel",
-    ("queries/stats.py", "x224_isotonic_calibration"):
-        "agg:length buckets — prefix cumsum over <=20 bin rows",
     ("queries/stats.py", "x212_kruskal_wallis_length"):
         "agg:distinct n_chars — the midrank cumsum runs over the length "
         "histogram (value domain), never the corpus",

@@ -403,13 +403,21 @@ def test_x212_rank_tables_broadcast_and_reused(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
-def test_x224_isotonic_triple_join_is_broadcast(spark, sf_dir):
-    """The minimax triple join runs over <=20 bin rows — every join side
-    must be broadcast; a shuffle join here would mean the bin table was
-    mis-sized as corpus data."""
+def test_x224_isotonic_in_row_minimax_no_joins(spark, sf_dir):
+    """r15: the <=20-bin PAV minimax is evaluated IN-ROW on the sorted
+    bin array (higher-order functions after one corpus agg + one 1-row
+    agg) — no join of any kind may appear, and in particular no shuffle
+    join, which would mean the bin table was mis-sized as corpus data."""
     plan = _plan(spark, sf_dir, "x224_isotonic_calibration")
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    for shape in (
+        "SortMergeJoin",
+        "BroadcastHashJoin",
+        "BroadcastNestedLoopJoin",
+        "CartesianProduct",
+        "ShuffledHashJoin",
+    ):
+        assert shape not in plan
+    assert "array_max" in plan and "array_min" in plan
 
 
 def test_x221_jl_projection_matrix_broadcast(spark, sf_dir):
