@@ -267,7 +267,17 @@ def dup_clusters(
         # join-against-previous-labels job (one aggregation instead of a
         # shuffle join + filter + count; measured ~25% off x12h wall).
         changed = 1
-        prev_sum = None
+        # r15 optimization: seed the monotone-sum check with the FUSED-INIT
+        # labels' sum (one cheap agg on the already-persisted label table —
+        # it also warms the cache the first round reads). Near-clique dup
+        # graphs reach the fixpoint AT init, and the seeded comparison
+        # detects that after ONE propagation round instead of two — saving
+        # a full join+agg+collect round per call (and, at scale, one whole
+        # shuffle of the label table). Labels are untouched; only when the
+        # loop STOPS changes, and only in the already-converged direction.
+        prev_sum = labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
         for it in range(max_iters):
             nbr = sym.join(labels, sym["dst"] == labels["node"]).select(
                 F.col("src").alias("node"), "label"

@@ -568,43 +568,44 @@ def gram_ppm_rows(
     df: DataFrame,
     vec_col: str = "embedding",
     mean: np.ndarray | None = None,
+    dim: int = 64,
 ) -> DataFrame:
     """The decimal-quantized upper-triangle Gram of the MEAN-CENTERED
     corpus as a LAZY (i, j, g) DataFrame — x286's Gram kernel, shared by
     the audit and the abtt bucketing so they can never disagree.
 
-    r15 optimization (guide §4.1/§2): the original kernel fanned every
-    row into 2080 structs through nested ``transform`` lambdas — higher-
-    order functions are INTERPRETED per element (measured ~21 µs/struct,
-    ~88 CPU-seconds at sf0.1). The same products now come from a
-    codegen'd posexplode SELF-JOIN: explode each centered vector to
-    (rid, i, x) once, equi-join on rid with i <= j, multiply, quantize,
-    hash-aggregate — whole-stage-codegen end to end, same doubles into
-    the same decimal(38,6) cast, decimal sums order-independent, so g is
-    bit-identical. rid is monotonically_increasing_id taken BEFORE the
-    explode; any unique id works since the aggregation sums over rows.
-    At scale this is two scans of the (row, dim) stream and one bounded
-    2080-row aggregate; the join key has |corpus| distinct values with
-    exactly |dim| rows each — no skew by construction."""
+    r15 note (guide §1.1, "the ideal plan is usually slower at first"):
+    a codegen'd posexplode self-join form was A/B'd against this in-row
+    upper-triangle lambda fan-out on identical inputs — the join form's
+    two exchanges + sort cost MORE than the interpreted lambda saves
+    (1.7s vs 1.4s at sf0.1 on 32 splits; outputs asserted bit-equal), so
+    the one-stage fan-out stays. What DOES matter is parallelism: on a
+    single-split scan the fan-out serializes (~8s at sf0.1), so a
+    guarded repartition spreads it when the input plans fewer splits
+    than cores — a no-op at production split counts. Decimal sums are
+    order-independent, so partitioning never changes g."""
     mean = mean_vector_np(df, vec_col) if mean is None else mean
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
     mv = F.array(*[F.lit(float(x)) for x in mean])
     cv = F.zip_with(
         F.col(vec_col).cast("array<double>"), mv, lambda x, y: x - y
     )
-    dims = (
-        df.select(cv.alias("cv"))
-        .withColumn("rid", F.monotonically_increasing_id())
-        .select("rid", F.posexplode("cv").alias("i", "x"))
-    )
-    a, b = dims.alias("a"), dims.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.rid") == F.col("b.rid")) & (F.col("a.i") <= F.col("b.i")),
-    ).select(
-        F.col("a.i").alias("i"),
-        F.col("b.i").alias("j"),
-        (F.col("a.x") * F.col("b.x")).cast("decimal(38,6)").alias("xy"),
-    )
+    hi = dim - 1
+    pairs = df.select(cv.alias("cv")).select(
+        F.explode(
+            F.expr(
+                f"""
+                flatten(transform(sequence(0, {hi}), i ->
+                  transform(sequence(i, {hi}), j -> struct(
+                    i AS i, j AS j,
+                    cast(element_at(cv, i + 1) * element_at(cv, j + 1)
+                         as decimal(38,6)) AS xy))))
+                """
+            )
+        ).alias("p")
+    ).select("p.i", "p.j", "p.xy")
     return pairs.groupBy("i", "j").agg(
         (F.sum("xy") * 1_000_000).cast("decimal(38,0)").alias("g")
     )
@@ -621,7 +622,7 @@ def gram_ppm_dict(
     decimal(38,6)-quantized product cv_i * cv_j, as exact ints
     (decimal(38,0) in the plan == Python int here). Bounded collect:
     dim*(dim+1)/2 rows (2080 at 64)."""
-    rows = gram_ppm_rows(df, vec_col, mean=mean).collect()
+    rows = gram_ppm_rows(df, vec_col, mean=mean, dim=dim).collect()
     return {(int(r["i"]), int(r["j"])): int(r["g"]) for r in rows}
 
 

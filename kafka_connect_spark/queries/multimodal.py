@@ -269,13 +269,33 @@ def x135_crossmodal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     hashes = perceptual_hash(attach_fake_media(d))
     ip = phash_near_dup_pairs(hashes, max_hamming=3, bands=4).select("id_a", "id_b")
-    pr = tp.unionByName(ip).distinct()
-    t = tp.withColumn("in_text", F.lit(1))
-    i = ip.withColumn("in_image", F.lit(1))
+    # r15 optimization (guide §2.4): the former distinct-union + two left
+    # joins referenced tp and ip TWICE each, so both pair pipelines (the
+    # shingle self-join and the pHash band join) executed twice per run.
+    # Tag each pipeline's rows with its modality flag, union once, and
+    # max() the flags per pair — the same presence semantics (the union's
+    # distinct and both left joins collapse into one groupBy), each
+    # pipeline evaluated exactly once.
     u = (
-        pr.join(t, ["id_a", "id_b"], "left")
-        .join(i, ["id_a", "id_b"], "left")
-        .fillna({"in_text": 0, "in_image": 0})
+        tp.select(
+            "id_a",
+            "id_b",
+            F.lit(1).alias("in_text"),
+            F.lit(0).alias("in_image"),
+        )
+        .unionByName(
+            ip.select(
+                "id_a",
+                "id_b",
+                F.lit(0).alias("in_text"),
+                F.lit(1).alias("in_image"),
+            )
+        )
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.max("in_text").alias("in_text"),
+            F.max("in_image").alias("in_image"),
+        )
     )
     return u.agg(
         F.sum(((F.col("in_text") == 1) & (F.col("in_image") == 1)).cast("long")).alias("n_both"),

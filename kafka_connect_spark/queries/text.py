@@ -1738,23 +1738,37 @@ def tfidf_cosine_pairs(
             ).alias("w"),
         )
     )
-    nrm = w.groupBy("doc_id").agg(
-        F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("nn")
+    # r15 optimization (guide §2.4): the norms were a THIRD consumption of
+    # the weighted-postings subtree (its own agg) attached back by two
+    # joins after the pair agg. The norm now rides a window over doc_id on
+    # the postings themselves — the identical exact decimal sum of w²
+    # (order-free), sqrt'd to the identical double — and travels through
+    # the pair join as a carried column, picked up by max() in the pair
+    # agg (it is constant within each doc's rows). Two joins + one agg
+    # gone; norms are still computed over ALL terms BEFORE any df cap, so
+    # the capped-cosine lower-bound contract is untouched.
+    wn = w.withColumn(
+        "nn",
+        F.sqrt(
+            F.sum(F.col("w") * F.col("w"))
+            .over(Window.partitionBy("doc_id"))
+            .cast("double")
+        ),
     )
-    wj = w.filter(F.col("df") <= max_df) if max_df is not None else w
+    wj = wn.filter(F.col("df") <= max_df) if max_df is not None else wn
     a, b = wj.alias("a"), wj.alias("b")
     dots = (
         a.join(b, (F.col("a.term") == F.col("b.term")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.sum(F.col("a.w") * F.col("b.w")).cast("double").alias("dd"))
+        .agg(
+            F.sum(F.col("a.w") * F.col("b.w")).cast("double").alias("dd"),
+            F.max(F.col("a.nn")).alias("na_nn"),
+            F.max(F.col("b.nn")).alias("nb_nn"),
+        )
     )
-    na = nrm.select(F.col("doc_id").alias("doc_a"), F.col("nn").alias("na_nn"))
-    nb = nrm.select(F.col("doc_id").alias("doc_b"), F.col("nn").alias("nb_nn"))
     cos = dround(F.col("dd") / (F.col("na_nn") * F.col("nb_nn")), 6)
     return (
-        dots.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .select("doc_a", "doc_b", cos.alias("cos_sim"))
+        dots.select("doc_a", "doc_b", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
         .orderBy("doc_a", "doc_b")
     )
@@ -3346,12 +3360,24 @@ def x151_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         * 1_000_000
     ).cast("long")
+    # r15 optimization (guide §2.4): the totals used to be a separate
+    # aggregate broadcast-crossJoined back, which put a SECOND copy of
+    # the whole DSIR scoring pipeline in the plan (both executed). They
+    # now ride one SinglePartition window over the <=|sources| panel —
+    # same exact decimal sums, one scoring pass.
+    wall = Window.partitionBy()
     scr = src.select(
         "source", "n_docs", "tokens", "mean_w_micros", score.alias("score_micros")
-    )
-    tot = scr.agg(
-        F.sum(F.col("score_micros").cast("decimal(38,0)")).alias("sum_score"),
-        F.sum("tokens").alias("total_tokens"),
+    ).select(
+        "source",
+        "n_docs",
+        "tokens",
+        "mean_w_micros",
+        "score_micros",
+        F.sum(F.col("score_micros").cast("decimal(38,0)"))
+        .over(wall)
+        .alias("sum_score"),
+        F.sum("tokens").over(wall).alias("total_tokens"),
     )
 
     def exdiv(a, b):
@@ -3361,7 +3387,7 @@ def x151_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     sm = F.col("score_micros").cast("decimal(38,0)")
     alloc = exdiv(sm * F.col("total_tokens"), F.col("sum_score"))
     return (
-        scr.crossJoin(F.broadcast(tot))
+        scr
         .select(
             "source", "n_docs", "tokens", "mean_w_micros", "score_micros",
             exdiv(sm * 1_000_000, F.col("sum_score")).alias("p_ppm"),

@@ -111,10 +111,10 @@ FLAGSHIPS = {
     "x210_skyline_docs": "skyline via value-domain cummax + broadcast front join; corpus never rank-sorted",
     "x211_scalar_quantization_audit": "per-dim range broadcast onto one posexplode pass; 64-row output",
     "x212_kruskal_wallis_length": "value-domain midrank cumsum; rank tables broadcast back; AQE reuses the (source, length) exchange",
-    "x216_ewma_anomaly": "bounded 30-day self-join on the (type, day) table; integer power-of-two weights",
+    "x216_ewma_anomaly": "offset-explode alignment on the (type, day) table (r15: self-join retired); integer power-of-two weights",
     "x219_peak_concurrency": "user-partitioned sessionize + minute-domain sweep-line; AQE reuses the concurrency exchange for max + argmax",
     "x221_jl_projection_distortion": "1 KB sign matrix broadcast onto the coordinate explode; fixed 4950-pair probe",
-    "x224_isotonic_calibration": "PAV minimax as a <=20-bin broadcast triple join; no sequential pooling loop",
+    "x224_isotonic_calibration": "PAV minimax evaluated in-row on the sorted <=20-bin array (r15: triple join retired); no sequential pooling loop",
     "x228_association_rules": "basket distinct built once (AQE ReusedExchange) feeding pair self-join + broadcast supports",
     "x232_tukey_fences": "per-source value-domain quartile selection; fences broadcast onto the histogram",
     "x235_token_burstiness": "one (token, doc) agg; top-30 TakeOrdered; VMR on exact decimals",
@@ -128,9 +128,9 @@ FLAGSHIPS = {
     "x253_quantile_normalize_length": "two value-domain histograms + broadcast range-join percentile lookup",
     "x254_session_gap_sweep": "one user-partitioned lag/lead window; 4-threshold conditional sums",
     "x255_capture_recapture": "source filter pushed to scan; distinct-gram agg; 1-row Chapman closed form",
-    "x256_lsh_parameter_planner": "x12c candidate pair table built once; 5 config rows as conditional sums",
+    "x256_lsh_parameter_planner": "x12c candidate pair table built once; ONE agg of 5-config conditional sums + stack fan-out (r15)",
     "x257_raking_ess": "x249 cell walk + 1-row integer cross-multiply ESS",
-    "x267_df_cap_sensitivity": "ONE df-bounded shingle self-join carrying per-shingle df; 5 caps as conditional sums, not 5 rebuilds",
+    "x267_df_cap_sensitivity": "ONE df-bounded shingle self-join carrying per-shingle df; 5 caps as ONE agg of conditional sums + stack fan-out (r15: union of 5 pipeline copies retired)",
     "x269_eval_ngram_decontamination": "eval gram set broadcast; corpus explodes once; broadcast hash join, no self-join",
     "x270_filter_funnel": "one scan -> per-doc signals -> cumulative pass flags as conditional sums; 1-row agg fanned to 5",
     "x271_decontamination_gram_sweep": "one scan emits (n, gram)-tagged distinct grams for all 4 sizes; broadcast eval join",
@@ -149,7 +149,7 @@ FLAGSHIPS = {
     "x284_embedding_near_dup_lsh_centered": "x12g's bucket self-join with centered signs; exact raw-cosine verify unchanged (precision 1.0)",
     "x274b_knn_hubness_full_lsh": "one bucket tag pass -> (table,bucket) self-join -> WindowGroupLimit top-5 -> in-degree hash agg; nothing corpus-sized broadcast",
     "x285_curation_quality_delta": "freeze gates -> keep set; ONE signal-carrying segment scan; blocklist broadcast-left-join; per-doc + per-source conditional sums",
-    "x286_all_but_top_audit": "mean posexplode scan + in-row 64x64 Gram scan -> 3 broadcast-join integer power iterations on the 4096-row Gram -> constant 128-sample pair block",
+    "x286_all_but_top_audit": "mean + 2080-row Gram as bounded build-time collects, power iterations replayed in pinned integer-ppm Python (r15); plan is the constant 128-sample pair block",
     "x288_packed_texts": "packing emit: distributed_group_prefix_sum offsets over the narrow projection, text joined back by doc_id (moves once, hash-distributed) -> ~1x span explode with the token SLICE cut map-side -> one (lang, seq_id) hash agg",
     "x289_ivf_cell_occupancy": "one Arrow-batched max-cosine assignment pass (codebook closed over) -> 16-row hash agg; the index artifact's balance audit",
     "x290_packed_nostraddle": "order-sequential greedy: per-lang applyInPandas fold over (doc_id, n_tok) pairs ONLY (16 bytes/doc, never text); oracle replays the fold as a recursive CTE",
