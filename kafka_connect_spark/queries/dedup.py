@@ -1522,7 +1522,16 @@ def x161_contamination_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.dedupfns import ngram_jaccard_pairs
 
     d = load_parallel(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.5).select("id_a", "id_b")
+    pairs = (
+        ngram_jaccard_pairs(d, n=3, threshold=0.5)
+        .select("id_a", "id_b")
+        # r15 optimization (guide §2.4, the x92 pattern): the recursive
+        # closure re-evaluates the edge view on EVERY hop and the union
+        # reads the pair set twice — without truncation the banded
+        # shingle self-join (the expensive stage) executes 5x per run.
+        # Materialize the bounded pair set once; hops re-read blocks.
+        .localCheckpoint(eager=True)
+    )
     edges = pairs.union(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     ).toDF("src", "dst")
@@ -2350,7 +2359,15 @@ def x261_fold_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.dedupfns import ngram_jaccard_pairs
 
     d = load_parallel(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.5).select("id_a", "id_b")
+    pairs = (
+        ngram_jaccard_pairs(d, n=3, threshold=0.5)
+        .select("id_a", "id_b")
+        # r15 optimization (guide §2.4, the x92 pattern): same fix as
+        # x161 — one materialization of the bounded pair set instead of
+        # re-running the shingle self-join per recursion hop + per union
+        # branch.
+        .localCheckpoint(eager=True)
+    )
     edges = pairs.union(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     ).toDF("src", "dst")

@@ -4234,17 +4234,25 @@ def retrieval_ndcg(d: DataFrame, q_terms: list) -> DataFrame:
             sc.alias("sc"),
         )
     )
-    ranked = s.withColumn(
-        "rnk",
-        F.row_number().over(
-            Window.partitionBy("term").orderBy(F.col("sc").desc(), "doc_id")
-        ),
-    )
-    ideal = s.withColumn(
-        "irnk",
-        F.row_number().over(
-            Window.partitionBy("term").orderBy(F.col("rel").desc(), "doc_id")
-        ),
+    # r15 optimization (guide §2.4): dcg/idcg/mrr/n_relevant used to be FOUR
+    # aggregation branches joined back on term — each branch re-executed the
+    # whole scored-postings pipeline (token explode + tf/dl aggs + window),
+    # so the corpus was scanned ~4x per run. Both rank windows share the
+    # term partitioning (one Exchange, two Sorts), and all four outputs
+    # collapse into ONE conditional aggregation on that same key — the
+    # summand sets, decimal types, and NULL semantics (no rel>=2 row =>
+    # NULL first_rel_rank => mrr 0, exactly the old left join) are
+    # unchanged, so the result is identical.
+    wt = Window.partitionBy("term")
+    both = s.select(
+        "term",
+        "rel",
+        F.row_number()
+        .over(wt.orderBy(F.col("sc").desc(), "doc_id"))
+        .alias("rnk"),
+        F.row_number()
+        .over(wt.orderBy(F.col("rel").desc(), "doc_id"))
+        .alias("irnk"),
     )
     gain = lambda rel, rnk: (  # noqa: E731 — one shared gain expression
         # (2^rel - 1) for rel in 1..3 as an exact int lookup (F.shiftleft
@@ -4253,27 +4261,20 @@ def retrieval_ndcg(d: DataFrame, q_terms: list) -> DataFrame:
          / F.log(rnk + 1.0))
         .cast("decimal(18,6)")
     )
-    dcg = (
-        ranked.filter(F.col("rnk") <= 10)
-        .groupBy("term")
-        .agg(F.sum(gain(F.col("rel"), F.col("rnk"))).cast("decimal(18,6)").alias("dcg10"))
+    agg = both.groupBy("term").agg(
+        F.sum(F.when(F.col("rnk") <= 10, gain(F.col("rel"), F.col("rnk"))))
+        .cast("decimal(18,6)")
+        .alias("dcg10"),
+        F.sum(F.when(F.col("irnk") <= 10, gain(F.col("rel"), F.col("irnk"))))
+        .cast("decimal(18,6)")
+        .alias("idcg10"),
+        F.min(F.when(F.col("rel") >= 2, F.col("rnk")))
+        .cast("long")
+        .alias("first_rel_rank"),
+        F.count(F.lit(1)).alias("n_relevant"),
     )
-    idcg = (
-        ideal.filter(F.col("irnk") <= 10)
-        .groupBy("term")
-        .agg(F.sum(gain(F.col("rel"), F.col("irnk"))).cast("decimal(18,6)").alias("idcg10"))
-    )
-    mrr = (
-        ranked.filter(F.col("rel") >= 2)
-        .groupBy("term")
-        .agg(F.min("rnk").cast("long").alias("first_rel_rank"))
-    )
-    nrel = s.groupBy("term").agg(F.count(F.lit(1)).alias("n_relevant"))
     return (
-        dcg.join(idcg, "term")
-        .join(mrr, "term", "left")
-        .join(nrel, "term")
-        .select(
+        agg.select(
             "term",
             dround(
                 F.col("dcg10").cast("double") / F.col("idcg10").cast("double"), 6
@@ -5254,37 +5255,41 @@ def x220_dup_ngram_char_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped on (doc, gram) so no key is hotter than one document, and
     the ratio is one IEEE division of exact integers, rounded once.
     Sub-5-token docs emit n5=0, fraction 0."""
+    # r15 optimization (guide §2.4): the per-doc gram counts used to ride
+    # an explode -> (doc, gram) hash agg -> per-doc agg -> join-back —
+    # two corpus-sized shuffles of raw gram STRINGS plus a join, for a
+    # statistic that never leaves its own document. It is now computed
+    # in-row (the x14j idiom): sort the doc's gram array and run-length
+    # the equal runs — a run of length c contributes c*length(gram) chars
+    # exactly when c >= 2, the same summand set as the old conditional
+    # sum (first repeat adds both occurrences, later repeats add one).
+    # Zero shuffles, zero joins; the 100 TB plan is the scan itself.
     d = load_parallel(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     starts = F.when(
         F.size(toks) >= 5, F.sequence(F.lit(1), F.size(toks) - 4)
     ).otherwise(F.array().cast("array<int>"))
-    g = d.select(
-        "doc_id",
-        F.explode(
-            F.transform(starts, lambda s: F.array_join(F.slice(toks, s, 5), " "))
-        ).alias("gram"),
+    g = F.transform(starts, lambda s: F.array_join(F.slice(toks, s, 5), " "))
+    row = d.select("doc_id", g.alias("g"))
+    dup_chars = F.expr(
+        """
+        aggregate(array_sort(g),
+          named_struct('prev', '', 'run', 0L, 'dup', 0L),
+          (st, x) -> if(x = st.prev,
+            named_struct('prev', x, 'run', st.run + 1,
+              'dup', st.dup + length(x) + if(st.run = 1, length(x), 0L)),
+            named_struct('prev', x, 'run', 1L, 'dup', st.dup)),
+          st -> st.dup)
+        """
     )
-    c = g.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
-    s = c.groupBy("doc_id").agg(
-        F.sum("c").alias("n5"),
-        F.sum(F.col("c") * F.length("gram")).alias("total_chars"),
-        F.sum(
-            F.when(F.col("c") >= 2, F.col("c") * F.length("gram")).otherwise(
-                F.lit(0)
-            )
-        ).alias("dup_chars"),
-    )
+    total_chars = F.expr("aggregate(g, 0L, (a, x) -> a + length(x))")
     return (
-        d.select("doc_id")
-        .join(s, "doc_id", "left")
-        .select(
+        row.select(
             "doc_id",
-            F.coalesce(F.col("n5"), F.lit(0)).cast("long").alias("n5"),
+            F.size("g").cast("long").alias("n5"),
             dround(
                 F.coalesce(
-                    F.col("dup_chars").cast("double")
-                    / F.nullif(F.col("total_chars"), F.lit(0)),
+                    dup_chars.cast("double") / F.nullif(total_chars, F.lit(0)),
                     F.lit(0.0),
                 ),
                 6,
