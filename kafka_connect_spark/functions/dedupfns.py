@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .rounding import dround
+from .textfns import word_ngrams
 
 # Mersenne prime 2^31-1: (a*h + b) stays within int64 for a,h < 2^31,
 # so ANSI-mode arithmetic never overflows.
@@ -56,13 +57,12 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def shingles(text: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a whitespace-tokenized text."""
-    toks = F.split(text if isinstance(text, Column) else F.col(text), " ")
-    sh = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
-    return F.array_distinct(F.when(F.size(toks) >= n, sh).otherwise(F.array()))
+    """Distinct word n-gram shingles of a whitespace-tokenized text.
+
+    r15: gram construction rides textfns.word_ngrams (per-row zip_with
+    chain) — the previous slice-inside-lambda form re-evaluated the full
+    split per gram (guide §4.1). Byte-identical shingle strings."""
+    return F.array_distinct(word_ngrams(text, n))
 
 
 def ngram_jaccard_pairs(
@@ -444,11 +444,13 @@ def winnow_fingerprints(
     """
     toks = F.split(text_col, " ")
     n_grams = F.size(toks) - F.lit(k - 1)
+    # r15: gram strings from word_ngrams (per-row zip_with chain), the
+    # md5 hash transform's collection argument evaluated once per row —
+    # the slice-inside-lambda form re-split the text per gram (guide
+    # §4.1). Identical gram strings => identical fingerprint hashes.
     grams = F.transform(
-        F.sequence(F.lit(1), n_grams),
-        lambda i: F.conv(
-            F.substring(F.md5(F.concat_ws(" ", F.slice(toks, i, k))), 1, 15), 16, 10
-        ).cast("long"),
+        word_ngrams(text_col, k),
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
     )
     g = (
         docs.filter(F.size(toks) >= k + w - 1)

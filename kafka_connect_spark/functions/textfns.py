@@ -37,6 +37,37 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokens(text)).cast("long")
 
 
+def word_ngrams(text: Column | str, n: int, sep: str = " ") -> Column:
+    """Array of overlapping word n-grams (positions 1..L-n+1; ``[]`` for
+    texts shorter than n tokens) — the shared gram builder for the
+    text/dedup families.
+
+    r15 optimization (guide §4.1): the previous idiom,
+    ``transform(sequence(..), i -> concat_ws(sep, slice(toks, i, n)))``,
+    re-evaluated ``toks`` — the full split of the text — for EVERY
+    element: a non-argument subexpression inside a higher-order-function
+    lambda is interpreted per element with no common-subexpression reuse,
+    so an L-token doc paid L full splits (measured: x14j 9.9s -> 1.7s at
+    sf0.1 from this fix alone). This builder references ``toks`` only in
+    per-ROW positions (zip_with/slice collection arguments); the lambdas
+    touch nothing but their own arguments. Output strings are identical
+    to the concat_ws form: split() yields no NULL tokens, and zip_with's
+    null tail padding is sliced off before anything reads it."""
+    toks = tokens(text)
+    size = F.size(toks)
+    cur = toks
+    for j in range(1, n):
+        cur = F.zip_with(
+            cur,
+            F.slice(toks, j + 1, size - j),
+            lambda x, y: F.concat(x, F.lit(sep), y),
+        )
+    grams = F.slice(cur, 1, size - (n - 1)) if n > 1 else cur
+    return F.when(size >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def _hits(toks: Column, words: list[str]) -> Column:
     arr = F.array(*[F.lit(w) for w in words])
     return F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).cast("long")
@@ -136,24 +167,20 @@ def repetition_score(text: Column | str, n: int = 3) -> Column:
     repeated). Pure higher-order array expressions — per-row, no shuffle;
     docs shorter than n score 0."""
     toks = tokens(text)
-    # gram identity as a 64-bit hash of the n token slots (token boundaries
-    # hashed separately, so no concat/slice string allocation per gram):
-    # sorting and run-comparing int64s is several times cheaper than the
-    # equivalent over gram STRINGS, and equality is preserved modulo a
-    # ~L^2/2^64 per-doc collision chance (the oracle hash-check would
-    # surface one)
-    # empty index range for docs shorter than n (sequence(1, 0) would
-    # DESCEND and element_at(_, 0) errors under ANSI)
-    idx = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    ).otherwise(F.array().cast("array<int>"))
+    # gram identity as a 64-bit hash (equality preserved modulo a
+    # ~L^2/2^64 per-doc collision chance — the oracle hash-check would
+    # surface one): sorting and run-comparing int64s is several times
+    # cheaper than the equivalent over gram STRINGS. r15: grams come from
+    # word_ngrams (per-row zip_with chain) and the hash transform's
+    # collection argument is evaluated once per row — the previous
+    # element_at(toks, i + j) lambda re-split the text per element
+    # (guide §4.1; measured 9.9s -> 1.7s at sf0.1).
     grams = F.sort_array(
-        F.transform(
-            idx,
-            lambda i: F.xxhash64(*[F.element_at(toks, i + j) for j in range(n)]),
-        )
+        F.transform(word_ngrams(text, n), lambda g: F.xxhash64(g))
     )
-    total = F.size(grams)
+    # inside the size >= n guard there are exactly L-(n-1) grams; sizing
+    # from toks avoids evaluating the gram pipeline a second row-pass
+    total = F.size(toks) - (n - 1)
     # single O(L log L) pass: sort, then the longest run of equal adjacent
     # grams IS the max frequency (vs. the naive distinct x contains scan,
     # which is O(L^2) per document)

@@ -32,7 +32,7 @@ import json
 import os
 
 from pyspark.errors import AnalysisException
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 #: manifest file name — underscore-prefixed so parquet readers (Spark,
@@ -261,12 +261,13 @@ def publish_blocklist(
 #: the 5-gram builder shared by the publisher and the in-stream gate —
 #: one definition so the frozen artifact and the monitor can never
 #: disagree on what a gram is.
-_GRAMS5_EXPR = (
-    "case when size(split(text, ' ')) >= 5 then"
-    " array_distinct(transform(sequence(1, size(split(text, ' ')) - 4),"
-    " i -> array_join(slice(split(text, ' '), i, 5), ' ')))"
-    " else array() end"
-)
+def _grams5() -> Column:
+    """r15: the SQL-string transform re-evaluated split(text) for every
+    gram element (guide §4.1); word_ngrams is the per-row zip_with chain
+    with byte-identical gram strings — still one shared definition."""
+    from ..functions.textfns import word_ngrams
+
+    return F.array_distinct(word_ngrams("text", 5))
 
 
 def publish_eval_grams(eval_docs: DataFrame, out_dir: str) -> int:
@@ -277,7 +278,7 @@ def publish_eval_grams(eval_docs: DataFrame, out_dir: str) -> int:
     verbatim with curated_stream's in-row monitor. Bounded by the eval
     set, which is frozen and small by definition. Returns the count."""
     grams = (
-        eval_docs.select(F.explode(F.expr(_GRAMS5_EXPR)).alias("gram"))
+        eval_docs.select(F.explode(_grams5()).alias("gram"))
         .distinct()
     )
     grams.write.mode("overwrite").parquet(out_dir)
@@ -434,7 +435,7 @@ def curated_stream_writer(
             .cast("long")
             .alias("punct"),
         )
-        grams5 = F.expr(_GRAMS5_EXPR)
+        grams5 = _grams5()
         gated = (
             sig.filter(F.expr(q_pred))
             .filter(F.size(F.array_intersect(grams5, ev)) == 0)

@@ -18,6 +18,7 @@ from ..functions.dedupfns import (
     ngram_jaccard_pairs,
     simhash,
 )
+from ..functions.textfns import word_ngrams
 from .registry import dround, dround_sql, query
 
 
@@ -629,7 +630,11 @@ def x85_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hamming-connected component, which is not an interesting cluster)."""
     from ..functions.dedupfns import deletion_neighborhood_pairs
 
-    c = load(spark, sf_dir, "customer")
+    # r15: load_parallel — the deletion-variant explode (|name|+1 variants
+    # per row, hashed) is a CPU-heavy per-row stage that serialized on the
+    # single-split customer scan (guide §2.5; the guard is a no-op at
+    # production split counts)
+    c = load_parallel(spark, sf_dir, "customer")
     return deletion_neighborhood_pairs(c, "c_custkey", "c_name").orderBy("id_a", "id_b")
 
 
@@ -1301,10 +1306,9 @@ def x139_dup_substring_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_parallel(spark, sf_dir, "documents")
     toks = F.split("text", " ")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - F.lit(9)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, 10)),
-    )
+    # r15: word_ngrams (per-row zip_with chain) — the slice-inside-lambda
+    # form re-split the text per gram (guide §4.1); identical strings
+    grams = word_ngrams("text", 10)
     g = (
         d.filter(F.size(toks) >= 10)
         .select("doc_id", "source", F.explode(grams).alias("gm"))

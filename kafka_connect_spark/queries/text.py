@@ -18,6 +18,7 @@ from ..functions.textfns import (
     repetition_score,
     stopword_ratio,
     token_count,
+    word_ngrams,
 )
 from .registry import dround, dround_sql, query
 
@@ -1314,12 +1315,14 @@ def x69_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     much boilerplate there is."""
     d = load_parallel(spark, sf_dir, "documents")
     toks = F.split("text", " ")
-    n_seg = F.floor(F.size(toks) / F.lit(8)).cast("int")
+    # r15: the stride-8 segments are every 8th overlapping 8-gram —
+    # word_ngrams (per-row zip_with chain) + an index filter replaces the
+    # slice-inside-lambda form that re-split the text per segment (guide
+    # §4.1). For L >= 8 the multiples of 8 in [0, L-8] number exactly
+    # floor(L/8) = the old n_seg, and each string is the identical
+    # 8-token join.
     segs = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), n_seg - F.lit(1)),
-            lambda i: F.array_join(F.slice(toks, i * F.lit(8) + F.lit(1), F.lit(8)), " "),
-        )
+        F.filter(word_ngrams("text", 8), lambda g, i: i % 8 == 0)
     )
     ex = (
         d.filter(F.size(toks) >= 8)
@@ -1368,17 +1371,9 @@ def x76_heavy_hitter_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.sketchfns import frequent_terms_exact
 
     d = load_parallel(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    grams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - F.lit(2)),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i + F.lit(1)), F.element_at(toks, i + F.lit(2))
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    terms = d.select(F.explode(grams).alias("term"))
+    # r15: word_ngrams (per-row zip_with chain) — the element_at lambda
+    # re-split the text per bigram (guide §4.1); identical gram strings
+    terms = d.select(F.explode(word_ngrams("text", 2)).alias("term"))
     return frequent_terms_exact(terms, "term", denom=640)
 
 
@@ -1456,10 +1451,9 @@ def x81_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     term-level agg."""
     d = load_parallel(spark, sf_dir, "documents")
     toks = F.split("text", " ")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - F.lit(4)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, 5)),
-    )
+    # r15: word_ngrams (per-row zip_with chain) — the slice-inside-lambda
+    # form re-split the text per gram (guide §4.1); identical strings
+    grams = word_ngrams("text", 5)
     fo = (
         d.filter(F.size(toks) >= 5)
         .select("doc_id", F.explode(grams).alias("term"))
@@ -1515,16 +1509,20 @@ def x90_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     two key joins + a broadcast scalar; TakeOrdered(20)."""
     d = load_parallel(spark, sf_dir, "documents")
     toks = F.split("text", " ")
+    # r15: adjacent-pair structs via one zip_with over shifted slices —
+    # the element_at lambda re-split the text per bigram (guide §4.1);
+    # identical (w1, w2) pairs, zip_with's null tail sliced off
+    pair_structs = F.slice(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+        ),
+        1,
+        F.size(toks) - 1,
+    )
     bg = d.filter(F.size(toks) >= 2).select(
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 1),
-                lambda i: F.struct(
-                    F.element_at(toks, i).alias("w1"),
-                    F.element_at(toks, i + 1).alias("w2"),
-                ),
-            )
-        ).alias("p")
+        F.explode(pair_structs).alias("p")
     ).select("p.w1", "p.w2")
     cxy = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
     cx = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c_x"))
@@ -1716,10 +1714,9 @@ def tfidf_cosine_pairs(
     join blowup for that key; tf-idf downweights it in the score but not
     in the join volume."""
     toks = F.split("text", " ")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - F.lit(4)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, 5)),
-    )
+    # r15: word_ngrams (per-row zip_with chain) — the slice-inside-lambda
+    # form re-split the text per gram (guide §4.1); identical strings
+    grams = word_ngrams("text", 5)
     g = d.filter(F.size(toks) >= 5).select("doc_id", F.explode(grams).alias("term"))
     tf = g.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -2385,10 +2382,9 @@ def x123_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal-exact regression discipline as x122, over 10 points."""
     d = load_parallel(spark, sf_dir, "documents")
     toks = F.split("text", " ")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - F.lit(4)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, 5)),
-    )
+    # r15: word_ngrams (per-row zip_with chain) — the slice-inside-lambda
+    # form re-split the text per gram (guide §4.1); identical strings
+    grams = word_ngrams("text", 5)
     base = d.filter(F.size(toks) >= 5)
     fo = (
         base.select("doc_id", F.explode(grams).alias("term"))
@@ -2773,10 +2769,8 @@ def _dsir_grams(d: DataFrame) -> DataFrame:
     from ..functions.dedupfns import token_hash60
 
     toks = F.split("text", " ")
-    bigr = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
-    )
+    # r15: word_ngrams (per-row zip_with chain; guide §4.1)
+    bigr = word_ngrams("text", 2)
     return (
         d.filter(F.size(toks) >= 2)
         .select("doc_id", "lang", F.explode(bigr).alias("gm"))
@@ -3162,10 +3156,8 @@ def x146_dsir_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_parallel(spark, sf_dir, "documents")
     toks = F.split("text", " ")
-    bigr = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
-    )
+    # r15: word_ngrams (per-row zip_with chain; guide §4.1)
+    bigr = word_ngrams("text", 2)
     g = (
         d.filter(F.size(toks) >= 2)
         .select("doc_id", "lang", F.explode(bigr).alias("gm"))
@@ -5265,12 +5257,7 @@ def x220_dup_ngram_char_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sum (first repeat adds both occurrences, later repeats add one).
     # Zero shuffles, zero joins; the 100 TB plan is the scan itself.
     d = load_parallel(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    starts = F.when(
-        F.size(toks) >= 5, F.sequence(F.lit(1), F.size(toks) - 4)
-    ).otherwise(F.array().cast("array<int>"))
-    g = F.transform(starts, lambda s: F.array_join(F.slice(toks, s, 5), " "))
-    row = d.select("doc_id", g.alias("g"))
+    row = d.select("doc_id", word_ngrams("text", 5).alias("g"))
     dup_chars = F.expr(
         """
         aggregate(array_sort(g),

@@ -539,12 +539,11 @@ def decontamination_counts(docs: DataFrame, eval_grams: list[str]) -> DataFrame:
     same per-source additive state.
 
     ``docs`` needs columns source, text."""
-    grams5 = F.expr(
-        "case when size(split(text, ' ')) >= 5 then"
-        " array_distinct(transform(sequence(1, size(split(text, ' ')) - 4),"
-        " i -> array_join(slice(split(text, ' '), i, 5), ' ')))"
-        " else array() end"
-    )
+    # r15: word_ngrams (per-row zip_with chain) — the SQL-string transform
+    # re-split the text per gram element (guide §4.1); identical strings
+    from ..functions.textfns import word_ngrams
+
+    grams5 = F.array_distinct(word_ngrams("text", 5))
     ev = F.array(*[F.lit(g) for g in eval_grams])
     hits = F.size(F.array_intersect(grams5, ev)).cast("long")
     return (
