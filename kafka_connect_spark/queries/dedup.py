@@ -2142,64 +2142,64 @@ def x256_lsh_parameter_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(shingles("text", 3)).alias("s_str")
     ).select(F.col("doc_id").alias("id"), F.xxhash64("s_str").alias("s"))
     sh = sh.persist()
+    pj = None
     try:
-        pj = _candidate_pair_table(sh).select("inter", "n_a", "n_b")
-        # r15 optimization (guide §2.4, the x281/x267 stack discipline):
-        # the former per-config aggregates UNIONed 5 copies of the pair
-        # pipeline into one plan — 5 aggregation passes (and with AQE, 5
-        # concurrent job fans). All 5 configs' conditional sums now ride
-        # ONE aggregation over the pair table (same decimal sums, same
-        # dround), and a lazy stack() emits the 5 rows. Values and column
-        # order unchanged; the pair table is consumed exactly once, so
-        # its persist is gone too.
-        aggs = [F.count(F.lit(1)).cast("long").alias("n_pairs")]
-        for i, (r, b) in enumerate(_LSH_CONFIGS):
+        # r15 NOTE (guide §1.1): the session-1 rewrite fused all 5 configs
+        # into ONE 16-aggregate pass + stack(). Interleaved re-measurement
+        # found it 2.6x SLOWER isolated (6.5s -> 17.2s at sf0.1): the
+        # per-config probability expression is a wide case-when tree, and
+        # 16 of them in one aggregate blow the whole-stage-codegen method
+        # budget, so the single pass runs interpreted — costlier than 5
+        # codegen'd passes over the persisted pair table. Reverted to the
+        # measured-faster per-config form.
+        pj = (
+            _candidate_pair_table(sh)
+            .select("inter", "n_a", "n_b")
+            .persist()
+        )
+        parts = []
+        for (r, b), _ in zip(_LSH_CONFIGS, range(len(_LSH_CONFIGS))):
             p = _lsh_prob_expr(r, b)
-            aggs.append(
-                dround(
-                    F.expr(
-                        f"cast(sum(cast({p} as decimal(38,6))) as double)"
-                    ),
-                    4,
-                ).alias(f"d{i}")
+            parts.append(
+                pj.agg(
+                    F.lit(r).cast("long").alias("r"),
+                    F.lit(b).cast("long").alias("b"),
+                    F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                    dround(
+                        F.expr(
+                            f"cast(sum(cast({p} as decimal(38,6))) as double)"
+                        ),
+                        4,
+                    ).alias("exp_detected"),
+                    dround(
+                        F.expr(
+                            "cast(sum(case when inter * 5 >="
+                            " 4 * (n_a + n_b - inter) then"
+                            f" cast({p} as decimal(38,6)) else 0 end)"
+                            " as double)"
+                        ),
+                        4,
+                    ).alias("exp_detected_high"),
+                    dround(
+                        F.expr(
+                            "cast(sum(case when inter * 10 <"
+                            " 3 * (n_a + n_b - inter) then"
+                            f" cast({p} as decimal(38,6)) else 0 end)"
+                            " as double)"
+                        ),
+                        4,
+                    ).alias("exp_fp"),
+                )
             )
-            aggs.append(
-                dround(
-                    F.expr(
-                        "cast(sum(case when inter * 5 >="
-                        " 4 * (n_a + n_b - inter) then"
-                        f" cast({p} as decimal(38,6)) else 0 end)"
-                        " as double)"
-                    ),
-                    4,
-                ).alias(f"h{i}")
-            )
-            aggs.append(
-                dround(
-                    F.expr(
-                        "cast(sum(case when inter * 10 <"
-                        " 3 * (n_a + n_b - inter) then"
-                        f" cast({p} as decimal(38,6)) else 0 end)"
-                        " as double)"
-                    ),
-                    4,
-                ).alias(f"f{i}")
-            )
-        one = pj.agg(*aggs)
-        stack_expr = (
-            f"stack({len(_LSH_CONFIGS)}, "
-            + ", ".join(
-                f"cast({r} as bigint), cast({b} as bigint), n_pairs,"
-                f" d{i}, h{i}, f{i}"
-                for i, (r, b) in enumerate(_LSH_CONFIGS)
-            )
-            + ") as (r, b, n_pairs, exp_detected, exp_detected_high, exp_fp)"
-        )
-        return (
-            one.select(F.expr(stack_expr)).orderBy("r", "b").localCheckpoint()
-        )
+        out = parts[0]
+        for x in parts[1:]:
+            out = out.unionAll(x)
+        out = out.orderBy("r", "b").localCheckpoint()
+        return out
     finally:
         sh.unpersist(blocking=False)
+        if pj is not None:
+            pj.unpersist(blocking=False)
 
 
 @query(
