@@ -186,6 +186,14 @@ def lsh_candidate_pairs(
     )
     a = banded.alias("a")
     b = banded.alias("b")
+    # r16 (guide §2.4/§2.5): pin the candidate-dedup exchange at the
+    # session shuffle width and key it by id_a — same fix as
+    # simfns.lsh_cosine_pairs (AQE's byte-based coalescing starved the
+    # CPU-dense dedup + verify stages; hash(id_a) also pre-clusters the
+    # id_a shingle-set join downstream). Output set unchanged.
+    n_shuffle = int(
+        sigs.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
     return (
         a.join(
             b,
@@ -194,7 +202,8 @@ def lsh_candidate_pairs(
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+        .repartition(n_shuffle, "id_a")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

@@ -415,7 +415,10 @@ def lsh_cosine_pairs(
     # 2080-row Gram — see pc1_vector_np; documented like the auto-
     # n_planes count job above).
     mean_row = mean_vector_col(df, vec_col) if (center or abtt) else None
-    u = pc1_vector_np(df, vec_col) if abtt else None
+    # presplit=True: every registered abtt consumer loads the corpus via
+    # catalog.load_parallel, so the Gram builder's rdd-planning probe
+    # (r15 finding: full physical planning per call) is skipped.
+    u = pc1_vector_np(df, vec_col, presplit=True) if abtt else None
     planes = np.random.RandomState(seed).randn(n_tables, n_planes, dim)
     bucketize = _bucket_udf(planes, u=u)
     tagged = (
@@ -433,6 +436,17 @@ def lsh_cosine_pairs(
         .select("id", "tb.table", "tb.bucket")
     )
     a, b = tagged.alias("a"), tagged.alias("b")
+    # r16 (guide §2.4/§2.5): the candidate dedup used .distinct(), whose
+    # exchange AQE coalesced by BYTES (pair rows are 16 bytes; the 1 MB
+    # minPartitionSize floor left the CPU-dense dedup+verify stages on 10
+    # of 32 cores — measured in the x284 job timeline). Repartitioning by
+    # id_a pins the session's declared shuffle width (user-specified
+    # repartitions are exempt from AQE coalescing), and BOTH the pair
+    # dedup and the downstream id_a vector join cluster by a superset/
+    # subset of that key, so they reuse the single exchange instead of
+    # adding their own. Output set identical (dedup keys unchanged);
+    # measured 1.60x on the x284 shape at sf0.1.
+    n_shuffle = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     cands = (
         a.join(
             b,
@@ -441,7 +455,8 @@ def lsh_cosine_pairs(
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+        .repartition(n_shuffle, "id_a")
+        .dropDuplicates(["id_a", "id_b"])
     )
     v = with_vec(df, vec_col)
     va = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("v_norm").alias("na"))
@@ -569,6 +584,7 @@ def gram_ppm_rows(
     vec_col: str = "embedding",
     mean: np.ndarray | None = None,
     dim: int = 64,
+    presplit: bool = False,
 ) -> DataFrame:
     """The decimal-quantized upper-triangle Gram of the MEAN-CENTERED
     corpus as a LAZY (i, j, g) DataFrame — x286's Gram kernel, shared by
@@ -585,9 +601,15 @@ def gram_ppm_rows(
     than cores — a no-op at production split counts. Decimal sums are
     order-independent, so partitioning never changes g."""
     mean = mean_vector_np(df, vec_col) if mean is None else mean
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target)
+    # r16: ``presplit=True`` lets a caller that ALREADY guaranteed scan
+    # parallelism (catalog.load_parallel) skip the guard probe —
+    # df.rdd.getNumPartitions() forces full physical planning of a
+    # throwaway RDD pipeline per build (the r15 catalog finding, ~0.15s),
+    # and every registered consumer (x286/x287) loads via load_parallel.
+    if not presplit:
+        target = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
     mv = F.array(*[F.lit(float(x)) for x in mean])
     cv = F.zip_with(
         F.col(vec_col).cast("array<double>"), mv, lambda x, y: x - y
@@ -616,13 +638,16 @@ def gram_ppm_dict(
     vec_col: str = "embedding",
     mean: np.ndarray | None = None,
     dim: int = 64,
+    presplit: bool = False,
 ) -> dict[tuple[int, int], int]:
     """``gram_ppm_rows`` collected for driver-side consumers — keys
     (i, j) for i <= j, values g = 1e6 * sum over rows of the
     decimal(38,6)-quantized product cv_i * cv_j, as exact ints
     (decimal(38,0) in the plan == Python int here). Bounded collect:
     dim*(dim+1)/2 rows (2080 at 64)."""
-    rows = gram_ppm_rows(df, vec_col, mean=mean, dim=dim).collect()
+    rows = gram_ppm_rows(
+        df, vec_col, mean=mean, dim=dim, presplit=presplit
+    ).collect()
     return {(int(r["i"]), int(r["j"])): int(r["g"]) for r in rows}
 
 
@@ -661,6 +686,7 @@ def pc1_vector_np(
     vec_col: str = "embedding",
     mean: np.ndarray | None = None,
     dim: int = 64,
+    presplit: bool = False,
 ) -> np.ndarray:
     """The top principal direction of the mean-centered corpus — x286's
     u, factored like ``mean_vector_np`` for consumers that need the
@@ -674,7 +700,9 @@ def pc1_vector_np(
     driver-side form is the honest one here."""
     mean = mean_vector_np(df, vec_col) if mean is None else mean
     return _pc1_power_ppm(
-        gram_ppm_dict(df, vec_col, mean=mean, dim=dim), dim=dim, iters=3
+        gram_ppm_dict(df, vec_col, mean=mean, dim=dim, presplit=presplit),
+        dim=dim,
+        iters=3,
     )
 
 
@@ -887,7 +915,7 @@ def lsh_cosine_topk(
     build-time jobs (see ``pc1_vector_np``). The rerank cosine stays
     RAW in every mode."""
     mean_row = mean_vector_col(corpus, vec_col) if (center or abtt) else None
-    u = pc1_vector_np(corpus, vec_col) if abtt else None
+    u = pc1_vector_np(corpus, vec_col, presplit=True) if abtt else None
     planes = np.random.RandomState(seed).randn(n_tables, n_planes, dim)
     bucketize = _bucket_udf(planes, u=u)
 
@@ -1644,7 +1672,7 @@ def lsh_knn_graph(
             else 4
         )
     mean_row = mean_vector_col(corpus, vec_col) if (center or abtt) else None
-    u = pc1_vector_np(corpus, vec_col) if abtt else None
+    u = pc1_vector_np(corpus, vec_col, presplit=True) if abtt else None
     planes = np.random.RandomState(seed).randn(n_tables, n_planes, dim)
     bucketize = _bucket_udf(planes, u=u)
     tagged = (
@@ -1661,6 +1689,15 @@ def lsh_knn_graph(
         )
         .select("id", "tb.table", "tb.bucket")
     )
+    # r16 (guide §2.4/§2.5): same candidate-stage fix as lsh_cosine_pairs —
+    # pin the dedup exchange at the session shuffle width (AQE's byte-based
+    # coalescing starved the CPU-dense dedup/cosine stages to 10 tasks) and
+    # key it by query_id so the dedup, the query_id vector join AND the
+    # top-k window all reuse ONE exchange (hash(query_id) satisfies every
+    # downstream clustering). Output identical; 1.65x on x274b at sf0.1.
+    n_shuffle = int(
+        corpus.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
     cand = (
         tagged.select(F.col("id").alias("query_id"), "table", "bucket")
         .join(
@@ -1669,7 +1706,8 @@ def lsh_knn_graph(
         )
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
-        .distinct()
+        .repartition(n_shuffle, "query_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     c = with_vec(corpus, vec_col).select(
         F.col(id_col).alias("neighbor_id"), "v", "v_norm"

@@ -181,7 +181,10 @@ def x12g_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     in tests/test_similarity.py."""
     from ..functions.simfns import lsh_cosine_pairs
 
-    emb = load(spark, sf_dir, "embeddings")
+    # r16: load_parallel — the single-split fixture scan serialized the
+    # tag UDF + broadcast-probe candidate production on one task (the
+    # x274b stage-table finding); no-op at production split counts.
+    emb = load_parallel(spark, sf_dir, "embeddings")
     return lsh_cosine_pairs(emb, 0.4, n_planes=3, n_tables=16).orderBy("id_a", "id_b")
 
 
@@ -1454,6 +1457,12 @@ def x150_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = d.select("doc_id", F.explode(shingles("text", 3)).alias("sh"))
     # min-agg columns + stack unpivot, never the occurrence x 64 row
     # explode (the 64x-octave spill) — see dedupfns.md5_minhash_rows.
+    # r16 NOTE (guide §1.1): a "keep the signature WIDE, count matches as
+    # a 64-term in-row sum" rewrite was built and interleave-A/B'd at
+    # sf0.1: 4.07s (this form) vs 4.39s (wide) — NOT shipped. The two
+    # sa/sb references do NOT rebuild the signature: their exchanges are
+    # structurally identical, so ReuseExchange computes the md5 agg once;
+    # the per-(pair, i) fan-out is tiny because the exact pair set is.
     sig = md5_minhash_rows(ex)
     sa = sig.select(F.col("doc_id").alias("id_a"), "i", F.col("mh").alias("mha"))
     sb = sig.select(F.col("doc_id").alias("id_b"), "i", F.col("mh").alias("mhb"))
@@ -2152,41 +2161,74 @@ def x256_lsh_parameter_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         # budget, so the single pass runs interpreted — costlier than 5
         # codegen'd passes over the persisted pair table. Reverted to the
         # measured-faster per-config form.
+        #
+        # r16 (guide §7.3, driver planning): the textual _pow_chain
+        # DUPLICATED its operand at every squaring step — (1-s^r)^b
+        # expands to r*b textual copies of the quantized-similarity
+        # expression, ~70 KB of SQL text / ~10^5 expression-tree nodes
+        # across the 5 configs x 3 sums, measured as a 4.8 s driver gap
+        # before the FIRST job plus a per-row re-interpretation of the
+        # full chain in every sum. Each squaring step is now a NAMED
+        # intermediate column (CollapseProject keeps non-cheap aliases
+        # referenced >1x, so codegen evaluates each step once per row and
+        # the plan tree stays ~log(r*b) nodes per config). The multiply
+        # SEQUENCE — and therefore every IEEE rounding — is unchanged:
+        # measured bit-equal output at sf0.1, 1.88x faster (7.05->3.74s).
+        # The ORACLE keeps the textual chain: DuckDB parses it in ms and
+        # the two engines' arithmetic stays identical by construction.
         pj = (
             _candidate_pair_table(sh)
             .select("inter", "n_a", "n_b")
+            .withColumn(
+                "s",
+                F.expr(
+                    "cast(inter * 1000 div (n_a + n_b - inter) as double)"
+                    " / 1000.0"
+                ),
+            )
             .persist()
         )
         parts = []
-        for (r, b), _ in zip(_LSH_CONFIGS, range(len(_LSH_CONFIGS))):
-            p = _lsh_prob_expr(r, b)
+        for r, b in _LSH_CONFIGS:
+            df, c, kk, i = pj, F.col("s"), r, 0
+            while kk > 1:  # s^r by repeated squaring, one named col/step
+                df = df.withColumn(f"_w{i}", c * c)
+                c = F.col(f"_w{i}")
+                kk //= 2
+                i += 1
+            df = df.withColumn("_t", F.lit(1.0) - c)
+            c, kk = F.col("_t"), b
+            while kk > 1:  # (1-s^r)^b by repeated squaring
+                df = df.withColumn(f"_w{i}", c * c)
+                c = F.col(f"_w{i}")
+                kk //= 2
+                i += 1
+            df = df.withColumn("_p", (F.lit(1.0) - c).cast("decimal(38,6)"))
+            zero = F.lit(0).cast("decimal(38,6)")
+            high = F.col("inter") * 5 >= 4 * (
+                F.col("n_a") + F.col("n_b") - F.col("inter")
+            )
+            low = F.col("inter") * 10 < 3 * (
+                F.col("n_a") + F.col("n_b") - F.col("inter")
+            )
             parts.append(
-                pj.agg(
+                df.agg(
                     F.lit(r).cast("long").alias("r"),
                     F.lit(b).cast("long").alias("b"),
                     F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                    dround(F.sum("_p").cast("double"), 4).alias(
+                        "exp_detected"
+                    ),
                     dround(
-                        F.expr(
-                            f"cast(sum(cast({p} as decimal(38,6))) as double)"
-                        ),
-                        4,
-                    ).alias("exp_detected"),
-                    dround(
-                        F.expr(
-                            "cast(sum(case when inter * 5 >="
-                            " 4 * (n_a + n_b - inter) then"
-                            f" cast({p} as decimal(38,6)) else 0 end)"
-                            " as double)"
-                        ),
+                        F.sum(
+                            F.when(high, F.col("_p")).otherwise(zero)
+                        ).cast("double"),
                         4,
                     ).alias("exp_detected_high"),
                     dround(
-                        F.expr(
-                            "cast(sum(case when inter * 10 <"
-                            " 3 * (n_a + n_b - inter) then"
-                            f" cast({p} as decimal(38,6)) else 0 end)"
-                            " as double)"
-                        ),
+                        F.sum(
+                            F.when(low, F.col("_p")).otherwise(zero)
+                        ).cast("double"),
                         4,
                     ).alias("exp_fp"),
                 )
@@ -3531,6 +3573,8 @@ def x281_minhash_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = d.select("doc_id", F.explode(shingles("text", 3)).alias("sh"))
     # min-agg columns + stack unpivot, never the occurrence x 64 row
     # explode (the 64x-octave spill) — see dedupfns.md5_minhash_rows.
+    # (r16: a wide-signature in-row prefix-sum rewrite A/B'd slower on
+    # x150's identical shape and was not shipped — see x150's note.)
     sig = md5_minhash_rows(ex)
     sa = sig.select(F.col("doc_id").alias("id_a"), "i", F.col("mh").alias("mha"))
     sb = sig.select(F.col("doc_id").alias("id_b"), "i", F.col("mh").alias("mhb"))

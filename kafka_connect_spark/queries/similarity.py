@@ -1695,7 +1695,12 @@ def x274b_knn_hubness_full_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     x12g's cost envelope; nothing corpus-sized broadcasts."""
     from ..functions.simfns import lsh_knn_graph
 
-    emb = load(spark, sf_dir, "embeddings")
+    # r16: load_parallel — the single-split fixture scan ran the tag UDF
+    # AND the broadcast-probe side of the bucket self-join as ONE task
+    # (2.1 s serial, measured in the stage table); the guarded repartition
+    # spreads candidate production across the session's cores and is a
+    # no-op at production split counts.
+    emb = load_parallel(spark, sf_dir, "embeddings")
     g = lsh_knn_graph(emb, k=5, n_planes=4, n_tables=12)
     deg = (
         emb.select("vec_id")
@@ -1857,7 +1862,7 @@ def x286_all_but_top_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # by the oracle at every SF.
     emb = load_parallel(spark, sf_dir, "embeddings")
     mean = mean_vector_np(emb)
-    u = _pc1_power_ppm(gram_ppm_dict(emb, mean=mean))
+    u = _pc1_power_ppm(gram_ppm_dict(emb, mean=mean, presplit=True))
     mv = F.array(*[F.lit(float(x)) for x in mean])
     ud_lit = F.array(*[F.lit(float(x)) for x in u])
     v = with_vec(emb).select("vec_id", "v")

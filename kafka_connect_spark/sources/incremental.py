@@ -78,6 +78,9 @@ class IncrementalTableSource:
         self.state_dir = state_dir or tempfile.mkdtemp(prefix="inc-source-")
         os.makedirs(self.state_dir, exist_ok=True)
         self._state_file = os.path.join(self.state_dir, "offset.json")
+        # per-instance parquet schema memo (see _base_df)
+        self._schema = None
+        self._schema_key: tuple | None = None
 
     # -- offset store (atomic write-then-rename, survives restart) ---------
 
@@ -105,7 +108,28 @@ class IncrementalTableSource:
             for k, v in self.jdbc_options.items():
                 reader = reader.option(k, str(v))
             return reader.load()
-        return spark.read.format(self.fmt).load(self.path)
+        # r16 (guide §1.4/§6, the catalog._read discipline): a bare
+        # format().load() submits a one-task schema-inference job on EVERY
+        # poll (~0.2-0.3 s — the footer read), so a caught-up poll loop
+        # paid more for schema re-inference than for the increment scan.
+        # The schema is memoized per source instance, keyed on the file's
+        # mtime+size so an upstream schema EVOLUTION (file rewritten with
+        # new columns) still re-infers on the next poll — the JDBC-source
+        # behavior the reference documents. Metadata only: every poll
+        # still scans the parquet increment in full.
+        try:
+            st = os.stat(self.path)
+            key = (st.st_mtime_ns, st.st_size)
+        except OSError:
+            key = None  # directory-backed / remote: fall back per-poll
+        if key is not None and self._schema_key == key:
+            return spark.read.format(self.fmt).schema(self._schema).load(
+                self.path
+            )
+        df = spark.read.format(self.fmt).load(self.path)
+        if key is not None:
+            self._schema, self._schema_key = df.schema, key
+        return df
 
     def read_increment(self, spark: SparkSession) -> DataFrame:
         """One poll: rows with offset column > last committed offset, capped

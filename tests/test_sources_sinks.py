@@ -36,6 +36,29 @@ def test_incrementing_mode_two_polls(spark, tmp_path):
     assert n2 == 1 and {r["id"] for r in sunk[-1]} == {3}
 
 
+def test_poll_schema_memo_sees_evolution(spark, tmp_path):
+    """r16: _base_df memoizes the inferred parquet schema per instance
+    (keyed on file mtime+size) so a poll loop stops paying a schema-
+    inference job per poll — but an upstream schema EVOLUTION (table
+    rewritten with a new column) must still surface on the next poll."""
+    data = str(tmp_path / "users")
+    state = str(tmp_path / "state")
+    _write_users(spark, data, [(1, "a", "2024-01-01")])
+    src = IncrementalTableSource(data, "id", "incrementing", state)
+
+    sunk: list[list] = []
+    assert src.run_once(spark, lambda df: sunk.append(df.collect())) == 1
+    assert "email" not in sunk[-1][0].asDict()
+
+    spark.createDataFrame(
+        [(1, "a", "2024-01-01", "a@x"), (2, "b", "2024-01-02", "b@x")],
+        ["id", "name", "updated_at", "email"],
+    ).coalesce(1).write.mode("overwrite").parquet(data)
+    assert src.run_once(spark, lambda df: sunk.append(df.collect())) == 1
+    row = sunk[-1][0].asDict()
+    assert row["id"] == 2 and row["email"] == "b@x"
+
+
 def test_offset_survives_restart(spark, tmp_path):
     data = str(tmp_path / "users")
     state = str(tmp_path / "state")
