@@ -770,19 +770,22 @@ def leakage_safe_split(
         F.sum((F.col("naive_split") == "val").cast("long")).alias("n_val_"),
     )
     both = counts.crossJoin(F.broadcast(leaks))
-    cluster_row = both.select(
-        F.lit("cluster").alias("method"),
-        F.col("c_train").alias("n_train"),
-        F.col("c_val").alias("n_val"),
-        F.col("safe_leaks").alias("n_leaky_pairs"),
+    # r16 (guide §2.4, the x281 stack discipline): the former 2-branch
+    # union referenced `both` twice, so the splits/leaks pipelines
+    # executed once per branch (the x92 job timeline showed both copies
+    # running). A stack() unpivot of the single 1-row state has ONE
+    # consumer — identical two output rows, upstream evaluated once.
+    return (
+        both.select(
+            F.expr(
+                "stack(2,"
+                " 'cluster', c_train, c_val, safe_leaks,"
+                " 'naive', n_train_, n_val_, naive_leaks)"
+                " as (method, n_train, n_val, n_leaky_pairs)"
+            )
+        )
+        .orderBy("method")
     )
-    naive_row = both.select(
-        F.lit("naive").alias("method"),
-        F.col("n_train_").alias("n_train"),
-        F.col("n_val_").alias("n_val"),
-        F.col("naive_leaks").alias("n_leaky_pairs"),
-    )
-    return cluster_row.unionAll(naive_row).orderBy("method")
 
 
 @query(
@@ -2153,30 +2156,32 @@ def x256_lsh_parameter_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = sh.persist()
     pj = None
     try:
-        # r15 NOTE (guide §1.1): the session-1 rewrite fused all 5 configs
-        # into ONE 16-aggregate pass + stack(). Interleaved re-measurement
-        # found it 2.6x SLOWER isolated (6.5s -> 17.2s at sf0.1): the
-        # per-config probability expression is a wide case-when tree, and
-        # 16 of them in one aggregate blow the whole-stage-codegen method
-        # budget, so the single pass runs interpreted — costlier than 5
-        # codegen'd passes over the persisted pair table. Reverted to the
-        # measured-faster per-config form.
+        # r16 (guide §7.3 driver planning + §2.4): TWO fixes over the r15
+        # form, both measured.
         #
-        # r16 (guide §7.3, driver planning): the textual _pow_chain
-        # DUPLICATED its operand at every squaring step — (1-s^r)^b
-        # expands to r*b textual copies of the quantized-similarity
-        # expression, ~70 KB of SQL text / ~10^5 expression-tree nodes
-        # across the 5 configs x 3 sums, measured as a 4.8 s driver gap
-        # before the FIRST job plus a per-row re-interpretation of the
-        # full chain in every sum. Each squaring step is now a NAMED
-        # intermediate column (CollapseProject keeps non-cheap aliases
-        # referenced >1x, so codegen evaluates each step once per row and
-        # the plan tree stays ~log(r*b) nodes per config). The multiply
-        # SEQUENCE — and therefore every IEEE rounding — is unchanged:
-        # measured bit-equal output at sf0.1, 1.88x faster (7.05->3.74s).
+        # (1) The textual _pow_chain DUPLICATED its operand at every
+        # squaring step — (1-s^r)^b expands to r*b textual copies of the
+        # quantized-similarity expression, ~70 KB of SQL text / ~10^5
+        # expression-tree nodes across 5 configs x 3 sums, measured as a
+        # 4.8 s driver gap before the FIRST job plus per-row
+        # re-interpretation of the full chain in every sum. Each squaring
+        # step is now a NAMED intermediate column (CollapseProject keeps
+        # non-cheap aliases referenced >1x, so codegen evaluates each step
+        # once per row and the plan stays ~log(r*b) nodes per config).
+        # The multiply SEQUENCE — and therefore every IEEE rounding — is
+        # unchanged: measured bit-equal output at sf0.1, 1.88x alone.
+        #
+        # (2) With the ladders named, ALL 5 configs fit in ONE codegen'd
+        # aggregation pass + a stack() unpivot of the 1-row state — the
+        # exact fusion r15 tried and reverted (its textual form fell out
+        # of whole-stage codegen; the method-budget blowup is gone with
+        # named steps). One scan of the pair table instead of five, the
+        # pj persist retired (single consumer), bit-equal output,
+        # measured a further 1.13x at sf0.1.
+        #
         # The ORACLE keeps the textual chain: DuckDB parses it in ms and
         # the two engines' arithmetic stays identical by construction.
-        pj = (
+        df = (
             _candidate_pair_table(sh)
             .select("inter", "n_a", "n_b")
             .withColumn(
@@ -2186,57 +2191,66 @@ def x256_lsh_parameter_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
                     " / 1000.0"
                 ),
             )
-            .persist()
         )
-        parts = []
+        aggs = [F.count(F.lit(1)).cast("long").alias("n_pairs")]
+        zero = F.lit(0).cast("decimal(38,6)")
+        high = F.col("inter") * 5 >= 4 * (
+            F.col("n_a") + F.col("n_b") - F.col("inter")
+        )
+        low = F.col("inter") * 10 < 3 * (
+            F.col("n_a") + F.col("n_b") - F.col("inter")
+        )
+        i = 0
         for r, b in _LSH_CONFIGS:
-            df, c, kk, i = pj, F.col("s"), r, 0
+            c, kk = F.col("s"), r
             while kk > 1:  # s^r by repeated squaring, one named col/step
                 df = df.withColumn(f"_w{i}", c * c)
                 c = F.col(f"_w{i}")
                 kk //= 2
                 i += 1
-            df = df.withColumn("_t", F.lit(1.0) - c)
-            c, kk = F.col("_t"), b
+            df = df.withColumn(f"_t{i}", F.lit(1.0) - c)
+            c, kk = F.col(f"_t{i}"), b
+            i += 1
             while kk > 1:  # (1-s^r)^b by repeated squaring
                 df = df.withColumn(f"_w{i}", c * c)
                 c = F.col(f"_w{i}")
                 kk //= 2
                 i += 1
-            df = df.withColumn("_p", (F.lit(1.0) - c).cast("decimal(38,6)"))
-            zero = F.lit(0).cast("decimal(38,6)")
-            high = F.col("inter") * 5 >= 4 * (
-                F.col("n_a") + F.col("n_b") - F.col("inter")
+            p = (F.lit(1.0) - c).cast("decimal(38,6)")
+            df = df.withColumn(f"_p_{r}_{b}", p)
+            pc = F.col(f"_p_{r}_{b}")
+            aggs += [
+                dround(F.sum(pc).cast("double"), 4).alias(f"ed_{r}_{b}"),
+                dround(
+                    F.sum(F.when(high, pc).otherwise(zero)).cast("double"),
+                    4,
+                ).alias(f"eh_{r}_{b}"),
+                dround(
+                    F.sum(F.when(low, pc).otherwise(zero)).cast("double"),
+                    4,
+                ).alias(f"ef_{r}_{b}"),
+            ]
+        one = df.agg(*aggs)
+        stack = (
+            "stack({}, {}) as"
+            " (r, b, exp_detected, exp_detected_high, exp_fp)".format(
+                len(_LSH_CONFIGS),
+                ", ".join(
+                    f"cast({r} as bigint), cast({b} as bigint),"
+                    f" ed_{r}_{b}, eh_{r}_{b}, ef_{r}_{b}"
+                    for r, b in _LSH_CONFIGS
+                ),
             )
-            low = F.col("inter") * 10 < 3 * (
-                F.col("n_a") + F.col("n_b") - F.col("inter")
+        )
+        out = (
+            one.select(F.expr(stack), "n_pairs")
+            .select(
+                "r", "b", "n_pairs",
+                "exp_detected", "exp_detected_high", "exp_fp",
             )
-            parts.append(
-                df.agg(
-                    F.lit(r).cast("long").alias("r"),
-                    F.lit(b).cast("long").alias("b"),
-                    F.count(F.lit(1)).cast("long").alias("n_pairs"),
-                    dround(F.sum("_p").cast("double"), 4).alias(
-                        "exp_detected"
-                    ),
-                    dround(
-                        F.sum(
-                            F.when(high, F.col("_p")).otherwise(zero)
-                        ).cast("double"),
-                        4,
-                    ).alias("exp_detected_high"),
-                    dround(
-                        F.sum(
-                            F.when(low, F.col("_p")).otherwise(zero)
-                        ).cast("double"),
-                        4,
-                    ).alias("exp_fp"),
-                )
-            )
-        out = parts[0]
-        for x in parts[1:]:
-            out = out.unionAll(x)
-        out = out.orderBy("r", "b").localCheckpoint()
+            .orderBy("r", "b")
+            .localCheckpoint()
+        )
         return out
     finally:
         sh.unpersist(blocking=False)
