@@ -471,12 +471,49 @@ def _idle_canary_median(key: str = "idle_median_sec") -> tuple[float, str]:
 _IO_CANARY_SRC = "/root/testdata/sf0.1/lineitem.parquet"
 
 
+def _io_canary_envelope(df, key_cols):
+    """FROZEN copy of the r15-era ``to_json_envelope`` (schema struct
+    serialized per row). r16 optimized the library function (constant
+    schema rendered once — 1.93x); had the canary kept calling it, the
+    instrument itself would have sped up and every future
+    ``io_canary_drift`` reading would conflate code with machine epoch
+    (observed: −43% "drift" on unchanged hardware). A canary must be
+    frozen, so the canary — and only the canary — keeps the old shape;
+    the committed idle calibration in BENCH_CANARY.json stays valid and
+    the analogs' rows-per-io-canary now shows the code win, as it
+    should."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_spark.transforms import _connect_type
+
+    fields = F.array(
+        *[
+            F.struct(
+                F.lit(f.name).alias("field"),
+                F.lit(_connect_type(f.dataType)).alias("type"),
+            )
+            for f in df.schema.fields
+        ]
+    )
+    schema_struct = F.struct(
+        F.lit("struct").alias("type"), fields.alias("fields")
+    )
+    value = F.to_json(
+        F.struct(
+            schema_struct.alias("schema"),
+            F.struct(*df.columns).alias("payload"),
+        )
+    )
+    cols = [F.to_json(F.struct(*key_cols)).alias("key"), value.alias("value")]
+    return df.select(*cols)
+
+
 def _io_canary_sec(spark, n: int = 3) -> float:
     def once() -> float:
         df = spark.read.parquet(_IO_CANARY_SRC)
         # the pinned fixture carries no l_comment; mask the same column
         # the analog falls back to on this schema
-        pipe = to_json_envelope(
+        pipe = _io_canary_envelope(
             mask_fields(df, ["l_returnflag"]), key_cols=["l_orderkey"]
         )
         t0 = time.time()

@@ -284,9 +284,16 @@ def dup_clusters(
         # a full join+agg+collect round per call (and, at scale, one whole
         # shuffle of the label table). Labels are untouched; only when the
         # loop STOPS changes, and only in the already-converged direction.
-        prev_sum = labels.agg(
-            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
+        #
+        # r16: the seed sum and round 1's sum now land in ONE collect —
+        # round 1 is built lazily on the init labels and both decimal
+        # sums ride a single 2-row union action, so the typical
+        # (near-clique, converges-at-init) call pays ONE driver job round
+        # for its convergence proof instead of two. Later rounds (rare:
+        # diameter > 1 graphs) keep the per-round collect. Sums, labels
+        # and the stop rule are unchanged.
+        sum_of = lambda df: F.sum(F.col("label").cast("decimal(38,0)"))  # noqa: E731
+        prev_sum = None
         for it in range(max_iters):
             nbr = sym.join(labels, sym["dst"] == labels["node"]).select(
                 F.col("src").alias("node"), "label"
@@ -306,9 +313,21 @@ def dup_clusters(
             else:
                 new = new.persist()
             # decimal(38,0): exact at any node count x 64-bit label magnitude
-            cur_sum = new.agg(
-                F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-            ).collect()[0]["s"]
+            if prev_sum is None:
+                rows = (
+                    labels.agg(sum_of(labels).alias("s"))
+                    .select(F.lit(0).alias("k"), "s")
+                    .unionAll(
+                        new.agg(sum_of(new).alias("s")).select(
+                            F.lit(1).alias("k"), "s"
+                        )
+                    )
+                    .collect()
+                )
+                by_k = {r["k"]: r["s"] for r in rows}
+                prev_sum, cur_sum = by_k[0], by_k[1]
+            else:
+                cur_sum = new.agg(sum_of(new).alias("s")).collect()[0]["s"]
             labels.unpersist()
             labels = new
             if cur_sum == prev_sum:
