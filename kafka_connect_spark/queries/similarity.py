@@ -496,17 +496,21 @@ def x130b_cosine_histogram_sampled(spark: SparkSession, sf_dir: str) -> DataFram
     emb = load(spark, sf_dir, "embeddings")
     v = with_vec(emb)
     hv = token_hash60(F.col("vec_id").cast("string"))
+    # r16 (guide §1.2): norms are per-ROW values; computing them inside
+    # the pair expression re-ran two 64-element folds per PAIR (the m^2
+    # block runs as one task). Same expression per row => bit-identical
+    # doubles; only WHERE it evaluates moves. Applied to every m^2
+    # sample block (x130b/x152/x274/x275).
     s = (
         v.select("vec_id", "v", hv.alias("hv"))
         .orderBy("hv", "vec_id")  # TakeOrderedAndProject, not a full sort
         .limit(128)
-        .select("vec_id", "v")
+        .select("vec_id", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nv"))
     )
-    a = s.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    b = s.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    a = s.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nv").alias("na"))
+    b = s.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nv").alias("nb"))
     cos = dround(
-        dot(F.col("va"), F.col("vb"))
-        / (F.sqrt(dot(F.col("va"), F.col("va"))) * F.sqrt(dot(F.col("vb"), F.col("vb")))),
+        dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
         6,
     )
     return (
@@ -723,21 +727,24 @@ def x152_dim_truncation_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hv", "vec_id")  # TakeOrderedAndProject, not a full sort
         .limit(128)
         .select("vec_id", "v", F.slice("v", 1, 32).alias("vh"))
+        # r16: per-row norms (see x130b) — bit-identical, evaluated m not m^2 times
+        .withColumn("nv", F.sqrt(dot(F.col("v"), F.col("v"))))
+        .withColumn("nh", F.sqrt(dot(F.col("vh"), F.col("vh"))))
     )
     a = s.select(
-        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("vh").alias("ha")
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("vh").alias("ha"),
+        F.col("nv").alias("na"), F.col("nh").alias("nha"),
     )
     b = s.select(
-        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("vh").alias("hb")
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("vh").alias("hb"),
+        F.col("nv").alias("nb"), F.col("nh").alias("nhb"),
     )
     cf = dround(
-        dot(F.col("va"), F.col("vb"))
-        / (F.sqrt(dot(F.col("va"), F.col("va"))) * F.sqrt(dot(F.col("vb"), F.col("vb")))),
+        dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
         6,
     )
     ch = dround(
-        dot(F.col("ha"), F.col("hb"))
-        / (F.sqrt(dot(F.col("ha"), F.col("ha"))) * F.sqrt(dot(F.col("hb"), F.col("hb")))),
+        dot(F.col("ha"), F.col("hb")) / (F.col("nha") * F.col("nhb")),
         6,
     )
     return (
@@ -1484,16 +1491,15 @@ def x274_knn_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         v.select("vec_id", "v", hv.alias("hv"))
         .orderBy("hv", "vec_id")
         .limit(256)
-        .select("vec_id", "v")
+        # r16: per-row norms (see x130b) — the 256^2 block ran three
+        # 64-element folds per pair on ONE task (1.0s serial, measured);
+        # bit-identical doubles, evaluated m not m^2 times
+        .select("vec_id", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nv"))
     )
-    a = s.select(F.col("vec_id").alias("qid"), F.col("v").alias("va"))
-    b = s.select(F.col("vec_id").alias("nid"), F.col("v").alias("vb"))
+    a = s.select(F.col("vec_id").alias("qid"), F.col("v").alias("va"), F.col("nv").alias("na"))
+    b = s.select(F.col("vec_id").alias("nid"), F.col("v").alias("vb"), F.col("nv").alias("nb"))
     cos = dround(
-        dot(F.col("va"), F.col("vb"))
-        / (
-            F.sqrt(dot(F.col("va"), F.col("va")))
-            * F.sqrt(dot(F.col("vb"), F.col("vb")))
-        ),
+        dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
         6,
     )
     w = Window.partitionBy("qid").orderBy(F.desc("c"), F.asc("nid"))
@@ -1608,31 +1614,30 @@ def x275_anisotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "v",
             F.zip_with("v", "mv", lambda x, y: x - y).alias("cv"),
         )
+        # r16: per-row norms (see x130b) — bit-identical, evaluated m not m^2 times
+        .withColumn("nv", F.sqrt(dot(F.col("v"), F.col("v"))))
+        .withColumn("nc", F.sqrt(dot(F.col("cv"), F.col("cv"))))
     )
     a = s.select(
         F.col("vec_id").alias("id_a"),
         F.col("v").alias("va"),
         F.col("cv").alias("ca"),
+        F.col("nv").alias("na"),
+        F.col("nc").alias("nca"),
     )
     b = s.select(
         F.col("vec_id").alias("id_b"),
         F.col("v").alias("vb"),
         F.col("cv").alias("cb"),
+        F.col("nv").alias("nb"),
+        F.col("nc").alias("ncb"),
     )
     cr = dround(
-        dot(F.col("va"), F.col("vb"))
-        / (
-            F.sqrt(dot(F.col("va"), F.col("va")))
-            * F.sqrt(dot(F.col("vb"), F.col("vb")))
-        ),
+        dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
         6,
     )
     cc = dround(
-        dot(F.col("ca"), F.col("cb"))
-        / (
-            F.sqrt(dot(F.col("ca"), F.col("ca")))
-            * F.sqrt(dot(F.col("cb"), F.col("cb")))
-        ),
+        dot(F.col("ca"), F.col("cb")) / (F.col("nca") * F.col("ncb")),
         6,
     )
     return (
@@ -1896,35 +1901,45 @@ def x286_all_but_top_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pv"),
         )
     )
+    # r16: per-row norms (see x130b) — the 128^2 block ran six
+    # 64-element folds per pair; bit-identical doubles, evaluated m not
+    # m^2 times
+    pj = (
+        pj.withColumn("nv", F.sqrt(dot(F.col("v"), F.col("v"))))
+        .withColumn("ncv", F.sqrt(dot(F.col("cv"), F.col("cv"))))
+        .withColumn("npv", F.sqrt(dot(F.col("pv"), F.col("pv"))))
+    )
     a = pj.select(
         F.col("vec_id").alias("id_a"),
         F.col("v").alias("va"),
         F.col("cv").alias("ca"),
         F.col("pv").alias("pa"),
+        F.col("nv").alias("nva"),
+        F.col("ncv").alias("nca"),
+        F.col("npv").alias("npa"),
     )
     b = pj.select(
         F.col("vec_id").alias("id_b"),
         F.col("v").alias("vb"),
         F.col("cv").alias("cb"),
         F.col("pv").alias("pb"),
+        F.col("nv").alias("nvb"),
+        F.col("ncv").alias("ncb"),
+        F.col("npv").alias("npb"),
     )
 
-    def cos(x, y):
+    def cos(x, y, nx, ny):
         return dround(
-            dot(F.col(x), F.col(y))
-            / (
-                F.sqrt(dot(F.col(x), F.col(x)))
-                * F.sqrt(dot(F.col(y), F.col(y)))
-            ),
+            dot(F.col(x), F.col(y)) / (F.col(nx) * F.col(ny)),
             6,
         )
 
     return (
         a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
         .select(
-            cos("va", "vb").alias("cr"),
-            cos("ca", "cb").alias("cc"),
-            cos("pa", "pb").alias("cp"),
+            cos("va", "vb", "nva", "nvb").alias("cr"),
+            cos("ca", "cb", "nca", "ncb").alias("cc"),
+            cos("pa", "pb", "npa", "npb").alias("cp"),
         )
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_pairs"),
