@@ -630,6 +630,36 @@ def test_x150_signature_is_min_agg_columns_not_explode(spark, sf_dir):
     assert "explode(sequence(0, 63" not in plan
 
 
+def test_lsh_candidate_dedup_exchange_is_pinned(spark, sf_dir):
+    """r16: the LSH candidate dedup rides a user repartition on the
+    query/pair id (REPARTITION_BY_NUM — exempt from AQE's byte-based
+    coalescing, which had starved the CPU-dense dedup+verify stages to
+    10 of 32 cores) instead of .distinct()'s ENSURE_REQUIREMENTS
+    exchange on the full pair key. Pinned on x284 (lsh_cosine_pairs)
+    and x274b (lsh_knn_graph). In x12e (dedupfns.lsh_candidate_pairs)
+    the band self-join broadcasts one side, so the stream side KEEPS the
+    signature aggregation's hash(id) partitioning and the optimizer
+    removes the now-redundant repartition — pin that the dedup there
+    introduces no ENSURE_REQUIREMENTS exchange on the pair key either."""
+    import re
+
+    for name, key in [
+        ("x284_embedding_near_dup_lsh_centered", "id_a"),
+        ("x274b_knn_hubness_full_lsh", "query_id"),
+    ]:
+        plan = _plan(spark, sf_dir, name)
+        m = re.search(
+            rf"hashpartitioning\({key}#\d+L?, \d+\), REPARTITION_BY_NUM",
+            plan,
+        )
+        assert m, f"{name}: pinned candidate repartition missing"
+    plan = _plan(spark, sf_dir, "x12e_minhash_lsh_pairs")
+    assert not re.search(
+        r"hashpartitioning\(id_a#\d+L?, id_b#\d+L?, \d+\), ENSURE_REQUIREMENTS",
+        plan,
+    ), "x12e: candidate dedup grew its own pair-key exchange"
+
+
 def test_x285_quality_delta_shapes(spark, sf_dir):
     """x285's strip-side joins: the <=20-hash blocklist joins the block
     table by BROADCAST; no nested loop / cartesian anywhere; the only

@@ -99,6 +99,50 @@ def test_json_envelope_roundtrip(spark):
     assert sorted((r["id"], r["name"]) for r in back.collect()) == [(1, "a"), (2, "b")]
 
 
+def test_json_envelope_bytes_match_per_row_serialization(spark):
+    """r16: the envelope's constant schema half is rendered once at plan
+    build and concat'd around the per-row payload JSON. This pins the
+    CONTRACT that made the rewrite safe: the emitted bytes equal the
+    r15-era form that serialized the whole {schema, payload} struct
+    per row with to_json — across int/string/double/bool/timestamp
+    columns, NULLs included."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_spark.transforms import _connect_type
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 1.5, True, "2024-01-01 00:00:00"),
+            (2, None, None, False, None),
+        ],
+        ["id", "name", "score", "ok", "ts_s"],
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    fields = F.array(
+        *[
+            F.struct(
+                F.lit(f.name).alias("field"),
+                F.lit(_connect_type(f.dataType)).alias("type"),
+            )
+            for f in df.schema.fields
+        ]
+    )
+    legacy = df.select(
+        F.to_json(F.struct(*["id"])).alias("key"),
+        F.to_json(
+            F.struct(
+                F.struct(
+                    F.lit("struct").alias("type"), fields.alias("fields")
+                ).alias("schema"),
+                F.struct(*df.columns).alias("payload"),
+            )
+        ).alias("value"),
+    )
+    new = to_json_envelope(df, key_cols=["id"])
+    got = {r["key"]: r["value"] for r in new.collect()}
+    want = {r["key"]: r["value"] for r in legacy.collect()}
+    assert got == want
+
+
 def test_apply_when_predicate(spark):
     df = spark.createDataFrame([(1, "keep"), (2, "mask")], ["id", "v"])
     out = apply_when(df, F.col("id") == 2, lambda d: mask_fields(d, ["v"]))
