@@ -2026,37 +2026,67 @@ def _pow_chain(expr: str, k: int) -> str:
 #: caps 4..32 against a DuckDB oracle, while x256/x260 keep the
 #: uncapped truth at fixture scale with the guardrail wired in the
 #: plan. At a literal 100 TB the right setting is an ABSOLUTE doc count
-#: (~1e4, the leakage_safe_split guidance): the df>cap hot set is then
-#: tiny by construction, which is what the F.broadcast hint on the
-#: anti-join assumes.
+#: (~1e4, the leakage_safe_split guidance): the cap also bounds the
+#: r16 in-row pair emission (<= C(cap,2) structs per shingle row), so
+#: keep it engaged on any production-scale path.
 _PAIR_DF_CAP = 64
 
 
 def _candidate_pair_table(sh, max_df: int = _PAIR_DF_CAP):
     """Exact candidate pair table over an exploded-shingle frame
-    ``sh(id, s)``: hot-shingle anti-join at ``max_df`` (x43b guardrail),
-    shingle self-join, per-pair intersection counts, sizes from the
-    UNCAPPED per-doc shingle counts (the cap clips the join's worst key,
-    not the similarity denominator), jac >= 0.2 by integer
-    cross-multiply. Shared by x256 (planner) and x260 (audit queue);
-    their oracles mirror the cap as ``HAVING count(*) > max_df``.
-    Returns (id_a, id_b, inter, n_a, n_b). The broadcast hint on the hot
-    set assumes a production-scale absolute cap (see _PAIR_DF_CAP)."""
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    hot = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df_"))
-    shc = sh.join(
-        F.broadcast(hot.filter(F.col("df_") > max_df)), "s", "left_anti"
-    )
-    a, b_ = shc.alias("a"), shc.alias("b")
-    inter = (
-        a.join(
-            b_,
-            (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")),
+    ``sh(id, s)``: per-shingle doc-id grouping with the ``max_df`` cap
+    (x43b guardrail), in-row pair emission, per-pair intersection
+    counts, sizes from the UNCAPPED per-doc shingle counts (the cap
+    clips the pair fan-out's worst key, not the similarity denominator),
+    jac >= 0.2 by integer cross-multiply. Shared by x256 (planner) and
+    x260 (audit queue); their oracles mirror the cap as ``HAVING
+    count(*) > max_df``.
+
+    r16 shape (guide §2.4/§2.5, the x267 rewrite): ONE shuffle groups
+    each shingle's distinct doc ids into a sorted array; candidate
+    pairs are emitted IN-ROW from the df-bounded array (<= C(max_df,2)
+    structs per shingle — the same rows the former hot-anti-join +
+    self-join produced, without the df join or the second probe pass),
+    and sizes re-explode the grouped table instead of re-reading the
+    shingle stream. This retired the callers' exploded-shingle persist,
+    whose 3-consumer tree raced concurrent cache materializations under
+    AQE (the x267 timeline: 7 overlapping 32-task jobs). The grouped
+    table is persisted and eager-counted HERE — callers receive
+    ``(pairs, grouped)`` and must unpersist ``grouped`` after their
+    terminal action. The in-row emission is bounded ONLY by ``max_df``:
+    an uncapped call (max_df >> corpus df) materializes C(df,2) structs
+    per hot shingle in one row — keep the cap engaged on any
+    production-scale path (the self-join form merely streamed the same
+    quadratic rows; neither shape makes an uncapped hot key linear)."""
+    g = (
+        sh.groupBy("s")
+        .agg(
+            F.sort_array(F.collect_list("id")).alias("ids"),
+            F.count(F.lit(1)).alias("df_"),
         )
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .persist()
+    )
+    g.count()  # materialize ONCE before the consumers fan out
+    sizes = (
+        g.select(F.explode("ids").alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
+    # ids are distinct per shingle (shingles() emits per-doc distinct),
+    # so i < j over the sorted array IS the a.id < b.id condition of the
+    # old self-join, row for row.
+    pair_expr = F.expr(
+        "flatten(transform(sequence(1, size(ids) - 1),"
+        " j -> transform(sequence(0, j - 1),"
+        " i -> struct(ids[i] as id_a, ids[j] as id_b))))"
+    )
+    inter = (
+        g.filter((F.col("df_") >= 2) & (F.col("df_") <= max_df))
+        .select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    return (
+    pairs = (
         inter.join(
             sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")),
             "id_a",
@@ -2069,6 +2099,7 @@ def _candidate_pair_table(sh, max_df: int = _PAIR_DF_CAP):
             F.col("inter") * 5 >= F.col("n_a") + F.col("n_b") - F.col("inter")
         )
     )
+    return pairs, g
 
 _LSH_CONFIGS = [(2, 16), (4, 8), (4, 32), (8, 4), (8, 16)]
 
@@ -2142,18 +2173,19 @@ def x256_lsh_parameter_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair table once (the x12c candidate shape, jac >= 0.2 by
     cross-multiply); the 5 config aggregates are conditional sums over
     that one table — no per-config rescans of the corpus. The pair build
-    rides the _PAIR_DF_CAP hot-shingle anti-join (x43b guardrail —
-    default cap 64, a MEASURED no-op at every fixture, mirrored in the
-    oracle; x267 verifies the engaged-cap semantics), which is also what
-    x12e's production banding actually sees — its bucket join caps the
-    same way."""
+    rides the _PAIR_DF_CAP cap (x43b guardrail — default 64, a MEASURED
+    no-op at every fixture, mirrored in the oracle as the hot-shingle
+    anti-join; x267 verifies the engaged-cap semantics), which is also
+    what x12e's production banding actually sees — its bucket join caps
+    the same way. r16: the pair build is the grouped in-row form (see
+    _candidate_pair_table)."""
     d = load_parallel(spark, sf_dir, "documents")
     from ..functions.dedupfns import shingles
 
     sh = d.select(
         "doc_id", F.explode(shingles("text", 3)).alias("s_str")
     ).select(F.col("doc_id").alias("id"), F.xxhash64("s_str").alias("s"))
-    sh = sh.persist()
+    cand, grouped = _candidate_pair_table(sh)
     pj = None
     try:
         # r16 (guide §7.3 driver planning + §2.4): TWO fixes over the r15
@@ -2182,7 +2214,7 @@ def x256_lsh_parameter_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         # The ORACLE keeps the textual chain: DuckDB parses it in ms and
         # the two engines' arithmetic stays identical by construction.
         df = (
-            _candidate_pair_table(sh)
+            cand
             .select("inter", "n_a", "n_b")
             .withColumn(
                 "s",
@@ -2253,7 +2285,7 @@ def x256_lsh_parameter_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return out
     finally:
-        sh.unpersist(blocking=False)
+        grouped.unpersist(blocking=False)
         if pj is not None:
             pj.unpersist(blocking=False)
 
@@ -2310,18 +2342,18 @@ def x260_pair_audit_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-join (x43b guardrail — default cap 64, a MEASURED no-op at
     every fixture, mirrored in the oracle; x267 verifies the engaged-cap
     semantics) so one boilerplate 3-gram can't make the audit queue's
-    join quadratic at scale. sh is persisted — the pair build consumes
-    it three times (sizes, hot set, self-join), ~35% saved versus
-    re-exploding (the x256 measurement)."""
+    join quadratic at scale. r16: the pair build is the grouped in-row
+    form (see _candidate_pair_table) — the grouped table is the one
+    persisted relation, unpersisted after the terminal checkpoint."""
     d = load_parallel(spark, sf_dir, "documents")
     from ..functions.dedupfns import shingles
 
     sh = d.select(
         "doc_id", F.explode(shingles("text", 3)).alias("s_str")
     ).select(F.col("doc_id").alias("id"), F.xxhash64("s_str").alias("s"))
-    sh = sh.persist()
+    cand, grouped = _candidate_pair_table(sh)
     try:
-        pj = _candidate_pair_table(sh).select(
+        pj = cand.select(
             "id_a",
             "id_b",
             "inter",
@@ -2354,7 +2386,7 @@ def x260_pair_audit_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
     finally:
-        sh.unpersist(blocking=False)
+        grouped.unpersist(blocking=False)
 
 
 @query(
@@ -2641,10 +2673,19 @@ def x267_df_cap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     never be conflated again. This is also the query that value-verifies
     the ENGAGED cap semantics against DuckDB at every fixture (caps 4-16
     all clip at sf>=0.001), while x256/x260 keep the uncapped truth.
-    Plan: ONE df-bounded shingle self-join (worst key <= 64^2 rows by the
-    df <= 64 pre-filter) carrying per-shingle df, conditional per-cap
-    sums in one groupBy — NOT five pair-table rebuilds; the 5 output
-    rows come from two 1-row aggregates."""
+    Plan (r16): ONE shuffle of the shingle rows groups each shingle's
+    (distinct, sorted) doc-id list; candidate pairs are emitted IN-ROW
+    from the df-bounded array (<= C(64,2) structs per shingle — the same
+    rows the former exd self-join produced, without the dft join or the
+    second probe pass), and per-shingle df rides along so the per-cap
+    sums stay one conditional groupBy. This retired the shingle-table
+    persist whose 3-consumer tree raced SEVEN concurrent cache
+    materializations under AQE (job timeline: 7 overlapping 32-task
+    localCheckpoint jobs); the grouped table is persisted and
+    eager-counted instead — one materialization, three cheap readers.
+    Isolated interleaved A/B at sf0.1: 3.95 -> 2.45s median, outputs
+    asserted equal. The 5 output rows still come from two 1-row
+    aggregates."""
     d = load_parallel(spark, sf_dir, "documents")
     from ..functions.dedupfns import shingles
 
@@ -2652,22 +2693,38 @@ def x267_df_cap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = d.select(
         "doc_id", F.explode(shingles("text", 3)).alias("s_str")
     ).select(F.col("doc_id").alias("id"), F.xxhash64("s_str").alias("s"))
-    sh = sh.persist()
+    g = (
+        sh.groupBy("s")
+        .agg(
+            F.sort_array(F.collect_list("id")).alias("ids"),
+            F.count(F.lit(1)).alias("df_"),
+        )
+        .persist()
+    )
+    g.count()  # materialize ONCE before the three consumers fan out
     try:
-        dft = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df_"))
-        sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-        exd = sh.join(dft, "s").filter(F.col("df_") <= caps[-1])
-        a, b_ = exd.alias("a"), exd.alias("b")
+        dft = g  # per-shingle df for the hot-shingle aggregate
+        sizes = (
+            g.select(F.explode("ids").alias("id"))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n_sh"))
+        )
+        # (id_a < id_b) pairs from the sorted id array: ids are distinct
+        # per shingle (shingles() emits per-doc distinct), so i < j over
+        # the sorted array IS the a.id < b.id condition of the old
+        # self-join, row for row.
+        pair_expr = F.expr(
+            "flatten(transform(sequence(1, size(ids) - 1),"
+            " j -> transform(sequence(0, j - 1),"
+            " i -> struct(ids[i] as id_a, ids[j] as id_b))))"
+        )
         pairs = (
-            a.join(
-                b_,
-                (F.col("a.s") == F.col("b.s"))
-                & (F.col("a.id") < F.col("b.id")),
-            )
-            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            g.filter((F.col("df_") >= 2) & (F.col("df_") <= caps[-1]))
+            .select(F.explode(pair_expr).alias("p"), "df_")
+            .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
             .agg(
                 *[
-                    F.sum((F.col("a.df_") <= c).cast("long"))
+                    F.sum((F.col("df_") <= c).cast("long"))
                     .cast("long")
                     .alias(f"i{c}")
                     for c in caps
@@ -2725,7 +2782,7 @@ def x267_df_cap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return one.select(F.expr(stack_expr)).orderBy("cap").localCheckpoint()
     finally:
-        sh.unpersist(blocking=False)
+        g.unpersist(blocking=False)
 
 
 @query(

@@ -454,9 +454,10 @@ def test_pair_df_cap_default_is_noop_at_fixture(spark, sf_dir):
         f" {_PAIR_DF_CAP}): re-measure and retune the default"
     )
     cols = ["id_a", "id_b", "inter", "n_a", "n_b"]
-    capped = {tuple(r) for r in _candidate_pair_table(sh).select(cols).collect()}
-    uncapped = {
-        tuple(r)
-        for r in _candidate_pair_table(sh, max_df=1 << 40).select(cols).collect()
-    }
+    cap_pairs, cap_g = _candidate_pair_table(sh)
+    capped = {tuple(r) for r in cap_pairs.select(cols).collect()}
+    cap_g.unpersist(blocking=False)
+    unc_pairs, unc_g = _candidate_pair_table(sh, max_df=1 << 40)
+    uncapped = {tuple(r) for r in unc_pairs.select(cols).collect()}
+    unc_g.unpersist(blocking=False)
     assert capped == uncapped and len(capped) > 0
