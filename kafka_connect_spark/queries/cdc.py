@@ -163,6 +163,18 @@ def t4b_avro_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    # r16 (guide §2.5/§4): the single-split fixture scan serialized the
+    # avro encode and the mapInPandas decode on ONE task (~2.2 CPU-s).
+    # The guarded repartition runs AFTER the 3-column projection, so the
+    # added shuffle carries narrow rows — the r16 full-events (wide
+    # props) variant measured inside noise and was not shipped; this
+    # post-select form measured 1.69 -> 1.45s interleaved at sf0.1 with
+    # outputs asserted equal. No-op at production split counts.
+    target = spark.sparkContext.defaultParallelism
+    from ..catalog import _planned_scan_partitions
+
+    if _planned_scan_partitions(spark, f"{sf_dir}/events.parquet") < target:
+        ev = ev.repartition(target)
     reg = FileSchemaRegistry(tempfile.mkdtemp(prefix="schema-registry-"))
     env = to_avro_envelope(ev, reg, "events-value")
     return from_avro_envelope(env, reg, subject="events-value").orderBy("event_id")

@@ -1379,8 +1379,11 @@ def x147_dup_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_parallel(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(d, n=3, threshold=0.5).select("id_a", "id_b")
-    ends = pairs.select(F.col("id_a").alias("doc_id")).unionAll(
-        pairs.select(F.col("id_b").alias("doc_id"))
+    # r16 (guide §2.4, the dup_clusters fix): the 2-branch endpoint union
+    # re-ran the shingle pair pipeline once per branch; an in-row 2-way
+    # explode emits both endpoints from ONE pass. Rows identical.
+    ends = pairs.select(
+        F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("doc_id")
     )
     deg = ends.groupBy("doc_id").agg(F.count(F.lit(1)).alias("degree"))
     return (
@@ -1714,8 +1717,18 @@ def x168_dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_parallel(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(d, n=3, threshold=0.5).select("id_a", "id_b")
     ed = (
-        pairs.selectExpr("id_a AS src", "id_b AS dst")
-        .unionAll(pairs.selectExpr("id_b AS src", "id_a AS dst"))
+        # r16 (guide §2.4, the dup_clusters fix): in-row 2-way explode —
+        # the former 2-branch union ran the shingle pair-build once per
+        # direction even inside the single checkpoint materialization.
+        pairs.select(
+            F.explode(
+                F.expr(
+                    "array(struct(id_a as src, id_b as dst),"
+                    " struct(id_b as src, id_a as dst))"
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         # materialize the edge list ONCE: every iteration joins against it,
         # and without lineage truncation the shingle pair-build would re-run
         # per iteration (the x12h label-propagation discipline)

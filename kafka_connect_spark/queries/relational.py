@@ -2181,13 +2181,17 @@ def x228_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= 3)
     )
+    # r16 (guide §2.4, the dup_clusters fix): both rule directions emit
+    # from ONE pass via an in-row 2-way explode — the former 2-branch
+    # union re-ran the basket self-join + pair agg once per direction.
     rules = pair.select(
-        F.col("pa").alias("antecedent"), F.col("pb").alias("consequent"), "n_ab"
-    ).unionByName(
-        pair.select(
-            F.col("pb").alias("antecedent"), F.col("pa").alias("consequent"), "n_ab"
-        )
-    )
+        F.explode(
+            F.expr(
+                "array(struct(pa as antecedent, pb as consequent, n_ab),"
+                " struct(pb as antecedent, pa as consequent, n_ab))"
+            )
+        ).alias("r")
+    ).select("r.antecedent", "r.consequent", "r.n_ab")
     ia = item.select(
         F.col("l_partkey").alias("antecedent"), F.col("n_i").alias("n_antecedent")
     )
